@@ -1,0 +1,84 @@
+package graft.model
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** Core data model of the engine.
+  *
+  * Mirrors the reference's data contracts (see SURVEY.md §1):
+  *   - Tick: the 3-field market tick message
+  *     (reference src/consumer/spark_streaming.py:58-62,
+  *     src/producer/synthetic_ticks.py:66-70).
+  *   - FeatureRow: one row per (symbol, window) of the features table
+  *     (reference src/consumer/spark_streaming.py:145-160).
+  *   - Event: the driver test-data analog of a tick stream
+  *     (/root/testdata/<sf>/events.parquet).
+  */
+final case class Tick(symbol: String, price: Double, event_time_ms: Long)
+
+final case class FeatureRow(
+    symbol: String,
+    window_start: Timestamp,
+    window_end: Timestamp,
+    first_price: Double,
+    last_price: Double,
+    log_return: Double,
+    volatility: Double,
+    num_ticks: Long,
+    max_event_time_ms: Long)
+
+final case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+object Schemas {
+  /** Exact port of the reference's tick StructType
+    * (src/consumer/spark_streaming.py:58-62): all fields non-nullable.
+    */
+  val tick: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false),
+    StructField("event_time_ms", LongType, nullable = false)))
+
+  /** CSV backfill contract (src/backfill/publish_historical.py:40). */
+  val tickCsv: StructType = tick
+
+  val event: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+}
+
+/** Table loader for the driver-provided parquet test tables. */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Reads a test table. The driver's `events` table is written with
+    * parquet TIMESTAMP(NANOS), which Spark refuses by default; we read
+    * nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert
+    * to a microsecond timestamp with exact integer division (a double
+    * division would lose precision above 2^53 ns ≈ 1970+104 days).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+}
