@@ -1,0 +1,176 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), keyed latest-wins, MinHash+LSH near-dup,
+  * SimHash, exact n-gram Jaccard via an inverted shingle index, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB posture):
+  *   - Exact/keyed dedup: one shuffle on the dedup key; map-side partial
+  *     aggregation collapses duplicates before the exchange.
+  *   - MinHash+LSH: cost is O(rows × shingles × perms) map-side plus a
+  *     shuffle keyed by (band, signature). Candidate verification only
+  *     touches bucket collisions — never the O(n²) pair space. Hot
+  *     buckets (boilerplate docs) are the skew risk; cap bucket width or
+  *     salt-split ultra-common signatures before the pair join.
+  *   - Inverted-index Jaccard: self-join on shingle; drop stop-shingles
+  *     (document frequency above a cap) to bound the join fan-out.
+  *   - Embedding near-dup: the all-pairs form here is the correctness
+  *     baseline; the scale path is LSH bucketing (see Similarity).
+  */
+object Dedup {
+
+  /** Exact dedup by key: one output row per key, keeping the minimum of
+    * `orderCol` as the canonical representative plus the duplicate count.
+    * Deterministic (unlike `dropDuplicates`, which keeps an arbitrary
+    * first row).
+    */
+  def exactByKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(orderCol)).as(s"first_$orderCol"),
+        count(lit(1)).as("n_copies"))
+
+  /** Keyed latest-wins dedup (SURVEY.md X2): keep the newest row per key
+    * by `tsCol`, tie-breaking on `tieCol` descending — the finalization
+    * operator for the reference's append+last-wins materialization
+    * (streamlit_app.py:69-80 reads; spark_streaming.py update-mode
+    * re-emissions).
+    */
+  def latestWins(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** MinHash signatures: one row per (id, perm) with the min md5 over
+    * the document's shingle set, prefixed by the permutation index.
+    * md5-as-permutation keeps the whole pipeline expression-native and
+    * reproducible in any engine with md5 (notably the DuckDB oracle).
+    */
+  def minhash(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int, shingleN: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
+      .withColumn("perm", explode(sequence(lit(0), lit(numPerms - 1))))
+      .groupBy(col(idCol), col("perm"))
+      .agg(min(md5(concat(col("perm").cast("string"), lit("|"), col("shingle"))))
+        .as("mh"))
+
+  /** LSH banding: signatures → (id, band, band-signature) buckets. */
+  def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", floor(col("perm") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
+          s => s.getField("mh"))).as("sig"))
+
+  /** Candidate pairs: ids sharing any (band, signature) bucket. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
+    * verified with exact Jaccard over distinct shingle sets, thresholded.
+    */
+  def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val cand = lshCandidates(
+      lshBands(minhash(docs, idCol, textCol, numPerms, shingleN),
+        idCol, rowsPerBand), idCol)
+    val sets = docs.select(col(idCol),
+      Text.shingles(col(textCol), shingleN).as("shingles"))
+    val withJac = cand
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    withJac.filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup via inverted shingle index: self-join
+    * on shingle counts shared shingles per pair — only pairs that share
+    * at least one shingle are ever materialized.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs.select(col(idCol),
+      Text.shingles(col(textCol), shingleN).as("shingles"))
+    val inv = sets.select(col(idCol), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("shingle"))
+    val a = inv.select(col(idCol).as("id_a"), col("n").as("n_a"), col("shingle"))
+    val b = inv.select(col(idCol).as("id_b"), col("n").as("n_b"), col("shingle"))
+    a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash: 20-bit signature from a positional polynomial char hash per
+    * token (mod 2^20 — chosen so the identical arithmetic is expressible
+    * in plain SQL for the oracle), majority-voted per bit with
+    * multiplicity. Near-identical documents differ in few bits (compare
+    * with xor + bit_count).
+    */
+  val SimhashBits = 20
+  private val SimhashMod = 1 << SimhashBits
+
+  /** Positional polynomial hash of a token: fold (acc*31 + ascii) mod 2^20. */
+  def tokenHash(tok: Column): Column =
+    aggregate(
+      transform(split(tok, ""), c => ascii(c)),
+      lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(SimhashMod.toLong)))
+
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    val agg = perTok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits).map(j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup, all-pairs baseline: pairs with cosine
+    * similarity ≥ threshold. Norms are precomputed per row; the pair
+    * join is the quadratic correctness baseline (the LSH-bucketed scale
+    * path lives in [[Similarity]]).
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val a = e.select(col("id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", col("dot") / (sqrt(col("n_a")) * sqrt(col("n_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

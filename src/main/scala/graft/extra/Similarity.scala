@@ -1,0 +1,95 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *   - [[topKBruteForce]]: exact top-k by cosine — the correctness
+  *     baseline. Query side is broadcast (it is small by construction);
+  *     the corpus is scanned once, fully parallel, and per-query top-k is
+  *     a rank-window (no global sort).
+  *   - [[topKLsh]]: sign-random-projection LSH — corpus is bucketed by a
+  *     hyperplane sign signature; each query only scans its own bucket.
+  *     At 100 TB this turns a full-corpus scan into a bucket lookup;
+  *     recall is tunable via number of hyperplanes (fewer bits → bigger
+  *     buckets → higher recall, more compute).
+  *
+  * The hyperplanes are pseudo-random but engine-independent: component i
+  * of plane p is `((i*31 + p*17) mod 7) - 3` — a fixed integer lattice
+  * that any SQL engine reproduces exactly (needed for the DuckDB oracle;
+  * a seeded Gaussian would be equally valid in production).
+  */
+object Similarity {
+
+  /** Sum of element-wise products, computed left-to-right in double —
+    * bit-reproducible across engines.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(v: Column): Column =
+    aggregate(v, lit(0.0), (a, x) => a + x * x)
+
+  /** Corpus prepared with double vectors + squared norms. */
+  def prepare(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm2(col("v")))
+
+  /** Exact top-k neighbors for each query id (queries = rows of the same
+    * corpus selected by `queryPred`). Ranking key is cosine rounded to
+    * 6 dp with id tie-break, so ordering is engine-independent.
+    */
+  def topKBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val e = prepare(emb, idCol, vecCol)
+    val q = e.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  val NumPlanes = 8
+
+  /** Sign-random-projection bucket signature for a double vector. */
+  def lshBucket(v: Column): Column = {
+    val planeDots = (0 until NumPlanes).map { p =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * ((i * 31 + p * 17) % 7 - 3).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeDots.reduce(_ + _)
+  }
+
+  /** Approximate top-k: only corpus vectors in the query's LSH bucket are
+    * scored. Same output shape as [[topKBruteForce]].
+    */
+  def topKLsh(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val e = prepare(emb, idCol, vecCol).withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, token counting, document
+  * fingerprinting. All expression-native (whole-stage codegen) — no UDFs,
+  * no driver-side loops; every operator is a per-row projection or a
+  * single aggregation, so it scales linearly and partitions freely.
+  */
+object Text {
+
+  /** Whitespace tokenizer with empty-token filtering (robust to repeated
+    * separators). Lowercasing keeps downstream hashes case-insensitive.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct word n-gram shingles, joined by single spaces.
+    * Guarded: texts shorter than n tokens yield an empty array (Spark's
+    * `sequence(0, negative)` would count backwards otherwise).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-language stopword seed lists for the n-gram/stopword language
+    * heuristic. Tiny on purpose: broadcast as literals into codegen.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est"))
+
+  /** Language order for deterministic argmax tie-breaking. */
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr")
+
+  /** Tokens-in-list count (with multiplicity) — the per-language score. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language-ID heuristic: score = stopword hits per language, predict
+    * the argmax (ties resolve in [[langOrder]] order). Adds columns
+    * score_<lang>... and predicted_lang.
+    */
+  def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langOrder.foldLeft(df)((d, l) =>
+      d.withColumn(s"score_$l", stopwordHits(toks, stopwords(l))))
+    val predicted = langOrder.init.zipWithIndex.foldRight(
+      lit(langOrder.last): Column) { case ((l, i), els) =>
+      val geAll = langOrder.drop(i + 1)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(geAll, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted_lang", predicted)
+  }
+
+  /** Quality metrics per document: token counts, type-token ratio,
+    * stopword ratio, mean token length, and a composite [0,1] score.
+    * The score formula is arbitrary but fixed; what matters is that it
+    * is deterministic and cheap (pure projection).
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("avg_token_len",
+        round(aggregate(t, lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size(t), 6))
+      .withColumn("type_token_ratio",
+        round(size(array_distinct(t)).cast("double") / size(t), 6))
+      .withColumn("stopword_ratio",
+        round(stopwordHits(t, stopwords("en")).cast("double") / size(t), 6))
+      .withColumn("quality_score",
+        round(
+          size(array_distinct(t)).cast("double") / size(t) * 0.5 +
+            least(stopwordHits(t, stopwords("en")).cast("double") / size(t) * 5.0,
+              lit(1.0)) * 0.3 +
+            least(size(t).cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+  }
+
+  /** Token-count estimate: exact whitespace tokens plus a BPE-ish
+    * subword estimate (ceil(len/4) pieces per word — the classic
+    * ~4-chars-per-token rule applied per word).
+    */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("bpe_tokens",
+        aggregate(t, lit(0L), (acc, x) => acc + ceil(length(x) / 4.0).cast("long")))
+  }
+
+  /** Document fingerprint: min-over-shingles of md5(shingle) — a
+    * winnowing-style content fingerprint that is stable under word
+    * reordering outside any shingle and cheap to compare/join on.
+    */
+  def withFingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val sh = shingles(col(textCol), n)
+    df.withColumn("n_shingles", size(sh).cast("long"))
+      .withColumn("fingerprint", array_min(transform(sh, s => md5(s))))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extra.Dedup
+import graft.model.Tables
+
+/** Deduplication queries (north-star X1/X2 + the training-data dedup
+  * family): exact hash dedup, keyed latest-wins, MinHash+LSH, exact
+  * n-gram Jaccard, SimHash, embedding-cosine near-dup.
+  */
+object DedupQueriesImpl {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [] END)""".stripMargin
+  private val toksCte =
+    """t AS (SELECT doc_id,
+      |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  // ---- dedup_exact --------------------------------------------------
+
+  /** Exact dedup by content hash over documents (hash-groupBy). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByKey(
+      docs(s, dir).withColumn("text_hash", md5(col("text"))),
+      Seq("text_hash"), "doc_id")
+      .orderBy("text_hash")
+
+  private val dedupExactOracle =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS first_doc_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- dedup_latest -------------------------------------------------
+
+  /** Keyed latest-wins over events: newest row per (user_id, event_type).
+    * The finalization operator for update-mode append+last-wins sinks
+    * (SURVEY.md §2.4 ST6).
+    */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestWins(events(s, dir), Seq("user_id", "event_type"),
+      "ts", "event_id")
+      .orderBy("user_id", "event_type")
+
+  private val dedupLatestOracle =
+    """SELECT event_id, ts, user_id, event_type, value, props
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---- neardup_minhash ---------------------------------------------
+
+  def neardupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinhash(docs(s, dir), "doc_id", "text",
+      numPerms = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private val neardupMinhashOracle =
+    s"""WITH $toksCte,
+       |ss AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM ss),
+       |mh AS (SELECT doc_id, k AS perm,
+       |         min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS mh
+       |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS k)
+       |       GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, perm // 4 AS band,
+       |            string_agg(mh, ',' ORDER BY perm) AS sig
+       |          FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig
+       |          AND a.doc_id < b.doc_id),
+       |j AS (SELECT c.id_a, c.id_b,
+       |        len(list_intersect(x.shingles, y.shingles)) AS inter,
+       |        len(x.shingles) + len(y.shingles)
+       |          - len(list_intersect(x.shingles, y.shingles)) AS uni
+       |      FROM cand c
+       |      JOIN ss x ON x.doc_id = c.id_a
+       |      JOIN ss y ON y.doc_id = c.id_b)
+       |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/uni, 6) AS jaccard
+       |FROM j
+       |WHERE CAST(inter AS DOUBLE)/uni >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- ngram_jaccard ------------------------------------------------
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private val ngramJaccardOracle =
+    s"""WITH $toksCte,
+       |ss AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
+       |inv AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+       |        FROM ss),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        a.n AS n_a, b.n AS n_b, count(*) AS inter
+       |      FROM inv a JOIN inv b
+       |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |  round(CAST(inter AS DOUBLE)/(n_a + n_b - inter), 6) AS jaccard
+       |FROM p
+       |WHERE CAST(inter AS DOUBLE)/(n_a + n_b - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- simhash ------------------------------------------------------
+
+  def simhashDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val simhashOracle = {
+    val bits = Dedup.SimhashBits
+    val bitSums = (0 until bits)
+      .map(j => s"  sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n")
+    val sig = (0 until bits)
+      .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id,
+       |        list_reduce(list_transform(string_split(tok, ''),
+       |          c -> ascii(c)), (a, b) -> (a * 31 + b) % 1048576) AS h
+       |      FROM tok),
+       |bits AS (SELECT doc_id,
+       |$bitSums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM bits
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- neardup_embedding -------------------------------------------
+
+  def neardupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  private val neardupEmbeddingOracle =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  list_sum(list_transform(range(0, len(embedding)),
+      |    i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))
+      |    AS nrm
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_sum(list_transform(range(0, len(a.embedding)),
+      |    i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+      |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+      |FROM p
+      |WHERE cosine >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact",
+      "exact content-hash dedup (hash-groupBy, deterministic canonical)",
+      dedupExact, Some(dedupExactOracle)),
+    QueryDef("dedup_latest",
+      "keyed latest-wins dedup (update-mode finalizer)",
+      dedupLatest, Some(dedupLatestOracle)),
+    QueryDef("neardup_minhash",
+      "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
+      neardupMinhash, Some(neardupMinhashOracle)),
+    QueryDef("ngram_jaccard",
+      "exact 3-gram Jaccard via inverted shingle index",
+      ngramJaccard, Some(ngramJaccardOracle)),
+    QueryDef("simhash",
+      "20-bit SimHash signatures (expression-native char hashing)",
+      simhashDocs, Some(simhashOracle)),
+    QueryDef("neardup_embedding",
+      "embedding-cosine near-dup pairs (all-pairs baseline)",
+      neardupEmbedding, Some(neardupEmbeddingOracle)))
+}

@@ -1,10 +1,10 @@
 package graft.queries
 
-/** North-star extension query groups (SURVEY.md §2.6) — filled in by the
-  * dedup / similarity / text / multimodal / time-series modules.
+/** North-star extension query groups (SURVEY.md §2.6) — one object per
+  * module family, wired into [[Registry]].
   */
-object DedupQueries { def defs: Seq[QueryDef] = Seq.empty }
-object SimilarityQueries { def defs: Seq[QueryDef] = Seq.empty }
-object TextQueries { def defs: Seq[QueryDef] = Seq.empty }
-object MultimodalQueries { def defs: Seq[QueryDef] = Seq.empty }
-object TimeSeriesQueries { def defs: Seq[QueryDef] = Seq.empty }
+object DedupQueries { def defs: Seq[QueryDef] = DedupQueriesImpl.defs }
+object SimilarityQueries { def defs: Seq[QueryDef] = SimilarityQueriesImpl.defs }
+object TextQueries { def defs: Seq[QueryDef] = TextQueriesImpl.defs }
+object MultimodalQueries { def defs: Seq[QueryDef] = MultimodalQueriesImpl.defs }
+object TimeSeriesQueries { def defs: Seq[QueryDef] = TimeSeriesQueriesImpl.defs }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.extra.Multimodal
+import graft.model.Tables
+
+/** Multimodal / semi-structured column queries (north-star X6 + the
+  * binary-column pipeline): JSON props extraction and the binary media
+  * plumbing (deterministic stub codec, real Spark dataflow).
+  */
+object MultimodalQueriesImpl {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---- props_extract ------------------------------------------------
+
+  /** JSON path extraction from the semi-structured props column. */
+  def propsExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      .orderBy("event_id")
+
+  private val propsExtractOracle =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---- props_stats --------------------------------------------------
+
+  /** Aggregate over an extracted JSON field: mod-10 bucket stats. */
+  def propsStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k_mod",
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10L)))
+      .groupBy("k_mod")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+          count(col("value")), 6).as("avg_value"))
+      .orderBy("k_mod")
+
+  private val propsStatsOracle =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |        / count(value), 6) AS avg_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- multimodal_meta ---------------------------------------------
+
+  /** Binary media pipeline: documents → binary payloads → iterator-based
+    * partition decode (stub codec) → typed metadata.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs(s, dir)))
+      .toDF()
+      .orderBy("media_id")
+
+  private val multimodalMetaOracle =
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+      |  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height,
+      |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  // ---- multimodal_frames -------------------------------------------
+
+  /** Frame sampling over "video" assets: every 4th frame, max 8. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs(s, dir))),
+      step = 4, maxFrames = 8)
+      .orderBy("media_id", "frame_idx")
+
+  private val multimodalFramesOracle =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+      |  FROM documents)
+      |SELECT media_id, n_frames,
+      |  CAST(unnest((range(0, n_frames, 4))[1:8]) AS INTEGER) AS frame_idx
+      |FROM m
+      |WHERE kind = 'video'
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("props_extract",
+      "JSON path extraction (get_json_object) from props",
+      propsExtract, Some(propsExtractOracle)),
+    QueryDef("props_stats",
+      "grouped stats over an extracted JSON field",
+      propsStats, Some(propsStatsOracle)),
+    QueryDef("multimodal_meta",
+      "binary media envelope + iterator-partition stub decode",
+      multimodalMeta, Some(multimodalMetaOracle)),
+    QueryDef("multimodal_frames",
+      "frame sampling explode over video assets",
+      multimodalFrames, Some(multimodalFramesOracle)))
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extra.Similarity
+import graft.model.Tables
+
+/** Similarity-search queries over the embeddings table (north-star X4):
+  * exact brute-force top-k and the LSH-bucketed approximate variant.
+  */
+object SimilarityQueriesImpl {
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private val normSql =
+    """list_sum(list_transform(range(0, len(embedding)),
+      |    i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"""list_sum(list_transform(range(0, len($a.embedding)),
+       |    i -> CAST($a.embedding[i+1] AS DOUBLE) * CAST($b.embedding[i+1] AS DOUBLE)))""".stripMargin
+
+  // ---- sim_topk (exact brute force) --------------------------------
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors. */
+  def simTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKBruteForce(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val simTopKOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("c", "q")} / (sqrt(c.nrm) * sqrt(q.nrm)), 6) AS cosine
+       |  FROM e c JOIN e q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- sim_topk_lsh (bucketed approximate) -------------------------
+
+  /** LSH-bucketed top-5: only same-bucket candidates are scored. */
+  def simTopKLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKLsh(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val simTopKLshOracle = {
+    val planeDots = (0 until Similarity.NumPlanes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+         |      i -> CAST(embedding[i+1] AS DOUBLE)
+         |           * CAST((i*31 + $p*17) % 7 - 3 AS DOUBLE))) >= 0
+         |    THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm,
+       |    $planeDots AS bucket
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("c", "q")} / (sqrt(c.nrm) * sqrt(q.nrm)), 6) AS cosine
+       |  FROM e c JOIN e q
+       |    ON q.vec_id < 10 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sim_topk",
+      "exact brute-force cosine top-5 for 10 query vectors",
+      simTopK, Some(simTopKOracle)),
+    QueryDef("sim_topk_lsh",
+      "sign-random-projection LSH bucketed approximate top-5",
+      simTopKLsh, Some(simTopKLshOracle)))
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extra.Text
+import graft.model.Tables
+
+/** Text-analysis queries over the `documents` table (north-star X5 +
+  * the training-data-pipeline text operators).
+  *
+  * DuckDB oracle building blocks mirroring [[graft.extra.Text]]:
+  * toks  = list_filter(string_split(lower(text),' '), t -> t <> '')
+  * hits  = len(list_filter(toks, t -> list_contains([...], t)))
+  */
+object TextQueriesImpl {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  private def hitsSql(lang: String): String = {
+    val lst = Text.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($lst, t)))"
+  }
+
+  // ---- text_quality -------------------------------------------------
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Text.withQuality(docs(s, dir), "text")
+      .select("doc_id", "lang", "n_tokens", "n_distinct_tokens", "n_chars",
+        "avg_token_len", "type_token_ratio", "stopword_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  private val textQualityOracle =
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id, lang,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |        / len(toks), 6) AS avg_token_len,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+       |    AS type_token_ratio,
+       |  round(CAST(${hitsSql("en")} AS DOUBLE) / len(toks), 6)
+       |    AS stopword_ratio,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+       |        + least(CAST(${hitsSql("en")} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+       |        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- lang_id ------------------------------------------------------
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Text.withLanguageId(docs(s, dir), "text")
+      .select("doc_id", "lang", "score_en", "score_es", "score_de",
+        "score_fr", "predicted_lang")
+      .orderBy("doc_id")
+
+  private val langIdOracle = {
+    val scores = Text.langOrder
+      .map(l => s"  ${hitsSql(l)} AS score_$l").mkString(",\n")
+    // argmax with tie-break in langOrder — same CASE shape as the Spark side
+    val pred =
+      """CASE
+        |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |    WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |    WHEN score_de >= score_fr THEN 'de'
+        |    ELSE 'fr' END""".stripMargin
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |$scores
+       |FROM t)
+       |SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       |  $pred AS predicted_lang
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- token_counts -------------------------------------------------
+
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Text.withTokenCounts(docs(s, dir), "text")
+      .select("doc_id", "n_tokens", "n_chars", "bpe_tokens")
+      .orderBy("doc_id")
+
+  private val tokenCountsOracle =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(list_sum(list_transform(toks,
+       |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- doc_fingerprint ---------------------------------------------
+
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Text.withFingerprint(docs(s, dir), "text", n = 3)
+      .select("doc_id", "n_shingles", "fingerprint")
+      .orderBy("doc_id")
+
+  private val fingerprintOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) >= 3 THEN
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))
+       |    ELSE [] END) AS shingles
+       |FROM t)
+       |SELECT doc_id,
+       |  CAST(len(shingles) AS BIGINT) AS n_shingles,
+       |  list_min(list_transform(shingles, x -> md5(x))) AS fingerprint
+       |FROM sh
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- word_freq ----------------------------------------------------
+
+  /** Corpus-wide top-50 tokens. Scale shape: explode → partial-agg →
+    * shuffle by token → final agg → global top-k (TakeOrderedAndProject,
+    * no full sort).
+    */
+  def wordFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  private val wordFreqOracle =
+    s"""SELECT token, count(*) AS n
+       |FROM (SELECT unnest($toksSql) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY n DESC, token
+       |LIMIT 50""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_quality",
+      "per-doc quality metrics: TTR, stopword ratio, composite score",
+      textQuality, Some(textQualityOracle)),
+    QueryDef("lang_id",
+      "stopword-scoring language ID heuristic with deterministic argmax",
+      langId, Some(langIdOracle)),
+    QueryDef("token_counts",
+      "whitespace + BPE-ish (ceil(len/4) per word) token counting",
+      tokenCounts, Some(tokenCountsOracle)),
+    QueryDef("doc_fingerprint",
+      "min-md5-over-shingles winnowing-style content fingerprint",
+      fingerprint, Some(fingerprintOracle)),
+    QueryDef("word_freq",
+      "corpus top-50 token frequencies",
+      wordFreq, Some(wordFreqOracle)))
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extra.TimeSeries
+import graft.model.Tables
+
+/** Time-series queries: as-of join, sessionization, OHLC bars
+  * (north-star X7/X8).
+  */
+object TimeSeriesQueriesImpl {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  // ---- asof_clicks --------------------------------------------------
+
+  /** As-of join within events: each purchase gets the most recent click
+    * (click.ts <= purchase.ts) by the same user — union + last-non-null
+    * carry-forward, one shuffle (see [[TimeSeries.asofJoin]]).
+    */
+  def asofClicks(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("click_ts"))
+    TimeSeries.asofJoin(purchases, clicks, "user_id", "ts",
+      carryCols = Seq("value", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_click_ts").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofClicksOracle =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS tag, event_id, value,
+      |         NULL::DOUBLE AS c_value, NULL::TIMESTAMP AS c_click_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0 AS tag, NULL, NULL, value, ts
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (
+      |  SELECT *,
+      |    last_value(c_click_ts IGNORE NULLS) OVER w AS last_click_ts,
+      |    last_value(c_value IGNORE NULLS) OVER w AS last_click_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts, value, last_click_ts, last_click_value
+      |FROM c WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
+  // ---- sessions -----------------------------------------------------
+
+  /** Gap-based sessionization per user (24h inactivity gap). */
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionStats(
+      events(s, dir).select("user_id", "ts"), "user_id", "ts",
+      gapSeconds = 86400L)
+      .orderBy("user_id", "session_id")
+
+  private val sessionsOracle =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(floor(epoch(ts)) AS BIGINT)
+      |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 86400
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT)
+      |    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+      |FROM s
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- ohlc_daily ---------------------------------------------------
+
+  /** Daily OHLC bars per event_type — the market-data resample classic. */
+  def ohlcDaily(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ohlc(events(s, dir), "event_type", "ts", "value", "1 day")
+      .orderBy("event_type", "bucket_start")
+
+  private val ohlcDailyOracle =
+    """SELECT event_type,
+      |  epoch_ms(CAST(floor(epoch(ts)/86400) AS BIGINT)*86400000) AS bucket_start,
+      |  arg_min(value, ts) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  arg_max(value, ts) AS close,
+      |  count(value) AS volume
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("asof_clicks",
+      "as-of join: purchases x latest prior click per user",
+      asofClicks, Some(asofClicksOracle)),
+    QueryDef("sessions",
+      "gap-based sessionization (24h) per user",
+      sessions, Some(sessionsOracle)),
+    QueryDef("ohlc_daily",
+      "daily OHLC bars per event_type",
+      ohlcDaily, Some(ohlcDailyOracle)))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.{Dedup, Text}
+
+/** Hand-computed expectations for the dedup family. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactByKey keeps min order-col and counts copies") {
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("k", "id")
+    val out = Dedup.exactByKey(df, Seq("k"), "id")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 2L), ("b", 2L, 1L)))
+  }
+
+  test("latestWins keeps newest row per key with tie-break") {
+    val df = Seq(
+      ("u1", "2024-01-02 00:00:00", 1L, "old"),
+      ("u1", "2024-01-03 00:00:00", 2L, "new"),
+      ("u2", "2024-01-01 00:00:00", 3L, "only"))
+      .toDF("k", "ts", "id", "tag")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Dedup.latestWins(df, Seq("k"), "ts", "id")
+      .orderBy("k").select("tag").as[String].collect()
+    assert(out.toSeq == Seq("new", "only"))
+  }
+
+  test("identical texts get identical minhash signatures; disjoint don't") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words about spark catalyst engines here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhash(df, "doc_id", "text", numPerms = 8, shingleN = 3)
+      .groupBy("doc_id").agg(concat_ws(",", sort_array(collect_list("mh"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("nearDupMinhash finds the duplicated pair with jaccard 1.0") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhash(df, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs equal, near-identical docs close in bits") {
+    val df = Seq(
+      (1L, "spark catalyst optimizer rules rewrite logical plans nightly"),
+      (2L, "spark catalyst optimizer rules rewrite logical plans nightly"),
+      (3L, "spark catalyst optimizer rules rewrite logical plans daily"))
+      .toDF("doc_id", "text")
+    val m = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 8)
+  }
+
+  test("embeddingNearDup: parallel vectors cos=1, orthogonal excluded") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.9)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("shingles guard: short texts yield empty array not backwards seq") {
+    val df = Seq((1L, "one two")).toDF("doc_id", "text")
+    val sh = df.select(Text.shingles(col("text"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh.isEmpty)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.{Multimodal, Similarity, TimeSeries}
+
+/** Hand-computed expectations for similarity / time-series / multimodal. */
+class ExtraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKBruteForce ranks by cosine with deterministic ties") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(1.0f, 0.0f)),   // cos 1
+      (2L, Array(1.0f, 1.0f)),   // cos ~0.707
+      (3L, Array(0.0f, 1.0f)))   // cos 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topKBruteForce(df, "vec_id", "embedding",
+      col("id") === 0, k = 2).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(out.head.getDouble(3) == 1.0)
+  }
+
+  test("asofJoin carries the latest prior right row, ties count as prior") {
+    val left = Seq((1L, "2024-01-01 10:00:00", 100L))
+      .toDF("k", "ts", "lid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (1L, "2024-01-01 09:00:00", 1.0),
+      (1L, "2024-01-01 10:00:00", 2.0),   // same-instant: counts
+      (1L, "2024-01-01 11:00:00", 3.0))   // after: must not leak
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = TimeSeries.asofJoin(left, right, "k", "ts", Seq("v")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("asof_v") == 2.0)
+  }
+
+  test("asofJoin yields null when no prior right row exists") {
+    val left = Seq((1L, "2024-01-01 08:00:00", 100L))
+      .toDF("k", "ts", "lid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq((1L, "2024-01-01 09:00:00", 1.0))
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = TimeSeries.asofJoin(left, right, "k", "ts", Seq("v")).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("asof_v")))
+  }
+
+  test("sessionize splits on gap and numbers sessions per key") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"),
+      (1L, "2024-01-01 00:10:00"),   // same session (10 min)
+      (1L, "2024-01-02 00:30:00"),   // new session (>24h? no, 24.33h yes)
+      (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = TimeSeries.sessionStats(df, "user_id", "ts", 86400L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq ==
+      Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("ohlc computes open/high/low/close by event time") {
+    val df = Seq(
+      ("A", "2024-01-01 00:01:00", 10.0),
+      ("A", "2024-01-01 00:02:00", 30.0),
+      ("A", "2024-01-01 00:03:00", 5.0),
+      ("A", "2024-01-01 00:04:00", 20.0))
+      .toDF("sym", "ts", "px")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = TimeSeries.ohlc(df, "sym", "ts", "px", "1 day").collect().head
+    assert(r.getDouble(2) == 10.0)  // open
+    assert(r.getDouble(3) == 30.0)  // high
+    assert(r.getDouble(4) == 5.0)   // low
+    assert(r.getDouble(5) == 20.0)  // close
+    assert(r.getLong(6) == 4L)
+  }
+
+  test("multimodal pipeline: stub decode is deterministic and typed") {
+    val docs = Seq((5L, "hello world media payload")).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs))
+      .collect().head
+    assert(meta.media_id == 5L)
+    assert(meta.kind == "video")   // 5 % 3 == 2 -> video
+    assert(meta.n_bytes == 25L)
+    assert(meta.width == 1 + 'h'.toInt % 64)
+    assert(meta.height == 1 + 'e'.toInt % 64)
+    assert(meta.n_frames == 1 + 25 % 30)
+  }
+
+  test("frame sampling: every step-th frame, capped") {
+    val docs = Seq((2L, "x" * 100)).toDF("doc_id", "text")  // video, 101 frames->21
+    val meta = Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs))
+    val frames = Multimodal.sampleFrames(meta, step = 4, maxFrames = 8)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(frames.length <= 8)
+    assert(frames.forall(_ % 4 == 0))
+  }
+}
