@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.ops.Features
+import graft.ops.Features.FeatureConfig
+import graft.util.Durations
+
+/** The streaming flagship pipeline — reference consumer parity
+  * (spark_streaming.py:299-341): source → parse → watermark → sliding
+  * windowed features → update-mode foreachBatch sink.
+  *
+  * Differences from the reference, by design (SURVEY.md §4.3):
+  *   - the sink writes DISTRIBUTED parquet appends inside foreachBatch —
+  *     never `toPandas()`-style driver collection (§4.3 #1); at 100 TB
+  *     the driver funnel is the first thing that dies.
+  *   - watermark (lateness) is an independent knob instead of being
+  *     hard-wired to the window size (§4.3 #3).
+  *   - downstream readers finalize append+last-wins duplicates with
+  *     [[graft.extra.Dedup.latestWins]] keyed on (symbol, window_start)
+  *     (§2.4 ST6) — or use [[finalized]] for the collapsed view.
+  */
+object StreamingPipeline {
+
+  final case class Config(
+      window: String = "60 seconds",
+      slide: String = "10 seconds",
+      lateness: String = "60 seconds",
+      checkpointDir: String = "",
+      outDir: String = "")
+
+  /** Normalized feature config shared by batch and streaming paths. */
+  def featureConfig(cfg: Config): FeatureConfig = FeatureConfig(
+    window = Durations.normalize(cfg.window),
+    slide = Some(Durations.normalize(cfg.slide)),
+    watermark = Some(Durations.normalize(cfg.lateness)),
+    keyCol = "symbol", valueCol = "price", timeCol = "event_time")
+
+  /** The transform alone (source-agnostic, also unit-testable). */
+  def transform(raw: DataFrame, cfg: Config): DataFrame =
+    Features.compute(graft.ops.TickParse.parseRaw(raw), featureConfig(cfg))
+
+  /** Start the full query: update-mode, checkpointed, distributed
+    * parquet append sink with the emission timestamp column the
+    * last-wins finalizer keys on.
+    */
+  def start(spark: SparkSession, source: TickSource, cfg: Config,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    StreamingPipeline.transform(source.stream(spark), cfg)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(cfg.outDir)
+      }
+      .start()
+  }
+
+  /** Collapse the append+last-wins sink to final rows per
+    * (symbol, window_start): the explicit finalization operator the
+    * reference leaves to its readers (streamlit_app.py:69-80).
+    */
+  def finalized(spark: SparkSession, outDir: String): DataFrame =
+    graft.extra.Dedup.latestWins(
+      spark.read.parquet(outDir),
+      keys = Seq("symbol", "window_start"),
+      tsCol = "batch_id", tieCol = "num_ticks")
+}

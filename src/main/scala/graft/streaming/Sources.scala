@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Streaming tick sources behind one trait, mirroring the reference's
+  * Kafka reader options (spark_streaming.py:315-322) so a real Kafka
+  * implementation is a drop-in. No Kafka connector jar ships in this
+  * environment (SURVEY.md §2.1 S1), so the concrete impls are
+  * MemoryStream (tests), file source (backfill replays), and the rate
+  * source (sustained-throughput benches).
+  *
+  * Every source yields a raw frame with a single string `value` column —
+  * the JSON wire format — which [[graft.ops.TickParse.parseRaw]] turns
+  * into typed ticks, exactly like the reference's parse_kafka.
+  */
+final case class SourceOptions(
+    /** earliest | latest — honored by sources that can seek. */
+    startingOffsets: String = "earliest",
+    /** tolerate missing data instead of failing (Kafka parity). */
+    failOnDataLoss: Boolean = false)
+
+trait TickSource {
+  def stream(spark: SparkSession): DataFrame
+}
+
+/** In-memory source for tests: push JSON payload strings, including
+  * out-of-order and late batches, exactly like a topic replay.
+  */
+final class MemoryTickSource(spark: SparkSession) extends TickSource {
+  import spark.implicits._
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  val inner: MemoryStream[String] = MemoryStream[String]
+  def addData(payloads: Seq[String]): Unit = { inner.addData(payloads); () }
+  override def stream(s: SparkSession): DataFrame =
+    inner.toDF().select(col("value"))
+}
+
+/** File-drop source: any JSON-lines files appearing under `dir` become
+  * micro-batches — the no-Kafka stand-in for topic backfill
+  * (publish_historical.py semantics: event_time_ms preserved in payload).
+  */
+final class FileTickSource(dir: String,
+    opts: SourceOptions = SourceOptions()) extends TickSource {
+  override def stream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(dir)
+}
+
+/** Rate-source generator: `tps` synthetic ticks/sec round-robin across
+  * symbols with a deterministic GBM price path — the reference producer
+  * (synthetic_ticks.py) as a Spark-native source transform.
+  */
+final class RateTickSource(tps: Int, symbols: Seq[String])
+    extends TickSource {
+  override def stream(spark: SparkSession): DataFrame = {
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", tps).load()
+    // value column: JSON payload with GBM-ish price derived from the
+    // deterministic row index (seeded; no RNG state across batches).
+    val sym = element_at(
+      array(symbols.map(lit): _*),
+      (pmod(col("value"), lit(symbols.size.toLong)) + 1).cast("int"))
+    val price = round(lit(100.0) * exp(
+      sin(col("value").cast("double") * 0.7) * 0.01), 4)
+    raw.select(to_json(struct(
+      sym.as("symbol"),
+      price.as("price"),
+      unix_millis(col("timestamp")).as("event_time_ms"))).as("value"))
+  }
+}
