@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for slow queries (builder tooling). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    import graft.extra.{Dedup, Text}
+    import graft.model.Tables
+    val docs = Tables.load(spark, dir, "documents")
+    time("docs scan")(docs.count())
+    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    time("tokens")(toks.count())
+    time("tokens.force")(toks.select(explode(col("t"))).count())
+    val sets = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("shingles"))
+    time("shingles.force")(sets.select(explode(col("shingles"))).count())
+    val inv = sets.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("shingle"))
+    time("inv+md5")(inv.select(md5(col("shingle"))).count())
+    val docFreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    time("docFreq")(docFreq.count())
+    val full = Dedup.ngramJaccard(docs, "doc_id", "text")
+    time("ngram_jaccard full")(full.count())
+    time("fingerprint")(Text.withFingerprint(docs, "text").count())
+    val mh = Dedup.minhash(docs, "doc_id", "text", 16, 3)
+    time("minhash wide")(mh.count())
+    time("neardup_minhash full")(Dedup.nearDupMinhash(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}

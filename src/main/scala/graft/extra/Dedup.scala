@@ -49,28 +49,50 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** MinHash signatures: one row per (id, perm) with the min md5 over
-    * the document's shingle set, prefixed by the permutation index.
-    * md5-as-permutation keeps the whole pipeline expression-native and
-    * reproducible in any engine with md5 (notably the DuckDB oracle).
+  /** Affine permutation parameters for MinHash: perm i maps a 48-bit
+    * base hash h to (h*A(i) + B(i)) mod P. Small multipliers keep
+    * h*A < 2^63 (no overflow) and the identical arithmetic runs in any
+    * SQL engine (the DuckDB oracle included).
+    */
+  val MinhashP = 1000000007L
+  def minhashA(i: Int): Long = 2L * i + 3
+  def minhashB(i: Int): Long = 97L * i + 11
+
+  /** Base shingle hash: first 12 hex chars of md5 as a 48-bit integer —
+    * computed ONCE per shingle; the numPerms permutations are cheap
+    * affine maps of it (vs. numPerms md5 calls in the naive form).
+    */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 12), 16, 10).cast("long")
+
+  /** MinHash signatures, wide form: one row per id with columns
+    * mh0..mh{numPerms-1}. A single shuffle + single aggregation pass:
+    * the shingle explode is map-side, the groupBy computes all perm
+    * minima at once (partial aggregation collapses before the exchange).
     */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int, shingleN: Int): DataFrame =
-    docs
-      .select(col(idCol), explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
-      .withColumn("perm", explode(sequence(lit(0), lit(numPerms - 1))))
-      .groupBy(col(idCol), col("perm"))
-      .agg(min(md5(concat(col("perm").cast("string"), lit("|"), col("shingle"))))
-        .as("mh"))
+      numPerms: Int, shingleN: Int): DataFrame = {
+    val hashed = Text.withShingles(docs, textCol, shingleN)
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
+      .withColumn("h", shingleHash(col("shingle")))
+    val mins = (0 until numPerms).map(i =>
+      min((col("h") * minhashA(i) + minhashB(i)) % MinhashP).as(s"mh$i"))
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding: signatures → (id, band, band-signature) buckets. */
-  def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
-    sigs
-      .withColumn("band", floor(col("perm") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("perm"), col("mh")))),
-          s => s.getField("mh"))).as("sig"))
+  /** LSH banding over the wide signature frame: (id, band, signature)
+    * rows — band signature is the comma-joined run of its perm minima.
+    */
+  def lshBands(sigs: DataFrame, idCol: String, numPerms: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until numPerms / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand)
+          .map(j => col(s"mh${b * rowsPerBand + j}").cast("string")): _*).as("sig"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Candidate pairs: ids sharing any (band, signature) bucket. */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
@@ -88,9 +110,9 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val cand = lshCandidates(
       lshBands(minhash(docs, idCol, textCol, numPerms, shingleN),
-        idCol, rowsPerBand), idCol)
-    val sets = docs.select(col(idCol),
-      Text.shingles(col(textCol), shingleN).as("shingles"))
+        idCol, numPerms, rowsPerBand), idCol)
+    val sets = Text.withShingles(docs, textCol, shingleN)
+      .select(col(idCol), col("shingles"))
     val withJac = cand
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -102,23 +124,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard near-dup via inverted shingle index: self-join
-    * on shingle counts shared shingles per pair — only pairs that share
-    * at least one shingle are ever materialized.
+  /** Exact n-gram Jaccard near-dup with PPJoin-style prefix filtering
+    * (Xiao et al., WWW'08): shingles are globally ordered rarest-first
+    * (by document frequency); two sets can only reach Jaccard ≥ t if
+    * their first (n - ceil(t·n) + 1) shingles in that order intersect,
+    * so ONLY those prefixes are inverted and self-joined. Candidates are
+    * then verified exactly against the full sets — output is identical
+    * to the naive all-sharing-pairs join (the oracle keeps the naive
+    * form), but the join fan-out drops by orders of magnitude on corpora
+    * with common shingles.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = docs.select(col(idCol),
-      Text.shingles(col(textCol), shingleN).as("shingles"))
+    val sets = Text.withShingles(docs, textCol, shingleN)
+      .select(col(idCol), col("shingles"))
     val inv = sets.select(col(idCol), size(col("shingles")).as("n"),
       explode(col("shingles")).as("shingle"))
-    val a = inv.select(col(idCol).as("id_a"), col("n").as("n_a"), col("shingle"))
-    val b = inv.select(col(idCol).as("id_b"), col("n").as("n_b"), col("shingle"))
-    a.join(b, "shingle").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+    val docFreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(docFreq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col(idCol), col("shingle"))
+    val a = prefix.select(col(idCol).as("id_a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("id_b"), col("shingle"))
+    val cand = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -160,15 +197,13 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    import graft.functions.GraftFunctions.{dot_product, norm2}
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm2(col("v")))
     val a = e.select(col("id").as("vec_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = e.select(col("id").as("vec_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot",
-        aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("dot", dot_product(col("v_a"), col("v_b")))
       .withColumn("cosine", col("dot") / (sqrt(col("n_a")) * sqrt(col("n_b"))))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))

@@ -17,18 +17,37 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => t =!= "")
 
-  /** Distinct word n-gram shingles, joined by single spaces.
-    * Guarded: texts shorter than n tokens yield an empty array (Spark's
-    * `sequence(0, negative)` would count backwards otherwise).
+  /** Distinct word n-gram shingles via zip_with over shifted slices.
+    *
+    * PERFORMANCE NOTE (the O(tokens²) trap): Catalyst does not eliminate
+    * common subexpressions referenced from inside higher-order-function
+    * lambda bodies — `transform(seq, i => ...slice(t, i, n)...)` with an
+    * outer expression `t` re-evaluates the whole tokenizer once per
+    * element (and CollapseProject will happily inline a materialized
+    * token column right back into the lambda). The zip_with formulation
+    * sidesteps this: COLLECTION arguments are evaluated once per row,
+    * and the lambdas below only touch their own lambda variables.
+    * zip_with pads the shorter (shifted) side with null, and concat
+    * propagates null — so the < n-token tail (and the whole row when the
+    * text has fewer than n tokens) drops out in the final filter.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>")))
+  def shinglesFromTokens(t: Column, n: Int): Column = {
+    val joined = (2 to n).foldLeft(t)((cur, j) =>
+      zip_with(cur, slice(t, lit(j), size(t)), (p, c) => concat(p, lit(" "), c)))
+    array_distinct(filter(joined, x => x.isNotNull))
   }
+
+  /** Adds a shingle-array column. */
+  def withShingles(df: DataFrame, textCol: String, n: Int,
+      out: String = "shingles"): DataFrame =
+    df.withColumn(out, shingles(col(textCol), n))
+
+  /** Shingles straight from a text column (safe inline: per-row cost is
+    * ~2n tokenizer evaluations, never per-element — see
+    * [[shinglesFromTokens]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Per-language stopword seed lists for the n-gram/stopword language
     * heuristic. Tiny on purpose: broadcast as literals into codegen.
@@ -51,8 +70,9 @@ object Text {
     * score_<lang>... and predicted_lang.
     */
   def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = langOrder.foldLeft(df)((d, l) =>
+    val toks = col("__toks")
+    val scored = langOrder.foldLeft(
+      df.withColumn("__toks", tokens(col(textCol))))((d, l) =>
       d.withColumn(s"score_$l", stopwordHits(toks, stopwords(l))))
     val predicted = langOrder.init.zipWithIndex.foldRight(
       lit(langOrder.last): Column) { case ((l, i), els) =>
@@ -61,7 +81,7 @@ object Text {
         .reduce(_ && _)
       when(geAll, lit(l)).otherwise(els)
     }
-    scored.withColumn("predicted_lang", predicted)
+    scored.withColumn("predicted_lang", predicted).drop("__toks")
   }
 
   /** Quality metrics per document: token counts, type-token ratio,
@@ -70,8 +90,9 @@ object Text {
     * is deterministic and cheap (pure projection).
     */
   def withQuality(df: DataFrame, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    df.withColumn("n_tokens", size(t).cast("long"))
+    val t = col("__toks")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
       .withColumn("n_chars", length(col(textCol)).cast("long"))
       .withColumn("avg_token_len",
@@ -87,6 +108,7 @@ object Text {
             least(stopwordHits(t, stopwords("en")).cast("double") / size(t) * 5.0,
               lit(1.0)) * 0.3 +
             least(size(t).cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+      .drop("__toks")
   }
 
   /** Token-count estimate: exact whitespace tokens plus a BPE-ish
@@ -94,20 +116,23 @@ object Text {
     * ~4-chars-per-token rule applied per word).
     */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
-    val t = tokens(col(textCol))
-    df.withColumn("n_tokens", size(t).cast("long"))
+    val t = col("__toks")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("n_chars", length(col(textCol)).cast("long"))
       .withColumn("bpe_tokens",
         aggregate(t, lit(0L), (acc, x) => acc + ceil(length(x) / 4.0).cast("long")))
+      .drop("__toks")
   }
 
   /** Document fingerprint: min-over-shingles of md5(shingle) — a
     * winnowing-style content fingerprint that is stable under word
     * reordering outside any shingle and cheap to compare/join on.
     */
-  def withFingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), n)
-    df.withColumn("n_shingles", size(sh).cast("long"))
-      .withColumn("fingerprint", array_min(transform(sh, s => md5(s))))
-  }
+  def withFingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    withShingles(df, textCol, n, out = "__sh")
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("fingerprint",
+        array_min(transform(col("__sh"), s => md5(s))))
+      .drop("__sh")
 }

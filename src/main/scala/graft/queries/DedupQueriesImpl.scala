@@ -70,17 +70,27 @@ object DedupQueriesImpl {
       numPerms = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  private val neardupMinhashOracle =
+  private val neardupMinhashOracle = {
+    import graft.extra.Dedup.{minhashA, minhashB, MinhashP}
+    val mins = (0 until 16)
+      .map(i => s"  min((h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (0 until 4).map(j => s"CAST(mh${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n")
     s"""WITH $toksCte,
        |ss AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
        |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM ss),
-       |mh AS (SELECT doc_id, k AS perm,
-       |         min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS mh
-       |       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS k)
-       |       GROUP BY doc_id, k),
-       |bands AS (SELECT doc_id, perm // 4 AS band,
-       |            string_agg(mh, ',' ORDER BY perm) AS sig
-       |          FROM mh GROUP BY 1, 2),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+       |       FROM sh),
+       |mh AS (SELECT doc_id,
+       |$mins
+       |FROM hs GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.sig = b.sig
@@ -96,6 +106,7 @@ object DedupQueriesImpl {
        |FROM j
        |WHERE CAST(inter AS DOUBLE)/uni >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---- ngram_jaccard ------------------------------------------------
 

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Expression ↔ Column converters, so
+  * graft's custom Catalyst expressions (e.g. graft.functions.DotProduct)
+  * can surface as first-class `Column`s without going through the
+  * function registry. Lives in org.apache.spark.sql purely for access;
+  * keep this file free of any logic.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
