@@ -169,6 +169,119 @@ object RelationalQueries {
       |    EXCEPT SELECT DISTINCT l_orderkey FROM lineitem))
       |ORDER BY side""".stripMargin
 
+  /** Exact distinct counting (shuffle-dedup) per group. */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  private val distinctUsersOracle =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Approximate distinct (HLL++, X3). The sketch estimate is
+    * engine-specific, so this is deliberately oracle-less (driver
+    * records a rows-only check); the companion exact query above is the
+    * hash-matched ground truth.
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Rollup with grouping_id: per (event_type, day) counts plus
+    * per-type and grand totals.
+    */
+  def rollupDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .rollup(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day").asc_nulls_first)
+
+  private val rollupDailyOracle =
+    """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+      |       GROUPING(event_type, date_trunc('day', ts)) AS gid
+      |FROM events
+      |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+      |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  /** Set operations: event types active in both the first and the last
+    * observed week (intersect), and only in the first (except).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val wk1 = ev.filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+      .select("event_type")
+    val wk4 = ev.filter(col("ts") >= lit("2024-01-22 00:00:00").cast("timestamp"))
+      .select("event_type")
+    wk1.intersect(wk4).withColumn("op", lit("both"))
+      .unionByName(wk1.except(wk4).withColumn("op", lit("first_only")))
+      .select("op", "event_type")
+      .orderBy("op", "event_type")
+  }
+
+  private val setOpsOracle =
+    """SELECT 'both' AS op, event_type FROM (
+      |  SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      |  INTERSECT
+      |  SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
+      |UNION ALL
+      |SELECT 'first_only' AS op, event_type FROM (
+      |  SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      |  EXCEPT
+      |  SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
+      |ORDER BY op, event_type""".stripMargin
+
+  /** Semi join (EXISTS): customers with at least one filed order. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  private val semiJoinOracle =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** SQL surface parity: a correlated scalar subquery authored as SQL
+    * (Catalyst decorrelates to joins). Comparison is decimal-exact on
+    * both engines (price*count vs 2*sum), so no float boundary flakes.
+    */
+  def sqlAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |      * (SELECT count(*) FROM orders_v i
+        |         WHERE i.o_custkey = o.o_custkey)
+        |      > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |             FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val sqlAboveAvgOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      |      * (SELECT count(*) FROM orders i
+      |         WHERE i.o_custkey = o.o_custkey)
+      |      > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |             FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing",
       "TPC-H Q1-like pricing summary (decimal-exact sums)",
@@ -184,5 +297,23 @@ object RelationalQueries {
       topKPerGroup, Some(topKOracle)),
     QueryDef("orphan_check",
       "anti-join referential check both directions + union",
-      orphanCheck, Some(orphanCheckOracle)))
+      orphanCheck, Some(orphanCheckOracle)),
+    QueryDef("distinct_users",
+      "exact count-distinct per group",
+      distinctUsers, Some(distinctUsersOracle)),
+    QueryDef("approx_distinct_users",
+      "HLL++ approx count-distinct (engine-specific estimate; no oracle)",
+      approxDistinctUsers, None),
+    QueryDef("rollup_daily",
+      "rollup (event_type, day) with grouping_id",
+      rollupDaily, Some(rollupDailyOracle)),
+    QueryDef("set_ops",
+      "intersect + except over weekly activity",
+      setOps, Some(setOpsOracle)),
+    QueryDef("semi_join",
+      "left-semi join (EXISTS) customers with filed orders",
+      semiJoin, Some(semiJoinOracle)),
+    QueryDef("sql_above_avg",
+      "SQL-authored correlated scalar subquery (decimal-exact compare)",
+      sqlAboveAvg, Some(sqlAboveAvgOracle)))
 }

@@ -54,7 +54,14 @@ object StreamingPipeline {
       .trigger(trigger)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{current_timestamp, unix_millis}
+        // reference-parity processing-time fields (spark_streaming.py:
+        // 109-116) — wall-clock derived, so excluded from oracle hashing
         df.withColumn("batch_id", lit(batchId))
+          .withColumn("ingest_ts", current_timestamp())
+          .withColumn("latency_ms",
+            unix_millis(current_timestamp()) -
+              unix_millis(org.apache.spark.sql.functions.col("max_event_time")))
           .write.mode("append").parquet(cfg.outDir)
       }
       .start()
