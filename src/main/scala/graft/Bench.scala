@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JIT/codegen/IO warmup so the first measured query isn't
+    // charged the one-off session costs (steady-state measurement).
+    try {
+      spark.range(100000L)
+        .selectExpr("min(md5(cast(id as string)))").collect()
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

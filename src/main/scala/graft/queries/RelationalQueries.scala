@@ -195,6 +195,21 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** Mergeable distinct-count sketches (X3's "persistable sketch" tier):
+    * per-day HLL sketches built in one pass, then UNIONED per type — the
+    * 100 TB pattern where daily sketches are materialized once and any
+    * rollup window is a cheap sketch merge, never a re-scan. Estimates
+    * are engine-specific → rows-only check (exact twin: distinct_users).
+    */
+  def hllSketchUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_daily_sketches"))
+      .orderBy("event_type")
+
   /** Rollup with grouping_id: per (event_type, day) counts plus
     * per-type and grand totals.
     */
@@ -304,6 +319,9 @@ object RelationalQueries {
     QueryDef("approx_distinct_users",
       "HLL++ approx count-distinct (engine-specific estimate; no oracle)",
       approxDistinctUsers, None),
+    QueryDef("hll_sketch_users",
+      "mergeable per-day HLL sketches unioned per type (no oracle)",
+      hllSketchUsers, None),
     QueryDef("rollup_daily",
       "rollup (event_type, day) with grouping_id",
       rollupDaily, Some(rollupDailyOracle)),

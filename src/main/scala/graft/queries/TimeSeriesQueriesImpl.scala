@@ -105,7 +105,45 @@ object TimeSeriesQueriesImpl {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- sessions_native ----------------------------------------------
+
+  /** Spark's native session_window operator (X7 stretch): sessions merge
+    * while consecutive events are < gap apart; window end = last event
+    * + gap (end-exclusive). The oracle reproduces exactly that with a
+    * lag-gap cumulative sum on exact microsecond arithmetic.
+    */
+  def sessionsNative(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "24 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_event"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionsNativeOracle =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 86400000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 24 HOUR AS session_end,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sessions_native",
+      "native session_window sessions (gap-merge, end = last + gap)",
+      sessionsNative, Some(sessionsNativeOracle)),
     QueryDef("asof_clicks",
       "as-of join: purchases x latest prior click per user",
       asofClicks, Some(asofClicksOracle)),

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Tick
+import graft.streaming.{FileTickSource, Stateful, StreamingPipeline}
+
+/** Custom keyed state (flatMapGroupsWithState) + file source coverage. */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EMA state carries across micro-batches per symbol") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Stateful.emaPerSymbol(in.toDS(), alpha = 0.5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ema_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    in.addData(Tick("AAPL", 100.0, 1000L), Tick("AAPL", 110.0, 2000L))
+    q.processAllAvailable()
+    in.addData(Tick("AAPL", 120.0, 3000L), Tick("MSFT", 400.0, 3000L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ema_out")
+      .groupBy("symbol").agg(max(struct(col("n_ticks"), col("ema"))).as("s"))
+      .select(col("symbol"), col("s.ema"), col("s.n_ticks"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // AAPL: ema after 100,110 = 105; after 120: 0.5*120+0.5*105 = 112.5
+    assert(out("AAPL") == ((112.5, 3L)))
+    assert(out("MSFT") == ((400.0, 1L)))
+  }
+
+  test("EMA is arrival-order independent inside a batch (event-time sort)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Stateful.emaPerSymbol(in.toDS(), alpha = 0.5)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ema_ooo")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // reversed arrival order; event-time order is 100 then 110
+    in.addData(Tick("X", 110.0, 2000L), Tick("X", 100.0, 1000L))
+    q.processAllAvailable(); q.stop()
+    val ema = spark.table("ema_ooo").select("ema").as[Double].collect().head
+    assert(ema == 105.0)
+  }
+
+  test("file source drives the flagship pipeline end-to-end") {
+    val in = Files.createTempDirectory("filesrc").toString
+    val out = Files.createTempDirectory("out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "batch1.json"),
+      """{"value":"{\"symbol\":\"AAPL\",\"price\":100.0,\"event_time_ms\":61000}"}
+        |{"value":"{\"symbol\":\"AAPL\",\"price\":105.0,\"event_time_ms\":95000}"}
+        |""".stripMargin)
+    val q = StreamingPipeline.start(spark, new FileTickSource(in),
+      StreamingPipeline.Config("60 seconds", "60 seconds", "60 seconds",
+        ckpt, out), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val fin = StreamingPipeline.finalized(spark, out)
+      .filter(col("window_start") === lit("1970-01-01 00:01:00").cast("timestamp"))
+      .collect()
+    assert(fin.length == 1)
+    assert(fin.head.getAs[Long]("num_ticks") == 2L)
+    assert(fin.head.getAs[Double]("last_price") == 105.0)
+    assert(fin.head.getAs[Long]("latency_ms") > 0L)
+  }
+}
