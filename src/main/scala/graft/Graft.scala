@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+
+import graft.model.Tick
+import graft.ops.Features.FeatureConfig
+
+/** graft — the public facade.
+  *
+  * A Spark-native analytics engine with the capabilities of the
+  * realtime-market-data-pipeline reference plus large-scale
+  * training-data operators. One import gives the whole surface:
+  *
+  * {{{
+  * import graft.Graft
+  *
+  * // batch: sliding-window tick features (the reference's flagship)
+  * val feats = Graft.features(ticksDf, Graft.featureConfig(
+  *   window = "60 seconds", slide = "10 seconds"))
+  *
+  * // streaming: same core, update-mode, distributed parquet sink
+  * val q = Graft.startStream(spark, source, cfg)
+  *
+  * // training-data ops
+  * val dups   = Graft.nearDupMinhash(docs, "doc_id", "text")
+  * val topk   = Graft.similarTopK(embs, "vec_id", "embedding", $"id" < 10, 5)
+  * val scored = Graft.textQuality(docs, "text")
+  * }}}
+  */
+object Graft {
+
+  // ---- ingestion ----------------------------------------------------
+
+  /** JSON wire payloads → typed ticks with event_time (reference
+    * parse_kafka parity, plus an explicit malformed-record policy).
+    */
+  def parseTicks(raw: DataFrame, dropMalformed: Boolean = true): DataFrame =
+    ops.TickParse.parseRaw(raw, dropMalformed = dropMalformed)
+
+  def readBackfillCsv(spark: SparkSession, path: String): DataFrame =
+    ops.TickParse.readBackfillCsv(spark, path)
+
+  def syntheticTicks(spark: SparkSession, n: Long,
+      cfg: gen.TickGen.GbmConfig = gen.TickGen.GbmConfig()): DataFrame =
+    gen.TickGen.gbm(spark, n, cfg)
+
+  // ---- flagship features --------------------------------------------
+
+  def featureConfig(window: String = "60 seconds",
+      slide: String = "10 seconds",
+      keyCol: String = "symbol", valueCol: String = "price",
+      timeCol: String = "event_time"): FeatureConfig =
+    FeatureConfig(util.Durations.normalize(window),
+      Some(util.Durations.normalize(slide)), None, keyCol, valueCol, timeCol)
+
+  /** Sliding/tumbling per-key windowed features (first/last price, log
+    * return, volatility proxy, tick counts) — deterministic variant.
+    */
+  def features(df: DataFrame, cfg: FeatureConfig): DataFrame =
+    ops.Features.compute(df, cfg)
+
+  def trueVolatility(df: DataFrame, cfg: FeatureConfig): DataFrame =
+    ops.Features.computeTrueVolatility(df, cfg)
+
+  // ---- streaming ----------------------------------------------------
+
+  def startStream(spark: SparkSession, source: streaming.TickSource,
+      cfg: streaming.StreamingPipeline.Config)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingPipeline.start(spark, source, cfg)
+
+  /** Collapse an update-mode append sink to final rows per window. */
+  def finalizeStream(spark: SparkSession, outDir: String): DataFrame =
+    streaming.StreamingPipeline.finalized(spark, outDir)
+
+  def emaPerSymbol(ticks: Dataset[Tick], alpha: Double) =
+    streaming.Stateful.emaPerSymbol(ticks, alpha)
+
+  // ---- dedup --------------------------------------------------------
+
+  def dedupExact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
+    extra.Dedup.exactByKey(df, keys, orderCol)
+
+  def dedupLatest(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String): DataFrame =
+    extra.Dedup.latestWins(df, keys, tsCol, tieCol)
+
+  def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    extra.Dedup.nearDupMinhash(docs, idCol, textCol, threshold = threshold)
+
+  def nearDupJaccard(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    extra.Dedup.ngramJaccard(docs, idCol, textCol, threshold = threshold)
+
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    extra.Dedup.simhash(docs, idCol, textCol)
+
+  def nearDupEmbedding(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    extra.Dedup.embeddingNearDup(emb, idCol, vecCol, threshold)
+
+  // ---- similarity search --------------------------------------------
+
+  def similarTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame =
+    extra.Similarity.topKBruteForce(emb, idCol, vecCol, queryPred, k)
+
+  def similarTopKLsh(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame =
+    extra.Similarity.topKLsh(emb, idCol, vecCol, queryPred, k)
+
+  /** Codegen'd dot product over float/double array columns. */
+  def dot(a: Column, b: Column): Column =
+    functions.GraftFunctions.dot_product(a, b)
+
+  // ---- text analysis ------------------------------------------------
+
+  def textQuality(docs: DataFrame, textCol: String): DataFrame =
+    extra.Text.withQuality(docs, textCol)
+
+  def languageId(docs: DataFrame, textCol: String): DataFrame =
+    extra.Text.withLanguageId(docs, textCol)
+
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    extra.Text.withTokenCounts(docs, textCol)
+
+  def fingerprint(docs: DataFrame, textCol: String): DataFrame =
+    extra.Text.withFingerprint(docs, textCol)
+
+  // ---- time series --------------------------------------------------
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carryCols: Seq[String]): DataFrame =
+    extra.TimeSeries.asofJoin(left, right, key, tsCol, carryCols)
+
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+      gapSeconds: Long): DataFrame =
+    extra.TimeSeries.sessionize(df, key, tsCol, gapSeconds)
+
+  def ohlc(df: DataFrame, key: String, tsCol: String, valCol: String,
+      bucket: String): DataFrame =
+    extra.TimeSeries.ohlc(df, key, tsCol, valCol, bucket)
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public facade delegates correctly (smoke over real testdata). */
+class GraftFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("facade: end-to-end tick flow (generate -> json -> parse -> features)") {
+    val ticks = Graft.syntheticTicks(spark, 500)
+    val payloads = graft.ops.TickParse.toJsonPayload(ticks)
+    val parsed = Graft.parseTicks(payloads)
+    val feats = Graft.features(parsed,
+      Graft.featureConfig(window = "60s", slide = "10s"))
+    assert(feats.count() > 0)
+    assert(feats.columns.contains("log_return"))
+  }
+
+  test("facade: dedup + similarity + text over test tables") {
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
+    assert(Graft.nearDupMinhash(docs, "doc_id", "text").count() > 0)
+    assert(Graft.textQuality(docs, "text").count() == docs.count())
+    val topk = Graft.similarTopK(embs, "vec_id", "embedding",
+      col("id") < 3, 2)
+    assert(topk.count() == 6)
+    assert(Graft.dot(lit(Array(1.0f, 2.0f)), lit(Array(3.0f, 4.0f))) != null)
+  }
+}
