@@ -74,6 +74,54 @@ object Similarity {
     planeDots.reduce(_ + _)
   }
 
+  /** Bucket signature for table `tbl` using `bits` hyperplanes: plane
+    * index q = tbl*bits + p feeds the shared integer-lattice formula.
+    */
+  def lshBucketFor(v: Column, tbl: Int, bits: Int): Column = {
+    val planeDots = (0 until bits).map { p =>
+      val q = tbl * bits + p
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * ((i * 31 + q * 17) % 7 - 3).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planeDots.reduce(_ + _)
+  }
+
+  /** Multi-table LSH top-k — the production recall fix: L independent
+    * hash tables with FEWER bits each; a candidate only needs to collide
+    * with the query in ANY table. Recall ≈ 1-(1-p^bits)^L vs p^bits for
+    * one long signature, at the cost of scanning L buckets. Candidate
+    * generation stays equijoin-shaped (explode per table, join on
+    * (table, bucket)) — never an OR-join nested loop.
+    */
+  def topKLshMulti(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, tables: Int = 4, bits: Int = 4): DataFrame = {
+    val e = prepare(emb, idCol, vecCol)
+      .withColumn("buckets",
+        array((0 until tables).map(l => lshBucketFor(col("v"), l, bits)): _*))
+    val corpusB = e.select(col("id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val queryB = e.filter(queryPred).select(col("id").as("query_id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cand = corpusB.join(broadcast(queryB), Seq("tbl", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    val scored = cand
+      .join(e.select(col("id"), col("v"), col("nrm")), "id")
+      .join(broadcast(e.filter(queryPred).select(col("id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))), "query_id")
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** Approximate top-k: only corpus vectors in the query's LSH bucket are
     * scored. Same output shape as [[topKBruteForce]].
     */

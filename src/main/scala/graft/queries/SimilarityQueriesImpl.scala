@@ -78,11 +78,56 @@ object SimilarityQueriesImpl {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- sim_topk_lsh_multi (multi-table, production recall) ---------
+
+  def simTopKLshMulti(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKLshMulti(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5, tables = 4, bits = 4)
+      .orderBy("query_id", "rank")
+
+  private val simTopKLshMultiOracle = {
+    def bucketSql(tbl: Int, bits: Int): String =
+      (0 until bits).map { p =>
+        val q = tbl * bits + p
+        s"""CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+           |      i -> CAST(embedding[i+1] AS DOUBLE)
+           |           * CAST((i*31 + $q*17) % 7 - 3 AS DOUBLE))) >= 0
+           |    THEN ${1L << p} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+    val buckets = (0 until 4)
+      .map(l => s"    ${bucketSql(l, 4)} AS b$l").mkString(",\n")
+    val anyMatch = (0 until 4).map(l => s"c.b$l = q.b$l").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm,
+       |$buckets
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM e c JOIN e q
+       |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND ($anyMatch)),
+       |sc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${dotSql("c", "q")} / (sqrt(c.nrm) * sqrt(q.nrm)), 6) AS cosine
+       |  FROM cand
+       |  JOIN e c ON c.vec_id = cand.neighbor_id
+       |  JOIN e q ON q.vec_id = cand.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
       simTopK, Some(simTopKOracle)),
     QueryDef("sim_topk_lsh",
       "sign-random-projection LSH bucketed approximate top-5",
-      simTopKLsh, Some(simTopKLshOracle)))
+      simTopKLsh, Some(simTopKLshOracle)),
+    QueryDef("sim_topk_lsh_multi",
+      "multi-table LSH (4x4-bit, ANY-table collision) approximate top-5",
+      simTopKLshMulti, Some(simTopKLshMultiOracle)))
 }

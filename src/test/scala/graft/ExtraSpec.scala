@@ -21,6 +21,24 @@ class ExtraSpec extends SparkSpec {
     assert(out.head.getDouble(3) == 1.0)
   }
 
+  test("multi-table LSH recall beats single-table on the test embeddings") {
+    val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.topKBruteForce(
+      embs, "vec_id", "embedding", col("id") < 10, 5))
+    val multi = pairs(Similarity.topKLshMulti(
+      embs, "vec_id", "embedding", col("id") < 10, 5))
+    val single = pairs(Similarity.topKLsh(
+      embs, "vec_id", "embedding", col("id") < 10, 5))
+    val recallMulti = (exact & multi).size.toDouble / exact.size
+    val recallSingle = (exact & single).size.toDouble / exact.size
+    assert(recallMulti >= 0.2, s"multi-table recall $recallMulti")
+    assert(recallMulti > recallSingle,
+      s"multi ($recallMulti) must beat single ($recallSingle)")
+  }
+
   test("asofJoin carries the latest prior right row, ties count as prior") {
     val left = Seq((1L, "2024-01-01 10:00:00", 100L))
       .toDF("k", "ts", "lid")
