@@ -145,10 +145,22 @@ object Dedup {
     val prefix = inv.join(docFreq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col(idCol), col("shingle"))
-    val a = prefix.select(col(idCol).as("id_a"), col("shingle"))
-    val b = prefix.select(col(idCol).as("id_b"), col("shingle"))
-    val cand = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .select(col(idCol), col("n"), col("pos"), col("shingle"))
+    val a = prefix.select(col(idCol).as("id_a"), col("n").as("n_a"),
+      col("pos").as("pos_a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("id_b"), col("n").as("n_b"),
+      col("pos").as("pos_b"), col("shingle"))
+    // PPJoin filters, both lossless for Jaccard >= t:
+    //   length:     |B| >= t|A| (and symmetric)
+    //   positional: remaining-overlap upper bound
+    //               min(nA-posA, nB-posB)+1 must reach t/(1+t)(nA+nB)
+    val tFrac = threshold / (1.0 + threshold)
+    val cand = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b") >= col("n_a") * threshold &&
+        col("n_a") >= col("n_b") * threshold)
+      .filter(least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) + 1 >=
+        (col("n_a") + col("n_b")) * tFrac)
       .select("id_a", "id_b").distinct()
     cand
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
