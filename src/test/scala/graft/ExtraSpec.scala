@@ -21,6 +21,18 @@ class ExtraSpec extends SparkSpec {
     assert(out.head.getDouble(3) == 1.0)
   }
 
+  test("graft_dot registers as a SQL function and matches the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(viaSql == 11.0)
+    val viaCol = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.dot_product(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(viaCol == 11.0)
+  }
+
   test("multi-table LSH recall beats single-table on the test embeddings") {
     val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
