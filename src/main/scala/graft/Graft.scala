@@ -134,6 +134,13 @@ object Graft {
       tsCol: String, carryCols: Seq[String]): DataFrame =
     extra.TimeSeries.asofJoin(left, right, key, tsCol, carryCols)
 
+  /** Native as-of join via the custom Catalyst operator (AsOfJoinExec:
+    * one shuffle per side, streaming sort-merge, O(1) state).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carryCols: Seq[String]): DataFrame =
+    plans.AsOf.join(left, right, key, tsCol, carryCols)
+
   def sessionize(df: DataFrame, key: String, tsCol: String,
       gapSeconds: Long): DataFrame =
     extra.TimeSeries.sessionize(df, key, tsCol, gapSeconds)

@@ -54,6 +54,28 @@ object TimeSeriesQueriesImpl {
       |FROM c WHERE tag = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---- asof_clicks_native (custom Catalyst operator) ---------------
+
+  /** Same semantics as asof_clicks, but through the NATIVE as-of join
+    * operator (graft.plans: AsOfJoinPlan logical node + AsOfStrategy +
+    * sort-merge AsOfJoinExec with O(1) merge state). Shares the oracle —
+    * the two implementations must agree bit-for-bit.
+    */
+  def asofClicksNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("click_ts"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "ts",
+      carryCols = Seq("value", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_click_ts").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
   // ---- sessions -----------------------------------------------------
 
   /** Gap-based sessionization per user (24h inactivity gap). */
@@ -147,6 +169,9 @@ object TimeSeriesQueriesImpl {
     QueryDef("asof_clicks",
       "as-of join: purchases x latest prior click per user",
       asofClicks, Some(asofClicksOracle)),
+    QueryDef("asof_clicks_native",
+      "same as-of semantics via the custom AsOfJoinExec operator",
+      asofClicksNative, Some(asofClicksOracle)),
     QueryDef("sessions",
       "gap-based sessionization (24h) per user",
       sessions, Some(sessionsOracle)),
