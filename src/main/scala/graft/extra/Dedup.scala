@@ -71,8 +71,14 @@ object Dedup {
     * minima at once (partial aggregation collapses before the exchange).
     */
   def minhash(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int, shingleN: Int): DataFrame = {
-    val hashed = Text.withShingles(docs, textCol, shingleN)
+      numPerms: Int, shingleN: Int): DataFrame =
+    minhashFromSets(Text.withShingles(docs, textCol, shingleN)
+      .select(col(idCol), col("shingles")), idCol, numPerms)
+
+  /** Signature computation from a prepared (id, shingles) frame. */
+  def minhashFromSets(sets: DataFrame, idCol: String,
+      numPerms: Int): DataFrame = {
+    val hashed = sets
       .select(col(idCol), explode(col("shingles")).as("shingle"))
       .withColumn("h", shingleHash(col("shingle")))
     val mins = (0 until numPerms).map(i =>
@@ -108,11 +114,14 @@ object Dedup {
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val cand = lshCandidates(
-      lshBands(minhash(docs, idCol, textCol, numPerms, shingleN),
-        idCol, numPerms, rowsPerBand), idCol)
+    // one materialized shingle-set frame feeds signatures AND both
+    // verification sides (Spark recomputes shared DAG branches otherwise)
     val sets = Text.withShingles(docs, textCol, shingleN)
       .select(col(idCol), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidates(
+      lshBands(minhashFromSets(sets, idCol, numPerms),
+        idCol, numPerms, rowsPerBand), idCol)
     val withJac = cand
       .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -136,8 +145,12 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // the shingle-set subtree feeds FOUR consumers (doc-freq, prefix,
+    // and both verify sides); Spark recomputes shared DAG branches, so
+    // materialize it once (tiny: one row per doc)
     val sets = Text.withShingles(docs, textCol, shingleN)
       .select(col(idCol), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sets.select(col(idCol), size(col("shingles")).as("n"),
       explode(col("shingles")).as("shingle"))
     val docFreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))

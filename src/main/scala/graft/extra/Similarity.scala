@@ -62,29 +62,29 @@ object Similarity {
 
   val NumPlanes = 8
 
-  /** Sign-random-projection bucket signature for a double vector. */
-  def lshBucket(v: Column): Column = {
-    val planeDots = (0 until NumPlanes).map { p =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * ((i * 31 + p * 17) % 7 - 3).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    planeDots.reduce(_ + _)
-  }
+  /** Sign-random-projection bucket signature (single table: q = p). */
+  def lshBucket(v: Column): Column = lshBucketFor(v, 0, NumPlanes)
+
+  /** Max dimensionality the precomputed plane literals cover; the codegen
+    * dot loops over min(len(v), len(plane)), so shorter vectors are fine.
+    */
+  val MaxDim = 4096
+
+  /** Plane q as a literal double vector: component i =
+    * ((i*31 + q*17) mod 7) - 3 — identical to the SQL-oracle formula.
+    */
+  private def planeLit(q: Int): Column =
+    lit((0 until MaxDim).map(i => ((i * 31 + q * 17) % 7 - 3).toDouble).toArray)
 
   /** Bucket signature for table `tbl` using `bits` hyperplanes: plane
-    * index q = tbl*bits + p feeds the shared integer-lattice formula.
+    * index q = tbl*bits + p. Each plane dot runs through the codegen
+    * DotProduct against a literal plane vector (the interpreted
+    * zip_with form was the per-row hot spot).
     */
   def lshBucketFor(v: Column, tbl: Int, bits: Int): Column = {
     val planeDots = (0 until bits).map { p =>
       val q = tbl * bits + p
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * ((i * 31 + q * 17) % 7 - 3).cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(v, planeLit(q)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     planeDots.reduce(_ + _)
   }
