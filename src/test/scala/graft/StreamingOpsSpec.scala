@@ -57,4 +57,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((10L, 2L)))
     assert(rows.contains((100L, 1L)))
   }
+
+  test("Monitor listener captures per-batch progress as a DataFrame") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mon = new graft.streaming.Monitor().attach(spark)
+    try {
+      val in = MemoryStream[Tick]
+      val q = TickParse.withEventTime(in.toDF())
+        .groupBy("symbol").count()
+        .writeStream.outputMode("update")
+        .format("memory").queryName("mon_out")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      in.addData(Tick("AAPL", 1.0, 1000L), Tick("MSFT", 2.0, 2000L))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async; wait for delivery
+      var tries = 0
+      while (mon.snapshot.forall(_.num_input_rows == 0) && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val df = mon.asDataFrame(spark)
+      assert(df.filter(col("num_input_rows") === 2L).count() >= 1,
+        s"expected a 2-row batch in ${mon.snapshot}")
+    } finally mon.detach(spark)
+  }
 }
