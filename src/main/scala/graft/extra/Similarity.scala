@@ -122,6 +122,58 @@ object Similarity {
         col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: the corpus is partitioned into posting lists by nearest
+    * centroid; a query scores only the `nprobe` lists whose centroids
+    * are closest to it.
+    *
+    * Centroid selection here is deterministic subsampling (every
+    * `centroidStep`-th corpus vector) so the oracle can reproduce the
+    * exact structure; a production build would run k-means and persist
+    * the codebook + list assignment once, after which every query is
+    * posting-list-local (at 100 TB: lists are the partition key of the
+    * materialized index table — a query reads nprobe partitions, never
+    * the corpus).
+    */
+  def topKIvf(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, centroidStep: Int = 47,
+      nprobe: Int = 3): DataFrame = {
+    val e = prepare(emb, idCol, vecCol)
+    val cents = e.filter(col("id") % centroidStep === 0)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // assignment: nearest centroid per corpus vector (cosine argmax,
+    // deterministic cid tie-break)
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("list_id"))
+    // probes: nprobe nearest centroids per query
+    val probes = assigned.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("ccos",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("list_id"))
+    // scan only the probed posting lists
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (sqrt(col("nrm")) * sqrt(col("qn"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"))
+  }
+
   /** Approximate top-k: only corpus vectors in the query's LSH bucket are
     * scored. Same output shape as [[topKBruteForce]].
     */

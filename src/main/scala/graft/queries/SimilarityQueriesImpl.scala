@@ -120,6 +120,43 @@ object SimilarityQueriesImpl {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- sim_topk_ivf (inverted-file coarse quantizer) ---------------
+
+  def simTopKIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKIvf(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5, centroidStep = 47, nprobe = 3)
+      .orderBy("query_id", "rank")
+
+  private val simTopKIvfOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM e
+       |      WHERE vec_id % 47 = 0),
+       |asgr AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(${dotSql("v", "c")} / (sqrt(v.nrm) * sqrt(c.cn)), 6) DESC,
+       |      c.cid) AS crk
+       |  FROM e v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS list_id FROM asgr WHERE crk = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS list_id
+       |           FROM asgr WHERE vec_id < 10 AND crk <= 3),
+       |sc AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${dotSql("ce", "qe")} / (sqrt(ce.nrm) * sqrt(qe.nrm)), 6)
+       |      AS cosine
+       |  FROM probes p
+       |  JOIN asg a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+       |  JOIN e ce ON ce.vec_id = a.vec_id
+       |  JOIN e qe ON qe.vec_id = p.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
@@ -129,5 +166,8 @@ object SimilarityQueriesImpl {
       simTopKLsh, Some(simTopKLshOracle)),
     QueryDef("sim_topk_lsh_multi",
       "multi-table LSH (4x4-bit, ANY-table collision) approximate top-5",
-      simTopKLshMulti, Some(simTopKLshMultiOracle)))
+      simTopKLshMulti, Some(simTopKLshMultiOracle)),
+    QueryDef("sim_topk_ivf",
+      "IVF coarse-quantizer top-5 (deterministic centroids, nprobe=3)",
+      simTopKIvf, Some(simTopKIvfOracle)))
 }

@@ -44,9 +44,13 @@ class ExtraSpec extends SparkSpec {
       embs, "vec_id", "embedding", col("id") < 10, 5))
     val single = pairs(Similarity.topKLsh(
       embs, "vec_id", "embedding", col("id") < 10, 5))
+    val ivf = pairs(Similarity.topKIvf(
+      embs, "vec_id", "embedding", col("id") < 10, 5))
     val recallMulti = (exact & multi).size.toDouble / exact.size
     val recallSingle = (exact & single).size.toDouble / exact.size
+    val recallIvf = (exact & ivf).size.toDouble / exact.size
     assert(recallMulti >= 0.2, s"multi-table recall $recallMulti")
+    assert(recallIvf >= 0.2, s"ivf recall $recallIvf")
     assert(recallMulti > recallSingle,
       s"multi ($recallMulti) must beat single ($recallSingle)")
   }
