@@ -210,6 +210,36 @@ object RelationalQueries {
         count(lit(1)).as("n_daily_sketches"))
       .orderBy("event_type")
 
+  /** Statistical aggregates per group: spread, exact median (continuous
+    * interpolation — same definition as DuckDB quantile_cont), and
+    * Pearson correlation. All rounded to 6 dp (stddev/corr accumulate
+    * co-moments whose low bits are algorithm-dependent across engines).
+    */
+  def statsByType(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 6).as("stddev_value"),
+        round(var_samp(col("value")), 6).as("var_value"),
+        round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+        round(corr(col("value"), col("user_id").cast("double")), 6)
+          .as("corr_value_user"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type")
+
+  private val statsByTypeOracle =
+    """SELECT event_type,
+      |  round(stddev_samp(value), 6) AS stddev_value,
+      |  round(var_samp(value), 6) AS var_value,
+      |  round(quantile_cont(value, 0.5), 6) AS median_value,
+      |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Rollup with grouping_id: per (event_type, day) counts plus
     * per-type and grand totals.
     */
@@ -325,6 +355,9 @@ object RelationalQueries {
     QueryDef("rollup_daily",
       "rollup (event_type, day) with grouping_id",
       rollupDaily, Some(rollupDailyOracle)),
+    QueryDef("stats_by_type",
+      "statistical aggregates: stddev/variance/median/corr per group",
+      statsByType, Some(statsByTypeOracle)),
     QueryDef("set_ops",
       "intersect + except over weekly activity",
       setOps, Some(setOpsOracle)),
