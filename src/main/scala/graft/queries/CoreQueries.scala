@@ -176,6 +176,31 @@ object CoreQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Pivot with last-by-time values — the reference dashboard's exact
+    * reshape (streamlit_app.py:69-80: pivot_table(aggfunc='last') over a
+    * ts-ordered frame): last observed value per day per type, wide.
+    * `max_by(value, ts)` is the deterministic form of "last".
+    */
+  def pivotLastValue(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(max_by(col("value"), col("ts")))
+      .orderBy("day")
+  }
+
+  private val pivotLastValueOracle =
+    """SELECT date_trunc('day', ts) AS day,
+      |  arg_max(value, ts) FILTER (WHERE event_type = 'click') AS click,
+      |  arg_max(value, ts) FILTER (WHERE event_type = 'error') AS error,
+      |  arg_max(value, ts) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  arg_max(value, ts) FILTER (WHERE event_type = 'signup') AS signup,
+      |  arg_max(value, ts) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** String normalization (P9: upper/trim) + group count. */
   def symbolNorm(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -230,6 +255,9 @@ object CoreQueries {
     QueryDef("pivot_daily",
       "per-day counts pivoted wide by event_type",
       pivotDaily, Some(pivotDailyOracle)),
+    QueryDef("pivot_last_value",
+      "last-by-time value per day per type, wide (dashboard reshape)",
+      pivotLastValue, Some(pivotLastValueOracle)),
     QueryDef("symbol_norm",
       "upper/trim normalization + group count",
       symbolNorm, Some(symbolNormOracle)),

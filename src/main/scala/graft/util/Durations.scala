@@ -1,53 +1,65 @@
 package graft.util
 
-/** Duration-string normalizer — API-parity port of the reference's
-  * `normalize_duration` (src/consumer/spark_streaming.py:25-43), which
-  * accepts human-ish duration strings ("60s", "1 min", "2 hours") and
-  * normalizes them into the canonical "<n> <unit>" form Spark's
-  * `window()` / `withWatermark()` accept.
+/** Duration-string normalizer — faithful port of the reference's
+  * `normalize_duration` (src/consumer/spark_streaming.py:25-44):
+  *
+  *   - strip + lowercase;
+  *   - strings already containing a long-form unit (" second",
+  *     " minute", " hour", " day") pass through as-is;
+  *   - `<n><unit>` shorthand ("60s", "1 min", "2hrs") normalizes to
+  *     "<n> <long-unit>";
+  *   - anything else (including bare numbers — the reference regex
+  *     requires a unit) is returned UNCHANGED, exactly like the
+  *     reference, which lets Spark's own parser raise downstream.
   *
   * Pure function — not a plan operator (SURVEY.md §2.2 P10).
   */
 object Durations {
-  private val Pattern = """^\s*(\d+)\s*([a-zA-Z]*)\s*$""".r
+  private val Pattern =
+    ("""(\d+)\s*(ms|s|sec|secs|second|seconds|m|min|mins|minute|minutes""" +
+      """|h|hr|hrs|hour|hours|d|day|days)""").r
 
   private val unitMap: Map[String, String] = {
-    val sec = Seq("", "s", "sec", "secs", "second", "seconds").map(_ -> "seconds")
+    val ms  = Seq("ms").map(_ -> "milliseconds")
+    val sec = Seq("s", "sec", "secs", "second", "seconds").map(_ -> "seconds")
     val min = Seq("m", "min", "mins", "minute", "minutes").map(_ -> "minutes")
     val hr  = Seq("h", "hr", "hrs", "hour", "hours").map(_ -> "hours")
     val day = Seq("d", "day", "days").map(_ -> "days")
-    val ms  = Seq("ms", "milli", "millis", "millisecond", "milliseconds")
-      .map(_ -> "milliseconds")
-    (sec ++ min ++ hr ++ day ++ ms).toMap
+    (ms ++ sec ++ min ++ hr ++ day).toMap
   }
 
-  /** "60s" → "60 seconds"; "1 min" → "1 minutes"; bare "90" → "90 seconds".
-    * Already-canonical strings pass through unchanged. Throws
-    * IllegalArgumentException on unparseable input (the reference raises
-    * ValueError).
+  /** "60s" → "60 seconds"; "1 min" → "1 minutes"; "60 seconds" →
+    * "60 seconds"; unparseable input → returned unchanged (reference
+    * behavior, spark_streaming.py:31-33).
     */
-  def normalize(raw: String): String = raw match {
-    case Pattern(n, unit) =>
-      unitMap.get(unit.toLowerCase) match {
-        case Some(u) => s"$n $u"
-        case None =>
-          throw new IllegalArgumentException(s"unknown duration unit: '$unit'")
-      }
-    case _ =>
-      throw new IllegalArgumentException(s"cannot parse duration: '$raw'")
+  def normalize(raw: String): String = {
+    val d = raw.trim.toLowerCase
+    if (Seq(" second", " minute", " hour", " day").exists(d.contains)) d
+    else d match {
+      case Pattern(n, unit) => s"$n ${unitMap(unit)}"
+      case _ => raw
+    }
   }
 
-  /** Duration in seconds (for window arithmetic in tests/oracles). */
+  /** Duration in seconds for window arithmetic in tests/oracles.
+    * Strict: throws on anything [[normalize]] couldn't canonicalize.
+    */
   def toSeconds(raw: String): Long = {
     val canonical = normalize(raw)
-    val Array(n, u) = canonical.split(" ")
-    val mult = u match {
-      case "milliseconds" => return n.toLong / 1000
-      case "seconds" => 1L
-      case "minutes" => 60L
-      case "hours"   => 3600L
-      case "days"    => 86400L
+    canonical.split("\\s+") match {
+      case Array(n, u) =>
+        val mult = u match {
+          case "milliseconds" | "millisecond" => return n.toLong / 1000
+          case "seconds" | "second" => 1L
+          case "minutes" | "minute" => 60L
+          case "hours" | "hour"     => 3600L
+          case "days" | "day"       => 86400L
+          case _ =>
+            throw new IllegalArgumentException(s"unknown unit: '$u'")
+        }
+        n.toLong * mult
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse duration: '$raw'")
     }
-    n.toLong * mult
   }
 }
