@@ -181,7 +181,48 @@ object DedupQueriesImpl {
       |WHERE cosine >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- train_test_split ---------------------------------------------
+
+  /** Deterministic (partitioning-independent) train/val/test assignment
+    * by content-hash bucket — per-doc assignment plus split counts.
+    */
+  def trainTestSplit(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Sampling.withSplit(docs(s, dir), "doc_id")
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  private val trainTestSplitOracle =
+    """SELECT doc_id,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |    % 100 AS bucket,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic 10% sample of events joined back for verification:
+    * the same rows are selected at ANY partitioning or engine.
+    */
+  def deterministicSample(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Sampling.deterministicSample(events(s, dir), "event_id", 0.1)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+
+  private val deterministicSampleOracle =
+    """SELECT event_id, event_type, value
+      |FROM events
+      |WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |      % 10000 < 1000
+      |ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("train_test_split",
+      "hash-bucket deterministic train/val/test assignment",
+      trainTestSplit, Some(trainTestSplitOracle)),
+    QueryDef("deterministic_sample",
+      "partitioning-independent 10% content-hash sample",
+      deterministicSample, Some(deterministicSampleOracle)),
     QueryDef("dedup_exact",
       "exact content-hash dedup (hash-groupBy, deterministic canonical)",
       dedupExact, Some(dedupExactOracle)),
