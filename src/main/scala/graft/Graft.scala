@@ -148,4 +148,35 @@ object Graft {
   def ohlc(df: DataFrame, key: String, tsCol: String, valCol: String,
       bucket: String): DataFrame =
     extra.TimeSeries.ohlc(df, key, tsCol, valCol, bucket)
+
+  // ---- sampling / splits --------------------------------------------
+
+  /** Partitioning-independent train/val/test assignment (content hash). */
+  def trainTestSplit(df: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    extra.Sampling.withSplit(df, idCol, trainPct, valPct)
+
+  /** Partitioning-independent fraction sample (content hash). */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    extra.Sampling.deterministicSample(df, idCol, fraction)
+
+  // ---- skew / observability -----------------------------------------
+
+  /** Salted join for hot keys — result-identical to a direct join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      buckets: Int, leftSaltSource: Column): DataFrame =
+    ops.Skew.saltedJoin(left, right, keys, buckets, leftSaltSource)
+
+  /** Attach a streaming KPI monitor (per-batch progress as a DataFrame). */
+  def monitor(spark: SparkSession): streaming.Monitor =
+    new streaming.Monitor().attach(spark)
+
+  // ---- multimodal ----------------------------------------------------
+
+  def mediaMeta(docs: DataFrame) =
+    extra.Multimodal.extractMeta(extra.Multimodal.assetsFromDocuments(docs))
+
+  def mediaFeatures(docs: DataFrame) =
+    extra.Multimodal.extractFeatures(
+      extra.Multimodal.assetsFromDocuments(docs))
 }

@@ -33,31 +33,6 @@ object Profile {
     time("docFreq")(docFreq.count())
     val full = Dedup.ngramJaccard(docs, "doc_id", "text")
     time("ngram_jaccard full")(full.count())
-    // --- ngram stage breakdown (mirrors Dedup.ngramJaccard internals) ---
-    locally {
-      import org.apache.spark.sql.expressions.Window
-      val sets = Text.withShingles(docs, "text", 3)
-        .select(col("doc_id"), col("shingles"))
-      val inv = sets.select(col("doc_id"), size(col("shingles")).as("n"),
-        explode(col("shingles")).as("shingle"))
-      val dfq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      val prefix = inv.join(dfq, "shingle")
-        .withColumn("pos", row_number().over(w))
-        .filter(col("pos") <= col("n") - ceil(col("n") * 0.5) + 1)
-        .select(col("doc_id"), col("shingle"))
-      time("  ng.prefix")(prefix.count())
-      val a = prefix.select(col("doc_id").as("id_a"), col("shingle"))
-      val b = prefix.select(col("doc_id").as("id_b"), col("shingle"))
-      val cand = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      time("  ng.cand")(cand.count())
-      val verify = cand
-        .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      time("  ng.verify")(verify.filter(col("inter") > 0).count())
-    }
     time("fingerprint")(Text.withFingerprint(docs, "text").count())
     val mh = Dedup.minhash(docs, "doc_id", "text", 16, 3)
     time("minhash wide")(mh.count())

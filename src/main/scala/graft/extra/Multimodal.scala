@@ -86,4 +86,43 @@ object Multimodal {
         explode(slice(sequence(lit(0), col("n_frames") - 1, lit(step)),
           1, maxFrames)))
       .select("media_id", "n_frames", "frame_idx")
+
+  /** Resize plan: target dims preserving aspect ratio within a bounding
+    * box — pure metadata math (a real implementation would also
+    * transcode the payload in the same partition pass). Integer-exact:
+    * scale = min over dims of maxSide/dim computed in rational form.
+    */
+  def withResizePlan(meta: Dataset[MediaMeta], maxSide: Int): DataFrame = {
+    val df = meta.toDF()
+    // out = max(1, dim * maxSide / maxDim) with integer truncation,
+    // identical in any engine
+    val maxDim = greatest(col("width"), col("height"))
+    df.withColumn("resized_w",
+        greatest(lit(1), floor(col("width") * maxSide / maxDim)).cast("int"))
+      .withColumn("resized_h",
+        greatest(lit(1), floor(col("height") * maxSide / maxDim)).cast("int"))
+  }
+
+  /** Feature extraction STUB over the payload: an 8-dim float vector
+    * from the first 8 payload bytes (normalized to [0,1]) — the real
+    * version would run an encoder per partition; the Spark shape
+    * (iterator pass, fixed-width Array[Float] column, no driver hops)
+    * is what is being exercised and tested.
+    */
+  final case class MediaFeatures(media_id: Long, kind: String,
+      features: Array[Float])
+
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition encoder init would go here
+      it.map { a =>
+        val f = (0 until 8).map { i =>
+          val b = if (a.payload.length > i) a.payload(i) & 0xff else 0
+          b / 255.0f
+        }.toArray
+        MediaFeatures(a.media_id, a.kind, f)
+      }
+    }
+  }
 }

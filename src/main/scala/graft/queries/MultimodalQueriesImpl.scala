@@ -96,7 +96,63 @@ object MultimodalQueriesImpl {
       |WHERE kind = 'video'
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---- multimodal_resize -------------------------------------------
+
+  /** Aspect-preserving resize plan (bounding box 256) over the media
+    * metadata — pure integer-exact metadata math.
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withResizePlan(
+      Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs(s, dir))),
+      maxSide = 256)
+      .select("media_id", "width", "height", "resized_w", "resized_h")
+      .orderBy("media_id")
+
+  private val multimodalResizeOracle =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+      |    CAST(1 + ascii(substr(text, 2, 1)) % 64 AS INTEGER) AS height
+      |  FROM documents)
+      |SELECT media_id, width, height,
+      |  CAST(greatest(1, floor(width * 256 / greatest(width, height)))
+      |    AS INTEGER) AS resized_w,
+      |  CAST(greatest(1, floor(height * 256 / greatest(width, height)))
+      |    AS INTEGER) AS resized_h
+      |FROM m
+      |ORDER BY media_id""".stripMargin
+
+  // ---- multimodal_features -----------------------------------------
+
+  /** Stub feature extraction: 8-dim payload-derived vectors through the
+    * typed mapPartitions path; compared elementwise via explode (array
+    * columns hash poorly across engines, floats compare exactly here —
+    * byte/255 is representable).
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.assetsFromDocuments(docs(s, dir)))
+      .toDF()
+      .select(col("media_id"),
+        posexplode(col("features")).as(Seq("dim", "feature")))
+      .select(col("media_id"), col("dim"),
+        round(col("feature").cast("double"), 6).as("feature"))
+      .orderBy("media_id", "dim")
+
+  private val multimodalFeaturesOracle =
+    """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS dim,
+      |  round(CAST(CAST(CASE WHEN length(text) > i
+      |    THEN ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) ELSE 0 END
+      |    AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE), 6) AS feature
+      |FROM documents CROSS JOIN range(0, 8) t(i)
+      |ORDER BY media_id, dim""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_resize",
+      "aspect-preserving resize plan (metadata math)",
+      multimodalResize, Some(multimodalResizeOracle)),
+    QueryDef("multimodal_features",
+      "stub 8-dim payload feature vectors via typed mapPartitions",
+      multimodalFeatures, Some(multimodalFeaturesOracle)),
     QueryDef("props_extract",
       "JSON path extraction (get_json_object) from props",
       propsExtract, Some(propsExtractOracle)),
