@@ -120,6 +120,35 @@ object RelationalQueries {
       |HAVING count(*) >= 5
       |ORDER BY 1""".stripMargin
 
+  /** Brand revenue: lineitem ⋈ part (broadcast dim) — covers the part
+    * table and the classic fact-⋈-product-dim rollup.
+    */
+  def brandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
+          .cast("double").as("revenue"),
+        round(sum(dec("p_retailprice")).cast("double") /
+          count(lit(1)), 6).as("avg_retail"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  private val brandRevenueOracle =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS revenue,
+      |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |        / count(*), 6) AS avg_retail,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Top-k per group via ranked window: 3 highest-revenue line items per
     * return flag. The canonical "rank then filter" shape; Spark executes
     * as a single sort per partition key (no global sort).
@@ -337,6 +366,9 @@ object RelationalQueries {
     QueryDef("customer_orders",
       "orders⋈customer per-customer aggregates + having",
       customerOrders, Some(customerOrdersOracle)),
+    QueryDef("brand_revenue",
+      "lineitem⋈part broadcast-dim revenue per brand",
+      brandRevenue, Some(brandRevenueOracle)),
     QueryDef("topk_per_group",
       "top-3 line items per return flag (ranked window)",
       topKPerGroup, Some(topKOracle)),

@@ -124,6 +124,17 @@ class ExtraSpec extends SparkSpec {
     assert(meta.n_frames == 1 + 25 % 30)
   }
 
+  test("resize plan preserves aspect ratio inside the bounding box") {
+    // 'h'=104 -> width 1+104%64=41 ; 'e'=101 -> height 1+101%64=38
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val r = Multimodal.withResizePlan(
+      Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs)), 256)
+      .select("width", "height", "resized_w", "resized_h").collect().head
+    assert(r.getInt(0) == 41 && r.getInt(1) == 38)
+    assert(r.getInt(2) == 256)                  // long side hits the box
+    assert(r.getInt(3) == 38 * 256 / 41)        // short side scales
+  }
+
   test("frame sampling: every step-th frame, capped") {
     val docs = Seq((2L, "x" * 100)).toDF("doc_id", "text")  // video, 101 frames->21
     val meta = Multimodal.extractMeta(Multimodal.assetsFromDocuments(docs))
