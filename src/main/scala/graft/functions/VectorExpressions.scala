@@ -23,6 +23,9 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def nullIntolerant: Boolean = true
+  // nullable even when inputs aren't: null ELEMENTS null the result
+  // (and codegen needs a mutable isNull slot for that path)
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes()
@@ -44,6 +47,9 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** Null ELEMENTS poison the result (null out), matching the
+    * `aggregate(zip_with(...))` higher-order fold this replaces.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -52,6 +58,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -73,6 +80,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $getX * $getY;
          |}
          |${ev.value} = $acc;

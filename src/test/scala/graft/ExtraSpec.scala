@@ -33,6 +33,14 @@ class ExtraSpec extends SparkSpec {
     assert(viaCol == 11.0)
   }
 
+  test("graft_dot: null elements poison the result (HOF-fold parity)") {
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS d")
+      .collect().head
+    assert(viaSql.isNullAt(0))
+  }
+
   test("multi-table LSH recall beats single-table on the test embeddings") {
     val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
