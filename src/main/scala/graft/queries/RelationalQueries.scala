@@ -286,6 +286,36 @@ object RelationalQueries {
       |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
       |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** Frame-based window aggregation: per-customer running order total
+    * and sequence number (ROWS UNBOUNDED PRECEDING — the cumulative
+    * ledger shape). Decimal-exact running sums.
+    */
+  def runningTotals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_total",
+        sum(dec("o_totalprice")).over(wRun).cast("double"))
+      .select("o_custkey", "order_seq", "o_orderkey", "o_orderdate",
+        "running_total")
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  private val runningTotalsOracle =
+    """SELECT o_custkey,
+      |  row_number() OVER w AS order_seq,
+      |  o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
   /** Set operations: event types active in both the first and the last
     * observed week (intersect), and only in the first (except).
     */
@@ -393,6 +423,9 @@ object RelationalQueries {
     QueryDef("set_ops",
       "intersect + except over weekly activity",
       setOps, Some(setOpsOracle)),
+    QueryDef("running_totals",
+      "per-customer cumulative order totals (frame window)",
+      runningTotals, Some(runningTotalsOracle)),
     QueryDef("semi_join",
       "left-semi join (EXISTS) customers with filed orders",
       semiJoin, Some(semiJoinOracle)),
