@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *     touches bucket collisions — never the O(n²) pair space. Hot
   *     buckets (boilerplate docs) are the skew risk; cap bucket width or
   *     salt-split ultra-common signatures before the pair join.
-  *   - Inverted-index Jaccard: self-join on shingle; drop stop-shingles
-  *     (document frequency above a cap) to bound the join fan-out.
+  *   - Inverted-index Jaccard: PPJoin prefix filtering (rarest-first
+  *     global order + length + positional filters, all lossless) bounds
+  *     the self-join fan-out; see [[ngramJaccard]].
   *   - Embedding near-dup: the all-pairs form here is the correctness
   *     baseline; the scale path is LSH bucketing (see Similarity).
   */
