@@ -316,6 +316,53 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** ntile bucketing: customer account-balance deciles with per-decile
+    * decimal-exact stats.
+    */
+  def custkeyDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy("decile")
+  }
+
+  private val custkeyDecilesOracle =
+    """SELECT decile, count(*) AS n, min(c_acctbal) AS min_bal,
+      |       max(c_acctbal) AS max_bal
+      |FROM (SELECT c_acctbal,
+      |        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |      FROM customer)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Calendar extraction rollup: orders by year/quarter/month with
+    * decimal revenue — the date-dimension shape.
+    */
+  def ordersByMonth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mth"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+      .orderBy("yr", "qtr", "mth")
+
+  private val ordersByMonthOracle =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |       CAST(month(o_orderdate) AS INTEGER) AS mth,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Set operations: event types active in both the first and the last
     * observed week (intersect), and only in the first (except).
     */
@@ -426,6 +473,12 @@ object RelationalQueries {
     QueryDef("running_totals",
       "per-customer cumulative order totals (frame window)",
       runningTotals, Some(runningTotalsOracle)),
+    QueryDef("custkey_deciles",
+      "ntile(10) account-balance deciles + per-decile stats",
+      custkeyDeciles, Some(custkeyDecilesOracle)),
+    QueryDef("orders_by_month",
+      "calendar extraction rollup (year/quarter/month revenue)",
+      ordersByMonth, Some(ordersByMonthOracle)),
     QueryDef("semi_join",
       "left-semi join (EXISTS) customers with filed orders",
       semiJoin, Some(semiJoinOracle)),
