@@ -12,9 +12,14 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is semantically right but
   * interpreted: per pair it allocates a zipped array and walks it through
   * the higher-order-function machinery. [[DotProduct]] is the same
-  * left-to-right double accumulation (bit-identical results) as a single
-  * codegen'd loop over the two `ArrayData` — the difference is ~20× on
-  * the all-pairs similarity joins.
+  * left-to-right double accumulation as a single codegen'd loop over the
+  * two `ArrayData` — the difference is ~20× on the all-pairs similarity
+  * joins. Bit-identical to the HOF fold for EQUAL-LENGTH inputs; on
+  * ragged inputs the semantics intentionally diverge: zip_with null-pads
+  * the shorter side (so the fold returns null), while DotProduct
+  * truncates to min(len) and returns a number — the truncation is
+  * load-bearing for [[graft.extra.Similarity]].planeLit, whose literal
+  * hyperplanes are padded to MaxDim.
   *
   * Registered as SQL function `graft_dot` (see [[GraftFunctions]]) so the
   * Column API (`call_function`) and plain SQL both reach it.

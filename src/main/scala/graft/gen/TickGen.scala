@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * transform. The reference steps a per-symbol GBM random walk
   * (synthetic_ticks.py:51-57: price *= exp((μ − σ²/2)Δt + σ√Δt·z)) with
   * an unseeded RNG; here the walk is a column-expression cumulative sum
-  * of seeded `randn`, so every run (and every engine re-run) produces
-  * identical ticks — a fixture, not a side-effecting producer.
+  * of CONTENT-HASH-derived gaussians (Box–Muller over xxhash64(id, seed)
+  * uniforms — same trick as [[graft.extra.Sampling]]), so every run on
+  * any cluster shape produces identical ticks — a fixture, not a
+  * side-effecting producer. `randn(seed)` would NOT give this: it is
+  * seed-deterministic only for a fixed partitioning, and `spark.range(n)`
+  * partition count tracks default parallelism.
   *
   * Scale: `spark.range(n)` parallelizes the index space; the only
   * shuffle is the per-symbol cumulative-sum sort window. For very long
@@ -40,7 +44,7 @@ object TickGen {
       .withColumn("symbol",
         element_at(array(cfg.symbols.map(lit): _*),
           (pmod(col("id"), lit(k.toLong)) + 1).cast("int")))
-      .withColumn("z", randn(cfg.seed))
+      .withColumn("z", hashGaussian(col("id"), cfg.seed))
       .withColumn("logstep",
         lit((cfg.drift - cfg.volatility * cfg.volatility / 2) * dt) +
           lit(cfg.volatility * math.sqrt(dt)) * col("z"))
@@ -48,5 +52,19 @@ object TickGen {
         round(lit(cfg.basePrice) * exp(sum(col("logstep")).over(w)), 4))
       .withColumn("event_time_ms", lit(cfg.startEpochMs) + col("id") * stepMs)
       .select("symbol", "price", "event_time_ms")
+  }
+
+  /** Standard normal derived from a content hash of `id` — Box–Muller
+    * over two xxhash64 uniforms. Partitioning-independent (unlike
+    * `randn(seed)`) and codegen-native: identical output on any
+    * cluster/core count.
+    */
+  private def hashGaussian(id: org.apache.spark.sql.Column, seed: Long) = {
+    // Uniform in (0, 1]: hash to [0, 2^40), shift to (0, 2^40].
+    val scale = (1L << 40).toDouble
+    def uniform(salt: Long) =
+      (pmod(xxhash64(id, lit(seed), lit(salt)), lit(1L << 40)) + 1) / scale
+    sqrt(lit(-2.0) * log(uniform(0x9E3779B9L))) *
+      cos(lit(2.0 * math.Pi) * uniform(0x85EBCA6BL))
   }
 }

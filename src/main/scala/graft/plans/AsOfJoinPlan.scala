@@ -101,7 +101,10 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
         val lt = lTime.eval(lRow)
-        var advancing = lk != null
+        // Null keys or a null left ts never match (same as the window
+        // formulation, where comparisons against null are never true) —
+        // timeOrd/keyOrd are null-intolerant, so guard before comparing.
+        var advancing = lk != null && lt != null
         while (advancing && rBuffered.hasNext) {
           val head = rBuffered.head
           val rk = rKey.eval(head)
@@ -110,16 +113,22 @@ case class AsOfJoinExec(
             val kc = keyOrd.compare(rk, lk)
             if (kc < 0) {
               rBuffered.next() // right key behind left: discard
-            } else if (kc == 0 && timeOrd.compare(rTime.eval(head), lt) <= 0) {
-              curKey = rk
-              curCarry = carryProj(head).copy()
-              rBuffered.next()
+            } else if (kc == 0) {
+              val rt = rTime.eval(head)
+              if (rt == null) { rBuffered.next() } // null right ts never matches
+              else if (timeOrd.compare(rt, lt) <= 0) {
+                curKey = rk
+                curCarry = carryProj(head).copy()
+                rBuffered.next()
+              } else {
+                advancing = false
+              }
             } else {
               advancing = false
             }
           }
         }
-        val matched = curCarry != null && lk != null &&
+        val matched = curCarry != null && lk != null && lt != null &&
           keyOrd.compare(curKey, lk) == 0
         outProj(joined(lRow, if (matched) curCarry else nullRow))
       }

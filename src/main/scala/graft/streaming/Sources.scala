@@ -21,7 +21,9 @@ final case class SourceOptions(
     /** earliest | latest — honored by sources that can seek. */
     startingOffsets: String = "earliest",
     /** tolerate missing data instead of failing (Kafka parity). */
-    failOnDataLoss: Boolean = false)
+    failOnDataLoss: Boolean = false,
+    /** micro-batch size cap (Kafka's maxOffsetsPerTrigger analogue). */
+    maxFilesPerTrigger: Int = 1)
 
 trait TickSource {
   def stream(spark: SparkSession): DataFrame
@@ -42,6 +44,13 @@ final class MemoryTickSource(spark: SparkSession) extends TickSource {
 /** File-drop source: any JSON-lines files appearing under `dir` become
   * micro-batches — the no-Kafka stand-in for topic backfill
   * (publish_historical.py semantics: event_time_ms preserved in payload).
+  *
+  * Option mapping onto the file source's knobs:
+  *   - `maxFilesPerTrigger` → same-named option (micro-batch size cap);
+  *   - `startingOffsets=latest` → `latestFirst=true` (drain newest files
+  *     first — the closest file-source analogue to seeking to the tail);
+  *   - `failOnDataLoss=false` → `ignoreMissingFiles=true` (files deleted
+  *     between listing and read don't kill the query).
   */
 final class FileTickSource(dir: String,
     opts: SourceOptions = SourceOptions()) extends TickSource {
@@ -50,7 +59,9 @@ final class FileTickSource(dir: String,
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
           org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", opts.maxFilesPerTrigger)
+      .option("latestFirst", opts.startingOffsets.trim.toLowerCase == "latest")
+      .option("ignoreMissingFiles", !opts.failOnDataLoss)
       .json(dir)
 }
 

@@ -42,14 +42,22 @@ object Durations {
   }
 
   /** Duration in seconds for window arithmetic in tests/oracles.
-    * Strict: throws on anything [[normalize]] couldn't canonicalize.
+    * Strict: throws on anything [[normalize]] couldn't canonicalize,
+    * including millisecond values that are not a whole number of
+    * seconds ("500 ms") — silently truncating those to 0 would lose
+    * the value.
     */
   def toSeconds(raw: String): Long = {
     val canonical = normalize(raw)
     canonical.split("\\s+") match {
       case Array(n, u) =>
         val mult = u match {
-          case "milliseconds" | "millisecond" => return n.toLong / 1000
+          case "milliseconds" | "millisecond" =>
+            val msVal = n.toLong
+            if (msVal % 1000 != 0)
+              throw new IllegalArgumentException(
+                s"'$raw' is not a whole number of seconds ($msVal ms)")
+            return msVal / 1000
           case "seconds" | "second" => 1L
           case "minutes" | "minute" => 60L
           case "hours" | "hour"     => 3600L

@@ -56,6 +56,29 @@ class AsOfPlanSpec extends SparkSpec {
       (102L, None)))       // key 2 has no right rows at all
   }
 
+  test("native as-of tolerates null timestamps (null ts never matches)") {
+    val left = Seq(
+      (1L, Some("2024-01-01 10:00:00"), 100L),
+      (1L, None, 101L),                  // null left ts: unmatched, no NPE
+      (2L, Some("2024-01-01 12:00:00"), 102L))
+      .toDF("k", "ts", "lid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (1L, Some("2024-01-01 09:00:00"), 1.0),
+      (1L, None, 7.0),                   // null right ts: skipped
+      (2L, None, 8.0))                   // only-null right for key 2
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = AsOf.join(left, right, "k", "ts", Seq("v"))
+      .orderBy("lid")
+      .select("lid", "asof_v")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(out == Seq(
+      (100L, Some(1.0)),   // the non-null 09:00 row matches
+      (101L, None),        // null left ts is unmatched
+      (102L, None)))       // all right ts null: unmatched
+  }
+
   test("native as-of plan contains AsOfJoinExec (strategy fired)") {
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
       .toDF("k", "ts", "lid")

@@ -33,4 +33,9 @@ class DurationsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Durations.toSeconds("abc"))
     intercept[IllegalArgumentException](Durations.toSeconds("10"))
   }
+  test("toSeconds handles milliseconds without silent truncation") {
+    assert(Durations.toSeconds("2000 ms") == 2L)
+    intercept[IllegalArgumentException](Durations.toSeconds("500 ms"))
+    intercept[IllegalArgumentException](Durations.toSeconds("1500ms"))
+  }
 }
