@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed global ranking — `row_number()`/`ntile()` OVER a total
+  * order WITHOUT the single-partition window.
+  *
+  * An empty `Window.orderBy(...)` (no PARTITION BY) forces every row
+  * through one task — WindowExec even logs "No Partition Defined ...
+  * serious performance degradation". That is the one plan shape that can
+  * never survive a 100 TB scale-up, so global ranks are computed here as
+  * a range-shuffle + per-partition prefix offsets instead:
+  *
+  *   1. `repartitionByRange(sortCols)` + `sortWithinPartitions` — the
+  *      same distributed sort a global ORDER BY compiles to; every
+  *      partition holds a contiguous, internally-sorted key range.
+  *   2. one tiny job counts rows per partition (O(numPartitions) bytes
+  *      to the driver — the same trick as RDD.zipWithIndex; NOT a data
+  *      collect);
+  *   3. a second pass adds `partitionOffset + localIndex`. Both jobs
+  *      share one RDD lineage, so the range shuffle is executed once and
+  *      the second job reads the existing shuffle files (skipped stage).
+  *
+  * Ties: ranks are assigned by the physical total order, so rows equal
+  * on ALL `sortCols` may receive either rank — exactly the
+  * nondeterminism `row_number()` itself has. Pass a tie-breaking key
+  * (e.g. the primary key) for reproducible output.
+  */
+object Ranks {
+
+  /** Appends a 1-based global row number in `sortCols` order as `out`.
+    * Returns the ranked frame plus the total row count (free — the
+    * per-partition counts are already on the driver).
+    */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd // one lineage: the shuffle below is built once
+    val counts = rdd
+      .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(1L)(_ + _) // 1-based first rank per partition
+    val schema = df.schema.add(out, LongType, nullable = false)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets(pid)
+      it.map { row => val o = Row.fromSeq(row.toSeq :+ r); r += 1; o }
+    }
+    (spark.createDataFrame(ranked, schema), counts.sum)
+  }
+
+  /** Appends `ntile(buckets)` over the global `sortCols` order as `out`
+    * (IntegerType, buckets numbered from 1). Exact SQL ntile semantics:
+    * bucket sizes differ by at most one, with the first `n % buckets`
+    * buckets one row larger.
+    */
+  def withNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      buckets: Int,
+      out: String): DataFrame = {
+    require(buckets > 0, s"ntile buckets must be positive, got $buckets")
+    val rankCol = "__graft_global_rank"
+    val (ranked, n) = withGlobalRowNumber(df, sortCols, rankCol)
+    val base = n / buckets  // small buckets hold this many rows
+    val rem = n % buckets   // this many leading buckets hold base+1
+    val cut = rem * (base + 1) // ranks <= cut fall in the larger buckets
+    val tile =
+      if (base == 0) col(rankCol) // fewer rows than buckets: rank IS the tile
+      else expr( // DIV: exact integer division (Column./ is fractional)
+        s"""CASE WHEN $rankCol <= $cut
+           |     THEN ($rankCol - 1) DIV ${base + 1}
+           |     ELSE $rem + ($rankCol - 1 - $cut) DIV $base
+           |END + 1""".stripMargin)
+    ranked.withColumn(out, tile.cast("int")).drop(rankCol)
+  }
+}

@@ -317,13 +317,15 @@ object RelationalQueries {
       |ORDER BY o_custkey, order_seq""".stripMargin
 
   /** ntile bucketing: customer account-balance deciles with per-decile
-    * decimal-exact stats.
+    * decimal-exact stats. Uses [[graft.ops.Ranks.withNtile]] — the
+    * range-shuffle global rank — instead of `ntile().over(Window
+    * .orderBy(...))`, whose empty PARTITION BY funnels the whole table
+    * through a single task (WindowExec warns; fatal at 100 TB).
     */
   def custkeyDeciles(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    t(s, dir, "customer")
-      .withColumn("decile", ntile(10).over(w))
+    graft.ops.Ranks.withNtile(
+      t(s, dir, "customer").select("c_acctbal", "c_custkey"),
+      Seq(col("c_acctbal"), col("c_custkey")), 10, "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).as("min_bal"),
