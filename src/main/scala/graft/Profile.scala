@@ -19,6 +19,18 @@ object Profile {
     }
     import graft.extra.{Dedup, Text}
     import graft.model.Tables
+    if (args.length > 1 && args(1) == "ngram") {
+      val docs = Tables.load(spark, dir, "documents")
+      docs.count() // warm IO
+      (1 to 3).foreach { i =>
+        time(s"ngram_jaccard #$i")(
+          Dedup.ngramJaccard(docs, "doc_id", "text").count())
+        time(s"neardup_minhash #$i")(
+          Dedup.nearDupMinhash(docs, "doc_id", "text").count())
+        spark.sharedState.cacheManager.clearCache()
+      }
+      spark.stop(); return
+    }
     val docs = Tables.load(spark, dir, "documents")
     time("docs scan")(docs.count())
     val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))
@@ -37,6 +49,15 @@ object Profile {
     val mh = Dedup.minhash(docs, "doc_id", "text", 16, 3)
     time("minhash wide")(mh.count())
     time("neardup_minhash full")(Dedup.nearDupMinhash(docs, "doc_id", "text").count())
+    val ev = Tables.load(spark, dir, "events")
+    time("events scan")(ev.count())
+    val payload = graft.ops.TickParse.toJsonPayload(ev.select(
+      col("event_type").as("symbol"), col("value").as("price"),
+      unix_millis(col("ts")).as("event_time_ms")))
+    time("to_json")(payload.count())
+    time("to+from_json")(graft.ops.TickParse.parseRaw(payload).count())
+    time("parse_ticks full")(
+      graft.queries.CoreQueries.parseTicks(spark, dir).count())
     spark.stop()
   }
 }

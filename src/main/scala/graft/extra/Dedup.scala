@@ -101,10 +101,16 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs: ids sharing any (band, signature) bucket. */
+  /** Candidate pairs: ids sharing any (band, signature) bucket. The bands
+    * frame feeds BOTH sides of the self-join; without materialization its
+    * whole upstream subtree (shingle explode → minhash aggregation → band
+    * explode) runs twice.
+    */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = bands.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    val banded =
+      bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -156,10 +162,13 @@ object Dedup {
       explode(col("shingles")).as("shingle"))
     val docFreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))
+    // prefix also feeds both self-join sides; without materialization the
+    // docFreq shuffle + per-doc ranking window runs twice
     val prefix = inv.join(docFreq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col(idCol), col("n"), col("pos"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefix.select(col(idCol).as("id_a"), col("n").as("n_a"),
       col("pos").as("pos_a"), col("shingle"))
     val b = prefix.select(col(idCol).as("id_b"), col("n").as("n_b"),
