@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plan of named registry queries
+  * (builder tooling for shuffle/pushdown/codegen auditing).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val names = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
