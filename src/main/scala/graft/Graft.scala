@@ -96,7 +96,15 @@ object Graft {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     extra.Dedup.simhash(docs, idCol, textCol)
 
+  /** Embedding near-dup via multi-table LSH candidates + exact cosine
+    * verify — the plan that survives a large corpus.
+    */
   def nearDupEmbedding(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    extra.Dedup.embeddingNearDupLsh(emb, idCol, vecCol, threshold)
+
+  /** All-pairs exact baseline — small corpora / recall measurement only. */
+  def nearDupEmbeddingExact(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame =
     extra.Dedup.embeddingNearDup(emb, idCol, vecCol, threshold)
 

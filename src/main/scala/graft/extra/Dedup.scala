@@ -15,13 +15,22 @@ import org.apache.spark.sql.functions._
   *   - MinHash+LSH: cost is O(rows × shingles × perms) map-side plus a
   *     shuffle keyed by (band, signature). Candidate verification only
   *     touches bucket collisions — never the O(n²) pair space. Hot
-  *     buckets (boilerplate docs) are the skew risk; cap bucket width or
-  *     salt-split ultra-common signatures before the pair join.
+  *     buckets (boilerplate docs) are the skew risk: buckets wider than
+  *     [[DefaultMaxBucket]] are dropped with a logged count before the
+  *     pair join (see [[lshCandidates]]).
   *   - Inverted-index Jaccard: PPJoin prefix filtering (rarest-first
   *     global order + length + positional filters, all lossless) bounds
   *     the self-join fan-out; see [[ngramJaccard]].
-  *   - Embedding near-dup: the all-pairs form here is the correctness
-  *     baseline; the scale path is LSH bucketing (see Similarity).
+  *   - Embedding near-dup: [[embeddingNearDupLsh]] (bucketed candidates
+  *     + exact verify) is the registered scale path; the all-pairs
+  *     [[embeddingNearDup]] is a spec-only recall baseline.
+  *
+  * Cache lifecycle: operators that persist internal frames consume them
+  * and release them before returning — the returned pair frames are
+  * eagerly materialized via `localCheckpoint(eager = true)` (block
+  * storage owned by the RDD, freed by the ContextCleaner when the frame
+  * is garbage-collected), so repeated invocations leave nothing resident
+  * in the session's cache manager.
   */
 object Dedup {
 
@@ -101,18 +110,47 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs: ids sharing any (band, signature) bucket. The bands
-    * frame feeds BOTH sides of the self-join; without materialization its
-    * whole upstream subtree (shingle explode → minhash aggregation → band
-    * explode) runs twice.
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Buckets wider than this are dropped from candidate generation (with
+    * a logged count): a single (band, sig) bucket of width w contributes
+    * w²/2 candidate pairs, so one boilerplate-heavy signature shared by
+    * millions of docs turns the bucket join quadratic. Exact duplicates
+    * belong to [[exactByKey]] upstream; near-dup buckets on real corpora
+    * stay far below this width.
     */
-  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+  val DefaultMaxBucket = 1000
+
+  /** Candidate pairs: ids sharing any (band, signature) bucket, with
+    * ultra-hot buckets (width > `maxBucket`) excluded — see
+    * [[DefaultMaxBucket]]. The bands frame feeds the width count and both
+    * sides of the self-join, so it is cached for the duration of the call
+    * and released before returning; the returned pairs are eagerly
+    * materialized (small by construction — bucket width is capped).
+    */
+  def lshCandidates(bands: DataFrame, idCol: String,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded =
       bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    try {
+      val hot = banded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("bwidth"))
+        .filter(col("bwidth") > maxBucket)
+        .select("band", "sig")
+      val nHot = hot.count()
+      if (nHot > 0)
+        log.warn(s"lshCandidates: dropping $nHot bucket(s) wider than " +
+          s"$maxBucket ids — near-identical boilerplate should be exact-" +
+          "deduped upstream")
+      val pruned =
+        if (nHot == 0) banded
+        else banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      val a = pruned.select(col(idCol).as("id_a"), col("band"), col("sig"))
+      val b = pruned.select(col(idCol).as("id_b"), col("band"), col("sig"))
+      a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .localCheckpoint(true) // eager: safe to release the cache below
+    } finally banded.unpersist(blocking = false)
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
@@ -120,24 +158,29 @@ object Dedup {
     */
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // one materialized shingle-set frame feeds signatures AND both
-    // verification sides (Spark recomputes shared DAG branches otherwise)
+    // verification sides (Spark recomputes shared DAG branches otherwise);
+    // released before returning — the final pairs frame is eagerly
+    // materialized (small: LSH collisions above threshold only)
     val sets = Text.withShingles(docs, textCol, shingleN)
       .select(col(idCol), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(
-      lshBands(minhashFromSets(sets, idCol, numPerms),
-        idCol, numPerms, rowsPerBand), idCol)
-    val withJac = cand
-      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni",
-        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-    withJac.filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      val cand = lshCandidates(
+        lshBands(minhashFromSets(sets, idCol, numPerms),
+          idCol, numPerms, rowsPerBand), idCol, maxBucket)
+      val withJac = cand
+        .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      withJac.filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .localCheckpoint(true)
+    } finally sets.unpersist(blocking = false)
   }
 
   /** Exact n-gram Jaccard near-dup with PPJoin-style prefix filtering
@@ -154,7 +197,9 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     // the shingle-set subtree feeds FOUR consumers (doc-freq, prefix,
     // and both verify sides); Spark recomputes shared DAG branches, so
-    // materialize it once (tiny: one row per doc)
+    // materialize it once (tiny: one row per doc). Both caches are
+    // released before returning — the final pairs frame is eagerly
+    // materialized (small: verified near-dups only).
     val sets = Text.withShingles(docs, textCol, shingleN)
       .select(col(idCol), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -169,30 +214,36 @@ object Dedup {
       .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col(idCol), col("n"), col("pos"), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prefix.select(col(idCol).as("id_a"), col("n").as("n_a"),
-      col("pos").as("pos_a"), col("shingle"))
-    val b = prefix.select(col(idCol).as("id_b"), col("n").as("n_b"),
-      col("pos").as("pos_b"), col("shingle"))
-    // PPJoin filters, both lossless for Jaccard >= t:
-    //   length:     |B| >= t|A| (and symmetric)
-    //   positional: remaining-overlap upper bound
-    //               min(nA-posA, nB-posB)+1 must reach t/(1+t)(nA+nB)
-    val tFrac = threshold / (1.0 + threshold)
-    val cand = a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("n_b") >= col("n_a") * threshold &&
-        col("n_a") >= col("n_b") * threshold)
-      .filter(least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) + 1 >=
-        (col("n_a") + col("n_b")) * tFrac)
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    try {
+      val a = prefix.select(col(idCol).as("id_a"), col("n").as("n_a"),
+        col("pos").as("pos_a"), col("shingle"))
+      val b = prefix.select(col(idCol).as("id_b"), col("n").as("n_b"),
+        col("pos").as("pos_b"), col("shingle"))
+      // PPJoin filters, both lossless for Jaccard >= t:
+      //   length:     |B| >= t|A| (and symmetric)
+      //   positional: remaining-overlap upper bound
+      //               min(nA-posA, nB-posB)+1 must reach t/(1+t)(nA+nB)
+      val tFrac = threshold / (1.0 + threshold)
+      val cand = a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("n_b") >= col("n_a") * threshold &&
+          col("n_a") >= col("n_b") * threshold)
+        .filter(least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) + 1 >=
+          (col("n_a") + col("n_b")) * tFrac)
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .localCheckpoint(true)
+    } finally {
+      prefix.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
   }
 
   /** SimHash: 20-bit signature from a positional polynomial char hash per
@@ -225,10 +276,58 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Embedding-cosine near-dup, LSH-bucketed — the scale path and the
+    * registered headline query: candidate pairs must collide in at least
+    * one of `tables` sign-random-projection hash tables
+    * ([[Similarity.lshBucketFor]] planes — deterministic, so any SQL
+    * engine reproduces the identical candidate set), then are verified
+    * with the exact cosine ≥ threshold.
+    *
+    * Plan shape: posexplode to (id, table, bucket) rows, equijoin on
+    * (table, bucket), distinct, then two hash joins back to the vectors —
+    * every join keyed, no BroadcastNestedLoop/cartesian anywhere, cost
+    * O(Σ bucket-width²) instead of O(n²). Recall is tunable via
+    * tables/bits exactly as in [[Similarity.topKLshMulti]]; the exact
+    * all-pairs baseline ([[embeddingNearDup]]) stays available for
+    * recall measurement at small scale.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 4, bits: Int = 4): DataFrame = {
+    val dim = Similarity.probeDim(emb, vecCol)
+    // the prepared subtree (norms + tables×bits plane dots per row) feeds
+    // the band explode and both verify sides — cache for the call, release
+    // before returning the eagerly-materialized (small) pair frame
+    val e = Similarity.prepare(emb, idCol, vecCol)
+      .withColumn("buckets", array((0 until tables).map(l =>
+        Similarity.lshBucketFor(col("v"), l, bits, dim)): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = e.select(col("id"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val cand = banded.select(col("id").as("vec_a"), col("tbl"), col("bucket"))
+        .join(banded.select(col("id").as("vec_b"), col("tbl"), col("bucket")),
+          Seq("tbl", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(e.select(col("id").as("vec_a"), col("v").as("v_a"),
+          col("nrm").as("n_a")), "vec_a")
+        .join(e.select(col("id").as("vec_b"), col("v").as("v_b"),
+          col("nrm").as("n_b")), "vec_b")
+        .withColumn("cosine",
+          Similarity.dot(col("v_a"), col("v_b")) /
+            (sqrt(col("n_a")) * sqrt(col("n_b"))))
+        .filter(col("cosine") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+        .localCheckpoint(true)
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Embedding-cosine near-dup, all-pairs baseline: pairs with cosine
     * similarity ≥ threshold. Norms are precomputed per row; the pair
-    * join is the quadratic correctness baseline (the LSH-bucketed scale
-    * path lives in [[Similarity]]).
+    * join is the quadratic correctness baseline for measuring
+    * [[embeddingNearDupLsh]] recall in specs — do NOT register it as a
+    * query; it cannot survive a large corpus.
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

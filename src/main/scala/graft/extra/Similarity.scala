@@ -63,28 +63,44 @@ object Similarity {
   val NumPlanes = 8
 
   /** Sign-random-projection bucket signature (single table: q = p). */
-  def lshBucket(v: Column): Column = lshBucketFor(v, 0, NumPlanes)
+  def lshBucket(v: Column, dim: Int = MaxDim): Column =
+    lshBucketFor(v, 0, NumPlanes, dim)
 
-  /** Max dimensionality the precomputed plane literals cover; the codegen
-    * dot loops over min(len(v), len(plane)), so shorter vectors are fine.
+  /** Fallback dimensionality when the corpus can't be probed; the codegen
+    * dot loops over min(len(v), len(plane)), so planes longer than the
+    * vectors are correct — just wastefully large task payloads.
     */
   val MaxDim = 4096
 
-  /** Plane q as a literal double vector: component i =
-    * ((i*31 + q*17) mod 7) - 3 — identical to the SQL-oracle formula.
+  /** Actual embedding dimensionality, probed from the first corpus row
+    * (one `CollectLimit 1` job — no scan). Plane literals sized to the
+    * data instead of MaxDim keep the serialized task binaries ~dim/4096
+    * of the worst case (4096-double planes were 1.6 MiB per task).
+    * Assumes fixed-dimension vectors, which every embedding corpus has.
     */
-  private def planeLit(q: Int): Column =
-    lit((0 until MaxDim).map(i => ((i * 31 + q * 17) % 7 - 3).toDouble).toArray)
+  def probeDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol)).as("d")).head(1) match {
+      case Array(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
+      case _ => MaxDim
+    }
+
+  /** Plane q as a literal double vector: component i =
+    * ((i*31 + q*17) mod 7) - 3 — identical to the SQL-oracle formula
+    * (which iterates range(0, len(embedding)), so any dim >= the actual
+    * vector length produces identical buckets).
+    */
+  private def planeLit(q: Int, dim: Int): Column =
+    lit((0 until dim).map(i => ((i * 31 + q * 17) % 7 - 3).toDouble).toArray)
 
   /** Bucket signature for table `tbl` using `bits` hyperplanes: plane
     * index q = tbl*bits + p. Each plane dot runs through the codegen
     * DotProduct against a literal plane vector (the interpreted
     * zip_with form was the per-row hot spot).
     */
-  def lshBucketFor(v: Column, tbl: Int, bits: Int): Column = {
+  def lshBucketFor(v: Column, tbl: Int, bits: Int, dim: Int = MaxDim): Column = {
     val planeDots = (0 until bits).map { p =>
       val q = tbl * bits + p
-      when(dot(v, planeLit(q)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(v, planeLit(q, dim)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     planeDots.reduce(_ + _)
   }
@@ -98,9 +114,10 @@ object Similarity {
     */
   def topKLshMulti(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, tables: Int = 4, bits: Int = 4): DataFrame = {
+    val dim = probeDim(emb, vecCol)
     val e = prepare(emb, idCol, vecCol)
       .withColumn("buckets",
-        array((0 until tables).map(l => lshBucketFor(col("v"), l, bits)): _*))
+        array((0 until tables).map(l => lshBucketFor(col("v"), l, bits, dim)): _*))
     val corpusB = e.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val queryB = e.filter(queryPred).select(col("id").as("query_id"),
@@ -127,19 +144,26 @@ object Similarity {
     * centroid; a query scores only the `nprobe` lists whose centroids
     * are closest to it.
     *
-    * Centroid selection here is deterministic subsampling (every
-    * `centroidStep`-th corpus vector) so the oracle can reproduce the
-    * exact structure; a production build would run k-means and persist
-    * the codebook + list assignment once, after which every query is
+    * Centroid selection is a FIXED-size deterministic sample: the
+    * `numCentroids` corpus vectors whose id-hash orders first
+    * (`ORDER BY md5(id), id LIMIT C` — a TakeOrderedAndProject, i.e.
+    * per-partition top-C then a C-row merge, never a global sort).
+    * C is constant in corpus size, so assignment is O(N·C) dot products
+    * against a constant-size broadcast — unlike a step-subsample, whose
+    * centroid count (and broadcast) grows with N and makes assignment
+    * quadratic. A production build would run k-means and persist the
+    * codebook + list assignment once, after which every query is
     * posting-list-local (at 100 TB: lists are the partition key of the
     * materialized index table — a query reads nprobe partitions, never
     * the corpus).
     */
   def topKIvf(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, centroidStep: Int = 47,
+      queryPred: Column, k: Int, numCentroids: Int = 32,
       nprobe: Int = 3): DataFrame = {
     val e = prepare(emb, idCol, vecCol)
-    val cents = e.filter(col("id") % centroidStep === 0)
+    val cents = e
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(numCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     // assignment: nearest centroid per corpus vector (cosine argmax,
     // deterministic cid tie-break)
@@ -179,7 +203,8 @@ object Similarity {
     */
   def topKLsh(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int): DataFrame = {
-    val e = prepare(emb, idCol, vecCol).withColumn("bucket", lshBucket(col("v")))
+    val e = prepare(emb, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), probeDim(emb, vecCol)))
     val q = e.filter(queryPred)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket"))

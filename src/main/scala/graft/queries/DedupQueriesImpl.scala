@@ -160,26 +160,51 @@ object DedupQueriesImpl {
 
   // ---- neardup_embedding -------------------------------------------
 
+  /** LSH-bucketed candidates (4 tables × 4-bit sign-projection buckets,
+    * ANY-table collision) + exact cosine verify — the plan that survives
+    * a large corpus (every join keyed; no all-pairs). The quadratic
+    * all-pairs baseline stays spec-only (DedupSpec recall check).
+    */
   def neardupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding",
-      threshold = 0.4)
+    Dedup.embeddingNearDupLsh(embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4, tables = 4, bits = 4)
       .orderBy("vec_a", "vec_b")
 
-  private val neardupEmbeddingOracle =
-    """WITH e AS (SELECT vec_id, embedding,
-      |  list_sum(list_transform(range(0, len(embedding)),
-      |    i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))
-      |    AS nrm
-      |  FROM embeddings),
-      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  list_sum(list_transform(range(0, len(a.embedding)),
-      |    i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-      |    / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, round(cosine, 6) AS cosine
-      |FROM p
-      |WHERE cosine >= 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
+  private val neardupEmbeddingOracle = {
+    // identical integer-lattice hyperplanes as Similarity.lshBucketFor:
+    // plane q component i = (i*31 + q*17) mod 7 - 3, q = tbl*bits + p
+    def bucketSql(tbl: Int, bits: Int): String =
+      (0 until bits).map { p =>
+        val q = tbl * bits + p
+        s"""CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+           |      i -> CAST(embedding[i+1] AS DOUBLE)
+           |           * CAST((i*31 + $q*17) % 7 - 3 AS DOUBLE))) >= 0
+           |    THEN ${1L << p} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+    val buckets = (0 until 4)
+      .map(l => s"    ${bucketSql(l, 4)} AS b$l").mkString(",\n")
+    val anyMatch = (0 until 4).map(l => s"a.b$l = b.b$l").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  list_sum(list_transform(range(0, len(embedding)),
+       |    i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))
+       |    AS nrm,
+       |$buckets
+       |  FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM e a JOIN e b
+       |           ON a.vec_id < b.vec_id AND ($anyMatch)),
+       |p AS (SELECT c.vec_a, c.vec_b,
+       |  list_sum(list_transform(range(0, len(x.embedding)),
+       |    i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
+       |    / (sqrt(x.nrm) * sqrt(y.nrm)) AS cosine
+       |  FROM cand c
+       |  JOIN e x ON x.vec_id = c.vec_a
+       |  JOIN e y ON y.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+       |FROM p
+       |WHERE cosine >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // ---- train_test_split ---------------------------------------------
 
@@ -239,6 +264,6 @@ object DedupQueriesImpl {
       "20-bit SimHash signatures (expression-native char hashing)",
       simhashDocs, Some(simhashOracle)),
     QueryDef("neardup_embedding",
-      "embedding-cosine near-dup pairs (all-pairs baseline)",
+      "embedding-cosine near-dup (multi-table LSH candidates + exact verify)",
       neardupEmbedding, Some(neardupEmbeddingOracle)))
 }

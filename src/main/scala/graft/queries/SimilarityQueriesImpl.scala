@@ -124,13 +124,13 @@ object SimilarityQueriesImpl {
 
   def simTopKIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.topKIvf(embeddings(s, dir), "vec_id", "embedding",
-      queryPred = col("id") < 10, k = 5, centroidStep = 47, nprobe = 3)
+      queryPred = col("id") < 10, k = 5, numCentroids = 32, nprobe = 3)
       .orderBy("query_id", "rank")
 
   private val simTopKIvfOracle =
     s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
        |c AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM e
-       |      WHERE vec_id % 47 = 0),
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
        |asgr AS (
        |  SELECT v.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -168,6 +168,6 @@ object SimilarityQueriesImpl {
       "multi-table LSH (4x4-bit, ANY-table collision) approximate top-5",
       simTopKLshMulti, Some(simTopKLshMultiOracle)),
     QueryDef("sim_topk_ivf",
-      "IVF coarse-quantizer top-5 (deterministic centroids, nprobe=3)",
+      "IVF coarse-quantizer top-5 (32 fixed centroids, nprobe=3)",
       simTopKIvf, Some(simTopKIvfOracle)))
 }
