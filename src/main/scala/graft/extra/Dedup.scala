@@ -294,33 +294,32 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 4, bits: Int = 4): DataFrame = {
     val dim = Similarity.probeDim(emb, vecCol)
-    // the prepared subtree (norms + tables×bits plane dots per row) feeds
-    // the band explode and both verify sides — cache for the call, release
-    // before returning the eagerly-materialized (small) pair frame
+    // The prepared subtree (scan + norm + tables×bits plane dots) feeds
+    // both self-join sides and both verify sides. It is deliberately NOT
+    // cached: at target scale the corpus doesn't fit executor storage,
+    // recompute-from-parquet is a columnar scan + codegen'd dots, and
+    // keeping the plan lazy lets Catalyst see the whole shape (and lets
+    // specs assert there is no nested-loop join anywhere in it).
     val e = Similarity.prepare(emb, idCol, vecCol)
       .withColumn("buckets", array((0 until tables).map(l =>
         Similarity.lshBucketFor(col("v"), l, bits, dim)): _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val banded = e.select(col("id"),
-        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-      val cand = banded.select(col("id").as("vec_a"), col("tbl"), col("bucket"))
-        .join(banded.select(col("id").as("vec_b"), col("tbl"), col("bucket")),
-          Seq("tbl", "bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
-      cand
-        .join(e.select(col("id").as("vec_a"), col("v").as("v_a"),
-          col("nrm").as("n_a")), "vec_a")
-        .join(e.select(col("id").as("vec_b"), col("v").as("v_b"),
-          col("nrm").as("n_b")), "vec_b")
-        .withColumn("cosine",
-          Similarity.dot(col("v_a"), col("v_b")) /
-            (sqrt(col("n_a")) * sqrt(col("n_b"))))
-        .filter(col("cosine") >= threshold)
-        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
-        .localCheckpoint(true)
-    } finally e.unpersist(blocking = false)
+    val banded = e.select(col("id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cand = banded.select(col("id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(banded.select(col("id").as("vec_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(e.select(col("id").as("vec_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), "vec_a")
+      .join(e.select(col("id").as("vec_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), "vec_b")
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) /
+          (sqrt(col("n_a")) * sqrt(col("n_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
   /** Embedding-cosine near-dup, all-pairs baseline: pairs with cosine

@@ -149,9 +149,9 @@ object Similarity {
     * (`ORDER BY md5(id), id LIMIT C` — a TakeOrderedAndProject, i.e.
     * per-partition top-C then a C-row merge, never a global sort).
     * C is constant in corpus size, so assignment is O(N·C) dot products
-    * against a constant-size broadcast — unlike a step-subsample, whose
-    * centroid count (and broadcast) grows with N and makes assignment
-    * quadratic. A production build would run k-means and persist the
+    * against the collected, plan-inlined codebook — unlike a
+    * step-subsample, whose centroid count grows with N and makes
+    * assignment quadratic. A production build would run k-means and persist the
     * codebook + list assignment once, after which every query is
     * posting-list-local (at 100 TB: lists are the partition key of the
     * materialized index table — a query reads nprobe partitions, never
@@ -161,31 +161,45 @@ object Similarity {
       queryPred: Column, k: Int, numCentroids: Int = 32,
       nprobe: Int = 3): DataFrame = {
     val e = prepare(emb, idCol, vecCol)
-    val cents = e
+    // The codebook is collected once — C rows, constant in corpus size
+    // (exactly what a k-means IVF build materializes). Inlining it as
+    // literal vectors turns centroid assignment into a PURE PROJECTION
+    // (C codegen'd dots per row, no join, no shuffle) — there is no
+    // nested-loop/cartesian node anywhere in the plan, and the task
+    // binary carries C·dim doubles, constant in N.
+    val centRows = e
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(numCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // assignment: nearest centroid per corpus vector (cosine argmax,
-    // deterministic cid tie-break)
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("ccos",
-        round(dot(col("v"), col("cv")) / (sqrt(col("nrm")) * sqrt(col("cn"))), 6))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("list_id"))
-    // probes: nprobe nearest centroids per query
-    val probes = assigned.filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(broadcast(cents), lit(true))
-      .withColumn("ccos",
-        round(dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("list_id"))
-    // scan only the probed posting lists
+      .select(col("id").cast("long"), col("v"), col("nrm"))
+      .collect()
+    if (centRows.isEmpty)
+      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
+    // per-row (cosine, -cid) struct per centroid: struct max / descending
+    // sort give cosine-desc with cid-asc tie-break, matching the oracle's
+    // row_number(ORDER BY ccos DESC, cid)
+    def centStructs(vc: Column, nc: Column): Seq[Column] = centRows.toSeq.map { r =>
+      val cid = r.getLong(0)
+      val cv = r.getSeq[Float](1).toArray
+      val cn = r.getDouble(2)
+      struct(
+        round(dot(vc, lit(cv)) / (sqrt(nc) * sqrt(lit(cn))), 6).as("ccos"),
+        lit(-cid).as("negcid"))
+    }
+    def nearest(vc: Column, nc: Column): Column = {
+      val cs = centStructs(vc, nc)
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    }
+    val assigned = e.withColumn("list_id", -nearest(col("v"), col("nrm"))("negcid"))
+    // probes: nprobe nearest centroids per query — top-nprobe of the same
+    // struct array, again expression-only
+    val probes = e.filter(queryPred)
+      .withColumn("pc", explode(slice(
+        reverse(array_sort(array(centStructs(col("v"), col("nrm")): _*))),
+        1, nprobe)))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), (-col("pc.negcid")).as("list_id"))
+    // scan only the probed posting lists: keyed equijoin, broadcast the
+    // (small by construction) query side
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine",

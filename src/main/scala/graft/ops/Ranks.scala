@@ -33,6 +33,15 @@ object Ranks {
   /** Appends a 1-based global row number in `sortCols` order as `out`.
     * Returns the ranked frame plus the total row count (free — the
     * per-partition counts are already on the driver).
+    *
+    * Lineage caveat (the classic zipWithIndex one): the count job and the
+    * rank job both read the SAME materialized range-shuffle output; if
+    * shuffle files are lost to executor failure AND the upstream plan is
+    * nondeterministic (e.g. an unseeded sample), the recomputed second
+    * pass can disagree with the collected counts, duplicating or
+    * skipping ranks. Checkpoint or persist a nondeterministic input
+    * before calling; deterministic inputs (scans, filters, joins,
+    * deterministic exprs) recompute identically and are safe.
     */
   def withGlobalRowNumber(
       df: DataFrame,
@@ -44,7 +53,14 @@ object Ranks {
       .sortWithinPartitions(sortCols: _*)
     val rdd = sorted.rdd // one lineage: the shuffle below is built once
     val counts = rdd
-      .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+      .mapPartitions({ it =>
+        // count with a Long accumulator — Iterator.size returns Int and
+        // silently overflows past 2^31 rows/partition, plausible at
+        // 100 TB with a small shuffle-partition count
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator.single(c)
+      }, preservesPartitioning = true)
       .collect()
     val offsets = counts.scanLeft(1L)(_ + _) // 1-based first rank per partition
     val schema = df.schema.add(out, LongType, nullable = false)

@@ -48,7 +48,14 @@ final class MemoryTickSource(spark: SparkSession) extends TickSource {
   * Option mapping onto the file source's knobs:
   *   - `maxFilesPerTrigger` → same-named option (micro-batch size cap);
   *   - `startingOffsets=latest` → `latestFirst=true` (drain newest files
-  *     first — the closest file-source analogue to seeking to the tail);
+  *     first — the closest file-source analogue to seeking to the tail).
+  *     SEMANTIC DIFFERENCE: unlike Kafka's `latest`, which SKIPS
+  *     pre-existing records, the file source still processes the entire
+  *     backlog — `latestFirst` only reorders it. Downstream dedup /
+  *     watermark logic must tolerate the historical replay (old event
+  *     times arriving late in processing time); callers wanting true
+  *     tail-seek should point the source at an empty directory or prune
+  *     processed files externally;
   *   - `failOnDataLoss=false` → `ignoreMissingFiles=true` (files deleted
   *     between listing and read don't kill the query).
   */
@@ -63,6 +70,61 @@ final class FileTickSource(dir: String,
       .option("latestFirst", opts.startingOffsets.trim.toLowerCase == "latest")
       .option("ignoreMissingFiles", !opts.failOnDataLoss)
       .json(dir)
+}
+
+/** Kafka source — the compile-ready drop-in for the reference's reader
+  * (spark_streaming.py:315-322). The reference's reader options map
+  * verbatim:
+  *   - `subscribe` → the topic;
+  *   - `startingOffsets` → earliest | latest, Kafka-native semantics
+  *     (latest genuinely skips the backlog, unlike [[FileTickSource]]);
+  *   - `failOnDataLoss` → same-named option;
+  *   - `maxOffsetsPerTrigger` → the micro-batch size cap
+  *     ([[SourceOptions.maxFilesPerTrigger]]'s Kafka analogue).
+  *
+  * The spark-sql-kafka connector jar does not ship in this build
+  * environment (SURVEY.md §2.1 S1), so [[stream]] is guarded: it raises
+  * a clear IllegalStateException when the provider class is absent,
+  * instead of Spark's generic DataSource-lookup failure. With the
+  * connector on the classpath (any standard Spark distribution) this
+  * class is fully functional — the option mapping is spec-verified.
+  */
+final class KafkaTickSource(
+    bootstrapServers: String,
+    topic: String,
+    opts: SourceOptions = SourceOptions(),
+    maxOffsetsPerTrigger: Option[Long] = None) extends TickSource {
+
+  /** The exact reader options passed to `readStream.format("kafka")`. */
+  def options: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> opts.startingOffsets.trim.toLowerCase,
+    "failOnDataLoss" -> opts.failOnDataLoss.toString) ++
+    maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  override def stream(spark: SparkSession): DataFrame = {
+    if (!KafkaTickSource.providerAvailable)
+      throw new IllegalStateException(
+        "KafkaTickSource needs the spark-sql-kafka-0-10 connector on the " +
+          "classpath (org.apache.spark:spark-sql-kafka-0-10_2.13). Add the " +
+          "package, or use FileTickSource/MemoryTickSource for jar-free runs.")
+    options.foldLeft(spark.readStream.format("kafka")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+      // Kafka value is binary; the wire format is JSON text (P1 cast,
+      // reference parse_kafka parity)
+      .selectExpr("CAST(value AS STRING) AS value")
+  }
+}
+
+object KafkaTickSource {
+  /** True when the spark-sql-kafka connector is on the classpath. */
+  def providerAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
 }
 
 /** Rate-source generator: `tps` synthetic ticks/sec round-robin across

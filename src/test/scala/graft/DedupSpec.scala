@@ -84,4 +84,41 @@ class DedupSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     assert(sh.isEmpty)
   }
+
+  test("embeddingNearDupLsh ⊆ all-pairs baseline with useful recall (sf0.001)") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.4)
+      .collect().map(key).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 0.4)
+      .collect().map(key).toSet
+    // every LSH pair is verified with the exact cosine → zero false positives
+    assert(lsh.subsetOf(exact), (lsh -- exact).take(5).toString)
+    assert(exact.nonEmpty)
+    // 4 tables × 4 bits on near-orthogonal random vectors: expect a real
+    // fraction of the true pairs, not an empty result
+    assert(lsh.size >= exact.size / 5, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("hot LSH buckets are capped: pathological identical corpus stays bounded") {
+    val boiler = (1L to 60L).map(i => (i, "a b c d e f g h i j"))
+    val df = boiler.toDF("doc_id", "text")
+    // every doc lands in the same (band,sig) bucket in every band: width
+    // 60 > maxBucket 50 → dropped, so candidate generation yields nothing
+    val capped = Dedup.nearDupMinhash(df, "doc_id", "text", maxBucket = 50)
+    assert(capped.count() == 0)
+    // with the cap above the bucket width the full 60·59/2 pair set returns
+    val uncapped = Dedup.nearDupMinhash(df, "doc_id", "text", maxBucket = 5000)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+
+  test("dedup operators leave nothing in the session cache manager") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    Dedup.nearDupMinhash(docs, "doc_id", "text").count()
+    Dedup.ngramJaccard(docs, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "persisted frames leaked past the operator call")
+  }
 }
