@@ -99,8 +99,11 @@ object Bench {
 
     val streaming =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "1")
+        // tps deliberately ABOVE single-node capacity: the reported
+        // events_per_sec then measures sustained throughput, not the
+        // generation target
         try Some(StreamBench.measure(spark,
-          tps = sys.env.getOrElse("SPARK_GRAFT_STREAM_TPS", "20000").toInt,
+          tps = sys.env.getOrElse("SPARK_GRAFT_STREAM_TPS", "100000").toInt,
           secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "10").toInt))
         catch { case _: Throwable => None }
       else None

@@ -118,6 +118,32 @@ object Graft {
       queryPred: Column, k: Int): DataFrame =
     extra.Similarity.topKLsh(emb, idCol, vecCol, queryPred, k)
 
+  /** Multi-table LSH: collide in ANY of `tables` hash tables — the
+    * production recall shape.
+    */
+  def similarTopKLshMulti(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, tables: Int = 4, bits: Int = 4): DataFrame =
+    extra.Similarity.topKLshMulti(emb, idCol, vecCol, queryPred, k, tables, bits)
+
+  /** IVF with a deterministic sample codebook (oracle-reproducible). */
+  def similarTopKIvf(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32,
+      nprobe: Int = 3): DataFrame =
+    extra.Similarity.topKIvf(emb, idCol, vecCol, queryPred, k, numCentroids,
+      nprobe)
+
+  /** IVF with a spherical-k-means-trained codebook (production build). */
+  def similarTopKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32, iters: Int = 5,
+      nprobe: Int = 3): DataFrame =
+    extra.Similarity.topKIvfKmeans(emb, idCol, vecCol, queryPred, k,
+      numCentroids, iters, nprobe)
+
+  /** Train a spherical k-means IVF codebook (one shuffle per iteration). */
+  def kmeansCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[extra.Similarity.Centroid] =
+    extra.Similarity.kmeansCodebook(emb, idCol, vecCol, k, iters)
+
   /** Codegen'd dot product over float/double array columns. */
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)

@@ -157,44 +157,42 @@ object Similarity {
     * materialized index table — a query reads nprobe partitions, never
     * the corpus).
     */
-  def topKIvf(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, numCentroids: Int = 32,
-      nprobe: Int = 3): DataFrame = {
-    val e = prepare(emb, idCol, vecCol)
-    // The codebook is collected once — C rows, constant in corpus size
-    // (exactly what a k-means IVF build materializes). Inlining it as
-    // literal vectors turns centroid assignment into a PURE PROJECTION
-    // (C codegen'd dots per row, no join, no shuffle) — there is no
-    // nested-loop/cartesian node anywhere in the plan, and the task
-    // binary carries C·dim doubles, constant in N.
-    val centRows = e
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(numCentroids)
-      .select(col("id").cast("long"), col("v"), col("nrm"))
-      .collect()
-    if (centRows.isEmpty)
-      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
-    // per-row (cosine, -cid) struct per centroid: struct max / descending
-    // sort give cosine-desc with cid-asc tie-break, matching the oracle's
-    // row_number(ORDER BY ccos DESC, cid)
-    def centStructs(vc: Column, nc: Column): Seq[Column] = centRows.toSeq.map { r =>
-      val cid = r.getLong(0)
-      val cv = r.getSeq[Float](1).toArray
-      val cn = r.getDouble(2)
-      struct(
-        round(dot(vc, lit(cv)) / (sqrt(nc) * sqrt(lit(cn))), 6).as("ccos"),
-        lit(-cid).as("negcid"))
-    }
-    def nearest(vc: Column, nc: Column): Column = {
-      val cs = centStructs(vc, nc)
-      if (cs.size == 1) cs.head else greatest(cs: _*)
-    }
-    val assigned = e.withColumn("list_id", -nearest(col("v"), col("nrm"))("negcid"))
+  /** A collected IVF codebook entry: list id, centroid vector, squared
+    * norm. Constant-size driver-held metadata (like any k-means model).
+    */
+  final case class Centroid(cid: Long, v: Array[Double], nrm: Double)
+
+  /** (cosine, -cid) struct per centroid: struct max / descending sort
+    * give cosine-desc with cid-asc tie-break, matching the oracle's
+    * row_number(ORDER BY ccos DESC, cid). Codegen'd literal dots.
+    */
+  private def centStructs(cents: Seq[Centroid], vc: Column,
+      nc: Column): Seq[Column] = cents.map { c =>
+    struct(
+      round(dot(vc, lit(c.v)) / (sqrt(nc) * sqrt(lit(c.nrm))), 6).as("ccos"),
+      lit(-c.cid).as("negcid"))
+  }
+
+  /** Nearest-centroid id as a pure projection (no join, no shuffle). */
+  private def nearestCid(cents: Seq[Centroid], vc: Column, nc: Column): Column = {
+    val cs = centStructs(cents, vc, nc)
+    -(if (cs.size == 1) cs.head else greatest(cs: _*))("negcid")
+  }
+
+  /** IVF search against a collected codebook: assignment is a projection
+    * (C codegen dots per row), probing a keyed broadcast hash join —
+    * no nested-loop/cartesian node anywhere, task binaries carry C·dim
+    * doubles, constant in N.
+    */
+  private def ivfSearch(e: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int, cents: Seq[Centroid]): DataFrame = {
+    val assigned = e.withColumn("list_id",
+      nearestCid(cents, col("v"), col("nrm")))
     // probes: nprobe nearest centroids per query — top-nprobe of the same
     // struct array, again expression-only
     val probes = e.filter(queryPred)
       .withColumn("pc", explode(slice(
-        reverse(array_sort(array(centStructs(col("v"), col("nrm")): _*))),
+        reverse(array_sort(array(centStructs(cents, col("v"), col("nrm")): _*))),
         1, nprobe)))
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), (-col("pc.negcid")).as("list_id"))
@@ -210,6 +208,117 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         col("cosine"))
+  }
+
+  /** Deterministic sample codebook: the `numCentroids` corpus vectors
+    * whose id-hash orders first (`ORDER BY md5(id), id LIMIT C` — a
+    * TakeOrderedAndProject, i.e. per-partition top-C then a C-row merge,
+    * never a global sort). Engine-independent, so the DuckDB oracle
+    * reproduces it exactly.
+    */
+  def sampleCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): Seq[Centroid] =
+    prepare(emb, idCol, vecCol)
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(numCentroids)
+      .select(col("id").cast("long"), col("v"), col("nrm"))
+      .collect().toSeq
+      .map(r => Centroid(r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+
+  def topKIvf(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32,
+      nprobe: Int = 3): DataFrame = {
+    // The codebook is collected once — C rows, constant in corpus size
+    // (exactly what a k-means IVF build materializes; see
+    // [[kmeansCodebook]] for the trained variant).
+    val cents = sampleCodebook(emb, idCol, vecCol, numCentroids)
+    if (cents.isEmpty)
+      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
+    ivfSearch(prepare(emb, idCol, vecCol), queryPred, k, nprobe, cents)
+  }
+
+  /** Spherical k-means (Lloyd) codebook — the production IVF build path.
+    * Each iteration is ONE distributed pass: assignment is the inlined
+    * argmax projection (no join), and the centroid update is a wide
+    * per-dimension sum aggregation — map-side partial agg collapses each
+    * task to ≤C rows of dim+1 doubles, so shuffle volume per iteration is
+    * O(tasks·C·dim), independent of corpus row count. Cosine is
+    * scale-invariant, so the mean update IS the spherical k-means update.
+    *
+    * Determinism: init is farthest-first over a hash-ordered sample
+    * (engine-independent); subsequent iterations sum across partitions
+    * in float, so codebooks are
+    * reproducible only per partitioning — fine for an index build (the
+    * codebook is materialized once and shipped with the index), not for
+    * cross-engine oracles, which is why the registered `sim_topk_ivf`
+    * query keeps the sample codebook.
+    *
+    * Empty clusters keep their previous centroid (standard Lloyd
+    * fallback).
+    */
+  /** Farthest-first (k-means++-style) seed selection on a small sample,
+    * driver-side: start from the first hash-ordered vector, repeatedly
+    * add the sample vector whose best cosine to the chosen set is worst.
+    * Deterministic (hash order breaks ties); avoids the classic Lloyd
+    * failure of two seeds landing in one cluster, which a plain sample
+    * init cannot recover from.
+    */
+  private def farthestFirstInit(sample: Seq[Centroid], k: Int): Seq[Centroid] = {
+    if (sample.isEmpty) return Nil
+    def cos(a: Centroid, b: Centroid): Double = {
+      val denom = math.sqrt(a.nrm * b.nrm)
+      if (denom == 0) 0.0
+      else a.v.lazyZip(b.v).map(_ * _).sum / denom
+    }
+    val chosen = collection.mutable.ArrayBuffer(sample.head)
+    var rest = sample.tail
+    while (chosen.size < k && rest.nonEmpty) {
+      val next = rest.minBy(c => chosen.map(cos(c, _)).max)
+      chosen += next
+      rest = rest.filterNot(_.cid == next.cid)
+    }
+    chosen.toSeq.zipWithIndex.map { case (c, i) => c.copy(cid = i.toLong) }
+  }
+
+  def kmeansCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[Centroid] = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val dim = probeDim(emb, vecCol)
+    val e = prepare(emb, idCol, vecCol)
+    // seeds: farthest-first over an 8k-point hash-ordered sample (one
+    // TakeOrderedAndProject job + driver-side greedy), re-keyed 0..C-1
+    var cents = farthestFirstInit(
+      sampleCodebook(emb, idCol, vecCol, math.max(8 * k, k)), k)
+    if (cents.isEmpty) return cents
+    for (_ <- 1 to iters) {
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col("v"), j + 1).cast("double")).as(s"s$j"))
+      val agg = e
+        .withColumn("list_id", nearestCid(cents, col("v"), col("nrm")))
+        .groupBy("list_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val updated = agg.map { r =>
+        val n = r.getLong(1).toDouble
+        val v = Array.tabulate(dim)(j => r.getDouble(2 + j) / n)
+        Centroid(r.getLong(0), v, v.map(x => x * x).sum)
+      }.map(c => c.cid -> c).toMap
+      cents = cents.map(c => updated.getOrElse(c.cid, c))
+    }
+    cents
+  }
+
+  /** IVF search against a k-means-trained codebook (see
+    * [[kmeansCodebook]] for determinism scope).
+    */
+  def topKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32, iters: Int = 5,
+      nprobe: Int = 3): DataFrame = {
+    val cents = kmeansCodebook(emb, idCol, vecCol, numCentroids, iters)
+    if (cents.isEmpty)
+      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
+    ivfSearch(prepare(emb, idCol, vecCol), queryPred, k, nprobe, cents)
   }
 
   /** Approximate top-k: only corpus vectors in the query's LSH bucket are
