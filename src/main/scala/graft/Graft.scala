@@ -96,6 +96,14 @@ object Graft {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     extra.Dedup.simhash(docs, idCol, textCol)
 
+  /** End-to-end curation verdict: quality gate → language gate → exact
+    * dedup → near-dup removal → train/val/test split. One row per input
+    * doc; `filter(status = 'kept')` derives the corpus.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: extra.Curation.Config = extra.Curation.Config()): DataFrame =
+    extra.Curation.curate(docs, idCol, textCol, cfg)
+
   /** Embedding near-dup via multi-table LSH candidates + exact cosine
     * verify — the plan that survives a large corpus.
     */

@@ -1,0 +1,86 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the composed pipeline a corpus
+  * owner actually runs, built from the oracle-checked building blocks:
+  *
+  *   1. quality gate ([[Text.withQuality]]): drop short or low-composite
+  *      documents → `low_quality`;
+  *   2. language gate ([[Text.withLanguageId]]): keep the allow-listed
+  *      predicted languages → `wrong_lang`;
+  *   3. exact dedup: one canonical (min id) per md5(text) → `exact_dup`;
+  *   4. near-dup removal ([[Dedup.nearDupMinhash]]) among survivors:
+  *      for every verified pair (a, b) with a < b, drop b → `near_dup`
+  *      (greedy keep-smallest-id; NOT transitive-closure clustering — a
+  *      chain a~b, b~c keeps a and drops b, c only if both pair with a
+  *      surviving smaller id or each other);
+  *   5. survivors → `kept` + deterministic content-hash train/val/test
+  *      split ([[Sampling.withSplit]] semantics).
+  *
+  * The output is a per-document VERDICT table (every input row appears
+  * exactly once with its terminal status) — the audit artifact a data
+  * pipeline wants, from which `filter(status = 'kept')` derives the
+  * corpus.
+  *
+  * Scale shape: stages 1–2 are pure projections; stage 3 is ONE
+  * window-min shuffle on text_hash (no join-back); stage 4 is the
+  * LSH-bucketed near-dup (never all-pairs, hot buckets capped); the
+  * final drop-set and status assembly are keyed left joins. Nothing
+  * collects to the driver.
+  */
+object Curation {
+
+  final case class Config(
+      minTokens: Long = 15,
+      minQuality: Double = 0.40,
+      langs: Seq[String] = Seq("en"),
+      nearDupThreshold: Double = 0.5,
+      trainPct: Int = 80,
+      valPct: Int = 10)
+
+  /** Curate `docs`, returning (idCol, status, split) — split is non-null
+    * only for `kept` rows.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val enriched = Text.withLanguageId(
+      Text.withQuality(docs.select(col(idCol), col(textCol)), textCol),
+      textCol)
+      .withColumn("text_hash", md5(col(textCol)))
+    val lowQ = col("n_tokens") < cfg.minTokens ||
+      col("quality_score") < cfg.minQuality
+    val wrongLang = !col("predicted_lang").isin(cfg.langs: _*)
+    val qualified = enriched.withColumn("__pass", !lowQ && !wrongLang)
+    // canonical id per text_hash among qualified rows: window-min over
+    // one shuffle (no groupBy + join-back); null for unqualified rows
+    // (they fail the earlier gates first, so it never matters)
+    val wHash = Window.partitionBy(col("text_hash"))
+    val withCanon = qualified.withColumn("__canon",
+      min(when(col("__pass"), col(idCol))).over(wHash))
+    val unique = withCanon.filter(col("__pass") && col(idCol) === col("__canon"))
+    // near-dup pairs among the unique survivors; (a,b) with a<b drops b
+    val dropIds = Dedup.nearDupMinhash(
+      unique.select(col(idCol), col(textCol)), idCol, textCol,
+      threshold = cfg.nearDupThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__nd", lit(true))
+    val status =
+      when(lowQ, "low_quality")
+        .when(wrongLang, "wrong_lang")
+        .when(col(idCol) =!= col("__canon"), "exact_dup")
+        .when(col("__nd"), "near_dup")
+        .otherwise("kept")
+    withCanon.join(dropIds, Seq(idCol), "left")
+      .withColumn("status", status)
+      .withColumn("split",
+        when(col("status") === "kept",
+          when(Sampling.hashBucket(col(idCol), 100) < cfg.trainPct, "train")
+            .when(Sampling.hashBucket(col(idCol), 100) < cfg.trainPct + cfg.valPct,
+              "val")
+            .otherwise("test")))
+      .select(col(idCol), col("status"), col("split"))
+  }
+}

@@ -206,6 +206,97 @@ object DedupQueriesImpl {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---- curate_docs --------------------------------------------------
+
+  /** End-to-end curation verdict: quality gate → language gate → exact
+    * dedup → MinHash near-dup removal → split assignment. One row per
+    * input doc with its terminal status (the audit artifact; `kept` rows
+    * carry the train/val/test split).
+    */
+  def curateDocs(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Curation.curate(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val curateDocsOracle = {
+    import graft.extra.Dedup.{minhashA, minhashB, MinhashP}
+    def hits(lang: String) = {
+      val lst = graft.extra.Text.stopwords(lang)
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($lst, x)))"
+    }
+    val pred =
+      s"""CASE
+         |  WHEN ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("fr")} THEN 'en'
+         |  WHEN ${hits("es")} >= ${hits("de")} AND ${hits("es")} >= ${hits("fr")} THEN 'es'
+         |  WHEN ${hits("de")} >= ${hits("fr")} THEN 'de'
+         |  ELSE 'fr' END""".stripMargin
+    val mins = (0 until 16)
+      .map(i => s"  min((h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (0 until 4).map(j => s"CAST(mh${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    val splitCase =
+      """CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END""".stripMargin
+    s"""WITH tt AS (SELECT doc_id, text,
+       |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |      FROM documents),
+       |fl AS (SELECT doc_id, toks, md5(text) AS text_hash,
+       |        (len(toks) < 15 OR
+       |         round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks)*0.5
+       |           + least(CAST(${hits("en")} AS DOUBLE)/len(toks)*5.0, 1.0)*0.3
+       |           + least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)*0.2, 6) < 0.40)
+       |          AS low_q,
+       |        ($pred <> 'en') AS wrong_lang
+       |      FROM tt),
+       |canon AS (SELECT text_hash, min(doc_id) AS canon_id FROM fl
+       |          WHERE NOT low_q AND NOT wrong_lang GROUP BY 1),
+       |uq AS (SELECT f.doc_id, f.toks FROM fl f JOIN canon c
+       |        ON f.text_hash = c.text_hash AND f.doc_id = c.canon_id),
+       |ss AS (SELECT doc_id, $shinglesSql AS shingles FROM uq AS t),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM ss),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+       |       FROM sh),
+       |mh AS (SELECT doc_id,
+       |$mins
+       |FROM hs GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig
+       |          AND a.doc_id < b.doc_id),
+       |jj AS (SELECT c.id_a, c.id_b,
+       |        len(list_intersect(x.shingles, y.shingles)) AS inter,
+       |        len(x.shingles) + len(y.shingles)
+       |          - len(list_intersect(x.shingles, y.shingles)) AS uni
+       |       FROM cand c
+       |       JOIN ss x ON x.doc_id = c.id_a
+       |       JOIN ss y ON y.doc_id = c.id_b),
+       |dropids AS (SELECT DISTINCT id_b AS doc_id FROM jj
+       |            WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+       |verdict AS (SELECT f.doc_id,
+       |        CASE WHEN f.low_q THEN 'low_quality'
+       |             WHEN f.wrong_lang THEN 'wrong_lang'
+       |             WHEN f.doc_id <> c.canon_id THEN 'exact_dup'
+       |             WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+       |             ELSE 'kept' END AS status
+       |      FROM fl f
+       |      LEFT JOIN canon c ON f.text_hash = c.text_hash
+       |      LEFT JOIN dropids d ON d.doc_id = f.doc_id)
+       |SELECT doc_id, status,
+       |  CASE WHEN status = 'kept' THEN
+       |    $splitCase
+       |  END AS split
+       |FROM verdict
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- train_test_split ---------------------------------------------
 
   /** Deterministic (partitioning-independent) train/val/test assignment
@@ -265,5 +356,9 @@ object DedupQueriesImpl {
       simhashDocs, Some(simhashOracle)),
     QueryDef("neardup_embedding",
       "embedding-cosine near-dup (multi-table LSH candidates + exact verify)",
-      neardupEmbedding, Some(neardupEmbeddingOracle)))
+      neardupEmbedding, Some(neardupEmbeddingOracle)),
+    QueryDef("curate_docs",
+      "end-to-end curation verdict: quality → lang → exact dedup → " +
+        "near-dup → split",
+      curateDocs, Some(curateDocsOracle)))
 }
