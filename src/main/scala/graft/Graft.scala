@@ -202,6 +202,20 @@ object Graft {
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     extra.Sampling.deterministicSample(df, idCol, fraction)
 
+  // ---- storage layout ------------------------------------------------
+
+  /** Range-clustered parquet write: per-file disjoint key ranges →
+    * footer min/max prunes whole files on point/range predicates.
+    */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[Column],
+      numFiles: Int): Unit =
+    extra.Layout.writeClustered(df, path, cols, numFiles)
+
+  /** Bin-pack micro-batch shards into target-sized files. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) =
+    extra.Layout.compact(spark, srcDir, dstDir, targetFileBytes)
+
   // ---- skew / observability -----------------------------------------
 
   /** Salted join for hot keys — result-identical to a direct join. */
