@@ -172,9 +172,15 @@ object Graft {
 
   // ---- time series --------------------------------------------------
 
+  /** As-of join — `direction` ∈ {backward, forward}, optional match
+    * tolerance in seconds (pandas merge_asof parity).
+    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, carryCols: Seq[String]): DataFrame =
-    extra.TimeSeries.asofJoin(left, right, key, tsCol, carryCols)
+      tsCol: String, carryCols: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    extra.TimeSeries.asofJoin(left, right, key, tsCol, carryCols,
+      direction, toleranceSeconds)
 
   /** Native as-of join via the custom Catalyst operator (AsOfJoinExec:
     * one shuffle per side, streaming sort-merge, O(1) state).

@@ -76,6 +76,90 @@ object TimeSeriesQueriesImpl {
       .orderBy("event_id")
   }
 
+  // ---- asof_clicks_tol ----------------------------------------------
+
+  /** As-of with a 1-hour tolerance: the matched click must be within
+    * 3600s of the purchase or the carried values null out (pandas
+    * merge_asof `tolerance` semantics).
+    */
+  def asofClicksTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("click_ts"))
+    TimeSeries.asofJoin(purchases, clicks, "user_id", "ts",
+      carryCols = Seq("value", "click_ts"),
+      direction = "backward", toleranceSeconds = Some(3600L))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_click_ts").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofClicksTolOracle =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS tag, event_id, value,
+      |         NULL::DOUBLE AS c_value, NULL::TIMESTAMP AS c_click_ts
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0 AS tag, NULL, NULL, value, ts
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (
+      |  SELECT *,
+      |    last_value(c_click_ts IGNORE NULLS) OVER w AS m_ts,
+      |    last_value(c_value IGNORE NULLS) OVER w AS m_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts, value,
+      |  CASE WHEN epoch(ts) - epoch(m_ts) <= 3600 THEN m_ts END
+      |    AS last_click_ts,
+      |  CASE WHEN epoch(ts) - epoch(m_ts) <= 3600 THEN m_value END
+      |    AS last_click_value
+      |FROM c WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
+  // ---- asof_forward -------------------------------------------------
+
+  /** Forward as-of: each click gets the NEXT purchase (purchase.ts >=
+    * click.ts) by the same user — time-to-conversion shape.
+    */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("purchase_ts"))
+    TimeSeries.asofJoin(clicks, purchases, "user_id", "ts",
+      carryCols = Seq("value", "purchase_ts"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_purchase_ts").as("next_purchase_ts"),
+        col("asof_value").as("next_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofForwardOracle =
+    """WITH u AS (
+      |  SELECT user_id, ts, 1 AS tag, event_id,
+      |         NULL::DOUBLE AS c_value, NULL::TIMESTAMP AS c_pts
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 0 AS tag, NULL, value, ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT *,
+      |    last_value(c_pts IGNORE NULLS) OVER w AS next_purchase_ts,
+      |    last_value(c_value IGNORE NULLS) OVER w AS next_purchase_value
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, tag
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts, next_purchase_ts, next_purchase_value
+      |FROM c WHERE tag = 1
+      |ORDER BY event_id""".stripMargin
+
   // ---- sessions -----------------------------------------------------
 
   /** Gap-based sessionization per user (24h inactivity gap). */
@@ -172,6 +256,12 @@ object TimeSeriesQueriesImpl {
     QueryDef("asof_clicks_native",
       "same as-of semantics via the custom AsOfJoinExec operator",
       asofClicksNative, Some(asofClicksOracle)),
+    QueryDef("asof_clicks_tol",
+      "as-of with 1h tolerance (stale matches null out)",
+      asofClicksTol, Some(asofClicksTolOracle)),
+    QueryDef("asof_forward",
+      "forward as-of: click -> next purchase (time-to-conversion)",
+      asofForward, Some(asofForwardOracle)),
     QueryDef("sessions",
       "gap-based sessionization (24h) per user",
       sessions, Some(sessionsOracle)),
