@@ -22,11 +22,49 @@ object AsOf {
       spark.experimental.extraStrategies = cur :+ AsOfStrategy
   }
 
-  /** As-of join: left rows + latest (right.ts <= left.ts) right row's
-    * `carryCols` per key, null-extended, as columns `asof_<name>`.
+  /** As-of join through the native operator: left rows + nearest right
+    * row's `carryCols` per key, null-extended, as columns `asof_<name>`.
+    * `direction` and `toleranceSeconds` mirror
+    * [[graft.extra.TimeSeries.asofJoin]] (pandas merge_asof parity):
+    * forward runs the SAME backward exec on negated epoch time (order
+    * reversal — no second physical operator needed), tolerance rides the
+    * matched right timestamp as a synthetic carry and nulls stale
+    * matches in a post-projection.
     */
   def join(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-      carryCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      carryCols: Seq[String], prefix: String = "asof_",
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    import org.apache.spark.sql.functions.{col, when}
+    val fwd = direction == "forward"
+    val withTol = toleranceSeconds.isDefined
+    if (!fwd && !withTol) return joinRaw(left, right, key, tsCol, carryCols, prefix)
+    val negts = "__graft_negts"
+    val rts = "__graft_rts"
+    val l2 = if (fwd) left.withColumn(negts, -col(tsCol).cast("double")) else left
+    val r2 = {
+      val a = if (withTol) right.withColumn(rts, col(tsCol)) else right
+      if (fwd) a.withColumn(negts, -col(tsCol).cast("double")) else a
+    }
+    val joined = joinRaw(l2, r2, key, if (fwd) negts else tsCol,
+      carryCols ++ (if (withTol) Seq(rts) else Nil), prefix)
+    val base = if (fwd) joined.drop(negts) else joined
+    toleranceSeconds match {
+      case None => base
+      case Some(tol) =>
+        val gap =
+          if (fwd) col(prefix + rts).cast("double") - col(tsCol).cast("double")
+          else col(tsCol).cast("double") - col(prefix + rts).cast("double")
+        carryCols.foldLeft(base)((df, c) =>
+          df.withColumn(prefix + c, when(gap <= tol.toDouble, col(prefix + c))))
+          .drop(prefix + rts)
+    }
+  }
+
+  private def joinRaw(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carryCols: Seq[String], prefix: String): DataFrame = {
     val spark = left.sparkSession
     enable(spark)
     val lPlan = left.queryExecution.analyzed

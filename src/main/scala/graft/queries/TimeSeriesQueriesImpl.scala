@@ -160,6 +160,27 @@ object TimeSeriesQueriesImpl {
       |FROM c WHERE tag = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---- asof_forward_native ------------------------------------------
+
+  /** Same forward semantics through the custom AsOfJoinExec (forward =
+    * the backward exec on negated epoch time); shares the oracle with
+    * asof_forward — the two implementations must agree bit-for-bit.
+    */
+  def asofForwardNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("purchase_ts"))
+    graft.plans.AsOf.join(clicks, purchases, "user_id", "ts",
+      carryCols = Seq("value", "purchase_ts"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_purchase_ts").as("next_purchase_ts"),
+        col("asof_value").as("next_purchase_value"))
+      .orderBy("event_id")
+  }
+
   // ---- sessions -----------------------------------------------------
 
   /** Gap-based sessionization per user (24h inactivity gap). */
@@ -262,6 +283,9 @@ object TimeSeriesQueriesImpl {
     QueryDef("asof_forward",
       "forward as-of: click -> next purchase (time-to-conversion)",
       asofForward, Some(asofForwardOracle)),
+    QueryDef("asof_forward_native",
+      "same forward semantics via the custom AsOfJoinExec operator",
+      asofForwardNative, Some(asofForwardOracle)),
     QueryDef("sessions",
       "gap-based sessionization (24h) per user",
       sessions, Some(sessionsOracle)),

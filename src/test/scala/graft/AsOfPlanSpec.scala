@@ -79,6 +79,46 @@ class AsOfPlanSpec extends SparkSpec {
       (102L, None)))       // all right ts null: unmatched
   }
 
+  test("native forward + tolerance agree bit-for-bit with the window form") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("purchase_ts"))
+    for (tol <- Seq(None, Some(3600L))) {
+      val viaWindow = TimeSeries.asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("value", "purchase_ts"), direction = "forward",
+        toleranceSeconds = tol)
+        .select("event_id", "asof_value", "asof_purchase_ts")
+        .orderBy("event_id").collect().toSeq
+      val viaNative = AsOf.join(clicks, purchases, "user_id", "ts",
+        Seq("value", "purchase_ts"), direction = "forward",
+        toleranceSeconds = tol)
+        .select("event_id", "asof_value", "asof_purchase_ts")
+        .orderBy("event_id").collect().toSeq
+      assert(viaNative.nonEmpty)
+      assert(viaNative == viaWindow, s"tolerance=$tol")
+    }
+  }
+
+  test("native backward tolerance nulls stale matches only") {
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00", 100L),  // click 1 min before: within 300s
+      (1L, "2024-01-01 18:00:00", 101L))  // latest click 8h stale: nulled
+      .toDF("k", "ts", "lid")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val right = Seq(
+      (1L, "2024-01-01 09:59:00", 1.0))
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = AsOf.join(left, right, "k", "ts", Seq("v"),
+      toleranceSeconds = Some(300L))
+      .orderBy("lid").select("lid", "asof_v")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(out == Seq((100L, Some(1.0)), (101L, None)))
+  }
+
   test("native as-of plan contains AsOfJoinExec (strategy fired)") {
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
       .toDF("k", "ts", "lid")
