@@ -96,6 +96,12 @@ object Graft {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     extra.Dedup.simhash(docs, idCol, textCol)
 
+  /** Near-dup GROUPS from a pair list: connected components, cluster_id
+    * = smallest reachable id (keep one representative per cluster).
+    */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    extra.Dedup.dupClusters(pairs)
+
   /** End-to-end curation verdict: quality gate → language gate → exact
     * dedup → near-dup removal → train/val/test split. One row per input
     * doc; `filter(status = 'kept')` derives the corpus.

@@ -276,6 +276,47 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Connected components over a near-dup pair list: every doc that
+    * appears in a pair gets `cluster_id` = the smallest doc id reachable
+    * through the pair graph — the operator that turns pairwise
+    * near-dup output into dedup GROUPS (keep one representative per
+    * cluster, not per pair; pairwise dropping under-deletes on chains
+    * a~b, b~c).
+    *
+    * Implementation: min-label propagation — labels start as self, each
+    * iteration takes the min of own and neighbors' labels, stop when a
+    * probe finds no change (≤ graph diameter iterations; near-dup
+    * clusters are shallow). Each iteration is one keyed join + one
+    * aggregation; the edge list is materialized once and reused. This is
+    * the standard big-graph CC shape (GraphX/alternating-star variants
+    * optimize constants, same asymptotics).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every iteration — cut the lineage
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+      val next = labels.unionByName(nbr)
+        .groupBy("id").agg(min("lab").as("lab"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
+        .filter(col("lab") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels.select(col("id"), col("lab").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup, LSH-bucketed — the scale path and the
     * registered headline query: candidate pairs must collide in at least
     * one of `tables` sign-random-projection hash tables

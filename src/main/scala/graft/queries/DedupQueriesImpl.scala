@@ -206,6 +206,67 @@ object DedupQueriesImpl {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---- neardup_clusters ---------------------------------------------
+
+  /** Near-dup GROUPS: connected components over the MinHash pair graph,
+    * cluster_id = smallest reachable doc_id. Label propagation on the
+    * Spark side; the oracle computes the same closure with a recursive
+    * CTE.
+    */
+  def neardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupMinhash(docs(s, dir), "doc_id", "text",
+      numPerms = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
+    Dedup.dupClusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val neardupClustersOracle = {
+    import graft.extra.Dedup.{minhashA, minhashB, MinhashP}
+    val mins = (0 until 16)
+      .map(i => s"  min((h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP) AS mh$i")
+      .mkString(",\n")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (0 until 4).map(j => s"CAST(mh${b * 4 + j} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE $toksCte,
+       |ss AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
+       |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM ss),
+       |hs AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+       |       FROM sh),
+       |mh AS (SELECT doc_id,
+       |$mins
+       |FROM hs GROUP BY doc_id),
+       |bands AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.sig = b.sig
+       |          AND a.doc_id < b.doc_id),
+       |j AS (SELECT c.id_a, c.id_b,
+       |        len(list_intersect(x.shingles, y.shingles)) AS inter,
+       |        len(x.shingles) + len(y.shingles)
+       |          - len(list_intersect(x.shingles, y.shingles)) AS uni
+       |      FROM cand c
+       |      JOIN ss x ON x.doc_id = c.id_a
+       |      JOIN ss y ON y.doc_id = c.id_b),
+       |p AS (SELECT id_a, id_b FROM j
+       |      WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS lab FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(lab) AS cluster_id
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- curate_docs --------------------------------------------------
 
   /** End-to-end curation verdict: quality gate → language gate → exact
@@ -360,5 +421,8 @@ object DedupQueriesImpl {
     QueryDef("curate_docs",
       "end-to-end curation verdict: quality → lang → exact dedup → " +
         "near-dup → split",
-      curateDocs, Some(curateDocsOracle)))
+      curateDocs, Some(curateDocsOracle)),
+    QueryDef("neardup_clusters",
+      "connected components over MinHash pairs (cluster = min doc_id)",
+      neardupClusters, Some(neardupClustersOracle)))
 }

@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 60L * 59 / 2)
   }
 
+  test("dupClusters: chains collapse to one component, disjoint stay apart") {
+    val pairs = Seq(
+      (1L, 5L), (5L, 9L),   // chain 1-5-9 → cluster 1
+      (20L, 21L))           // separate pair → cluster 20
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters: empty pair list yields empty clustering") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupClusters(empty).count() == 0)
+  }
+
   test("dedup operators leave nothing in the session cache manager") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
