@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   *   2. language gate ([[Text.withLanguageId]]): keep the allow-listed
   *      predicted languages → `wrong_lang`;
   *   3. exact dedup: one canonical (min id) per md5(text) → `exact_dup`;
-  *   4. near-dup removal ([[Dedup.nearDupMinhash]]) among survivors:
-  *      for every verified pair (a, b) with a < b, drop b → `near_dup`
-  *      (greedy keep-smallest-id; NOT transitive-closure clustering — a
-  *      chain a~b, b~c keeps a and drops b, c only if both pair with a
-  *      surviving smaller id or each other);
+  *   4. near-dup removal ([[Dedup.nearDupMinhash]] pairs →
+  *      [[Dedup.dupClusters]] connected components) among survivors:
+  *      each component keeps its smallest doc id, the rest →
+  *      `near_dup` — transitive-closure clustering, so a chain a~b, b~c
+  *      keeps exactly one representative;
   *   5. survivors → `kept` + deterministic content-hash train/val/test
   *      split ([[Sampling.withSplit]] semantics).
   *
@@ -61,11 +61,14 @@ object Curation {
     val withCanon = qualified.withColumn("__canon",
       min(when(col("__pass"), col(idCol))).over(wHash))
     val unique = withCanon.filter(col("__pass") && col(idCol) === col("__canon"))
-    // near-dup pairs among the unique survivors; (a,b) with a<b drops b
-    val dropIds = Dedup.nearDupMinhash(
-      unique.select(col(idCol), col(textCol)), idCol, textCol,
-      threshold = cfg.nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
+    // near-dup components among the unique survivors; every doc that is
+    // not its component's minimum is dropped
+    val dropIds = Dedup.dupClusters(
+      Dedup.nearDupMinhash(
+        unique.select(col(idCol), col(textCol)), idCol, textCol,
+        threshold = cfg.nearDupThreshold))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
       .withColumn("__nd", lit(true))
     val status =
       when(lowQ, "low_quality")

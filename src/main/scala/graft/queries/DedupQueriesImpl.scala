@@ -303,7 +303,7 @@ object DedupQueriesImpl {
       """CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80 THEN 'train'
         |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END""".stripMargin
-    s"""WITH tt AS (SELECT doc_id, text,
+    s"""WITH RECURSIVE tt AS (SELECT doc_id, text,
        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
        |      FROM documents),
        |fl AS (SELECT doc_id, toks, md5(text) AS text_hash,
@@ -339,8 +339,16 @@ object DedupQueriesImpl {
        |       FROM cand c
        |       JOIN ss x ON x.doc_id = c.id_a
        |       JOIN ss y ON y.doc_id = c.id_b),
-       |dropids AS (SELECT DISTINCT id_b AS doc_id FROM jj
-       |            WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+       |pp AS (SELECT id_a, id_b FROM jj
+       |       WHERE CAST(inter AS DOUBLE)/uni >= 0.5),
+       |eedges AS (SELECT id_a AS src, id_b AS dst FROM pp
+       |           UNION SELECT id_b, id_a FROM pp),
+       |rreach AS (
+       |  SELECT DISTINCT src AS id, src AS lab FROM eedges
+       |  UNION
+       |  SELECT e.dst AS id, r.lab FROM rreach r JOIN eedges e ON e.src = r.id),
+       |dropids AS (SELECT id AS doc_id FROM rreach
+       |            GROUP BY id HAVING id <> min(lab)),
        |verdict AS (SELECT f.doc_id,
        |        CASE WHEN f.low_q THEN 'low_quality'
        |             WHEN f.wrong_lang THEN 'wrong_lang'
