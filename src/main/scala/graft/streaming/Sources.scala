@@ -95,13 +95,24 @@ final class KafkaTickSource(
     opts: SourceOptions = SourceOptions(),
     maxOffsetsPerTrigger: Option[Long] = None) extends TickSource {
 
-  /** The exact reader options passed to `readStream.format("kafka")`. */
-  def options: Map[String, String] = Map(
-    "kafka.bootstrap.servers" -> bootstrapServers,
-    "subscribe" -> topic,
-    "startingOffsets" -> opts.startingOffsets.trim.toLowerCase,
-    "failOnDataLoss" -> opts.failOnDataLoss.toString) ++
-    maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  /** The exact reader options passed to `readStream.format("kafka")`.
+    * earliest/latest normalize case; a JSON per-partition offsets spec
+    * (also valid for this option) passes through verbatim — topic names
+    * inside it are case-sensitive.
+    */
+  def options: Map[String, String] = {
+    val so = opts.startingOffsets.trim match {
+      case s if s.equalsIgnoreCase("earliest") || s.equalsIgnoreCase("latest") =>
+        s.toLowerCase
+      case s => s
+    }
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> so,
+      "failOnDataLoss" -> opts.failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  }
 
   override def stream(spark: SparkSession): DataFrame = {
     if (!KafkaTickSource.providerAvailable)

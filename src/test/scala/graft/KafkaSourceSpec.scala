@@ -21,6 +21,13 @@ class KafkaSourceSpec extends SparkSpec {
       "maxOffsetsPerTrigger" -> "50000"))
   }
 
+  test("JSON per-partition offsets pass through case-intact") {
+    val json = """{"Ticks":{"0":23,"1":-2}}"""
+    val src = new KafkaTickSource("localhost:9092", "Ticks",
+      SourceOptions(startingOffsets = json))
+    assert(src.options("startingOffsets") == json)
+  }
+
   test("defaults: earliest offsets, tolerant of data loss, no batch cap") {
     val src = new KafkaTickSource("localhost:9092", "ticks")
     assert(src.options("startingOffsets") == "earliest")
