@@ -41,18 +41,30 @@ object Curation {
       trainPct: Int = 80,
       valPct: Int = 10)
 
+  /** Quality-gate failure predicate over [[Text.withQuality]] columns. */
+  def lowQualityFlag(cfg: Config): org.apache.spark.sql.Column =
+    col("n_tokens") < cfg.minTokens || col("quality_score") < cfg.minQuality
+
+  /** Language-gate failure predicate over [[Text.withLanguageId]] columns. */
+  def wrongLangFlag(cfg: Config): org.apache.spark.sql.Column =
+    !col("predicted_lang").isin(cfg.langs: _*)
+
+  /** Quality + language metrics + `text_hash` — the per-row enrichment
+    * both the batch verdict and the streaming filter run (pure
+    * projections, stream-safe).
+    */
+  def enrich(docs: DataFrame, textCol: String): DataFrame =
+    Text.withLanguageId(Text.withQuality(docs, textCol), textCol)
+      .withColumn("text_hash", md5(col(textCol)))
+
   /** Curate `docs`, returning (idCol, status, split) — split is non-null
     * only for `kept` rows.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val enriched = Text.withLanguageId(
-      Text.withQuality(docs.select(col(idCol), col(textCol)), textCol),
-      textCol)
-      .withColumn("text_hash", md5(col(textCol)))
-    val lowQ = col("n_tokens") < cfg.minTokens ||
-      col("quality_score") < cfg.minQuality
-    val wrongLang = !col("predicted_lang").isin(cfg.langs: _*)
+    val enriched = enrich(docs.select(col(idCol), col(textCol)), textCol)
+    val lowQ = lowQualityFlag(cfg)
+    val wrongLang = wrongLangFlag(cfg)
     val qualified = enriched.withColumn("__pass", !lowQ && !wrongLang)
     // canonical id per text_hash among qualified rows: window-min over
     // one shuffle (no groupBy + join-back); null for unqualified rows

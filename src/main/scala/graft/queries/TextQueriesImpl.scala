@@ -119,6 +119,44 @@ object TextQueriesImpl {
        |FROM sh
        |ORDER BY doc_id""".stripMargin
 
+  // ---- corpus_stats -------------------------------------------------
+
+  /** Single-row corpus sizing summary — the first number a training-data
+    * owner asks for: docs, whitespace + BPE-ish token totals, mean
+    * quality (DECIMAL-summed so partial-agg order can't shift bits),
+    * language count.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Text.withTokenCounts(Text.withQuality(docs(s, dir), "text"), "text")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("bpe_tokens").as("total_bpe_tokens"),
+        round(sum(col("quality_score").cast(DecimalType(18, 6)))
+          .cast("double") / count(col("quality_score")), 6).as("avg_quality"),
+        countDistinct("lang").as("n_langs"))
+  }
+
+  private val corpusStatsOracle =
+    s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(list_sum(list_transform(toks,
+       |       x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+       |        + least(CAST(${hitsSql("en")} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+       |        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |FROM t)
+       |SELECT count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+       |        / count(quality_score), 6) AS avg_quality,
+       |  count(DISTINCT lang) AS n_langs
+       |FROM m""".stripMargin
+
   // ---- word_freq ----------------------------------------------------
 
   /** Corpus-wide top-50 tokens. Scale shape: explode → partial-agg →
@@ -154,5 +192,8 @@ object TextQueriesImpl {
       fingerprint, Some(fingerprintOracle)),
     QueryDef("word_freq",
       "corpus top-50 token frequencies",
-      wordFreq, Some(wordFreqOracle)))
+      wordFreq, Some(wordFreqOracle)),
+    QueryDef("corpus_stats",
+      "one-row corpus sizing summary: docs, token totals, mean quality",
+      corpusStats, Some(corpusStatsOracle)))
 }
