@@ -26,4 +26,23 @@ class GraftFacadeSpec extends SparkSpec {
     assert(topk.count() == 6)
     assert(Graft.dot(lit(Array(1.0f, 2.0f)), lit(Array(3.0f, 4.0f))) != null)
   }
+
+  test("facade: round-3 surface (curation, clusters, ivf/kmeans, layout)") {
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val verdicts = Graft.curate(docs, "doc_id", "text")
+    assert(verdicts.count() == docs.count())
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    assert(Graft.dupClusters(pairs).count() == 3)
+    assert(Graft.similarTopKIvf(embs, "vec_id", "embedding",
+      col("id") < 2, 3).count() > 0)
+    assert(Graft.kmeansCodebook(embs, "vec_id", "embedding",
+      k = 4, iters = 1).size == 4)
+    assert(Graft.nearDupEmbedding(embs, "vec_id", "embedding", 0.4)
+      .columns.toSeq == Seq("vec_a", "vec_b", "cosine"))
+    val dir = java.nio.file.Files.createTempDirectory("facade_lay").toString
+    Graft.writeClustered(spark.range(100).toDF("id"), dir,
+      Seq(col("id")), numFiles = 2)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }
