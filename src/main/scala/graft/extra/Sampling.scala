@@ -39,4 +39,22 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String,
       fraction: Double): DataFrame =
     df.filter(hashBucket(col(idCol), 10000) < (fraction * 10000).toLong)
+
+  /** Stratified deterministic sample: per-class keep fractions (classes
+    * absent from the map get `defaultFraction`). Same content-hash
+    * mechanics as [[deterministicSample]] — a row's fate depends only on
+    * its id and its class's fraction, so rebalancing a skewed corpus
+    * (e.g. downsampling the dominant language) is reproducible on any
+    * partitioning, any engine, any run. Pure projection + filter: no
+    * shuffle, fully pushdown-friendly.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, classCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * 10000).toLong)) { case (els, (cls, f)) =>
+      when(col(classCol) === cls, lit((f * 10000).toLong)).otherwise(els)
+    }
+    df.filter(hashBucket(col(idCol), 10000) < threshold)
+  }
 }

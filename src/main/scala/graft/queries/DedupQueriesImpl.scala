@@ -386,6 +386,26 @@ object DedupQueriesImpl {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Language-stratified deterministic sample: downsample dominant
+    * English to 30%, keep 80% of French, 50% of everything else — the
+    * corpus-rebalancing move, reproducible at any partitioning.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+      Map("en" -> 0.3, "fr" -> 0.8), defaultFraction = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val stratifiedSampleOracle =
+    """SELECT doc_id, lang
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+      |      % 10000 <
+      |      CASE WHEN lang = 'fr' THEN 8000
+      |           WHEN lang = 'en' THEN 3000
+      |           ELSE 5000 END
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic 10% sample of events joined back for verification:
     * the same rows are selected at ANY partitioning or engine.
     */
@@ -408,6 +428,9 @@ object DedupQueriesImpl {
     QueryDef("deterministic_sample",
       "partitioning-independent 10% content-hash sample",
       deterministicSample, Some(deterministicSampleOracle)),
+    QueryDef("stratified_sample",
+      "per-language deterministic rebalancing sample (en 30%, fr 80%, rest 50%)",
+      stratifiedSample, Some(stratifiedSampleOracle)),
     QueryDef("dedup_exact",
       "exact content-hash dedup (hash-groupBy, deterministic canonical)",
       dedupExact, Some(dedupExactOracle)),

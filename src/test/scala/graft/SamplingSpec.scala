@@ -35,4 +35,26 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(c.subsetOf(a))
   }
+
+  test("stratified sample: per-class fractions, stable across partitionings") {
+    val df = spark.range(6000)
+      .select(col("id"), (col("id") % 3).cast("string").as("cls"))
+    val fr = Map("0" -> 0.9, "1" -> 0.1)
+    def run(parts: Int) =
+      Sampling.stratifiedSample(df.repartition(parts), "id", "cls", fr,
+        defaultFraction = 0.5)
+        .select("id").as[Long].collect().toSet
+    val a = run(1)
+    assert(a == run(13))
+    val byCls = a.groupBy(_ % 3).view.mapValues(_.size.toDouble / 2000).toMap
+    assert(byCls(0) > 0.85 && byCls(0) <= 1.0)
+    assert(byCls(1) < 0.15)
+    assert(byCls(2) > 0.4 && byCls(2) < 0.6)
+    // a row's fate depends only on its id-hash and its class fraction:
+    // the same id under a bigger fraction stays selected (monotone)
+    val all09 = Sampling.stratifiedSample(df, "id", "cls",
+      Map("0" -> 0.9, "1" -> 0.9), defaultFraction = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(all09))
+  }
 }
