@@ -76,4 +76,19 @@ object StreamingPipeline {
       spark.read.parquet(outDir),
       keys = Seq("symbol", "window_start"),
       tsCol = "batch_id", tieCol = "num_ticks")
+
+  /** Materialize the SERVING table: collapse the append sink's
+    * last-wins duplicates and rewrite as a compacted, range-clustered
+    * parquet table on (symbol, window_start) — the dashboard's
+    * filter/sort keys (streamlit_app.py:23-32), so point/range reads
+    * prune whole files instead of scanning micro-batch debris. Run
+    * periodically (the maintenance job the reference's store never got).
+    */
+  def materializeServing(spark: SparkSession, outDir: String,
+      dstDir: String, numFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.extra.Layout.writeClustered(
+      finalized(spark, outDir), dstDir,
+      Seq(col("symbol"), col("window_start")), numFiles)
+  }
 }

@@ -51,6 +51,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("materializeServing: collapsed, clustered serving table from the append sink") {
+    val out = tmp("out"); val ckpt = tmp("ckpt"); val serve = tmp("serve")
+    val src = new MemoryTickSource(spark)
+    val q = StreamingPipeline.start(spark, src,
+      cfg.copy(checkpointDir = ckpt, outDir = out),
+      trigger = Trigger.ProcessingTime(0))
+    // two batches updating the SAME window → append sink holds duplicates
+    src.addData(Seq(payload("AAPL", 100.0, 61000L)))
+    q.processAllAvailable()
+    src.addData(Seq(payload("AAPL", 101.0, 70000L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out)
+      .groupBy("symbol", "window_start").count()
+      .filter(col("count") > 1).count() > 0, "sink must hold re-emissions")
+    StreamingPipeline.materializeServing(spark, out, serve, numFiles = 2)
+    val served = spark.read.parquet(serve)
+    // exactly one (final) row per (symbol, window), carrying both ticks
+    assert(served.groupBy("symbol", "window_start").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(served.filter(
+      col("window_start") === lit("1970-01-01 00:01:00").cast("timestamp"))
+      .collect().head.getAs[Long]("num_ticks") == 2L)
+  }
+
   test("out-of-order arrival within lateness lands in correct windows") {
     val out = tmp("out"); val ckpt = tmp("ckpt")
     val src = new MemoryTickSource(spark)
