@@ -76,6 +76,12 @@ object Graft {
   def emaPerSymbol(ticks: Dataset[Tick], alpha: Double) =
     streaming.Stateful.emaPerSymbol(ticks, alpha)
 
+  /** Streaming as-of: trades enriched with the last-seen quote per key
+    * (O(1) state per key; low-latency path — see Stateful.asofPerKey).
+    */
+  def asofStream(events: Dataset[streaming.Stateful.AsOfEvent]) =
+    streaming.Stateful.asofPerKey(events)
+
   // ---- dedup --------------------------------------------------------
 
   def dedupExact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =

@@ -21,6 +21,53 @@ object Stateful {
   final case class EmaRow(symbol: String, ema: Double, n_ticks: Long,
       last_event_ms: Long)
 
+  final case class QuoteState(quoteValue: Double, quoteEventMs: Long)
+  final case class AsOfEvent(key: String, kind: String, value: Double,
+      event_time_ms: Long)
+  final case class AsOfRow(key: String, event_time_ms: Long, value: Double,
+      asof_value: Option[Double], asof_event_ms: Option[Long])
+
+  /** STREAMING as-of join — the market-native enrichment: a single keyed
+    * stream of interleaved reference rows (`kind = "quote"`) and subject
+    * rows (`kind = "trade"`); every trade is emitted carrying the
+    * latest quote with quote.event_time <= trade.event_time seen so far
+    * for its key. State per key is O(1) (the last quote), so the state
+    * store tracks key cardinality, not throughput — the batch as-of's
+    * union + carry-forward, re-expressed as per-key operator state.
+    *
+    * Ordering: rows inside a micro-batch are applied in event-time order
+    * (arrival-order independent, like [[emaPerSymbol]]); ACROSS batches
+    * arrival order is authoritative — a quote arriving in a later batch
+    * than a trade it precedes in event time does not retro-fill (use the
+    * batch [[graft.extra.TimeSeries.asofJoin]] over the stored stream
+    * for late-tolerant finalization; this operator is the low-latency
+    * path).
+    */
+  def asofPerKey(events: Dataset[AsOfEvent]): Dataset[AsOfRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[QuoteState, AsOfRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[AsOfEvent], state: GroupState[QuoteState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.event_time_ms, e.kind, e.value))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfRow]
+          sorted.foreach {
+            case q if q.kind == "quote" =>
+              // ties ("quote" < "trade" lexicographically) apply the
+              // quote first, so an equal-time trade sees it — matching
+              // the batch as-of's ties-count-as-matched semantics
+              cur = Some(QuoteState(q.value, q.event_time_ms))
+            case t =>
+              out += AsOfRow(key, t.event_time_ms, t.value,
+                cur.map(_.quoteValue), cur.map(_.quoteEventMs))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** alpha-weighted EMA; ticks inside a batch are applied in event-time
     * order so results don't depend on arrival order within the batch.
     */

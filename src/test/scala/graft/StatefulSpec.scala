@@ -50,6 +50,42 @@ class StatefulSpec extends SparkSpec {
     assert(ema == 105.0)
   }
 
+  test("streaming as-of: trades carry last quote, state crosses batches") {
+    import graft.streaming.Stateful.AsOfEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[AsOfEvent]
+    val q = Stateful.asofPerKey(in.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1, arrival order scrambled: the trade at t=2000 must see the
+    // t=1500 quote (not the t=3000 one); the t=500 trade precedes any
+    // quote; the t=3000 trade ties the t=3000 quote → matched
+    in.addData(
+      AsOfEvent("A", "trade", 10.0, 2000L),
+      AsOfEvent("A", "quote", 99.0, 3000L),
+      AsOfEvent("A", "quote", 98.0, 1500L),
+      AsOfEvent("A", "trade", 11.0, 500L),
+      AsOfEvent("A", "trade", 12.0, 3000L))
+    q.processAllAvailable()
+    // batch 2: state carries — a trade with no new quote sees t=3000's
+    in.addData(AsOfEvent("A", "trade", 13.0, 9000L),
+      AsOfEvent("B", "trade", 50.0, 9000L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("asof_out")
+      .select("key", "event_time_ms", "asof_value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("A", 500L)).isEmpty)
+    assert(out(("A", 2000L)).contains(98.0))
+    assert(out(("A", 3000L)).contains(99.0))
+    assert(out(("A", 9000L)).contains(99.0))
+    assert(out(("B", 9000L)).isEmpty)
+  }
+
   test("file source drives the flagship pipeline end-to-end") {
     val in = Files.createTempDirectory("filesrc").toString
     val out = Files.createTempDirectory("out").toString
