@@ -40,7 +40,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // A non-positive N would skip the measurement loop entirely and leave
+    // every query unmeasured; clamp to 1 and say so rather than crash
+    // later with a missing-key lookup.
+    val rawIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    if (rawIters < 1)
+      System.err.println(s"SPARK_GRAFT_BENCH_N=$rawIters invalid; using 1")
+    val iters = math.max(1, rawIters)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,7 +98,8 @@ object Bench {
       }
     }
     val medians = SparkEntry.queries.keys.map { name =>
-      name -> (if (failures.contains(name)) -1.0 else median(times(name)))
+      name -> (if (failures.contains(name)) -1.0
+               else median(times.getOrElse(name, Nil)))
     }.toMap
     val ok = medians.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
@@ -113,8 +120,12 @@ object Bench {
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val streamJson = streaming.map(s => s""","streaming":${s.json}""").getOrElse("")
+    // Metric line printed LAST, after spark.stop(): round 3's artifact
+    // lost this line to streaming-shutdown log spew that arrived after
+    // it — nothing may write to stdout past this point.
+    spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jstr(sfDir)},"n":$iters,"failures":$fs$streamJson}""")
-    spark.stop()
+    System.out.flush()
   }
 }

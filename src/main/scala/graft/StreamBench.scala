@@ -1,11 +1,12 @@
 package graft
 
 import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{RateTickSource, StreamingPipeline}
+import graft.streaming.{Monitor, RateTickSource, StreamingPipeline}
 
 /** Streaming parity micro-bench (BASELINE.md): drive the flagship
   * pipeline from the rate source at a target ticks/sec, report sustained
@@ -34,28 +35,56 @@ object StreamBench {
     * latency. Shared by the standalone main and [[Bench]]'s streaming
     * block, so batch and streaming regressions surface in the same
     * artifact.
+    *
+    * Accounting runs through a [[Monitor]] listener, not
+    * `q.recentProgress` — Spark caps recentProgress at
+    * `numRecentProgressUpdates` (default 100) and a ProcessingTime(0)
+    * run easily exceeds 100 micro-batches, silently undercounting rows.
+    *
+    * Shutdown is a two-step drain, not a hard `q.stop()`: flipping the
+    * sink gate makes subsequent batches no-ops, and we stop only after
+    * the batch that was in flight at the deadline has committed — a hard
+    * stop mid-parquet-write aborts all its tasks and sprays stack traces
+    * over stdout (which displaced the metric line from round 3's
+    * captured bench artifact).
     */
   def measure(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
     val out = Files.createTempDirectory("sbench_out").toString
     val ckpt = Files.createTempDirectory("sbench_ckpt").toString
     val src = new RateTickSource(tps, Seq("AAPL", "MSFT", "GOOG"))
+    val monitor = new Monitor().attach(spark)
+    val writing = new AtomicBoolean(true)
     val q = StreamingPipeline.start(spark, src,
       StreamingPipeline.Config(window = "60 seconds", slide = "10 seconds",
         lateness = "60 seconds", checkpointDir = ckpt, outDir = out),
-      trigger = Trigger.ProcessingTime(0))
+      trigger = Trigger.ProcessingTime(0),
+      sinkGate = () => writing.get())
     val t0 = System.nanoTime()
-    while ((System.nanoTime() - t0) / 1e9 < secs) Thread.sleep(200)
-    val progress = q.recentProgress.toSeq
-    q.stop()
-    val rows = progress.map(_.numInputRows).sum
-    val wall = (System.nanoTime() - t0) / 1e9
-    val batchMs = progress.flatMap(p =>
-      Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-    val avgBatchMs =
-      if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
-    val maxBatchMs = if (batchMs.nonEmpty) batchMs.max else -1L
-    StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
-      maxBatchMs)
+    try {
+      while ((System.nanoTime() - t0) / 1e9 < secs) Thread.sleep(200)
+      // Measurement closes at the deadline: only batches that completed
+      // while the sink was live count toward throughput.
+      val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Drain: no-op the sink, then wait for the in-flight batch to
+      // commit (>= 1 new progress event, or trigger idle) before stop.
+      writing.set(false)
+      val seen = monitor.snapshot.size
+      val tDrain = System.nanoTime()
+      while (monitor.snapshot.size <= seen && q.status.isTriggerActive &&
+          (System.nanoTime() - tDrain) / 1e9 < 30) Thread.sleep(50)
+      q.stop()
+      val rows = progress.map(_.num_input_rows).sum
+      val batchMs = progress.map(_.batch_duration_ms).filter(_ >= 0)
+      val avgBatchMs =
+        if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
+      val maxBatchMs = if (batchMs.nonEmpty) batchMs.max else -1L
+      StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
+        maxBatchMs)
+    } finally {
+      if (q.isActive) q.stop()
+      monitor.detach(spark)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,10 +99,13 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = measure(spark, tps, secs)
+    // Metric line printed LAST, after spark.stop(): nothing Spark logs
+    // during shutdown can land after it in a captured tail.
+    spark.stop()
     println(s"""{"metric":"stream_throughput","events_per_sec":${s.eventsPerSec},""" +
       s""""target_tps":${s.targetTps},"rows":${s.rows},"wall_s":${s.wallS},""" +
       s""""n_batches":${s.nBatches},"avg_batch_ms":${s.avgBatchMs},""" +
       s""""max_batch_ms":${s.maxBatchMs}}""")
-    spark.stop()
+    System.out.flush()
   }
 }

@@ -44,9 +44,19 @@ object StreamingPipeline {
   /** Start the full query: update-mode, checkpointed, distributed
     * parquet append sink with the emission timestamp column the
     * last-wins finalizer keys on.
+    *
+    * `sinkGate` is a graceful-drain hook: while it returns true batches
+    * write parquet normally; once it flips false each micro-batch runs
+    * against the `noop` sink instead — every partition is still
+    * processed (update-mode state commit validation requires it) but no
+    * files are opened, so a subsequent `q.stop()` can never abort
+    * in-flight parquet tasks (stopping mid-write sprays `Aborting task`
+    * / `CommitDeniedException` across the driver log — that spew
+    * destroyed round 3's bench artifact).
     */
   def start(spark: SparkSession, source: TickSource, cfg: Config,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkGate: () => Boolean = () => true): StreamingQuery = {
     import org.apache.spark.sql.functions.lit
     StreamingPipeline.transform(source.stream(spark), cfg)
       .writeStream
@@ -57,12 +67,13 @@ object StreamingPipeline {
         import org.apache.spark.sql.functions.{current_timestamp, unix_millis}
         // reference-parity processing-time fields (spark_streaming.py:
         // 109-116) — wall-clock derived, so excluded from oracle hashing
-        df.withColumn("batch_id", lit(batchId))
+        val out = df.withColumn("batch_id", lit(batchId))
           .withColumn("ingest_ts", current_timestamp())
           .withColumn("latency_ms",
             unix_millis(current_timestamp()) -
               unix_millis(org.apache.spark.sql.functions.col("max_event_time")))
-          .write.mode("append").parquet(cfg.outDir)
+        if (sinkGate()) out.write.mode("append").parquet(cfg.outDir)
+        else out.write.format("noop").mode("overwrite").save()
       }
       .start()
   }
