@@ -121,36 +121,66 @@ object Dedup {
     */
   val DefaultMaxBucket = 1000
 
+  /** Name of the observed-metrics row [[lshCandidates]] attaches; the
+    * hot-bucket drop count is logged from it after the caller's action
+    * completes (no extra job — the count rides the measured plan).
+    */
+  val HotBucketMetric = "lsh_hot_buckets"
+
+  // One QueryExecutionListener per session logs the observed hot-bucket
+  // drops; weak keys so discarded test sessions don't pin.
+  private val hotLoggerSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private def ensureHotBucketLogger(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    hotLoggerSessions.synchronized {
+      if (hotLoggerSessions.add(spark))
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.get(HotBucketMetric).foreach { row =>
+                if (!row.isNullAt(0) && row.getLong(0) > 0)
+                  log.warn(s"lshCandidates: dropped ${row.getLong(0)} " +
+                    s"band-row(s) in over-cap buckets (widest bucket " +
+                    s"${row.getLong(1)}) — near-identical boilerplate " +
+                    "should be exact-deduped upstream")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+    }
+
   /** Candidate pairs: ids sharing any (band, signature) bucket, with
     * ultra-hot buckets (width > `maxBucket`) excluded — see
-    * [[DefaultMaxBucket]]. The bands frame feeds the width count and both
-    * sides of the self-join, so it is cached for the duration of the call
-    * and released before returning; the returned pairs are eagerly
-    * materialized (small by construction — bucket width is capped).
+    * [[DefaultMaxBucket]].
+    *
+    * Single-shuffle shape: bucket width is a `count() over (partition by
+    * band, sig)` window, so the width check, the cap filter, and both
+    * self-join sides all sit on ONE exchange of the bands frame — the
+    * join reuses the window's partitioning AND sort, and no driver
+    * action runs inside the operator (the previous form paid an eager
+    * `hot.count()` job per call). The dropped-row count is attached as
+    * an observed metric and logged by a listener after the caller's
+    * action finishes.
     */
   def lshCandidates(bands: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded =
-      bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val hot = banded.groupBy("band", "sig")
-        .agg(count(lit(1)).as("bwidth"))
-        .filter(col("bwidth") > maxBucket)
-        .select("band", "sig")
-      val nHot = hot.count()
-      if (nHot > 0)
-        log.warn(s"lshCandidates: dropping $nHot bucket(s) wider than " +
-          s"$maxBucket ids — near-identical boilerplate should be exact-" +
-          "deduped upstream")
-      val pruned =
-        if (nHot == 0) banded
-        else banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
-      val a = pruned.select(col(idCol).as("id_a"), col("band"), col("sig"))
-      val b = pruned.select(col(idCol).as("id_b"), col("band"), col("sig"))
-      a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .localCheckpoint(true) // eager: safe to release the cache below
-    } finally banded.unpersist(blocking = false)
+    ensureHotBucketLogger(bands.sparkSession)
+    val w = Window.partitionBy("band", "sig")
+    val pruned = bands
+      .withColumn("bwidth", count(lit(1)).over(w))
+      .observe(HotBucketMetric,
+        sum(when(col("bwidth") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("bwidth")).as("max_width"))
+      .filter(col("bwidth") <= maxBucket)
+    val a = pruned.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = pruned.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
@@ -284,12 +314,21 @@ object Dedup {
     * a~b, b~c).
     *
     * Implementation: min-label propagation — labels start as self, each
-    * iteration takes the min of own and neighbors' labels, stop when a
-    * probe finds no change (≤ graph diameter iterations; near-dup
-    * clusters are shallow). Each iteration is one keyed join + one
-    * aggregation; the edge list is materialized once and reused. This is
-    * the standard big-graph CC shape (GraphX/alternating-star variants
-    * optimize constants, same asymptotics).
+    * iteration takes the min of own and neighbors' labels, stop when no
+    * label changed (≤ graph diameter iterations; near-dup clusters are
+    * shallow). Each iteration is ONE keyed join + one aggregation: the
+    * changed-label count rides the same aggregation as an observed
+    * metric (`max(lab != old)` over the grouped rows), so convergence
+    * probing costs no extra job — the previous form paid a second keyed
+    * join + count action per iteration. The edge list is materialized
+    * once and reused. This is the standard big-graph CC shape
+    * (GraphX/alternating-star variants optimize constants, same
+    * asymptotics).
+    *
+    * If the component diameter exceeds `maxIters` the propagation has
+    * NOT converged and the labels would be silently wrong — that case
+    * throws instead (raise `maxIters`; diameter-20 near-dup chains mean
+    * the corpus needed exact dedup upstream).
     */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
@@ -305,15 +344,28 @@ object Dedup {
     while (!converged && i < maxIters) {
       val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lab"))
-      val next = labels.unionByName(nbr)
-        .groupBy("id").agg(min("lab").as("lab"))
+      // carry the previous label through the aggregation: min(lab) is
+      // the update, max(changed) detects any difference from the old
+      // label — one Observation answers the convergence probe from the
+      // job that materializes the labels anyway.
+      val obs = new org.apache.spark.sql.Observation()
+      val next = labels.withColumn("old", col("lab")).unionByName(
+          nbr.withColumn("old", lit(null).cast(nbr.schema("lab").dataType)))
+        .groupBy("id")
+        .agg(min("lab").as("lab"), min("old").as("old"))
+        .observe(obs, sum(when(col("lab") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select("id", "lab")
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lab", "old"), "id")
-        .filter(col("lab") =!= col("old")).limit(1).count()
       labels = next
-      converged = changed == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: not converged after $maxIters iterations — " +
+          "component diameter exceeds maxIters; labels would be wrong. " +
+          "Raise maxIters (or exact-dedup boilerplate chains upstream).")
     labels.select(col("id"), col("lab").as("cluster_id"))
   }
 

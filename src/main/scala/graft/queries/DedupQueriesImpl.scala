@@ -29,6 +29,21 @@ object DedupQueriesImpl {
       |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |  FROM documents)""".stripMargin
 
+  /** Candidate-pair CTEs over a `bands` CTE, modeling the engine's
+    * hot-bucket cap ([[Dedup.DefaultMaxBucket]]): buckets wider than the
+    * cap contribute no candidates, in the oracle exactly as in
+    * [[Dedup.lshCandidates]] — so oracle parity no longer depends on the
+    * test corpus never producing an over-cap bucket.
+    */
+  private val candCappedCtes =
+    s"""okb AS (SELECT band, sig FROM bands
+       |        GROUP BY band, sig HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM okb o
+       |         JOIN bands a ON a.band = o.band AND a.sig = o.sig
+       |         JOIN bands b ON b.band = o.band AND b.sig = o.sig
+       |          AND a.doc_id < b.doc_id)""".stripMargin
+
   // ---- dedup_exact --------------------------------------------------
 
   /** Exact dedup by content hash over documents (hash-groupBy). */
@@ -91,10 +106,7 @@ object DedupQueriesImpl {
        |FROM hs GROUP BY doc_id),
        |bands AS (
        |$bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.sig = b.sig
-       |          AND a.doc_id < b.doc_id),
+       |$candCappedCtes,
        |j AS (SELECT c.id_a, c.id_b,
        |        len(list_intersect(x.shingles, y.shingles)) AS inter,
        |        len(x.shingles) + len(y.shingles)
@@ -242,10 +254,7 @@ object DedupQueriesImpl {
        |FROM hs GROUP BY doc_id),
        |bands AS (
        |$bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.sig = b.sig
-       |          AND a.doc_id < b.doc_id),
+       |$candCappedCtes,
        |j AS (SELECT c.id_a, c.id_b,
        |        len(list_intersect(x.shingles, y.shingles)) AS inter,
        |        len(x.shingles) + len(y.shingles)
@@ -328,10 +337,7 @@ object DedupQueriesImpl {
        |FROM hs GROUP BY doc_id),
        |bands AS (
        |$bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.sig = b.sig
-       |          AND a.doc_id < b.doc_id),
+       |$candCappedCtes,
        |jj AS (SELECT c.id_a, c.id_b,
        |        len(list_intersect(x.shingles, y.shingles)) AS inter,
        |        len(x.shingles) + len(y.shingles)

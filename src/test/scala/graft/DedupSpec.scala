@@ -127,6 +127,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupClusters(empty).count() == 0)
   }
 
+  test("dupClusters: throws rather than return partial labels when " +
+      "maxIters is below the component diameter") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 13-node path needs ~12 propagation rounds; 3 cannot converge
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // with enough iterations the same chain fully collapses to label 0
+    val ok = Dedup.dupClusters(chain, maxIters = 15).collect()
+    assert(ok.map(_.getLong(1)).forall(_ == 0L))
+  }
+
   test("dedup operators leave nothing in the session cache manager") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
