@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by iterator-based partition
   * transforms (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB ([[FakeCodec]]) —
-  * what is real and tested is everything Spark-side: the binary schema,
-  * the typed `Dataset` plumbing, iterator-per-partition processing (no
-  * per-row JVM call overhead, no driver collect), and the explode shape
-  * for frame sampling.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK, so
+  * [[ImageCodec]] decodes PNG/JPEG/BMP/GIF payloads to true dimensions
+  * (and renders deterministic PNGs for round-trip tests/queries). Audio
+  * and video codecs are NOT available in this environment, so their
+  * decode step remains a clearly-marked deterministic STUB
+  * ([[FakeCodec]]) — everything Spark-side is real either way: the
+  * binary schema, the typed `Dataset` plumbing, iterator-per-partition
+  * processing (no per-row JVM call overhead, no driver collect), and
+  * the explode shape for frame sampling.
   *
   * Scale notes: binary payloads ride the normal columnar path (parquet
   * binary + offsets). Partition sizing is governed by
@@ -30,10 +33,50 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder. A real implementation would call an image/audio/video
-    * library here (per partition, reusing a decoder instance across the
-    * iterator). This fake derives dimensions deterministically from the
-    * payload header bytes so tests and oracles can check the plumbing.
+  /** REAL image codec on the JDK-builtin `javax.imageio` — no external
+    * jars. Decode inspects the payload's magic bytes; non-image payloads
+    * (or the audio/video kinds) return None and fall back to the stub.
+    */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+
+    /** True (width, height) if the payload is a decodable image. */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth, img.getHeight))
+      catch { case _: Exception => None }
+
+    /** Render a `width`×`height` PNG with seed-determined pixels —
+      * byte-deterministic for a fixed JDK, used for round-trip tests and
+      * the executor-side render → decode query path.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            ((seed * 2654435761L + x * 131 + y * 31).toInt) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB decoder for the modalities whose libraries do NOT exist in
+    * this environment (audio/video; also the fallback for image-kind
+    * payloads that are not decodable images). A real implementation
+    * would call the media library here (per partition, reusing a decoder
+    * instance across the iterator). This fake derives dimensions
+    * deterministically from the payload header bytes so tests and
+    * oracles can check the plumbing.
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
@@ -63,15 +106,47 @@ object Multimodal {
   }
 
   /** Iterator-per-partition metadata extraction — the mapInPandas-shaped
-    * hot path: one decoder per partition, streaming over rows.
+    * hot path: one decoder per partition, streaming over rows. Image
+    * payloads get the REAL `javax.imageio` decode (true dimensions,
+    * n_frames = 1 for stills); undecodable payloads and the stub
+    * modalities fall back to [[FakeCodec]].
     */
   def extractMeta(assets: Dataset[MediaAsset]): Dataset[MediaMeta] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { a =>
-        val (w, h, f) = FakeCodec.decode(a.payload)
-        MediaMeta(a.media_id, a.kind, a.payload.length.toLong, w, h, f)
+        val real =
+          if (a.kind == "image") ImageCodec.decodeDims(a.payload) else None
+        real match {
+          case Some((w, h)) =>
+            MediaMeta(a.media_id, a.kind, a.payload.length.toLong, w, h, 1)
+          case None =>
+            val (w, h, f) = FakeCodec.decode(a.payload)
+            MediaMeta(a.media_id, a.kind, a.payload.length.toLong, w, h, f)
+        }
+      }
+    }
+  }
+
+  /** Executor-side PNG render → decode round trip: one deterministic
+    * image per input id (dims derived from the id by the caller-visible
+    * formulas below), encoded and decoded back with the REAL codec in
+    * the same partition pass — no driver hop, no shuffle. The decoded
+    * dimensions are the query output, so an oracle that knows only the
+    * formulas independently checks that the real encode/decode is
+    * faithful.
+    */
+  def pngRoundTrip(ids: DataFrame, idCol: String): Dataset[MediaMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 1 + (id % 37).toInt
+        val h = 1 + ((id * 7) % 29).toInt
+        val png = ImageCodec.encodePng(w, h, seed = id)
+        val (dw, dh) = ImageCodec.decodeDims(png).getOrElse((-1, -1))
+        MediaMeta(id, "image", png.length.toLong, dw, dh, 1)
       }
     }
   }

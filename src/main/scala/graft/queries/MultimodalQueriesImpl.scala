@@ -122,6 +122,30 @@ object MultimodalQueriesImpl {
       |FROM m
       |ORDER BY media_id""".stripMargin
 
+  // ---- multimodal_decode -------------------------------------------
+
+  /** REAL image codec round trip (javax.imageio, JDK-builtin): render a
+    * deterministic PNG per doc_id in the executors, decode it back in
+    * the same partition pass, output the DECODED dimensions. The oracle
+    * knows only the dimension formulas — it never sees the PNG bytes —
+    * so a hash match proves the real encode → decode path is faithful
+    * for every row. (PNG byte size is codec-version-dependent and
+    * deliberately excluded.)
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pngRoundTrip(docs(s, dir), "doc_id")
+      .toDF()
+      .select("media_id", "kind", "width", "height", "n_frames")
+      .orderBy("media_id")
+
+  private val multimodalDecodeOracle =
+    """SELECT doc_id AS media_id, 'image' AS kind,
+      |  CAST(1 + doc_id % 37 AS INTEGER) AS width,
+      |  CAST(1 + (doc_id * 7) % 29 AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS n_frames
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   // ---- multimodal_features -----------------------------------------
 
   /** Stub feature extraction: 8-dim payload-derived vectors through the
@@ -160,8 +184,11 @@ object MultimodalQueriesImpl {
       "grouped stats over an extracted JSON field",
       propsStats, Some(propsStatsOracle)),
     QueryDef("multimodal_meta",
-      "binary media envelope + iterator-partition stub decode",
+      "binary media envelope + iterator-partition decode (real imageio for images, stub otherwise)",
       multimodalMeta, Some(multimodalMetaOracle)),
+    QueryDef("multimodal_decode",
+      "REAL javax.imageio PNG render+decode round trip in executors",
+      multimodalDecode, Some(multimodalDecodeOracle)),
     QueryDef("multimodal_frames",
       "frame sampling explode over video assets",
       multimodalFrames, Some(multimodalFramesOracle)))

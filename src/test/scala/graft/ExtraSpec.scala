@@ -132,6 +132,34 @@ class ExtraSpec extends SparkSpec {
     assert(meta.n_frames == 1 + 25 % 30)
   }
 
+  test("real image decode: ImageIO round-trips a known PNG and " +
+      "extractMeta reports its true dimensions") {
+    // direct codec round trip on a hand-sized image
+    val png = Multimodal.ImageCodec.encodePng(5, 3, seed = 42L)
+    assert(png.length > 8)
+    // PNG magic bytes prove a real encoder ran
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    assert(Multimodal.ImageCodec.decodeDims(png).contains((5, 3)))
+    // corrupt payloads decode to None, never throw
+    assert(Multimodal.ImageCodec.decodeDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(Array.empty[Byte]).isEmpty)
+
+    // through the distributed path: an image-kind asset carrying a real
+    // PNG reports decoded dims and n_frames = 1, not the stub's fake
+    val assets = Seq(Multimodal.MediaAsset(3L, "image",
+      Multimodal.ImageCodec.encodePng(17, 11, seed = 3L))).toDS()
+    val meta = Multimodal.extractMeta(assets).collect().head
+    assert(meta.width == 17 && meta.height == 11 && meta.n_frames == 1)
+
+    // pngRoundTrip: formula dims survive executor-side encode+decode
+    val rt = Multimodal.pngRoundTrip(
+      Seq(0L, 1L, 40L, 123L).toDF("doc_id"), "doc_id")
+      .collect().map(m => m.media_id -> (m.width, m.height)).toMap
+    for (id <- Seq(0L, 1L, 40L, 123L))
+      assert(rt(id) == (1 + (id % 37).toInt, 1 + ((id * 7) % 29).toInt))
+  }
+
   test("resize plan preserves aspect ratio inside the bounding box") {
     // 'h'=104 -> width 1+104%64=41 ; 'e'=101 -> height 1+101%64=38
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
