@@ -73,24 +73,79 @@ object JdbcSink {
       df.write.mode("append").jdbc(url, table, props)
     }
 
+  /** One target column of a warehouse table, as portable SQL. */
+  final case class ColumnDef(name: String, sqlType: String)
+
+  /** Map a Spark schema to portable SQL column definitions — the bridge
+    * from an evolving `Dataset` schema to [[migrate]].
+    */
+  def columnsFor(schema: org.apache.spark.sql.types.StructType): Seq[ColumnDef] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.map { f =>
+      val t = f.dataType match {
+        case StringType => "text"
+        case DoubleType => "double precision"
+        case FloatType => "real"
+        case LongType => "bigint"
+        case IntegerType => "integer"
+        case BooleanType => "boolean"
+        case TimestampType => "timestamp"
+        case DateType => "date"
+        case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+        case BinaryType => "bytea"
+        case other =>
+          throw new IllegalArgumentException(
+            s"no portable SQL type mapping for column ${f.name}: $other")
+      }
+      ColumnDef(f.name, t)
+    }
+  }
+
+  def createTableDdl(table: String, columns: Seq[ColumnDef]): String =
+    columns.map(c => s"  ${c.name} ${c.sqlType}")
+      .mkString(s"CREATE TABLE IF NOT EXISTS $table (\n", ",\n", "\n)")
+
+  /** Idempotent schema-drift migration, reference parity
+    * (spark_streaming.py:161-164, 228-231): `CREATE TABLE IF NOT EXISTS`
+    * with the full target schema, then one
+    * `ALTER TABLE ADD COLUMN IF NOT EXISTS` per column — a pre-existing
+    * table that predates newly added feature columns gains them, an
+    * up-to-date table is untouched, and reruns are no-ops. Driver-side
+    * and once per query start (NOT per batch) — DDL is control-plane.
+    */
+  def migrationDdl(table: String, columns: Seq[ColumnDef]): Seq[String] =
+    createTableDdl(table, columns) +: columns.map(c =>
+      s"ALTER TABLE $table ADD COLUMN IF NOT EXISTS ${c.name} ${c.sqlType}")
+
+  /** Run the migration through any statement executor (a JDBC
+    * `Statement.execute`, a warehouse client, or a recording fake in
+    * specs).
+    */
+  def migrate(execute: String => Unit, table: String,
+      columns: Seq[ColumnDef]): Unit =
+    migrationDdl(table, columns).foreach(execute)
+
+  /** Target columns of the reference's `features` sink table
+    * (spark_streaming.py:203-214).
+    */
+  val FeaturesColumns: Seq[ColumnDef] = Seq(
+    ColumnDef("symbol", "text"),
+    ColumnDef("window_start", "timestamp"),
+    ColumnDef("window_end", "timestamp"),
+    ColumnDef("first_price", "double precision"),
+    ColumnDef("last_price", "double precision"),
+    ColumnDef("log_return", "double precision"),
+    ColumnDef("volatility", "double precision"),
+    ColumnDef("num_ticks", "bigint"),
+    ColumnDef("max_event_time_ms", "bigint"),
+    ColumnDef("ingest_ts", "timestamp"),
+    ColumnDef("latency_ms", "bigint"))
+
   /** DDL for the reference's `features` sink table
     * (spark_streaming.py:203-214), as portable ANSI SQL. The reference
     * additionally converts it to a TimescaleDB hypertable partitioned on
     * window_start (:219-227) — on a plain warehouse, partition/cluster
     * by `window_start` for the same pruning effect.
     */
-  val FeaturesTableDdl: String =
-    """CREATE TABLE IF NOT EXISTS features (
-      |  symbol text,
-      |  window_start timestamp,
-      |  window_end timestamp,
-      |  first_price double precision,
-      |  last_price double precision,
-      |  log_return double precision,
-      |  volatility double precision,
-      |  num_ticks bigint,
-      |  max_event_time_ms bigint,
-      |  ingest_ts timestamp,
-      |  latency_ms bigint
-      |)""".stripMargin
+  val FeaturesTableDdl: String = createTableDdl("features", FeaturesColumns)
 }
