@@ -240,11 +240,15 @@ object Similarity {
 
   /** Spherical k-means (Lloyd) codebook — the production IVF build path.
     * Each iteration is ONE distributed pass: assignment is the inlined
-    * argmax projection (no join), and the centroid update is a wide
-    * per-dimension sum aggregation — map-side partial agg collapses each
-    * task to ≤C rows of dim+1 doubles, so shuffle volume per iteration is
-    * O(tasks·C·dim), independent of corpus row count. Cosine is
-    * scale-invariant, so the mean update IS the spherical k-means update.
+    * argmax projection (no join), and the centroid update aggregates the
+    * vectors ELEMENT-WISE on primitive double buffers (`aggregateByKey`:
+    * one vector add per row, map-side combine collapses each task to ≤C
+    * buffers of dim+1 doubles), so shuffle volume per iteration is
+    * O(tasks·C·dim), independent of corpus row count — and the plan is
+    * constant-size in `dim` (the previous per-dimension `element_at`
+    * sums created dim aggregate expressions, blowing up plan/codegen at
+    * dim ≳ 1k). Cosine is scale-invariant, so the mean update IS the
+    * spherical k-means update.
     *
     * Determinism: init is farthest-first over a hash-ordered sample
     * (engine-independent); subsequent iterations sum across partitions
@@ -292,18 +296,31 @@ object Similarity {
       sampleCodebook(emb, idCol, vecCol, math.max(8 * k, k)), k)
     if (cents.isEmpty) return cents
     for (_ <- 1 to iters) {
-      val sums = (0 until dim).map(j =>
-        sum(element_at(col("v"), j + 1).cast("double")).as(s"s$j"))
+      // slot dim holds the row count; slots 0..dim-1 the element sums
       val agg = e
         .withColumn("list_id", nearestCid(cents, col("v"), col("nrm")))
-        .groupBy("list_id")
-        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("list_id").cast("long"), col("v"))
+        .rdd
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .aggregateByKey(new Array[Double](dim + 1))(
+          (acc, v) => {
+            val n = math.min(dim, v.length)
+            var j = 0
+            while (j < n) { acc(j) += v(j); j += 1 }
+            acc(dim) += 1.0
+            acc
+          },
+          (a, b) => {
+            var j = 0
+            while (j <= dim) { a(j) += b(j); j += 1 }
+            a
+          })
         .collect()
-      val updated = agg.map { r =>
-        val n = r.getLong(1).toDouble
-        val v = Array.tabulate(dim)(j => r.getDouble(2 + j) / n)
-        Centroid(r.getLong(0), v, v.map(x => x * x).sum)
-      }.map(c => c.cid -> c).toMap
+      val updated = agg.map { case (cid, s) =>
+        val n = s(dim)
+        val v = Array.tabulate(dim)(j => s(j) / n)
+        cid -> Centroid(cid, v, v.map(x => x * x).sum)
+      }.toMap
       cents = cents.map(c => updated.getOrElse(c.cid, c))
     }
     cents

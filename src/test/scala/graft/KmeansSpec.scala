@@ -42,6 +42,30 @@ class KmeansSpec extends SparkSpec {
     assert(seed.forall(_.v.length == 4))
   }
 
+  test("kmeans at dim=1024: constant-size plan, blobs recovered in " +
+      "bounded time") {
+    // three separable direction blobs in dim 1024 — the regime where the
+    // old per-dimension element_at aggregation blew up plan/codegen
+    val dim = 1024
+    val rows = for {
+      (axis, base) <- Seq(0, 400, 800).zip(Seq(0L, 100L, 200L))
+      i <- 0 until 10
+    } yield {
+      val v = Array.fill(dim)(0.01f * (i % 3))
+      v(axis) = 1.0f
+      (base + i, v)
+    }
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCodebook(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, iters = 3)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cents.size == 3)
+    assert(cents.forall(_.v.length == dim))
+    val domAxes = cents.map(_.v.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(domAxes == Set(0, 400, 800))
+    assert(secs < 120, s"dim=1024 build took ${secs}s")
+  }
+
   test("topKIvfKmeans: valid ranked output with nonzero recall (sf0.001)") {
     val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.topKIvfKmeans(emb, "vec_id", "embedding",
