@@ -316,6 +316,35 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, order_seq""".stripMargin
 
+  /** Time-based RANGE frame window: 7-day trailing revenue per customer
+    * — every order row carries the sum of that customer's order totals
+    * with `o_orderdate` in the trailing 7-day interval (RANGE BETWEEN
+    * INTERVAL 7 DAYS PRECEDING AND CURRENT ROW over the event time, NOT
+    * a row-count frame: same-day peers always aggregate together, and
+    * gaps in the date sequence shrink the frame). Decimal-exact sum.
+    *
+    * Scale: the window shuffles once on o_custkey; the range frame is
+    * evaluated with a sliding aggregate over each partition's sorted
+    * run — no per-row rescan.
+    */
+  def trailingRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").selectExpr(
+      "o_custkey", "o_orderkey", "o_orderdate",
+      """CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |AS DOUBLE) AS trailing_7d_revenue""".stripMargin)
+      .orderBy("o_custkey", "o_orderkey")
+
+  private val trailingRevenueOracle =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+      |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+      |  AS DOUBLE) AS trailing_7d_revenue
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** ntile bucketing: customer account-balance deciles with per-decile
     * decimal-exact stats. Uses [[graft.ops.Ranks.withNtile]] — the
     * range-shuffle global rank — instead of `ntile().over(Window
@@ -475,6 +504,9 @@ object RelationalQueries {
     QueryDef("running_totals",
       "per-customer cumulative order totals (frame window)",
       runningTotals, Some(runningTotalsOracle)),
+    QueryDef("trailing_revenue_7d",
+      "time-based RANGE frame: 7-day trailing revenue per customer",
+      trailingRevenue, Some(trailingRevenueOracle)),
     QueryDef("custkey_deciles",
       "ntile(10) account-balance deciles + per-decile stats",
       custkeyDeciles, Some(custkeyDecilesOracle)),
