@@ -81,6 +81,123 @@ object TimeSeries {
     }
   }
 
+  /** Skew-safe as-of join: same semantics, arguments, and output columns
+    * as [[asofJoin]], but each key's timeline is SPLIT into coarse
+    * buckets of `bucketSeconds`, so a single hypertraded key
+    * parallelizes across (key, bucket) partitions instead of funneling
+    * its whole history through one task ([[asofJoin]] and the native
+    * `AsOfJoinExec` both cluster by key alone — the known skew limit).
+    *
+    * Three phases:
+    *   1. boundary rows — per (key, bucket), the right row a bucket
+    *      hands across its edge (last for backward, first for forward);
+    *   2. bucket-level carry — a per-key window over ONE ROW PER BUCKET
+    *      (not per event) computes each left bucket's incoming state;
+    *      this is the only per-key serial step, O(span/bucketSeconds);
+    *   3. the plain union + carry-forward window, partitioned by
+    *      (key, bucket), with the incoming state injected as a synthetic
+    *      right row at the bucket edge (ordered before/after every real
+    *      row of the bucket by construction).
+    *
+    * Tie caveat: when several right rows share the boundary timestamp,
+    * phase 1's argmax picks one arbitrarily — the same nondeterminism
+    * the plain form has at equal timestamps.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carryCols: Seq[String], direction: String = "backward",
+      toleranceSeconds: Option[Long] = None,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val back = direction == "backward"
+    def bktOf(c: Column): Column =
+      floor(c.cast("double") / bucketSeconds).cast("long")
+
+    val withRts = toleranceSeconds.isDefined
+    val allCarries = carryCols ++ (if (withRts) Seq("__rts") else Nil)
+    val rtsType = right.schema(tsCol).dataType
+    val otherLeftCols = left.columns.filterNot(c => c == key || c == tsCol)
+
+    // phase 1: boundary state per (key, bucket) — carries + true right ts
+    val rb = right.filter(col(tsCol).isNotNull)
+      .withColumn("__bkt", bktOf(col(tsCol)))
+    val pick = struct(
+      carryCols.map(c => col(c).as(s"c_$c")) :+ col(tsCol).as("c___ts"): _*)
+    val boundary = rb.groupBy(col(key), col("__bkt"))
+      .agg((if (back) max_by(pick, col(tsCol))
+            else min_by(pick, col(tsCol))).as("__st"))
+      .withColumn("__btag", lit(2))
+
+    // phase 2: incoming state per left bucket — window over bucket-level
+    // rows; boundary of the SAME bucket sorts after the left-bucket row,
+    // so only strictly earlier (backward) / later (forward) buckets feed
+    val lBkts = left.filter(col(tsCol).isNotNull)
+      .select(col(key), bktOf(col(tsCol)).as("__bkt")).distinct()
+      .withColumn("__btag", lit(1))
+      .withColumn("__st", lit(null).cast(boundary.schema("__st").dataType))
+    val bw = Window.partitionBy(col(key))
+      .orderBy(if (back) col("__bkt").asc else col("__bkt").desc,
+        col("__btag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val incoming = lBkts.unionByName(
+        boundary.select(col(key), col("__bkt"), col("__btag"), col("__st")))
+      .withColumn("__in", last(col("__st"), ignoreNulls = true).over(bw))
+      .filter(col("__btag") === 1 && col("__in").isNotNull)
+      .select(col(key), col("__bkt"), col("__in"))
+
+    // phase 3: plain union + carry-forward, partitioned by (key, bucket),
+    // with synthetic right rows at the bucket edge carrying the incoming
+    // state (bucket start for backward — sorts before every real row of
+    // the bucket; exclusive bucket end for forward)
+    val synthTs = ((if (back) col("__bkt") else col("__bkt") + 1) *
+      bucketSeconds).cast(left.schema(tsCol).dataType)
+    val synth = incoming.select(
+      Seq(col(key), synthTs.as(tsCol), lit(-1).as("__tag"), col("__bkt")) ++
+        otherLeftCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryCols.map(c => col(s"__in.c_$c").as(s"__c_$c")) ++
+        (if (withRts) Seq(col("__in.c___ts").as("__c___rts")) else Nil): _*)
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__bkt", bktOf(col(tsCol)))
+      .select(Seq(col(key), col(tsCol), col("__tag"), col("__bkt")) ++
+        otherLeftCols.map(col) ++
+        carryCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++
+        (if (withRts) Seq(lit(null).cast(rtsType).as("__c___rts")) else Nil): _*)
+    val r = rb.withColumn("__tag", lit(0))
+      .select(Seq(col(key), col(tsCol), col("__tag"), col("__bkt")) ++
+        otherLeftCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryCols.map(c => col(c).as(s"__c_$c")) ++
+        (if (withRts) Seq(col(tsCol).as("__c___rts")) else Nil): _*)
+    val ord =
+      if (back) Seq(col(tsCol).asc, col("__tag"))
+      else Seq(col(tsCol).desc_nulls_first, col("__tag"))
+    val w = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = allCarries.foldLeft(
+      l.unionByName(r).unionByName(synth)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
+    }
+    val base = carried.filter(col("__tag") === 1)
+      .drop("__tag", "__bkt")
+      .drop(allCarries.map(c => s"__c_$c"): _*)
+    toleranceSeconds match {
+      case None => base
+      case Some(tol) =>
+        val diff =
+          if (back)
+            col(tsCol).cast("double") - col("asof___rts").cast("double")
+          else col("asof___rts").cast("double") - col(tsCol).cast("double")
+        val within = diff <= tol.toDouble
+        carryCols.foldLeft(base)((df, c) =>
+          df.withColumn(s"asof_$c", when(within, col(s"asof_$c"))))
+          .drop("asof___rts")
+    }
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSeconds`. Returns input
     * rows + session_id (per-key ordinal).

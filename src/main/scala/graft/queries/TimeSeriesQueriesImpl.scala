@@ -76,6 +76,29 @@ object TimeSeriesQueriesImpl {
       .orderBy("event_id")
   }
 
+  // ---- asof_clicks_bucketed (skew-safe variant) --------------------
+
+  /** Same semantics as asof_clicks, through the SKEW-SAFE time-bucketed
+    * operator ([[TimeSeries.asofJoinBucketed]]): each user's timeline is
+    * split into daily buckets so a hypertraded key parallelizes instead
+    * of funneling one task. Shares the asof_clicks oracle — all three
+    * as-of implementations must agree bit-for-bit.
+    */
+  def asofClicksBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("click_ts"))
+    TimeSeries.asofJoinBucketed(purchases, clicks, "user_id", "ts",
+      carryCols = Seq("value", "click_ts"), bucketSeconds = 86400L)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_click_ts").as("last_click_ts"),
+        col("asof_value").as("last_click_value"))
+      .orderBy("event_id")
+  }
+
   // ---- asof_clicks_tol ----------------------------------------------
 
   /** As-of with a 1-hour tolerance: the matched click must be within
@@ -277,6 +300,9 @@ object TimeSeriesQueriesImpl {
     QueryDef("asof_clicks_native",
       "same as-of semantics via the custom AsOfJoinExec operator",
       asofClicksNative, Some(asofClicksOracle)),
+    QueryDef("asof_clicks_bucketed",
+      "same as-of semantics via the skew-safe time-bucketed operator",
+      asofClicksBucketed, Some(asofClicksOracle)),
     QueryDef("asof_clicks_tol",
       "as-of with 1h tolerance (stale matches null out)",
       asofClicksTol, Some(asofClicksTolOracle)),
