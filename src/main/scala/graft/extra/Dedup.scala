@@ -27,12 +27,38 @@ import org.apache.spark.sql.functions._
   *
   * Cache lifecycle: operators that persist internal frames consume them
   * and release them before returning — the returned pair frames are
-  * eagerly materialized via `localCheckpoint(eager = true)` (block
-  * storage owned by the RDD, freed by the ContextCleaner when the frame
-  * is garbage-collected), so repeated invocations leave nothing resident
-  * in the session's cache manager.
+  * eagerly materialized via [[materialize]] (block storage owned by the
+  * RDD, freed by the ContextCleaner when the frame is garbage-collected),
+  * so repeated invocations leave nothing resident in the session's cache
+  * manager.
   */
 object Dedup {
+
+  /** Materialization mode for the small frames these operators pin
+    * (pair lists, CC labels/edges), settable per session:
+    * `spark.conf.set(CheckpointModeKey, "local" | "reliable")`.
+    *
+    *   - `local` (default): `localCheckpoint(eager)` — executor-local
+    *     blocks, no DFS round trip. Trade-off (single-node / bench
+    *     default): the blocks are NOT replicated, so an executor loss
+    *     FAILS the job instead of recomputing — see SCALE.md.
+    *   - `reliable`: `checkpoint(eager)` to the context checkpoint dir
+    *     (`SparkContext.setCheckpointDir` required) — survives executor
+    *     loss; the right mode for long cluster runs.
+    *
+    * Either way the call is EAGER by design: callers release their
+    * persisted inputs immediately after, and the returned frame must not
+    * reference them lazily.
+    */
+  val CheckpointModeKey = "spark.graft.checkpoint.mode"
+
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointModeKey).getOrElse("local") match {
+      case "reliable" => df.checkpoint(eager = true)
+      case "local" => df.localCheckpoint(eager = true)
+      case other => throw new IllegalArgumentException(
+        s"$CheckpointModeKey must be local|reliable, got $other")
+    }
 
   /** Exact dedup by key: one output row per key, keeping the minimum of
     * `orderCol` as the canonical representative plus the duplicate count.
@@ -209,7 +235,7 @@ object Dedup {
         .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       withJac.filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .localCheckpoint(true)
+        .transform(materialize)
     } finally sets.unpersist(blocking = false)
   }
 
@@ -269,7 +295,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .localCheckpoint(true)
+        .transform(materialize)
     } finally {
       prefix.unpersist(blocking = false)
       sets.unpersist(blocking = false)
@@ -335,10 +361,10 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true) // reused every iteration — cut the lineage
+      .transform(materialize) // reused every iteration — cut the lineage
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .localCheckpoint(true)
+      .transform(materialize)
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
@@ -356,7 +382,7 @@ object Dedup {
         .observe(obs, sum(when(col("lab") =!= col("old"), 1L)
           .otherwise(0L)).as("changed"))
         .select("id", "lab")
-        .localCheckpoint(true)
+        .transform(materialize)
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1

@@ -140,6 +140,30 @@ class DedupSpec extends SparkSpec {
     assert(ok.map(_.getLong(1)).forall(_ == 0L))
   }
 
+  test("reliable checkpoint mode materializes through the checkpoint " +
+      "dir; invalid modes are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Dedup.CheckpointModeKey, "reliable")
+    try {
+      val docs = Seq(
+        (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+        (3L, "z y x w v u t s")).toDF("doc_id", "text")
+      val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text")
+      assert(pairs.count() == 1)
+      // reliable mode really wrote through the checkpoint dir
+      assert(new java.io.File(dir).listFiles.nonEmpty)
+      val clusters = Dedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters == Map(1L -> 1L, 2L -> 1L))
+
+      spark.conf.set(Dedup.CheckpointModeKey, "bogus")
+      intercept[IllegalArgumentException] {
+        Dedup.nearDupMinhash(docs, "doc_id", "text").count()
+      }
+    } finally spark.conf.unset(Dedup.CheckpointModeKey)
+  }
+
   test("dedup operators leave nothing in the session cache manager") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
