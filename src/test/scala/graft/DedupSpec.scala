@@ -128,9 +128,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dupClusters: throws rather than return partial labels when " +
-      "maxIters is below the component diameter") {
+      "maxIters is below what the diameter needs") {
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    // a 13-node path needs ~12 propagation rounds; 3 cannot converge
+    // pointer doubling reaches distance 2^k - 1 after k rounds: 3 rounds
+    // cover 7 < 12, so a 13-node path cannot converge
     val e = intercept[IllegalStateException] {
       Dedup.dupClusters(chain, maxIters = 3)
     }
@@ -138,6 +139,14 @@ class DedupSpec extends SparkSpec {
     // with enough iterations the same chain fully collapses to label 0
     val ok = Dedup.dupClusters(chain, maxIters = 15).collect()
     assert(ok.map(_.getLong(1)).forall(_ == 0L))
+  }
+
+  test("dupClusters: pointer doubling collapses a 400-node chain within " +
+      "the default iteration budget (plain propagation would need 400)") {
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(chain).collect() // default maxIters = 20
+    assert(out.length == 400)
+    assert(out.map(_.getLong(1)).forall(_ == 0L))
   }
 
   test("reliable checkpoint mode materializes through the checkpoint " +
