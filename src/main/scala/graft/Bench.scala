@@ -15,8 +15,11 @@ import org.apache.spark.sql.SparkSession
   * machine can swing 2× on contention (BENCH_r02 vs the judge's quiet
   * re-run of identical code: 64s vs 30s). `value` is the sum of medians.
   *
-  * Failure honesty: a query that throws is recorded as -1 with its error
-  * in `failures` — never as a fast-looking green number.
+  * Failure honesty: a failing pass records its error in `failures` and
+  * the query keeps running in later passes (a transient hiccup shouldn't
+  * forfeit the median); the reported time is the median of SUCCESSFUL
+  * passes, or -1 when every pass failed. A query with both a time and a
+  * failures entry is flaky — visible, never silently green.
   */
 object Bench {
 
@@ -84,8 +87,7 @@ object Bench {
     // of every sample of one query, which the median then rejects.
     val times = collection.mutable.Map.empty[String, List[Double]]
     val failures = collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to iters; (name, fn) <- SparkEntry.queries
-        if !failures.contains(name)) {
+    for (_ <- 1 to iters; (name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -98,8 +100,7 @@ object Bench {
       }
     }
     val medians = SparkEntry.queries.keys.map { name =>
-      name -> (if (failures.contains(name)) -1.0
-               else median(times.getOrElse(name, Nil)))
+      name -> median(times.getOrElse(name, Nil)) // -1 iff zero successes
     }.toMap
     val ok = medians.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
