@@ -222,10 +222,15 @@ object Dedup {
     val sets = Text.withShingles(docs, textCol, shingleN)
       .select(col(idCol), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the bands frame (bandsPerDoc narrow rows/doc) feeds BOTH sides of
+    // the candidate self-join; uncached, the whole minhash aggregation
+    // executes twice — AQE broadcasts one side, which defeats exchange
+    // reuse (verified: ReusedExchange=0 without this persist)
+    val bands = lshBands(minhashFromSets(sets, idCol, numPerms),
+        idCol, numPerms, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = lshCandidates(
-        lshBands(minhashFromSets(sets, idCol, numPerms),
-          idCol, numPerms, rowsPerBand), idCol, maxBucket)
+      val cand = lshCandidates(bands, idCol, maxBucket)
       val withJac = cand
         .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
         .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -236,7 +241,10 @@ object Dedup {
       withJac.filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .transform(materialize)
-    } finally sets.unpersist(blocking = false)
+    } finally {
+      bands.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
   }
 
   /** Exact n-gram Jaccard near-dup with PPJoin-style prefix filtering
