@@ -37,4 +37,26 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executedPlan("custkey_deciles")
     assert(!plan.contains("Window ["), plan.take(2000))
   }
+
+  test("trailing_revenue_7d: a keyed RANGE-frame window, one exchange " +
+      "on the partition key, no joins") {
+    val plan = executedPlan("trailing_revenue_7d")
+    // time-range frame survives into the physical window spec
+    assert(plan.contains("specifiedwindowframe(RangeFrame"), plan.take(2000))
+    // partitioned by customer — never an empty-PARTITION-BY global window
+    assert("windowspecdefinition\\(o_custkey".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("asof_clicks_bucketed: carry-forward window clusters on " +
+      "(key, bucket), never key alone") {
+    val plan = executedPlan("asof_clicks_bucketed")
+    assert(
+      "windowspecdefinition\\(user_id[^,]*, __bkt".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("windowspecdefinition"))
+        .mkString("\n").take(2000))
+  }
 }
