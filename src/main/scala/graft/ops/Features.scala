@@ -84,7 +84,12 @@ object Features {
         lastAgg(v, t).as("last_price"),
         count(v).as("num_ticks"),
         max(t).as("max_event_time"))
-      .withColumn("log_return", log(col("last_price") / col("first_price")))
+      // a log return only exists for positive prices: guard BOTH ends to
+      // NULL (ANSI division throws on first_price = 0, DuckDB ln() errors
+      // on a non-positive ratio — surfaced by zero-value rows at sf0.1)
+      .withColumn("log_return",
+        when(col("last_price") > 0 && col("first_price") > 0,
+          log(col("last_price") / col("first_price"))))
       .withColumn("volatility",
         abs(col("log_return")) / sqrt(col("num_ticks") + lit(1)))
       .select(
@@ -110,8 +115,11 @@ object Features {
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(cfg.keyCol).orderBy(cfg.timeCol)
     val t = col(cfg.timeCol)
+    // same positive-price guard as the log_return in computeWith
+    val prev = lag(col(cfg.valueCol), 1).over(byKey)
     val withRet = df.withColumn("tick_return",
-      log(col(cfg.valueCol) / lag(col(cfg.valueCol), 1).over(byKey)))
+      when(col(cfg.valueCol) > 0 && prev > 0,
+        log(col(cfg.valueCol) / prev)))
     val win = cfg.slide match {
       case Some(s) => window(t, cfg.window, s)
       case None    => window(t, cfg.window)

@@ -52,8 +52,10 @@ object CoreQueries {
       |       window_start + INTERVAL 1 HOUR AS window_end,
       |       arg_min(value, ts) AS first_price,
       |       arg_max(value, ts) AS last_price,
-      |       round(ln(arg_max(value, ts)/arg_min(value, ts)), 6) AS log_return,
-      |       round(abs(ln(arg_max(value, ts)/arg_min(value, ts)))
+      |       round(CASE WHEN arg_max(value, ts) > 0 AND arg_min(value, ts) > 0
+      |             THEN ln(arg_max(value, ts)/arg_min(value, ts)) END, 6) AS log_return,
+      |       round(CASE WHEN arg_max(value, ts) > 0 AND arg_min(value, ts) > 0
+      |             THEN abs(ln(arg_max(value, ts)/arg_min(value, ts))) END
       |             / sqrt(count(value)+1), 6) AS volatility,
       |       count(value) AS num_ticks,
       |       max(ts) AS max_event_time
@@ -78,8 +80,10 @@ object CoreQueries {
       |       epoch_ms(CAST(floor(epoch(ts)/86400) AS BIGINT)*86400000) + INTERVAL 1 DAY AS window_end,
       |       arg_min(value, ts) AS first_price,
       |       arg_max(value, ts) AS last_price,
-      |       round(ln(arg_max(value, ts)/arg_min(value, ts)), 6) AS log_return,
-      |       round(abs(ln(arg_max(value, ts)/arg_min(value, ts)))
+      |       round(CASE WHEN arg_max(value, ts) > 0 AND arg_min(value, ts) > 0
+      |             THEN ln(arg_max(value, ts)/arg_min(value, ts)) END, 6) AS log_return,
+      |       round(CASE WHEN arg_max(value, ts) > 0 AND arg_min(value, ts) > 0
+      |             THEN abs(ln(arg_max(value, ts)/arg_min(value, ts))) END
       |             / sqrt(count(value)+1), 6) AS volatility,
       |       count(value) AS num_ticks,
       |       max(ts) AS max_event_time
@@ -102,8 +106,10 @@ object CoreQueries {
   private val volatilityTrueOracle =
     """WITH r AS (
       |  SELECT event_type, ts, value,
-      |         ln(value / lag(value) OVER
-      |            (PARTITION BY event_type ORDER BY ts)) AS tick_return
+      |         CASE WHEN value > 0 AND lag(value) OVER
+      |                (PARTITION BY event_type ORDER BY ts) > 0
+      |              THEN ln(value / lag(value) OVER
+      |                (PARTITION BY event_type ORDER BY ts)) END AS tick_return
       |  FROM events
       |)
       |SELECT event_type,

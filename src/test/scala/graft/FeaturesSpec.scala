@@ -76,6 +76,27 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(lrF + lrR) < 1e-12)
   }
 
+  test("zero/non-positive prices yield NULL log returns, never " +
+      "ANSI division-by-zero (sf0.1 regression)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("A", "2024-01-01 00:00:05", 0.0),   // zero first price
+      ("A", "2024-01-01 00:00:25", 2.0),
+      ("B", "2024-01-01 00:00:05", 4.0),
+      ("B", "2024-01-01 00:00:25", 0.0))   // zero last price
+      .toDF("symbol", "event_time", "price")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+    val out = Features.compute(df,
+        FeatureConfig(window = "60 seconds", slide = None))
+      .select("symbol", "log_return", "volatility").collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    val tv = Features.computeTrueVolatility(df,
+        FeatureConfig(window = "60 seconds", slide = None))
+      .select("volatility_true").collect()
+    assert(tv.forall(_.isNullAt(0))) // no defined tick returns anywhere
+  }
+
   test("malformed JSON rows are dropped by parseRaw") {
     val raw = Seq(
       """{"symbol":"AAPL","price":190.12,"event_time_ms":1727740800000}""",
