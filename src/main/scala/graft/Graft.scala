@@ -201,6 +201,18 @@ object Graft {
       tsCol: String, carryCols: Seq[String]): DataFrame =
     plans.AsOf.join(left, right, key, tsCol, carryCols)
 
+  /** Skew-safe as-of join: same semantics as [[asofJoin]], clustered on
+    * (key, time-bucket) so one hypertraded key parallelizes across
+    * partitions instead of funneling a single task.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carryCols: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None,
+      bucketSeconds: Long = 86400L): DataFrame =
+    extra.TimeSeries.asofJoinBucketed(left, right, key, tsCol, carryCols,
+      direction, toleranceSeconds, bucketSeconds)
+
   def sessionize(df: DataFrame, key: String, tsCol: String,
       gapSeconds: Long): DataFrame =
     extra.TimeSeries.sessionize(df, key, tsCol, gapSeconds)
