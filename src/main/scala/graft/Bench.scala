@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * {"metric":"total","value":S,"unit":"sec","queries":{name:medianSec,…},
+  *  "spreads":{name:[minSec,medianSec,maxSec],…},
   *  "sf":dir,"n":3,"failures":{name:error,…},"streaming":{…}}
   * }}}
   *
@@ -14,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   * and reports the per-query MEDIAN — single-pass numbers on a shared
   * machine can swing 2× on contention (BENCH_r02 vs the judge's quiet
   * re-run of identical code: 64s vs 30s). `value` is the sum of medians.
+  * `spreads` carries [min, median, max] of the successful passes per
+  * query (r5 verdict: medians alone cannot distinguish machine
+  * contention from a code regression — a wide spread says contention, a
+  * tight-but-shifted one says regression).
   *
   * Failure honesty: a failing pass records its error in `failures` and
   * the query keeps running in later passes (a transient hiccup shouldn't
@@ -118,6 +123,13 @@ object Bench {
 
     val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val spreads = SparkEntry.queries.keys.map { name =>
+      val ts = times.getOrElse(name, Nil)
+      val arr =
+        if (ts.isEmpty) "[-1,-1,-1]"
+        else s"[${ts.min},${median(ts)},${ts.max}]"
+      s"${jstr(name)}:$arr"
+    }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val streamJson = streaming.map(s => s""","streaming":${s.json}""").getOrElse("")
@@ -126,6 +138,7 @@ object Bench {
     // it — nothing may write to stdout past this point.
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spreads":$spreads,""" +
       s""""sf":${jstr(sfDir)},"n":$iters,"failures":$fs$streamJson}""")
     System.out.flush()
   }

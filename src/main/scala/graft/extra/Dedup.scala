@@ -381,8 +381,12 @@ object Dedup {
       // carry the previous label through the aggregation: min(lab) is
       // the update, and the changed-count observed metric answers the
       // convergence probe from the job that materializes the labels
-      // anyway. (The self-join below may execute this subtree twice;
-      // a doubled metric still zero-tests correctly.)
+      // anyway. The frame feeds BOTH sides of the pointer-doubling
+      // self-join below, so it is materialized HERE (eager checkpoint =
+      // one job, which also fires the Observation) — without this the
+      // union+groupBy and its whole upstream execute twice per
+      // iteration (r5 verdict: prime suspect in the neardup_clusters
+      // 3.3s -> 11.2s swing).
       val obs = new org.apache.spark.sql.Observation()
       val propagated = labels.withColumn("old", col("lab")).unionByName(
           nbr.withColumn("old", lit(null).cast(nbr.schema("lab").dataType)))
@@ -391,14 +395,22 @@ object Dedup {
         .observe(obs, sum(when(col("lab") =!= col("old"), 1L)
           .otherwise(0L)).as("changed"))
         .select("id", "lab")
-      // pointer doubling: follow the label one hop (lab := lab's lab —
-      // monotone non-increasing, reaches the component min in log rounds)
-      val next = propagated
-        .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
-          "lab")
-        .select(col("id"), col("lab2").as("lab"))
         .transform(materialize)
-      labels = next
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // pointer doubling: follow the label one hop (lab := lab's lab —
+      // monotone non-increasing, reaches the component min in log
+      // rounds). At the fixed point the hop is the identity, so skip it
+      // (and its materialization job) once the probe reports converged.
+      // `next` is materialized too: it becomes the next iteration's
+      // `labels`, which is itself referenced twice (neighbor join +
+      // union side).
+      labels =
+        if (converged) propagated
+        else propagated
+          .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
+            "lab")
+          .select(col("id"), col("lab2").as("lab"))
+          .transform(materialize)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }

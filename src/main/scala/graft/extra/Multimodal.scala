@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` ships with the JDK, so
   * [[ImageCodec]] decodes PNG/JPEG/BMP/GIF payloads to true dimensions
-  * (and renders deterministic PNGs for round-trip tests/queries). Audio
-  * and video codecs are NOT available in this environment, so their
-  * decode step remains a clearly-marked deterministic STUB
+  * (and renders deterministic PNGs for round-trip tests/queries).
+  * AUDIO decode is REAL for WAV/PCM: `javax.sound.sampled.AudioSystem`
+  * is likewise JDK-builtin, so [[AudioCodec]] reads true
+  * sample-rate/channels/frame-count (and writes deterministic PCM16
+  * WAVs for round trips). Only VIDEO and compressed-audio codecs are
+  * absent from this environment, so those decodes remain a
+  * clearly-marked deterministic STUB
   * ([[FakeCodec]]) — everything Spark-side is real either way: the
   * binary schema, the typed `Dataset` plumbing, iterator-per-partition
   * processing (no per-row JVM call overhead, no driver collect), and
@@ -70,17 +74,68 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec on the JDK-builtin `javax.sound.sampled` — no
+    * external jars, same argument as [[ImageCodec]]. Handles the WAV/PCM
+    * container; compressed formats (mp3/aac/…) have no JDK service
+    * provider and fall through to the stub.
+    */
+  object AudioCodec {
+
+    /** True (sample_rate, channels, n_frames) if the payload is
+      * JDK-decodable audio (WAV/PCM, AIFF, AU).
+      */
+    def decodeProps(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+      var in: javax.sound.sampled.AudioInputStream = null
+      try {
+        in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, in.getFrameLength))
+      } catch {
+        case _: Exception => None
+      } finally if (in != null) in.close()
+    }
+
+    /** Synthesize an `nFrames`-frame signed-PCM16 little-endian WAV with
+      * seed-determined samples, written through the real
+      * `AudioSystem.write` WAVE encoder — byte-deterministic for a fixed
+      * JDK, used for round-trip tests and the executor-side
+      * encode → decode query path.
+      */
+    def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+        seed: Long): Array[Byte] = {
+      val bytesPerFrame = 2 * channels
+      val pcm = new Array[Byte](nFrames * bytesPerFrame)
+      var i = 0
+      while (i < nFrames * channels) {
+        val s = ((seed * 6364136223846793005L + i * 1442695040888963407L)
+          >>> 48).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, channels, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   /** STUB decoder for the modalities whose libraries do NOT exist in
-    * this environment (audio/video; also the fallback for image-kind
-    * payloads that are not decodable images). A real implementation
-    * would call the media library here (per partition, reusing a decoder
-    * instance across the iterator). This fake derives dimensions
+    * this environment (video and compressed audio; also the fallback
+    * for image/audio-kind payloads that are not decodable by the real
+    * JDK codecs). A real implementation would invoke the media library
+    * at the top of this method (per partition, reusing a decoder
+    * instance across the iterator); this fake derives dimensions
     * deterministically from the payload header bytes so tests and
     * oracles can check the plumbing.
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      // ??? — real codec goes here; deterministic fake below.
       val b0 = if (payload.length > 0) payload(0) & 0xff else 0
       val b1 = if (payload.length > 1) payload(1) & 0xff else 0
       val width = 1 + b0 % 64
@@ -147,6 +202,44 @@ object Multimodal {
         val png = ImageCodec.encodePng(w, h, seed = id)
         val (dw, dh) = ImageCodec.decodeDims(png).getOrElse((-1, -1))
         MediaMeta(id, "image", png.length.toLong, dw, dh, 1)
+      }
+    }
+  }
+
+  /** Decoded audio metadata (true properties from the real codec).
+    * `duration_ms` is derived from the DECODED frame count and rate —
+    * `round(n_frames * 1000.0 / sample_rate, 6)`, IEEE-double exact and
+    * reproducible by any engine from the same two integers.
+    */
+  final case class AudioMeta(
+      media_id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      duration_ms: Double)
+
+  /** Executor-side WAV encode → decode round trip, the audio mirror of
+    * [[pngRoundTrip]]: one deterministic PCM16 WAV per input id (rate /
+    * channels / frame-count derived from the id by the caller-visible
+    * formulas below), written and read back with the REAL
+    * `javax.sound.sampled` codec in the same partition pass — no driver
+    * hop, no shuffle. The decoded properties are the query output, so an
+    * oracle that knows only the formulas independently checks that the
+    * real encode/decode is faithful. (Payload byte size is
+    * container-chunk-dependent across JDKs and deliberately excluded,
+    * as with PNG.)
+    */
+  def wavRoundTrip(ids: DataFrame, idCol: String): Dataset[AudioMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+        val channels = 1 + (id % 2).toInt
+        val frames = 50 + ((id * 13) % 250).toInt
+        val wav = AudioCodec.encodeWav(rate, channels, frames, seed = id)
+        val (dRate, dCh, dFrames) =
+          AudioCodec.decodeProps(wav).getOrElse((-1, -1, -1L))
+        // raw IEEE division here; callers round(…, 6) in-plan so both
+        // engines round identically (proven oracle-determinism rule)
+        AudioMeta(id, dRate, dCh, dFrames, dFrames * 1000.0 / dRate)
       }
     }
   }

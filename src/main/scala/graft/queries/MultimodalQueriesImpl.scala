@@ -146,6 +146,36 @@ object MultimodalQueriesImpl {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  // ---- audio_decode ------------------------------------------------
+
+  /** REAL audio codec round trip (javax.sound.sampled, JDK-builtin):
+    * synthesize a deterministic PCM16 WAV per doc_id in the executors,
+    * decode it back in the same partition pass, output the DECODED
+    * sample-rate/channels/frame-count and the duration derived from
+    * them. The oracle knows only the per-id parameter formulas — it
+    * never sees the WAV bytes — so a hash match proves the real
+    * encode → decode path is faithful for every row. (WAV byte size is
+    * container-chunk-dependent and deliberately excluded, as with PNG.)
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavRoundTrip(docs(s, dir), "doc_id")
+      .toDF()
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"))
+      .orderBy("media_id")
+
+  private val audioDecodeOracle =
+    """SELECT doc_id AS media_id,
+      |  CAST(([8000,16000,44100])[CAST(doc_id % 3 AS INTEGER) + 1]
+      |    AS INTEGER) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |  CAST(50 + (doc_id * 13) % 250 AS BIGINT) AS n_frames,
+      |  round((50 + (doc_id * 13) % 250) * 1000.0
+      |    / (([8000,16000,44100])[CAST(doc_id % 3 AS INTEGER) + 1]), 6)
+      |    AS duration_ms
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   // ---- multimodal_features -----------------------------------------
 
   /** Stub feature extraction: 8-dim payload-derived vectors through the
@@ -189,6 +219,9 @@ object MultimodalQueriesImpl {
     QueryDef("multimodal_decode",
       "REAL javax.imageio PNG render+decode round trip in executors",
       multimodalDecode, Some(multimodalDecodeOracle)),
+    QueryDef("audio_decode",
+      "REAL javax.sound.sampled WAV encode+decode round trip in executors",
+      audioDecode, Some(audioDecodeOracle)),
     QueryDef("multimodal_frames",
       "frame sampling explode over video assets",
       multimodalFrames, Some(multimodalFramesOracle)))
