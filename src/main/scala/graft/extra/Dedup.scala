@@ -122,6 +122,36 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-ROW MinHash signature as a PURE PROJECTION — the stream-safe
+    * form of [[minhashFromSets]] (which needs a groupBy): all `numPerms`
+    * perm minima are computed in ONE fold over the shingle array, so the
+    * expression runs inside a micro-batch projection with no shuffle and
+    * no state.
+    *
+    * Expression shape matters here (HOF lambda CSE): the shingle hash
+    * (md5) is the collection argument of the fold — evaluated once per
+    * row — and the lambdas reference only their own variables plus the
+    * constant-folded perm-parameter array, so nothing expensive
+    * re-evaluates per element. Arithmetic is identical to the batch path
+    * (same [[minhashA]]/[[minhashB]]/[[MinhashP]]), so streaming and
+    * batch signatures agree on the same text.
+    *
+    * Empty shingle arrays (text shorter than the shingle width) return
+    * all-[[MinhashP]] sentinels — a value unreachable by real minima
+    * (which are mod P, hence < P); callers must give those rows
+    * non-colliding keys instead of treating the sentinel as a
+    * signature.
+    */
+  def minhashArray(shingles: Column, numPerms: Int): Column = {
+    val permConsts = array((0 until numPerms).map(i =>
+      struct(lit(minhashA(i)).as("a"), lit(minhashB(i)).as("b"))): _*)
+    aggregate(
+      transform(shingles, s => shingleHash(s)),
+      array_repeat(lit(MinhashP), numPerms),
+      (acc, h) => zip_with(acc, permConsts, (m, ab) =>
+        least(m, (h * ab.getField("a") + ab.getField("b")) % MinhashP)))
+  }
+
   /** LSH banding over the wide signature frame: (id, band, signature)
     * rows — band signature is the comma-joined run of its perm minima.
     */
@@ -411,7 +441,6 @@ object Dedup {
             "lab")
           .select(col("id"), col("lab2").as("lab"))
           .transform(materialize)
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
     if (!converged)

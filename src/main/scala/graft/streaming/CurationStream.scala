@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-import graft.extra.Curation
+import graft.extra.{Curation, Dedup, Text}
 
 /** Ingest-time curation — the stream-safe subset of
   * [[graft.extra.Curation.curate]] applied at the door instead of after
@@ -14,12 +14,16 @@ import graft.extra.Curation
   *   - exact dedup: `dropDuplicatesWithinWatermark` on the content hash —
   *     state holds one hash per unique doc inside the watermark horizon,
   *     so a replayed/duplicated document is dropped while its first copy
-  *     is in flight.
+  *     is in flight;
+  *   - NEAR-dup suppression ([[curateStreamNearDup]]): MinHash band
+  *     signatures computed as pure projections, deduped per (band, sig)
+  *     within the watermark, docs kept only when EVERY band was
+  *     first-seen — bounded state, no all-pairs join.
   *
-  * Near-dup removal and split assignment stay BATCH concerns (they need
-  * corpus-global candidate joins); the point of the streaming stage is
-  * cutting junk and copies before they ever hit storage, shrinking the
-  * nightly batch curation's input.
+  * Corpus-global near-dup clustering and split assignment stay BATCH
+  * concerns (they need candidate joins over all of storage); the point
+  * of the streaming stage is cutting junk and copies before they ever
+  * hit storage, shrinking the nightly batch curation's input.
   */
 object CurationStream {
 
@@ -43,6 +47,77 @@ object CurationStream {
       .filter(!Curation.lowQualityFlag(cfg) && !Curation.wrongLangFlag(cfg))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+      .select("doc_id", "text", "event_time")
+  }
+
+  /** [[curateStream]] plus IN-FLIGHT NEAR-dup suppression: drop a doc
+    * whose MinHash LSH bucket was already claimed by an earlier doc
+    * inside the watermark horizon.
+    *
+    * Plan (append mode, three chained stateful operators — all
+    * watermark-bounded):
+    *
+    *   1. band signatures as pure projections
+    *      ([[Dedup.minhashArray]] — one fold per row, no shuffle, no
+    *      state), exploded to one (band, sig) row per band;
+    *   2. `dropDuplicatesWithinWatermark(band, sig)` — the FIRST doc to
+    *      present each bucket keeps its row; later colliding docs lose
+    *      that row. State: one entry per distinct bucket in the horizon;
+    *   3. per-doc reassembly: a windowed count of surviving band rows —
+    *      a doc is emitted iff ALL its bands were first-seen. State: one
+    *      buffer per in-flight doc until the watermark closes its
+    *      window.
+    *
+    * Precision/recall trade vs the batch path (documented, deliberate):
+    * the batch pipeline verifies candidates with exact Jaccard and
+    * clusters them corpus-globally; this stage drops on bucket collision
+    * ALONE. For a true near-dup pair with shingle-Jaccard J the drop
+    * probability is 1−(1−J^rowsPerBand)^numBands (the standard LSH
+    * S-curve — steeper near 1 with more bands); a false bucket collision
+    * between dissimilar docs (probability per band ≈ that of two
+    * independent 48-bit-min runs agreeing on `rowsPerBand` minima)
+    * incorrectly drops a good doc, which batch verification would have
+    * kept. Suppression also only sees the watermark horizon: copies
+    * arriving further apart are left for the nightly batch CC. Emission
+    * latency: docs emit when the watermark passes their `emitWindow`
+    * event-time window (the cost of chaining a windowed aggregation
+    * after a dedup in append mode).
+    *
+    * Short texts whose shingle array is empty produce the all-sentinel
+    * signature ([[Dedup.minhashArray]]); their band keys are salted with
+    * doc_id so they never collide with each other.
+    */
+  def curateStreamNearDup(raw: DataFrame,
+      cfg: Curation.Config = Curation.Config(),
+      watermark: String = "10 minutes",
+      numPerms: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3,
+      emitWindow: String = "1 minute"): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms % rowsPerBand != 0")
+    val numBands = numPerms / rowsPerBand
+    val sigs = curateStream(raw, cfg, watermark)
+      .withColumn("__mhs",
+        Dedup.minhashArray(Text.shingles(col("text"), shingleN), numPerms))
+    // Band structs read the materialized signature ATTRIBUTE via plain
+    // element_at calls — no lambda references to the expensive fold, so
+    // it is evaluated exactly once per row (HOF-CSE trap).
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        when(element_at(col("__mhs"), 1) === lit(Dedup.MinhashP),
+            concat(lit("uniq:"), col("doc_id")))
+          .otherwise(concat_ws(",", (0 until rowsPerBand).map(j =>
+            element_at(col("__mhs"), b * rowsPerBand + j + 1)
+              .cast("string")): _*)).as("sig"))
+    }
+    sigs
+      .select(col("doc_id"), col("text"), col("event_time"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("text"), col("event_time"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .dropDuplicatesWithinWatermark("band", "sig")
+      .groupBy(window(col("event_time"), emitWindow), col("doc_id"))
+      .agg(count(lit(1)).as("__nb"), min("text").as("text"),
+        min("event_time").as("event_time"))
+      .filter(col("__nb") === numBands)
       .select("doc_id", "text", "event_time")
   }
 }

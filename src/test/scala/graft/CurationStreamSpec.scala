@@ -42,4 +42,71 @@ class CurationStreamSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(rows == Seq(1L, 4L))
   }
+
+  test("near-dup suppression drops cross-micro-batch near copies, " +
+      "keeps distinct docs, and bounds state by the watermark") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("cur_nd_out").toString
+    val ckpt = Files.createTempDirectory("cur_nd_ckpt").toString
+    val nearCopy = good.replace("lazy", "sleepy") // one token differs
+    // distinct content, but stopword-rich enough to pass the same
+    // quality/language gates the other fixtures pass
+    val distinct =
+      "the silver wolf walks under a bright moon of winter to find " +
+        "the hidden creek in deep snow and drinks in the cold night"
+    val q = CurationStream.curateStreamNearDup(mem.toDF())
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start()
+    // batch 1: original + a distinct doc
+    mem.addData(Seq(
+      payload(1, good, 1000000L),
+      payload(2, distinct, 1001000L)))
+    // batch 2 (separate micro-batch): near copy of doc 1 — its band
+    // buckets are already claimed by doc 1's state, so it must drop even
+    // though the exact text differs (text_hash dedup would keep it)
+    mem.addData(Seq(
+      payload(3, nearCopy, 1002000L)))
+    // batch 3: watermark pusher — event_time one hour later closes the
+    // earlier emit windows (its own window stays open and unemitted)
+    mem.addData(Seq(
+      payload(9, good + " flush marker row", 4600000L)))
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(rows == Seq(1L, 2L))
+  }
+
+  test("streaming minhash signature projection agrees with the batch " +
+      "groupBy signature on the same text") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, good), (2L, good + " tail"), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val streaming = docs
+      .withColumn("mhs",
+        graft.extra.Dedup.minhashArray(
+          graft.extra.Text.shingles(col("text"), 3), 8))
+      .select(col("doc_id"), posexplode(col("mhs")).as(Seq("i", "mh")))
+    val batch = graft.extra.Dedup.minhash(docs, "doc_id", "text",
+        numPerms = 8, shingleN = 3)
+      .select(col("doc_id"),
+        posexplode(array((0 until 8).map(i => col(s"mh$i")): _*))
+          .as(Seq("i", "mh")))
+    // doc 3 has no 3-shingles: batch drops it, streaming emits the
+    // sentinel — compare only docs present in both
+    val s = streaming.filter(col("doc_id") =!= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = batch.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(b.nonEmpty && s == b)
+    val sentinel = streaming.filter(col("doc_id") === 3)
+      .select("mh").as[Long].collect()
+    assert(sentinel.length == 8 &&
+      sentinel.forall(_ == graft.extra.Dedup.MinhashP))
+  }
 }

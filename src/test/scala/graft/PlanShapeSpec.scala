@@ -10,6 +10,39 @@ class PlanShapeSpec extends SparkSpec {
     graft.queries.Registry.byName(name).run(spark, sfDir)
       .queryExecution.executedPlan.toString
 
+  /** Every physical plan the query actually EXECUTES, checkpoint jobs
+    * included — the eager-materialize operators (ngram_jaccard,
+    * neardup_minhash) return a `Scan ExistingRDD` facade, so their real
+    * join shapes are only visible in the checkpoint executions, which
+    * run through `Dataset.withAction` and therefore reach the
+    * QueryExecutionListener. The listener bus is async: poll until the
+    * plans stop arriving.
+    */
+  private def allExecutedPlans(name: String): String = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.queries.Registry.byName(name).run(spark, sfDir).count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) { // drain the async listener bus
+        Thread.sleep(200)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.mkString("\n----\n")
+  }
+
   test("neardup_embedding: no nested-loop/cartesian join anywhere") {
     val plan = executedPlan("neardup_embedding")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
@@ -49,6 +82,51 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges")
     assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("ngram_jaccard: keyed PPJoin shapes — no nested-loop/cartesian, " +
+      "both persists feed the executed plans") {
+    val plans = allExecutedPlans("ngram_jaccard")
+    assert(!plans.contains("BroadcastNestedLoopJoin"), plans.take(2000))
+    assert(!plans.contains("CartesianProduct"), plans.take(2000))
+    // the shingle-set and prefix persists must actually be read (their
+    // removal would silently double the docFreq + ranking work)
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plans).length
+    assert(cacheScans >= 2, s"expected >=2 cache scans, got $cacheScans")
+  }
+
+  test("neardup_minhash: candidate self-join is keyed on (band, sig) " +
+      "and both sides read the bands cache") {
+    val plans = allExecutedPlans("neardup_minhash")
+    assert(!plans.contains("BroadcastNestedLoopJoin"), plans.take(2000))
+    assert(!plans.contains("CartesianProduct"), plans.take(2000))
+    // the candidate join must stay an EQUI-join on the bucket key —
+    // never a nested-loop on the similarity predicate. (AQE picks the
+    // physical form: broadcast at spec scale, sort-merge with exchange
+    // reuse at bench scale — both acceptable; the key is what's locked.)
+    assert(("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) " +
+        "\\[band#\\d+, sig#\\d+\\]").r.findFirstIn(plans).isDefined,
+      plans.linesIterator.filter(_.contains("Join"))
+        .mkString("\n").take(2000))
+    // both self-join sides must scan the persisted bands frame — losing
+    // the cache silently recomputes the 16-perm minhash aggregation per
+    // side
+    val bandCacheScans =
+      "InMemoryTableScan \\[doc_id#\\d+L?, band#\\d+, sig#\\d+\\]".r
+        .findAllIn(plans).length
+    assert(bandCacheScans >= 2,
+      s"expected both join sides on the bands cache, got $bandCacheScans")
+  }
+
+  test("curate_docs: canonical-id is a window-min on one text_hash " +
+      "exchange (not groupBy+join-back); no cartesian anywhere") {
+    val plan = executedPlan("curate_docs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert("windowspecdefinition\\(text_hash".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("windowspec"))
+        .mkString("\n").take(2000))
+    assert(plan.contains("Window [min("), plan.take(2000))
   }
 
   test("asof_clicks_bucketed: carry-forward window clusters on " +
