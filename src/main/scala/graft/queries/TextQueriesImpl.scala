@@ -177,7 +177,78 @@ object TextQueriesImpl {
        |ORDER BY n DESC, token
        |LIMIT 50""".stripMargin
 
+  // ---- pack_sequences / pack_stats ---------------------------------
+
+  /** Greedy sequence packing (budget 512 tokens, 8 content-hash shards)
+    * — one shuffle on the shard key, then a single sorted streaming
+    * pass per shard ([[graft.extra.Packing]]). The oracle replays the
+    * greedy fill as a recursive CTE walking each shard in doc order, so
+    * a hash match proves the distributed pass is exactly the sequential
+    * algorithm.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Packing.packGreedy(docs(s, dir), "doc_id",
+        size(Text.tokens(col("text"))).cast("long"),
+        budget = 512L, shards = 8)
+      .orderBy("doc_id")
+
+  private def packRecSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |      AS BIGINT) % 8 AS INTEGER) AS shard,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (SELECT *, row_number()
+       |        OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
+       |rec AS (
+       |  SELECT doc_id, shard, n_tokens, rn,
+       |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_pos,
+       |    n_tokens AS fill
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+       |    CASE WHEN r.fill + o.n_tokens > 512 AND r.fill > 0
+       |      THEN r.seq_id + 1 ELSE r.seq_id END,
+       |    CASE WHEN r.fill + o.n_tokens > 512 AND r.fill > 0
+       |      THEN CAST(0 AS BIGINT) ELSE r.seq_pos + 1 END,
+       |    CASE WHEN r.fill + o.n_tokens > 512 AND r.fill > 0
+       |      THEN o.n_tokens ELSE r.fill + o.n_tokens END
+       |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)""".stripMargin
+
+  private val packSequencesOracle =
+    s"""$packRecSql
+       |SELECT doc_id, shard, seq_id, seq_pos, n_tokens
+       |FROM rec
+       |ORDER BY doc_id""".stripMargin
+
+  /** Packing utilization: docs and token fill per output sequence. */
+  def packStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Packing.packStats(
+        graft.extra.Packing.packGreedy(docs(s, dir), "doc_id",
+          size(Text.tokens(col("text"))).cast("long"),
+          budget = 512L, shards = 8),
+        "n_tokens", budget = 512L)
+      .orderBy("shard", "seq_id")
+
+  private val packStatsOracle =
+    s"""$packRecSql
+       |SELECT shard, seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |  round(CAST(least(sum(n_tokens), 512) AS DOUBLE) / 512, 6)
+       |    AS fill_ratio
+       |FROM rec
+       |GROUP BY shard, seq_id
+       |ORDER BY shard, seq_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("pack_sequences",
+      "greedy fixed-token-budget sequence packing per content-hash shard",
+      packSequences, Some(packSequencesOracle)),
+    QueryDef("pack_stats",
+      "per-sequence packing utilization (docs, tokens, fill ratio)",
+      packStatsQ, Some(packStatsOracle)),
     QueryDef("text_quality",
       "per-doc quality metrics: TTR, stopword ratio, composite score",
       textQuality, Some(textQualityOracle)),
