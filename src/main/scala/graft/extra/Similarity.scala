@@ -105,6 +105,61 @@ object Similarity {
     planeDots.reduce(_ + _)
   }
 
+  /** INT8 scalar quantization of a [[prepare]]d corpus: per-vector
+    * symmetric scale = max(|x|)/127, element q = floor(x/scale + 0.5)
+    * (explicit half-up — `round` semantics differ across engines on
+    * negative halves). Adds `qv` (integer-valued doubles, so the codegen
+    * [[dot]] applies and sums stay EXACT: |Σ q_i·q_j| ≤ dim·127² ≪ 2⁵³)
+    * and keeps the float vector for exact re-ranking.
+    *
+    * At 100 TB this is the standard 4× memory/IO cut: the int8 corpus
+    * (plus one scale per vector) is what the scan reads; full-precision
+    * vectors are only fetched for the top re-rank candidates.
+    *
+    * Expression shape (HOF-CSE trap): the per-row scale is passed as the
+    * `array_repeat` COLLECTION argument of `zip_with` — collection args
+    * evaluate once per row, so the max-abs fold never re-runs per
+    * element, and the lambda references only its own variables.
+    */
+  def quantizeInt8(prepared: DataFrame): DataFrame = {
+    val scale = greatest(
+      aggregate(col("v"), lit(0d), (a, x) => greatest(a, abs(x.cast("double")))),
+      lit(1e-12)) / 127.0
+    prepared.withColumn("qv",
+      zip_with(col("v"), array_repeat(scale, size(col("v"))),
+        (x, s) => floor(x.cast("double") / s + lit(0.5)).cast("double")))
+  }
+
+  /** Quantized top-k: score ALL pairs with the exact integer dot over
+    * int8 codes (the cheap 4×-smaller scan), keep `k·candFactor`
+    * candidates per query, then re-rank just those with the exact float
+    * cosine. Candidate selection is engine-exact (integer scores, id
+    * tie-break), so recall vs [[topKBruteForce]] is a pure property of
+    * the quantization, and the DuckDB oracle reproduces the result
+    * bit-for-bit.
+    */
+  def topKInt8(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, candFactor: Int = 3): DataFrame = {
+    val e = quantizeInt8(prepare(emb, idCol, vecCol))
+    val q = e.filter(queryPred).select(col("id").as("query_id"),
+      col("v").as("q_v"), col("nrm").as("q_nrm"), col("qv").as("q_qv"))
+    val scored = e.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("qdot", dot(col("qv"), col("q_qv")).cast("long"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("id"))
+    val cand = scored.withColumn("qrank", row_number().over(wQ))
+      .filter(col("qrank") <= k * candFactor)
+      .withColumn("cosine",
+        round(dot(col("v"), col("q_v")) /
+          (sqrt(col("nrm")) * sqrt(col("q_nrm"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"), col("qdot"))
+  }
+
   /** Multi-table LSH top-k — the production recall fix: L independent
     * hash tables with FEWER bits each; a candidate only needs to collide
     * with the query in ANY table. Recall ≈ 1-(1-p^bits)^L vs p^bits for

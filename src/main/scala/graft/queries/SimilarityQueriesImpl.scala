@@ -45,6 +45,55 @@ object SimilarityQueriesImpl {
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- sim_topk_int8 (quantized scan + exact re-rank) --------------
+
+  /** Int8-quantized top-5: integer-dot scan over int8 codes (the
+    * 4×-smaller corpus a 100 TB deployment would store), top-15
+    * candidates per query, exact float-cosine re-rank. Candidate
+    * selection is integer-exact with id tie-breaks, so the oracle
+    * reproduces it bit-for-bit.
+    */
+  def simTopKInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKInt8(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val simTopKInt8Oracle =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    greatest(list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    list_transform(embedding,
+       |      x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS qv
+       |  FROM e0),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.embedding AS ce, q.embedding AS qe, c.nrm AS cn, q.nrm AS qn,
+       |    CAST(list_sum(list_transform(range(0, len(c.qv)),
+       |      i -> c.qv[i+1] * q.qv[i+1])) AS BIGINT) AS qdot
+       |  FROM e c JOIN e q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |r1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qdot DESC, neighbor_id) AS qrank
+       |  FROM sc),
+       |re AS (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    round(list_sum(list_transform(range(0, len(ce)),
+       |        i -> CAST(ce[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE)))
+       |      / (sqrt(cn) * sqrt(qn)), 6) AS cosine
+       |  FROM r1 WHERE qrank <= 15),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine, qdot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM re)
+       |SELECT query_id, rank, neighbor_id, cosine, qdot
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- sim_topk_lsh (bucketed approximate) -------------------------
 
   /** LSH-bucketed top-5: only same-bucket candidates are scored. */
@@ -161,6 +210,9 @@ object SimilarityQueriesImpl {
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
       simTopK, Some(simTopKOracle)),
+    QueryDef("sim_topk_int8",
+      "int8-quantized integer-dot scan + exact float re-rank top-5",
+      simTopKInt8, Some(simTopKInt8Oracle)),
     QueryDef("sim_topk_lsh",
       "sign-random-projection LSH bucketed approximate top-5",
       simTopKLsh, Some(simTopKLshOracle)),

@@ -41,6 +41,35 @@ class ExtraSpec extends SparkSpec {
     assert(viaSql.isNullAt(0))
   }
 
+  test("int8 quantization: codes bounded, untruncated re-rank equals " +
+      "brute force, default recall holds on the test embeddings") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    // codes bounded to [-127, 127]
+    val q = Similarity.quantizeInt8(
+      Similarity.prepare(emb, "vec_id", "embedding"))
+    val outOfRange = q.select(explode(col("qv")).as("c"))
+      .filter(abs(col("c")) > 127).count()
+    assert(outOfRange == 0)
+    // with candidates not truncated, the exact re-rank IS brute force
+    val brute = Similarity.topKBruteForce(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    val untrunc = Similarity.topKInt8(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5, candFactor = 1000000)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    assert(untrunc == brute)
+    // default candFactor=3: top-5 recall vs brute force stays high
+    val got = Similarity.topKInt8(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brute.map(s => (s(0).asInstanceOf[Long], s(2).asInstanceOf[Long]))
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.8, s"int8 top-5 recall $recall")
+  }
+
   test("multi-table LSH recall beats single-table on the test embeddings") {
     val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
