@@ -177,6 +177,105 @@ object TextQueriesImpl {
        |ORDER BY n DESC, token
        |LIMIT 50""".stripMargin
 
+  // ---- decontaminate -----------------------------------------------
+
+  /** Benchmark decontamination: flag every document sharing ANY 5-token
+    * shingle with the benchmark set (here: doc_id % 97 == 0 stands in
+    * for an eval suite). Plan shape for 100 TB: the benchmark shingle
+    * set is tiny by construction (eval suites are KB–MB), so it is
+    * BROADCAST and the corpus side is one explode + semi-join — no
+    * corpus shuffle, no pair materialization. Benchmark docs trivially
+    * flag themselves (kept: the report shows the full contaminated set).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val docSh = Text.withShingles(d, "text", 5)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val benchSh = docSh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val hits = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    d.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 5 THEN
+       |    list_distinct(list_transform(range(1, len(toks) - 3),
+       |      i -> array_to_string(toks[i:i+4], ' ')))
+       |  ELSE [] END AS shingles
+       |FROM t),
+       |b AS (SELECT DISTINCT unnest(shingles) AS shingle
+       |      FROM sh WHERE doc_id % 97 = 0),
+       |e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |hits AS (SELECT DISTINCT e.doc_id FROM e JOIN b USING (shingle))
+       |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+       |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- doc_repetition ----------------------------------------------
+
+  /** Gopher-style repetition signals: top-bigram fraction (most frequent
+    * bigram's share of all bigrams) and duplicate-token fraction. The
+    * bigram list is built with `zip_with` over the token array and its
+    * shifted slice — collection arguments evaluate once per row, so the
+    * tokenizer never re-runs per element (the lambda-CSE trap). Two
+    * keyed aggregations, no joins.
+    */
+  def docRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val base = docs(s, dir).select(col("doc_id"),
+      toks.as("toks"),
+      size(toks).cast("long").as("n_toks"),
+      size(array_distinct(toks)).cast("long").as("n_dtoks"))
+    val bigrams = base.select(col("doc_id"), col("n_toks"), col("n_dtoks"),
+      explode(filter(
+        zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)).as("bigram"))
+    bigrams
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"), min("n_toks").as("n_toks"),
+        min("n_dtoks").as("n_dtoks"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"),
+        min("n_toks").as("n_toks"), min("n_dtoks").as("n_dtoks"))
+      .select(col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("top_bigram_n").cast("long").as("top_bigram_n"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("n_dtoks").cast("double") / col("n_toks"), 6)
+          .as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val docRepetitionOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dtoks,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       |  FROM t),
+       |c AS (SELECT doc_id, bigram, count(*) AS c,
+       |    min(n_toks) AS n_toks, min(n_dtoks) AS n_dtoks
+       |  FROM bg GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  CAST(max(c) AS BIGINT) AS top_bigram_n,
+       |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+       |  round(1.0 - CAST(min(n_dtoks) AS DOUBLE) / min(n_toks), 6)
+       |    AS dup_token_frac
+       |FROM c
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- pack_sequences / pack_stats ---------------------------------
 
   /** Greedy sequence packing (budget 512 tokens, 8 content-hash shards)
@@ -243,6 +342,12 @@ object TextQueriesImpl {
        |ORDER BY shard, seq_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("decontaminate",
+      "flag docs sharing any 5-gram with the benchmark set (broadcast semi-join)",
+      decontaminate, Some(decontaminateOracle)),
+    QueryDef("doc_repetition",
+      "Gopher-style repetition: top-bigram and duplicate-token fractions",
+      docRepetition, Some(docRepetitionOracle)),
     QueryDef("pack_sequences",
       "greedy fixed-token-budget sequence packing per content-hash shard",
       packSequences, Some(packSequencesOracle)),
