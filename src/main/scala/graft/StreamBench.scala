@@ -25,12 +25,14 @@ object StreamBench {
       avgBatchMs: Double,
       maxBatchMs: Long,
       minBatchMs: Long,
-      p50BatchMs: Double) {
+      p50BatchMs: Double,
+      valid: Boolean = true) {
     def json: String =
       s"""{"events_per_sec":$eventsPerSec,"target_tps":$targetTps,""" +
         s""""rows":$rows,"wall_s":$wallS,"n_batches":$nBatches,""" +
         s""""avg_batch_ms":$avgBatchMs,"max_batch_ms":$maxBatchMs,""" +
-        s""""min_batch_ms":$minBatchMs,"p50_batch_ms":$p50BatchMs}"""
+        s""""min_batch_ms":$minBatchMs,"p50_batch_ms":$p50BatchMs,""" +
+        s""""valid":$valid}"""
   }
 
   /** Run the flagship streaming pipeline for `secs` wall-clock seconds at
@@ -64,11 +66,30 @@ object StreamBench {
       sinkGate = () => writing.get())
     val t0 = System.nanoTime()
     try {
-      while ((System.nanoTime() - t0) / 1e9 < secs) Thread.sleep(200)
+      // Contention-proof deadline (r6: the driver's run recorded
+      // 0.0 ev/s / 1 batch / 0 rows because the fixed 10s deadline
+      // expired on a contended machine before any data batch committed,
+      // masquerading as a capacity collapse). The run extends past the
+      // nominal deadline until >= 3 DATA batches (num_input_rows > 0)
+      // have completed, capped at max(secs, 60)s wall; a run that still
+      // can't produce 3 data batches is stamped valid=false so it can
+      // never be read as a throughput number.
+      val capSecs = math.max(secs, 60).toDouble
+      var elapsed = 0.0
+      var dataBatches = 0
+      var done = false
+      while (!done) {
+        Thread.sleep(200)
+        elapsed = (System.nanoTime() - t0) / 1e9
+        dataBatches = monitor.snapshot
+          .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
+        done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
+      }
       // Measurement closes at the deadline: only batches that completed
       // while the sink was live count toward throughput.
       val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
       val wall = (System.nanoTime() - t0) / 1e9
+      val isValid = dataBatches >= 3
       // Drain: no-op the sink, then wait for the in-flight batch to
       // commit (>= 1 new progress event, or trigger idle) before stop.
       writing.set(false)
@@ -93,7 +114,7 @@ object StreamBench {
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
       StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
-        maxBatchMs, minBatchMs, p50BatchMs)
+        maxBatchMs, minBatchMs, p50BatchMs, valid = isValid)
     } finally {
       if (q.isActive) q.stop()
       monitor.detach(spark)
@@ -119,7 +140,7 @@ object StreamBench {
       s""""target_tps":${s.targetTps},"rows":${s.rows},"wall_s":${s.wallS},""" +
       s""""n_batches":${s.nBatches},"avg_batch_ms":${s.avgBatchMs},""" +
       s""""max_batch_ms":${s.maxBatchMs},"min_batch_ms":${s.minBatchMs},""" +
-      s""""p50_batch_ms":${s.p50BatchMs}}""")
+      s""""p50_batch_ms":${s.p50BatchMs},"valid":${s.valid}}""")
     System.out.flush()
   }
 }

@@ -216,7 +216,7 @@ object TextQueriesImpl {
        |hits AS (SELECT DISTINCT e.doc_id FROM e JOIN b USING (shingle))
        |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
-       |ORDER BY doc_id""".stripMargin
+       |ORDER BY t.doc_id""".stripMargin
 
   // ---- doc_repetition ----------------------------------------------
 

@@ -27,17 +27,26 @@ import graft.extra.{Curation, Dedup, Text}
   */
 object CurationStream {
 
+  /** Row shape of the per-band stream between the explode and the
+    * stateful dedup; top-level so the Scala 2.13 encoder derivation in
+    * [[curateStreamNearDup]]'s typed combine can see it.
+    */
+  private[streaming] final case class BandRow(
+      doc_id: Long, text: String, event_time: java.sql.Timestamp,
+      band: Int, sig: String)
+
   /** Wire schema: JSON lines `{doc_id, text, event_time_ms}`. */
   val wireSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("event_time_ms", LongType)))
 
-  /** Raw `value`-column stream → curated (doc_id, text, event_time)
-    * stream: parsed, gated, exact-deduped within the watermark.
+  /** Stateless front of both curation streams: parse the wire JSON,
+    * enrich, apply the quality/language gates. No watermark, no state —
+    * callers pick their own stateful tail. Keeps `text_hash` from
+    * [[Curation.enrich]] for downstream dedup keys.
     */
-  def curateStream(raw: DataFrame, cfg: Curation.Config = Curation.Config(),
-      watermark: String = "10 minutes"): DataFrame = {
+  private def gatedStream(raw: DataFrame, cfg: Curation.Config): DataFrame = {
     val parsed = raw
       .select(from_json(col("value"), wireSchema).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"),
@@ -45,10 +54,17 @@ object CurationStream {
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
     Curation.enrich(parsed, "text")
       .filter(!Curation.lowQualityFlag(cfg) && !Curation.wrongLangFlag(cfg))
+  }
+
+  /** Raw `value`-column stream → curated (doc_id, text, event_time)
+    * stream: parsed, gated, exact-deduped within the watermark.
+    */
+  def curateStream(raw: DataFrame, cfg: Curation.Config = Curation.Config(),
+      watermark: String = "10 minutes"): DataFrame =
+    gatedStream(raw, cfg)
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
       .select("doc_id", "text", "event_time")
-  }
 
   /** [[curateStream]] plus IN-FLIGHT NEAR-dup suppression: drop a doc
     * whose MinHash LSH bucket was already claimed by an earlier doc
@@ -86,6 +102,19 @@ object CurationStream {
     * Short texts whose shingle array is empty produce the all-sentinel
     * signature ([[Dedup.minhashArray]]); their band keys are salted with
     * doc_id so they never collide with each other.
+    *
+    * Intra-batch determinism: when two colliding docs arrive in the SAME
+    * micro-batch, `dropDuplicatesWithinWatermark` alone would pick an
+    * arbitrary winner PER BAND — wins can split across bands so no doc
+    * wins all its bands and every copy of the content is dropped. Before
+    * the stateful dedup, each micro-batch is therefore reduced to ONE
+    * candidate per (band, sig) — the min doc_id — by a stateless
+    * per-partition combine after co-locating buckets with
+    * `repartition(band, sig)`. Batch arrival order is then as-if sorted
+    * by doc_id: the lowest-id copy claims ALL its bands and survives;
+    * the combine also shrinks the stateful operator's per-batch input to
+    * one row per bucket. The combine's per-partition map is bounded by
+    * micro-batch size / shuffle partitions (not by stream history).
     */
   def curateStreamNearDup(raw: DataFrame,
       cfg: Curation.Config = Curation.Config(),
@@ -108,11 +137,31 @@ object CurationStream {
             element_at(col("__mhs"), b * rowsPerBand + j + 1)
               .cast("string")): _*)).as("sig"))
     }
-    sigs
+    val banded = sigs
       .select(col("doc_id"), col("text"), col("event_time"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("text"), col("event_time"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Deterministic intra-batch bucket ownership (see scaladoc): one
+    // min-doc_id candidate per (band, sig) per micro-batch, computed
+    // statelessly per partition after co-locating buckets. The typed
+    // hop drops the event-time marker, so the watermark is re-declared
+    // on the combined rows before the stateful operators.
+    import banded.sparkSession.implicits._
+    val combined = banded.repartition(col("band"), col("sig"))
+      .as[BandRow]
+      .mapPartitions { it =>
+        val best = collection.mutable.HashMap.empty[(Int, String), BandRow]
+        it.foreach { r =>
+          val cur = best.get((r.band, r.sig))
+          if (cur.isEmpty || r.doc_id < cur.get.doc_id)
+            best((r.band, r.sig)) = r
+        }
+        best.valuesIterator
+      }
+      .toDF()
+      .withWatermark("event_time", watermark)
+    combined
       .dropDuplicatesWithinWatermark("band", "sig")
       .groupBy(window(col("event_time"), emitWindow), col("doc_id"))
       .agg(count(lit(1)).as("__nb"), min("text").as("text"),

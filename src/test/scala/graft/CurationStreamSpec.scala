@@ -82,6 +82,40 @@ class CurationStreamSpec extends SparkSpec {
     assert(rows == Seq(1L, 2L))
   }
 
+  test("near-dup suppression in the SAME micro-batch keeps exactly the " +
+      "min-doc_id copy (deterministic intra-batch bucket ownership)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("cur_sb_out").toString
+    val ckpt = Files.createTempDirectory("cur_sb_ckpt").toString
+    val nearCopy = good.replace("lazy", "sleepy")
+    val q = CurationStream.curateStreamNearDup(mem.toDF())
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start()
+    // ONE micro-batch carrying an original and its near copy: before
+    // the intra-batch combine, dropDuplicates could split band wins
+    // between docs 5 and 7 so NEITHER reached the full band count and
+    // the content vanished. Deterministic ownership must keep exactly
+    // doc 5 (the min doc_id of the colliding pair). No exact copy in
+    // the fixture: the upstream text_hash dedup picks its own winner
+    // among identical texts, which would make the surviving id ambiguous.
+    mem.addData(Seq(
+      payload(7, nearCopy, 1002000L),
+      payload(5, good, 1000000L)))
+    // watermark pusher in a later batch to close the emit window
+    mem.addData(Seq(
+      payload(9, good + " flush marker row", 4600000L)))
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(rows == Seq(5L))
+  }
+
   test("streaming minhash signature projection agrees with the batch " +
       "groupBy signature on the same text") {
     import org.apache.spark.sql.functions._
