@@ -3,13 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every registered query at the target scale
-  * factor, plus the streaming flagship. Prints ONE JSON line:
+  * factor, plus the streaming flagship and the stateful curation chain.
+  * Prints TWO JSON lines — detail first, compact metric line LAST:
   *
   * {{{
+  * {"metric":"detail","spreads":{name:[minSec,medianSec,maxSec],…},
+  *  "failures":{name:error,…}}
   * {"metric":"total","value":S,"unit":"sec","queries":{name:medianSec,…},
-  *  "spreads":{name:[minSec,medianSec,maxSec],…},
-  *  "sf":dir,"n":3,"failures":{name:error,…},"streaming":{…}}
+  *  "sf":dir,"n":3,"n_queries":N,"n_ok":N,"n_failures":0,
+  *  "streaming":{…},"streaming_curation":{…}}
   * }}}
+  *
+  * The driver captures only a ~4 KB stdout TAIL: round 6's single fat
+  * line (full-precision spreads inline) overflowed it and the artifact
+  * lost its own head, `"value"` included (`parsed: null`). Hence the
+  * split — the LAST line is the parseable contract object (queries map
+  * rounded to 3 decimals ≈ 1.6 KB, well under the tail), spreads ride
+  * one line earlier, best-effort.
   *
   * Noise robustness: each query runs `n` (default 3) interleaved passes
   * and reports the per-query MEDIAN — single-pass numbers on a shared
@@ -110,8 +120,9 @@ object Bench {
     val ok = medians.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
 
+    val benchStream = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "1"
     val streaming =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "1")
+      if (benchStream)
         // tps deliberately ABOVE single-node capacity: the reported
         // events_per_sec then measures sustained throughput, not the
         // generation target
@@ -120,26 +131,48 @@ object Bench {
           secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "10").toInt))
         catch { case _: Throwable => None }
       else None
+    // The stateful curation chain gets its own block (r6 verdict #6:
+    // its throughput lived only in SCALE.md prose, so regressions in
+    // the five-stage dedup path were not machine-visible round-over-
+    // round). Offered rate is above single-node capacity for the same
+    // reason as above.
+    val streamingCuration =
+      if (benchStream)
+        try Some(StreamBench.measureCuration(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt))
+        catch { case _: Throwable => None }
+      else None
 
-    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }
+    import StreamBench.rnd
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:${rnd(v)}" }
       .mkString("{", ",", "}")
     val spreads = SparkEntry.queries.keys.map { name =>
       val ts = times.getOrElse(name, Nil)
       val arr =
         if (ts.isEmpty) "[-1,-1,-1]"
-        else s"[${ts.min},${median(ts)},${ts.max}]"
+        else s"[${rnd(ts.min)},${rnd(median(ts))},${rnd(ts.max)}]"
       s"${jstr(name)}:$arr"
     }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val streamJson = streaming.map(s => s""","streaming":${s.json}""").getOrElse("")
-    // Metric line printed LAST, after spark.stop(): round 3's artifact
-    // lost this line to streaming-shutdown log spew that arrived after
-    // it — nothing may write to stdout past this point.
+    val curJson = streamingCuration
+      .map(s => s""","streaming_curation":${s.json}""").getOrElse("")
+    // Two lines, both after spark.stop() (round 3: shutdown log spew
+    // displaced the metric line). The driver keeps only a ~4 KB stdout
+    // TAIL, and round 6's single fat line overflowed it — losing its
+    // own head, including the total ("parsed": null). So: full
+    // per-query detail FIRST (best-effort; may be truncated from the
+    // front), compact summary object LAST — the final line must always
+    // be a complete, parseable JSON object.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spreads":$spreads,""" +
-      s""""sf":${jstr(sfDir)},"n":$iters,"failures":$fs$streamJson}""")
+    println(s"""{"metric":"detail","spreads":$spreads,"failures":$fs}""")
+    println(s"""{"metric":"total","value":${rnd(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":${jstr(sfDir)},"n":$iters,""" +
+      s""""n_queries":${medians.size},""" +
+      s""""n_ok":${ok.size},"n_failures":${failures.size}""" +
+      s"""$streamJson$curJson}""")
     System.out.flush()
   }
 }

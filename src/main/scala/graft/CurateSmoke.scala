@@ -40,14 +40,7 @@ object CurateSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def textFor(src: org.apache.spark.sql.Column) = {
-      val stop = array(graft.extra.Text.stopwords("en").map(lit): _*)
-      concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
-        when(j % 5 === 0,
-          element_at(stop, (pmod(xxhash64(src * 7L + j), lit(8L)) + 1).cast("int")))
-          .otherwise(concat(lit("w"),
-            pmod(xxhash64(src * 1000003L + j), lit(50000L))))))
-    }
+    import graft.gen.SyntheticDocs.textFor
     def corpus(rows: Long) = {
       val base = spark.range(rows).select(col("id").as("doc_id"))
       // block of 20: doc 17 is the base text, doc 18 = base + one word
@@ -96,7 +89,13 @@ object CurateSmoke {
     val hist = verdicts.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(2000) // drain the async listener bus
+    // Drain the async QueryExecutionListener bus by POLLING the metric
+    // cells, not a fixed sleep (r6 advice: on a loaded machine 2s was
+    // not always enough and a successful run could still print -1).
+    // Bounded: fall back to -1 only on expiry.
+    val tDrain = System.nanoTime()
+    while ((droppedRows.get < 0 || widestBucket.get < 0) &&
+        (System.nanoTime() - tDrain) / 1e9 < 30) Thread.sleep(100)
     val histJson = hist.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     // planted rates: one exact (pos 19) + one near (pos 18) per block

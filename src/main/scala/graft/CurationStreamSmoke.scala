@@ -38,25 +38,7 @@ object CurationStreamSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def textFor(src: org.apache.spark.sql.Column) = {
-      val stop = array(graft.extra.Text.stopwords("en").map(lit): _*)
-      concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
-        when(j % 5 === 0,
-          element_at(stop, (pmod(xxhash64(src * 7L + j), lit(8L)) + 1).cast("int")))
-          .otherwise(concat(lit("w"),
-            pmod(xxhash64(src * 1000003L + j), lit(50000L))))))
-    }
-    val raw = spark.readStream.format("rate")
-      .option("rowsPerSecond", tps).load()
-    val blockBase = col("value") - (col("value") % 20)
-    val src = when(col("value") % 20 >= 18, blockBase + 17)
-      .otherwise(col("value"))
-    val text = when(col("value") % 20 === 18,
-        concat(textFor(src), lit(" extradiffword")))
-      .otherwise(textFor(src))
-    val wire = raw.select(to_json(struct(
-      col("value").as("doc_id"), text.as("text"),
-      unix_millis(col("timestamp")).as("event_time_ms"))).as("value"))
+    val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
 
     val curated = CurationStream.curateStreamNearDup(wire,
       watermark = "15 seconds", emitWindow = "10 seconds")

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{Monitor, RateTickSource, StreamingPipeline}
+import graft.streaming.{CurationStream, Monitor, RateTickSource, StreamingPipeline}
 
 /** Streaming parity micro-bench (BASELINE.md): drive the flagship
   * pipeline from the rate source at a target ticks/sec, report sustained
@@ -15,6 +15,15 @@ import graft.streaming.{Monitor, RateTickSource, StreamingPipeline}
   * Usage: runMain graft.StreamBench [tps] [seconds]
   */
 object StreamBench {
+
+  /** Round to `p` decimals for JSON emission — full-precision doubles
+    * tripled the artifact size for no information (the driver keeps
+    * only a ~4 KB stdout tail; see [[Bench]]).
+    */
+  private[graft] def rnd(d: Double, p: Int = 3): Double = {
+    val f = math.pow(10, p)
+    math.rint(d * f) / f
+  }
 
   final case class StreamStats(
       eventsPerSec: Double,
@@ -28,10 +37,10 @@ object StreamBench {
       p50BatchMs: Double,
       valid: Boolean = true) {
     def json: String =
-      s"""{"events_per_sec":$eventsPerSec,"target_tps":$targetTps,""" +
-        s""""rows":$rows,"wall_s":$wallS,"n_batches":$nBatches,""" +
-        s""""avg_batch_ms":$avgBatchMs,"max_batch_ms":$maxBatchMs,""" +
-        s""""min_batch_ms":$minBatchMs,"p50_batch_ms":$p50BatchMs,""" +
+      s"""{"events_per_sec":${rnd(eventsPerSec, 1)},"target_tps":$targetTps,""" +
+        s""""rows":$rows,"wall_s":${rnd(wallS)},"n_batches":$nBatches,""" +
+        s""""avg_batch_ms":${rnd(avgBatchMs, 1)},"max_batch_ms":$maxBatchMs,""" +
+        s""""min_batch_ms":$minBatchMs,"p50_batch_ms":${rnd(p50BatchMs, 1)},""" +
         s""""valid":$valid}"""
   }
 
@@ -115,6 +124,76 @@ object StreamBench {
         }
       StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
         maxBatchMs, minBatchMs, p50BatchMs, valid = isValid)
+    } finally {
+      if (q.isActive) q.stop()
+      monitor.detach(spark)
+    }
+  }
+
+  /** Throughput of the streaming CURATION chain (gates → exact dedup →
+    * band explode → (band,sig) stateful dedup → windowed reassembly,
+    * [[CurationStream.curateStreamNearDup]]) under the planted-dup
+    * synthetic corpus — the five-stage stateful path whose regressions
+    * were previously visible only in SCALE.md prose. Same
+    * contention-proof deadline discipline as [[measure]]: extend past
+    * the nominal deadline until >= 3 data batches, cap at
+    * max(secs, 60)s, stamp `valid:false` when even that fails.
+    * `events_per_sec` is sustained INPUT docs/s (emission trails the
+    * watermark by design, so emitted rows would undercount steady-state
+    * throughput on a short run).
+    */
+  def measureCuration(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
+    val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
+    val curated = CurationStream.curateStreamNearDup(wire,
+      watermark = "15 seconds", emitWindow = "10 seconds")
+    val monitor = new Monitor().attach(spark)
+    val ckpt = Files.createTempDirectory("sbench_cur_ckpt").toString
+    val writing = new AtomicBoolean(true)
+    val q = curated.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (writing.get()) df.count(): Unit
+      }
+      .start()
+    val t0 = System.nanoTime()
+    try {
+      val capSecs = math.max(secs, 60).toDouble
+      var elapsed = 0.0
+      var dataBatches = 0
+      var done = false
+      while (!done) {
+        Thread.sleep(200)
+        elapsed = (System.nanoTime() - t0) / 1e9
+        dataBatches = monitor.snapshot
+          .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
+        done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
+      }
+      val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val isValid = dataBatches >= 3
+      writing.set(false)
+      val seen = monitor.snapshot.size
+      val tDrain = System.nanoTime()
+      while (monitor.snapshot.size <= seen && q.status.isTriggerActive &&
+          (System.nanoTime() - tDrain) / 1e9 < 30) Thread.sleep(50)
+      q.stop()
+      val rows = progress.map(_.num_input_rows).sum
+      val batchMs = progress.map(_.batch_duration_ms).filter(_ >= 0)
+      val avgBatchMs =
+        if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
+      val p50BatchMs =
+        if (batchMs.isEmpty) -1.0
+        else {
+          val s = batchMs.sorted
+          if (s.size % 2 == 1) s(s.size / 2).toDouble
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
+      StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
+        if (batchMs.nonEmpty) batchMs.max else -1L,
+        if (batchMs.nonEmpty) batchMs.min else -1L,
+        p50BatchMs, valid = isValid)
     } finally {
       if (q.isActive) q.stop()
       monitor.detach(spark)

@@ -57,4 +57,48 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), 10000) < threshold)
   }
+
+  /** Weighted domain mixing — the training-mixture primitive: each
+    * domain (value of `domainCol`) is sampled at its own RATE, where a
+    * rate above 1.0 means the domain is seen more than once per pass
+    * (epoch upsampling, the standard way high-quality sources are
+    * overweighted in LLM pre-training mixes) and a rate below 1.0
+    * downsamples.
+    *
+    * Rate w splits into floor(w) guaranteed epochs plus one fractional
+    * epoch kept with probability w − floor(w). Epochs materialize as an
+    * `epoch` column (1-based) via a bounded `explode(sequence(…))` —
+    * output size is Σ ceil(w_d)·|domain d|, never data-squared. The
+    * fractional decision hashes (id, epoch), so it is independent of
+    * the per-row sample decisions of OTHER epochs AND reproducible on
+    * any partitioning, any cluster, any engine — a pure projection +
+    * filter, no shuffle, no state.
+    *
+    * Domains absent from `rates` get `defaultRate`. A row's guaranteed
+    * epochs survive unconditionally; only the LAST (fractional) epoch
+    * is hash-gated.
+    */
+  def mixDomains(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(_ >= 0),
+      "domain rates must be non-negative")
+    val rate10k = rates.foldLeft(lit((defaultRate * 10000).toLong)) {
+      case (els, (d, w)) =>
+        when(col(domainCol) === d, lit((w * 10000).toLong)).otherwise(els)
+    }
+    // ceil in exact integer arithmetic (DIV, not the fractional
+    // Column./): rates arrive as 1e-4 fixed-point
+    val epochs = expr("(__rate10k + 9999) DIV 10000")
+    df.withColumn("__rate10k", rate10k)
+      .filter(col("__rate10k") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), epochs)))
+      .withColumn("__frac10k", col("__rate10k") - (col("epoch") - 1) * 10000L)
+      // full epochs pass (__frac10k >= 10000); the final partial epoch
+      // is gated on a hash of (id, epoch) so reruns reproduce it exactly
+      .filter(col("__frac10k") >= 10000L ||
+        hashBucket(concat(col(idCol).cast("string"), lit(":e"),
+          col("epoch").cast("string")), 10000) < col("__frac10k"))
+      .drop("__rate10k", "__frac10k")
+  }
 }

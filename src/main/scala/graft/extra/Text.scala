@@ -135,4 +135,33 @@ object Text {
       .withColumn("fingerprint",
         array_min(transform(col("__sh"), s => md5(s))))
       .drop("__sh")
+
+  /** Benchmark decontamination as a first-class operator: flag every
+    * corpus document sharing ANY n-token shingle with `benchmark` — an
+    * ARBITRARY frame of eval-suite documents (the production shape:
+    * eval suites live in their own small table, KB–MB, separate from
+    * the corpus). Returns `(idCol, contaminated: boolean)` over the
+    * full corpus.
+    *
+    * Plan shape for 100 TB: the benchmark shingle set is tiny by
+    * construction, so it is BROADCAST and the corpus side is one
+    * explode + left-semi join — no corpus shuffle, no pair
+    * materialization. Reference provenance: the reference has no
+    * decontamination surface; this is a north-star training-pipeline
+    * operator (SURVEY.md §2 extensions).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 5): DataFrame = {
+    val corpusSh = withShingles(corpus, textCol, n, out = "__sh")
+      .select(col(idCol), explode(col("__sh")).as("shingle"))
+    val benchSh = withShingles(benchmark, benchTextCol, n, out = "__sh")
+      .select(explode(col("__sh")).as("shingle")).distinct()
+    val hits = corpusSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.select(idCol).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
 }

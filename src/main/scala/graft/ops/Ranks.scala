@@ -96,4 +96,51 @@ object Ranks {
            |END + 1""".stripMargin)
     ranked.withColumn(out, tile.cast("int")).drop(rankCol)
   }
+
+  /** Appends the INCLUSIVE running sum of `valueOf` over the global
+    * `sortCols` order as `out` — `SUM(v) OVER (ORDER BY …)` without the
+    * single-partition window, by the same two-pass range-shuffle trick
+    * as [[withGlobalRowNumber]]: per-partition value sums (O(P) longs to
+    * the driver) become partition prefix offsets, then a second pass
+    * over the SAME shuffle output accumulates locally on top of each
+    * offset. The driving use is token-budget corpus selection: order by
+    * quality, cut where the running token total crosses the budget —
+    * at 100 TB the one-task global window this replaces is the plan
+    * shape that can never survive.
+    *
+    * `valueOf` is evaluated per row AFTER the range shuffle (it must be
+    * a deterministic function of the row). Same tie/lineage caveats as
+    * [[withGlobalRowNumber]].
+    */
+  def withGlobalPrefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueOf: Column,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val valCol = "__graft_prefix_val"
+    val sorted = df.withColumn(valCol, valueOf.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val valIdx = sorted.schema.fieldIndex(valCol)
+    val rdd = sorted.rdd // one lineage: the range shuffle is built once
+    val partSums = rdd
+      .mapPartitions({ it =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(valIdx)
+        Iterator.single(s)
+      }, preservesPartitioning = true)
+      .collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { row =>
+        acc += row.getLong(valIdx)
+        Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(summed, schema).drop(valCol)
+  }
 }

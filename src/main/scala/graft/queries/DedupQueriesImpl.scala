@@ -427,7 +427,69 @@ object DedupQueriesImpl {
       |      % 10000 < 1000
       |ORDER BY event_id""".stripMargin
 
+  // ---- mix_domains ----------------------------------------------------
+
+  /** Weighted training-mixture over `source` domains: src0/src1 seen
+    * 2.5 times per pass (epoch upsampling), src2 1.5×, src3 heavily
+    * downsampled, everything else 1×. Pure projection + filter
+    * ([[graft.extra.Sampling.mixDomains]]): no shuffle, reproducible on
+    * any partitioning.
+    */
+  def mixDomains(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Sampling.mixDomains(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 2.5, "src2" -> 1.5, "src3" -> 0.25))
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+
+  private val mixDomainsOracle =
+    """WITH r AS (SELECT doc_id, source,
+      |    CASE WHEN source = 'src0' THEN 25000
+      |         WHEN source = 'src1' THEN 25000
+      |         WHEN source = 'src2' THEN 15000
+      |         WHEN source = 'src3' THEN 2500
+      |         ELSE 10000 END AS rate10k
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, rate10k,
+      |    unnest(range(1, CAST((rate10k + 9999) // 10000 AS BIGINT) + 1))
+      |      AS epoch
+      |  FROM r)
+      |SELECT doc_id, source, epoch FROM e
+      |WHERE rate10k - (epoch - 1) * 10000 >= 10000
+      |   OR CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':e' ||
+      |        CAST(epoch AS VARCHAR)), 1, 12) AS BIGINT) % 10000
+      |      < rate10k - (epoch - 1) * 10000
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  // ---- global_shuffle -------------------------------------------------
+
+  /** Deterministic global shuffle for training-data ordering: every doc
+    * gets a stable pseudo-random position (row number over md5(doc_id)
+    * order). Computed by [[graft.ops.Ranks.withGlobalRowNumber]] —
+    * range shuffle + O(P) per-partition offsets, never the
+    * single-partition `row_number() OVER (ORDER BY …)` window.
+    */
+  def globalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.md5
+    val (ranked, _) = graft.ops.Ranks.withGlobalRowNumber(
+      docs(s, dir).select("doc_id"),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")), "pos")
+    ranked.select("doc_id", "pos").orderBy("doc_id")
+  }
+
+  private val globalShuffleOracle =
+    """SELECT doc_id,
+      |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS pos
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mix_domains",
+      "weighted per-domain epoch mixing (2.5x/1.5x/0.25x rates, hash-gated)",
+      mixDomains, Some(mixDomainsOracle)),
+    QueryDef("global_shuffle",
+      "deterministic global shuffle position without a one-task window",
+      globalShuffle, Some(globalShuffleOracle)),
     QueryDef("train_test_split",
       "hash-bucket deterministic train/val/test assignment",
       trainTestSplit, Some(trainTestSplitOracle)),

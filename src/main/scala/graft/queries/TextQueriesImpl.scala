@@ -179,26 +179,16 @@ object TextQueriesImpl {
 
   // ---- decontaminate -----------------------------------------------
 
-  /** Benchmark decontamination: flag every document sharing ANY 5-token
-    * shingle with the benchmark set (here: doc_id % 97 == 0 stands in
-    * for an eval suite). Plan shape for 100 TB: the benchmark shingle
-    * set is tiny by construction (eval suites are KB–MB), so it is
-    * BROADCAST and the corpus side is one explode + semi-join — no
-    * corpus shuffle, no pair materialization. Benchmark docs trivially
-    * flag themselves (kept: the report shows the full contaminated set).
+  /** Benchmark decontamination via [[Text.decontaminate]] — the
+    * operator takes an ARBITRARY benchmark frame; here `doc_id % 97 ==
+    * 0` models the eval suite as its own small table (production
+    * shape). Benchmark docs trivially flag themselves (kept: the
+    * report shows the full contaminated set).
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val docSh = Text.withShingles(d, "text", 5)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val benchSh = docSh.filter(col("doc_id") % 97 === 0)
-      .select("shingle").distinct()
-    val hits = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
-      .select("doc_id").distinct()
-      .withColumn("contaminated", lit(true))
-    d.select("doc_id").join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    val benchmark = d.filter(col("doc_id") % 97 === 0).select("text")
+    Text.decontaminate(d, benchmark, "doc_id", "text", "text", n = 5)
       .orderBy("doc_id")
   }
 
@@ -341,7 +331,101 @@ object TextQueriesImpl {
        |GROUP BY shard, seq_id
        |ORDER BY shard, seq_id""".stripMargin
 
+  // ---- tfidf_top_terms ---------------------------------------------
+
+  /** Per-document top-3 terms by tf-idf. Shapes for 100 TB: two keyed
+    * aggregations (term frequency per (doc, term), then document
+    * frequency per term — the second reads the first's already-reduced
+    * output, so the corpus is tokenized and shuffled ONCE), one
+    * equijoin on `term` (AQE broadcasts when the vocabulary is small;
+    * sort-merge otherwise — both keyed, never a cross product), and a
+    * rank window partitioned by doc (group-limited top-k, no global
+    * sort). N is a one-scalar count — metadata-size, not a data
+    * collect. Ranking is on the ROUNDED tf-idf with term tie-break, so
+    * order is engine-independent for the oracle.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val tf = d.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= 3)
+      .select(col("doc_id"), col("term_rank"), col("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "term_rank")
+  }
+
+  private val tfidfTopTermsOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term) AS term_rank FROM sc)
+       |SELECT doc_id, term_rank, term, CAST(tf AS BIGINT) AS tf,
+       |  CAST(df AS BIGINT) AS df, tfidf
+       |FROM r WHERE term_rank <= 3
+       |ORDER BY doc_id, term_rank""".stripMargin
+
+  // ---- select_budget -----------------------------------------------
+
+  /** Token-budget corpus selection: take the highest-quality documents
+    * until the running token total crosses the budget — the standard
+    * "best N tokens" curation cut. The running sum is
+    * [[graft.ops.Ranks.withGlobalPrefixSum]] (range shuffle +
+    * per-partition offsets), NOT `SUM() OVER (ORDER BY …)` — the
+    * single-partition global window is the one shape that cannot
+    * survive 100 TB. Order is (rounded quality desc, doc_id), so the
+    * cut is deterministic on any engine.
+    */
+  def selectBudget(s: SparkSession, dir: String): DataFrame = {
+    val q = Text.withQuality(docs(s, dir), "text")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    graft.ops.Ranks.withGlobalPrefixSum(q,
+        Seq(col("quality_score").desc, col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= 10000L)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val selectBudgetOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+       |        + least(CAST(${hitsSql("en")} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+       |        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |  FROM t),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 10000
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("tfidf_top_terms",
+      "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",
+      tfidfTopTerms, Some(tfidfTopTermsOracle)),
+    QueryDef("select_budget",
+      "token-budget corpus cut by quality order (distributed prefix sum)",
+      selectBudget, Some(selectBudgetOracle)),
     QueryDef("decontaminate",
       "flag docs sharing any 5-gram with the benchmark set (broadcast semi-join)",
       decontaminate, Some(decontaminateOracle)),

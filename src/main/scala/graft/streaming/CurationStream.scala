@@ -66,12 +66,14 @@ object CurationStream {
       .dropDuplicatesWithinWatermark("text_hash")
       .select("doc_id", "text", "event_time")
 
-  /** [[curateStream]] plus IN-FLIGHT NEAR-dup suppression: drop a doc
-    * whose MinHash LSH bucket was already claimed by an earlier doc
-    * inside the watermark horizon.
+  /** The gated stream plus IN-FLIGHT duplicate suppression, exact AND
+    * near: drop a doc whose MinHash LSH bucket was already claimed by
+    * an earlier doc inside the watermark horizon.
     *
-    * Plan (append mode, three chained stateful operators — all
-    * watermark-bounded):
+    * Plan (append mode, two chained stateful operators — both
+    * watermark-bounded, ONE watermark declaration; Spark disallows
+    * redeclaring a watermark mid-chain, so the single declaration sits
+    * after the stateless combine and before both stateful operators):
     *
     *   1. band signatures as pure projections
     *      ([[Dedup.minhashArray]] — one fold per row, no shuffle, no
@@ -83,6 +85,13 @@ object CurationStream {
     *      a doc is emitted iff ALL its bands were first-seen. State: one
     *      buffer per in-flight doc until the watermark closes its
     *      window.
+    *
+    * EXACT duplicates need no separate `text_hash` dedup stage here: an
+    * exact copy shares every shingle, hence every band signature, so it
+    * collides on ALL bands and is suppressed by the same state (short
+    * texts included — their salt is the content hash, see below). One
+    * stateful operator fewer than dedup-then-band chaining, and the
+    * watermark needs only one declaration.
     *
     * Precision/recall trade vs the batch path (documented, deliberate):
     * the batch pipeline verifies candidates with exact Jaccard and
@@ -101,7 +110,8 @@ object CurationStream {
     *
     * Short texts whose shingle array is empty produce the all-sentinel
     * signature ([[Dedup.minhashArray]]); their band keys are salted with
-    * doc_id so they never collide with each other.
+    * the CONTENT hash, so two distinct short texts never collide while
+    * exact copies of the same short text still suppress.
     *
     * Intra-batch determinism: when two colliding docs arrive in the SAME
     * micro-batch, `dropDuplicatesWithinWatermark` alone would pick an
@@ -123,7 +133,7 @@ object CurationStream {
       emitWindow: String = "1 minute"): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms % rowsPerBand != 0")
     val numBands = numPerms / rowsPerBand
-    val sigs = curateStream(raw, cfg, watermark)
+    val sigs = gatedStream(raw, cfg)
       .withColumn("__mhs",
         Dedup.minhashArray(Text.shingles(col("text"), shingleN), numPerms))
     // Band structs read the materialized signature ATTRIBUTE via plain
@@ -132,21 +142,27 @@ object CurationStream {
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         when(element_at(col("__mhs"), 1) === lit(Dedup.MinhashP),
-            concat(lit("uniq:"), col("doc_id")))
+            concat(lit("uniq:"), col("text_hash")))
           .otherwise(concat_ws(",", (0 until rowsPerBand).map(j =>
             element_at(col("__mhs"), b * rowsPerBand + j + 1)
               .cast("string")): _*)).as("sig"))
     }
+    // text rides band-0 rows ONLY: the reassembly agg needs it once per
+    // doc, and an emitted doc must have won ALL bands — band 0 included
+    // — so min(text) (null-skipping) always finds it. Cuts the payload
+    // through both shuffles and the dedup state by ~numBands×.
     val banded = sigs
       .select(col("doc_id"), col("text"), col("event_time"),
         explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("text"), col("event_time"),
+      .select(col("doc_id"),
+        when(col("bs.band") === 0, col("text")).as("text"),
+        col("event_time"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
     // Deterministic intra-batch bucket ownership (see scaladoc): one
     // min-doc_id candidate per (band, sig) per micro-batch, computed
     // statelessly per partition after co-locating buckets. The typed
-    // hop drops the event-time marker, so the watermark is re-declared
-    // on the combined rows before the stateful operators.
+    // hop erases column metadata, so the chain's ONE watermark is
+    // declared on the combined rows, just before the stateful tail.
     import banded.sparkSession.implicits._
     val combined = banded.repartition(col("band"), col("sig"))
       .as[BandRow]

@@ -129,6 +129,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window [min("), plan.take(2000))
   }
 
+  test("decontaminate: benchmark side is a broadcast LEFT-SEMI join — " +
+      "no corpus shuffle into the contamination probe, no cartesian") {
+    val plan = executedPlan("decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the corpus-side probe must be a SEMI join against a broadcast
+    // shingle set (an inner join would materialize one row per shared
+    // shingle pair — quadratic on boilerplate)
+    assert("BroadcastHashJoin LeftSemi".r.findFirstIn(plan).isDefined ||
+      (plan.contains("LeftSemi") && plan.contains("BroadcastExchange")),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n").take(2000))
+  }
+
+  test("sim_topk_int8: two corpus scans only (quantized rank + broadcast " +
+      "query side); re-rank adds NO extra scan; top-k is group-limited") {
+    val plan = executedPlan("sim_topk_int8")
+    // the quantized all-pairs scan against the tiny broadcast query
+    // side is the documented design (Similarity.topKInt8 scaladoc);
+    // what must never appear is a non-broadcast cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected 2 parquet scans, got $scans\n" +
+      plan.linesIterator.filter(_.contains("Scan")).mkString("\n").take(2000))
+    // rank <= k must compile to WindowGroupLimit (bounded per-group
+    // top-k), not a full sort of all scored pairs
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("pack_sequences: exactly one hash exchange, on the shard key") {
+    val plan = executedPlan("pack_sequences")
+    val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(hashEx.size == 1 && hashEx.head.startsWith("shard"),
+      s"expected one hash exchange on shard, got $hashEx")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("asof_clicks_bucketed: carry-forward window clusters on " +
       "(key, bucket), never key alone") {
     val plan = executedPlan("asof_clicks_bucketed")

@@ -27,6 +27,23 @@ class RanksSpec extends SparkSpec {
       viaWindow.orderBy("id").collect().toSeq)
   }
 
+  test("withGlobalPrefixSum matches SUM() OVER a global order and is " +
+      "partitioning-independent") {
+    val df = randomDf(5000)
+    val summed = Ranks.withGlobalPrefixSum(
+      df, Seq(col("v"), col("id")), col("v") + 1L, "cum")
+    val viaWindow = df.withColumn("cum",
+      sum(col("v") + 1L).over(
+        Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(summed.orderBy("id").collect().toSeq ==
+      viaWindow.orderBy("id").collect().toSeq)
+    val rep = Ranks.withGlobalPrefixSum(
+      df.repartition(13), Seq(col("v"), col("id")), col("v") + 1L, "cum")
+    assert(rep.orderBy("id").collect().toSeq ==
+      summed.orderBy("id").collect().toSeq)
+  }
+
   test("withNtile matches ntile over a global window for awkward n/k") {
     for ((n, k) <- Seq((5000, 10), (5003, 7), (10, 3), (4, 10), (1, 5))) {
       val df = randomDf(n)

@@ -57,4 +57,34 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a.subsetOf(all09))
   }
+
+  test("mixDomains: whole epochs are guaranteed, fractional epoch is " +
+      "hash-gated, zero-rate domains vanish, stable across partitionings") {
+    val df = spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("dom"))
+    val rates = Map("0" -> 2.5, "1" -> 1.0, "2" -> 0.0)
+    def run(parts: Int) =
+      Sampling.mixDomains(df.repartition(parts), "id", "dom", rates)
+        .select("id", "epoch").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val a = run(1)
+    assert(a == run(13))
+    val byId = a.groupBy(_._1)
+    // dom 0 (ids % 3 == 0): epochs 1 and 2 always present; epoch 3 for
+    // roughly half; epochs are contiguous from 1
+    val dom0 = byId.filter(_._1 % 3 == 0)
+    assert(dom0.nonEmpty && dom0.values.forall { es =>
+      val ep = es.map(_._2)
+      ep.contains(1L) && ep.contains(2L) && ep.max <= 3L &&
+        ep == (1L to ep.max).toSet
+    })
+    val frac3 = dom0.values.count(_.exists(_._2 == 3L)).toDouble / dom0.size
+    assert(frac3 > 0.4 && frac3 < 0.6, s"fractional-epoch rate $frac3")
+    // dom 1: rate 1.0 — every row kept with exactly epoch 1
+    val dom1 = byId.filter(_._1 % 3 == 1)
+    assert(dom1.size == 1000)
+    assert(dom1.values.forall(es => es.map(_._2) == Set(1L)))
+    // dom 2: rate 0 — absent entirely
+    assert(byId.keys.forall(_ % 3 != 2))
+  }
 }

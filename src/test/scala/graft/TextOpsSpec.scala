@@ -33,6 +33,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("Text.decontaminate accepts an arbitrary benchmark frame " +
+      "(eval suite as its own table, different text column name)") {
+    val corpus = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "completely different content with no overlap whatsoever here",
+      12L -> "prefix quick brown fox jumps over suffix")
+      .toDF("doc_id", "text")
+    // planted contamination: the eval prompt embeds the 5-gram
+    // "quick brown fox jumps over" that docs 10 and 12 share
+    val benchmark = Seq("question quick brown fox jumps over what answer")
+      .toDF("prompt")
+    val out = graft.extra.Text.decontaminate(corpus, benchmark,
+      "doc_id", "text", "prompt", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> true))
+  }
+
   test("doc_repetition computes top-bigram and dup-token fractions") {
     val out = runOn(Seq(
       // bigrams: "a b","b a","a b","b c" -> top "a b" 2/4; tokens
