@@ -58,6 +58,18 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 10000) < threshold)
   }
 
+  /** Per-row weighted sampling: keep a row with probability `weight`
+    * (a column in [0,1] — e.g. a quality score), decided by the
+    * content hash of its id. The soft-quality-filter move: instead of
+    * a hard threshold that cliffs at the cutoff, retention is
+    * proportional to the score, preserving score-diversity while
+    * shifting mass toward high quality. Pure projection + filter —
+    * no shuffle, reproducible on any partitioning/engine; monotone in
+    * the weight (raising a row's weight can only keep it).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(hashBucket(col(idCol), 10000) < weight * 10000.0)
+
   /** Weighted domain mixing — the training-mixture primitive: each
     * domain (value of `domainCol`) is sampled at its own RATE, where a
     * rate above 1.0 means the domain is seen more than once per pass

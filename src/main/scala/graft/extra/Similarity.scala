@@ -137,9 +137,35 @@ object Similarity {
     * tie-break), so recall vs [[topKBruteForce]] is a pure property of
     * the quantization, and the DuckDB oracle reproduces the result
     * bit-for-bit.
+    *
+    * Cost model (when to use which scan — from the executed plan, which
+    * is one corpus scan + a BroadcastNestedLoopJoin against the Q-row
+    * broadcast query side + a WindowGroupLimit top-k; see the
+    * `sim_topk_int8` plan lock): the quantized scan does N·Q integer
+    * dots over a 4×-smaller corpus and the re-rank touches only
+    * Q·k·candFactor float rows, so wall ≈ linear in N regardless of k.
+    * It beats [[topKBruteForce]] by the IO/memory factor but can never
+    * beat sub-linear candidate generation: once the corpus outgrows
+    * "scan everything per query batch" — N·Q dots per batch above
+    * roughly 10⁹–10¹⁰ on a cluster, i.e. N in the hundreds of millions
+    * for tens of queries — use [[topKIvf]] (scans ~N/C per probed
+    * centroid) or [[topKLshMulti]] (scans L buckets), optionally
+    * quantizing INSIDE the shortlist. The guards below reject parameter
+    * combinations where the "shortlist" would approach the corpus scan
+    * itself — the caller wanted IVF and would silently pay double.
     */
   def topKInt8(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, candFactor: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candFactor >= 1, s"candFactor must be >= 1, got $candFactor")
+    // k·candFactor is the per-query exact-re-rank set. Past ~100k rows
+    // per query the re-rank stops being "a shortlist" and the quantized
+    // pre-pass stops paying for itself — that regime belongs to
+    // IVF/LSH candidate generation, not a bigger re-rank buffer.
+    require(k.toLong * candFactor <= 100000L,
+      s"k*candFactor = ${k.toLong * candFactor} exceeds 100k: the exact " +
+        "re-rank would dominate the quantized scan it is meant to avoid; " +
+        "use topKIvf/topKLshMulti for sub-linear candidates instead")
     val e = quantizeInt8(prepare(emb, idCol, vecCol))
     val q = e.filter(queryPred).select(col("id").as("query_id"),
       col("v").as("q_v"), col("nrm").as("q_nrm"), col("qv").as("q_qv"))

@@ -460,6 +460,76 @@ object DedupQueriesImpl {
       |      < rate10k - (epoch - 1) * 10000
       |ORDER BY doc_id, epoch""".stripMargin
 
+  // ---- quality_sample -------------------------------------------------
+
+  /** Soft quality sampling: keep each doc with probability equal to its
+    * quality score (hash-gated, [[graft.extra.Sampling.weightedSample]])
+    * — proportional retention instead of a hard threshold cliff. Pure
+    * projection + filter over one scan.
+    */
+  def qualitySample(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.extra.Text.withQuality(docs(s, dir), "text")
+    graft.extra.Sampling.weightedSample(q, "doc_id", col("quality_score"))
+      .select("doc_id", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  private val qualitySampleOracle = {
+    val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    val stop = graft.extra.Text.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val hits = s"len(list_filter(toks, t -> list_contains($stop, t)))"
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+       |        + least(CAST($hits AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+       |        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |  FROM t)
+       |SELECT doc_id, quality_score FROM q
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |        AS BIGINT) % 10000 < quality_score * 10000.0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- domain_quota ---------------------------------------------------
+
+  /** Per-domain quality quota: the top 10 docs of every `source` by
+    * (quality desc, doc_id) — capped per-domain representation, the
+    * complement of rate-based mixing. A rank window PARTITIONED by
+    * domain (group-limited top-k — never a global sort), ranking on the
+    * rounded score for engine-independent order.
+    */
+  def domainQuota(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.extra.Text.withQuality(docs(s, dir), "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality_score").desc, col("doc_id"))
+    q.withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= 10)
+      .select(col("doc_id"), col("source"),
+        col("qrank").cast("long").as("qrank"), col("quality_score"))
+      .orderBy("source", "qrank")
+  }
+
+  private val domainQuotaOracle = {
+    val toksSql = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    val stop = graft.extra.Text.stopwords("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val hits = s"len(list_filter(toks, t -> list_contains($stop, t)))"
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id, source,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+       |        + least(CAST($hits AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+       |        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |  FROM t),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY quality_score DESC, doc_id) AS qrank FROM q)
+       |SELECT doc_id, source, CAST(qrank AS BIGINT) AS qrank, quality_score
+       |FROM r WHERE qrank <= 10
+       |ORDER BY source, qrank""".stripMargin
+  }
+
   // ---- global_shuffle -------------------------------------------------
 
   /** Deterministic global shuffle for training-data ordering: every doc
@@ -490,6 +560,12 @@ object DedupQueriesImpl {
     QueryDef("global_shuffle",
       "deterministic global shuffle position without a one-task window",
       globalShuffle, Some(globalShuffleOracle)),
+    QueryDef("quality_sample",
+      "soft quality sampling: keep probability = quality score, hash-gated",
+      qualitySample, Some(qualitySampleOracle)),
+    QueryDef("domain_quota",
+      "per-domain top-10 quality quota via a group-limited rank window",
+      domainQuota, Some(domainQuotaOracle)),
     QueryDef("train_test_split",
       "hash-bucket deterministic train/val/test assignment",
       trainTestSplit, Some(trainTestSplitOracle)),

@@ -55,8 +55,10 @@ class ExtraSpec extends SparkSpec {
         col("id") < 10, k = 5)
       .select("query_id", "rank", "neighbor_id", "cosine")
       .collect().map(_.toSeq).toSet
+    // candFactor at the guard ceiling: k*candFactor = 100k, far beyond
+    // the test corpus, so the re-rank is effectively untruncated
     val untrunc = Similarity.topKInt8(emb, "vec_id", "embedding",
-        col("id") < 10, k = 5, candFactor = 1000000)
+        col("id") < 10, k = 5, candFactor = 20000)
       .select("query_id", "rank", "neighbor_id", "cosine")
       .collect().map(_.toSeq).toSet
     assert(untrunc == brute)
@@ -68,6 +70,15 @@ class ExtraSpec extends SparkSpec {
     val want = brute.map(s => (s(0).asInstanceOf[Long], s(2).asInstanceOf[Long]))
     val recall = got.intersect(want).size.toDouble / want.size
     assert(recall >= 0.8, s"int8 top-5 recall $recall")
+    // guard: a "shortlist" approaching a corpus scan is IVF/LSH's job
+    intercept[IllegalArgumentException] {
+      Similarity.topKInt8(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5, candFactor = 1000000)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.topKInt8(emb, "vec_id", "embedding",
+        col("id") < 10, k = 0)
+    }
   }
 
   test("multi-table LSH recall beats single-table on the test embeddings") {

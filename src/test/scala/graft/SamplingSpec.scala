@@ -58,6 +58,24 @@ class SamplingSpec extends SparkSpec {
     assert(a.subsetOf(all09))
   }
 
+  test("weightedSample: retention tracks the per-row weight, stable " +
+      "across partitionings, degenerate weights behave") {
+    val df = spark.range(4000)
+      .select(col("id"),
+        when(col("id") % 2 === 0, 0.9).otherwise(0.1).as("w"))
+    def run(parts: Int) =
+      Sampling.weightedSample(df.repartition(parts), "id", col("w"))
+        .select("id").as[Long].collect().toSet
+    val a = run(1)
+    assert(a == run(11))
+    val hi = a.count(_ % 2 == 0).toDouble / 2000
+    val lo = a.count(_ % 2 == 1).toDouble / 2000
+    assert(hi > 0.85 && hi < 0.95, s"weight-0.9 retention $hi")
+    assert(lo > 0.05 && lo < 0.15, s"weight-0.1 retention $lo")
+    assert(Sampling.weightedSample(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() == 4000)
+  }
+
   test("mixDomains: whole epochs are guaranteed, fractional epoch is " +
       "hash-gated, zero-rate domains vanish, stable across partitionings") {
     val df = spark.range(3000)
