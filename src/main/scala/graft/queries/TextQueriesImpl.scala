@@ -336,7 +336,9 @@ object TextQueriesImpl {
   /** Per-document top-3 terms by tf-idf. Shapes for 100 TB: two keyed
     * aggregations (term frequency per (doc, term), then document
     * frequency per term — the second reads the first's already-reduced
-    * output, so the corpus is tokenized and shuffled ONCE), one
+    * output, so the corpus is tokenized and shuffled ONCE: the tf frame
+    * is PERSISTED, because without it Catalyst plans the df branch as a
+    * second full scan + tokenize + aggregation — plan-locked), one
     * equijoin on `term` (AQE broadcasts when the vocabulary is small;
     * sort-merge otherwise — both keyed, never a cross product), and a
     * rank window partitioned by doc (group-limited top-k, no global
@@ -350,6 +352,7 @@ object TextQueriesImpl {
     val tf = d.select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf",

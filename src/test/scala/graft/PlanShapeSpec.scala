@@ -158,6 +158,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("tfidf_top_terms: both branches read the persisted tf frame — " +
+      "the corpus is scanned and tokenized once, not once per branch") {
+    val plan = executedPlan("tfidf_top_terms")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // each InMemoryTableScan prints its cached lineage (including the
+    // original FileScan), so count CACHE scans, not parquet mentions
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheScans >= 2,
+      s"expected tf cache read by both join branches, got $cacheScans")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("pack_sequences: exactly one hash exchange, on the shard key") {
     val plan = executedPlan("pack_sequences")
     val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
