@@ -152,6 +152,15 @@ object Graft {
     extra.Similarity.topKIvf(emb, idCol, vecCol, queryPred, k, numCentroids,
       nprobe)
 
+  /** Product-quantized top-k: m one-byte codes per vector + ADC table
+    * lookups, exact re-rank on the shortlist.
+    */
+  def similarTopKPq(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, numCentroids: Int = 16,
+      candFactor: Int = 3): DataFrame =
+    extra.Similarity.topKPq(emb, idCol, vecCol, queryPred, k, m,
+      numCentroids, candFactor)
+
   /** IVF with a spherical-k-means-trained codebook (production build). */
   def similarTopKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, numCentroids: Int = 32, iters: Int = 5,
@@ -231,6 +240,51 @@ object Graft {
   /** Partitioning-independent fraction sample (content hash). */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     extra.Sampling.deterministicSample(df, idCol, fraction)
+
+  /** Per-class deterministic rebalancing sample. */
+  def stratifiedSample(df: DataFrame, idCol: String, classCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame =
+    extra.Sampling.stratifiedSample(df, idCol, classCol, fractions,
+      defaultFraction)
+
+  /** Keep each row with probability = its weight column (hash-gated). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    extra.Sampling.weightedSample(df, idCol, weight)
+
+  /** Weighted per-domain epoch mixing — the pre-training mixture
+    * primitive (rate 2.5 → 2 guaranteed epochs + a hash-gated
+    * fractional one).
+    */
+  def mixDomains(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
+    extra.Sampling.mixDomains(df, idCol, domainCol, rates, defaultRate)
+
+  /** Benchmark decontamination: flag corpus docs sharing any n-token
+    * shingle with an arbitrary benchmark frame (broadcast semi-join).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      n: Int = 5): DataFrame =
+    extra.Text.decontaminate(corpus, benchmark, idCol, textCol,
+      benchTextCol, n)
+
+  /** Global row number over a total order WITHOUT the one-task window. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+      out: String): (DataFrame, Long) =
+    ops.Ranks.withGlobalRowNumber(df, sortCols, out)
+
+  /** Global running sum over a total order WITHOUT the one-task window
+    * (token-budget selection: order by quality, cut at the budget).
+    */
+  def globalPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      valueOf: Column, out: String): DataFrame =
+    ops.Ranks.withGlobalPrefixSum(df, sortCols, valueOf, out)
+
+  /** Greedy fixed-token-budget sequence packing (content-hash shards). */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      budget: Long, shards: Int = 64): DataFrame =
+    extra.Packing.packGreedy(df, idCol, tokenCount, budget, shards)
 
   // ---- storage layout ------------------------------------------------
 

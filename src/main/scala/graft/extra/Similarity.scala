@@ -186,6 +186,96 @@ object Similarity {
         col("cosine"), col("qdot"))
   }
 
+  /** Product-quantized top-k (PQ with asymmetric distance computation —
+    * the memory tier BELOW int8: dim floats collapse to `m` one-byte
+    * codes, a 4·dim/m× cut, 32× here at dim 64 / m 8).
+    *
+    * Index build: the vector is split into `m` subspaces; each subspace
+    * gets a `numCentroids`-entry codebook and every corpus vector
+    * stores only its nearest-centroid index per subspace. The codebook
+    * here is the same deterministic hash-ordered sample as
+    * [[sampleCodebook]] (centroid j of subspace s = dims [s·d/m,
+    * (s+1)·d/m) of the j-th sample vector), so the DuckDB oracle
+    * reproduces the whole index bit-for-bit; swap in per-subspace
+    * k-means for the production build exactly as [[kmeansCodebook]]
+    * does for IVF.
+    *
+    * Search (ADC): the query computes ONE m×k table of rounded
+    * subspace distances to the codebook — then scoring a corpus row is
+    * `m` table lookups summed, never a dim-length float scan. Both
+    * assignment and the table are pure projections against literal
+    * centroids (codegen, no join, no shuffle); scoring joins the
+    * broadcast query side and ranks by (rounded ADC distance asc, id),
+    * so candidate selection is engine-deterministic; the final `k` come
+    * from an exact float-cosine re-rank of `k·candFactor` candidates,
+    * [[topKInt8]]-style. Lookup lambdas reference only ATTRIBUTES
+    * (codes, dtable) — nothing expensive re-evaluates per element
+    * (HOF-CSE trap).
+    *
+    * At 100 TB: the PQ codes are what the scan reads (dim 1024 floats
+    * → 4 KB/vector becomes m=64 bytes); compose with IVF posting lists
+    * (assignment is already [[nearestCid]]'s shape) for sub-linear
+    * scan-and-lookup — this operator is the lookup half.
+    */
+  def topKPq(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, numCentroids: Int = 16,
+      candFactor: Int = 3): DataFrame = {
+    require(k >= 1 && candFactor >= 1 && m >= 1,
+      s"k=$k, candFactor=$candFactor, m=$m must all be >= 1")
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val cents = sampleCodebook(emb, idCol, vecCol, numCentroids)
+    if (cents.isEmpty)
+      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
+        .withColumn("adc_d2", lit(null).cast("double"))
+    val kC = cents.size
+    val e = prepare(emb, idCol, vecCol)
+
+    // rounded squared L2 between subspace s of the row vector and
+    // centroid j — shared by assignment (corpus) and the ADC table
+    // (queries); literal centroid components keep it codegen-only
+    def subD2(s: Int, j: Int): Column =
+      round((0 until sub).map { d =>
+        val x = element_at(col("v"), s * sub + d + 1).cast("double") -
+          lit(cents(j).v(s * sub + d))
+        x * x
+      }.reduce(_ + _), 6)
+
+    // per-subspace argmin via struct-least: (d2 asc, j asc) tie-break,
+    // matching the oracle's row_number(ORDER BY d2, j)
+    def codeFor(s: Int): Column = {
+      val structs = (0 until kC).map(j =>
+        struct(subD2(s, j).as("d"), lit(j).as("j")))
+      (if (structs.size == 1) structs.head else least(structs: _*))("j")
+    }
+    val coded = e.withColumn("codes",
+      array((0 until m).map(codeFor): _*))
+    val q = coded.filter(queryPred).select(
+      col("id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+      array((for (s <- 0 until m; j <- 0 until kC)
+        yield subD2(s, j)): _*).as("dtable"))
+    val scored = coded.select("id", "v", "nrm", "codes")
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("adc_d2", round(
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
+          acc + element_at(col("dtable"),
+            s * kC + element_at(col("codes"), s + 1) + 1)), 6))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("id"))
+    val cand = scored.withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= k * candFactor)
+      .withColumn("cosine",
+        round(dot(col("v"), col("q_v")) /
+          (sqrt(col("nrm")) * sqrt(col("q_nrm"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"), col("adc_d2"))
+  }
+
   /** Multi-table LSH top-k — the production recall fix: L independent
     * hash tables with FEWER bits each; a candidate only needs to collide
     * with the query in ANY table. Recall ≈ 1-(1-p^bits)^L vs p^bits for

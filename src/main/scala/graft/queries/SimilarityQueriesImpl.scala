@@ -206,6 +206,73 @@ object SimilarityQueriesImpl {
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- sim_topk_pq (product quantization + ADC) --------------------
+
+  /** PQ top-5: 8 subspaces × 16 deterministic sample centroids — each
+    * corpus vector stored as 8 one-byte codes (32× smaller than the
+    * float vector), queries score via an m×k distance-table lookup sum
+    * (ADC), exact float re-rank on the top-15. The codebook, codes, ADC
+    * distances, and candidate ranks are all engine-deterministic
+    * (rounded distances, id tie-breaks), so the oracle rebuilds the
+    * entire index and reproduces the result bit-for-bit.
+    */
+  def simTopKPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKPq(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val simTopKPqOracle = {
+    val subD2 = (v: String, c: String) =>
+      s"""round(list_sum(list_transform(range(sub.s*8, sub.s*8 + 8),
+         |      i -> (CAST($v.embedding[i+1] AS DOUBLE)
+         |            - CAST($c.embedding[i+1] AS DOUBLE))
+         |         * (CAST($v.embedding[i+1] AS DOUBLE)
+         |            - CAST($c.embedding[i+1] AS DOUBLE)))), 6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |c AS (SELECT embedding,
+       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |          vec_id) - 1 AS j
+       |      FROM embeddings
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |asgd AS (
+       |  SELECT v.vec_id, sub.s AS s, c.j, ${subD2("v", "c")} AS d2
+       |  FROM embeddings v CROSS JOIN sub CROSS JOIN c),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+       |    FROM asgd) WHERE rk = 1),
+       |qd AS (SELECT vec_id AS query_id, s, j, d2 FROM asgd
+       |       WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.query_id, x.vec_id AS neighbor_id,
+       |    round(sum(q.d2), 6) AS adc_d2
+       |  FROM codes x JOIN qd q ON q.s = x.s AND q.j = x.code
+       |  WHERE x.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2, neighbor_id) AS crk
+       |  FROM adc),
+       |sc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, cd.adc_d2,
+       |    round(${dotSql("ce", "qe")} / (sqrt(ce.nrm) * sqrt(qe.nrm)), 6)
+       |      AS cosine
+       |  FROM cand cd
+       |  JOIN e ce ON ce.vec_id = cd.neighbor_id
+       |  JOIN e qe ON qe.vec_id = cd.query_id
+       |  WHERE cd.crk <= 15),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adc_d2, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine, adc_d2
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
@@ -221,5 +288,8 @@ object SimilarityQueriesImpl {
       simTopKLshMulti, Some(simTopKLshMultiOracle)),
     QueryDef("sim_topk_ivf",
       "IVF coarse-quantizer top-5 (32 fixed centroids, nprobe=3)",
-      simTopKIvf, Some(simTopKIvfOracle)))
+      simTopKIvf, Some(simTopKIvfOracle)),
+    QueryDef("sim_topk_pq",
+      "product-quantized (8x16 codebook) ADC top-5 + exact re-rank",
+      simTopKPq, Some(simTopKPqOracle)))
 }

@@ -81,6 +81,31 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("PQ: untruncated re-rank equals brute force; guards reject " +
+      "bad subspace/k combinations") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.topKBruteForce(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    // candidate set un-truncated => the exact re-rank IS brute force,
+    // regardless of how lossy the 8x16 codebook is
+    val untrunc = Similarity.topKPq(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5, candFactor = 20000)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    assert(untrunc == brute)
+    // codes land in [0, numCentroids)
+    intercept[IllegalArgumentException] {
+      Similarity.topKPq(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5, m = 7) // 64 % 7 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.topKPq(emb, "vec_id", "embedding",
+        col("id") < 10, k = 0)
+    }
+  }
+
   test("multi-table LSH recall beats single-table on the test embeddings") {
     val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
