@@ -161,6 +161,15 @@ object Graft {
     extra.Similarity.topKPq(emb, idCol, vecCol, queryPred, k, m,
       numCentroids, candFactor)
 
+  /** IVF-PQ: nprobe posting lists scored by PQ byte codes (ADC),
+    * exact re-rank on the shortlist — the composed 100 TB index shape.
+    */
+  def similarTopKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32, nprobe: Int = 3,
+      m: Int = 8, pqCentroids: Int = 16, candFactor: Int = 3): DataFrame =
+    extra.Similarity.topKIvfPq(emb, idCol, vecCol, queryPred, k,
+      numCentroids, nprobe, m, pqCentroids, candFactor)
+
   /** IVF with a spherical-k-means-trained codebook (production build). */
   def similarTopKIvfKmeans(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, numCentroids: Int = 32, iters: Int = 5,

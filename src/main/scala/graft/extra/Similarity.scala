@@ -231,36 +231,110 @@ object Similarity {
         .withColumn("adc_d2", lit(null).cast("double"))
     val kC = cents.size
     val e = prepare(emb, idCol, vecCol)
-
-    // rounded squared L2 between subspace s of the row vector and
-    // centroid j — shared by assignment (corpus) and the ADC table
-    // (queries); literal centroid components keep it codegen-only
-    def subD2(s: Int, j: Int): Column =
-      round((0 until sub).map { d =>
-        val x = element_at(col("v"), s * sub + d + 1).cast("double") -
-          lit(cents(j).v(s * sub + d))
-        x * x
-      }.reduce(_ + _), 6)
-
-    // per-subspace argmin via struct-least: (d2 asc, j asc) tie-break,
-    // matching the oracle's row_number(ORDER BY d2, j)
-    def codeFor(s: Int): Column = {
-      val structs = (0 until kC).map(j =>
-        struct(subD2(s, j).as("d"), lit(j).as("j")))
-      (if (structs.size == 1) structs.head else least(structs: _*))("j")
-    }
-    val coded = e.withColumn("codes",
-      array((0 until m).map(codeFor): _*))
+    val coded = e.withColumn("codes", pqCodes(cents, m, sub))
     val q = coded.filter(queryPred).select(
       col("id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
-      array((for (s <- 0 until m; j <- 0 until kC)
-        yield subD2(s, j)): _*).as("dtable"))
+      pqDTable(cents, m, sub).as("dtable"))
     val scored = coded.select("id", "v", "nrm", "codes")
       .join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("adc_d2", round(
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
-          acc + element_at(col("dtable"),
-            s * kC + element_at(col("codes"), s + 1) + 1)), 6))
+      .withColumn("adc_d2", pqAdc(m, kC))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("id"))
+    val cand = scored.withColumn("crk", row_number().over(wCand))
+      .filter(col("crk") <= k * candFactor)
+      .withColumn("cosine",
+        round(dot(col("v"), col("q_v")) /
+          (sqrt(col("nrm")) * sqrt(col("q_nrm"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("cosine"), col("adc_d2"))
+  }
+
+  /** Rounded squared L2 between subspace `s` of the row's `v` and PQ
+    * centroid `j` — literal centroid components keep it codegen-only;
+    * shared by corpus assignment and the query ADC table.
+    */
+  private def pqSubD2(cents: Seq[Centroid], sub: Int)(s: Int, j: Int): Column =
+    round((0 until sub).map { d =>
+      val x = element_at(col("v"), s * sub + d + 1).cast("double") -
+        lit(cents(j).v(s * sub + d))
+      x * x
+    }.reduce(_ + _), 6)
+
+  /** Per-subspace argmin codes via struct-least: (d2 asc, j asc)
+    * tie-break, matching the oracle's row_number(ORDER BY d2, j).
+    */
+  private def pqCodes(cents: Seq[Centroid], m: Int, sub: Int): Column = {
+    val d2 = pqSubD2(cents, sub) _
+    array((0 until m).map { s =>
+      val structs = cents.indices.map(j =>
+        struct(d2(s, j).as("d"), lit(j).as("j")))
+      (if (structs.size == 1) structs.head else least(structs: _*))("j")
+    }: _*)
+  }
+
+  /** The query's flattened m×k ADC table: entry s·k + j = rounded d2 of
+    * query subspace s to centroid j.
+    */
+  private def pqDTable(cents: Seq[Centroid], m: Int, sub: Int): Column = {
+    val d2 = pqSubD2(cents, sub) _
+    array((for (s <- 0 until m; j <- cents.indices) yield d2(s, j)): _*)
+  }
+
+  /** ADC score from `codes` (corpus side) and `dtable` (query side):
+    * m table lookups summed. The lambda touches only ATTRIBUTES — no
+    * HOF-CSE re-evaluation.
+    */
+  private def pqAdc(m: Int, kC: Int): Column = round(
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
+      acc + element_at(col("dtable"),
+        s * kC + element_at(col("codes"), s + 1) + 1)), 6)
+
+  /** IVF-PQ — the full 100 TB ANN shape: a coarse quantizer restricts
+    * each query to `nprobe` posting lists (sub-linear scan), and WITHIN
+    * the probed lists scoring runs over PQ byte codes via ADC lookups
+    * (memory-resident codes), with the exact float re-rank only on the
+    * shortlist. [[topKIvf]]'s list structure + [[topKPq]]'s scoring —
+    * both codebooks are the deterministic hash-ordered sample, so the
+    * composed index is still DuckDB-reproducible end to end.
+    *
+    * Plan shape: coarse assignment and PQ codes are projections against
+    * literal centroids; the only join is the keyed equijoin on
+    * `list_id` against the broadcast probe side; top-k is a
+    * group-limited rank window.
+    */
+  def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32, nprobe: Int = 3,
+      m: Int = 8, pqCentroids: Int = 16, candFactor: Int = 3): DataFrame = {
+    require(k >= 1 && candFactor >= 1 && m >= 1 && nprobe >= 1,
+      s"k=$k, candFactor=$candFactor, m=$m, nprobe=$nprobe must be >= 1")
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val coarse = sampleCodebook(emb, idCol, vecCol, numCentroids)
+    val pqCents = sampleCodebook(emb, idCol, vecCol, pqCentroids)
+    if (coarse.isEmpty || pqCents.isEmpty)
+      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
+        .withColumn("adc_d2", lit(null).cast("double"))
+    val kC = pqCents.size
+    val e = prepare(emb, idCol, vecCol)
+    val coded = e
+      .withColumn("list_id", nearestCid(coarse, col("v"), col("nrm")))
+      .withColumn("codes", pqCodes(pqCents, m, sub))
+    val probes = e.filter(queryPred)
+      .withColumn("pc", explode(slice(
+        reverse(array_sort(array(centStructs(coarse, col("v"), col("nrm")): _*))),
+        1, nprobe)))
+      .select(col("id").as("query_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"), pqDTable(pqCents, m, sub).as("dtable"),
+        (-col("pc.negcid")).as("list_id"))
+    val scored = coded.select("id", "v", "nrm", "list_id", "codes")
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("adc_d2", pqAdc(m, kC))
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("id"))
     val cand = scored.withColumn("crk", row_number().over(wCand))

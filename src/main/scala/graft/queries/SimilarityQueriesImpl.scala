@@ -273,6 +273,87 @@ object SimilarityQueriesImpl {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- sim_topk_ivfpq (coarse lists + PQ codes) --------------------
+
+  /** IVF-PQ top-5: the full 100 TB ANN shape — 32-centroid coarse
+    * quantizer restricts each query to 3 posting lists; within them,
+    * scoring runs over 8×16 PQ byte codes via ADC lookups; exact float
+    * re-rank on the top-15. Both codebooks are the deterministic
+    * hash-ordered sample, so the oracle rebuilds the composed index.
+    */
+  def simTopKIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKIvfPq(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5)
+      .orderBy("query_id", "rank")
+
+  private val simTopKIvfPqOracle = {
+    val subD2 = (v: String, c: String) =>
+      s"""round(list_sum(list_transform(range(sub.s*8, sub.s*8 + 8),
+         |      i -> (CAST($v.embedding[i+1] AS DOUBLE)
+         |            - CAST($c.embedding[i+1] AS DOUBLE))
+         |         * (CAST($v.embedding[i+1] AS DOUBLE)
+         |            - CAST($c.embedding[i+1] AS DOUBLE)))), 6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+       |asgr AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(${dotSql("v", "c")} / (sqrt(v.nrm) * sqrt(c.cn)), 6) DESC,
+       |      c.cid) AS crk
+       |  FROM e v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS list_id FROM asgr WHERE crk = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS list_id
+       |           FROM asgr WHERE vec_id < 10 AND crk <= 3),
+       |pc AS (SELECT embedding,
+       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |          vec_id) - 1 AS j
+       |      FROM embeddings
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |asgd AS (
+       |  SELECT v.vec_id, sub.s AS s, pc.j, ${subD2("v", "pc")} AS d2
+       |  FROM embeddings v CROSS JOIN sub CROSS JOIN pc),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+       |    FROM asgd) WHERE rk = 1),
+       |qd AS (SELECT vec_id AS query_id, s, j, d2 FROM asgd
+       |       WHERE vec_id < 10),
+       |cands AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a
+       |    ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, round(sum(q.d2), 6) AS adc_d2
+       |  FROM cands cd
+       |  JOIN codes x ON x.vec_id = cd.neighbor_id
+       |  JOIN qd q ON q.query_id = cd.query_id AND q.s = x.s
+       |           AND q.j = x.code
+       |  GROUP BY 1, 2),
+       |cnd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2, neighbor_id) AS crk2
+       |  FROM adc),
+       |sc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, cd.adc_d2,
+       |    round(${dotSql("ce", "qe")} / (sqrt(ce.nrm) * sqrt(qe.nrm)), 6)
+       |      AS cosine
+       |  FROM cnd cd
+       |  JOIN e ce ON ce.vec_id = cd.neighbor_id
+       |  JOIN e qe ON qe.vec_id = cd.query_id
+       |  WHERE cd.crk2 <= 15),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adc_d2, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine, adc_d2
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
@@ -291,5 +372,8 @@ object SimilarityQueriesImpl {
       simTopKIvf, Some(simTopKIvfOracle)),
     QueryDef("sim_topk_pq",
       "product-quantized (8x16 codebook) ADC top-5 + exact re-rank",
-      simTopKPq, Some(simTopKPqOracle)))
+      simTopKPq, Some(simTopKPqOracle)),
+    QueryDef("sim_topk_ivfpq",
+      "IVF-PQ: 3 probed posting lists scored by PQ byte codes (ADC)",
+      simTopKIvfPq, Some(simTopKIvfPqOracle)))
 }

@@ -106,6 +106,21 @@ class ExtraSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: probing every list with an untruncated re-rank " +
+      "degenerates to brute force") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val brute = Similarity.topKBruteForce(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.topKIvfPq(emb, "vec_id", "embedding",
+        col("id") < 10, k = 5, numCentroids = 32, nprobe = 32,
+        candFactor = 20000)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    assert(full == brute)
+  }
+
   test("multi-table LSH recall beats single-table on the test embeddings") {
     val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
     def pairs(df: org.apache.spark.sql.DataFrame) =
