@@ -170,6 +170,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("sim_topk_ivfpq: the only join is a keyed equijoin on list_id " +
+      "against the broadcast probes; top-k is group-limited") {
+    val plan = executedPlan("sim_topk_ivfpq")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // unlike the deliberate quantized full scans (int8/pq), the
+    // composed index must never fall back to an all-pairs nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert("BroadcastHashJoin \\[list_id".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n").take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("pack_sequences: exactly one hash exchange, on the shard key") {
     val plan = executedPlan("pack_sequences")
     val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
