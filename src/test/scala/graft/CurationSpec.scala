@@ -42,4 +42,41 @@ class CurationSpec extends SparkSpec {
   test("verdict is total: one row per input doc") {
     assert(verdicts.size == 5)
   }
+
+  test("training pipeline composes end-to-end: curate → domain mixing " +
+      "→ sequence packing, invariants hold at every stage") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.gen.SyntheticDocs
+    val n = 2000L
+    val corpus = spark.range(n).select(
+      col("id").as("doc_id"),
+      docs.plantedText(col("id")).as("text"),
+      concat(lit("src"), pmod(col("id"), lit(4))).as("source"))
+    // stage 1: curation keeps the planted-dup corpus minus dups/junk
+    val kept = Curation.curate(corpus, "doc_id", "text")
+      .filter(col("status") === "kept").select("doc_id")
+      .join(corpus, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < n) // dups were actually removed
+    // stage 2: mix — src0 upsampled 2x, src3 dropped
+    val mixed = graft.extra.Sampling.mixDomains(kept, "doc_id", "source",
+      Map("src0" -> 2.0, "src3" -> 0.0))
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src3"))
+    val keptBySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 2 * keptBySrc("src0")) // whole epochs exact
+    assert(bySrc("src1") == keptBySrc("src1"))
+    // stage 3: pack the mixture — (doc, epoch) rows need a unique id
+    val packed = graft.extra.Packing.packGreedy(
+      mixed.withColumn("mix_id", col("doc_id") * 10 + col("epoch")),
+      "mix_id", size(graft.extra.Text.tokens(col("text"))).cast("long"),
+      budget = 128L, shards = 4)
+    // every mixture row packed exactly once, budget respected
+    assert(packed.count() == mixed.count())
+    val over = graft.extra.Packing.packStats(packed, "n_tokens", 128L)
+      .filter(col("n_docs") > 1 && col("seq_tokens") > 128).count()
+    assert(over == 0)
+  }
 }
