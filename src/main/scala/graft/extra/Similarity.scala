@@ -235,9 +235,14 @@ object Similarity {
     val q = coded.filter(queryPred).select(
       col("id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
       pqDTable(cents, m, sub).as("dtable"))
+    // drop the m×k dtable (and codes) BEFORE the rank exchange — they
+    // are per-pair dead weight once adc_d2 is computed (the 1M-vector
+    // smoke measured the fat-row variant at GBs of shuffle); v/q_v stay
+    // for the in-place shortlist re-rank, keeping this a 2-scan plan
     val scored = coded.select("id", "v", "nrm", "codes")
       .join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("adc_d2", pqAdc(m, kC))
+      .select("query_id", "id", "v", "nrm", "q_v", "q_nrm", "adc_d2")
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("id"))
     val cand = scored.withColumn("crk", row_number().over(wCand))
@@ -285,13 +290,18 @@ object Similarity {
   }
 
   /** ADC score from `codes` (corpus side) and `dtable` (query side):
-    * m table lookups summed. The lambda touches only ATTRIBUTES — no
-    * HOF-CSE re-evaluation.
+    * m table lookups summed. UNROLLED over the statically-known m —
+    * higher-order functions run interpreted per row, and this sits on
+    * the hottest path of the scan (measured 1M×10 pairs: the
+    * `aggregate` fold was a large chunk of search wall); the unrolled
+    * element_at chain stays inside whole-stage codegen. Left-to-right
+    * reduce keeps the fold's exact addition order (oracle-identical).
     */
   private def pqAdc(m: Int, kC: Int): Column = round(
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, s) =>
-      acc + element_at(col("dtable"),
-        s * kC + element_at(col("codes"), s + 1) + 1)), 6)
+    (0 until m).map(s =>
+      element_at(col("dtable"),
+        element_at(col("codes"), s + 1) + (s * kC + 1)))
+      .reduce(_ + _), 6)
 
   /** IVF-PQ — the full 100 TB ANN shape: a coarse quantizer restricts
     * each query to `nprobe` posting lists (sub-linear scan), and WITHIN
@@ -306,49 +316,161 @@ object Similarity {
     * `list_id` against the broadcast probe side; top-k is a
     * group-limited rank window.
     */
-  def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, numCentroids: Int = 32, nprobe: Int = 3,
-      m: Int = 8, pqCentroids: Int = 16, candFactor: Int = 3): DataFrame = {
-    require(k >= 1 && candFactor >= 1 && m >= 1 && nprobe >= 1,
-      s"k=$k, candFactor=$candFactor, m=$m, nprobe=$nprobe must be >= 1")
+  /** A built IVF-PQ index: both codebooks plus the coded corpus
+    * (id, v, nrm, list_id, codes). In production `coded` is what you
+    * MATERIALIZE — write it partitioned by `list_id` (the floats ride
+    * along here for the in-place re-rank; a storage-tiered deployment
+    * would keep them in a separate table fetched per shortlist) — and
+    * the build cost (the expensive per-row code assignment) is paid
+    * once, not per query batch. [[AnnSmoke]] measures exactly this
+    * split.
+    */
+  final case class IvfPqIndex(coarse: Seq[Centroid], pq: Seq[Centroid],
+      m: Int, sub: Int, coded: DataFrame)
+
+  /** Build the IVF-PQ index frame: coarse list assignment + PQ codes,
+    * both pure projections against literal codebooks.
+    */
+  def buildIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int = 32, m: Int = 8,
+      pqCentroids: Int = 16): Option[IvfPqIndex] = {
+    require(m >= 1, s"m=$m must be >= 1")
     val dim = probeDim(emb, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     val coarse = sampleCodebook(emb, idCol, vecCol, numCentroids)
     val pqCents = sampleCodebook(emb, idCol, vecCol, pqCentroids)
-    if (coarse.isEmpty || pqCents.isEmpty)
-      return topKBruteForce(emb, idCol, vecCol, queryPred, k)
-        .withColumn("adc_d2", lit(null).cast("double"))
-    val kC = pqCents.size
-    val e = prepare(emb, idCol, vecCol)
-    val coded = e
-      .withColumn("list_id", nearestCid(coarse, col("v"), col("nrm")))
-      .withColumn("codes", pqCodes(pqCents, m, sub))
-    val probes = e.filter(queryPred)
-      .withColumn("pc", explode(slice(
-        reverse(array_sort(array(centStructs(coarse, col("v"), col("nrm")): _*))),
-        1, nprobe)))
-      .select(col("id").as("query_id"), col("v").as("q_v"),
-        col("nrm").as("q_nrm"), pqDTable(pqCents, m, sub).as("dtable"),
-        (-col("pc.negcid")).as("list_id"))
-    val scored = coded.select("id", "v", "nrm", "list_id", "codes")
-      .join(broadcast(probes), Seq("list_id"))
+    if (coarse.isEmpty || pqCents.isEmpty) None
+    else {
+      val coded = prepare(emb, idCol, vecCol)
+        .withColumn("list_id", nearestCid(coarse, col("v"), col("nrm")))
+        .withColumn("codes", pqCodes(pqCents, m, sub))
+      Some(IvfPqIndex(coarse, pqCents, m, sub, coded))
+    }
+  }
+
+  /** Search a built index: probes + ADC scoring + exact re-rank. The
+    * query side re-derives its distance table from the index's own
+    * rows (queries are corpus members selected by `queryPred`).
+    *
+    * Shuffle discipline (the measured 1M-vector lesson, see
+    * [[AnnSmoke]]): the candidate-rank exchange carries ONLY
+    * (query_id, id, adc_d2) — the first cut of this plan dragged the
+    * 128-double query table and both float vectors through the shuffle
+    * per scored PAIR, which at 1M×10 pairs was ~1.3 GB of exchange for
+    * 8 bytes of useful score. Float vectors are joined back for the
+    * k·candFactor shortlist only (keyed equijoins; the unused `codes`/
+    * `list_id` projections prune out of the fetch subtree), exactly
+    * the "codes scanned, floats fetched per shortlist row" layout the
+    * index ships at 100 TB.
+    */
+  def searchIvfPq(idx: IvfPqIndex, queryPred: Column, k: Int,
+      nprobe: Int = 3, candFactor: Int = 3): DataFrame = {
+    require(k >= 1 && candFactor >= 1 && nprobe >= 1,
+      s"k=$k, candFactor=$candFactor, nprobe=$nprobe must be >= 1")
+    // The search path must contain NO literal-codebook expressions:
+    // the first cut inlined them into the probe/scan stages and
+    // measured 4-8× SLOWER than brute force at 1M×10 — the generated
+    // methods blew past janino's compile limit ("Failed to compile …
+    // processNext()"), costing seconds of driver compile time and
+    // silently dropping hot stages to interpreted execution. Queries
+    // are FEW by construction (they broadcast), so probe lists and the
+    // per-query ADC distance table are computed driver-side from the
+    // collected query rows — O(Q·dim) to the driver, the same
+    // constant-size precedent as the codebook collect itself — and ship
+    // back as DATA in tiny broadcast frames. The scan-side ADC is then
+    // just m element_at lookups into the joined dtable column (a small
+    // expression that codegens at any m·k), the fused join+project
+    // never materializes the table per pair, and only (query_id, id,
+    // adc_d2) enters the candidate-rank exchange. Measured at 1M×100
+    // (AnnSmoke): 1.6× brute force on an in-memory dim-64 corpus —
+    // the regime where brute is STRONGEST; on disk-resident corpora
+    // the 32× IO cut is the dominant term.
+    val spark = idx.coded.sparkSession
+    import spark.implicits._
+    val qRows = idx.coded.filter(queryPred)
+      .select("id", "v", "nrm").collect()
+    require(qRows.length <= 100000,
+      s"${qRows.length} query rows: the query side is broadcast and " +
+        "driver-computed; batch queries beyond 100k instead")
+    val qs = qRows.map { r =>
+      (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray,
+        r.getDouble(2))
+    }
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // coarse probes: rounded cosine desc, cid asc — identical to the
+    // centStructs/oracle ranking
+    val probeRows = qs.flatMap { case (qid, qv, qn) =>
+      idx.coarse.map { c =>
+        val cos = rnd6(
+          qv.lazyZip(c.v).foldLeft(0d)((a, p) => a + p._1 * p._2) /
+            (math.sqrt(qn) * math.sqrt(c.nrm)))
+        (qid, c.cid, cos)
+      }.sortBy { case (_, cid, cos) => (-cos, cid) }
+        .take(nprobe).map { case (qid2, cid, _) => (qid2, cid) }
+    }.toSeq
+    // flattened m×k ADC table per query (entry s·k + j), computed
+    // driver-side: d2 summed left-to-right then rounded — bit-identical
+    // to the pqSubD2 expression and the oracle. It rides the broadcast
+    // probe frame as DATA, so the scan-side ADC is just m element_at
+    // lookups (a tiny expression that stays in codegen), and the fused
+    // join+project never materializes the table per pair — the
+    // alternative explode-and-equijoin shape was measured 8× the row
+    // volume through an extra exchange for nothing.
+    val dtableByQ = qs.map { case (qid, qv, _) =>
+      qid -> (for (s <- 0 until idx.m; j <- idx.pq.indices) yield {
+        var d2 = 0d
+        var d = 0
+        while (d < idx.sub) {
+          val x = qv(s * idx.sub + d) - idx.pq(j).v(s * idx.sub + d)
+          d2 += x * x
+          d += 1
+        }
+        rnd6(d2)
+      }).toArray
+    }.toMap
+    val probeFrame = probeRows
+      .map { case (qid, lid) => (qid, lid, dtableByQ(qid)) }
+      .toDF("query_id", "list_id", "dtable")
+    val scored = idx.coded.select("id", "list_id", "codes")
+      .join(broadcast(probeFrame), Seq("list_id"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("adc_d2", pqAdc(m, kC))
+      .withColumn("adc_d2", pqAdc(idx.m, idx.pq.size))
+      .select("query_id", "id", "adc_d2")
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("id"))
     val cand = scored.withColumn("crk", row_number().over(wCand))
       .filter(col("crk") <= k * candFactor)
+    val qv = qs.toSeq.map { case (qid, v, nrm) =>
+      (qid, v.map(_.toFloat), nrm)
+    }.toDF("query_id", "q_v", "q_nrm")
+    val rer = cand
+      .join(idx.coded.select("id", "v", "nrm"), Seq("id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine",
         round(dot(col("v"), col("q_v")) /
           (sqrt(col("nrm")) * sqrt(col("q_nrm"))), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("id"))
-    cand.withColumn("rank", row_number().over(w))
+    rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         col("cosine"), col("adc_d2"))
   }
+
+  def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, numCentroids: Int = 32, nprobe: Int = 3,
+      m: Int = 8, pqCentroids: Int = 16, candFactor: Int = 3): DataFrame =
+    buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids) match {
+      case None =>
+        require(k >= 1 && candFactor >= 1 && nprobe >= 1,
+          s"k=$k, candFactor=$candFactor, nprobe=$nprobe must be >= 1")
+        topKBruteForce(emb, idCol, vecCol, queryPred, k)
+          .withColumn("adc_d2", lit(null).cast("double"))
+      case Some(idx) => searchIvfPq(idx, queryPred, k, nprobe, candFactor)
+    }
 
   /** Multi-table LSH top-k — the production recall fix: L independent
     * hash tables with FEWER bits each; a candidate only needs to collide
