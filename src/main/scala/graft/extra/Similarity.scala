@@ -232,9 +232,19 @@ object Similarity {
     val kC = cents.size
     val e = prepare(emb, idCol, vecCol)
     val coded = e.withColumn("codes", pqCodes(cents, m, sub))
-    val q = coded.filter(queryPred).select(
-      col("id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
-      pqDTable(cents, m, sub).as("dtable"))
+    // query dtable computed DRIVER-side and broadcast as DATA — the
+    // expression form (pqDTable literals fused into the scan stage)
+    // pushed the generated method past janino's compile limit; the
+    // failure is not cached, so EVERY pass paid a multi-second compile
+    // attempt plus interpreted execution (bench: 7.3s/pass at sf0.1,
+    // tight spread). With the table as data the corpus stage carries
+    // only the codes projection + m element_at lookups.
+    val spark = e.sparkSession
+    import spark.implicits._
+    val qs = collectQueries(e, queryPred)
+    val q = qs.toSeq.map { case (qid, qv, qn) =>
+      (qid, driverDTable(qv, cents, m, sub), qv.map(_.toFloat), qn)
+    }.toDF("query_id", "dtable", "q_v", "q_nrm")
     // drop the m×k dtable (and codes) BEFORE the rank exchange — they
     // are per-pair dead weight once adc_d2 is computed (the 1M-vector
     // smoke measured the fat-row variant at GBs of shuffle); v/q_v stay
@@ -258,35 +268,63 @@ object Similarity {
         col("cosine"), col("adc_d2"))
   }
 
-  /** Rounded squared L2 between subspace `s` of the row's `v` and PQ
-    * centroid `j` — literal centroid components keep it codegen-only;
-    * shared by corpus assignment and the query ADC table.
+  /** Half-up 6-dp rounding — bit-identical to the SQL `round(x, 6)`
+    * both engines apply, so driver-computed distances interleave with
+    * expression-computed ones without divergence.
     */
-  private def pqSubD2(cents: Seq[Centroid], sub: Int)(s: Int, j: Int): Column =
-    round((0 until sub).map { d =>
-      val x = element_at(col("v"), s * sub + d + 1).cast("double") -
-        lit(cents(j).v(s * sub + d))
-      x * x
-    }.reduce(_ + _), 6)
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Per-subspace argmin codes via struct-least: (d2 asc, j asc)
-    * tie-break, matching the oracle's row_number(ORDER BY d2, j).
+  /** Collect the (bounded, broadcast-sized) query rows of a
+    * [[prepare]]d frame to the driver: (id, vector widened to double,
+    * squared norm). O(Q·dim) — the same constant-size precedent as the
+    * codebook collect.
     */
-  private def pqCodes(cents: Seq[Centroid], m: Int, sub: Int): Column = {
-    val d2 = pqSubD2(cents, sub) _
-    array((0 until m).map { s =>
-      val structs = cents.indices.map(j =>
-        struct(d2(s, j).as("d"), lit(j).as("j")))
-      (if (structs.size == 1) structs.head else least(structs: _*))("j")
-    }: _*)
+  private def collectQueries(frame: DataFrame,
+      queryPred: Column): Array[(Long, Array[Double], Double)] = {
+    val rows = frame.filter(queryPred).select("id", "v", "nrm").collect()
+    require(rows.length <= 100000,
+      s"${rows.length} query rows: the query side is broadcast and " +
+        "driver-computed; batch queries beyond 100k instead")
+    rows.map { r =>
+      (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toArray,
+        r.getDouble(2))
+    }
   }
 
-  /** The query's flattened m×k ADC table: entry s·k + j = rounded d2 of
-    * query subspace s to centroid j.
+  /** Driver-computed flattened m×k ADC table (entry s·k + j): d2
+    * summed left-to-right then rounded — bit-identical to the
+    * [[graft.functions.PqEncode]] arithmetic and the oracle.
     */
-  private def pqDTable(cents: Seq[Centroid], m: Int, sub: Int): Column = {
-    val d2 = pqSubD2(cents, sub) _
-    array((for (s <- 0 until m; j <- cents.indices) yield d2(s, j)): _*)
+  private def driverDTable(qv: Array[Double], cents: Seq[Centroid],
+      m: Int, sub: Int): Array[Double] =
+    (for (s <- 0 until m; j <- cents.indices) yield {
+      var d2 = 0d
+      var d = 0
+      while (d < sub) {
+        val x = qv(s * sub + d) - cents(j).v(s * sub + d)
+        d2 += x * x
+        d += 1
+      }
+      rnd6(d2)
+    }).toArray
+
+  /** Per-subspace argmin codes: (rounded d2 asc, j asc) tie-break,
+    * matching the oracle's row_number(ORDER BY d2, j). Runs through the
+    * custom [[graft.functions.PqEncode]] expression — the composed
+    * struct-least form unrolled O(m·k·sub) Java statements and blew
+    * janino's 64 KB method limit (uncached failure + interpreted
+    * fallback, re-paid EVERY execution); the expression emits
+    * constant-size loops, so any codebook geometry compiles.
+    */
+  private def pqCodes(cents: Seq[Centroid], m: Int, sub: Int): Column = {
+    val dim = m * sub
+    val flat = new Array[Double](cents.size * dim)
+    for (j <- cents.indices; i <- 0 until dim)
+      flat(j * dim + i) = cents(j).v(i)
+    graft.functions.GraftFunctions.pq_encode(col("v"), flat, cents.size,
+      m, sub)
   }
 
   /** ADC score from `codes` (corpus side) and `dtable` (query side):
@@ -388,18 +426,7 @@ object Similarity {
     // the 32× IO cut is the dominant term.
     val spark = idx.coded.sparkSession
     import spark.implicits._
-    val qRows = idx.coded.filter(queryPred)
-      .select("id", "v", "nrm").collect()
-    require(qRows.length <= 100000,
-      s"${qRows.length} query rows: the query side is broadcast and " +
-        "driver-computed; batch queries beyond 100k instead")
-    val qs = qRows.map { r =>
-      (r.getLong(0),
-        r.getSeq[Number](1).map(_.doubleValue()).toArray,
-        r.getDouble(2))
-    }
-    def rnd6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qs = collectQueries(idx.coded, queryPred)
     // coarse probes: rounded cosine desc, cid asc — identical to the
     // centStructs/oracle ranking
     val probeRows = qs.flatMap { case (qid, qv, qn) =>
@@ -411,25 +438,14 @@ object Similarity {
       }.sortBy { case (_, cid, cos) => (-cos, cid) }
         .take(nprobe).map { case (qid2, cid, _) => (qid2, cid) }
     }.toSeq
-    // flattened m×k ADC table per query (entry s·k + j), computed
-    // driver-side: d2 summed left-to-right then rounded — bit-identical
-    // to the pqSubD2 expression and the oracle. It rides the broadcast
-    // probe frame as DATA, so the scan-side ADC is just m element_at
-    // lookups (a tiny expression that stays in codegen), and the fused
-    // join+project never materializes the table per pair — the
-    // alternative explode-and-equijoin shape was measured 8× the row
-    // volume through an extra exchange for nothing.
+    // flattened m×k ADC table per query (entry s·k + j): rides the
+    // broadcast probe frame as DATA, so the scan-side ADC is just m
+    // element_at lookups (a tiny expression that stays in codegen), and
+    // the fused join+project never materializes the table per pair —
+    // the alternative explode-and-equijoin shape was measured 8× the
+    // row volume through an extra exchange for nothing.
     val dtableByQ = qs.map { case (qid, qv, _) =>
-      qid -> (for (s <- 0 until idx.m; j <- idx.pq.indices) yield {
-        var d2 = 0d
-        var d = 0
-        while (d < idx.sub) {
-          val x = qv(s * idx.sub + d) - idx.pq(j).v(s * idx.sub + d)
-          d2 += x * x
-          d += 1
-        }
-        rnd6(d2)
-      }).toArray
+      qid -> driverDTable(qv, idx.pq, idx.m, idx.sub)
     }.toMap
     val probeFrame = probeRows
       .map { case (qid, lid) => (qid, lid, dtableByQ(qid)) }
@@ -469,7 +485,16 @@ object Similarity {
           s"k=$k, candFactor=$candFactor, nprobe=$nprobe must be >= 1")
         topKBruteForce(emb, idCol, vecCol, queryPred, k)
           .withColumn("adc_d2", lit(null).cast("double"))
-      case Some(idx) => searchIvfPq(idx, queryPred, k, nprobe, candFactor)
+      case Some(idx) =>
+        // build-then-search even in the convenience form: the coded
+        // frame is persisted so the expensive code-assignment build
+        // evaluates once, not once per downstream job (the search
+        // collects queries, scans for candidates, and joins floats
+        // back — three consumers of the same build). Re-caching an
+        // identical plan is a CacheManager no-op, so repeated calls
+        // don't leak storage.
+        searchIvfPq(idx.copy(coded = idx.coded.persist()), queryPred, k,
+          nprobe, candFactor)
     }
 
   /** Multi-table LSH top-k — the production recall fix: L independent
@@ -540,10 +565,22 @@ object Similarity {
       lit(-c.cid).as("negcid"))
   }
 
-  /** Nearest-centroid id as a pure projection (no join, no shuffle). */
+  /** Nearest-centroid id as a pure projection (no join, no shuffle).
+    * Runs through the custom loop-codegen
+    * [[graft.functions.NearestCentroid]] — the `greatest` chain over C
+    * centroid structs was the second janino 64 KB casualty (the IVF-PQ
+    * build dropped to interpreted execution, 25× slower at 1M rows);
+    * arithmetic and tie-breaks are identical to [[centStructs]]'
+    * struct-max, which remains for the per-QUERY probe ranking where Q
+    * is small.
+    */
   private def nearestCid(cents: Seq[Centroid], vc: Column, nc: Column): Column = {
-    val cs = centStructs(cents, vc, nc)
-    -(if (cs.size == 1) cs.head else greatest(cs: _*))("negcid")
+    val dim = cents.head.v.length
+    val flat = new Array[Double](cents.size * dim)
+    for (j <- cents.indices; i <- 0 until dim)
+      flat(j * dim + i) = cents(j).v(i)
+    graft.functions.GraftFunctions.nearest_centroid(vc, flat,
+      cents.map(_.nrm).toArray, cents.map(_.cid).toArray, dim)
   }
 
   /** IVF search against a collected codebook: assignment is a projection

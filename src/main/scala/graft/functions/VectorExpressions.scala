@@ -97,6 +97,258 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static helpers reachable from generated Java (top-level object →
+  * static forwarders).
+  */
+object VectorOps {
+  /** Half-up 6-dp rounding, bit-identical to SQL `round(x, 6)` on
+    * doubles (BigDecimal.valueOf semantics via Scala's apply).
+    */
+  def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
+
+/** Product-quantization code assignment as ONE loop-emitting codegen
+  * expression: for each of `m` subspaces, the index (0-based, smallest
+  * index wins ties) of the nearest codebook centroid by squared L2 —
+  * each subspace distance ROUNDED to 6 dp before the argmin so the
+  * comparison is engine-reproducible (the DuckDB oracle replays it
+  * row_number-style).
+  *
+  * Why an Expression and not composed functions: the unrolled
+  * struct-least form generated O(m·k·sub) Java statements — at m=8,
+  * k=16, sub=8 the fused stage blew janino's 64 KB method limit
+  * ("Code grows beyond 64 KB" in sort_addToSorter), the failure is
+  * not cached, and every execution paid a multi-second compile attempt
+  * before falling back to interpreted row-at-a-time evaluation.
+  * Loops make the generated code CONSTANT-SIZE in m·k·sub, so any
+  * codebook geometry (dim 1024, k 256) compiles.
+  *
+  * `cents` is the flattened k×(m·sub) codebook (row j at offset
+  * j·m·sub), shipped once per task via `addReferenceObj` — never
+  * inlined into source text.
+  */
+case class PqEncode(child: Expression, cents: Array[Double], k: Int,
+    m: Int, sub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float|double>, got ${other.catalogString}")
+    }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = m * sub
+    if (x.numElements() < dim) return null
+    val isF = elemIsFloat // hoisted: a per-ELEMENT dataType match made
+    // the interpreted path pathological (1e9 matches at 1M rows)
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        var d2 = 0.0
+        var d = 0
+        while (d < sub) {
+          val i = s * sub + d
+          if (x.isNullAt(i)) return null
+          val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+          val diff = xv - cents(j * dim + i)
+          d2 += diff * diff
+          d += 1
+        }
+        d2 = VectorOps.rnd6(d2)
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      codes.map(Int.box))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val cRef = ctx.addReferenceObj("pqCents", cents, "double[]")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      val d2 = ctx.freshName("d2"); val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val codes = ctx.freshName("codes")
+      val dim = m * sub
+      val getX = if (elemIsFloat) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
+      s"""
+         |if ($x.numElements() < $dim) { ${ev.isNull} = true; } else {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      double $d2 = 0.0;
+         |      for (int $d = 0; $d < $sub; $d++) {
+         |        int $i = $s * $sub + $d;
+         |        if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |        double $diff = $getX - $cRef[$j * $dim + $i];
+         |        $d2 += $diff * $diff;
+         |      }
+         |      if (${ev.isNull}) break;
+         |      $d2 = graft.functions.VectorOps.rnd6($d2);
+         |      if ($d2 < $bestD) { $bestD = $d2; $best = $j; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} =
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |        .fromPrimitiveArray($codes);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment as ONE loop-emitting codegen expression:
+  * the id of the codebook centroid with the highest ROUNDED (6 dp)
+  * cosine to the row vector, smallest centroid id on ties — exactly the
+  * struct-max that `greatest(struct(ccos, -cid)…)` computed, but in
+  * constant-size generated code. The unrolled greatest-chain over 64
+  * centroids (each arm a dot + round) was the second janino 64 KB
+  * casualty: the IVF-PQ index BUILD fell back to interpreted execution
+  * and took 25× longer than the compiled form at 1M vectors.
+  *
+  * The row's squared norm is computed in-loop (same left-to-right
+  * accumulation as [[DotProduct]] self-dot), so the expression needs
+  * only the vector child; `cents`/`cnrms`/`cids` ship via
+  * `addReferenceObj`, never as source literals.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Double],
+    cnrms: Array[Double], cids: Array[Long], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<float|double>, got " +
+            other.catalogString)
+    }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val isF = elemIsFloat
+    var vn = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+      vn += xv * xv
+      i += 1
+    }
+    val sq = math.sqrt(vn)
+    var bestCid = 0L
+    var bestCos = Double.MinValue
+    var first = true
+    var j = 0
+    while (j < cids.length) {
+      var dp = 0.0
+      var d = 0
+      while (d < n) {
+        val xv = if (isF) x.getFloat(d).toDouble else x.getDouble(d)
+        dp += xv * cents(j * dim + d)
+        d += 1
+      }
+      val cos = VectorOps.rnd6(dp / (sq * math.sqrt(cnrms(j))))
+      if (first || cos > bestCos ||
+          (cos == bestCos && cids(j) < bestCid)) {
+        bestCos = cos; bestCid = cids(j); first = false
+      }
+      j += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val cRef = ctx.addReferenceObj("ncCents", cents, "double[]")
+      val nRef = ctx.addReferenceObj("ncNrms", cnrms, "double[]")
+      val idRef = ctx.addReferenceObj("ncIds", cids, "long[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val n = ctx.freshName("n")
+      val vn = ctx.freshName("vn"); val dp = ctx.freshName("dp")
+      val cos = ctx.freshName("cos"); val sq = ctx.freshName("sq")
+      val bestCid = ctx.freshName("bestCid")
+      val bestCos = ctx.freshName("bestCos")
+      val first = ctx.freshName("first")
+      val getXi = if (elemIsFloat) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
+      val getXd = if (elemIsFloat) s"(double) $x.getFloat($d)"
+        else s"$x.getDouble($d)"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $vn += $getXi * $getXi;
+         |}
+         |if (!${ev.isNull}) {
+         |  double $sq = java.lang.Math.sqrt($vn);
+         |  long $bestCid = 0L; double $bestCos = -Double.MAX_VALUE;
+         |  boolean $first = true;
+         |  for (int $j = 0; $j < ${cids.length}; $j++) {
+         |    double $dp = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dp += $getXd * $cRef[$j * $dim + $d];
+         |    }
+         |    double $cos = graft.functions.VectorOps.rnd6(
+         |      $dp / ($sq * java.lang.Math.sqrt($nRef[$j])));
+         |    if ($first || $cos > $bestCos ||
+         |        ($cos == $bestCos && $idRef[$j] < $bestCid)) {
+         |      $bestCos = $cos; $bestCid = $idRef[$j]; $first = false;
+         |    }
+         |  }
+         |  ${ev.value} = $bestCid;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API surface for the custom expressions. */
 object GraftFunctions {
 
@@ -112,4 +364,20 @@ object GraftFunctions {
 
   /** Squared L2 norm via self-dot. */
   def norm2(v: Column): Column = dot_product(v, v)
+
+  /** PQ code assignment against a flattened k×dim codebook (codegen'd
+    * constant-size loops — see [[PqEncode]]).
+    */
+  def pq_encode(v: Column, cents: Array[Double], k: Int, m: Int,
+      sub: Int): Column =
+    GraftColumnBridge.column(PqEncode(
+      GraftColumnBridge.expression(v), cents, k, m, sub))
+
+  /** Nearest-centroid id by rounded cosine (codegen'd constant-size
+    * loops — see [[NearestCentroid]]).
+    */
+  def nearest_centroid(v: Column, cents: Array[Double],
+      cnrms: Array[Double], cids: Array[Long], dim: Int): Column =
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(v), cents, cnrms, cids, dim))
 }
