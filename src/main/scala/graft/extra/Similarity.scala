@@ -490,11 +490,14 @@ object Similarity {
         // frame is persisted so the expensive code-assignment build
         // evaluates once, not once per downstream job (the search
         // collects queries, scans for candidates, and joins floats
-        // back — three consumers of the same build). Re-caching an
-        // identical plan is a CacheManager no-op, so repeated calls
-        // don't leak storage.
-        searchIvfPq(idx.copy(coded = idx.coded.persist()), queryPred, k,
-          nprobe, candFactor)
+        // back — three consumers of the same build). House cache rule:
+        // the (Q·k-row) result is eagerly materialized and the build
+        // cache released in finally — nothing outlives the call.
+        val coded = idx.coded.persist()
+        try Dedup.materialize(
+          searchIvfPq(idx.copy(coded = coded), queryPred, k, nprobe,
+            candFactor))
+        finally coded.unpersist(blocking = false)
     }
 
   /** Multi-table LSH top-k — the production recall fix: L independent

@@ -353,18 +353,24 @@ object TextQueriesImpl {
         explode(Text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist()
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
-      .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("term_rank", row_number().over(w))
-      .filter(col("term_rank") <= 3)
-      .select(col("doc_id"), col("term_rank"), col("term"),
-        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
-        col("tfidf"))
-      .orderBy("doc_id", "term_rank")
+    // house cache-lifecycle rule (SCALE.md): eagerly materialize the
+    // (linear-size) output, then unpersist — nothing stays in the
+    // session cache manager past the call
+    try {
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "term")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      graft.extra.Dedup.materialize(
+        scored.withColumn("term_rank", row_number().over(w))
+          .filter(col("term_rank") <= 3)
+          .select(col("doc_id"), col("term_rank"), col("term"),
+            col("tf").cast("long").as("tf"),
+            col("df").cast("long").as("df"), col("tfidf"))
+          .orderBy("doc_id", "term_rank"))
+    } finally tf.unpersist(blocking = false)
   }
 
   private val tfidfTopTermsOracle =
