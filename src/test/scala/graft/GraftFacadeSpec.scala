@@ -45,4 +45,32 @@ class GraftFacadeSpec extends SparkSpec {
       Seq(col("id")), numFiles = 2)
     assert(spark.read.parquet(dir).count() == 100)
   }
+
+  test("facade: round-8 surface (mixing, budget cut, decontamination, " +
+      "PQ searches, packing)") {
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val mixed = Graft.mixDomains(docs, "doc_id", "source",
+      Map("src0" -> 2.0), defaultRate = 1.0)
+    assert(mixed.count() > docs.count())
+    assert(Graft.weightedSample(docs, "doc_id", lit(1.0)).count()
+      == docs.count())
+    val benchmark = docs.filter(col("doc_id") < 3).select("text")
+    val decon = Graft.decontaminate(docs, benchmark, "doc_id", "text",
+      "text")
+    assert(decon.filter(col("contaminated")).count() >= 3)
+    val (ranked, n) = Graft.globalRowNumber(docs.select("doc_id"),
+      Seq(col("doc_id")), "pos")
+    assert(n == docs.count() && ranked.count() == n)
+    val summed = Graft.globalPrefixSum(docs.select("doc_id"),
+      Seq(col("doc_id")), lit(1L), "cum")
+    assert(summed.agg(org.apache.spark.sql.functions.max("cum"))
+      .head.getLong(0) == docs.count())
+    assert(Graft.similarTopKPq(embs, "vec_id", "embedding",
+      col("id") < 2, 3).count() == 6)
+    assert(Graft.similarTopKIvfPq(embs, "vec_id", "embedding",
+      col("id") < 2, 3).count() > 0)
+    val packed = Graft.packSequences(docs, "doc_id", lit(100L), 512L)
+    assert(packed.count() == docs.count())
+  }
 }
