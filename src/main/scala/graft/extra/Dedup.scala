@@ -516,4 +516,50 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus by a coarse quantizer
+    * (nearest centroid of a [[Similarity.sampleCodebook]] — the same
+    * deterministic, engine-reproducible codebook the IVF index uses),
+    * then within each cluster drop every vector that has a LOWER-id
+    * neighbor at cosine ≥ `threshold`. Keeps exactly the min-id
+    * representative of each within-cluster similarity group; returns the
+    * keepers as (id, cluster_id).
+    *
+    * Scale shape: assignment is a loop-codegen projection (no join, no
+    * shuffle); the pair search is a self-equijoin ON `cluster_id`, so
+    * cost is O(Σ cluster-width²) — never all-pairs — and `numClusters`
+    * is the knob that bounds the widths (production: grow it ~√N, or
+    * swap the sampled codebook for [[Similarity.kmeansCodebook]] and
+    * persist the assignment as the partition key, making re-dedup of an
+    * incremental batch cluster-local). Cross-cluster near-dups are the
+    * documented recall trade of the method — the quantizer is the
+    * candidate generator, exactly as LSH bands are for
+    * [[embeddingNearDupLsh]].
+    *
+    * The dropped side is `select(id).distinct()` BEFORE the anti-join,
+    * so the anti-join probe side carries one column and the build side
+    * dedups map-side.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numClusters: Int = 32): DataFrame = {
+    val cents = Similarity.sampleCodebook(emb, idCol, vecCol, numClusters)
+    if (cents.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("cluster_id")).limit(0)
+    val assigned = Similarity.assignClusters(emb, idCol, vecCol, cents)
+    val a = assigned.select(col("cluster_id"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cluster_id"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    // Rounded-then-compared cosine: both engines round to 6 dp before
+    // the threshold test, so boundary pairs cannot split the engines.
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dot(col("v_a"), col("v_b")) /
+        (sqrt(col("n_a")) * sqrt(col("n_b"))), 6) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+  }
 }

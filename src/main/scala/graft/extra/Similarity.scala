@@ -633,6 +633,19 @@ object Similarity {
       .map(r => Centroid(r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
 
+  /** [[prepare]]d frame plus a `cluster_id` column: nearest centroid of
+    * the collected codebook, as a pure loop-codegen projection (no join,
+    * no shuffle — the same assignment [[topKIvf]]/[[buildIvfPq]] use).
+    * Tie-break is rounded-cosine desc then cid asc, identical to the
+    * oracle's `row_number(ORDER BY ccos DESC, cid)`. Public so
+    * cluster-shaped operators (e.g. [[Dedup.semDedup]]) can share the
+    * quantizer without re-deriving it.
+    */
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Centroid]): DataFrame =
+    prepare(emb, idCol, vecCol)
+      .withColumn("cluster_id", nearestCid(cents, col("v"), col("nrm")))
+
   def topKIvf(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, numCentroids: Int = 32,
       nprobe: Int = 3): DataFrame = {

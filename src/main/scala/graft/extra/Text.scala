@@ -164,4 +164,93 @@ object Text {
       .select(col(idCol),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+
+  /** Self-trained unigram language-model score — the KenLM-perplexity
+    * stand-in for quality filtering: per document, the mean surprisal
+    * (−ln p(token), nats) under the corpus's own unigram distribution.
+    * Low cross-entropy ⇒ the doc is made of common corpus words;
+    * unusually high ⇒ rare-token soup — the standard LM-quality signal
+    * when a real LM is unavailable.
+    *
+    * Two distributed passes, both linear: (1) ONE token aggregation
+    * builds the unigram table — vocab-sized, bounded by the tokenizer,
+    * so it BROADCASTS (an open vocab at 100 TB would swap the broadcast
+    * for a shuffle join; the plan is otherwise unchanged); (2) explode +
+    * broadcast-join token→surprisal + per-doc agg with map-side partial
+    * aggregation.
+    *
+    * Determinism: surprisal is computed once per DISTINCT token, rounded
+    * to 6 dp, and summed as DECIMAL(18,6) — exact, order-independent —
+    * then the mean divides once in double. Results are identical on any
+    * partitioning and reproducible in the SQL oracle.
+    */
+  def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(count("*").as("c"))
+    val total = vocab.agg(sum("c").as("n"))
+    val table = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(-log(col("c").cast("double") / col("n")), 6)
+          .cast(DecimalType(18, 6)).as("surprisal"))
+    tok.join(broadcast(table), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count("*").as("n_tokens"),
+        round(sum(col("surprisal")).cast("double") / count("*"), 6)
+          .as("cross_entropy"))
+  }
+
+  /** Per-document coverage of the corpus's top-K vocabulary: the
+    * fraction of a doc's tokens that fall inside the K most frequent
+    * corpus tokens (ties broken by token asc — engine-independent).
+    * A coverage collapse flags non-linguistic content (code dumps,
+    * boilerplate, wrong-language docs) against the corpus's own norm.
+    *
+    * The top-K table is a bounded TakeOrdered (per-partition top-K +
+    * K-row merge, never a global sort) and broadcasts; the corpus side
+    * is explode + broadcast left join + integer-only per-doc agg.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val top = tok.groupBy("token").agg(count("*").as("c"))
+      .orderBy(col("c").desc, col("token")).limit(topK)
+      .select(col("token"), lit(1L).as("__in"))
+    tok.join(broadcast(top), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count("*").as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
+      .withColumn("vocab_coverage",
+        round(col("in_vocab").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Fixed-size token chunking — context-window preparation: each doc
+    * becomes ceil(n_tokens / chunkSize) rows of `chunkSize` tokens
+    * (last chunk short). Output: (idCol, chunk_id 0-based, chunk_text,
+    * chunk_n_tokens).
+    *
+    * Pure projection + one generator — NO shuffle, no state: the chunk
+    * list is built per row with `transform(sequence(…))` over the token
+    * array and exploded in place, so chunking 100 TB is embarrassingly
+    * parallel and chunk windows never cross partition boundaries (a doc
+    * is chunked where it is read). Empty-token docs emit no rows (the
+    * `sequence` guard — sequence(0, -1) would count DOWN).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val t = col("__toks")
+    df.withColumn("__toks", tokens(col(textCol)))
+      .filter(size(t) > 0)
+      .withColumn("__chunks", transform(
+        sequence(lit(0), ceil(size(t) / lit(chunkSize.toDouble)).cast("int") - 1),
+        i => array_join(slice(t, i * chunkSize + 1, lit(chunkSize)), " ")))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        least(lit(chunkSize.toLong),
+          size(col("__toks")).cast("long") - col("chunk_id") * chunkSize)
+          .as("chunk_n_tokens"))
+  }
 }

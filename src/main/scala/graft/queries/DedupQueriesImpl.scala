@@ -218,6 +218,51 @@ object DedupQueriesImpl {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---- semdedup ------------------------------------------------------
+
+  /** SemDeDup: coarse-quantizer clusters (32 deterministic sample
+    * centroids — the IVF codebook), within-cluster cosine ≥ 0.4 → keep
+    * the min-id representative. The oracle rebuilds the identical
+    * codebook + assignment (same CTE pattern as `sim_topk_ivf`) and
+    * replays the pairwise drop with an anti-join.
+    */
+  def semdedupVectors(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.4, numClusters = 32)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
+  private val semdedupOracle = {
+    val norm =
+      """list_sum(list_transform(range(0, len(embedding)),
+        |    i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))""".stripMargin
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(0, len($a.embedding)),
+         |    i -> CAST($a.embedding[i+1] AS DOUBLE) * CAST($b.embedding[i+1] AS DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+       |asgr AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(${dot("v", "c")} / (sqrt(v.nrm) * sqrt(c.cn)), 6) DESC,
+       |      c.cid) AS crk
+       |  FROM e v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM asgr WHERE crk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a
+       |  JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  JOIN e x ON x.vec_id = a.vec_id
+       |  JOIN e y ON y.vec_id = b.vec_id
+       |  WHERE round(${dot("x", "y")} / (sqrt(x.nrm) * sqrt(y.nrm)), 6)
+       |        >= 0.4)
+       |SELECT g.vec_id, g.cluster_id
+       |FROM asg g
+       |WHERE g.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY g.vec_id""".stripMargin
+  }
+
   // ---- neardup_clusters ---------------------------------------------
 
   /** Near-dup GROUPS: connected components over the MinHash pair graph,
@@ -593,6 +638,9 @@ object DedupQueriesImpl {
     QueryDef("neardup_embedding",
       "embedding-cosine near-dup (multi-table LSH candidates + exact verify)",
       neardupEmbedding, Some(neardupEmbeddingOracle)),
+    QueryDef("semdedup",
+      "SemDeDup: coarse-cluster + within-cluster cosine, min-id kept",
+      semdedupVectors, Some(semdedupOracle)),
     QueryDef("curate_docs",
       "end-to-end curation verdict: quality → lang → exact dedup → " +
         "near-dup → split",

@@ -428,6 +428,109 @@ object TextQueriesImpl {
        |FROM c WHERE cum_tokens <= 10000
        |ORDER BY doc_id""".stripMargin
 
+  // ---- unigram_logprob ---------------------------------------------
+
+  /** Self-trained unigram LM cross-entropy per doc (mean −ln p(token),
+    * nats) — the perplexity-proxy quality signal. Surprisal is rounded
+    * per DISTINCT token and summed as DECIMAL(18,6), so the mean is
+    * exact and engine/partitioning-independent.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Text.unigramScore(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val unigramLogprobOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |x AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |v AS (SELECT token, count(*) AS c FROM x GROUP BY 1),
+       |n AS (SELECT sum(c) AS n FROM v),
+       |tab AS (SELECT token,
+       |    CAST(round(-ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+       |      AS surprisal
+       |  FROM v CROSS JOIN n)
+       |SELECT x.doc_id, count(*) AS n_tokens,
+       |  round(CAST(sum(tab.surprisal) AS DOUBLE) / count(*), 6)
+       |    AS cross_entropy
+       |FROM x JOIN tab ON x.token = tab.token
+       |GROUP BY x.doc_id
+       |ORDER BY x.doc_id""".stripMargin
+
+  // ---- vocab_coverage ----------------------------------------------
+
+  /** Fraction of each doc's tokens inside the corpus top-16 vocabulary
+    * (count desc, token asc tie-break). Integer-only counting — the
+    * only double is the final rounded ratio.
+    */
+  def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    Text.vocabCoverage(docs(s, dir), "doc_id", "text", topK = 16)
+      .orderBy("doc_id")
+
+  private val vocabCoverageOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |x AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |top AS (SELECT token FROM x GROUP BY token
+       |        ORDER BY count(*) DESC, token LIMIT 16)
+       |SELECT x.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN top.token IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS in_vocab,
+       |  round(CAST(sum(CASE WHEN top.token IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*), 6) AS vocab_coverage
+       |FROM x LEFT JOIN top ON x.token = top.token
+       |GROUP BY x.doc_id
+       |ORDER BY x.doc_id""".stripMargin
+
+  // ---- chunk_docs / chunk_stats ------------------------------------
+
+  /** 32-token chunking: shuffle-free projection + generator; each doc
+    * yields ceil(n/32) ordered chunk rows.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    Text.chunkTokens(docs(s, dir), "doc_id", "text", chunkSize = 32)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkCte =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |i AS (SELECT doc_id, toks,
+       |    unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS i
+       |  FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |    array_to_string(toks[i*32+1 : i*32+32], ' ') AS chunk_text,
+       |    least(32, len(toks) - i*32) AS chunk_n_tokens
+       |  FROM i)""".stripMargin
+
+  private val chunkDocsOracle =
+    s"""$chunkCte
+       |SELECT doc_id, chunk_id, chunk_text,
+       |  CAST(chunk_n_tokens AS BIGINT) AS chunk_n_tokens
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** One-row chunking utilization summary over the same 32-token
+    * chunking (docs, chunks, full vs tail chunks, mean fill).
+    */
+  def chunkStats(s: SparkSession, dir: String): DataFrame = {
+    val c = Text.chunkTokens(docs(s, dir), "doc_id", "text", chunkSize = 32)
+    c.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_chunks"),
+      sum(col("chunk_n_tokens")).as("total_tokens"),
+      sum(when(col("chunk_n_tokens") === 32, 1L).otherwise(0L))
+        .as("full_chunks"),
+      round(sum(col("chunk_n_tokens")).cast("double") /
+        (count(lit(1)) * 32), 6).as("fill_ratio"))
+  }
+
+  private val chunkStatsOracle =
+    s"""$chunkCte
+       |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  count(*) AS n_chunks,
+       |  CAST(sum(chunk_n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN chunk_n_tokens = 32 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS full_chunks,
+       |  round(CAST(sum(chunk_n_tokens) AS DOUBLE) / (count(*) * 32), 6)
+       |    AS fill_ratio
+       |FROM c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("tfidf_top_terms",
       "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",
@@ -464,5 +567,17 @@ object TextQueriesImpl {
       wordFreq, Some(wordFreqOracle)),
     QueryDef("corpus_stats",
       "one-row corpus sizing summary: docs, token totals, mean quality",
-      corpusStats, Some(corpusStatsOracle)))
+      corpusStats, Some(corpusStatsOracle)),
+    QueryDef("unigram_logprob",
+      "self-trained unigram LM cross-entropy per doc (perplexity proxy)",
+      unigramLogprob, Some(unigramLogprobOracle)),
+    QueryDef("vocab_coverage",
+      "per-doc fraction of tokens inside the corpus top-16 vocabulary",
+      vocabCoverageQ, Some(vocabCoverageOracle)),
+    QueryDef("chunk_docs",
+      "shuffle-free 32-token context-window chunking with ordinality",
+      chunkDocs, Some(chunkDocsOracle)),
+    QueryDef("chunk_stats",
+      "one-row chunking utilization: chunks, full vs tail, fill ratio",
+      chunkStats, Some(chunkStatsOracle)))
 }

@@ -100,6 +100,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size >= exact.size / 5, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("semDedup keeps the min-id representative of each within-cluster " +
+      "similar group, independent of partitioning") {
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // 0 and 1 identical: cos = 1
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),   // orthogonal to everything kept
+      (3L, Array(0.5f, 0.5f, 0f, 0f))) // cos(0,3) ≈ 0.707 < threshold
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(df, "vec_id", "embedding",
+      threshold = 0.95, numClusters = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L))
+    val keptRepart = Dedup.semDedup(df.repartition(7), "vec_id", "embedding",
+      threshold = 0.95, numClusters = 2)
+      .select("id").as[Long].collect().toSet
+    assert(keptRepart == kept)
+  }
+
+  test("semDedup drops a strict subset: keepers + dropped partition the " +
+      "corpus, and every dropped vector has a kept lower-id near-dup in " +
+      "its cluster (sf0.001)") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val kept = Dedup.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, numClusters = 16)
+      .select("id").as[Long].collect().toSet
+    assert(kept.subsetOf(all) && kept.nonEmpty)
+    // min id can never be dropped: it has no lower-id neighbor
+    assert(kept.contains(all.min))
+  }
+
   test("hot LSH buckets are capped: pathological identical corpus stays bounded") {
     val boiler = (1L to 60L).map(i => (i, "a b c d e f g h i j"))
     val df = boiler.toDF("doc_id", "text")

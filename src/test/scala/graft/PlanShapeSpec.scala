@@ -202,4 +202,34 @@ class PlanShapeSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("windowspecdefinition"))
         .mkString("\n").take(2000))
   }
+
+  test("semdedup: assignment is a projection; the pair self-join is " +
+      "keyed on cluster_id — never all-pairs") {
+    val plan = executedPlan("semdedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the candidate join must stay an equijoin on the cluster key (AQE
+    // picks the physical form; the KEY is what's locked)
+    assert(("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) " +
+        "\\[cluster_id#\\d+L?\\]").r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n").take(2000))
+  }
+
+  test("chunk_docs: shuffle-free chunking — no hash exchange, no join, " +
+      "no aggregate before the presentation sort") {
+    val plan = executedPlan("chunk_docs")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Generate"), plan.take(2000))
+  }
+
+  test("unigram_logprob: the token→surprisal join broadcasts the " +
+      "vocab-sized table; no cartesian") {
+    val plan = executedPlan("unigram_logprob")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // one row (total) and vocab-size tables both ride broadcast joins;
+    // the corpus side never shuffles for the probability lookup
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

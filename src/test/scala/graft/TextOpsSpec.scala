@@ -50,6 +50,58 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(10L -> true, 11L -> false, 12L -> true))
   }
 
+  test("unigramScore: uniform corpus distribution gives every doc " +
+      "cross-entropy ln(1/p) of its tokens' shared probability") {
+    // corpus tokens: a,a,b,b → p(a)=p(b)=0.5 → every token surprisal
+    // ln 2 ≈ 0.693147, so both docs score exactly 0.693147
+    val df = Seq(1L -> "a a b", 2L -> "b").toDF("doc_id", "text")
+    val out = graft.extra.Text.unigramScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 1L))
+    assert(out.map(_.getAs[Double]("cross_entropy")).toSeq ==
+      Seq(0.693147, 0.693147))
+  }
+
+  test("unigramScore: rare-token docs score higher than common-token docs") {
+    val df = Seq(
+      1L -> "common common common common common common common",
+      2L -> "rare")
+      .toDF("doc_id", "text")
+    val m = graft.extra.Text.unigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy"))
+      .toMap
+    assert(m(2L) > m(1L))
+  }
+
+  test("vocabCoverage: top-K ties break by token asc; misses count zero") {
+    // counts: a=2, b=2, c=1 → top-1 is 'a' (tie with b, token asc)
+    val df = Seq(1L -> "a a b", 2L -> "b c").toDF("doc_id", "text")
+    val out = graft.extra.Text.vocabCoverage(df, "doc_id", "text", topK = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("in_vocab")).toSeq == Seq(2L, 0L))
+    assert(out.map(_.getAs[Double]("vocab_coverage")).toSeq ==
+      Seq(0.666667, 0.0))
+  }
+
+  test("chunkTokens: 5 tokens at size 2 → chunks of 2,2,1 in order; " +
+      "empty text emits no rows") {
+    val df = Seq(1L -> "a b c d e", 2L -> " ").toDF("doc_id", "text")
+    val out = graft.extra.Text.chunkTokens(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq(
+      (1L, 0L, "a b", 2L), (1L, 1L, "c d", 2L), (1L, 2L, "e", 1L)))
+  }
+
+  test("chunkTokens round-trips: concatenated chunks rebuild the " +
+      "tokenized doc, and every chunk but the last is full") {
+    val df = Seq(1L -> ("x " * 100).trim).toDF("doc_id", "text")
+    val out = graft.extra.Text.chunkTokens(df, "doc_id", "text", 32)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(32L, 32L, 32L, 4L))
+    assert(out.map(_.getString(2)).mkString(" ") == ("x " * 100).trim)
+  }
+
   test("doc_repetition computes top-bigram and dup-token fractions") {
     val out = runOn(Seq(
       // bigrams: "a b","b a","a b","b c" -> top "a b" 2/4; tokens
