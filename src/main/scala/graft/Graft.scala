@@ -128,6 +128,13 @@ object Graft {
       threshold: Double): DataFrame =
     extra.Dedup.embeddingNearDup(emb, idCol, vecCol, threshold)
 
+  /** SemDeDup: coarse-quantizer clusters + within-cluster cosine ≥
+    * threshold; keeps the min-id representative per similarity group.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numClusters: Int = 32): DataFrame =
+    extra.Dedup.semDedup(emb, idCol, vecCol, threshold, numClusters)
+
   // ---- similarity search --------------------------------------------
 
   def similarTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -199,6 +206,20 @@ object Graft {
 
   def fingerprint(docs: DataFrame, textCol: String): DataFrame =
     extra.Text.withFingerprint(docs, textCol)
+
+  /** Self-trained unigram LM cross-entropy per doc (perplexity proxy). */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    extra.Text.unigramScore(docs, idCol, textCol)
+
+  /** Per-doc fraction of tokens inside the corpus top-K vocabulary. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame =
+    extra.Text.vocabCoverage(docs, idCol, textCol, topK)
+
+  /** Fixed-size token chunking (context-window prep) — shuffle-free. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame =
+    extra.Text.chunkTokens(docs, idCol, textCol, chunkSize)
 
   // ---- time series --------------------------------------------------
 

@@ -73,4 +73,19 @@ class GraftFacadeSpec extends SparkSpec {
     val packed = Graft.packSequences(docs, "doc_id", lit(100L), 512L)
     assert(packed.count() == docs.count())
   }
+
+  test("facade: round-8 curation surface (semdedup, unigram score, " +
+      "vocab coverage, chunking)") {
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val kept = Graft.semDedup(embs, "vec_id", "embedding",
+      threshold = 0.4, numClusters = 16)
+    assert(kept.count() > 0 && kept.count() <= embs.count())
+    val scored = Graft.unigramScore(docs, "doc_id", "text")
+    assert(scored.count() == docs.count())
+    val cov = Graft.vocabCoverage(docs, "doc_id", "text", topK = 16)
+    assert(cov.filter(col("vocab_coverage") > 1.0).count() == 0)
+    val chunks = Graft.chunkTokens(docs, "doc_id", "text", 32)
+    assert(chunks.count() >= docs.count())
+  }
 }
