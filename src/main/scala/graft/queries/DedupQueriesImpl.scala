@@ -598,6 +598,39 @@ object DedupQueriesImpl {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- interleave_domains ---------------------------------------------
+
+  /** Domain-interleaved training order: per-domain deterministic rank
+    * (keyed window over md5 order — scale-safe) then a global position
+    * over (domain_rank, source) via the distributed row-number. All
+    * rank-1 docs across domains come first, then rank-2, … — consecutive
+    * training batches see every domain instead of long same-domain runs
+    * (the failure mode of a naive ORDER BY source ingest), and the order
+    * is reproducible on any partitioning/engine.
+    */
+  def interleaveDomains(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.md5
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ranked = docs(s, dir).select("doc_id", "source")
+      .withColumn("domain_rank", row_number().over(wd).cast("long"))
+    val (positioned, _) = graft.ops.Ranks.withGlobalRowNumber(
+      ranked, Seq(col("domain_rank"), col("source")), "train_pos")
+    positioned.select("doc_id", "source", "domain_rank", "train_pos")
+      .orderBy("doc_id")
+  }
+
+  private val interleaveDomainsOracle =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS domain_rank
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(domain_rank AS BIGINT) AS domain_rank,
+      |  row_number() OVER (ORDER BY domain_rank, source) AS train_pos
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mix_domains",
       "weighted per-domain epoch mixing (2.5x/1.5x/0.25x rates, hash-gated)",
@@ -605,6 +638,9 @@ object DedupQueriesImpl {
     QueryDef("global_shuffle",
       "deterministic global shuffle position without a one-task window",
       globalShuffle, Some(globalShuffleOracle)),
+    QueryDef("interleave_domains",
+      "round-robin domain interleave: keyed rank window + global position",
+      interleaveDomains, Some(interleaveDomainsOracle)),
     QueryDef("quality_sample",
       "soft quality sampling: keep probability = quality score, hash-gated",
       qualitySample, Some(qualitySampleOracle)),

@@ -105,4 +105,26 @@ class SamplingSpec extends SparkSpec {
     // dom 2: rate 0 — absent entirely
     assert(byId.keys.forall(_ % 3 != 2))
   }
+
+  test("interleave_domains: round r of every domain precedes round r+1 " +
+      "of any domain — no same-domain runs longer than one per round") {
+    val dir = java.nio.file.Files.createTempDirectory("interleave").toString
+    (0L until 30L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Registry.byName("interleave_domains")
+      .run(spark, dir)
+      .select("source", "domain_rank", "train_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // global position sorts by (domain_rank, source): every rank-r row
+    // precedes every rank-(r+1) row, and within a rank sources ascend
+    assert(out.sortBy(_._3).map(x => (x._2, x._1)).toSeq ==
+      out.map(x => (x._2, x._1)).sortBy(identity).toSeq)
+    // 3 equal domains: each round of 3 consecutive positions holds one
+    // doc of each source
+    out.groupBy(_._2).values.foreach { round =>
+      assert(round.map(_._1).toSet == Set("src0", "src1", "src2"))
+      assert(round.map(_._3).max - round.map(_._3).min == 2)
+    }
+  }
 }
