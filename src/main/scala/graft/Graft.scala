@@ -102,6 +102,16 @@ object Graft {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     extra.Dedup.simhash(docs, idCol, textCol)
 
+  /** Incremental ingest dedup: per-NEW-doc verdict against the corpus
+    * and earlier batch-mates — batch-driven candidates, never
+    * corpus×corpus.
+    */
+  def nearDupIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    extra.Dedup.nearDupIncremental(corpus, batch, idCol, textCol,
+      threshold = threshold)
+
   /** Near-dup GROUPS from a pair list: connected components, cluster_id
     * = smallest reachable id (keep one representative per cluster).
     */

@@ -277,6 +277,77 @@ object Dedup {
     }
   }
 
+  /** INCREMENTAL near-dup — the daily-ingest shape: a verdict per NEW
+    * doc against the existing corpus and earlier batch-mates, never
+    * corpus×corpus. Returns one row per `batch` doc:
+    * (idCol, is_dup, dup_of) where dup_of is the smallest matching doc
+    * id (corpus docs and lower-id batch docs are canonical; NULL when
+    * clean).
+    *
+    * Scale shape: candidates are BATCH-DRIVEN — both sides band on
+    * (band, sig) and only pairs touching a batch doc are verified, so
+    * the corpus participates purely through posting-list lookups (at
+    * production the corpus bands are a PERSISTED index keyed by
+    * (band, sig) — this recomputes them because the sandbox has no
+    * index store; the join shape is identical). Work per ingest is
+    * O(|batch| · bands + matching postings), independent of corpus
+    * pair count. The hot-bucket cap applies to the combined bucket
+    * width, exactly as in [[nearDupMinhash]] — a bucket the whole
+    * corpus shares is exact-dedup's job upstream, not LSH's.
+    *
+    * Ids must be globally unique across corpus ∪ batch (the standard
+    * monotone ingest-id contract).
+    */
+  def nearDupIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      numPerms: Int = 16, rowsPerBand: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val all = corpus.select(col(idCol), col(textCol))
+      .withColumn("__new", lit(false))
+      .unionByName(batch.select(col(idCol), col(textCol))
+        .withColumn("__new", lit(true)))
+    val sets = Text.withShingles(all, textCol, shingleN)
+      .select(col(idCol), col("shingles"), col("__new"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = lshBands(
+        minhashFromSets(sets.select(col(idCol), col("shingles")), idCol,
+          numPerms), idCol, numPerms, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val flags = sets.select(col(idCol), col("__new"))
+      val cand = lshCandidates(bands, idCol, maxBucket)
+        .join(flags.select(col(idCol).as("id_a"), col("__new").as("new_a")),
+          "id_a")
+        .join(flags.select(col(idCol).as("id_b"), col("__new").as("new_b")),
+          "id_b")
+        .filter(col("new_a") || col("new_b")) // corpus×corpus never verified
+      val verified = cand
+        .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")),
+          "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")),
+          "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("inter").cast("double") / col("uni") >= threshold)
+      // orient each pair at its NEW doc: both-new → higher id dups
+      // lower (id_a < id_b from lshCandidates); mixed → the new side
+      // dups the corpus side regardless of id order
+      val rel = verified.select(
+        when(col("new_b"), col("id_b")).otherwise(col("id_a")).as("nid"),
+        when(col("new_b"), col("id_a")).otherwise(col("id_b")).as("other"))
+      val dups = rel.groupBy("nid").agg(min(col("other")).as("dup_of"))
+      batch.select(col(idCol))
+        .join(dups, col(idCol) === col("nid"), "left")
+        .select(col(idCol), col("nid").isNotNull.as("is_dup"),
+          col("dup_of"))
+        .transform(materialize)
+    } finally {
+      bands.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
+  }
+
   /** Exact n-gram Jaccard near-dup with PPJoin-style prefix filtering
     * (Xiao et al., WWW'08): shingles are globally ordered rarest-first
     * (by document frequency); two sets can only reach Jaccard ≥ t if

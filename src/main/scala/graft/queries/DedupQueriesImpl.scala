@@ -85,7 +85,12 @@ object DedupQueriesImpl {
       numPerms = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  private val neardupMinhashOracle = {
+  /** Shared CTE pipeline: tokens → shingles → minhash(16) → bands(4) →
+    * capped candidates → verified pairs `j(id_a, id_b, inter, uni)` —
+    * the DuckDB replay of [[Dedup.nearDupMinhash]]'s candidate+verify
+    * stages, reused by the pairwise and incremental oracles.
+    */
+  private val minhashPairCtes = {
     import graft.extra.Dedup.{minhashA, minhashB, MinhashP}
     val mins = (0 until 16)
       .map(i => s"  min((h * ${minhashA(i)} + ${minhashB(i)}) % $MinhashP) AS mh$i")
@@ -95,7 +100,7 @@ object DedupQueriesImpl {
         .mkString(" || ',' || ")
       s"  SELECT doc_id, $b AS band, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |ss AS (SELECT doc_id, $shinglesSql AS shingles FROM t),
        |sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM ss),
        |hs AS (SELECT doc_id,
@@ -113,12 +118,15 @@ object DedupQueriesImpl {
        |          - len(list_intersect(x.shingles, y.shingles)) AS uni
        |      FROM cand c
        |      JOIN ss x ON x.doc_id = c.id_a
-       |      JOIN ss y ON y.doc_id = c.id_b)
+       |      JOIN ss y ON y.doc_id = c.id_b)""".stripMargin
+  }
+
+  private val neardupMinhashOracle =
+    s"""WITH $minhashPairCtes
        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/uni, 6) AS jaccard
        |FROM j
        |WHERE CAST(inter AS DOUBLE)/uni >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ---- ngram_jaccard ------------------------------------------------
 
@@ -598,6 +606,36 @@ object DedupQueriesImpl {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- neardup_incremental --------------------------------------------
+
+  /** Incremental ingest dedup: batch = doc_id % 10 < 2 (20% "new"),
+    * corpus = the rest; per-new-doc verdict with the smallest matching
+    * canonical id. The oracle replays the full minhash pipeline, keeps
+    * only pairs touching a new doc, and orients each at its new side.
+    */
+  def neardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.nearDupIncremental(
+      d.filter(col("doc_id") % 10 >= 2), d.filter(col("doc_id") % 10 < 2),
+      "doc_id", "text",
+      numPerms = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val neardupIncrementalOracle =
+    s"""WITH $minhashPairCtes,
+       |rel AS (
+       |  SELECT CASE WHEN id_b % 10 < 2 THEN id_b ELSE id_a END AS nid,
+       |         CASE WHEN id_b % 10 < 2 THEN id_a ELSE id_b END AS other
+       |  FROM j
+       |  WHERE CAST(inter AS DOUBLE)/uni >= 0.5
+       |    AND (id_a % 10 < 2 OR id_b % 10 < 2)),
+       |d AS (SELECT nid, min(other) AS dup_of FROM rel GROUP BY nid)
+       |SELECT n.doc_id, d.nid IS NOT NULL AS is_dup, d.dup_of
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 < 2) n
+       |LEFT JOIN d ON d.nid = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   // ---- interleave_domains ---------------------------------------------
 
   /** Domain-interleaved training order: per-domain deterministic rank
@@ -665,6 +703,9 @@ object DedupQueriesImpl {
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),
+    QueryDef("neardup_incremental",
+      "batch-vs-corpus ingest dedup verdict (batch-driven candidates)",
+      neardupIncremental, Some(neardupIncrementalOracle)),
     QueryDef("ngram_jaccard",
       "exact 3-gram Jaccard via inverted shingle index",
       ngramJaccard, Some(ngramJaccardOracle)),

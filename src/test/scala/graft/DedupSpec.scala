@@ -100,6 +100,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size >= exact.size / 5, s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("nearDupIncremental: verdicts for batch docs only — corpus dup " +
+      "found, within-batch dup oriented at the higher id, clean doc clean") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val corpus = Seq(
+      100L -> base,
+      101L -> "completely unrelated corpus content about spark catalyst plans")
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      200L -> (base + " tonight"),                   // near-dup of corpus 100
+      201L -> "fresh batch words never seen before in any other document here",
+      202L -> "fresh batch words never seen before in any other document here too",
+      203L -> "totally clean singleton with its own vocabulary entirely")
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupIncremental(corpus, batch, "doc_id", "text",
+      threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out.keySet == Set(200L, 201L, 202L, 203L)) // batch rows only
+    assert(out(200L) == (true, 100L))  // dups the corpus canonical
+    assert(out(201L) == (false, -1L))  // lower batch id stays canonical
+    assert(out(202L) == (true, 201L))  // higher id dups its batch-mate
+    assert(out(203L) == (false, -1L))
+  }
+
   test("semDedup keeps the min-id representative of each within-cluster " +
       "similar group, independent of partitioning") {
     val df = Seq(
