@@ -224,6 +224,88 @@ object Text {
         round(col("in_vocab").cast("double") / col("n_tokens"), 6))
   }
 
+  /** PII redaction rules: (regex, replacement-tag), applied IN ORDER —
+    * order matters (emails before generic digit runs, so `a1@b.co`
+    * never half-matches). Patterns stay inside the RE2 ∩ java.util.regex
+    * common subset (no backrefs, no lookaround) so the exact same rule
+    * list is portable to RE2-based engines and SQL oracles.
+    */
+  val DefaultPiiRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("\\+?\\d[\\d().\\s-]{6,}\\d", "<PHONE>"))
+
+  /** Masks PII spans in `text` by applying each rule's regexp_replace in
+    * order. Pure projection (whole-stage codegen regex), no shuffle —
+    * redacting 100 TB is embarrassingly parallel.
+    */
+  def redactPii(text: Column,
+      rules: Seq[(String, String)] = DefaultPiiRules): Column =
+    rules.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Adds `redacted` and `n_pii` columns; `n_pii` counts spans rule by
+    * rule on the progressively-redacted text, so a span consumed by an
+    * earlier rule is never double-counted by a later one (mirrors
+    * [[redactPii]]'s sequencing).
+    */
+  def withPiiRedaction(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)] = DefaultPiiRules): DataFrame = {
+    val stages = rules.scanLeft(col(textCol)) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    val counts = rules.zip(stages.init).map { case ((pat, _), stage) =>
+      size(regexp_extract_all(stage, lit(pat), lit(0))).cast("long")
+    }
+    df.withColumn("redacted", stages.last)
+      .withColumn("n_pii", counts.reduce(_ + _))
+  }
+
+  /** Duplicated-n-gram coverage (the exact-substring-dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022, at n-gram granularity): for each document, the
+    * fraction of its DISTINCT n-token shingles that occur in at least
+    * one OTHER document. High coverage ⇒ the doc is largely assembled
+    * from corpus-repeated spans (boilerplate, templates, mirrored
+    * content) even when no single whole-doc near-dup exists — the case
+    * MinHash-over-whole-docs misses.
+    *
+    * Plan: one explode → shingle-keyed count (shuffle 1, map-side
+    * partial) → the duplicated-shingle set joins BACK to the exploded
+    * frame on the same key (the exchange is reusable) → per-doc agg
+    * (shuffle 2) → left join onto the doc spine so shingle-less (< n
+    * tokens) docs survive with n_shingles = 0. No pair materialization
+    * anywhere — cost is linear in total shingles, never quadratic in
+    * docs, so the 100 TB shape is two keyed shuffles.
+    *
+    * A shingle duplicated within ONE doc only does not count
+    * ([[shinglesFromTokens]] emits distinct shingles per doc, so the
+    * per-shingle count is a document frequency).
+    *
+    * Output: idCol, n_shingles, n_dup_shingles, dup_fraction (NULL when
+    * the doc has no shingles).
+    */
+  def dupNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("__sh"))
+    val dup = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("__sh"), lit(1L).as("__dup"))
+    val perDoc = sh.join(dup, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_shingles"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6)
+          .as("dup_fraction"))
+  }
+
   /** Fixed-size token chunking — context-window preparation: each doc
     * becomes ceil(n_tokens / chunkSize) rows of `chunkSize` tokens
     * (last chunk short). Output: (idCol, chunk_id 0-based, chunk_text,

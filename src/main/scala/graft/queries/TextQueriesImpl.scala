@@ -18,6 +18,9 @@ object TextQueriesImpl {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
@@ -531,7 +534,66 @@ object TextQueriesImpl {
        |    AS fill_ratio
        |FROM c""".stripMargin
 
+  // ---- pii_redact ---------------------------------------------------
+
+  /** PII redaction over the events props payload. The synthetic props
+    * only carry digit runs, so the query uses a digit-run rule (the
+    * operator's default email/IP/SSN/phone rules are exercised on
+    * planted fixtures in TextOpsSpec); the POINT here is engine parity
+    * of the sequenced regexp_replace + count pipeline.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    Text.withPiiRedaction(
+      events(s, dir).select("event_id", "props"), "props",
+      rules = Seq(("[0-9]+", "<NUM>")))
+      .orderBy("event_id")
+
+  private val piiRedactOracle =
+    """SELECT event_id, props,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_pii
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- dup_ngrams ---------------------------------------------------
+
+  /** Duplicated-3-gram coverage per document (Lee et al. 2022 signal at
+    * shingle granularity — see [[Text.dupNgramCoverage]]).
+    */
+  def dupNgrams(s: SparkSession, dir: String): DataFrame =
+    Text.dupNgramCoverage(docs(s, dir), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
+  private val dupNgramsOracle =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |  unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [] END)) AS sh
+      |  FROM t),
+      |dup AS (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2),
+      |p AS (SELECT s.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN dup.sh IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_dup_shingles
+      |  FROM s LEFT JOIN dup ON s.sh = dup.sh
+      |  GROUP BY s.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_shingles, 0) AS n_shingles,
+      |  coalesce(p.n_dup_shingles, 0) AS n_dup_shingles,
+      |  round(CAST(p.n_dup_shingles AS DOUBLE) / p.n_shingles, 6)
+      |    AS dup_fraction
+      |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("pii_redact",
+      "sequenced regex PII redaction + span count (digit-run rule)",
+      piiRedact, Some(piiRedactOracle)),
+    QueryDef("dup_ngrams",
+      "duplicated-3-gram coverage per doc (exact-substring dedup signal)",
+      dupNgrams, Some(dupNgramsOracle)),
     QueryDef("tfidf_top_terms",
       "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",
       tfidfTopTerms, Some(tfidfTopTermsOracle)),

@@ -290,7 +290,107 @@ object TimeSeriesQueriesImpl {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- technical indicators (extra/Indicators) ----------------------
+
+  /** DECIMAL-exact daily mean price CTE shared by the indicator
+    * oracles — mirrors [[graft.extra.Indicators.dailyMean]] exactly
+    * (sum in DECIMAL(18,6), one double division, round 6).
+    */
+  private val dailyCte =
+    """d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(value), 6) AS px
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Bollinger bands per event_type: 7-day rolling mean ± 2σ of the
+    * daily mean value (DECIMAL-exact frame sums; sample stddev).
+    */
+  def bollingerDaily(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Indicators.bollinger(events(s, dir), "event_type", "ts",
+        "value", windowDays = 7, k = 2.0)
+      .orderBy("event_type", "day")
+
+  private val bollingerOracle =
+    s"""WITH $dailyCte,
+       |b AS (SELECT event_type, day, px,
+       |  CAST(sum(CAST(px AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sm,
+       |  CAST(sum(CAST(round(px*px, 12) AS DECIMAL(30,12))) OVER w
+       |       AS DOUBLE) AS sq,
+       |  CAST(count(px) OVER w AS DOUBLE) AS n
+       |  FROM d0
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       |c AS (SELECT event_type, day, px, round(sm/n, 6) AS ma,
+       |  CASE WHEN n >= 2 THEN
+       |    round(sqrt(greatest((sq - sm*sm/n)/(n - 1.0), 0.0)), 6)
+       |  END AS sd,
+       |  CAST(n AS BIGINT) AS n_days FROM b)
+       |SELECT event_type, day, px, ma, sd,
+       |  round(ma + 2.0*sd, 6) AS upper,
+       |  round(ma - 2.0*sd, 6) AS lower, n_days
+       |FROM c ORDER BY event_type, day""".stripMargin
+
+  /** RSI(14), SMA form, per event_type over daily mean values. */
+  def rsiDaily(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Indicators.rsi(events(s, dir), "event_type", "ts",
+        "value", windowDays = 14)
+      .orderBy("event_type", "day")
+
+  private val rsiOracle =
+    s"""WITH $dailyCte,
+       |g AS (SELECT event_type, day, px,
+       |  round(px - lag(px) OVER (PARTITION BY event_type ORDER BY day),
+       |        6) AS diff
+       |  FROM d0),
+       |f AS (SELECT event_type, day, px,
+       |  CAST(sum(CASE WHEN diff IS NOT NULL THEN
+       |    CAST(CASE WHEN diff > 0 THEN diff ELSE 0 END AS DECIMAL(18,6))
+       |  END) OVER w AS DOUBLE) AS gs,
+       |  CAST(sum(CASE WHEN diff IS NOT NULL THEN
+       |    CAST(CASE WHEN diff < 0 THEN -diff ELSE 0 END AS DECIMAL(18,6))
+       |  END) OVER w AS DOUBLE) AS ls,
+       |  sum(CASE WHEN diff IS NOT NULL THEN 1 ELSE 0 END) OVER w AS nd
+       |  FROM g
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, day, px,
+       |  CASE WHEN nd < 14 THEN NULL
+       |       WHEN ls = 0 THEN 100.0
+       |       ELSE round(100.0 - 100.0/(1.0 + gs/ls), 6) END AS rsi
+       |FROM f ORDER BY event_type, day""".stripMargin
+
+  /** EWMA(α=0.3) of the daily mean value per event_type — the oracle
+    * replays the sequential recurrence with a recursive CTE.
+    */
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Indicators.ewma(events(s, dir), "event_type", "ts",
+        "value", alpha = 0.3)
+      .orderBy("event_type", "day")
+
+  private val ewmaOracle =
+    s"""WITH RECURSIVE $dailyCte,
+       |d AS (SELECT event_type, day, px,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM d0),
+       |r AS (
+       |  SELECT event_type, day, rn, px, px AS ewma FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.event_type, d.day, d.rn, d.px,
+       |         round(0.3*d.px + 0.7*r.ewma, 6)
+       |  FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+       |SELECT event_type, day, px, ewma
+       |FROM r ORDER BY event_type, day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bollinger_daily",
+      "Bollinger bands: 7-day rolling mean +/- 2 sigma per event_type",
+      bollingerDaily, Some(bollingerOracle)),
+    QueryDef("rsi_daily",
+      "RSI(14), SMA form, over daily mean values per event_type",
+      rsiDaily, Some(rsiOracle)),
+    QueryDef("ewma_daily",
+      "EWMA(0.3) daily series per event_type (recursive-CTE oracle)",
+      ewmaDaily, Some(ewmaOracle)),
     QueryDef("sessions_native",
       "native session_window sessions (gap-merge, end = last + gap)",
       sessionsNative, Some(sessionsNativeOracle)),

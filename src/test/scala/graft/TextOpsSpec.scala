@@ -115,4 +115,53 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("top_bigram_frac") == 0.5)
     assert(r.getAs[Double]("dup_token_frac") == 0.4)
   }
+
+  test("redactPii masks email, IP, SSN and phone with the default " +
+      "rules, in rule order") {
+    val df = Seq(
+      (1L, "contact jane.doe+x@corp.example.com or 192.168.0.1 now"),
+      (2L, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val out = graft.extra.Text.withPiiRedaction(df, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("redacted") ==
+      "contact <EMAIL> or <IP> now")
+    assert(out(1).getAs[String]("redacted") == "ssn <SSN> phone <PHONE> end")
+    assert(out(2).getAs[String]("redacted") == "nothing sensitive here")
+    assert(out.map(_.getAs[Long]("n_pii")).toSeq == Seq(2L, 2L, 0L))
+  }
+
+  test("redactPii applies email before digit rules so addresses are " +
+      "consumed whole, and custom rules are honored") {
+    val df = Seq((1L, "a1@b.co then 1234")).toDF("doc_id", "text")
+    val custom = graft.extra.Text.DefaultPiiRules :+
+      ("\\d{4,}", "<NUM>")
+    val out = graft.extra.Text.withPiiRedaction(df, "text", custom)
+      .collect().head
+    assert(out.getAs[String]("redacted") == "<EMAIL> then <NUM>")
+    assert(out.getAs[Long]("n_pii") == 2L)
+  }
+
+  test("dupNgramCoverage counts shingles shared across docs, not " +
+      "within one doc, and keeps shingle-less docs") {
+    val out = graft.extra.Text.dupNgramCoverage(Seq(
+      // docs 1 and 2 share the 3-gram "x y z"; doc 1 has 3 shingles
+      1L -> "a b x y z",      // shingles: "a b x","b x y","x y z"
+      2L -> "x y z q",        // shingles: "x y z","y z q"
+      // doc 3 repeats ITS OWN shingle only -> distinct per doc, no dup
+      3L -> "m n o m n o",
+      4L -> "a b")            // < 3 tokens: no shingles
+      .toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2))
+    assert(row(0) == (3L, 1L))
+    assert(out(0).getAs[Double]("dup_fraction") ==
+      math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(row(1) == (2L, 1L))
+    // doc 3: shingles "m n o","n o m","o m n","m n o" -> distinct 3, dup 0
+    assert(row(2) == (3L, 0L))
+    assert(row(3) == (0L, 0L))
+    assert(out(3).isNullAt(3))
+  }
 }
