@@ -230,6 +230,45 @@ object TimeSeries {
     * the market-data classic, expressed with arg_min/arg_max aggregates
     * (deterministic, single shuffle).
     */
+  /** Interval (range) join: every (left, right) pair sharing `key`
+    * whose timestamps lie within `toleranceSeconds` of each other —
+    * the batch twin of the watermarked stream-stream interval join.
+    *
+    * Scale shape: a naive formulation is a per-key cross join. Here the
+    * time axis is bucketed at the tolerance width, the RIGHT side
+    * explodes to its bucket ± 1 (three rows), and the join is a pure
+    * EQUIJOIN on (key, bucket) + a residual |Δt| filter: any pair
+    * within tolerance differs by at most one bucket, and each pair
+    * meets on exactly ONE bucket id (the left row's), so no dedup pass
+    * is needed. Cost: one shuffle per side (right 3×); worst case is a
+    * genuinely dense (key, bucket) — that cost is the OUTPUT size, not
+    * a planning artifact.
+    *
+    * Column contract: caller ensures left/right column names are
+    * disjoint apart from `key`. Output: left.* ++ right.* (key once) +
+    * `delta_us` (right ts − left ts, microseconds, exact).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTsCol: String, rightTsCol: String,
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds > 0,
+      s"toleranceSeconds must be positive: $toleranceSeconds")
+    val tolUs = toleranceSeconds * 1000000L
+    // integer bucket id (epoch µs are non-negative, so truncating DIV
+    // is floor); exact long arithmetic — no double rounding at bucket
+    // boundaries
+    val l = left.withColumn("__lus", unix_micros(col(leftTsCol)))
+      .withColumn("__bkt", expr(s"__lus DIV $tolUs"))
+    val r0 = right.withColumn("__rus", unix_micros(col(rightTsCol)))
+    val rb = expr(s"__rus DIV $tolUs")
+    val r = r0.withColumn("__bkt", explode(array(rb - 1, rb, rb + 1)))
+    val rightCols = right.columns.filterNot(_ == key)
+    l.join(r, Seq(key, "__bkt"))
+      .filter(abs(col("__rus") - col("__lus")) <= tolUs)
+      .select((left.columns.map(col) ++ rightCols.map(col) :+
+        (col("__rus") - col("__lus")).as("delta_us")): _*)
+  }
+
   def ohlc(df: DataFrame, key: String, tsCol: String, valCol: String,
       bucket: String): DataFrame = {
     val v = col(valCol)

@@ -464,7 +464,39 @@ object RelationalQueries {
       |             FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Exact interpolated quantiles (percentile_cont semantics) of event
+    * value per event_type, computed distributively: one per-key sort +
+    * boundary-row selection — see [[graft.extra.Stats.exactQuantiles]].
+    */
+  def valueQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Stats.exactQuantiles(t(s, dir, "events"), "event_type",
+        "value", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy("event_type", "p")
+
+  private val valueQuantilesOracle =
+    """WITH r AS (SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL),
+      |t AS (SELECT event_type, n,
+      |  CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p
+      |  FROM (SELECT DISTINCT event_type, n FROM r)),
+      |t2 AS (SELECT event_type, p, CAST(floor(p*(n-1)) AS BIGINT) AS lo,
+      |  p*(n-1) - floor(p*(n-1)) AS f FROM t),
+      |j AS (SELECT r.event_type, t2.p, t2.f,
+      |  max(CASE WHEN r.rn = t2.lo + 1 THEN r.value END) AS vlo,
+      |  max(CASE WHEN r.rn = t2.lo + 2 THEN r.value END) AS vhi
+      |  FROM r JOIN t2 ON r.event_type = t2.event_type
+      |   AND (r.rn = t2.lo + 1 OR r.rn = t2.lo + 2)
+      |  GROUP BY 1, 2, 3)
+      |SELECT event_type, p,
+      |  round(vlo + f*(coalesce(vhi, vlo) - vlo), 6) AS q
+      |FROM j ORDER BY event_type, p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("value_quantiles",
+      "exact interpolated per-key quantiles via rank selection",
+      valueQuantiles, Some(valueQuantilesOracle)),
     QueryDef("q1_pricing",
       "TPC-H Q1-like pricing summary (decimal-exact sums)",
       q1Pricing, Some(q1Oracle)),

@@ -381,7 +381,36 @@ object TimeSeriesQueriesImpl {
        |SELECT event_type, day, px, ewma
        |FROM r ORDER BY event_type, day""".stripMargin
 
+  /** Interval join: purchase × click by the same user within ±6h —
+    * bucketed equijoin, never a per-key cross join (see
+    * [[TimeSeries.intervalJoin]]).
+    */
+  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    TimeSeries.intervalJoin(purchases, clicks, "user_id", "p_ts", "c_ts",
+        toleranceSeconds = 6 * 3600L)
+      .select("user_id", "purchase_id", "click_id", "delta_us")
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val intervalJoinOracle =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  epoch_us(c.ts) - epoch_us(p.ts) AS delta_us
+      |FROM events p JOIN events c ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 21600000000
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("interval_join",
+      "purchase x click pairs within 6h: bucketed range equijoin",
+      intervalJoinQ, Some(intervalJoinOracle)),
     QueryDef("bollinger_daily",
       "Bollinger bands: 7-day rolling mean +/- 2 sigma per event_type",
       bollingerDaily, Some(bollingerOracle)),
