@@ -1,0 +1,194 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Portfolio/market analytics over keyed time series — the batch layer a
+  * market-data platform runs on its tick store beyond the indicator
+  * family ([[Indicators]]): VWAP, max drawdown, cross-series correlation,
+  * gap-fill resampling, and robust (MAD) anomaly detection. The
+  * reference serves raw windows only (spark_streaming.py:55-118); these
+  * are the standard downstream analytics, built Spark-native.
+  *
+  * Shared design rules (same as [[Indicators]]):
+  *   - Exactness: every cross-row sum runs in DECIMAL (order-independent,
+  *     partitioning-independent); doubles appear only in final
+  *     fixed-order formulas, then `round(…, 6)`. Results hash-match the
+  *     SQL oracle bit-for-bit.
+  *   - Scale: the per-tick scan is reduced by ONE keyed shuffle into a
+  *     bounded per-(key, bucket) frame (days or hours per key — thousands
+  *     of rows, never tick count) before any window/join state exists.
+  */
+object Analytics {
+
+  /** Volume-weighted average price per (key, day):
+    * `sum(price·qty) / sum(qty)`, price·qty summed in DECIMAL (price at
+    * 6 dp × integer qty keeps scale 6 — exact), one double division,
+    * round 6. One shuffle with map-side partial aggregation; linear in
+    * the scan, output bounded by keys × days.
+    *
+    * Output: key, `day`, `vwap`, `total_qty`, `n_trades`.
+    */
+  def vwap(df: DataFrame, keyCol: String, tsCol: String,
+      priceCol: String, qtyCol: String): DataFrame =
+    df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(
+        round(
+          sum(col(priceCol).cast(DecimalType(18, 6)) *
+            col(qtyCol).cast(DecimalType(12, 0))).cast("double") /
+            sum(col(qtyCol).cast(DecimalType(18, 0))).cast("double"),
+          6).as("vwap"),
+        sum(col(qtyCol)).cast("long").as("total_qty"),
+        count(lit(1)).as("n_trades"))
+
+  /** Maximum drawdown per key over the DAILY mean-price series: the
+    * largest peak-to-trough decline, relative (`(peak−px)/peak`, only
+    * where the running peak is positive) and absolute (`peak−px`,
+    * always defined). The per-tick scan collapses through
+    * [[Indicators.dailyMean]] first (one shuffle); the cumulative-max
+    * window then runs per key over the bounded daily series, and a
+    * final keyed agg reduces to one row per key.
+    *
+    * Output: key, `max_drawdown` (relative, NULL if the peak was never
+    * positive), `max_abs_drawdown`, `n_days`.
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = Indicators.dailyMean(df, keyCol, tsCol, valCol)
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col("px")).over(w)
+    daily
+      .withColumn("__rel",
+        when(peak > 0, round((peak - col("px")) / peak, 6)))
+      .withColumn("__abs", round(peak - col("px"), 6))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("__rel")).as("max_drawdown"),
+        max(col("__abs")).as("max_abs_drawdown"),
+        count(lit(1)).as("n_days"))
+  }
+
+  /** Pearson correlation between every PAIR of keys' bucketed mean
+    * series, from DECIMAL-exact moment sums (NOT the streaming `corr`
+    * aggregate, whose double accumulation is partitioning-dependent):
+    * per (key, bucket) mean → self-equijoin on bucket with `k1 < k2` →
+    * per-pair exact sums n, Σx, Σy, Σxy, Σx², Σy² → one fixed-order
+    * double formula, round 6.
+    *
+    * Scale: stage 1 is the scan-dominant keyed shuffle; the self-join is
+    * an equijoin on bucket whose output is `buckets × K²/2` rows — K is
+    * the number of distinct keys (instruments), so for the typical
+    * thousands-of-symbols universe this is a bounded frame, and the join
+    * NEVER touches per-tick data. Pairs with fewer than `minPoints`
+    * shared buckets or a zero-variance side emit NULL.
+    *
+    * Output: `k1`, `k2`, `n_buckets`, `corr`.
+    */
+  def pairCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, bucket: String = "hour",
+      minPoints: Int = 2): DataFrame = {
+    val series = df
+      .groupBy(col(keyCol).as("k"),
+        date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(round(sum(col(valCol).cast(DecimalType(18, 6))).cast("double") /
+        count(col(valCol)), 6).as("px"))
+    val a = series.select(col("k").as("k1"), col("bucket"),
+      col("px").as("x"))
+    val b = series.select(col("k").as("k2"), col("bucket"),
+      col("px").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 6))
+    val prod = (u: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column) =>
+      round(u * v, 12).cast(DecimalType(30, 12))
+    val moments = a.join(b, "bucket").filter(col("k1") < col("k2"))
+      .groupBy("k1", "k2")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(prod(col("x"), col("y"))).cast("double").as("sxy"),
+        sum(prod(col("x"), col("x"))).cast("double").as("sxx"),
+        sum(prod(col("y"), col("y"))).cast("double").as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    moments
+      .withColumn("corr",
+        when(col("n") >= minPoints && vx > 0 && vy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(vx * vy), 6)))
+      .select(col("k1"), col("k2"), col("n").cast("long").as("n_buckets"),
+        col("corr"))
+  }
+
+  /** Gap-fill resampling: per key, a fixed `stepUnit` grid from the
+    * key's first to last observed bucket, last-observation-carried-
+    * forward. Three bounded stages: (1) one keyed shuffle reduces ticks
+    * to the last observation per (key, bucket) — deterministic winner by
+    * `max_by` on (ts, tieCol); (2) per-key min/max bucket generates the
+    * grid via `sequence` + explode (grid size = span/step, never tick
+    * count); (3) left join grid⋈observed on (key, bucket) and a per-key
+    * carry-forward window over the bounded grid.
+    *
+    * Output: key, `bucket`, `filled` (carried value), `is_gap` (true on
+    * grid rows with no observation).
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, stepUnit: String = "hour"): DataFrame = {
+    val obs = df
+      .groupBy(col(keyCol).as("k"),
+        date_trunc(stepUnit, col(tsCol)).as("bucket"))
+      .agg(max_by(col(valCol), struct(col(tsCol), col(tieCol)))
+        .as("value"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"),
+        expr(s"interval 1 $stepUnit"))).as("bucket"))
+    val joined = grid.join(obs, Seq("k", "bucket"), "left")
+    val w = Window.partitionBy("k").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("value").isNull)
+      .select(col("k").as(keyCol), col("bucket"), col("filled"),
+        col("is_gap"))
+  }
+
+  /** Robust anomaly detection per key: median/MAD fences. Three keyed
+    * passes over the input — exact median per key; deviations
+    * `round(|v − med|, 6)` against the ROUNDED median (so the fence
+    * predicate is engine-identical); exact MAD = median of deviations;
+    * then a count of rows beyond `k·MAD`. The per-key stats frames are
+    * tiny and broadcast into the row-level joins, so no pass shuffles
+    * the fact table more than its own keyed agg.
+    *
+    * Exact medians are the correctness contract here; at 100 TB the
+    * single-pass `approx_percentile` variant is the documented scale
+    * path (same shape, sketch agg instead of sort-based percentile).
+    *
+    * Output: key, `med`, `mad`, `n`, `n_anomalies`.
+    */
+  def anomalyMad(df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 5.0): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valCol, 0.5)"), 6).as("med"))
+    val dev = df.join(broadcast(med), keyCol)
+      .withColumn("__dev", round(abs(col(valCol) - col("med")), 6))
+    val stats = dev.groupBy(col(keyCol))
+      .agg(
+        first(col("med")).as("med"),
+        round(expr("percentile(__dev, 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+    dev.select(col(keyCol), col("__dev"))
+      .join(broadcast(stats), keyCol)
+      .groupBy(col(keyCol))
+      .agg(
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        first(col("n")).as("n"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"))
+  }
+}

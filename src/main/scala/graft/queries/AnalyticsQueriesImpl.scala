@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extra.Analytics
+import graft.model.Tables
+
+/** Market-analytics queries over the events stream table (beyond the
+  * indicator family): VWAP, max drawdown, cross-series correlation,
+  * gap-fill resampling, MAD anomaly fences. All decimal-exact where a
+  * sum crosses rows — see [[graft.extra.Analytics]].
+  */
+object AnalyticsQueriesImpl {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Synthetic deterministic trade size: the events table has no volume
+    * column, so both engines derive the SAME qty from the row identity
+    * (1..100). This keeps the VWAP weights non-trivial and exactly
+    * reproducible in the oracle.
+    */
+  private def withQty(df: DataFrame): DataFrame =
+    df.withColumn("qty", (col("event_id") % 100 + 1).cast("long"))
+
+  // ---- vwap_daily ---------------------------------------------------
+
+  def vwapDaily(s: SparkSession, dir: String): DataFrame =
+    Analytics.vwap(withQty(events(s, dir)), "event_type", "ts",
+        "value", "qty")
+      .orderBy("event_type", "day")
+
+  private val vwapOracle =
+    """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |  event_id % 100 + 1 AS qty FROM events)
+      |SELECT event_type, day,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))
+      |                 * CAST(qty AS DECIMAL(12,0))) AS DOUBLE)
+      |        / CAST(sum(CAST(qty AS DECIMAL(18,0))) AS DOUBLE), 6) AS vwap,
+      |  CAST(sum(qty) AS BIGINT) AS total_qty,
+      |  count(*) AS n_trades
+      |FROM e GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- max_drawdown -------------------------------------------------
+
+  def maxDrawdown(s: SparkSession, dir: String): DataFrame =
+    Analytics.maxDrawdown(events(s, dir), "event_type", "ts", "value")
+      .orderBy("event_type")
+
+  private val drawdownOracle =
+    """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(value), 6) AS px
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT event_type, day, px,
+      |  max(px) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM d0)
+      |SELECT event_type,
+      |  max(CASE WHEN peak > 0
+      |      THEN round((peak - px) / peak, 6) END) AS max_drawdown,
+      |  max(round(peak - px, 6)) AS max_abs_drawdown,
+      |  count(*) AS n_days
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- pair_corr ----------------------------------------------------
+
+  def pairCorr(s: SparkSession, dir: String): DataFrame =
+    Analytics.pairCorrelation(events(s, dir), "event_type", "ts",
+        "value", bucket = "hour")
+      .orderBy("k1", "k2")
+
+  private val pairCorrOracle =
+    """WITH srs AS (SELECT event_type AS k, date_trunc('hour', ts) AS bucket,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(value), 6) AS px
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT a.k AS k1, b.k AS k2,
+      |  CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(a.px AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(b.px AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(a.px*b.px, 12) AS DECIMAL(30,12)))
+      |       AS DOUBLE) AS sxy,
+      |  CAST(sum(CAST(round(a.px*a.px, 12) AS DECIMAL(30,12)))
+      |       AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(round(b.px*b.px, 12) AS DECIMAL(30,12)))
+      |       AS DOUBLE) AS syy
+      |  FROM srs a JOIN srs b ON a.bucket = b.bucket AND a.k < b.k
+      |  GROUP BY 1, 2)
+      |SELECT k1, k2, CAST(n AS BIGINT) AS n_buckets,
+      |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |    THEN round((n*sxy - sx*sy)
+      |               / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+      |  END AS corr
+      |FROM m ORDER BY 1, 2""".stripMargin
+
+  // ---- gap_fill -----------------------------------------------------
+
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    Analytics.gapFill(events(s, dir)
+        .filter(col("event_type") === "purchase"),
+        "event_type", "ts", "value", "event_id", stepUnit = "hour")
+      .orderBy("event_type", "bucket")
+
+  private val gapFillOracle =
+    """WITH src AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |  value, row_number() OVER (
+      |    PARTITION BY event_type, date_trunc('hour', ts)
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type = 'purchase'),
+      |o AS (SELECT event_type, bucket, value FROM src WHERE rn = 1),
+      |span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      |  FROM o GROUP BY 1),
+      |grid AS (SELECT event_type,
+      |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      |  FROM span),
+      |j AS (SELECT g.event_type, g.bucket, o.value
+      |  FROM grid g LEFT JOIN o
+      |    ON g.event_type = o.event_type AND g.bucket = o.bucket)
+      |SELECT event_type, bucket,
+      |  last_value(value IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  (value IS NULL) AS is_gap
+      |FROM j ORDER BY 1, 2""".stripMargin
+
+  // ---- anomaly_mad --------------------------------------------------
+
+  def anomalyMad(s: SparkSession, dir: String): DataFrame =
+    Analytics.anomalyMad(events(s, dir), "event_type", "value", k = 5.0)
+      .orderBy("event_type")
+
+  private val anomalyOracle =
+    """WITH m AS (SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, m.med,
+      |  round(abs(e.value - m.med), 6) AS dev
+      |  FROM events e JOIN m USING (event_type)),
+      |s AS (SELECT event_type, any_value(med) AS med,
+      |  round(quantile_cont(dev, 0.5), 6) AS mad, count(*) AS n
+      |  FROM d GROUP BY 1)
+      |SELECT s.event_type, s.med, s.mad, s.n,
+      |  CAST(sum(CASE WHEN d.dev > 5.0 * s.mad THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_anomalies
+      |FROM d JOIN s USING (event_type)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("vwap_daily",
+      "volume-weighted average price per type/day (decimal-exact)",
+      vwapDaily, Some(vwapOracle)),
+    QueryDef("max_drawdown",
+      "max peak-to-trough drawdown per type over the daily series",
+      maxDrawdown, Some(drawdownOracle)),
+    QueryDef("pair_corr",
+      "pairwise Pearson correlation of hourly series, exact moment sums",
+      pairCorr, Some(pairCorrOracle)),
+    QueryDef("gap_fill",
+      "hourly LOCF resampling: grid + carry-forward, gaps flagged",
+      gapFill, Some(gapFillOracle)),
+    QueryDef("anomaly_mad",
+      "median/MAD robust anomaly fences per type (exact medians)",
+      anomalyMad, Some(anomalyOracle)))
+}

@@ -8,3 +8,4 @@ object SimilarityQueries { def defs: Seq[QueryDef] = SimilarityQueriesImpl.defs 
 object TextQueries { def defs: Seq[QueryDef] = TextQueriesImpl.defs }
 object MultimodalQueries { def defs: Seq[QueryDef] = MultimodalQueriesImpl.defs }
 object TimeSeriesQueries { def defs: Seq[QueryDef] = TimeSeriesQueriesImpl.defs }
+object AnalyticsQueries { def defs: Seq[QueryDef] = AnalyticsQueriesImpl.defs }

@@ -22,7 +22,8 @@ object Registry {
       SimilarityQueries.defs ++
       TextQueries.defs ++
       MultimodalQueries.defs ++
-      TimeSeriesQueries.defs
+      TimeSeriesQueries.defs ++
+      AnalyticsQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.Analytics
+
+/** Hand-checked cases for the market-analytics operators (VWAP,
+  * drawdown, pair correlation, gap fill, MAD fences). The oracle gate
+  * checks them at corpus scale; these pin the math on series small
+  * enough to verify by eye.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 12): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("vwap weights by qty within the day") {
+    // day 1: (10 @ qty 1, 20 @ qty 3) -> (10 + 60) / 4 = 17.5
+    val df = Seq(
+      ("k", ts(1, 9), 10.0, 1L), ("k", ts(1, 15), 20.0, 3L),
+      ("k", ts(2), 5.0, 2L))
+      .toDF("sym", "ts", "px", "qty")
+    val out = Analytics.vwap(df, "sym", "ts", "px", "qty")
+      .orderBy("day").collect()
+    assert(out.map(_.getAs[Double]("vwap")).toSeq == Seq(17.5, 5.0))
+    assert(out.map(_.getAs[Long]("total_qty")).toSeq == Seq(4L, 2L))
+  }
+
+  test("maxDrawdown finds the deepest peak-to-trough drop") {
+    // daily series 10, 8, 12, 6: peak 12 -> trough 6 = 50% relative
+    val df = Seq(10.0, 8.0, 12.0, 6.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }
+      .toDF("sym", "ts", "value")
+    val row = Analytics.maxDrawdown(df, "sym", "ts", "value")
+      .collect().head
+    assert(row.getAs[Double]("max_drawdown") == 0.5)
+    assert(row.getAs[Double]("max_abs_drawdown") == 6.0)
+    assert(row.getAs[Long]("n_days") == 4L)
+  }
+
+  test("maxDrawdown: monotone rise has zero drawdown; non-positive " +
+      "peak yields NULL relative drawdown") {
+    val rise = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }
+      .toDF("sym", "ts", "value")
+    val r = Analytics.maxDrawdown(rise, "sym", "ts", "value")
+      .collect().head
+    assert(r.getAs[Double]("max_drawdown") == 0.0)
+
+    val neg = Seq(-1.0, -2.0).zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }
+      .toDF("sym", "ts", "value")
+    val n = Analytics.maxDrawdown(neg, "sym", "ts", "value")
+      .collect().head
+    assert(n.isNullAt(n.fieldIndex("max_drawdown")))
+    // absolute drawdown still defined: peak -1 -> -2 is a drop of 1
+    assert(n.getAs[Double]("max_abs_drawdown") == 1.0)
+  }
+
+  test("pairCorrelation: perfectly linear pair -> 1, anti-linear -> -1") {
+    // hourly buckets shared by construction (same timestamps per key)
+    val rows = (1 to 4).flatMap { h =>
+      Seq(("a", ts(1, h), h.toDouble),
+        ("b", ts(1, h), 2.0 * h + 1),      // corr(a,b) = 1
+        ("c", ts(1, h), -3.0 * h))         // corr(a,c) = corr(b,c) = -1
+    }
+    val out = Analytics.pairCorrelation(rows.toDF("sym", "ts", "value"),
+        "sym", "ts", "value")
+      .orderBy("k1", "k2").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Double]("corr"))).toSeq ==
+      Seq(("a", "b", 1.0), ("a", "c", -1.0), ("b", "c", -1.0)))
+    assert(out.forall(_.getAs[Long]("n_buckets") == 4L))
+  }
+
+  test("pairCorrelation: zero-variance side emits NULL, not NaN") {
+    val rows = (1 to 3).flatMap { h =>
+      Seq(("a", ts(1, h), h.toDouble), ("flat", ts(1, h), 7.0))
+    }
+    val r = Analytics.pairCorrelation(rows.toDF("sym", "ts", "value"),
+        "sym", "ts", "value").collect().head
+    assert(r.isNullAt(r.fieldIndex("corr")))
+  }
+
+  test("gapFill carries the last observation across missing buckets " +
+      "and flags them") {
+    // observations at hours 1 and 4 -> grid 1..4, hours 2,3 are gaps
+    val df = Seq(
+      ("k", ts(1, 1), 10.0, 1L),
+      ("k", ts(1, 4), 40.0, 2L))
+      .toDF("sym", "ts", "value", "id")
+    val out = Analytics.gapFill(df, "sym", "ts", "value", "id")
+      .orderBy("bucket").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Double]("filled")).toSeq ==
+      Seq(10.0, 10.0, 10.0, 40.0))
+    assert(out.map(_.getAs[Boolean]("is_gap")).toSeq ==
+      Seq(false, true, true, false))
+  }
+
+  test("gapFill picks the LAST observation within a bucket, ties by " +
+      "the tie column") {
+    val sameHour = Seq(
+      ("k", Timestamp.valueOf("2024-01-01 01:10:00"), 1.0, 5L),
+      ("k", Timestamp.valueOf("2024-01-01 01:50:00"), 2.0, 1L),
+      // same ts as the 2.0 row: higher id wins
+      ("k", Timestamp.valueOf("2024-01-01 01:50:00"), 3.0, 9L))
+      .toDF("sym", "ts", "value", "id")
+    val out = Analytics.gapFill(sameHour, "sym", "ts", "value", "id")
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Double]("filled") == 3.0)
+  }
+
+  test("anomalyMad flags exactly the planted outliers") {
+    // 20 inliers around 10 (dev <= 1) + 2 wild outliers
+    val vals = (1 to 20).map(i => 10.0 + (i % 3) - 1) ++ Seq(1000.0, -500.0)
+    val df = vals.map(("k", _)).toDF("sym", "value")
+    val r = Analytics.anomalyMad(df, "sym", "value", k = 5.0)
+      .collect().head
+    assert(r.getAs[Long]("n") == 22L)
+    assert(r.getAs[Long]("n_anomalies") == 2L)
+    assert(r.getAs[Double]("med") == 10.0)
+  }
+
+  test("anomalyMad: constant series has MAD 0 and every unequal row " +
+      "is an anomaly") {
+    val df = (Seq.fill(10)(5.0) :+ 5.1).map(("k", _)).toDF("sym", "value")
+    val r = Analytics.anomalyMad(df, "sym", "value").collect().head
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_anomalies") == 1L)
+  }
+}
