@@ -1,0 +1,77 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical retrieval over a document corpus: BM25 top-k search (the
+  * sparse complement to [[Similarity]]'s dense ANN — together they are
+  * the two retrieval arms of a training-data / RAG pipeline).
+  *
+  * Scale shape: one tokenize+explode shuffle builds the (doc, term, tf)
+  * frame; doc length comes from re-aggregating THAT frame (the raw text
+  * is scanned exactly once); the query-term filter cuts the frame to
+  * `|query| × df(term)` rows before any join, and the per-term df/idf
+  * frame (|query| rows) broadcasts. Nothing downstream of the first
+  * shuffle is proportional to corpus token count except the keyed dl
+  * re-aggregation.
+  *
+  * Determinism: tf/dl/df are exact longs; idf and the per-term BM25
+  * contribution are single fixed-order double formulas rounded to 12 dp,
+  * summed per doc in DECIMAL (order-independent), rounded to 6 dp. The
+  * top-k order is (score DESC, doc id ASC) — total, engine-identical.
+  */
+object Retrieval {
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene/ATIRE
+    * shifted form — always positive). Only docs matching ≥1 query term
+    * appear; ties at equal rounded score break by ascending doc id.
+    *
+    * Output: idCol, `n_hits` (matched query terms), `score`.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    val tf = docs.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    // house cache-lifecycle rule (SCALE.md): eagerly materialize the
+    // output, then unpersist — nothing stays cached past the call
+    try {
+      val nDocs = docs.count()
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      // constant-size driver value (one long), same tier as tfidf's
+      // nDocs count — NOT a data-proportional collect
+      val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+
+      val tfq = tf.filter(col("term").isin(terms: _*))
+      val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = df.withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+
+      val tfD = col("tf").cast("double")
+      val contrib = round(
+        col("idf") * ((tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+        12).cast(DecimalType(30, 12))
+
+      Dedup.materialize(
+        tfq.join(broadcast(idf.select("term", "idf")), "term")
+          .join(dl, idCol)
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_hits"),
+            round(sum(contrib).cast("double"), 6).as("score"))
+          .orderBy(col("score").desc, col(idCol))
+          .limit(topK))
+    } finally tf.unpersist(blocking = false)
+  }
+}

@@ -587,7 +587,47 @@ object TextQueriesImpl {
       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- bm25_search --------------------------------------------------
+
+  /** BM25 top-20 for a fixed three-term query over the corpus (see
+    * [[graft.extra.Retrieval.bm25Search]] — exact long tf/dl/df, 12-dp
+    * rounded per-term contributions summed in DECIMAL, ties by doc_id).
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Retrieval.bm25Search(docs(s, dir), "doc_id", "text",
+      Seq("spark", "shuffle", "join"), k1 = 1.2, b = 0.75, topK = 20)
+
+  private val bm25Oracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |consts AS (SELECT
+       |  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |  CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |tfq AS (SELECT * FROM tf
+       |  WHERE term IN ('spark', 'shuffle', 'join')),
+       |idf AS (SELECT term,
+       |  ln(((SELECT n FROM consts) - CAST(count(*) AS DOUBLE) + 0.5)
+       |     / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+       |  FROM tfq GROUP BY term),
+       |sc AS (SELECT tfq.doc_id,
+       |  CAST(round(idf.idf * ((CAST(tfq.tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tfq.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |       + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |                 / (SELECT avgdl FROM consts))))), 12)
+       |       AS DECIMAL(30,12)) AS c
+       |  FROM tfq JOIN idf USING (term) JOIN dl USING (doc_id))
+       |SELECT doc_id, count(*) AS n_hits,
+       |  round(CAST(sum(c) AS DOUBLE), 6) AS score
+       |FROM sc GROUP BY 1
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bm25_search",
+      "BM25 top-20 lexical retrieval (exact counts, decimal score sums)",
+      bm25Search, Some(bm25Oracle)),
     QueryDef("pii_redact",
       "sequenced regex PII redaction + span count (digit-run rule)",
       piiRedact, Some(piiRedactOracle)),

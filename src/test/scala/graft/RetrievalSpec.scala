@@ -1,0 +1,52 @@
+package graft
+
+import graft.extra.Retrieval
+
+/** Hand-checked BM25 behavior on a corpus small enough to reason about
+  * (the oracle gate pins the exact scores at corpus scale).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark shuffle join spark"),   // 2 query terms, tf(spark)=2
+    (2L, "spark window sort"),          // 1 query term
+    (3L, "filler words only here"),     // no query terms
+    (4L, "join join join join join"),   // rare-ish term, high tf
+    (5L, "spark")                       // short doc: dl boost
+  ).toDF("doc_id", "text")
+
+  test("docs with no query term are absent; n_hits counts matched terms") {
+    val out = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("spark", "shuffle", "join")).collect()
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    assert(!byId.contains(3L))
+    assert(byId(1L) == 3L && byId(2L) == 1L && byId(4L) == 1L)
+  }
+
+  test("a doc matching more distinct query terms outscores one " +
+      "repeating a single common term") {
+    val out = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("spark", "shuffle", "join")).collect()
+    val score = out.map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    // doc 1 matches all three terms incl. the rarest (shuffle, df=1)
+    assert(score(1L) > score(2L) && score(1L) > score(5L))
+  }
+
+  test("topK truncates and keeps the order total (score desc, id asc)") {
+    val out = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("spark"), topK = 2).collect()
+    assert(out.length == 2)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sorted.reverse.sameElements(scores))
+  }
+
+  test("query terms are lowercased and deduplicated") {
+    val a = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("SPARK", "spark")).collect()
+    val b = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("spark")).collect()
+    assert(a.map(r => (r.getLong(0), r.getAs[Double]("score"))).toSeq ==
+      b.map(r => (r.getLong(0), r.getAs[Double]("score"))).toSeq)
+  }
+}
