@@ -40,12 +40,17 @@ object Stats {
       .withColumn("__pos", col("p") * (col("__n") - 1))
       .withColumn("__lo", floor(col("__pos")).cast("long"))
       .withColumn("__f", col("__pos") - floor(col("__pos")))
-      .select(col(keyCol), col("p"), col("__lo"), col("__f"))
+      // the key is RENAMED on this side: both frames descend from
+      // `ranked`, so an equality between same-named columns would hit
+      // Spark's self-join auto-disambiguation (it logs "trivially true
+      // equals predicate" and guesses); the rename makes the join
+      // condition unambiguous by construction
+      .select(col(keyCol).as("__k"), col("p"), col("__lo"), col("__f"))
     val hits = ranked.join(broadcast(targets),
-        ranked(keyCol) === targets(keyCol) &&
+        col(keyCol) === col("__k") &&
           (col("__rn") === col("__lo") + 1 ||
             col("__rn") === col("__lo") + 2))
-      .drop(targets(keyCol))
+      .drop("__k")
       .groupBy(col(keyCol), col("p"), col("__f"))
       .agg(
         max(when(col("__rn") === col("__lo") + 1, col(valCol))).as("__vlo"),
