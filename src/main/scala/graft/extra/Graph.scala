@@ -1,0 +1,80 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the second graph
+  * operator family next to [[Dedup.dupClusters]]' connected components.
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks live in units of 1e−12 as BIGINTs. */
+  val Scale: Long = 1000000000000L
+
+  /** PageRank with a FIXED iteration count in pure INTEGER fixed-point
+    * arithmetic: ranks are BIGINT multiples of 1e−12, and the update is
+    *
+    *   rᵢ₊₁(v) = base + (dampingPct · Σ_{u→v} (rᵢ(u) div outdeg(u))) div 100
+    *   base    = (Scale · (100 − dampingPct) div 100) div N
+    *
+    * — floor divisions and exact integer sums only. No floats appear
+    * anywhere in the recurrence, so the result is bit-identical on any
+    * partitioning AND in any other engine replaying it (the SQL oracle
+    * unrolls the same integer update; an earlier double/round(…,12)
+    * formulation disagreed with DuckDB in the 12th decimal because the
+    * engines round doubles through different decimal expansions —
+    * integers have no such frontier). Floor losses drop ≤1e−12 of mass
+    * per node per division — deterministic and irrelevant at rank scale.
+    *
+    * No dangling-mass redistribution: callers feeding symmetric edges
+    * (as the registered query does) have no dangling nodes, and the
+    * simplified update is then exactly the standard one. Fixed `iters`
+    * (not a convergence probe) keeps the result a pure function of the
+    * input.
+    *
+    * Scale shape: edges are hash-partitioned on `src` ONCE and
+    * materialized; every iteration's rank join then reuses that
+    * partitioning (one exchange for the rank side, none for the edge
+    * side), followed by one keyed BIGINT aggregation on `dst` and a
+    * keyed left join back to the node list. Per-iteration state is one
+    * (id, rank) row per node — never edge-proportional. This is the
+    * standard distributed PageRank layout; at cluster scale the same
+    * plan holds with edges bucketed by src on storage.
+    *
+    * Output: `id`, `rank_e12` (BIGINT fixed-point), `rank` (the exact
+    * double rank_e12/1e12 — rank_e12 < 2⁵³ so the cast is lossless),
+    * one row per node.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
+      .transform(Dedup.materialize)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .transform(Dedup.materialize)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .transform(Dedup.materialize)
+    val n = nodes.count() // constant-size driver scalar (one long)
+    val base = (Scale * (100 - dampingPct) / 100) / n
+
+    var ranks = nodes.withColumn("r", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+      ranks = nodes
+        .join(contribs.groupBy("id").agg(sum(col("c")).as("m")),
+          Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(m, 0L)) div 100")).as("r"))
+        .transform(Dedup.materialize) // feeds the next iteration's join
+    }
+    ranks.select(col("id"), col("r").as("rank_e12"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+}

@@ -9,3 +9,4 @@ object TextQueries { def defs: Seq[QueryDef] = TextQueriesImpl.defs }
 object MultimodalQueries { def defs: Seq[QueryDef] = MultimodalQueriesImpl.defs }
 object TimeSeriesQueries { def defs: Seq[QueryDef] = TimeSeriesQueriesImpl.defs }
 object AnalyticsQueries { def defs: Seq[QueryDef] = AnalyticsQueriesImpl.defs }
+object GraphQueries { def defs: Seq[QueryDef] = GraphQueriesImpl.defs }

@@ -23,7 +23,8 @@ object Registry {
       TextQueries.defs ++
       MultimodalQueries.defs ++
       TimeSeriesQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++
+      GraphQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 
