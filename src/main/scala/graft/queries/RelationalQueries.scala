@@ -493,7 +493,45 @@ object RelationalQueries {
       |  round(vlo + f*(coalesce(vhi, vlo) - vlo), 6) AS q
       |FROM j ORDER BY event_type, p""".stripMargin
 
+  /** SCD Type-2 dimension build: collapse each user's event stream to
+    * validity intervals over their event_type "state" — a row per state
+    * CHANGE with [valid_from, valid_to) and a version counter; the
+    * current state has NULL valid_to. Both windows share one (user_id)
+    * shuffle and one sort; ties inside a timestamp break by event_id so
+    * the interval chain is total and engine-identical.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("__prev", lag("event_type", 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("version"))
+      .orderBy("user_id", "version")
+  }
+
+  private val scd2Oracle =
+    """WITH m AS (SELECT user_id, event_type, ts, event_id,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, event_type, ts, event_id FROM m
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS INT) AS version
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("scd2_intervals",
+      "SCD Type-2 validity intervals from the event stream (one shuffle)",
+      scd2Intervals, Some(scd2Oracle)),
     QueryDef("value_quantiles",
       "exact interpolated per-key quantiles via rank selection",
       valueQuantiles, Some(valueQuantilesOracle)),

@@ -68,6 +68,52 @@ object Stateful {
       }
   }
 
+  final case class WelfordState(n: Long, mean: Double, m2: Double)
+  final case class AnomalyRow(symbol: String, event_time_ms: Long,
+      price: Double, zscore: Double, n_seen: Long)
+
+  /** STREAMING anomaly detection: per-symbol online mean/variance
+    * (Welford's recurrence — numerically stable, O(1) state) across
+    * micro-batches; a tick is emitted when it sits more than `k` sample
+    * standard deviations from the mean of all PRIOR ticks for its
+    * symbol (the tick then joins the statistics, so a level shift stops
+    * alarming once absorbed). No emissions during the first `minObs`
+    * ticks per key (warmup). This is the low-latency twin of the batch
+    * [[graft.extra.Analytics.anomalyMad]] fences: per-key state is
+    * three numbers, so the state store tracks #symbols, not #ticks.
+    *
+    * Ticks inside a batch are applied in event-time order (arrival-
+    * order independent, like [[emaPerSymbol]]).
+    */
+  def anomaliesPerSymbol(ticks: Dataset[Tick], k: Double = 4.0,
+      minObs: Long = 30L): Dataset[AnomalyRow] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[WelfordState, AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[Tick],
+            state: GroupState[WelfordState]) =>
+          val sorted = rows.toSeq.sortBy(t => (t.event_time_ms, t.price))
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[AnomalyRow]
+          sorted.foreach { t =>
+            if (st.n >= minObs) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0 && math.abs(t.price - st.mean) > k * sd)
+                out += AnomalyRow(symbol, t.event_time_ms, t.price,
+                  (t.price - st.mean) / sd, st.n)
+            }
+            val n1 = st.n + 1
+            val d = t.price - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (t.price - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** alpha-weighted EMA; ticks inside a batch are applied in event-time
     * order so results don't depend on arrival order within the batch.
     */

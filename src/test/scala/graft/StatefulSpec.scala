@@ -86,6 +86,55 @@ class StatefulSpec extends SparkSpec {
     assert(out(("B", 9000L)).isEmpty)
   }
 
+  test("streaming anomalies: warmup is silent, the planted outlier " +
+      "fires, state carries across batches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Stateful.anomaliesPerSymbol(in.toDS(), k = 4.0, minObs = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: 10 well-behaved ticks around 100 (warmup exactly met)
+    in.addData((1 to 10).map(i =>
+      Tick("X", 100.0 + (i % 3) - 1, i * 1000L)): _*)
+    q.processAllAvailable()
+    // batch 2: one normal tick and one wild outlier
+    in.addData(Tick("X", 100.0, 11000L), Tick("X", 500.0, 12000L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("anom_out").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("price") == 500.0)
+    assert(r.getAs[Long]("n_seen") == 11L)
+    assert(r.getAs[Double]("zscore") > 4.0)
+  }
+
+  test("streaming anomalies: a level shift stops alarming once absorbed " +
+      "into the state") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Stateful.anomaliesPerSymbol(in.toDS(), k = 3.0, minObs = 5L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_shift")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    in.addData((1 to 6).map(i =>
+      Tick("Y", 10.0 + (i % 2), i * 1000L)): _*)
+    q.processAllAvailable()
+    // jump to a new level and stay there
+    in.addData((7 to 30).map(i => Tick("Y", 50.0, i * 1000L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val fired = spark.table("anom_shift").select("event_time_ms")
+      .as[Long].collect().sorted
+    // the first post-shift ticks alarm, but not all 24: the shift is
+    // absorbed and later 50.0 ticks are inliers again
+    assert(fired.nonEmpty && fired.head == 7000L)
+    assert(fired.length < 24)
+  }
+
   test("file source drives the flagship pipeline end-to-end") {
     val in = Files.createTempDirectory("filesrc").toString
     val out = Files.createTempDirectory("out").toString
