@@ -359,4 +359,64 @@ object Graft {
   def mediaFeatures(docs: DataFrame) =
     extra.Multimodal.extractFeatures(
       extra.Multimodal.assetsFromDocuments(docs))
+
+  // ---- market analytics ----------------------------------------------
+
+  /** Bollinger bands over the daily mean series (decimal-exact). */
+  def bollinger(df: DataFrame, key: String, tsCol: String, valCol: String,
+      windowDays: Int = 7, k: Double = 2.0): DataFrame =
+    extra.Indicators.bollinger(df, key, tsCol, valCol, windowDays, k)
+
+  /** RSI (SMA form) over the daily mean series. */
+  def rsi(df: DataFrame, key: String, tsCol: String, valCol: String,
+      windowDays: Int = 14): DataFrame =
+    extra.Indicators.rsi(df, key, tsCol, valCol, windowDays)
+
+  /** EWMA of the daily mean series (per-key ordered fold). */
+  def ewma(df: DataFrame, key: String, tsCol: String, valCol: String,
+      alpha: Double = 0.3): DataFrame =
+    extra.Indicators.ewma(df, key, tsCol, valCol, alpha)
+
+  /** Daily volume-weighted average price (decimal-exact). */
+  def vwap(df: DataFrame, key: String, tsCol: String, priceCol: String,
+      qtyCol: String): DataFrame =
+    extra.Analytics.vwap(df, key, tsCol, priceCol, qtyCol)
+
+  /** Max peak-to-trough drawdown per key over the daily series. */
+  def maxDrawdown(df: DataFrame, key: String, tsCol: String,
+      valCol: String): DataFrame =
+    extra.Analytics.maxDrawdown(df, key, tsCol, valCol)
+
+  /** Pairwise Pearson correlation of bucketed series (exact moments). */
+  def pairCorrelation(df: DataFrame, key: String, tsCol: String,
+      valCol: String, bucket: String = "hour"): DataFrame =
+    extra.Analytics.pairCorrelation(df, key, tsCol, valCol, bucket)
+
+  /** Fixed-grid LOCF resampling with gap flags. */
+  def gapFill(df: DataFrame, key: String, tsCol: String, valCol: String,
+      tieCol: String, stepUnit: String = "hour"): DataFrame =
+    extra.Analytics.gapFill(df, key, tsCol, valCol, tieCol, stepUnit)
+
+  /** Median/MAD robust anomaly fences per key (exact medians). */
+  def anomalyMad(df: DataFrame, key: String, valCol: String,
+      k: Double = 5.0): DataFrame =
+    extra.Analytics.anomalyMad(df, key, valCol, k)
+
+  /** Streaming per-symbol anomalies: O(1) Welford state per key. */
+  def anomalyStream(ticks: Dataset[Tick], k: Double = 4.0,
+      minObs: Long = 30L) =
+    streaming.Stateful.anomaliesPerSymbol(ticks, k, minObs)
+
+  // ---- retrieval / graph ---------------------------------------------
+
+  /** BM25 top-k lexical retrieval (decimal-exact score pipeline). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 20): DataFrame =
+    extra.Retrieval.bm25Search(docs, idCol, textCol, queryTerms,
+      topK = topK)
+
+  /** Fixed-point PageRank (integer arithmetic, fixed iterations). */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10): DataFrame =
+    extra.Graph.pagerank(edges, srcCol, dstCol, iters)
 }

@@ -88,4 +88,24 @@ class GraftFacadeSpec extends SparkSpec {
     val chunks = Graft.chunkTokens(docs, "doc_id", "text", 32)
     assert(chunks.count() >= docs.count())
   }
+
+  test("facade: analytics + retrieval + graph surface (vwap, drawdown, " +
+      "correlation, gap fill, fences, bm25, pagerank)") {
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+      .withColumn("qty", (col("event_id") % 10 + 1).cast("long"))
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    assert(Graft.vwap(ev, "event_type", "ts", "value", "qty").count() > 0)
+    assert(Graft.maxDrawdown(ev, "event_type", "ts", "value").count() > 0)
+    assert(Graft.pairCorrelation(ev, "event_type", "ts", "value")
+      .count() > 0)
+    val filled = Graft.gapFill(ev, "event_type", "ts", "value", "event_id")
+    assert(filled.count() >= ev.select("event_type").distinct().count())
+    assert(Graft.anomalyMad(ev, "event_type", "value").count() ==
+      ev.select("event_type").distinct().count())
+    assert(Graft.bollinger(ev, "event_type", "ts", "value").count() > 0)
+    assert(Graft.bm25(docs, "doc_id", "text", Seq("spark"), topK = 5)
+      .count() <= 5)
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    assert(Graft.pagerank(edges, "src", "dst", iters = 2).count() == 2)
+  }
 }
