@@ -156,6 +156,68 @@ object Analytics {
         col("is_gap"))
   }
 
+  /** Shannon entropy of a categorical column per key — the label-
+    * diversity signal (a user whose events are all one type carries no
+    * surprise; uniform across T types carries log₂T bits). Two keyed
+    * aggregations: (key, category) counts, then per-key totals via a
+    * keyed window over the tiny count frame and a DECIMAL sum of the
+    * 12-dp-rounded per-category terms −p·log₂p (order-independent,
+    * engine-identical; the count frame is keys × categories, never row
+    * count).
+    *
+    * Output: key, `n_events`, `n_cats`, `entropy` (bits, 6 dp).
+    */
+  def categoryEntropy(df: DataFrame, keyCol: String,
+      catCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(keyCol)
+    val p = col("c").cast("double") / col("n").cast("double")
+    // 9-dp term rounding: wide enough slack (double precision ~1e-16
+    // against a 0.5e-9 boundary) that even ulp-level log2 differences
+    // between engines cannot flip a rounding, unlike 12 dp (see the
+    // pagerank oracle history)
+    val term = round(-p * log2(p), 9).cast(DecimalType(30, 12))
+    counts
+      .withColumn("n", sum(col("c")).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        first(col("n")).as("n_events"),
+        count(lit(1)).as("n_cats"),
+        round(sum(term).cast("double"), 6).as("entropy"))
+  }
+
+  /** Equi-width histogram per key: `bins` buckets between the key's own
+    * min and max (the top edge closes into the last bin). Two keyed
+    * aggregations over the scan — min/max per key broadcast back, then
+    * the bucket index is a pure projection and the final count is one
+    * shuffle with map-side combine. A constant-value key lands entirely
+    * in bin 0 (width 0 guard).
+    *
+    * Output: key, `bin`, `lo`, `hi` (bin edges, 6 dp), `cnt`.
+    */
+  def histogram(df: DataFrame, keyCol: String, valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val ext = df.groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("__mn"), max(col(valCol)).as("__mx"))
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val rawBin = floor((col(valCol) - col("__mn")) / width).cast("long")
+    val bin = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(rawBin, lit(bins - 1L)))
+    df.join(broadcast(ext), keyCol)
+      .withColumn("bin", bin)
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        round(first(col("__mn")) +
+          col("bin") * ((first(col("__mx")) - first(col("__mn"))) /
+            lit(bins.toDouble)), 6).as("lo"),
+        round(first(col("__mn")) +
+          (col("bin") + 1) * ((first(col("__mx")) - first(col("__mn"))) /
+            lit(bins.toDouble)), 6).as("hi"))
+      .select(col(keyCol), col("bin"), col("lo"), col("hi"), col("cnt"))
+  }
+
   /** Robust anomaly detection per key: median/MAD fences. Three keyed
     * passes over the input — exact median per key; deviations
     * `round(|v − med|, 6)` against the ROUNDED median (so the fence

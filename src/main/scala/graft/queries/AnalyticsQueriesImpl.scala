@@ -148,6 +148,48 @@ object AnalyticsQueriesImpl {
       |FROM d JOIN s USING (event_type)
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
 
+  // ---- type_entropy -------------------------------------------------
+
+  def typeEntropy(s: SparkSession, dir: String): DataFrame =
+    Analytics.categoryEntropy(events(s, dir), "user_id", "event_type")
+      .orderBy("user_id")
+
+  private val entropyOracle =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, c,
+      |  sum(c) OVER (PARTITION BY user_id) AS n FROM c)
+      |SELECT user_id, CAST(any_value(n) AS BIGINT) AS n_events,
+      |  count(*) AS n_cats,
+      |  round(CAST(sum(CAST(round(
+      |    -(CAST(c AS DOUBLE)/CAST(n AS DOUBLE))
+      |      * log2(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)), 9)
+      |    AS DECIMAL(30,12))) AS DOUBLE), 6) AS entropy
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- value_histogram ----------------------------------------------
+
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Analytics.histogram(events(s, dir), "event_type", "value", bins = 10)
+      .orderBy("event_type", "bin")
+
+  private val histogramOracle =
+    """WITH ext AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT e.event_type,
+      |  CASE WHEN x.mx = x.mn THEN 0
+      |    ELSE least(CAST(floor((e.value - x.mn)
+      |      / ((x.mx - x.mn) / 10.0)) AS BIGINT), 9) END AS bin,
+      |  x.mn, x.mx
+      |  FROM events e JOIN ext x USING (event_type))
+      |SELECT event_type, bin,
+      |  round(any_value(mn) + bin * ((any_value(mx) - any_value(mn))
+      |    / 10.0), 6) AS lo,
+      |  round(any_value(mn) + (bin + 1) * ((any_value(mx) - any_value(mn))
+      |    / 10.0), 6) AS hi,
+      |  count(*) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("vwap_daily",
       "volume-weighted average price per type/day (decimal-exact)",
@@ -163,5 +205,11 @@ object AnalyticsQueriesImpl {
       gapFill, Some(gapFillOracle)),
     QueryDef("anomaly_mad",
       "median/MAD robust anomaly fences per type (exact medians)",
-      anomalyMad, Some(anomalyOracle)))
+      anomalyMad, Some(anomalyOracle)),
+    QueryDef("type_entropy",
+      "per-user Shannon entropy of event types (label diversity)",
+      typeEntropy, Some(entropyOracle)),
+    QueryDef("value_histogram",
+      "per-type equi-width 10-bin histogram (broadcast extents)",
+      valueHistogram, Some(histogramOracle)))
 }

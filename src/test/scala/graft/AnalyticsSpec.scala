@@ -125,6 +125,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("med") == 10.0)
   }
 
+  test("categoryEntropy: uniform 4 types = 2 bits, single type = 0") {
+    val rows = (1 to 4).map(i => ("u1", s"t$i")) ++
+      Seq.fill(5)(("u2", "only"))
+    val out = Analytics.categoryEntropy(rows.toDF("u", "cat"), "u", "cat")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_cats"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(out("u1") == ((4L, 4L, 2.0)))
+    assert(out("u2") == ((5L, 1L, 0.0)))
+  }
+
+  test("histogram: bins are equi-width, the max closes into the last " +
+      "bin, and counts sum to the row count") {
+    val df = (0 to 100).map(v => ("k", v.toDouble)).toDF("g", "v")
+    val out = Analytics.histogram(df, "g", "v", bins = 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    assert(out.map(_.getAs[Long]("cnt")).sum == 101L)
+    // v=100 (the max) falls in bin 9, not a phantom bin 10
+    assert(out.last.getAs[Long]("cnt") == 11L)
+    assert(out.head.getAs[Double]("lo") == 0.0)
+    assert(out.last.getAs[Double]("hi") == 100.0)
+  }
+
+  test("histogram: constant key collapses to a single bin 0") {
+    val df = Seq.fill(7)(("k", 3.0)).toDF("g", "v")
+    val out = Analytics.histogram(df, "g", "v").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("bin") == 0L &&
+      out.head.getAs[Long]("cnt") == 7L)
+  }
+
   test("anomalyMad: constant series has MAD 0 and every unequal row " +
       "is an anomaly") {
     val df = (Seq.fill(10)(5.0) :+ 5.1).map(("k", _)).toDF("sym", "value")
