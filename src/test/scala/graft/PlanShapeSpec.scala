@@ -233,6 +233,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("pagerank: every iteration joins keyed or broadcast — no " +
+      "cartesian/nested-loop anywhere in the materialized chain") {
+    val plans = allExecutedPlans("pagerank")
+    assert(!plans.contains("BroadcastNestedLoopJoin"), plans.take(2000))
+    assert(!plans.contains("CartesianProduct"), plans.take(2000))
+  }
+
   test("pair_corr: the series self-join is a keyed equijoin on bucket " +
       "— never a nested-loop over the pair space") {
     val plan = executedPlan("pair_corr")
