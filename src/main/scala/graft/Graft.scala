@@ -402,10 +402,21 @@ object Graft {
       k: Double = 5.0): DataFrame =
     extra.Analytics.anomalyMad(df, key, valCol, k)
 
+  /** Single-pass sketch-median MAD fences (the 100 TB path). */
+  def anomalyMadApprox(df: DataFrame, key: String, valCol: String,
+      k: Double = 5.0): DataFrame =
+    extra.Analytics.anomalyMadApprox(df, key, valCol, k)
+
   /** Streaming per-symbol anomalies: O(1) Welford state per key. */
   def anomalyStream(ticks: Dataset[Tick], k: Double = 4.0,
       minObs: Long = 30L) =
     streaming.Stateful.anomaliesPerSymbol(ticks, k, minObs)
+
+  /** Streaming feed-silence alerts via event-time timeouts (state is
+    * removed once a key fires — dead symbols cost nothing forever).
+    */
+  def silenceAlerts(ticks: Dataset[Tick], silenceMs: Long) =
+    streaming.Stateful.silenceAlerts(ticks, silenceMs)
 
   // ---- retrieval / graph ---------------------------------------------
 

@@ -233,15 +233,33 @@ object Analytics {
     * Output: key, `med`, `mad`, `n`, `n_anomalies`.
     */
   def anomalyMad(df: DataFrame, keyCol: String, valCol: String,
-      k: Double = 5.0): DataFrame = {
+      k: Double = 5.0): DataFrame =
+    anomalyMadImpl(df, keyCol, valCol, k,
+      c => s"percentile($c, 0.5)")
+
+  /** The single-pass-sketch twin of [[anomalyMad]] — the 100 TB path:
+    * identical shape (all-broadcast stat lookups), but medians come
+    * from `approx_percentile` (KLL-style mergeable sketch, one pass, no
+    * per-key sort). The estimate is engine-specific, so the registered
+    * query is rows-only; `AnalyticsSpec` asserts agreement with the
+    * exact twin within the sketch's accuracy bound.
+    */
+  def anomalyMadApprox(df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 5.0, accuracy: Int = 10000): DataFrame =
+    anomalyMadImpl(df, keyCol, valCol, k,
+      c => s"approx_percentile($c, 0.5, $accuracy)")
+
+  private def anomalyMadImpl(df: DataFrame, keyCol: String,
+      valCol: String, k: Double,
+      percentileSql: String => String): DataFrame = {
     val med = df.groupBy(col(keyCol))
-      .agg(round(expr(s"percentile($valCol, 0.5)"), 6).as("med"))
+      .agg(round(expr(percentileSql(valCol)), 6).as("med"))
     val dev = df.join(broadcast(med), keyCol)
       .withColumn("__dev", round(abs(col(valCol) - col("med")), 6))
     val stats = dev.groupBy(col(keyCol))
       .agg(
         first(col("med")).as("med"),
-        round(expr("percentile(__dev, 0.5)"), 6).as("mad"),
+        round(expr(percentileSql("__dev")), 6).as("mad"),
         count(lit(1)).as("n"))
     dev.select(col(keyCol), col("__dev"))
       .join(broadcast(stats), keyCol)

@@ -148,6 +148,15 @@ object AnalyticsQueriesImpl {
       |FROM d JOIN s USING (event_type)
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
 
+  /** Sketch-median variant (approx_percentile): estimates are
+    * engine-specific, so rows-only — the exact twin `anomaly_mad` is
+    * the oracle-verified form, and `AnalyticsSpec` bounds the gap.
+    */
+  def anomalyMadApprox(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Analytics.anomalyMadApprox(events(s, dir), "event_type",
+        "value", k = 5.0)
+      .orderBy("event_type")
+
   // ---- type_entropy -------------------------------------------------
 
   def typeEntropy(s: SparkSession, dir: String): DataFrame =
@@ -206,6 +215,9 @@ object AnalyticsQueriesImpl {
     QueryDef("anomaly_mad",
       "median/MAD robust anomaly fences per type (exact medians)",
       anomalyMad, Some(anomalyOracle)),
+    QueryDef("anomaly_mad_approx",
+      "single-pass sketch-median MAD fences (engine estimate; no oracle)",
+      anomalyMadApprox, None),
     QueryDef("type_entropy",
       "per-user Shannon entropy of event types (label diversity)",
       typeEntropy, Some(entropyOracle)),

@@ -68,6 +68,65 @@ object Stateful {
       }
   }
 
+  final case class SilenceState(lastEventMs: Long, nTicks: Long)
+  final case class SilenceAlert(symbol: String, last_event_ms: Long,
+      n_ticks: Long)
+
+  /** STREAMING feed-silence detection: alert when a symbol that was
+    * ticking goes quiet — the market-data "stale feed" monitor. Uses
+    * EVENT-TIME TIMEOUTS: each batch re-arms the key's timeout at
+    * (last event time + silenceMs); when the WATERMARK (driven by the
+    * other, still-live symbols) passes that mark without new data, the
+    * group fires with `hasTimedOut` and emits one alert, then drops its
+    * state. Event-time (not processing-time) timeouts keep the operator
+    * deterministic and replayable: a backfill reproduces the same
+    * alerts. State per key is two longs; a fired key's state is
+    * REMOVED, so permanently-dead symbols cost nothing forever after.
+    *
+    * The input must carry a watermark (the caller's lateness policy);
+    * [[withEventTimeWatermark]] attaches one over Tick's epoch-ms field.
+    */
+  def silenceAlerts(ticks: Dataset[Tick],
+      silenceMs: Long): Dataset[SilenceAlert] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[SilenceState, SilenceAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (symbol: String, rows: Iterator[Tick],
+            state: GroupState[SilenceState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SilenceAlert(symbol, st.lastEventMs, st.nTicks))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption
+            val last = (prev.map(_.lastEventMs).toSeq ++
+              evs.map(_.event_time_ms)).max
+            state.update(SilenceState(last,
+              prev.map(_.nTicks).getOrElse(0L) + evs.size))
+            state.setTimeoutTimestamp(last + silenceMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Watermark over Tick's epoch-ms event time (helper for the
+    * event-time-timeout operators, which require one on the input).
+    */
+  def withEventTimeWatermark(ticks: Dataset[Tick],
+      delay: String): Dataset[Tick] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // the watermark column stays in the frame (dropping it would drop
+    // the watermark); the Tick encoder simply ignores extra columns
+    ticks.withColumn("__wm", timestamp_millis(col("event_time_ms")))
+      .withWatermark("__wm", delay)
+      .as[Tick]
+  }
+
   final case class WelfordState(n: Long, mean: Double, m2: Double)
   final case class AnomalyRow(symbol: String, event_time_ms: Long,
       price: Double, zscore: Double, n_seen: Long)

@@ -156,6 +156,26 @@ class AnalyticsSpec extends SparkSpec {
       out.head.getAs[Long]("cnt") == 7L)
   }
 
+  test("anomalyMadApprox tracks the exact twin on real data (high-" +
+      "accuracy sketch: identical medians, identical anomaly counts)") {
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+    val exact = Analytics.anomalyMad(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("med"), r.getAs[Long]("n_anomalies"))).toMap
+    val approx = Analytics.anomalyMadApprox(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("med"), r.getAs[Long]("n_anomalies"))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (key, (med, nAnom)) =>
+      val (amed, aAnom) = approx(key)
+      // at accuracy 10000 over ~1-2k rows/key the sketch is exact or
+      // one neighbor off; fences are 5*MAD wide so counts agree
+      assert(math.abs(amed - med) <= math.abs(med) * 0.01 + 0.5,
+        s"$key: approx med $amed vs exact $med")
+      assert(aAnom == nAnom, s"$key: approx anomalies $aAnom vs $nAnom")
+    }
+  }
+
   test("anomalyMad: constant series has MAD 0 and every unequal row " +
       "is an anomaly") {
     val df = (Seq.fill(10)(5.0) :+ 5.1).map(("k", _)).toDF("sym", "value")

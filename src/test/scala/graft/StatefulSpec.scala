@@ -135,6 +135,35 @@ class StatefulSpec extends SparkSpec {
     assert(fired.length < 24)
   }
 
+  test("silence alerts: a quiet symbol fires once when the watermark " +
+      "passes its deadline; live symbols stay silent; state is removed") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val ticks = Stateful.withEventTimeWatermark(in.toDS(), "0 seconds")
+    val q = Stateful.silenceAlerts(ticks, silenceMs = 10000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("silence_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: A and B both ticking
+    in.addData(Tick("A", 1.0, 1000L), Tick("A", 1.1, 5000L),
+      Tick("B", 2.0, 5000L))
+    q.processAllAvailable()
+    // batch 2: only B ticks on, far past A's 15s deadline — advances
+    // the watermark; the timeout fires on the NEXT trigger
+    in.addData(Tick("B", 2.1, 100000L))
+    q.processAllAvailable()
+    in.addData(Tick("B", 2.2, 110000L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("silence_out").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "A")
+    assert(r.getAs[Long]("last_event_ms") == 5000L)
+    assert(r.getAs[Long]("n_ticks") == 2L)
+  }
+
   test("file source drives the flagship pipeline end-to-end") {
     val in = Files.createTempDirectory("filesrc").toString
     val out = Files.createTempDirectory("out").toString
