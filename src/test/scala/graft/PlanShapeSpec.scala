@@ -233,6 +233,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("column pruning: analytics scans never read the fat props " +
+      "column; bm25 reads only doc_id and text") {
+    for (q <- Seq("vwap_daily", "gap_fill", "scd2_intervals",
+        "max_drawdown", "pair_corr", "anomaly_mad")) {
+      val plan = executedPlan(q)
+      // props is the widest events column — reading it for a query
+      // that never references it means pruning broke
+      assert(!plan.contains("props"), s"$q reads props:\n" +
+        plan.take(1500))
+    }
+    val bm25 = allExecutedPlans("bm25_search")
+    for (c <- Seq("lang", "source", "n_chars"))
+      assert(!bm25.contains(s"$c:"), s"bm25_search reads $c")
+  }
+
   test("pagerank: every iteration joins keyed or broadcast — no " +
       "cartesian/nested-loop anywhere in the materialized chain") {
     val plans = allExecutedPlans("pagerank")
