@@ -101,4 +101,85 @@ class RandomizedSpec extends SparkSpec {
       }
     }
   }
+
+  test("maxDrawdown equals the driver-side scan on random daily series") {
+    import graft.extra.Analytics
+    for (seed <- Seq(3, 11)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 60).map { d =>
+        ("k", java.sql.Timestamp.valueOf(
+          f"2024-${d / 31 + 1}%02d-${d % 31 + 1}%02d 12:00:00"),
+          10.0 + rnd.nextInt(100) / 10.0)
+      }
+      // driver reference over the daily means (one obs per day here)
+      val daily = rows.map(r => (r._2.toLocalDateTime.toLocalDate, r._3))
+        .sortBy(_._1.toString).map(_._2)
+      var peak = Double.MinValue
+      var maxRel = 0.0
+      var maxAbs = 0.0
+      daily.foreach { v =>
+        peak = math.max(peak, v)
+        maxAbs = math.max(maxAbs, peak - v)
+        if (peak > 0) maxRel = math.max(maxRel, (peak - v) / peak)
+      }
+      val got = Analytics.maxDrawdown(rows.toDF("g", "ts", "v"),
+        "g", "ts", "v").collect().head
+      assert(math.abs(got.getAs[Double]("max_drawdown") - maxRel) < 1e-6,
+        s"seed=$seed")
+      assert(math.abs(got.getAs[Double]("max_abs_drawdown") - maxAbs) < 1e-6,
+        s"seed=$seed")
+    }
+  }
+
+  test("pairCorrelation matches driver-side Pearson on random " +
+      "aligned series") {
+    import graft.extra.Analytics
+    val rnd = new Random(17)
+    val xs = (1 to 50).map(_ => rnd.nextDouble() * 10)
+    val ys = (1 to 50).map(_ => rnd.nextDouble() * 10)
+    val rows = (0 until 50).flatMap { h =>
+      val ts = java.sql.Timestamp.valueOf(
+        f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00")
+      Seq(("a", ts, xs(h)), ("b", ts, ys(h)))
+    }
+    // driver Pearson on the 6-dp-rounded series (what the operator sees)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (x6, y6) = (xs.map(r6), ys.map(r6))
+    val n = 50.0
+    val (sx, sy) = (x6.sum, y6.sum)
+    val sxy = x6.zip(y6).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (x6.map(a => a * a).sum, y6.map(a => a * a).sum)
+    val ref = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = Analytics.pairCorrelation(rows.toDF("g", "ts", "v"),
+      "g", "ts", "v").collect().head.getAs[Double]("corr")
+    assert(math.abs(got - ref) < 1e-5, s"got $got ref $ref")
+  }
+
+  test("gapFill row count equals the per-key grid span and non-gap " +
+      "rows equal observed buckets") {
+    import graft.extra.Analytics
+    val rnd = new Random(23)
+    val rows = (1 to 200).map { i =>
+      val h = rnd.nextInt(72)
+      ("k" + (i % 3),
+        java.sql.Timestamp.valueOf(
+          f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextDouble(), i.toLong)
+    }
+    val df = rows.toDF("g", "ts", "v", "id")
+    val out = Analytics.gapFill(df, "g", "ts", "v", "id").collect()
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, rs) =>
+      val hours = rs.map(r => r._2.getTime / 3600000L)
+      val span = hours.max - hours.min + 1
+      val mine = out.filter(_.getString(0) == k)
+      assert(mine.length == span, s"$k: ${mine.length} vs span $span")
+      assert(mine.count(!_.getAs[Boolean]("is_gap")) ==
+        hours.distinct.length, s"$k observed-bucket count")
+      // every filled value is non-null from the first bucket on
+      assert(mine.forall(!_.isNullAt(2)), s"$k has null filled values")
+    }
+  }
 }
