@@ -430,4 +430,15 @@ object Graft {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10): DataFrame =
     extra.Graph.pagerank(edges, srcCol, dstCol, iters)
+
+  // ---- dataset quality -----------------------------------------------
+
+  /** Snapshot diff: added/removed/changed keys between two versions. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCols: Seq[String]): DataFrame =
+    extra.Quality.snapshotDiff(oldDf, newDf, keyCol, payloadCols)
+
+  /** Union declarative data-quality checks into one report. */
+  def dataQualityReport(checks: Seq[extra.Quality.Check]): DataFrame =
+    extra.Quality.checkAll(checks)
 }

@@ -10,3 +10,4 @@ object MultimodalQueries { def defs: Seq[QueryDef] = MultimodalQueriesImpl.defs 
 object TimeSeriesQueries { def defs: Seq[QueryDef] = TimeSeriesQueriesImpl.defs }
 object AnalyticsQueries { def defs: Seq[QueryDef] = AnalyticsQueriesImpl.defs }
 object GraphQueries { def defs: Seq[QueryDef] = GraphQueriesImpl.defs }
+object QualityQueries { def defs: Seq[QueryDef] = QualityQueriesImpl.defs }

@@ -24,7 +24,8 @@ object Registry {
       MultimodalQueries.defs ++
       TimeSeriesQueries.defs ++
       AnalyticsQueries.defs ++
-      GraphQueries.defs
+      GraphQueries.defs ++
+      QualityQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 
