@@ -85,4 +85,29 @@ object Quality {
       c.violations.select(lit(c.name).as("check_name"),
         col("n").cast("long").as("n_violations"))
     }.reduce(_.unionByName(_)).orderBy("check_name")
+
+  /** ANALYZE-style column profile: non-null / null / exact-distinct
+    * counts per column, ONE scan — all counters ride a single
+    * aggregation (Spark expands the multi-distinct into one shuffled
+    * pass), then a `stack` unpivot to long format. Exact distincts are
+    * the correctness contract; at extreme cardinality the
+    * `approx_count_distinct` variant drops in with the same shape.
+    *
+    * Output: `col_name`, `n_nonnull`, `n_null`, `n_distinct` — one row
+    * per profiled column, ordered by column name.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __nn_$c, __nl_$c, __nd_$c").mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_null, n_distinct)")
+      .orderBy("col_name")
+  }
 }

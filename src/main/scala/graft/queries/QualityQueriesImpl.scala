@@ -99,7 +99,39 @@ object QualityQueriesImpl {
       |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |) ORDER BY check_name""".stripMargin
 
+  def profileEvents(s: SparkSession, dir: String): DataFrame =
+    Quality.profile(Tables.load(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+
+  private val profileOracle =
+    """SELECT * FROM (
+      |  SELECT 'event_id' AS col_name, count(event_id) AS n_nonnull,
+      |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_null,
+      |    count(DISTINCT event_id) AS n_distinct FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', count(user_id),
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT user_id) FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', count(event_type),
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT),
+      |    count(DISTINCT event_type) FROM events
+      |  UNION ALL
+      |  SELECT 'value', count(value),
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT value) FROM events
+      |  UNION ALL
+      |  SELECT 'props', count(props),
+      |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    count(DISTINCT props) FROM events
+      |) ORDER BY col_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("profile_events",
+      "ANALYZE-style column profile: nulls + exact distincts, one scan",
+      profileEvents, Some(profileOracle)),
     QueryDef("snapshot_diff",
       "corpus version diff: added/removed/changed by payload hash",
       snapshotDiffQ, Some(snapshotDiffOracle)),

@@ -528,7 +528,39 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** Distribution-rank window metrics per market segment:
+    * percent_rank and cume_dist over a TOTAL order (acctbal, custkey —
+    * the key tiebreak makes both engines' ranks identical), plus the
+    * gap to the previous balance. One keyed shuffle, three window
+    * functions sharing the sort.
+    */
+  def rankMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy("c_acctbal", "c_custkey")
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"),
+        round(col("c_acctbal") - lag("c_acctbal", 1).over(w), 2)
+          .as("gap_to_prev"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  private val rankMetricsOracle =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cum_dist,
+      |  round(c_acctbal - lag(c_acctbal) OVER w, 2) AS gap_to_prev
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("rank_metrics",
+      "percent_rank/cume_dist/lag gap per segment (total-order window)",
+      rankMetrics, Some(rankMetricsOracle)),
     QueryDef("scd2_intervals",
       "SCD Type-2 validity intervals from the event stream (one shuffle)",
       scd2Intervals, Some(scd2Oracle)),
