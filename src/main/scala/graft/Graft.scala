@@ -431,6 +431,30 @@ object Graft {
       iters: Int = 10): DataFrame =
     extra.Graph.pagerank(edges, srcCol, dstCol, iters)
 
+  /** N-stage ordered conversion funnel with exact mean latencies. */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    extra.Analytics.funnel(df, userCol, tsCol, typeCol, stages)
+
+  /** First-seen cohort × day-offset active-user triangle. */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    extra.Analytics.cohortRetention(df, userCol, tsCol)
+
+  /** Per-key Shannon entropy of a categorical column (bits). */
+  def categoryEntropy(df: DataFrame, key: String, catCol: String): DataFrame =
+    extra.Analytics.categoryEntropy(df, key, catCol)
+
+  /** Per-key equi-width histogram between the key's own extents. */
+  def histogram(df: DataFrame, key: String, valCol: String,
+      bins: Int = 10): DataFrame =
+    extra.Analytics.histogram(df, key, valCol, bins)
+
+  /** Exact interpolated per-key quantiles (rank-selection form). */
+  def exactQuantiles(df: DataFrame, key: String, valCol: String,
+      ps: Seq[Double]): DataFrame =
+    extra.Stats.exactQuantiles(df, key, valCol, ps)
+
   // ---- dataset quality -----------------------------------------------
 
   /** Snapshot diff: added/removed/changed keys between two versions. */

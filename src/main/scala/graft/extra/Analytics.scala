@@ -218,6 +218,56 @@ object Analytics {
       .select(col(keyCol), col("bin"), col("lo"), col("hi"), col("cnt"))
   }
 
+  /** Ordered conversion funnel over an event stream: a user reaches
+    * stage i only via a `stages(i)`-typed event STRICTLY AFTER their
+    * stage i−1 entry time (min-ts chaining). Each stage is one keyed
+    * aggregation over a filtered scan joined with the previous stage's
+    * tiny per-user frame (one row per surviving user — broadcastable at
+    * any realistic funnel width). Latencies are DECIMAL-exact means of
+    * the per-user microsecond gaps.
+    *
+    * Output: `stage` (`"<i>_<name>"`, 1-based), `n_users`,
+    * `avg_step_seconds` (NULL for the first stage), ordered by stage.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnel needs at least two stages")
+    val first0 = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    val frames = stages.tail.scanLeft(first0) { (prev, stName) =>
+      df.filter(col(typeCol) === stName)
+        .join(prev.select(col(userCol), col("t").as("pt")), userCol)
+        .filter(col(tsCol) > col("pt"))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as("t"), first(col("pt")).as("pt"))
+    }
+    val lat = round(sum((unix_micros(col("t")) - unix_micros(col("pt")))
+      .cast(DecimalType(20, 0))).cast("double") /
+      count(lit(1)) / 1000000.0, 6)
+    frames.zipWithIndex.map { case (f, i) =>
+      val latency = if (i == 0) lit(null).cast("double") else lat
+      f.agg(count(lit(1)).as("n_users"), latency.as("avg_step_seconds"))
+        .select(lit(s"${i + 1}_${stages(i)}").as("stage"),
+          col("n_users"), col("avg_step_seconds"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  /** Cohort retention triangle: users grouped by first-seen day,
+    * distinct-active-user counts per (cohort, day offset). Two keyed
+    * aggregations + one equijoin on the user.
+    */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first0 = df.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("cohort"))
+    val active = df.select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    active.join(first0, userCol)
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
   /** Robust anomaly detection per key: median/MAD fences. Three keyed
     * passes over the input — exact median per key; deviations
     * `round(|v − med|, 6)` against the ROUNDED median (so the fence

@@ -207,37 +207,9 @@ object AnalyticsQueriesImpl {
     * tiny per-user frame back into a filtered scan). Latency is the
     * DECIMAL-exact mean of the per-user microsecond gaps.
     */
-  def funnelStages(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val ev = events(s, dir)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("s1"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts") > col("s1"))
-      .groupBy("user_id").agg(min(col("ts")).as("s2"),
-        first(col("s1")).as("s1k"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts") > col("s2"))
-      .groupBy("user_id").agg(min(col("ts")).as("s3"),
-        first(col("s2")).as("s2k"))
-    def lat(df: DataFrame, a: String, b: String) =
-      round(sum((unix_micros(col(b)) - unix_micros(col(a)))
-        .cast(DecimalType(20, 0))).cast("double") /
-        count(lit(1)) / 1000000.0, 6)
-    v.agg(count(lit(1)).as("n_users"),
-        lit(null).cast("double").as("avg_step_seconds"))
-      .select(lit("1_viewed").as("stage"), col("n_users"),
-        col("avg_step_seconds"))
-      .unionByName(c.agg(count(lit(1)).as("n_users"),
-          lat(c, "s1k", "s2").as("avg_step_seconds"))
-        .select(lit("2_clicked").as("stage"), col("n_users"),
-          col("avg_step_seconds")))
-      .unionByName(p.agg(count(lit(1)).as("n_users"),
-          lat(p, "s2k", "s3").as("avg_step_seconds"))
-        .select(lit("3_purchased").as("stage"), col("n_users"),
-          col("avg_step_seconds")))
-      .orderBy("stage")
-  }
+  def funnelStages(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnel(events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
 
   private val funnelOracle =
     """WITH v AS (SELECT user_id, min(ts) AS s1 FROM events
@@ -249,15 +221,15 @@ object AnalyticsQueriesImpl {
       |  FROM events e JOIN c USING (user_id)
       |  WHERE e.event_type = 'purchase' AND e.ts > c.s2 GROUP BY 1)
       |SELECT * FROM (
-      |  SELECT '1_viewed' AS stage, count(*) AS n_users,
+      |  SELECT '1_view' AS stage, count(*) AS n_users,
       |    NULL::DOUBLE AS avg_step_seconds FROM v
       |  UNION ALL
-      |  SELECT '2_clicked', count(*),
+      |  SELECT '2_click', count(*),
       |    round(CAST(sum(CAST(epoch_us(s2) - epoch_us(s1k)
       |      AS DECIMAL(20,0))) AS DOUBLE) / count(*) / 1000000.0, 6)
       |  FROM c
       |  UNION ALL
-      |  SELECT '3_purchased', count(*),
+      |  SELECT '3_purchase', count(*),
       |    round(CAST(sum(CAST(epoch_us(s3) - epoch_us(s2k)
       |      AS DECIMAL(20,0))) AS DOUBLE) / count(*) / 1000000.0, 6)
       |  FROM p
@@ -269,18 +241,9 @@ object AnalyticsQueriesImpl {
     * user counts per (cohort, day offset). Two keyed aggs (first-seen
     * per user; distinct active days) + one equijoin on user_id.
     */
-  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val first = ev.groupBy("user_id")
-      .agg(to_date(min(col("ts"))).as("cohort"))
-    val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-    active.join(first, "user_id")
-      .groupBy(col("cohort"),
-        datediff(col("day"), col("cohort")).as("day_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    Analytics.cohortRetention(events(s, dir), "user_id", "ts")
       .orderBy("cohort", "day_offset")
-  }
 
   private val cohortOracle =
     """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort

@@ -156,6 +156,43 @@ class AnalyticsSpec extends SparkSpec {
       out.head.getAs[Long]("cnt") == 7L)
   }
 
+  test("funnel: stage order is strict — an out-of-order event does " +
+      "not convert; latencies are exact") {
+    val t0 = ts(1, 1)
+    val rows = Seq(
+      // u1 converts fully: view@1h, click@2h, buy@3h
+      (1L, "view", ts(1, 1)), (1L, "click", ts(1, 2)),
+      (1L, "buy", ts(1, 3)),
+      // u2 clicked BEFORE viewing: click@1h, view@2h -> stuck at view
+      (2L, "click", ts(1, 1)), (2L, "view", ts(1, 2)),
+      // u3 views only
+      (3L, "view", ts(1, 5)))
+      .toDF("uid", "etype", "ts")
+    val out = Analytics.funnel(rows, "uid", "ts", "etype",
+      Seq("view", "click", "buy")).collect()
+    val byStage = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_users"),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(byStage("1_view") == ((3L, None)))
+    assert(byStage("2_click") == ((1L, Some(3600.0))))
+    assert(byStage("3_buy") == ((1L, Some(3600.0))))
+  }
+
+  test("cohortRetention: offsets count distinct active users from the " +
+      "first-seen day") {
+    val rows = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(4)),
+      (2L, ts(2)), (2L, ts(4)))
+      .toDF("uid", "ts")
+    val out = Analytics.cohortRetention(rows, "uid", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 3) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 2) -> 1L))
+  }
+
   test("anomalyMadApprox tracks the exact twin on real data (high-" +
       "accuracy sketch: identical medians, identical anomaly counts)") {
     val ev = graft.model.Tables.load(spark, sfDir, "events")
