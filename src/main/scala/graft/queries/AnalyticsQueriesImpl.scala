@@ -157,6 +157,32 @@ object AnalyticsQueriesImpl {
         "value", k = 5.0)
       .orderBy("event_type")
 
+  // ---- event_transitions --------------------------------------------
+
+  /** First-order Markov transition counts between consecutive event
+    * types per user (ties inside a timestamp break by event_id): the
+    * path-analysis primitive. One keyed window + one count aggregation.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val transitionsOracle =
+    """WITH t AS (SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, count(*) AS n
+      |FROM t WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- type_entropy -------------------------------------------------
 
   def typeEntropy(s: SparkSession, dir: String): DataFrame =
@@ -262,6 +288,9 @@ object AnalyticsQueriesImpl {
     QueryDef("cohort_retention",
       "first-seen cohort x day-offset active-user triangle",
       cohortRetention, Some(cohortOracle)),
+    QueryDef("event_transitions",
+      "first-order Markov transition counts between event types",
+      eventTransitions, Some(transitionsOracle)),
     QueryDef("vwap_daily",
       "volume-weighted average price per type/day (decimal-exact)",
       vwapDaily, Some(vwapOracle)),
