@@ -156,6 +156,26 @@ class AnalyticsSpec extends SparkSpec {
       out.head.getAs[Long]("cnt") == 7L)
   }
 
+  test("invariants on real data: entropy bounded by log2(n_cats), " +
+      "histogram counts conserve rows, vwap partition-invariant") {
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+      .withColumn("qty", (col("event_id") % 10 + 1).cast("long"))
+    Analytics.categoryEntropy(ev, "user_id", "event_type")
+      .collect().foreach { r =>
+        val (h, cats) = (r.getAs[Double]("entropy"), r.getAs[Long]("n_cats"))
+        assert(h >= 0.0 && h <= math.log(cats.toDouble) / math.log(2.0) + 1e-6,
+          s"entropy $h outside [0, log2($cats)]")
+      }
+    val histTotal = Analytics.histogram(ev, "event_type", "value")
+      .agg(sum("cnt")).head.getLong(0)
+    assert(histTotal == ev.count())
+    val a = Analytics.vwap(ev, "event_type", "ts", "value", "qty")
+      .collect().map(_.toString).sorted
+    val b = Analytics.vwap(ev.repartition(17), "event_type", "ts",
+      "value", "qty").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("funnel: stage order is strict — an out-of-order event does " +
       "not convert; latencies are exact") {
     val t0 = ts(1, 1)
