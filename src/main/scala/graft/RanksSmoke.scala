@@ -47,14 +47,14 @@ object RanksSmoke {
       Seq(col("key"), col("id")), col("toks"), "cum")
     // checksum forces full materialization of every prefix value
     val sumChk = summed.agg(sum(pmod(col("cum"), lit(1000000007L))))
-      .head.getLong(0)
+      .head().getLong(0)
     val tPrefix = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
     val (ranked, total) = Ranks.withGlobalRowNumber(corpus(n),
       Seq(col("key"), col("id")), "rk")
     val rkChk = ranked.agg(sum(pmod(col("rk"), lit(1000000007L))))
-      .head.getLong(0)
+      .head().getLong(0)
     val tRank = (System.nanoTime() - t1) / 1e9
 
     // the one-task window this replaces, on a 1M slice (running it at
@@ -66,12 +66,12 @@ object RanksSmoke {
         .orderBy(col("key"), col("id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       corpus(slice).withColumn("cum", sum(col("toks")).over(w))
-        .agg(sum(pmod(col("cum"), lit(1000000007L)))).head.getLong(0)
+        .agg(sum(pmod(col("cum"), lit(1000000007L)))).head().getLong(0)
     } else -1L
     val t2 = System.nanoTime()
     val sliceChk = Ranks.withGlobalPrefixSum(corpus(slice),
         Seq(col("key"), col("id")), col("toks"), "cum")
-      .agg(sum(pmod(col("cum"), lit(1000000007L)))).head.getLong(0)
+      .agg(sum(pmod(col("cum"), lit(1000000007L)))).head().getLong(0)
     val tSlice = (System.nanoTime() - t2) / 1e9
 
     spark.stop()

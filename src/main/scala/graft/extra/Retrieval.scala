@@ -48,7 +48,7 @@ object Retrieval {
       val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
       // constant-size driver value (one long), same tier as tfidf's
       // nDocs count — NOT a data-proportional collect
-      val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
+      val sumDl = dl.agg(sum(col("dl"))).head().getLong(0)
       val avgdl = sumDl.toDouble / nDocs.toDouble
 
       val tfq = tf.filter(col("term").isin(terms: _*))

@@ -265,8 +265,9 @@ object TimeSeries {
     val rightCols = right.columns.filterNot(_ == key)
     l.join(r, Seq(key, "__bkt"))
       .filter(abs(col("__rus") - col("__lus")) <= tolUs)
-      .select((left.columns.map(col) ++ rightCols.map(col) :+
-        (col("__rus") - col("__lus")).as("delta_us")): _*)
+      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        left.columns.map(col) ++ rightCols.map(col) :+
+          (col("__rus") - col("__lus")).as("delta_us")): _*)
   }
 
   def ohlc(df: DataFrame, key: String, tsCol: String, valCol: String,
