@@ -455,6 +455,16 @@ object Graft {
       ps: Seq[Double]): DataFrame =
     extra.Stats.exactQuantiles(df, key, valCol, ps)
 
+  /** Welch two-sample t-test per key (variant column 0/1). */
+  def welchTTest(df: DataFrame, key: String, groupCol: String,
+      valCol: String): DataFrame =
+    extra.Analytics.welchTTest(df, key, groupCol, valCol)
+
+  /** OLS slope/intercept of the daily mean series per key. */
+  def olsTrend(df: DataFrame, key: String, tsCol: String,
+      valCol: String): DataFrame =
+    extra.Analytics.olsTrend(df, key, tsCol, valCol)
+
   // ---- dataset quality -----------------------------------------------
 
   /** Snapshot diff: added/removed/changed keys between two versions. */

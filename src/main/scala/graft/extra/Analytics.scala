@@ -218,6 +218,88 @@ object Analytics {
       .select(col(keyCol), col("bin"), col("lo"), col("hi"), col("cnt"))
   }
 
+  /** Welch's two-sample t-statistic per key between the rows where
+    * `groupCol` is 0 (variant A) and 1 (variant B) — the A/B-test
+    * primitive. ONE pass: a single keyed aggregation computes both
+    * variants' DECIMAL-exact moment sums via conditional aggregates;
+    * means/variances round to 6 dp and the t formula runs once in
+    * fixed-order double. NULL t when either side has < 2 rows or both
+    * variances are 0.
+    *
+    * Output: key, `n_a`, `mean_a`, `var_a`, `n_b`, `mean_b`, `var_b`,
+    * `t_stat`.
+    */
+  def welchTTest(df: DataFrame, keyCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val v = col(valCol)
+    val dec = v.cast(DecimalType(18, 6))
+    val dec2 = round(v * v, 12).cast(DecimalType(30, 12))
+    def side(tag: Int, c: org.apache.spark.sql.Column) =
+      sum(when(col(groupCol) === tag, c))
+    val agged = df.groupBy(col(keyCol))
+      .agg(
+        count(when(col(groupCol) === 0, 1)).as("n_a"),
+        side(0, dec).cast("double").as("sa"),
+        side(0, dec2).cast("double").as("qa"),
+        count(when(col(groupCol) === 1, 1)).as("n_b"),
+        side(1, dec).cast("double").as("sb"),
+        side(1, dec2).cast("double").as("qb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val meanA = round(col("sa") / na, 6)
+    val meanB = round(col("sb") / nb, 6)
+    val varA = round((col("qa") - col("sa") * col("sa") / na) /
+      (na - 1.0), 6)
+    val varB = round((col("qb") - col("sb") * col("sb") / nb) /
+      (nb - 1.0), 6)
+    agged
+      .withColumn("mean_a", meanA).withColumn("var_a", varA)
+      .withColumn("mean_b", meanB).withColumn("var_b", varB)
+      .withColumn("t_stat",
+        when(col("n_a") >= 2 && col("n_b") >= 2 &&
+          (col("var_a") > 0 || col("var_b") > 0),
+          round((col("mean_a") - col("mean_b")) /
+            sqrt(col("var_a") / na + col("var_b") / nb), 6)))
+      .select(col(keyCol), col("n_a"), col("mean_a"), col("var_a"),
+        col("n_b"), col("mean_b"), col("var_b"), col("t_stat"))
+  }
+
+  /** OLS trend over the DAILY mean series per key: slope and intercept
+    * of px against the day index (days since the key's first day).
+    * The raw scan collapses through [[Indicators.dailyMean]] first; the
+    * regression runs over DECIMAL-exact moments of the bounded daily
+    * frame (x is an exact integer, px a 6-dp double, so x·px at 6 dp
+    * is exact). Slope/intercept are fixed-order double formulas
+    * rounded to 6 dp; NULL when fewer than 2 days or zero x-variance.
+    *
+    * Output: key, `n_days`, `slope` (px per day), `intercept`
+    * (px at the first day).
+    */
+  def olsTrend(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = Indicators.dailyMean(df, keyCol, tsCol, valCol)
+    val w = Window.partitionBy(keyCol)
+    val withX = daily
+      .withColumn("__x", datediff(col("day"), min(col("day")).over(w)))
+    val decY = col("px").cast(DecimalType(18, 6))
+    val decXY = round(col("__x") * col("px"), 6).cast(DecimalType(30, 6))
+    val m = withX.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__x")).cast("double").as("sx"),
+        sum(col("__x") * col("__x")).cast("double").as("sxx"),
+        sum(decY).cast("double").as("sy"),
+        sum(decXY).cast("double").as("sxy"))
+    val n = col("n_days").cast("double")
+    val denom = n * col("sxx") - col("sx") * col("sx")
+    val slopeRaw = (n * col("sxy") - col("sx") * col("sy")) / denom
+    m.withColumn("slope",
+        when(col("n_days") >= 2 && denom > 0, round(slopeRaw, 6)))
+      .withColumn("intercept",
+        when(col("n_days") >= 2 && denom > 0,
+          round((col("sy") - slopeRaw * col("sx")) / n, 6)))
+      .select(col(keyCol), col("n_days"), col("slope"), col("intercept"))
+  }
+
   /** Ordered conversion funnel over an event stream: a user reaches
     * stage i only via a `stages(i)`-typed event STRICTLY AFTER their
     * stage i−1 entry time (min-ts chaining). Each stage is one keyed

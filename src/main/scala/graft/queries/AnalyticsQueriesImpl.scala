@@ -157,6 +157,84 @@ object AnalyticsQueriesImpl {
         "value", k = 5.0)
       .orderBy("event_type")
 
+  // ---- ab_ttest -----------------------------------------------------
+
+  /** Welch t-test per event_type between the deterministic variants
+    * user_id % 2 = 0 (A) and 1 (B) — decimal-exact moments, one pass.
+    */
+  def abTTest(s: SparkSession, dir: String): DataFrame =
+    Analytics.welchTTest(
+      events(s, dir).withColumn("variant", (col("user_id") % 2).cast("int")),
+      "event_type", "variant", "value")
+      .orderBy("event_type")
+
+  private val abOracle =
+    """WITH m AS (SELECT event_type,
+      |  count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+      |  CAST(sum(CASE WHEN user_id % 2 = 0
+      |    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+      |  CAST(sum(CASE WHEN user_id % 2 = 0
+      |    THEN CAST(round(value*value, 12) AS DECIMAL(30,12)) END)
+      |    AS DOUBLE) AS qa,
+      |  count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+      |  CAST(sum(CASE WHEN user_id % 2 = 1
+      |    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+      |  CAST(sum(CASE WHEN user_id % 2 = 1
+      |    THEN CAST(round(value*value, 12) AS DECIMAL(30,12)) END)
+      |    AS DOUBLE) AS qb
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT event_type, n_a,
+      |  round(sa / CAST(n_a AS DOUBLE), 6) AS mean_a,
+      |  round((qa - sa*sa / CAST(n_a AS DOUBLE))
+      |        / (CAST(n_a AS DOUBLE) - 1.0), 6) AS var_a,
+      |  n_b,
+      |  round(sb / CAST(n_b AS DOUBLE), 6) AS mean_b,
+      |  round((qb - sb*sb / CAST(n_b AS DOUBLE))
+      |        / (CAST(n_b AS DOUBLE) - 1.0), 6) AS var_b
+      |  FROM m)
+      |SELECT event_type, n_a, mean_a, var_a, n_b, mean_b, var_b,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (var_a > 0 OR var_b > 0)
+      |    THEN round((mean_a - mean_b)
+      |      / sqrt(var_a / CAST(n_a AS DOUBLE)
+      |             + var_b / CAST(n_b AS DOUBLE)), 6) END AS t_stat
+      |FROM r ORDER BY event_type""".stripMargin
+
+  // ---- trend_ols ----------------------------------------------------
+
+  /** OLS slope/intercept of the daily mean value against the day index
+    * per event_type (decimal-exact moments over the daily roll-up).
+    */
+  def trendOls(s: SparkSession, dir: String): DataFrame =
+    Analytics.olsTrend(events(s, dir), "event_type", "ts", "value")
+      .orderBy("event_type")
+
+  private val trendOracle =
+    """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(value), 6) AS px
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT event_type, px,
+      |  datediff('day', min(day) OVER (PARTITION BY event_type), day)
+      |    AS xi FROM d0),
+      |m AS (SELECT event_type, count(*) AS n_days,
+      |  CAST(sum(xi) AS DOUBLE) AS sx,
+      |  CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(px AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(xi * px, 6) AS DECIMAL(30,6))) AS DOUBLE)
+      |    AS sxy
+      |  FROM x GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  CASE WHEN n_days >= 2
+      |        AND CAST(n_days AS DOUBLE)*sxx - sx*sx > 0
+      |    THEN round((CAST(n_days AS DOUBLE)*sxy - sx*sy)
+      |      / (CAST(n_days AS DOUBLE)*sxx - sx*sx), 6) END AS slope,
+      |  CASE WHEN n_days >= 2
+      |        AND CAST(n_days AS DOUBLE)*sxx - sx*sx > 0
+      |    THEN round((sy - ((CAST(n_days AS DOUBLE)*sxy - sx*sy)
+      |      / (CAST(n_days AS DOUBLE)*sxx - sx*sx)) * sx)
+      |      / CAST(n_days AS DOUBLE), 6) END AS intercept
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ---- event_transitions --------------------------------------------
 
   /** First-order Markov transition counts between consecutive event
@@ -291,6 +369,12 @@ object AnalyticsQueriesImpl {
     QueryDef("event_transitions",
       "first-order Markov transition counts between event types",
       eventTransitions, Some(transitionsOracle)),
+    QueryDef("ab_ttest",
+      "Welch two-sample t-test per type (decimal-exact moments, 1 pass)",
+      abTTest, Some(abOracle)),
+    QueryDef("trend_ols",
+      "OLS slope/intercept of daily means vs day index per type",
+      trendOls, Some(trendOracle)),
     QueryDef("vwap_daily",
       "volume-weighted average price per type/day (decimal-exact)",
       vwapDaily, Some(vwapOracle)),

@@ -156,6 +156,37 @@ class AnalyticsSpec extends SparkSpec {
       out.head.getAs[Long]("cnt") == 7L)
   }
 
+  test("welchTTest: identical variants give t=0-ish; a shifted variant " +
+      "gives a large negative t; degenerate sides give NULL") {
+    val same = (1 to 40).map(i => ("k", i % 2, 10.0 + (i % 5)))
+      .toDF("g", "variant", "v")
+    val t0 = Analytics.welchTTest(same, "g", "variant", "v")
+      .collect().head.getAs[Double]("t_stat")
+    assert(math.abs(t0) < 0.5)
+
+    val shifted = (1 to 40).map { i =>
+      val variant = i % 2
+      ("k", variant, if (variant == 1) 100.0 + (i % 5) else 10.0 + (i % 5))
+    }.toDF("g", "variant", "v")
+    val t1 = Analytics.welchTTest(shifted, "g", "variant", "v")
+      .collect().head.getAs[Double]("t_stat")
+    assert(t1 < -50.0, s"expected strongly negative t, got $t1")
+
+    val oneSide = Seq(("k", 0, 1.0), ("k", 0, 2.0)).toDF("g", "variant", "v")
+    val r = Analytics.welchTTest(oneSide, "g", "variant", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+  }
+
+  test("olsTrend recovers an exact linear daily series") {
+    // px = 5 + 2*dayIndex exactly
+    val rows = (0 until 10).map(d => ("k", ts(d + 1), 5.0 + 2.0 * d))
+      .toDF("g", "ts", "v")
+    val r = Analytics.olsTrend(rows, "g", "ts", "v").collect().head
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 5.0)
+    assert(r.getAs[Long]("n_days") == 10L)
+  }
+
   test("invariants on real data: entropy bounded by log2(n_cats), " +
       "histogram counts conserve rows, vwap partition-invariant") {
     val ev = graft.model.Tables.load(spark, sfDir, "events")
