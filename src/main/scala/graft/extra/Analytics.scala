@@ -218,6 +218,46 @@ object Analytics {
       .select(col(keyCol), col("bin"), col("lo"), col("hi"), col("cnt"))
   }
 
+  /** Lag-k autocorrelation of the DAILY mean series per key (k in
+    * OBSERVED days — the lag is positional over the ordered daily
+    * frame, robust to calendar gaps). Pearson over the (pxₜ, pxₜ₋ₖ)
+    * pairs from DECIMAL-exact moment sums, like [[pairCorrelation]]:
+    * one keyed lag window over the bounded daily roll-up, one keyed
+    * aggregation. NULL when fewer than `minPoints` pairs or a
+    * zero-variance side.
+    *
+    * Output: key, `n_pairs`, `autocorr`.
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, lagDays: Int = 1, minPoints: Int = 2): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1, got $lagDays")
+    val daily = Indicators.dailyMean(df, keyCol, tsCol, valCol)
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    val pairs = daily
+      .withColumn("__py", lag("px", lagDays).over(w))
+      .filter(col("__py").isNotNull)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 6))
+    val prod = (u: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column) =>
+      round(u * v, 12).cast(DecimalType(30, 12))
+    val m = pairs.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("px"))).cast("double").as("sx"),
+        sum(dec(col("__py"))).cast("double").as("sy"),
+        sum(prod(col("px"), col("__py"))).cast("double").as("sxy"),
+        sum(prod(col("px"), col("px"))).cast("double").as("sxx"),
+        sum(prod(col("__py"), col("__py"))).cast("double").as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.withColumn("autocorr",
+        when(col("n") >= minPoints && vx > 0 && vy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(vx * vy), 6)))
+      .select(col(keyCol), col("n").cast("long").as("n_pairs"),
+        col("autocorr"))
+  }
+
   /** Welch's two-sample t-statistic per key between the rows where
     * `groupCol` is 0 (variant A) and 1 (variant B) — the A/B-test
     * primitive. ONE pass: a single keyed aggregation computes both

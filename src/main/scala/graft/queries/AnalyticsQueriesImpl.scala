@@ -235,6 +235,38 @@ object AnalyticsQueriesImpl {
       |      / CAST(n_days AS DOUBLE), 6) END AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---- autocorr_daily -----------------------------------------------
+
+  /** Lag-1 autocorrelation of the daily mean series per event_type. */
+  def autocorrDaily(s: SparkSession, dir: String): DataFrame =
+    Analytics.autocorrelation(events(s, dir), "event_type", "ts",
+        "value", lagDays = 1)
+      .orderBy("event_type")
+
+  private val autocorrOracle =
+    """WITH d0 AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(value), 6) AS px
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT event_type, px,
+      |  lag(px) OVER (PARTITION BY event_type ORDER BY day) AS py
+      |  FROM d0),
+      |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(CAST(px AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(py AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(px*py, 12) AS DECIMAL(30,12))) AS DOUBLE)
+      |    AS sxy,
+      |  CAST(sum(CAST(round(px*px, 12) AS DECIMAL(30,12))) AS DOUBLE)
+      |    AS sxx,
+      |  CAST(sum(CAST(round(py*py, 12) AS DECIMAL(30,12))) AS DOUBLE)
+      |    AS syy
+      |  FROM p WHERE py IS NOT NULL GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+      |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |    THEN round((n*sxy - sx*sy)
+      |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS autocorr
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ---- event_transitions --------------------------------------------
 
   /** First-order Markov transition counts between consecutive event
@@ -375,6 +407,9 @@ object AnalyticsQueriesImpl {
     QueryDef("trend_ols",
       "OLS slope/intercept of daily means vs day index per type",
       trendOls, Some(trendOracle)),
+    QueryDef("autocorr_daily",
+      "lag-1 autocorrelation of the daily series (exact moments)",
+      autocorrDaily, Some(autocorrOracle)),
     QueryDef("vwap_daily",
       "volume-weighted average price per type/day (decimal-exact)",
       vwapDaily, Some(vwapOracle)),

@@ -177,6 +177,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("t_stat")))
   }
 
+  test("autocorrelation: a monotone ramp is ~1, an alternating series " +
+      "is strongly negative, constant is NULL") {
+    def series(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => ("k", ts(i + 1), v) }.toDF("g", "ts", "v")
+    val ramp = Analytics.autocorrelation(
+      series((1 to 20).map(_.toDouble)), "g", "ts", "v")
+      .collect().head.getAs[Double]("autocorr")
+    assert(ramp > 0.95, s"ramp autocorr $ramp")
+    val alt = Analytics.autocorrelation(
+      series((1 to 20).map(i => if (i % 2 == 0) 10.0 else -10.0)),
+      "g", "ts", "v").collect().head.getAs[Double]("autocorr")
+    assert(alt < -0.95, s"alternating autocorr $alt")
+    val const = Analytics.autocorrelation(
+      series(Seq.fill(10)(5.0)), "g", "ts", "v").collect().head
+    assert(const.isNullAt(const.fieldIndex("autocorr")))
+  }
+
   test("olsTrend recovers an exact linear daily series") {
     // px = 5 + 2*dayIndex exactly
     val rows = (0 until 10).map(d => ("k", ts(d + 1), 5.0 + 2.0 * d))
