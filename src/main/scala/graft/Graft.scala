@@ -465,6 +465,11 @@ object Graft {
       valCol: String): DataFrame =
     extra.Analytics.olsTrend(df, key, tsCol, valCol)
 
+  /** Lag-k autocorrelation of the daily mean series per key. */
+  def autocorrelation(df: DataFrame, key: String, tsCol: String,
+      valCol: String, lagDays: Int = 1): DataFrame =
+    extra.Analytics.autocorrelation(df, key, tsCol, valCol, lagDays)
+
   // ---- dataset quality -----------------------------------------------
 
   /** Snapshot diff: added/removed/changed keys between two versions. */
