@@ -218,6 +218,58 @@ object Analytics {
       .select(col(keyCol), col("bin"), col("lo"), col("hi"), col("cnt"))
   }
 
+  /** Rolling correlation between TWO keys' bucketed mean series — the
+    * pairs-trading signal: per shared bucket, Pearson over the last
+    * `windowN` aligned points, from DECIMAL-exact frame sums (the
+    * [[Indicators.bollinger]] pattern applied to five moments). The
+    * two series join on bucket (keyed equijoin over the bounded
+    * per-(key, bucket) roll-up), and the rolling window partitions on
+    * the PAIR id — each pair's frame is span-bounded (buckets, never
+    * ticks), so a thousand-pair portfolio parallelizes across
+    * partitions. Warmup rows (< `minPoints` in frame) and
+    * zero-variance frames emit NULL.
+    *
+    * Output: `pair`, `bucket`, `x`, `y`, `n_in_frame`, `corr`.
+    */
+  def rollingCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, keyA: String, keyB: String,
+      bucket: String = "hour", windowN: Int = 24,
+      minPoints: Int = 2): DataFrame = {
+    val series = df
+      .filter(col(keyCol).isin(keyA, keyB))
+      .groupBy(col(keyCol).as("k"),
+        date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(round(sum(col(valCol).cast(DecimalType(18, 6))).cast("double") /
+        count(col(valCol)), 6).as("px"))
+    val a = series.filter(col("k") === keyA)
+      .select(col("bucket"), col("px").as("x"))
+    val b = series.filter(col("k") === keyB)
+      .select(col("bucket"), col("px").as("y"))
+    val joined = a.join(b, "bucket")
+      .withColumn("pair", lit(s"$keyA|$keyB"))
+    val w = Window.partitionBy("pair").orderBy("bucket")
+      .rowsBetween(-(windowN - 1), 0)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 6))
+    val prod = (u: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column) =>
+      round(u * v, 12).cast(DecimalType(30, 12))
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(dec(col("x"))).over(w).cast("double")
+    val sy = sum(dec(col("y"))).over(w).cast("double")
+    val sxy = sum(prod(col("x"), col("y"))).over(w).cast("double")
+    val sxx = sum(prod(col("x"), col("x"))).over(w).cast("double")
+    val syy = sum(prod(col("y"), col("y"))).over(w).cast("double")
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    joined
+      .withColumn("n_in_frame", n.cast("long"))
+      .withColumn("corr",
+        when(n >= minPoints && vx > 0 && vy > 0,
+          round((n * sxy - sx * sy) / sqrt(vx * vy), 6)))
+      .select(col("pair"), col("bucket"), col("x"), col("y"),
+        col("n_in_frame"), col("corr"))
+  }
+
   /** Lag-k autocorrelation of the DAILY mean series per key (k in
     * OBSERVED days — the lag is positional over the ordered daily
     * frame, robust to calendar gaps). Pearson over the (pxₜ, pxₜ₋ₖ)

@@ -235,6 +235,46 @@ object AnalyticsQueriesImpl {
       |      / CAST(n_days AS DOUBLE), 6) END AS intercept
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---- rolling_corr -------------------------------------------------
+
+  /** 24-hour rolling correlation between the click and view hourly
+    * series (pairs-trading style signal).
+    */
+  def rollingCorr(s: SparkSession, dir: String): DataFrame =
+    Analytics.rollingCorrelation(events(s, dir), "event_type", "ts",
+        "value", keyA = "click", keyB = "view", windowN = 24)
+      .orderBy("bucket")
+
+  private val rollingCorrOracle =
+    """WITH srs AS (SELECT event_type AS k, date_trunc('hour', ts)
+      |    AS bucket,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |        / count(value), 6) AS px
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1, 2),
+      |j AS (SELECT a.bucket, a.px AS x, b.px AS y,
+      |    'click|view' AS pair
+      |  FROM srs a JOIN srs b ON a.bucket = b.bucket
+      |  WHERE a.k = 'click' AND b.k = 'view'),
+      |f AS (SELECT pair, bucket, x, y,
+      |  CAST(count(*) OVER w AS DOUBLE) AS n,
+      |  CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(round(x*y, 12) AS DECIMAL(30,12))) OVER w
+      |       AS DOUBLE) AS sxy,
+      |  CAST(sum(CAST(round(x*x, 12) AS DECIMAL(30,12))) OVER w
+      |       AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(round(y*y, 12) AS DECIMAL(30,12))) OVER w
+      |       AS DOUBLE) AS syy
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY pair ORDER BY bucket
+      |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT pair, bucket, x, y, CAST(n AS BIGINT) AS n_in_frame,
+      |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |    THEN round((n*sxy - sx*sy)
+      |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS corr
+      |FROM f ORDER BY bucket""".stripMargin
+
   // ---- autocorr_daily -----------------------------------------------
 
   /** Lag-1 autocorrelation of the daily mean series per event_type. */
@@ -410,6 +450,9 @@ object AnalyticsQueriesImpl {
     QueryDef("autocorr_daily",
       "lag-1 autocorrelation of the daily series (exact moments)",
       autocorrDaily, Some(autocorrOracle)),
+    QueryDef("rolling_corr",
+      "24h rolling correlation between two hourly series (frame sums)",
+      rollingCorr, Some(rollingCorrOracle)),
     QueryDef("vwap_daily",
       "volume-weighted average price per type/day (decimal-exact)",
       vwapDaily, Some(vwapOracle)),

@@ -194,6 +194,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(const.isNullAt(const.fieldIndex("autocorr")))
   }
 
+  test("rollingCorrelation: linear pair locks to 1 after warmup; " +
+      "anti-correlated flips to -1; first row is NULL (n=1)") {
+    val rows = (1 to 30).flatMap { h =>
+      val x = (h % 7).toDouble
+      Seq(("A", ts(1 + h / 24, h % 24), x),
+        ("B", ts(1 + h / 24, h % 24), 3 * x + 2))
+    }.toDF("sym", "ts", "v")
+    val out = Analytics.rollingCorrelation(rows, "sym", "ts", "v",
+      "A", "B", windowN = 6).orderBy("bucket").collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("corr")))
+    assert(out.drop(6).forall(_.getAs[Double]("corr") == 1.0))
+  }
+
   test("olsTrend recovers an exact linear daily series") {
     // px = 5 + 2*dayIndex exactly
     val rows = (0 until 10).map(d => ("k", ts(d + 1), 5.0 + 2.0 * d))
