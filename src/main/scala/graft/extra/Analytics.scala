@@ -218,36 +218,45 @@ object Analytics {
       .select(col(keyCol), col("bin"), col("lo"), col("hi"), col("cnt"))
   }
 
-  /** Rolling correlation between TWO keys' bucketed mean series — the
-    * pairs-trading signal: per shared bucket, Pearson over the last
+  /** Rolling correlation between PAIRS of keys' bucketed mean series —
+    * the pairs-trading signal: per shared bucket, Pearson over the last
     * `windowN` aligned points, from DECIMAL-exact frame sums (the
-    * [[Indicators.bollinger]] pattern applied to five moments). The
-    * two series join on bucket (keyed equijoin over the bounded
+    * [[Indicators.bollinger]] pattern applied to five moments). Each
+    * pair's two series join on bucket (keyed equijoins over the bounded
     * per-(key, bucket) roll-up), and the rolling window partitions on
-    * the PAIR id — each pair's frame is span-bounded (buckets, never
-    * ticks), so a thousand-pair portfolio parallelizes across
-    * partitions. Warmup rows (< `minPoints` in frame) and
+    * the pair's DATA columns (ka, kb) — non-foldable, so the plan stays
+    * a keyed window even for one pair (a literal pair id would be
+    * constant-folded out of the partition spec, collapsing to a global
+    * single-partition window). Each pair's frame is span-bounded
+    * (buckets, never ticks), so a thousand-pair portfolio parallelizes
+    * across partitions. Warmup rows (< `minPoints` in frame) and
     * zero-variance frames emit NULL.
     *
-    * Output: `pair`, `bucket`, `x`, `y`, `n_in_frame`, `corr`.
+    * Output: `pair` ("ka|kb"), `bucket`, `x`, `y`, `n_in_frame`,
+    * `corr`.
     */
   def rollingCorrelation(df: DataFrame, keyCol: String, tsCol: String,
-      valCol: String, keyA: String, keyB: String,
+      valCol: String, pairs: Seq[(String, String)],
       bucket: String = "hour", windowN: Int = 24,
       minPoints: Int = 2): DataFrame = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val series = df
-      .filter(col(keyCol).isin(keyA, keyB))
+      .filter(col(keyCol).isin(keys: _*))
       .groupBy(col(keyCol).as("k"),
         date_trunc(bucket, col(tsCol)).as("bucket"))
       .agg(round(sum(col(valCol).cast(DecimalType(18, 6))).cast("double") /
         count(col(valCol)), 6).as("px"))
-    val a = series.filter(col("k") === keyA)
-      .select(col("bucket"), col("px").as("x"))
-    val b = series.filter(col("k") === keyB)
-      .select(col("bucket"), col("px").as("y"))
-    val joined = a.join(b, "bucket")
-      .withColumn("pair", lit(s"$keyA|$keyB"))
-    val w = Window.partitionBy("pair").orderBy("bucket")
+    val pairsDf = pairs.toDF("ka", "kb")
+    val joined = pairsDf
+      .join(series.select(col("k").as("ka"), col("bucket"),
+        col("px").as("x")), "ka")
+      .join(series.select(col("k").as("kb"), col("bucket"),
+        col("px").as("y")), Seq("kb", "bucket"))
+      .withColumn("pair", concat(col("ka"), lit("|"), col("kb")))
+    val w = Window.partitionBy("ka", "kb").orderBy("bucket")
       .rowsBetween(-(windowN - 1), 0)
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 6))
     val prod = (u: org.apache.spark.sql.Column,

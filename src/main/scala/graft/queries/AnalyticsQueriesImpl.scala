@@ -237,26 +237,32 @@ object AnalyticsQueriesImpl {
 
   // ---- rolling_corr -------------------------------------------------
 
-  /** 24-hour rolling correlation between the click and view hourly
-    * series (pairs-trading style signal).
+  /** 24-hour rolling correlation for two event-type pairs (pairs-
+    * trading style signal; the pair id comes from data columns so the
+    * window stays keyed).
     */
   def rollingCorr(s: SparkSession, dir: String): DataFrame =
     Analytics.rollingCorrelation(events(s, dir), "event_type", "ts",
-        "value", keyA = "click", keyB = "view", windowN = 24)
-      .orderBy("bucket")
+        "value", Seq(("click", "view"), ("view", "purchase")),
+        windowN = 24)
+      .orderBy("pair", "bucket")
 
   private val rollingCorrOracle =
-    """WITH srs AS (SELECT event_type AS k, date_trunc('hour', ts)
+    """WITH pairs(ka, kb) AS (VALUES ('click', 'view'),
+      |  ('view', 'purchase')),
+      |srs AS (SELECT event_type AS k, date_trunc('hour', ts)
       |    AS bucket,
       |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
       |        / count(value), 6) AS px
-      |  FROM events WHERE event_type IN ('click', 'view')
+      |  FROM events
+      |  WHERE event_type IN ('click', 'view', 'purchase')
       |  GROUP BY 1, 2),
-      |j AS (SELECT a.bucket, a.px AS x, b.px AS y,
-      |    'click|view' AS pair
-      |  FROM srs a JOIN srs b ON a.bucket = b.bucket
-      |  WHERE a.k = 'click' AND b.k = 'view'),
-      |f AS (SELECT pair, bucket, x, y,
+      |j AS (SELECT p.ka, p.kb, a.bucket, a.px AS x, b.px AS y,
+      |    p.ka || '|' || p.kb AS pair
+      |  FROM pairs p
+      |  JOIN srs a ON a.k = p.ka
+      |  JOIN srs b ON b.k = p.kb AND b.bucket = a.bucket),
+      |f AS (SELECT ka, kb, pair, bucket, x, y,
       |  CAST(count(*) OVER w AS DOUBLE) AS n,
       |  CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
       |  CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
@@ -267,13 +273,13 @@ object AnalyticsQueriesImpl {
       |  CAST(sum(CAST(round(y*y, 12) AS DECIMAL(30,12))) OVER w
       |       AS DOUBLE) AS syy
       |  FROM j
-      |  WINDOW w AS (PARTITION BY pair ORDER BY bucket
+      |  WINDOW w AS (PARTITION BY ka, kb ORDER BY bucket
       |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
       |SELECT pair, bucket, x, y, CAST(n AS BIGINT) AS n_in_frame,
       |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
       |    THEN round((n*sxy - sx*sy)
       |      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS corr
-      |FROM f ORDER BY bucket""".stripMargin
+      |FROM f ORDER BY pair, bucket""".stripMargin
 
   // ---- autocorr_daily -----------------------------------------------
 

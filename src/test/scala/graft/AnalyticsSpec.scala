@@ -202,7 +202,7 @@ class AnalyticsSpec extends SparkSpec {
         ("B", ts(1 + h / 24, h % 24), 3 * x + 2))
     }.toDF("sym", "ts", "v")
     val out = Analytics.rollingCorrelation(rows, "sym", "ts", "v",
-      "A", "B", windowN = 6).orderBy("bucket").collect()
+      Seq(("A", "B")), windowN = 6).orderBy("bucket").collect()
     assert(out.head.isNullAt(out.head.fieldIndex("corr")))
     assert(out.drop(6).forall(_.getAs[Double]("corr") == 1.0))
   }

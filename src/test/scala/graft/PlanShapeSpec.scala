@@ -248,6 +248,24 @@ class PlanShapeSpec extends SparkSpec {
       assert(!bm25.contains(s"$c:"), s"bm25_search reads $c")
   }
 
+  test("new analytics queries: no cartesian/nested-loop; rolling_corr " +
+      "window is pair-partitioned, not global") {
+    for (q <- Seq("funnel_stages", "cohort_retention", "ab_ttest",
+        "trend_ols", "autocorr_daily", "event_transitions",
+        "snapshot_diff")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n" +
+        plan.take(1500))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n" +
+        plan.take(1500))
+    }
+    val rc = executedPlan("rolling_corr")
+    // keyed on the pair's DATA columns (ka, kb) — a literal pair id
+    // would be constant-folded out, collapsing to a global window
+    assert("windowspecdefinition\\(ka".r.findFirstIn(rc).isDefined,
+      rc.take(1500))
+  }
+
   test("pagerank: every iteration joins keyed or broadcast — no " +
       "cartesian/nested-loop anywhere in the materialized chain") {
     val plans = allExecutedPlans("pagerank")
