@@ -426,6 +426,13 @@ object Graft {
     extra.Retrieval.bm25Search(docs, idCol, textCol, queryTerms,
       topK = topK)
 
+  /** Multi-query BM25 against an arbitrary (id, text) query frame. */
+  def bm25All(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      topK: Int = 20): DataFrame =
+    extra.Retrieval.bm25SearchAll(docs, idCol, textCol, queries,
+      queryIdCol, queryTextCol, topK = topK)
+
   /** Fixed-point PageRank (integer arithmetic, fixed iterations). */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10): DataFrame =

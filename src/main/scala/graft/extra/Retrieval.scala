@@ -1,6 +1,7 @@
 package graft.extra
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -72,6 +73,68 @@ object Retrieval {
             round(sum(contrib).cast("double"), 6).as("score"))
           .orderBy(col("score").desc, col(idCol))
           .limit(topK))
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Multi-query BM25 — the production retrieval shape: `queries` is an
+    * ARBITRARY frame of (query id, query text), the same lesson as
+    * decontamination's benchmark frame (eval/query sets live in their
+    * own small table). One corpus tokenization (persisted tf, dl
+    * re-aggregated from it), the query frame tokenizes and broadcasts;
+    * a doc-term row fans out only to the queries containing that term,
+    * df/idf is counted once per TERM (not per query), and the per-query
+    * top-k is a rank window partitioned by query id over the scored
+    * rows — never a global sort. Scoring arithmetic is identical to
+    * [[bm25Search]] (12-dp DECIMAL contribution sums).
+    *
+    * Output: queryIdCol, idCol, `n_hits`, `score` — topK rows per
+    * query, ties at equal rounded score broken by ascending doc id.
+    */
+  def bm25SearchAll(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val nDocs = docs.count()
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+      val sumDl = dl.agg(sum(col("dl"))).head().getLong(0)
+      val avgdl = sumDl.toDouble / nDocs.toDouble
+
+      val qterms = queries.select(col(queryIdCol),
+          explode(Text.tokens(col(queryTextCol))).as("term"))
+        .distinct()
+      val terms = qterms.select("term").distinct()
+      val tfq = tf.join(broadcast(terms), "term")
+      val idf = tfq.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("idf",
+          log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+
+      val tfD = col("tf").cast("double")
+      val contrib = round(
+        col("idf") * ((tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+        12).cast(DecimalType(30, 12))
+
+      val scored = tfq
+        .join(broadcast(qterms), "term")
+        .join(broadcast(idf.select("term", "idf")), "term")
+        .join(dl, idCol)
+        .groupBy(col(queryIdCol), col(idCol))
+        .agg(count(lit(1)).as("n_hits"),
+          round(sum(contrib).cast("double"), 6).as("score"))
+      val w = Window.partitionBy(queryIdCol)
+        .orderBy(col("score").desc, col(idCol))
+      Dedup.materialize(
+        scored.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= topK)
+          .drop("__rank"))
     } finally tf.unpersist(blocking = false)
   }
 }

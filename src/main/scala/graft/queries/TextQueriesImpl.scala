@@ -624,7 +624,63 @@ object TextQueriesImpl {
        |FROM sc GROUP BY 1
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- bm25_multi ---------------------------------------------------
+
+  /** Multi-query BM25 against an arbitrary query frame (three queries,
+    * top-5 each) — see [[graft.extra.Retrieval.bm25SearchAll]].
+    */
+  def bm25Multi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      ("q1", "spark shuffle join"),
+      ("q2", "window sort"),
+      ("q3", "hash table")).toDF("query_id", "query_text")
+    graft.extra.Retrieval.bm25SearchAll(docs(s, dir), "doc_id", "text",
+        queries, "query_id", "query_text", topK = 5)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  private val bm25MultiOracle =
+    s"""WITH q(query_id, query_text) AS (VALUES
+       |  ('q1', 'spark shuffle join'), ('q2', 'window sort'),
+       |  ('q3', 'hash table')),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |consts AS (SELECT
+       |  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |  CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |  SELECT query_id, unnest(list_filter(string_split(
+       |    lower(query_text), ' '), x -> x <> '')) AS term FROM q)),
+       |tfq AS (SELECT tf.* FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |idf AS (SELECT term,
+       |  ln(((SELECT n FROM consts) - CAST(count(*) AS DOUBLE) + 0.5)
+       |     / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+       |  FROM tfq GROUP BY term),
+       |sc AS (SELECT qt.query_id, tfq.doc_id,
+       |  count(*) AS n_hits,
+       |  round(CAST(sum(CAST(round(idf.idf
+       |    * ((CAST(tfq.tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tfq.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |       + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |                 / (SELECT avgdl FROM consts))))), 12)
+       |       AS DECIMAL(30,12))) AS DOUBLE), 6) AS score
+       |  FROM tfq JOIN qt USING (term) JOIN idf USING (term)
+       |  JOIN dl USING (doc_id)
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |SELECT query_id, doc_id, n_hits, score FROM r WHERE rk <= 5
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("bm25_multi",
+      "multi-query BM25 from an arbitrary query frame (top-5/query)",
+      bm25Multi, Some(bm25MultiOracle)),
     QueryDef("bm25_search",
       "BM25 top-20 lexical retrieval (exact counts, decimal score sums)",
       bm25Search, Some(bm25Oracle)),

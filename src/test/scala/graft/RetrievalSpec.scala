@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.extra.Retrieval
 
 /** Hand-checked BM25 behavior on a corpus small enough to reason about
@@ -39,6 +41,28 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 2)
     val scores = out.map(_.getAs[Double]("score"))
     assert(scores.sorted.reverse.sameElements(scores))
+  }
+
+  test("bm25SearchAll with one query equals bm25Search (same scores, " +
+      "same order)") {
+    val q = Seq(("q", "spark shuffle join")).toDF("qid", "qtext")
+    val multi = Retrieval.bm25SearchAll(corpus, "doc_id", "text",
+      q, "qid", "qtext", topK = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id", "n_hits", "score").collect()
+    val single = Retrieval.bm25Search(corpus, "doc_id", "text",
+      Seq("spark", "shuffle", "join"), topK = 10).collect()
+    assert(multi.map(_.toString).toSeq == single.map(_.toString).toSeq)
+  }
+
+  test("bm25SearchAll scores each query independently") {
+    val q = Seq(("a", "spark"), ("b", "join")).toDF("qid", "qtext")
+    val out = Retrieval.bm25SearchAll(corpus, "doc_id", "text",
+      q, "qid", "qtext", topK = 10).collect()
+    val byQ = out.groupBy(_.getString(0))
+    // 'spark' matches docs 1, 2, 5; 'join' matches docs 1, 4
+    assert(byQ("a").map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 5L))
+    assert(byQ("b").map(_.getLong(1)).sorted.toSeq == Seq(1L, 4L))
   }
 
   test("query terms are lowercased and deduplicated") {
