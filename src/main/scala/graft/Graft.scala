@@ -335,6 +335,11 @@ object Graft {
       numFiles: Int): Unit =
     extra.Layout.writeClustered(df, path, cols, numFiles)
 
+  /** Z-order clustered write: multi-dimensional file skipping. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int, bitsPerDim: Int = 8): Unit =
+    extra.Layout.writeZOrdered(df, path, cols, numFiles, bitsPerDim)
+
   /** Bin-pack micro-batch shards into target-sized files. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
       targetFileBytes: Long = 128L << 20): (Int, Int) =

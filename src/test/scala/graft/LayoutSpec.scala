@@ -31,6 +31,43 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("writeZOrdered: per-file ranges are narrow on BOTH dimensions; " +
+      "a 1-D clustered write leaves the second dimension full-width") {
+    // 64x64 uniform grid: every (x, y) combination once
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("x", col("id") % 64)
+      .withColumn("y", floor(col("id") / 64).cast("long"))
+
+    def avgWidths(dir: String): (Double, Double) = {
+      val files = spark.read.parquet(dir).inputFiles
+      val w = files.map { f =>
+        val s = spark.read.parquet(f)
+          .agg(min("x"), max("x"), min("y"), max("y")).head()
+        (s.getLong(1) - s.getLong(0) + 1.0,
+          s.getLong(3) - s.getLong(2) + 1.0)
+      }
+      (w.map(_._1).sum / w.length, w.map(_._2).sum / w.length)
+    }
+
+    val zdir = Files.createTempDirectory("layout_z").toString
+    Layout.writeZOrdered(df, zdir, Seq("x", "y"), numFiles = 16,
+      bitsPerDim = 6)
+    val (zx, zy) = avgWidths(zdir)
+    // 16 files over a 64x64 Z-curve = 16x16 cells per file
+    assert(zx <= 24 && zy <= 24, s"z-order widths x=$zx y=$zy")
+
+    val cdir = Files.createTempDirectory("layout_1d").toString
+    Layout.writeClustered(df, cdir, Seq(col("x")), numFiles = 16)
+    val (_, cy) = avgWidths(cdir)
+    assert(cy >= 60, s"1-D clustering should leave y full-width, got $cy")
+
+    // round trip: nothing lost
+    assert(spark.read.parquet(zdir).count() == 4096)
+    assert(spark.read.parquet(zdir)
+      .agg(sum("x"), sum("y")).head().toSeq ==
+      df.agg(sum("x"), sum("y")).head().toSeq)
+  }
+
   test("compact: micro-batch shards collapse, rows and values preserved") {
     val src = Files.createTempDirectory("layout_src").toString
     val dst = Files.createTempDirectory("layout_dst").toString + "/out"
