@@ -108,4 +108,38 @@ class GraftFacadeSpec extends SparkSpec {
     val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
     assert(Graft.pagerank(edges, "src", "dst", iters = 2).count() == 2)
   }
+
+  test("facade: statistics + quality + multi-query retrieval surface") {
+    val ev = graft.model.Tables.load(spark, sfDir, "events")
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    assert(Graft.welchTTest(ev, "event_type", "variant", "value")
+      .count() > 0)
+    assert(Graft.olsTrend(ev, "event_type", "ts", "value").count() > 0)
+    assert(Graft.autocorrelation(ev, "event_type", "ts", "value")
+      .count() > 0)
+    assert(Graft.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).count() == 2)
+    assert(Graft.cohortRetention(ev, "user_id", "ts").count() > 0)
+    assert(Graft.categoryEntropy(ev, "user_id", "event_type")
+      .count() > 0)
+    assert(Graft.histogram(ev, "event_type", "value").count() > 0)
+    assert(Graft.exactQuantiles(ev, "event_type", "value", Seq(0.5))
+      .count() > 0)
+    assert(Graft.anomalyMadApprox(ev, "event_type", "value").count() > 0)
+    val diff = Graft.snapshotDiff(docs, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", Seq("text"))
+    assert(diff.filter(col("status") === "removed").count() > 0)
+    val report = Graft.dataQualityReport(Seq(
+      graft.extra.Quality.duplicateKeys(docs, Seq("doc_id"), "dup_docs")))
+    assert(report.collect().head.getLong(1) == 0L)
+    val queries = Seq(("q", "spark")).toDF("qid", "qtext")
+    assert(Graft.bm25All(docs, "doc_id", "text", queries, "qid", "qtext",
+      topK = 3).count() <= 3)
+    val zdir = java.nio.file.Files.createTempDirectory("fz").toString
+    Graft.writeZOrdered(ev.select("user_id", "value")
+      .withColumn("user_id", col("user_id").cast("double")),
+      zdir, Seq("user_id", "value"), numFiles = 4)
+    assert(spark.read.parquet(zdir).count() == ev.count())
+  }
 }
