@@ -492,4 +492,11 @@ object Graft {
   /** Union declarative data-quality checks into one report. */
   def dataQualityReport(checks: Seq[extra.Quality.Check]): DataFrame =
     extra.Quality.checkAll(checks)
+
+  /** Fuzzy join: trigram-blocked Levenshtein record linkage. */
+  def fuzzyJoin(left: DataFrame, leftKey: String, leftText: String,
+      right: DataFrame, rightKey: String, rightText: String,
+      maxDist: Int, maxGramDf: Option[Long] = None): DataFrame =
+    extra.Fuzzy.fuzzyJoin(left, leftKey, leftText, right, rightKey,
+      rightText, maxDist, maxGramDf = maxGramDf)
 }

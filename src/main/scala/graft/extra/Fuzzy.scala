@@ -1,0 +1,73 @@
+package graft.extra
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: approximate string matching between two keyed
+  * tables — the record-linkage primitive (supplier name vs invoice
+  * name, product title vs listing title). Same philosophy as the
+  * near-dup family: candidates come from a BLOCKING equijoin (shared
+  * character n-gram), the expensive exact measure (Levenshtein) runs
+  * only on the candidate pairs, never all-pairs.
+  */
+object Fuzzy {
+
+  /** Character n-grams of a string column, distinct. Strings shorter
+    * than `n` produce no grams (and therefore no candidates — callers
+    * matching very short keys should lower `n`).
+    */
+  def charGrams(text: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(0))),
+      i => text.substr(i, lit(n))))
+
+  /** Fuzzy join: pairs (left, right) with `levenshtein ≤ maxDist`,
+    * candidates blocked on shared character n-grams. The blocking is
+    * the standard recall heuristic (strings within k edits share a
+    * gram unless shorter than ~k·n); the verify step is exact, so
+    * precision is exact. `maxGramDf` (optional) drops grams appearing
+    * in more than that many DISTINCT left/right keys before the
+    * candidate join — the hot-bucket cap that keeps one stopword-gram
+    * from turning the equijoin quadratic at corpus scale (same rule as
+    * the LSH bucket cap; dropped grams only cost recall for pairs
+    * whose ONLY shared gram was the hot one).
+    *
+    * Scale shape: two explode-projections, one keyed equijoin on gram,
+    * a distinct on (left key, right key), and the Levenshtein verify
+    * on candidates only. Self-pairs (same key both sides) are kept —
+    * callers diffing a table against a corrupted/evolved version of
+    * itself usually want them; filter afterwards if not.
+    *
+    * Output: leftKey, rightKey, `dist` (≤ maxDist).
+    */
+  def fuzzyJoin(left: DataFrame, leftKey: String, leftText: String,
+      right: DataFrame, rightKey: String, rightText: String,
+      maxDist: Int, n: Int = 3,
+      maxGramDf: Option[Long] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val lg = left.select(col(leftKey).as("__lk"),
+        col(leftText).as("__lt"))
+      .withColumn("__g", explode(charGrams(col("__lt"), n)))
+    val rg = right.select(col(rightKey).as("__rk"),
+        col(rightText).as("__rt"))
+      .withColumn("__g", explode(charGrams(col("__rt"), n)))
+    val (lgc, rgc) = maxGramDf match {
+      case Some(cap) =>
+        val hot = lg.select(col("__g"), col("__lk"))
+          .union(rg.select(col("__g"), col("__rk")))
+          .groupBy("__g").agg(count_distinct(col("__lk")).as("__df"))
+          .filter(col("__df") > cap)
+          .select("__g")
+        (lg.join(broadcast(hot), Seq("__g"), "left_anti"),
+          rg.join(broadcast(hot), Seq("__g"), "left_anti"))
+      case None => (lg, rg)
+    }
+    lgc.join(rgc, "__g")
+      .select("__lk", "__lt", "__rk", "__rt").distinct()
+      .withColumn("dist", levenshtein(col("__lt"), col("__rt")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__lk").as(leftKey + "_l"),
+        col("__rk").as(rightKey + "_r"), col("dist"))
+  }
+}

@@ -669,7 +669,49 @@ object DedupQueriesImpl {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  // ---- fuzzy_match --------------------------------------------------
+
+  /** Entity resolution: distinct part names fuzzy-joined against a
+    * deterministically corrupted copy (one character replaced with '#'
+    * at a length-derived position) — trigram blocking + exact
+    * Levenshtein verify, dist ≤ 2. See [[graft.extra.Fuzzy.fuzzyJoin]].
+    */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val names = Tables.load(s, dir, "part")
+      .select(col("p_name").as("name")).distinct()
+    val pos = (length(col("name")) % 5) + 1
+    val corrupted = names.select(col("name").as("src"),
+      concat(col("name").substr(lit(1), pos - lit(1)), lit("#"),
+        col("name").substr(pos + lit(1), length(col("name"))))
+        .as("ctext"))
+    graft.extra.Fuzzy.fuzzyJoin(
+        names, "name", "name", corrupted, "src", "ctext", maxDist = 2)
+      .orderBy("name_l", "src_r")
+  }
+
+  private val fuzzyOracle =
+    """WITH lnames AS (SELECT DISTINCT p_name AS name FROM part),
+      |r AS (SELECT name AS src,
+      |  substr(name, 1, (length(name) % 5 + 1) - 1) || '#' ||
+      |  substr(name, (length(name) % 5 + 1) + 1) AS ctext FROM lnames),
+      |lg AS (SELECT name, unnest(list_distinct(
+      |  [substr(name, i, 3) for i in range(1, length(name) - 1)])) AS g
+      |  FROM lnames),
+      |rg AS (SELECT src, ctext, unnest(list_distinct(
+      |  [substr(ctext, i, 3) for i in range(1, length(ctext) - 1)])) AS g
+      |  FROM r),
+      |cand AS (SELECT DISTINCT lg.name, rg.src, rg.ctext
+      |  FROM lg JOIN rg USING (g))
+      |SELECT name AS name_l, src AS src_r,
+      |  CAST(levenshtein(name, ctext) AS INT) AS dist
+      |FROM cand WHERE levenshtein(name, ctext) <= 2
+      |ORDER BY name_l, src_r""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("fuzzy_match",
+      "entity resolution: trigram-blocked Levenshtein join (dist<=2)",
+      fuzzyMatch, Some(fuzzyOracle)),
     QueryDef("mix_domains",
       "weighted per-domain epoch mixing (2.5x/1.5x/0.25x rates, hash-gated)",
       mixDomains, Some(mixDomainsOracle)),
