@@ -266,6 +266,14 @@ class PlanShapeSpec extends SparkSpec {
       rc.take(1500))
   }
 
+  test("fuzzy_match: candidates ride the gram equijoin — never a " +
+      "nested-loop over the name pairs") {
+    val plan = executedPlan("fuzzy_match")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("Join") && plan.contains("__g"), plan.take(2000))
+  }
+
   test("pagerank: every iteration joins keyed or broadcast — no " +
       "cartesian/nested-loop anywhere in the materialized chain") {
     val plans = allExecutedPlans("pagerank")
