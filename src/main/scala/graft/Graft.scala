@@ -397,6 +397,13 @@ object Graft {
       valCol: String, bucket: String = "hour"): DataFrame =
     extra.Analytics.pairCorrelation(df, key, tsCol, valCol, bucket)
 
+  /** Rolling windowed correlation for a list of key pairs. */
+  def rollingCorrelation(df: DataFrame, key: String, tsCol: String,
+      valCol: String, keyPairs: Seq[(String, String)],
+      windowN: Int = 24): DataFrame =
+    extra.Analytics.rollingCorrelation(df, key, tsCol, valCol, keyPairs,
+      windowN = windowN)
+
   /** Fixed-grid LOCF resampling with gap flags. */
   def gapFill(df: DataFrame, key: String, tsCol: String, valCol: String,
       tieCol: String, stepUnit: String = "hour"): DataFrame =
