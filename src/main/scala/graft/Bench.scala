@@ -7,19 +7,22 @@ import org.apache.spark.sql.SparkSession
   * Prints TWO JSON lines — detail first, compact metric line LAST:
   *
   * {{{
-  * {"metric":"detail","spreads":{name:[minSec,medianSec,maxSec],…},
-  *  "failures":{name:error,…}}
-  * {"metric":"total","value":S,"unit":"sec","queries":{name:medianSec,…},
+  * {"metric":"detail","queries":{name:medianSec,…},
+  *  "spreads":{name:[minSec,medianSec,maxSec],…},"failures":{name:error,…}}
+  * {"metric":"total","value":S,"unit":"sec",
   *  "sf":dir,"n":3,"n_queries":N,"n_ok":N,"n_failures":0,
   *  "streaming":{…},"streaming_curation":{…}}
   * }}}
   *
-  * The driver captures only a ~4 KB stdout TAIL: round 6's single fat
-  * line (full-precision spreads inline) overflowed it and the artifact
-  * lost its own head, `"value"` included (`parsed: null`). Hence the
-  * split — the LAST line is the parseable contract object (queries map
-  * rounded to 3 decimals ≈ 1.6 KB, well under the tail), spreads ride
-  * one line earlier, best-effort.
+  * The driver captures only a ~2 KB stdout TAIL (measured empirically:
+  * BENCH_r06..r08 each cut at ~2,000 bytes, NOT the 4 KB previously
+  * assumed): rounds 6-8 all lost the summary line's head, `"value"`
+  * included (`parsed: null`), because the 116-entry `"queries"` map made
+  * the final line ~3 KB. Hence the strict split — the LAST line is the
+  * compact contract object (~300-600 bytes, fits any plausible tail) and
+  * carries NO per-query map; per-query medians and spreads ride the
+  * detail line one line earlier, best-effort (may truncate from the
+  * front, which is fine — the contract line must never).
   *
   * Noise robustness: each query runs `n` (default 3) interleaved passes
   * and reports the per-query MEDIAN — single-pass numbers on a shared
@@ -160,19 +163,26 @@ object Bench {
     val curJson = streamingCuration
       .map(s => s""","streaming_curation":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
-    // displaced the metric line). The driver keeps only a ~4 KB stdout
-    // TAIL, and round 6's single fat line overflowed it — losing its
-    // own head, including the total ("parsed": null). So: full
-    // per-query detail FIRST (best-effort; may be truncated from the
-    // front), compact summary object LAST — the final line must always
-    // be a complete, parseable JSON object.
+    // displaced the metric line). The driver keeps only a ~2 KB stdout
+    // TAIL (r6-r8 artifacts each cut at ~2,000 bytes), so the final line
+    // carries NO per-query map: per-query medians + spreads go on the
+    // detail line FIRST (best-effort; may be truncated from the front),
+    // compact summary object LAST — the final line must always be a
+    // complete, parseable JSON object well under the tail.
     spark.stop()
-    println(s"""{"metric":"detail","spreads":$spreads,"failures":$fs}""")
-    println(s"""{"metric":"total","value":${rnd(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":${jstr(sfDir)},"n":$iters,""" +
+    println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
+      s""""failures":$fs}""")
+    val summary = s"""{"metric":"total","value":${rnd(total)},""" +
+      s""""unit":"sec","sf":${jstr(sfDir)},"n":$iters,""" +
       s""""n_queries":${medians.size},""" +
       s""""n_ok":${ok.size},"n_failures":${failures.size}""" +
-      s"""$streamJson$curJson}""")
+      s"""$streamJson$curJson}"""
+    // Hard guard: the contract line must survive ANY tail cut ≥1 KB. If
+    // a future edit fattens it past that, fail loudly at bench time (the
+    // loss is otherwise invisible until the next round's artifact).
+    require(summary.length <= 1024,
+      s"bench summary line ${summary.length}B exceeds 1KB tail budget")
+    println(summary)
     System.out.flush()
   }
 }
