@@ -427,12 +427,17 @@ object Analytics {
     val lat = round(sum((unix_micros(col("t")) - unix_micros(col("pt")))
       .cast(DecimalType(20, 0))).cast("double") /
       count(lit(1)) / 1000000.0, 6)
+    // Order by the NUMERIC stage index, not the string label: with 10+
+    // stages lexicographic label order breaks ("10_x" < "2_y"). The
+    // label keeps its unpadded display form; the index column is
+    // dropped after the sort (a projection preserves the sort order).
     frames.zipWithIndex.map { case (f, i) =>
       val latency = if (i == 0) lit(null).cast("double") else lat
       f.agg(count(lit(1)).as("n_users"), latency.as("avg_step_seconds"))
-        .select(lit(s"${i + 1}_${stages(i)}").as("stage"),
+        .select(lit(i + 1).as("__stage_idx"),
+          lit(s"${i + 1}_${stages(i)}").as("stage"),
           col("n_users"), col("avg_step_seconds"))
-    }.reduce(_.unionByName(_)).orderBy("stage")
+    }.reduce(_.unionByName(_)).orderBy("__stage_idx").drop("__stage_idx")
   }
 
   /** Cohort retention triangle: users grouped by first-seen day,

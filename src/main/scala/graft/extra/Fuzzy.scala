@@ -13,14 +13,25 @@ import org.apache.spark.sql.functions._
 object Fuzzy {
 
   /** Character n-grams of a string column, distinct. Strings shorter
-    * than `n` produce no grams (and therefore no candidates — callers
-    * matching very short keys should lower `n`).
+    * than `n` (and NULLs) produce the EMPTY array — no grams, therefore
+    * no candidates; callers matching very short keys should lower `n`.
+    *
+    * The `length >= n` guard is load-bearing, not cosmetic: Spark's
+    * `sequence(1, 0)` evaluates to the DESCENDING array `[1, 0]`, so an
+    * unguarded version emits the whole short string (or `""` for empty
+    * strings) as a "gram". Every empty string would then share the `""`
+    * gram — one uncapped hot block pairing ALL empty strings, exactly
+    * the quadratic blowup the blocking design exists to avoid — and the
+    * semantics would diverge from a SQL oracle's empty
+    * `range(1, length-n+1)`.
     */
   def charGrams(text: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(0))),
-      i => text.substr(i, lit(n))))
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Fuzzy join: pairs (left, right) with `levenshtein ≤ maxDist`,
     * candidates blocked on shared character n-grams. The blocking is
@@ -54,9 +65,18 @@ object Fuzzy {
       .withColumn("__g", explode(charGrams(col("__rt"), n)))
     val (lgc, rgc) = maxGramDf match {
       case Some(cap) =>
-        val hot = lg.select(col("__g"), col("__lk"))
-          .union(rg.select(col("__g"), col("__rk")))
-          .groupBy("__g").agg(count_distinct(col("__lk")).as("__df"))
+        // df = distinct (side, key) pairs: the side tag keeps a left key
+        // and a right key with the SAME value from collapsing into one —
+        // untagged, a gram could evade the cap with up to 2× the
+        // intended df, and the cap is the quadratic-blowup guard, so it
+        // must be tight. Keys cast to string so both sides union cleanly
+        // regardless of key type.
+        val hot = lg.select(col("__g"), lit("l").as("__side"),
+            col("__lk").cast("string").as("__key"))
+          .union(rg.select(col("__g"), lit("r").as("__side"),
+            col("__rk").cast("string").as("__key")))
+          .groupBy("__g")
+          .agg(count_distinct(col("__side"), col("__key")).as("__df"))
           .filter(col("__df") > cap)
           .select("__g")
         (lg.join(broadcast(hot), Seq("__g"), "left_anti"),

@@ -66,6 +66,7 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .transform(Dedup.materialize)
     val n = nodes.count() // constant-size driver scalar (one long)
+    require(n > 0, "pagerank: edges must be non-empty (no nodes found)")
     val base = (Scale * (100 - dampingPct) / 100) / n
 
     var ranks = nodes.withColumn("r", lit(Scale / n))

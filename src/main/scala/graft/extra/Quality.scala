@@ -56,8 +56,10 @@ object Quality {
   def rowChecks(df: DataFrame,
       predicates: Seq[(String, org.apache.spark.sql.Column)]): Seq[Check] =
     predicates.map { case (name, pred) =>
+      // coalesce: sum() over an EMPTY frame is NULL, not 0 — an empty
+      // table has zero violations, and duplicateKeys already reports 0.
       Check(name, df.agg(
-        sum(when(pred, 1L).otherwise(0L)).as("n")))
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as("n")))
     }
 
   /** Duplicate-key check: rows beyond the first per key. */

@@ -259,6 +259,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(byStage("3_buy") == ((1L, Some(3600.0))))
   }
 
+  test("funnel: 10+ stages come back in NUMERIC stage order, not " +
+      "lexicographic label order") {
+    // "10_s10" sorts lexicographically before "2_s2"; the output must
+    // still run 1..12 because ordering is by the numeric stage index.
+    val stages = (1 to 12).map(i => s"s$i")
+    val rows = (1 to 12).flatMap { i =>
+      // user 1 passes every stage in order; user 2 stops after s3
+      Seq((1L, s"s$i", ts(1, i))) ++
+        (if (i <= 3) Seq((2L, s"s$i", ts(1, i))) else Nil)
+    }.toDF("uid", "etype", "ts")
+    val out = Analytics.funnel(rows, "uid", "ts", "etype", stages)
+    assert(out.columns.toSeq ==
+      Seq("stage", "n_users", "avg_step_seconds"))
+    val labels = out.collect().map(_.getString(0)).toSeq
+    assert(labels == (1 to 12).map(i => s"${i}_s$i"),
+      s"stage order must be numeric, got $labels")
+    val users = out.collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(users == Seq(2L, 2L, 2L) ++ Seq.fill(9)(1L))
+  }
+
   test("cohortRetention: offsets count distinct active users from the " +
       "first-seen day") {
     val rows = Seq(

@@ -35,6 +35,39 @@ class FuzzySpec extends SparkSpec {
       maxDist = 2).count() == 0)
   }
 
+  test("strings shorter than n produce the EMPTY gram array — " +
+      "identical short strings and empty strings never pair") {
+    // regression: sequence(1, 0) is the DESCENDING [1,0] in Spark, so
+    // an unguarded charGrams emitted the whole short string (or "") as
+    // a gram — every empty string then shared one uncapped hot block.
+    val l = Seq((1L, "ab"), (2L, ""), (3L, "x")).toDF("id", "name")
+    val r = Seq((10L, "ab"), (20L, ""), (30L, "x")).toDF("rid", "rname")
+    assert(Fuzzy.fuzzyJoin(l, "id", "name", r, "rid", "rname",
+      maxDist = 2).count() == 0)
+    // direct check: the gram column is empty (not null, not [""])
+    val grams = l.select(Fuzzy.charGrams(org.apache.spark.sql.functions
+        .col("name"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(grams.forall(_.isEmpty))
+  }
+
+  test("hot-gram cap counts (side, key) pairs: equal-valued left and " +
+      "right keys cannot collapse and let a gram evade the cap") {
+    // 4 left + 4 right keys with IDENTICAL key values 1..4; the shared
+    // grams ("xyz", "yz ") appear on all 8 (side,key) pairs -> df=8.
+    // An untagged count over the merged key column would see only 4
+    // distinct values, evade the cap of 6, and emit 16 candidates.
+    val l = (1 to 4).map(i => (i.toLong, s"xyz l$i")).toDF("id", "name")
+    val r = (1 to 4).map(i => (i.toLong, s"xyz r$i")).toDF("rid", "rname")
+    val out = Fuzzy.fuzzyJoin(l, "id", "name", r, "rid", "rname",
+      maxDist = 2, maxGramDf = Some(6))
+    assert(out.count() == 0,
+      "hot grams must be dropped when combined side-tagged df > cap")
+    // sanity: without the cap the same pairs DO match (dist 2)
+    assert(Fuzzy.fuzzyJoin(l, "id", "name", r, "rid", "rname",
+      maxDist = 2).count() == 16)
+  }
+
   test("hot-gram cap drops stopword grams but exact verify keeps " +
       "precision for the surviving candidates") {
     // every left name shares the ' th' grams via 'the'; cap kills them

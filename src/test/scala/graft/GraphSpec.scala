@@ -47,4 +47,13 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
     assert(once == again)
   }
+
+  test("empty edge frame fails fast with a clear message, not a " +
+      "divide-by-zero") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pagerank(empty, "src", "dst")
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
 }

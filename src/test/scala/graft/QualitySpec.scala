@@ -44,4 +44,14 @@ class QualitySpec extends SparkSpec {
       "nonpositive_qty" -> 1L, "null_fk" -> 0L,
       "dup_id" -> 1L, "orphan_fk" -> 1L))
   }
+
+  test("rowChecks on an EMPTY frame reports 0 violations, not NULL") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "qty")
+    val report = Quality.checkAll(
+      Quality.rowChecks(empty, Seq(
+        "nonpositive_qty" -> (col("qty") <= 0))) :+
+      Quality.duplicateKeys(empty, Seq("id"), "dup_id"))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(report == Map("nonpositive_qty" -> 0L, "dup_id" -> 0L))
+  }
 }
