@@ -199,6 +199,16 @@ object Graft {
       k: Int, iters: Int): Seq[extra.Similarity.Centroid] =
     extra.Similarity.kmeansCodebook(emb, idCol, vecCol, k, iters)
 
+  /** Train a per-subspace k-means PQ codebook (one treeAggregate pass
+    * per iteration); feed it to [[similarTopKPq]] via
+    * `Similarity.topKPq(codebook = Some(...))` or to `buildIvfPq`'s
+    * `pqCodebook` for the production index build.
+    */
+  def kmeansPqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, numCentroids: Int, iters: Int): Seq[extra.Similarity.Centroid] =
+    extra.Similarity.kmeansPqCodebook(emb, idCol, vecCol, m,
+      numCentroids, iters)
+
   /** Codegen'd dot product over float/double array columns. */
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)

@@ -219,13 +219,14 @@ object Similarity {
     */
   def topKPq(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 8, numCentroids: Int = 16,
-      candFactor: Int = 3): DataFrame = {
+      candFactor: Int = 3, codebook: Option[Seq[Centroid]] = None): DataFrame = {
     require(k >= 1 && candFactor >= 1 && m >= 1,
       s"k=$k, candFactor=$candFactor, m=$m must all be >= 1")
     val dim = probeDim(emb, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    val cents = sampleCodebook(emb, idCol, vecCol, numCentroids)
+    val cents = codebook.getOrElse(
+      sampleCodebook(emb, idCol, vecCol, numCentroids))
     if (cents.isEmpty)
       return topKBruteForce(emb, idCol, vecCol, queryPred, k)
         .withColumn("adc_d2", lit(null).cast("double"))
@@ -371,13 +372,17 @@ object Similarity {
     */
   def buildIvfPq(emb: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int = 32, m: Int = 8,
-      pqCentroids: Int = 16): Option[IvfPqIndex] = {
+      pqCentroids: Int = 16,
+      coarseCodebook: Option[Seq[Centroid]] = None,
+      pqCodebook: Option[Seq[Centroid]] = None): Option[IvfPqIndex] = {
     require(m >= 1, s"m=$m must be >= 1")
     val dim = probeDim(emb, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    val coarse = sampleCodebook(emb, idCol, vecCol, numCentroids)
-    val pqCents = sampleCodebook(emb, idCol, vecCol, pqCentroids)
+    val coarse = coarseCodebook.getOrElse(
+      sampleCodebook(emb, idCol, vecCol, numCentroids))
+    val pqCents = pqCodebook.getOrElse(
+      sampleCodebook(emb, idCol, vecCol, pqCentroids))
     if (coarse.isEmpty || pqCents.isEmpty) None
     else {
       val coded = prepare(emb, idCol, vecCol)
@@ -744,6 +749,132 @@ object Similarity {
       cents = cents.map(c => updated.getOrElse(c.cid, c))
     }
     cents
+  }
+
+  /** Per-subspace k-means (Lloyd) PQ codebook — the production PQ
+    * build path ([[sampleCodebook]] is the oracle-parity default; a
+    * trained codebook cuts quantization error, which is what ADC
+    * candidate quality — and therefore recall at fixed candFactor —
+    * depends on at production scale).
+    *
+    * Returns the STITCHED flat form every PQ consumer
+    * ([[topKPq]]/[[buildIvfPq]] via `codebook`/`pqCodebook`) already
+    * reads: entry j is a full-dim vector whose subspace-s slice
+    * `[s·sub, (s+1)·sub)` is centroid j of subspace s's independent
+    * codebook — the m codebooks ride one `Seq[Centroid]` with no new
+    * index type.
+    *
+    * Cost shape: each iteration is ONE `treeAggregate` pass over the
+    * corpus; per row the closure does m argmin scans against the
+    * broadcast codebook (m·kC·sub flops — identical work to the
+    * [[graft.functions.PqEncode]] projection) and accumulates into a
+    * per-partition `m·kC·(sub+1)` primitive double buffer (element
+    * sums + count), so shuffle volume per iteration is
+    * O(tasks·dim·kC) doubles, independent of corpus row count — the
+    * same budget as [[kmeansCodebook]].
+    *
+    * Determinism: init is [[farthestFirstInit]] over the hash-ordered
+    * sample — the same seeding as [[kmeansCodebook]], and load-bearing
+    * here too: a plain first-C sample of a skewed corpus seeds every
+    * centroid inside the dominant blob, and Lloyd can never split a
+    * far cluster once one centroid has absorbed it (the classic local
+    * minimum; measured on the KmeansSpec skewed fixture — sample-init
+    * recall never improved). Iterations sum across partitions in
+    * double, so trained codebooks are reproducible per partitioning —
+    * fine for an index build, not for cross-engine oracles (why the
+    * registered `sim_topk_pq` / `sim_topk_ivfpq` queries stay on the
+    * sample codebook). Argmin tie-break is strict-less (lowest j
+    * wins), identical to PqEncode's `ORDER BY d2, j`. Empty codes
+    * keep their previous centroid (standard Lloyd fallback).
+    */
+  def kmeansPqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, numCentroids: Int, iters: Int): Seq[Centroid] = {
+    require(m >= 1 && numCentroids > 0 && iters >= 0,
+      s"need m>=1, numCentroids>0, iters>=0; got m=$m " +
+        s"numCentroids=$numCentroids iters=$iters")
+    val dim = probeDim(emb, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val init = farthestFirstInit(
+      sampleCodebook(emb, idCol, vecCol,
+        math.max(8 * numCentroids, numCentroids)), numCentroids)
+    if (init.isEmpty) return Nil
+    val kC = init.size
+    // flat(s)(j*sub + d) = component d of centroid j in subspace s
+    var flat: Array[Array[Double]] = Array.tabulate(m)(s =>
+      Array.tabulate(kC * sub)(i => init(i / sub).v(s * sub + i % sub)))
+    if (iters > 0) {
+      // corpus widened to double ONCE and reused across iterations;
+      // rows shorter than dim (never the case for a real embedding
+      // table) zero-pad via the min guard below
+      val rows = prepare(emb, idCol, vecCol).select("v").rdd
+        .map { r =>
+          val s = r.getSeq[Number](0)
+          val v = new Array[Double](dim)
+          val n = math.min(dim, s.length)
+          var i = 0
+          while (i < n) { v(i) = s(i).doubleValue(); i += 1 }
+          v
+        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        for (_ <- 1 to iters) {
+          val sc = emb.sparkSession.sparkContext
+          val bc = sc.broadcast(flat)
+          // buffer layout: block (s*kC + j) holds sub element sums
+          // then the assigned-row count at offset sub
+          val agg = rows.treeAggregate(
+            new Array[Double](m * kC * (sub + 1)))(
+            (acc, v) => {
+              val cb = bc.value
+              var s = 0
+              while (s < m) {
+                val cbS = cb(s)
+                var best = 0
+                var bestD = Double.MaxValue
+                var j = 0
+                while (j < kC) {
+                  var d2 = 0d
+                  var d = 0
+                  while (d < sub) {
+                    val x = v(s * sub + d) - cbS(j * sub + d)
+                    d2 += x * x
+                    d += 1
+                  }
+                  if (d2 < bestD) { bestD = d2; best = j }
+                  j += 1
+                }
+                val base = (s * kC + best) * (sub + 1)
+                var d = 0
+                while (d < sub) { acc(base + d) += v(s * sub + d); d += 1 }
+                acc(base + sub) += 1.0
+                s += 1
+              }
+              acc
+            },
+            (a, b) => {
+              var i = 0
+              while (i < a.length) { a(i) += b(i); i += 1 }
+              a
+            })
+          bc.destroy()
+          flat = Array.tabulate(m) { s =>
+            val prev = flat(s)
+            Array.tabulate(kC * sub) { i =>
+              val j = i / sub
+              val d = i % sub
+              val base = (s * kC + j) * (sub + 1)
+              val n = agg(base + sub)
+              if (n > 0) agg(base + d) / n else prev(i)
+            }
+          }
+        }
+      } finally rows.unpersist(blocking = false)
+    }
+    (0 until kC).map { j =>
+      val v = Array.tabulate(dim)(i => flat(i / sub)(j * sub + i % sub))
+      Centroid(j.toLong, v, v.map(x => x * x).sum)
+    }
   }
 
   /** IVF search against a k-means-trained codebook (see
