@@ -209,6 +209,21 @@ object Graft {
     extra.Similarity.kmeansPqCodebook(emb, idCol, vecCol, m,
       numCentroids, iters)
 
+  /** Build an IVF-PQ index and persist it partitioned by posting list
+    * (build once, query many); search the result with
+    * `Similarity.searchIvfPq` — it prunes to the probed partitions.
+    */
+  def buildAndWriteAnnIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, numCentroids: Int = 32, m: Int = 8,
+      pqCentroids: Int = 16): Option[extra.Similarity.IvfPqIndex] =
+    extra.AnnIndex.buildAndWriteIvfPq(emb, idCol, vecCol, dir,
+      numCentroids, m, pqCentroids)
+
+  /** Read a persisted IVF-PQ index written by [[buildAndWriteAnnIndex]]. */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): extra.Similarity.IvfPqIndex =
+    extra.AnnIndex.readIvfPq(spark, dir)
+
   /** Codegen'd dot product over float/double array columns. */
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)

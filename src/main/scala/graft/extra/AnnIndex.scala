@@ -1,0 +1,96 @@
+package graft.extra
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the amortized 100 TB shape: the expensive
+  * per-row build (coarse list assignment + PQ code assignment) is paid
+  * ONCE and written to storage; every query batch afterwards reads
+  * `nprobe` posting-list partitions and the two tiny codebooks, never
+  * the raw corpus.
+  *
+  * Layout under `dir`:
+  *   - `codes/` — (id, v, nrm, codes) parquet, DIRECTORY-PARTITIONED
+  *     by `list_id` and sorted by `id` within each file. Partitioning
+  *     by posting list is the point: [[Similarity.searchIvfPq]] emits a
+  *     static `list_id IN (probed…)` filter, so a search plans down to
+  *     the probed partitions at file-listing time (PartitionFilters,
+  *     no DPP machinery). The float vectors ride in the same files for
+  *     the in-place shortlist re-rank; a storage-tiered deployment
+  *     would split them into a separate id-keyed table.
+  *   - `codebooks/` — (kind ∈ coarse|pq, cid, v, nrm): both codebooks,
+  *     C+K rows total — driver-held metadata, like any k-means model.
+  *   - `meta/` — one row (m, sub): the PQ geometry.
+  *
+  * Persisted-search ≡ in-memory-search bit-for-bit: [[readIvfPq]]
+  * rebuilds the exact [[Similarity.IvfPqIndex]] (codebooks collected
+  * in cid order, `list_id` cast back to long — parquet partition
+  * columns read back as int), so the search path is literally the same
+  * code. AnnIndexSpec pins both the equivalence and the pruning.
+  */
+object AnnIndex {
+
+  /** Write a built index. One shuffle (hash on `list_id`) so each
+    * posting list lands in one task → one file per list; lists are
+    * sorted by `id` within files for stable reads.
+    */
+  def writeIvfPq(idx: Similarity.IvfPqIndex, dir: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = idx.coded.sparkSession
+    import spark.implicits._
+    idx.coded
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("id"))
+      .write.mode(mode).partitionBy("list_id")
+      .parquet(s"$dir/codes")
+    // `pos` persists the SEQUENCE ORDER, which is load-bearing: PQ
+    // codes index centroids by position (codes/dtable entry j = j-th
+    // element), and the sample codebook's order is hash-order, not cid
+    // order — sorting on read-back would scramble every ADC lookup.
+    val cb =
+      idx.coarse.zipWithIndex.map { case (c, i) =>
+        ("coarse", i, c.cid, c.v, c.nrm) } ++
+        idx.pq.zipWithIndex.map { case (c, i) =>
+          ("pq", i, c.cid, c.v, c.nrm) }
+    cb.toDF("kind", "pos", "cid", "v", "nrm")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/codebooks")
+    Seq((idx.m, idx.sub)).toDF("m", "sub")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+  }
+
+  /** Read a persisted index back as a lazily-scanned
+    * [[Similarity.IvfPqIndex]]: codebooks + meta are collected (tiny),
+    * `codes/` stays a parquet scan that [[Similarity.searchIvfPq]]
+    * prunes by partition.
+    */
+  def readIvfPq(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    val cbRows = spark.read.parquet(s"$dir/codebooks")
+      .select("kind", "pos", "cid", "v", "nrm").collect()
+      .map { r =>
+        (r.getString(0), r.getInt(1), Similarity.Centroid(r.getLong(2),
+          r.getSeq[Double](3).toArray, r.getDouble(4)))
+      }
+    def kind(k: String) =
+      cbRows.collect { case (`k`, pos, c) => (pos, c) }
+        .sortBy(_._1).map(_._2).toSeq
+    val coded = spark.read.parquet(s"$dir/codes")
+      .withColumn("list_id", col("list_id").cast("long"))
+    Similarity.IvfPqIndex(kind("coarse"), kind("pq"), m, sub, coded)
+  }
+
+  /** Build-and-persist in one call; returns the read-back index. */
+  def buildAndWriteIvfPq(emb: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, dir: String,
+      numCentroids: Int = 32, m: Int = 8, pqCentroids: Int = 16,
+      coarseCodebook: Option[Seq[Similarity.Centroid]] = None,
+      pqCodebook: Option[Seq[Similarity.Centroid]] = None)
+      : Option[Similarity.IvfPqIndex] =
+    Similarity.buildIvfPq(emb, idCol, vecCol, numCentroids, m,
+        pqCentroids, coarseCodebook, pqCodebook)
+      .map { idx =>
+        writeIvfPq(idx, dir)
+        readIvfPq(emb.sparkSession, dir)
+      }
+}

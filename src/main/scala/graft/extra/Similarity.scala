@@ -455,7 +455,18 @@ object Similarity {
     val probeFrame = probeRows
       .map { case (qid, lid) => (qid, lid, dtableByQ(qid)) }
       .toDF("query_id", "list_id", "dtable")
-    val scored = idx.coded.select("id", "list_id", "codes")
+    // STATIC posting-list pruning: the probed list ids are already
+    // driver-side, so the scan carries an explicit `list_id IN (…)`
+    // filter. Semantically redundant with the equijoin (the join only
+    // matches probed lists anyway), but against a PERSISTED index laid
+    // out by list_id ([[AnnIndex.writeIvfPq]]) this is what turns "scan
+    // the corpus, join drops the rest" into "read nprobe·Q partitions,
+    // never list the corpus" — partition pruning fires at planning
+    // time, no DPP needed. The float fetch-back prunes with the same
+    // set (every shortlist row lives in a probed list by construction).
+    val probedLists = probeRows.map(_._2).distinct
+    val probedCoded = idx.coded.filter(col("list_id").isin(probedLists: _*))
+    val scored = probedCoded.select("id", "list_id", "codes")
       .join(broadcast(probeFrame), Seq("list_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("adc_d2", pqAdc(idx.m, idx.pq.size))
@@ -468,7 +479,7 @@ object Similarity {
       (qid, v.map(_.toFloat), nrm)
     }.toDF("query_id", "q_v", "q_nrm")
     val rer = cand
-      .join(idx.coded.select("id", "v", "nrm"), Seq("id"))
+      .join(probedCoded.select("id", "v", "nrm"), Seq("id"))
       .join(broadcast(qv), Seq("query_id"))
       .withColumn("cosine",
         round(dot(col("v"), col("q_v")) /

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.{AnnIndex, Similarity}
+
+/** Persisted IVF-PQ index: write → read → search must be bit-identical
+  * to searching the in-memory build, and the persisted layout must
+  * actually prune — a search reads the probed posting-list partitions,
+  * not the corpus.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_annidx_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def searchRows(idx: Similarity.IvfPqIndex) =
+    Similarity.searchIvfPq(idx, col("id") < 5, k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+
+  test("persisted search is bit-identical to in-memory search") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val mem = Similarity.buildIvfPq(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 8, pqCentroids = 8).get
+    val dir = tmpDir()
+    AnnIndex.writeIvfPq(mem, dir)
+    val disk = AnnIndex.readIvfPq(spark, dir)
+    // codebooks + geometry round-trip exactly
+    assert(disk.m == mem.m && disk.sub == mem.sub)
+    assert(disk.coarse.map(c => (c.cid, c.v.toSeq, c.nrm)) ==
+      mem.coarse.map(c => (c.cid, c.v.toSeq, c.nrm)))
+    assert(disk.pq.map(c => (c.cid, c.v.toSeq, c.nrm)) ==
+      mem.pq.map(c => (c.cid, c.v.toSeq, c.nrm)))
+    val a = searchRows(mem)
+    val b = searchRows(disk)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("a persisted search prunes to the probed posting-list " +
+      "partitions at planning time") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    val disk = AnnIndex.buildAndWriteIvfPq(emb, "vec_id", "embedding",
+      dir, numCentroids = 8, m = 8, pqCentroids = 8).get
+    val out = Similarity.searchIvfPq(disk, col("id") < 5, k = 5,
+      nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the static list_id IN (…) filter must reach the partitioned scan
+    // as a PartitionFilter (planning-time pruning, not a post-scan
+    // Filter node)
+    val pf = plan.split("PartitionFilters: \\[").toSeq
+    assert(pf.size > 1, s"no PartitionFilters in plan:\n${plan.take(3000)}")
+    assert(pf.exists(s => s.takeWhile(_ != ']').contains("list_id")),
+      s"list_id not in PartitionFilters:\n${plan.take(3000)}")
+    assert(out.count() > 0)
+  }
+
+  test("buildAndWriteIvfPq composes with a trained PQ codebook") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val trained = Similarity.kmeansPqCodebook(emb, "vec_id", "embedding",
+      m = 8, numCentroids = 8, iters = 2)
+    val dir = tmpDir()
+    val disk = AnnIndex.buildAndWriteIvfPq(emb, "vec_id", "embedding",
+      dir, numCentroids = 8, m = 8, pqCentroids = 8,
+      pqCodebook = Some(trained)).get
+    // the trained codebook survives the round trip
+    assert(disk.pq.map(_.v.toSeq) == trained.map(_.v.toSeq))
+    assert(searchRows(disk).nonEmpty)
+  }
+}
