@@ -137,4 +137,45 @@ object Retrieval {
           .drop("__rank"))
     } finally tf.unpersist(blocking = false)
   }
+
+  /** Reciprocal-rank fusion of the two retrieval arms — sparse
+    * ([[bm25SearchAll]]) and dense ([[Similarity]] top-k) — over a
+    * shared query frame: fused score = Σ_arm 1/(rrfK + rank_arm), the
+    * standard rank-only fusion (robust to the arms' incomparable score
+    * scales). Each input must carry (queryIdCol, idCol, `rank`) with
+    * 1-based ranks; an id absent from one arm contributes 0 for it.
+    *
+    * Engine-exact by construction: ranks are integers, each reciprocal
+    * is one IEEE double division, the sum is two terms (fixed order),
+    * rounded to 6 dp; ties break by ascending id. So the fusion
+    * oracles exactly even though the arms' scores are floats.
+    *
+    * Scale shape: both arms are ALREADY per-query top-k frames (Q·k
+    * rows, corpus-independent), so the full-outer equijoin on
+    * (query, id) and the per-query rank window are constant-bounded —
+    * fusion cost never grows with the corpus.
+    *
+    * Output: queryIdCol, `rank`, idCol, `rrf_score`, `sparse_rank`,
+    * `dense_rank` (arm ranks NULL where the arm missed the id).
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, queryIdCol: String,
+      idCol: String, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val s = sparse.select(col(queryIdCol), col(idCol),
+      col("rank").as("sparse_rank"))
+    val d = dense.select(col(queryIdCol), col(idCol),
+      col("rank").as("dense_rank"))
+    val fused = s.join(d, Seq(queryIdCol, idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
+        6))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryIdCol), col("rank"), col(idCol),
+        col("rrf_score"), col("sparse_rank"), col("dense_rank"))
+  }
 }

@@ -677,7 +677,105 @@ object TextQueriesImpl {
        |SELECT query_id, doc_id, n_hits, score FROM r WHERE rk <= 5
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
 
+  // ---- hybrid_topk --------------------------------------------------
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the sparse arm (BM25
+    * more-like-this, query text = the query documents' own text) and
+    * the dense arm (exact cosine top-k over the embeddings table, same
+    * id space) for query docs 0-2 — see
+    * [[graft.extra.Retrieval.rrfFuse]]. Integer rank arithmetic makes
+    * the fusion engine-exact even though both arms score in floats.
+    */
+  def hybridTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val queries = d.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = graft.extra.Retrieval.bm25SearchAll(d, "doc_id", "text",
+        queries, "query_id", "query_text", topK = 20)
+      .withColumn("rank", row_number().over(ws))
+    val dense = graft.extra.Similarity.topKBruteForce(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("id") < 3, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    graft.extra.Retrieval.rrfFuse(sparse, dense, "query_id", "doc_id",
+        rrfK = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private val hybridTopKOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |consts AS (SELECT
+       |  CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |  CAST((SELECT sum(dl) FROM dl) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |q AS (SELECT doc_id AS query_id, text AS query_text
+       |  FROM documents WHERE doc_id < 3),
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |  SELECT query_id, unnest(list_filter(string_split(
+       |    lower(query_text), ' '), x -> x <> '')) AS term FROM q)),
+       |tfq AS (SELECT tf.* FROM tf
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)),
+       |idf AS (SELECT term,
+       |  ln(((SELECT n FROM consts) - CAST(count(*) AS DOUBLE) + 0.5)
+       |     / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+       |  FROM tfq GROUP BY term),
+       |sc AS (SELECT qt.query_id, tfq.doc_id,
+       |  round(CAST(sum(CAST(round(idf.idf
+       |    * ((CAST(tfq.tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tfq.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |       + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |                 / (SELECT avgdl FROM consts))))), 12)
+       |       AS DECIMAL(30,12))) AS DOUBLE), 6) AS score
+       |  FROM tfq JOIN qt USING (term) JOIN idf USING (term)
+       |  JOIN dl USING (doc_id)
+       |  GROUP BY 1, 2),
+       |sa AS (SELECT query_id, doc_id, srank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS srank FROM sc)
+       |  WHERE srank <= 20),
+       |e AS (SELECT vec_id, embedding,
+       |  list_sum(list_transform(range(0, len(embedding)),
+       |    i -> CAST(embedding[i+1] AS DOUBLE)
+       |         * CAST(embedding[i+1] AS DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |dsc AS (
+       |  SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+       |    round(list_sum(list_transform(range(0, len(c.embedding)),
+       |      i -> CAST(c.embedding[i+1] AS DOUBLE)
+       |           * CAST(qe.embedding[i+1] AS DOUBLE)))
+       |      / (sqrt(c.nrm) * sqrt(qe.nrm)), 6) AS cosine
+       |  FROM e c JOIN e qe ON qe.vec_id < 3 AND c.vec_id <> qe.vec_id),
+       |da AS (SELECT query_id, doc_id, drank FROM (
+       |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS drank FROM dsc)
+       |  WHERE drank <= 20),
+       |f AS (SELECT
+       |  coalesce(sa.query_id, da.query_id) AS query_id,
+       |  coalesce(sa.doc_id, da.doc_id) AS doc_id,
+       |  sa.srank AS sparse_rank, da.drank AS dense_rank,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + sa.srank),
+       |          CAST(0.0 AS DOUBLE))
+       |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + da.drank),
+       |          CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+       |  FROM sa FULL OUTER JOIN da
+       |    ON sa.query_id = da.query_id AND sa.doc_id = da.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+       |SELECT query_id, rank, doc_id, rrf_score, sparse_rank, dense_rank
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("hybrid_topk",
+      "hybrid retrieval: RRF fusion of BM25 and dense cosine arms",
+      hybridTopK, Some(hybridTopKOracle)),
     QueryDef("bm25_multi",
       "multi-query BM25 from an arbitrary query frame (top-5/query)",
       bm25Multi, Some(bm25MultiOracle)),

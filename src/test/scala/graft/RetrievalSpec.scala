@@ -73,4 +73,33 @@ class RetrievalSpec extends SparkSpec {
     assert(a.map(r => (r.getLong(0), r.getAs[Double]("score"))).toSeq ==
       b.map(r => (r.getLong(0), r.getAs[Double]("score"))).toSeq)
   }
+
+  test("rrfFuse: hand-checked fusion — both-arm docs outrank " +
+      "single-arm docs, missing arms contribute 0, ties break by id") {
+    // query q: sparse ranks docs 1,2,3; dense ranks docs 2,3,4
+    val sparse = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val dense = Seq(("q", 2L, 1), ("q", 3L, 2), ("q", 4L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, "qid", "doc_id",
+        rrfK = 60, topK = 10)
+      .collect()
+      .sortBy(_.getInt(1))
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)), Option(r.get(5))))
+    def rrf(rs: Option[Int], rd: Option[Int]) = BigDecimal(
+      rs.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: 1/62 + 1/61; doc 3: 1/63 + 1/62; doc 1: 1/61; doc 4: 1/63
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, 2L), (2, 3L), (3, 1L), (4, 4L)))
+    assert(out.map(_._3).toSeq == Seq(
+      rrf(Some(2), Some(1)), rrf(Some(3), Some(2)),
+      rrf(Some(1), None), rrf(None, Some(3))))
+    // arm ranks surface (and are NULL where the arm missed the doc)
+    assert(out.map(t => (t._4, t._5)).toSeq == Seq(
+      (Some(2), Some(1)), (Some(3), Some(2)),
+      (Some(1), None), (None, Some(3))))
+  }
 }
