@@ -266,6 +266,91 @@ class PlanShapeSpec extends SparkSpec {
       rc.take(1500))
   }
 
+  /** Like [[allExecutedPlans]] but returning the individual plan
+    * strings, for per-segment assertions (e.g. "no global sort in the
+    * SCORING plan" — the facade's orderBy of an already-materialized
+    * top-k frame is a different, harmless segment).
+    */
+  private def allExecutedPlanList(name: String): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.queries.Registry.byName(name).run(spark, sfDir).count()
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("bm25_multi: corpus tokenized once (cached tf), idf/query side " +
+      "broadcast, per-query top-k is group-limited — no global sort " +
+      "of scored rows") {
+    val plans = allExecutedPlanList("bm25_multi")
+    val all = plans.mkString("\n----\n")
+    // tf is persisted and consumed from cache by dl, idf and scoring —
+    // remove the persist and these nodes disappear (second tokenize)
+    assert("InMemoryTableScan".r.findAllIn(all).size >= 2, all.take(2000))
+    // term-keyed lookup joins (query terms, idf) broadcast — the
+    // corpus-side tf frame never shuffles for them
+    assert("BroadcastHashJoin \\[term#\\d+\\]".r.findFirstIn(all).isDefined,
+      all.take(2000))
+    assert(!all.contains("CartesianProduct") &&
+      !all.contains("BroadcastNestedLoopJoin"), all.take(2000))
+    // the per-query rank is a group-limited window; the SCORING segment
+    // must not globally sort (the facade's orderBy of the materialized
+    // Q*k-row result is a separate segment and fine)
+    val scoring = plans.filter(_.contains("WindowGroupLimit [query_id"))
+    assert(scoring.nonEmpty, all.take(2000))
+    for (p <- scoring)
+      assert("Sort \\[[^\\]]*\\], true".r.findFirstIn(p).isEmpty,
+        s"global sort in bm25 scoring plan:\n${p.take(2000)}")
+  }
+
+  test("rolling_corr: ONE pair-keyed exchange feeds the window; the " +
+      "pair join sides broadcast") {
+    val plan = executedPlan("rolling_corr")
+    // exactly one hashpartitioning exchange on the pair key (ka, kb) —
+    // the window's; a second would mean the join re-shuffles pair rows
+    assert("Exchange hashpartitioning\\(ka#\\d+, kb#\\d+"
+      .r.findAllIn(plan).size == 1, plan.take(2000))
+    // pair assembly is broadcast-joined per-key series, never a
+    // cartesian over the pair space
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("tfidf_top_terms: corpus tokenized once — tf cache feeds both " +
+      "df and scoring; per-doc top-k is group-limited") {
+    val plans = allExecutedPlanList("tfidf_top_terms")
+    val all = plans.mkString("\n----\n")
+    // both consumers (df aggregation, scored join) read the cached tf —
+    // without the persist Catalyst re-tokenizes the corpus per branch
+    assert("InMemoryTableScan".r.findAllIn(all).size >= 2, all.take(2000))
+    val scoring = plans.filter(_.contains("WindowGroupLimit [doc_id"))
+    assert(scoring.nonEmpty, all.take(2000))
+    // scoring reads the cache, and its rank is group-limited (the only
+    // global sort is the facade's doc-ordered output of top-3 rows)
+    assert(scoring.exists(_.contains("InMemoryTableScan")),
+      all.take(2000))
+    assert(!all.contains("CartesianProduct") &&
+      !all.contains("BroadcastNestedLoopJoin"), all.take(2000))
+  }
+
   test("fuzzy_match: candidates ride the gram equijoin — never a " +
       "nested-loop over the name pairs") {
     val plan = executedPlan("fuzzy_match")
