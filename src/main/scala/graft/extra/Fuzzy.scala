@@ -69,14 +69,19 @@ object Fuzzy {
         // and a right key with the SAME value from collapsing into one —
         // untagged, a gram could evade the cap with up to 2× the
         // intended df, and the cap is the quadratic-blowup guard, so it
-        // must be tight. Keys cast to string so both sides union cleanly
-        // regardless of key type.
-        val hot = lg.select(col("__g"), lit("l").as("__side"),
-            col("__lk").cast("string").as("__key"))
-          .union(rg.select(col("__g"), lit("r").as("__side"),
-            col("__rk").cast("string").as("__key")))
+        // must be tight. The tagged pair is hashed to ONE long before
+        // the distinct: the exact-distinct shuffle then carries
+        // (gram, 8B) instead of (gram, side, full key string) — 3×
+        // lighter at corpus scale (FuzzySmoke measured the string form
+        // spilling at 10⁶ names / 5·10⁷ gram rows). A 64-bit collision
+        // undercounts a df by 1 against caps in the thousands —
+        // immaterial to a blowup threshold.
+        val hot = lg.select(col("__g"),
+            xxhash64(lit("l"), col("__lk").cast("string")).as("__sk"))
+          .union(rg.select(col("__g"),
+            xxhash64(lit("r"), col("__rk").cast("string")).as("__sk")))
           .groupBy("__g")
-          .agg(count_distinct(col("__side"), col("__key")).as("__df"))
+          .agg(count_distinct(col("__sk")).as("__df"))
           .filter(col("__df") > cap)
           .select("__g")
         (lg.join(broadcast(hot), Seq("__g"), "left_anti"),
