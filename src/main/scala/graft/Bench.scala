@@ -138,13 +138,26 @@ object Bench {
     // its throughput lived only in SCALE.md prose, so regressions in
     // the five-stage dedup path were not machine-visible round-over-
     // round). Offered rate is above single-node capacity for the same
-    // reason as above.
+    // reason as above. MEDIAN OF N SHORT PASSES (r8 verdict #3): a
+    // single pass on a contended driver read 14.4k docs/s vs 20.9k
+    // quiet — an artifact-only reader saw a regression that wasn't.
+    // Each pass already self-gates on >=3 data batches (valid:false
+    // otherwise); the reported block is the median-throughput VALID
+    // pass, so one contended pass can no longer set the round's number.
     val streamingCuration =
       if (benchStream)
-        try Some(StreamBench.measureCuration(spark,
-          tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
-          secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt))
-        catch { case _: Throwable => None }
+        try {
+          val passes = (1 to
+            sys.env.getOrElse("SPARK_GRAFT_CUR_PASSES", "3").toInt)
+            .map(_ => StreamBench.measureCuration(spark,
+              tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
+              secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt))
+          val pool = {
+            val valid = passes.filter(_.valid)
+            if (valid.nonEmpty) valid else passes
+          }
+          Some(pool.sortBy(_.eventsPerSec).apply(pool.size / 2))
+        } catch { case _: Throwable => None }
       else None
 
     import StreamBench.rnd
