@@ -224,6 +224,14 @@ object Graft {
       dir: String): extra.Similarity.IvfPqIndex =
     extra.AnnIndex.readIvfPq(spark, dir)
 
+  /** Incrementally append new vectors to a persisted ANN index using
+    * its frozen codebooks (one projection + one partitioned append —
+    * the corpus is never re-encoded).
+    */
+  def appendAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, emb: DataFrame, idCol: String, vecCol: String): Unit =
+    extra.AnnIndex.appendIvfPq(spark, dir, emb, idCol, vecCol)
+
   /** Codegen'd dot product over float/double array columns. */
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)

@@ -80,6 +80,35 @@ object AnnIndex {
     Similarity.IvfPqIndex(kind("coarse"), kind("pq"), m, sub, coded)
   }
 
+  /** Incrementally ingest new vectors into a persisted index WITHOUT
+    * rebuilding: encode them with the index's own FROZEN codebooks
+    * (coarse assignment + PQ codes — pure projections, the same
+    * [[Similarity.encodeIvfPq]] the build runs) and APPEND the coded
+    * rows into the partitioned `codes/` layout. This is the amortized
+    * ingest shape: a daily batch pays one projection + one
+    * partitioned append; the corpus is never re-encoded.
+    *
+    * The codebooks stay frozen by design — production practice
+    * versions the quantizer with the index (recall drifts as the data
+    * distribution moves away from the training sample; retrain =
+    * build a NEW index, not mutate this one). Appending is therefore
+    * EXACTLY equivalent to having built the index over the union with
+    * the same codebooks — AnnIndexSpec pins that equivalence
+    * bit-for-bit. Caller owns id-uniqueness across batches (same
+    * contract as every keyed table here).
+    */
+  def appendIvfPq(spark: SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String): Unit = {
+    val idx = readIvfPq(spark, dir)
+    Similarity.encodeIvfPq(emb, idCol, vecCol, idx.coarse, idx.pq,
+        idx.m, idx.sub)
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("id"))
+      .write.mode(SaveMode.Append).partitionBy("list_id")
+      .parquet(s"$dir/codes")
+  }
+
   /** Build-and-persist in one call; returns the read-back index. */
   def buildAndWriteIvfPq(emb: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String, dir: String,

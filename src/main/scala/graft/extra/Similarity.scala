@@ -384,13 +384,22 @@ object Similarity {
     val pqCents = pqCodebook.getOrElse(
       sampleCodebook(emb, idCol, vecCol, pqCentroids))
     if (coarse.isEmpty || pqCents.isEmpty) None
-    else {
-      val coded = prepare(emb, idCol, vecCol)
-        .withColumn("list_id", nearestCid(coarse, col("v"), col("nrm")))
-        .withColumn("codes", pqCodes(pqCents, m, sub))
-      Some(IvfPqIndex(coarse, pqCents, m, sub, coded))
-    }
+    else Some(IvfPqIndex(coarse, pqCents, m, sub,
+      encodeIvfPq(emb, idCol, vecCol, coarse, pqCents, m, sub)))
   }
+
+  /** The index-build projection on its own: coarse list assignment +
+    * PQ codes against GIVEN (frozen) codebooks — what an incremental
+    * ingest runs on new vectors to extend an existing index without
+    * retraining ([[AnnIndex.appendIvfPq]]). Pure projections, no join,
+    * no shuffle.
+    */
+  def encodeIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Centroid], pqCents: Seq[Centroid], m: Int,
+      sub: Int): DataFrame =
+    prepare(emb, idCol, vecCol)
+      .withColumn("list_id", nearestCid(coarse, col("v"), col("nrm")))
+      .withColumn("codes", pqCodes(pqCents, m, sub))
 
   /** Search a built index: probes + ADC scoring + exact re-rank. The
     * query side re-derives its distance table from the index's own

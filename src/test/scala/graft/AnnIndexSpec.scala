@@ -63,6 +63,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("appendIvfPq: incremental ingest ≡ full build with the same " +
+      "frozen codebooks, bit-for-bit") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    // build + persist over the FIRST batch only, then append the rest
+    val dir = tmpDir()
+    val initial = Similarity.buildIvfPq(first, "vec_id", "embedding",
+      numCentroids = 8, m = 8, pqCentroids = 8).get
+    AnnIndex.writeIvfPq(initial, dir)
+    AnnIndex.appendIvfPq(spark, dir, rest, "vec_id", "embedding")
+    val appended = AnnIndex.readIvfPq(spark, dir)
+    assert(appended.coded.count() == emb.count())
+    // reference: one-shot build over EVERYTHING with the first batch's
+    // codebooks (frozen-quantizer semantics)
+    val full = Similarity.buildIvfPq(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 8, pqCentroids = 8,
+      coarseCodebook = Some(initial.coarse),
+      pqCodebook = Some(initial.pq)).get
+    assert(searchRows(appended) == searchRows(full))
+    // new-batch vectors are actually searchable
+    val hits = Similarity.searchIvfPq(appended, col("id") >= 495,
+      k = 3, nprobe = 4).collect()
+    assert(hits.nonEmpty)
+  }
+
   test("buildAndWriteIvfPq composes with a trained PQ codebook") {
     val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
     val trained = Similarity.kmeansPqCodebook(emb, "vec_id", "embedding",
