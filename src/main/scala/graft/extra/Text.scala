@@ -200,6 +200,61 @@ object Text {
           .as("cross_entropy"))
   }
 
+  /** Per-document bigram-LM cross-entropy — one rung above
+    * [[unigramScore]] on the text-quality ladder: repetitive or
+    * scrambled text that fools unigram statistics (right words, wrong
+    * order) scores poorly against the corpus's own bigram
+    * distribution. Add-one smoothing over the corpus vocabulary:
+    * `P(w2|w1) = (c(w1 w2) + 1) / (ctx(w1) + V)` with `ctx(w1)` the
+    * count of w1-as-context (= Σ_w2 c(w1,w2), re-aggregated from the
+    * bigram counts — the raw text is scanned once) and `V` the corpus
+    * vocabulary size (one scalar).
+    *
+    * Shapes for 100 TB: bigram extraction is a pure guarded
+    * projection over the token array (the `size >= 2` guard matters —
+    * `sequence(1, 0)` is the DESCENDING `[1, 0]`); bigram counts are
+    * one keyed agg; the context re-agg reads the already-reduced
+    * bigram frame; the surprisal lookup joins doc-bigram rows to the
+    * count frame KEYED on bigram (a bigram table outgrows broadcast
+    * long before the vocabulary does — unlike [[unigramScore]]'s
+    * broadcast token table); ctx + V ride broadcasts (vocab-sized /
+    * scalar).
+    *
+    * Determinism: surprisal computed once per DISTINCT bigram,
+    * rounded to 6 dp, summed as DECIMAL(18,6) (order-independent),
+    * one double division for the mean. Docs with fewer than two
+    * tokens have no bigrams and drop from the output (inner join) —
+    * documented contract.
+    *
+    * Output: idCol, `n_bigrams`, `cross_entropy`.
+    */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = tokens(col(textCol))
+    val bgArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bg = df.select(col(idCol), explode(bgArr).as("bigram"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val ctx = bc.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c")).as("ctx"))
+    val vocab = df.select(explode(toks).as("token"))
+      .agg(count_distinct(col("token")).as("v"))
+    val table = bc
+      .join(broadcast(ctx), split(col("bigram"), " ").getItem(0) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        round(-log((col("c").cast("double") + lit(1.0)) /
+          (col("ctx").cast("double") + col("v").cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("surprisal"))
+    bg.join(table, Seq("bigram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
+          .as("cross_entropy"))
+  }
+
   /** Per-document coverage of the corpus's top-K vocabulary: the
     * fraction of a doc's tokens that fall inside the K most frequent
     * corpus tokens (ties broken by token asc — engine-independent).

@@ -458,6 +458,41 @@ object TextQueriesImpl {
        |GROUP BY x.doc_id
        |ORDER BY x.doc_id""".stripMargin
 
+  // ---- bigram_logprob ----------------------------------------------
+
+  /** Self-trained bigram LM cross-entropy per doc (add-one smoothing
+    * over the corpus vocabulary) — catches scrambled/repetitive text
+    * unigram stats miss. See [[graft.extra.Text.bigramScore]]; docs
+    * with < 2 tokens have no bigrams and drop (documented contract).
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Text.bigramScore(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val bigramLogprobOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+       |    list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])
+       |  ELSE [] END) AS bigram FROM t),
+       |bc AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+       |ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c) AS ctx
+       |  FROM bc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT token) AS v FROM
+       |  (SELECT unnest(toks) AS token FROM t)),
+       |tab AS (SELECT bigram,
+       |    CAST(round(-ln((CAST(c AS DOUBLE) + 1.0) /
+       |      (CAST(ctx AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+       |      AS DECIMAL(18,6)) AS surprisal
+       |  FROM bc JOIN ctx ON split_part(bc.bigram, ' ', 1) = ctx.w1
+       |  CROSS JOIN v)
+       |SELECT bg.doc_id, count(*) AS n_bigrams,
+       |  round(CAST(sum(tab.surprisal) AS DOUBLE) / count(*), 6)
+       |    AS cross_entropy
+       |FROM bg JOIN tab ON bg.bigram = tab.bigram
+       |GROUP BY bg.doc_id
+       |ORDER BY bg.doc_id""".stripMargin
+
   // ---- vocab_coverage ----------------------------------------------
 
   /** Fraction of each doc's tokens inside the corpus top-16 vocabulary
@@ -827,6 +862,9 @@ object TextQueriesImpl {
     QueryDef("unigram_logprob",
       "self-trained unigram LM cross-entropy per doc (perplexity proxy)",
       unigramLogprob, Some(unigramLogprobOracle)),
+    QueryDef("bigram_logprob",
+      "self-trained bigram LM cross-entropy per doc (add-one smoothing)",
+      bigramLogprob, Some(bigramLogprobOracle)),
     QueryDef("vocab_coverage",
       "per-doc fraction of tokens inside the corpus top-16 vocabulary",
       vocabCoverageQ, Some(vocabCoverageOracle)),

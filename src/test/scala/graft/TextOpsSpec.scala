@@ -73,6 +73,38 @@ class TextOpsSpec extends SparkSpec {
     assert(m(2L) > m(1L))
   }
 
+  test("bigramScore: hand-checked add-one smoothing; scrambled word " +
+      "order scores worse than fluent order; <2-token docs drop") {
+    // corpus tokens: a,b (x2), b,a, x -> vocab V=3 (the single-token
+    // doc contributes no bigrams but DOES widen the vocabulary)
+    // bigrams: "a b" c=2, "b a" c=1; ctx(a)=2, ctx(b)=1
+    // surprisal("a b") = -ln((2+1)/(2+3)) = ln(5/3) ≈ 0.510826
+    // surprisal("b a") = -ln((1+1)/(1+3)) = ln 2   ≈ 0.693147
+    val df = Seq(1L -> "a b", 2L -> "a b", 3L -> "b a", 4L -> "x")
+      .toDF("doc_id", "text")
+    val out = graft.extra.Text.bigramScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 4 has one token -> no bigrams -> dropped
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_bigrams")).toSeq == Seq(1L, 1L, 1L))
+    assert(out.map(_.getAs[Double]("cross_entropy")).toSeq ==
+      Seq(0.510826, 0.510826, 0.693147))
+    // the frequent transition scores better (lower cross-entropy)
+    assert(out(0).getAs[Double]("cross_entropy") <
+      out(2).getAs[Double]("cross_entropy"))
+  }
+
+  test("bigramScore is invariant to input partitioning") {
+    val df = (1L to 40L)
+      .map(i => i -> s"tok${i % 5} tok${(i + 1) % 5} tok${(i * 3) % 7}")
+      .toDF("doc_id", "text")
+    val a = graft.extra.Text.bigramScore(df, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.extra.Text.bigramScore(df.repartition(13), "doc_id",
+      "text").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("vocabCoverage: top-K ties break by token asc; misses count zero") {
     // counts: a=2, b=2, c=1 → top-1 is 'a' (tie with b, token asc)
     val df = Seq(1L -> "a a b", 2L -> "b c").toDF("doc_id", "text")
