@@ -230,29 +230,41 @@ object Text {
     */
   def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = tokens(col(textCol))
-    val bgArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bg = df.select(col(idCol), explode(bgArr).as("bigram"))
-    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
-    val ctx = bc.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum(col("c")).as("ctx"))
-    val vocab = df.select(explode(toks).as("token"))
-      .agg(count_distinct(col("token")).as("v"))
-    val table = bc
-      .join(broadcast(ctx), split(col("bigram"), " ").getItem(0) === col("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("bigram"),
-        round(-log((col("c").cast("double") + lit(1.0)) /
-          (col("ctx").cast("double") + col("v").cast("double"))), 6)
-          .cast(DecimalType(18, 6)).as("surprisal"))
-    bg.join(table, Seq("bigram"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
-          .as("cross_entropy"))
+    // raw text parsed ONCE: the tokenized-array frame is persisted and
+    // every consumer (bigram counts, the final doc join, the vocab
+    // scalar) derives from the cached arrays — same discipline the
+    // bm25/tfidf plan locks pin ("corpus tokenized once"). House
+    // cache-lifecycle rule: eagerly materialize the output, then
+    // unpersist in finally.
+    val tokArr = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .persist()
+    try {
+      val bgArr = when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val bg = tokArr.select(col(idCol), explode(bgArr).as("bigram"))
+      val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+      val ctx = bc.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+        .agg(sum(col("c")).as("ctx"))
+      val vocab = tokArr.select(explode(col("__toks")).as("token"))
+        .agg(count_distinct(col("token")).as("v"))
+      val table = bc
+        .join(broadcast(ctx),
+          split(col("bigram"), " ").getItem(0) === col("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("bigram"),
+          round(-log((col("c").cast("double") + lit(1.0)) /
+            (col("ctx").cast("double") + col("v").cast("double"))), 6)
+            .cast(DecimalType(18, 6)).as("surprisal"))
+      Dedup.materialize(
+        bg.join(table, Seq("bigram"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
+              .as("cross_entropy")))
+    } finally tokArr.unpersist(blocking = false)
   }
 
   /** Per-document coverage of the corpus's top-K vocabulary: the

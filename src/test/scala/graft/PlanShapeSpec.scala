@@ -351,6 +351,31 @@ class PlanShapeSpec extends SparkSpec {
       !all.contains("BroadcastNestedLoopJoin"), all.take(2000))
   }
 
+  test("bigram_logprob: raw text parsed once (cached token arrays " +
+      "feed all consumers); surprisal lookup is a keyed join") {
+    val plans = allExecutedPlanList("bigram_logprob")
+    val all = plans.mkString("\n----\n")
+    // the tokenized-array frame is persisted; bigram counts, the doc
+    // join, and the vocab scalar all read it from cache
+    assert("InMemoryTableScan".r.findAllIn(all).size >= 2, all.take(2000))
+    // the 1-row vocab scalar rides a broadcast nested-loop cross join
+    // (the unigram_logprob precedent) — only a true cartesian over
+    // data-sized frames is forbidden
+    assert(!all.contains("CartesianProduct"), all.take(2000))
+  }
+
+  test("hybrid_topk: fusion is a keyed full-outer join of two top-k " +
+      "frames; no cartesian anywhere") {
+    val plans = allExecutedPlanList("hybrid_topk")
+    val all = plans.mkString("\n----\n")
+    // the dense arm's query side is a broadcast nested-loop by design
+    // (tiny Q-row side, non-equi self-exclusion — the sim_topk shape);
+    // a CartesianProduct anywhere would mean a corpus×corpus pair
+    assert(!all.contains("CartesianProduct"), all.take(2000))
+    // per-arm and fused ranks are group-limited windows
+    assert(all.contains("WindowGroupLimit"), all.take(2000))
+  }
+
   test("fuzzy_match: candidates ride the gram equijoin — never a " +
       "nested-loop over the name pairs") {
     val plan = executedPlan("fuzzy_match")
