@@ -90,6 +90,16 @@ object AnnSmoke {
       col("id") < nQ, k, nprobe = 8))
     val tPersist = (System.nanoTime() - t4) / 1e9
 
+    // incremental ingest: encode a 10% batch of NEW vectors against
+    // the frozen codebooks and append into the partitioned layout —
+    // the amortized daily-batch cost (vs re-encoding the corpus)
+    val nNew = n / 10
+    val newBatch = corpus(n + nNew).filter(col("vec_id") >= n)
+    val t5 = System.nanoTime()
+    graft.extra.AnnIndex.appendIvfPq(spark, dir, newBatch, "vec_id",
+      "embedding")
+    val tAppend = (System.nanoTime() - t5) / 1e9
+
     val overlap =
       if (exact.isEmpty) 0.0
       else approx.intersect(exact).size.toDouble / exact.size
@@ -101,6 +111,7 @@ object AnnSmoke {
       s""""ivfpq_search_wall_s":${StreamBench.rnd(tSearch)},""" +
       s""""index_write_wall_s":${StreamBench.rnd(tWrite)},""" +
       s""""persisted_search_wall_s":${StreamBench.rnd(tPersist)},""" +
+      s""""append_10pct_wall_s":${StreamBench.rnd(tAppend)},""" +
       s""""persisted_identical":$persistedIdentical,""" +
       s""""search_speedup_vs_brute":${StreamBench.rnd(tBrute / tSearch, 2)},""" +
       s""""overlap_vs_exact":${StreamBench.rnd(overlap, 3)}}""")

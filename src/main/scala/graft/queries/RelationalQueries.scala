@@ -557,7 +557,114 @@ object RelationalQueries {
       |             ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** TPC-H Q3-shaped shipping priority: customer⋈orders⋈lineitem with
+    * date straddle, revenue per open order, top 10. Plan posture: the
+    * filtered customer SEGMENT is a broadcast dim into orders; the
+    * orders⋈lineitem join is the only fact-fact join (keyed on
+    * orderkey — at 100 TB both sides bucket on it); top-10 is a
+    * TakeOrdered, never a global sort. Revenue sums in DECIMAL, cast
+    * double at the end; order (revenue desc, o_orderdate, l_orderkey)
+    * is total.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-06-01 00:00:00").cast("timestamp")
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val shippingPriorityOracle =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-shaped regional volume: the six-table chain
+    * region⋈nation⋈supplier⋈customer⋈orders⋈lineitem with the
+    * local-supplier condition (customer and supplier share a nation).
+    * region/nation/supplier broadcast (true dims); customer SCALES
+    * WITH the facts and therefore joins KEYED on custkey (broadcasting
+    * it would ship a fact-sized table to every task at 100 TB — AQE
+    * may still elect broadcast at small SF, which is fine because
+    * that's a size-based runtime decision, not a plan-time hint);
+    * orders⋈lineitem is the one fact-fact keyed join. DECIMAL
+    * revenue, total (revenue desc, n_name) order.
+    */
+  def regionalVolume(s: SparkSession, dir: String): DataFrame = {
+    val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cus = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cus, col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") *
+          (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val regionalVolumeOracle =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN supplier ON s_nationkey = n_nationkey
+      |JOIN lineitem ON l_suppkey = s_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |  AND c_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("shipping_priority",
+      "TPC-H Q3 shape: segment dim broadcast, one fact-fact keyed join, top-10 TakeOrdered",
+      shippingPriority, Some(shippingPriorityOracle)),
+    QueryDef("regional_volume",
+      "TPC-H Q5 shape: six-table chain, four broadcast dims, local-supplier condition",
+      regionalVolume, Some(regionalVolumeOracle)),
     QueryDef("rank_metrics",
       "percent_rank/cume_dist/lag gap per segment (total-order window)",
       rankMetrics, Some(rankMetricsOracle)),

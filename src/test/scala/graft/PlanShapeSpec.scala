@@ -351,6 +351,23 @@ class PlanShapeSpec extends SparkSpec {
       !all.contains("BroadcastNestedLoopJoin"), all.take(2000))
   }
 
+  test("shipping_priority: top-10 is a TakeOrdered (never a global " +
+      "sort); segment dim broadcasts; no cartesian") {
+    val plan = executedPlan("shipping_priority")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("regional_volume: six-table chain with no cartesian; the " +
+      "customer join is keyed (equijoin), not a nested loop") {
+    val plan = executedPlan("regional_volume")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("bigram_logprob: raw text parsed once (cached token arrays " +
       "feed all consumers); surprisal lookup is a keyed join") {
     val plans = allExecutedPlanList("bigram_logprob")
