@@ -101,6 +101,13 @@ object AnnIndex {
       emb: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String): Unit = {
     val idx = readIvfPq(spark, dir)
+    // fail fast on geometry drift: a batch with a different embedding
+    // dim would otherwise encode silently against the wrong subspace
+    // layout and poison the index
+    val batchDim = Similarity.probeDim(emb, vecCol)
+    require(batchDim == idx.m * idx.sub,
+      s"appendIvfPq: batch dim $batchDim does not match index dim " +
+        s"${idx.m * idx.sub} (m=${idx.m} × sub=${idx.sub})")
     Similarity.encodeIvfPq(emb, idCol, vecCol, idx.coarse, idx.pq,
         idx.m, idx.sub)
       .repartition(col("list_id"))

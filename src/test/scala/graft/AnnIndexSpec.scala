@@ -89,6 +89,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(hits.nonEmpty)
   }
 
+  test("appendIvfPq rejects a batch whose embedding dim mismatches " +
+      "the index geometry") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(emb, "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    val wrongDim = Seq((9000L, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPq(spark, dir, wrongDim, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("does not match index dim"))
+  }
+
   test("buildAndWriteIvfPq composes with a trained PQ codebook") {
     val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
     val trained = Similarity.kmeansPqCodebook(emb, "vec_id", "embedding",
