@@ -478,6 +478,19 @@ object Graft {
     extra.Retrieval.bm25SearchAll(docs, idCol, textCol, queries,
       queryIdCol, queryTextCol, topK = topK)
 
+  /** Reciprocal-rank fusion of two ranked retrieval arms (each carries
+    * queryIdCol, idCol and a 1-based `rank` column).
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, queryIdCol: String,
+      idCol: String, rrfK: Int = 60, topK: Int = 10): DataFrame =
+    extra.Retrieval.rrfFuse(sparse, dense, queryIdCol, idCol, rrfK, topK)
+
+  /** Self-trained bigram-LM cross-entropy per document (add-one
+    * smoothing; docs with fewer than two tokens drop).
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    extra.Text.bigramScore(docs, idCol, textCol)
+
   /** Fixed-point PageRank (integer arithmetic, fixed iterations). */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10): DataFrame =

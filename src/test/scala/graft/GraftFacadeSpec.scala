@@ -109,6 +109,25 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.pagerank(edges, "src", "dst", iters = 2).count() == 2)
   }
 
+  test("facade: round-9 surface (trained PQ codebook, persisted ANN " +
+      "index + append, RRF fusion, bigram LM)") {
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val embs = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val cb = Graft.kmeansPqCodebook(embs, "vec_id", "embedding",
+      m = 8, numCentroids = 4, iters = 1)
+    assert(cb.size == 4 && cb.head.v.length == 64)
+    val dir = java.nio.file.Files.createTempDirectory("facade_ann").toString
+    val idx = Graft.buildAndWriteAnnIndex(embs.filter(col("vec_id") < 400),
+      "vec_id", "embedding", dir, numCentroids = 8, pqCentroids = 8).get
+    assert(idx.coded.count() == 400)
+    Graft.appendAnnIndex(spark, dir,
+      embs.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    assert(Graft.readAnnIndex(spark, dir).coded.count() == embs.count())
+    val arm = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("qid", "doc_id", "rank")
+    assert(Graft.rrfFuse(arm, arm, "qid", "doc_id").count() == 2)
+    assert(Graft.bigramScore(docs, "doc_id", "text").count() > 0)
+  }
+
   test("facade: statistics + quality + multi-query retrieval surface") {
     val ev = graft.model.Tables.load(spark, sfDir, "events")
       .withColumn("variant", (col("user_id") % 2).cast("int"))
