@@ -156,7 +156,12 @@ object Bench {
             val valid = passes.filter(_.valid)
             if (valid.nonEmpty) valid else passes
           }
-          Some(pool.sortBy(_.eventsPerSec).apply(pool.size / 2))
+          // LOWER median for even pass counts: `size / 2` would report
+          // the FASTER of the two middle passes (optimistic); a whole
+          // StreamStats block can't be averaged, so take the slower
+          // middle — conservative under contention, exact median when
+          // the pass count is odd (the default).
+          Some(pool.sortBy(_.eventsPerSec).apply((pool.size - 1) / 2))
         } catch { case _: Throwable => None }
       else None
 

@@ -101,6 +101,12 @@ object AnnIndex {
       emb: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String): Unit = {
     val idx = readIvfPq(spark, dir)
+    // an empty (or all-NULL-vector) batch can't be dim-probed —
+    // probeDim falls back to MaxDim, which would surface as a
+    // misleading "batch dim 4096" geometry error. Nothing to append →
+    // no-op, keeping the call idempotent for empty micro-batches
+    // (the streaming ingest path delivers those routinely).
+    if (emb.filter(col(vecCol).isNotNull).isEmpty) return
     // fail fast on geometry drift: a batch with a different embedding
     // dim would otherwise encode silently against the wrong subspace
     // layout and poison the index

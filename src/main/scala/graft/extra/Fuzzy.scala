@@ -76,10 +76,17 @@ object Fuzzy {
         // spilling at 10⁶ names / 5·10⁷ gram rows). A 64-bit collision
         // undercounts a df by 1 against caps in the thousands —
         // immaterial to a blowup threshold.
-        val hot = lg.select(col("__g"),
+        // NULL keys are dropped BEFORE hashing: count_distinct ignored
+        // NULL keys in the pre-hash form, but xxhash64 skips NULL args
+        // (hashing just the side tag), so an unfiltered NULL key would
+        // add a phantom distinct value per side — keep the exact prior
+        // df semantics instead
+        val hot = lg.filter(col("__lk").isNotNull)
+          .select(col("__g"),
             xxhash64(lit("l"), col("__lk").cast("string")).as("__sk"))
-          .union(rg.select(col("__g"),
-            xxhash64(lit("r"), col("__rk").cast("string")).as("__sk")))
+          .union(rg.filter(col("__rk").isNotNull)
+            .select(col("__g"),
+              xxhash64(lit("r"), col("__rk").cast("string")).as("__sk")))
           .groupBy("__g")
           .agg(count_distinct(col("__sk")).as("__df"))
           .filter(col("__df") > cap)

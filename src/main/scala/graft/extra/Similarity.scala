@@ -225,6 +225,7 @@ object Similarity {
     val dim = probeDim(emb, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
+    requireCodebookDim(codebook, dim, "pq")
     val cents = codebook.getOrElse(
       sampleCodebook(emb, idCol, vecCol, numCentroids))
     if (cents.isEmpty)
@@ -268,6 +269,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         col("cosine"), col("adc_d2"))
   }
+
+  /** Geometry guard for caller-supplied codebooks: every centroid must
+    * have the probed corpus dimensionality.
+    */
+  private def requireCodebookDim(cb: Option[Seq[Centroid]], dim: Int,
+      label: String): Unit =
+    cb.foreach(cs => cs.headOption.foreach { c =>
+      require(c.v.length == dim,
+        s"$label codebook dim ${c.v.length} does not match corpus dim $dim")
+    })
 
   /** Half-up 6-dp rounding — bit-identical to the SQL `round(x, 6)`
     * both engines apply, so driver-computed distances interleave with
@@ -379,6 +390,12 @@ object Similarity {
     val dim = probeDim(emb, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
+    // fail fast on caller-supplied codebooks of the wrong geometry —
+    // mirrors appendIvfPq's dim check: a shorter centroid would throw an
+    // opaque ArrayIndexOutOfBounds deep in pqCodes/nearestCid, a longer
+    // one would silently truncate and degrade every list assignment
+    requireCodebookDim(coarseCodebook, dim, "coarse")
+    requireCodebookDim(pqCodebook, dim, "pq")
     val coarse = coarseCodebook.getOrElse(
       sampleCodebook(emb, idCol, vecCol, numCentroids))
     val pqCents = pqCodebook.getOrElse(
