@@ -286,6 +286,56 @@ object RelationalQueries {
       |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
       |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  /** CUBE over (event_type, day): all four grouping combinations —
+    * the cross-tab complement of [[rollupDaily]]'s hierarchy. Same
+    * scale shape as any grouped agg (one shuffle; Spark expands the
+    * grouping sets BEFORE the exchange, so partial aggregation still
+    * combines map-side); `grouping_id` (leftmost column = MSB, the
+    * Spark/Postgres/DuckDB-shared convention) disambiguates NULL
+    * group values from NULL-as-aggregated and makes ordering total.
+    */
+  def cubeDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .cube(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("day").asc_nulls_first)
+
+  private val cubeDailyOracle =
+    """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+      |       GROUPING(event_type, date_trunc('day', ts)) AS gid
+      |FROM events
+      |GROUP BY CUBE (event_type, date_trunc('day', ts))
+      |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS revenue: per-priority, per-year, and grand-total
+    * order revenue in ONE pass — the non-hierarchical set list neither
+    * ROLLUP nor CUBE expresses (no (priority, year) cell). SQL-authored
+    * (grouping sets are a SQL-surface feature, like [[sqlAboveAvg]]);
+    * decimal-exact revenue, total (gid, keys NULLS FIRST) order.
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, year(o_orderdate) AS yr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  grouping_id(o_orderpriority, year(o_orderdate)) AS gid
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, yr NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsRevenueOracle =
+    """SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  GROUPING(o_orderpriority, year(o_orderdate)) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+      |ORDER BY gid, o_orderpriority NULLS FIRST, yr NULLS FIRST""".stripMargin
+
   /** Frame-based window aggregation: per-customer running order total
     * and sequence number (ROWS UNBOUNDED PRECEDING — the cumulative
     * ledger shape). Decimal-exact running sums.
@@ -704,6 +754,12 @@ object RelationalQueries {
     QueryDef("rollup_daily",
       "rollup (event_type, day) with grouping_id",
       rollupDaily, Some(rollupDailyOracle)),
+    QueryDef("cube_daily",
+      "cube (event_type, day): all four grouping combinations, one pass",
+      cubeDaily, Some(cubeDailyOracle)),
+    QueryDef("grouping_sets_revenue",
+      "GROUPING SETS ((priority),(year),()): non-hierarchical one-pass revenue",
+      groupingSetsRevenue, Some(groupingSetsRevenueOracle)),
     QueryDef("stats_by_type",
       "statistical aggregates: stddev/variance/median/corr per group",
       statsByType, Some(statsByTypeOracle)),
