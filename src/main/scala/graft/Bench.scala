@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   *  "streaming":{…},"streaming_curation":{…}}
   * }}}
   *
+  * The same payload (plus the streaming blocks) is also written to
+  * `BENCH_DETAIL.json` (env `SPARK_GRAFT_DETAIL_PATH`) as a committed
+  * per-round audit trail — stdout is the driver contract, the file is
+  * what makes per-query regressions auditable across rounds after the
+  * tail cut.
+  *
   * The driver captures only a ~2 KB stdout TAIL (measured empirically:
   * BENCH_r06..r08 each cut at ~2,000 bytes, NOT the 4 KB previously
   * assumed): rounds 6-8 all lost the summary line's head, `"value"`
@@ -195,6 +201,25 @@ object Bench {
       s""""n_queries":${medians.size},""" +
       s""""n_ok":${ok.size},"n_failures":${failures.size}""" +
       s"""$streamJson$curJson}"""
+    // Committed audit trail (r9 verdict #5): the driver keeps only a
+    // ~2 KB stdout TAIL, which cuts the detail line's head — ~80 of 120
+    // per-query medians were unrecoverable from BENCH_r09.json alone.
+    // The full per-query medians, spreads, failures, and both streaming
+    // blocks therefore also land in a repo file each round; stdout
+    // stays the driver contract, the file is the cross-round per-query
+    // regression record. Best-effort: an unwritable path must not fail
+    // the bench.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH",
+      "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath),
+      s"""{"total_sec":${rnd(total)},"sf":${jstr(sfDir)},"n":$iters,""" +
+        s""""n_queries":${medians.size},"n_ok":${ok.size},""" +
+        s""""n_failures":${failures.size},"queries":$qs,""" +
+        s""""spreads":$spreads,"failures":$fs$streamJson$curJson}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // Hard guard: the contract line must survive ANY tail cut ≥1 KB. If
     // a future edit fattens it past that, fail loudly at bench time (the
     // loss is otherwise invisible until the next round's artifact).

@@ -35,12 +35,23 @@ object StreamBench {
       maxBatchMs: Long,
       minBatchMs: Long,
       p50BatchMs: Double,
-      valid: Boolean = true) {
+      valid: Boolean = true,
+      // Throughput with stream start-up amortization REMOVED: rows
+      // after the first data batch over the wall from that batch's
+      // commit to the deadline. On a short pass the fixed start-up
+      // (source init + first checkpoint + codegen) is a large wall
+      // fraction, so `eventsPerSec` structurally under-reads steady
+      // state (r9: 17.1k in-bench vs 19.9k standalone); this field is
+      // the steady-state claim. -1 when the pass had <2 data batches.
+      // `eventsPerSec` keeps its historical meaning for round-over-
+      // round comparability.
+      steadyEventsPerSec: Double = -1.0) {
     def json: String =
       s"""{"events_per_sec":${rnd(eventsPerSec, 1)},"target_tps":$targetTps,""" +
         s""""rows":$rows,"wall_s":${rnd(wallS)},"n_batches":$nBatches,""" +
         s""""avg_batch_ms":${rnd(avgBatchMs, 1)},"max_batch_ms":$maxBatchMs,""" +
         s""""min_batch_ms":$minBatchMs,"p50_batch_ms":${rnd(p50BatchMs, 1)},""" +
+        s""""steady_events_per_sec":${rnd(steadyEventsPerSec, 1)},""" +
         s""""valid":$valid}"""
   }
 
@@ -86,12 +97,14 @@ object StreamBench {
       val capSecs = math.max(secs, 60).toDouble
       var elapsed = 0.0
       var dataBatches = 0
+      var tFirstData = -1.0
       var done = false
       while (!done) {
         Thread.sleep(200)
         elapsed = (System.nanoTime() - t0) / 1e9
         dataBatches = monitor.snapshot
           .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
+        if (dataBatches >= 1 && tFirstData < 0) tFirstData = elapsed
         done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
       }
       // Measurement closes at the deadline: only batches that completed
@@ -122,8 +135,17 @@ object StreamBench {
           if (s.size % 2 == 1) s(s.size / 2).toDouble
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
+      // steady state: drop the first data batch's rows AND the wall up
+      // to its observed commit — what remains is the post-start-up rate
+      val dataProg = progress.filter(_.num_input_rows > 0)
+      val steady =
+        if (tFirstData > 0 && dataProg.size >= 2 && wall > tFirstData)
+          (rows - dataProg.minBy(_.batch_id).num_input_rows) /
+            (wall - tFirstData)
+        else -1.0
       StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
-        maxBatchMs, minBatchMs, p50BatchMs, valid = isValid)
+        maxBatchMs, minBatchMs, p50BatchMs, valid = isValid,
+        steadyEventsPerSec = steady)
     } finally {
       if (q.isActive) q.stop()
       monitor.detach(spark)
@@ -144,12 +166,14 @@ object StreamBench {
     *
     * READING THE NUMBER: each pass starts a fresh query (new
     * checkpoint), and with ~6s batches in a ~10s window the stream
-    * start-up is a large fixed fraction of the wall — so this block
-    * structurally reads BELOW steady state even on a quiet machine
-    * (r9: 13.5k here vs 19.9k from the 30s
-    * `CurationStreamSmoke 30000 30`). Compare round-over-round against
-    * THIS block (same window, same bias), and against the smoke for
-    * the steady-state claim; [[Bench]] additionally reports the
+    * start-up is a large fixed fraction of the wall — so
+    * `events_per_sec` structurally reads BELOW steady state even on a
+    * quiet machine (r9: 13.5k here vs 19.9k from the 30s
+    * `CurationStreamSmoke 30000 30`). `steady_events_per_sec` is the
+    * start-up-corrected rate (first data batch's rows and wall
+    * excluded) — compare THAT against the standalone smoke;
+    * `events_per_sec` keeps the historical whole-wall meaning for
+    * round-over-round continuity. [[Bench]] additionally reports the
     * median of SPARK_GRAFT_CUR_PASSES passes so one contended pass
     * cannot set the round's number.
     */
@@ -173,12 +197,14 @@ object StreamBench {
       val capSecs = math.max(secs, 60).toDouble
       var elapsed = 0.0
       var dataBatches = 0
+      var tFirstData = -1.0
       var done = false
       while (!done) {
         Thread.sleep(200)
         elapsed = (System.nanoTime() - t0) / 1e9
         dataBatches = monitor.snapshot
           .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
+        if (dataBatches >= 1 && tFirstData < 0) tFirstData = elapsed
         done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
       }
       val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
@@ -201,10 +227,16 @@ object StreamBench {
           if (s.size % 2 == 1) s(s.size / 2).toDouble
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
+      val dataProg = progress.filter(_.num_input_rows > 0)
+      val steady =
+        if (tFirstData > 0 && dataProg.size >= 2 && wall > tFirstData)
+          (rows - dataProg.minBy(_.batch_id).num_input_rows) /
+            (wall - tFirstData)
+        else -1.0
       StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
         if (batchMs.nonEmpty) batchMs.max else -1L,
         if (batchMs.nonEmpty) batchMs.min else -1L,
-        p50BatchMs, valid = isValid)
+        p50BatchMs, valid = isValid, steadyEventsPerSec = steady)
     } finally {
       if (q.isActive) q.stop()
       monitor.detach(spark)
@@ -226,11 +258,7 @@ object StreamBench {
     // Metric line printed LAST, after spark.stop(): nothing Spark logs
     // during shutdown can land after it in a captured tail.
     spark.stop()
-    println(s"""{"metric":"stream_throughput","events_per_sec":${s.eventsPerSec},""" +
-      s""""target_tps":${s.targetTps},"rows":${s.rows},"wall_s":${s.wallS},""" +
-      s""""n_batches":${s.nBatches},"avg_batch_ms":${s.avgBatchMs},""" +
-      s""""max_batch_ms":${s.maxBatchMs},"min_batch_ms":${s.minBatchMs},""" +
-      s""""p50_batch_ms":${s.p50BatchMs},"valid":${s.valid}}""")
+    println(s"""{"metric":"stream_throughput",""" + s.json.tail)
     System.out.flush()
   }
 }

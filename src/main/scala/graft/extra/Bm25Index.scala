@@ -1,0 +1,164 @@
+package graft.extra
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Persisted BM25 index — the sparse-retrieval mirror of [[AnnIndex]]:
+  * the expensive per-corpus work (tokenize + explode + three keyed
+  * aggregations) is paid ONCE at build time and written to storage;
+  * every search afterwards reads term-pruned slices of the tf frame and
+  * one constant-size meta row, never the raw corpus. This kills the two
+  * structural costs of [[Retrieval.bm25SearchAll]] at scale: the
+  * per-call corpus re-tokenization (a full text scan per query batch)
+  * and its two eager driver actions (`docs.count()` + the avgdl head).
+  *
+  * Layout under `dir`:
+  *   - `tf/` — (id, term, tf) parquet, RANGE-CLUSTERED on `term`
+  *     ([[Layout.writeClustered]]): each file covers a disjoint sorted
+  *     term range, so the search's `term IN (…)` predicate prunes whole
+  *     files on parquet footer min/max — the posting-list read. At
+  *     100 TB this is the index table: a Q-term search reads the ≤Q
+  *     files whose ranges cover its terms, never the corpus.
+  *   - `dl/` — (id, dl): per-doc token length, keyed by id (joined
+  *     keyed on the scored rows — |query|·df(term)-bounded, never
+  *     corpus-wide).
+  *   - `df/` — (term, df): per-term document frequency, same term
+  *     clustering; the search reads its Q terms and broadcasts.
+  *   - `meta/` — one row (n_docs, sum_dl): the only scalars scoring
+  *     needs. Reading it replaces both eager driver actions.
+  *
+  * Search ≡ [[Retrieval.bm25Search]]/[[Retrieval.bm25SearchAll]]
+  * bit-for-bit: df per term is the global document frequency (equal to
+  * the per-call `tfq` re-count — both count docs containing the term),
+  * n_docs/sum_dl reproduce `docs.count()`/`sum(dl)` exactly, and the
+  * scoring arithmetic is the same 12-dp DECIMAL contribution sum
+  * rounded to 6 dp with (score DESC, id ASC) ties. Bm25IndexSpec pins
+  * the equivalence and that a search never touches the documents table.
+  */
+object Bm25Index {
+
+  /** Tokenize the corpus once and persist tf/dl/df/meta. One explode
+    * shuffle builds tf; dl, df, and the meta scalars are re-aggregated
+    * from it (the raw text is scanned exactly once). `numFiles` sets
+    * the term-range file count of `tf/` — size it so each file is
+    * ~128 MB at the target corpus (the usual parquet scan sweet spot).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      numFiles: Int = 8, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    // house cache rule: tf feeds four consumers (tf/, dl/, df/, meta);
+    // materialize once, release before returning
+    try {
+      Layout.writeClustered(tf, s"$dir/tf",
+        Seq(col("term"), col("id")), numFiles, mode)
+      tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+        .repartition(1).sortWithinPartitions(col("id"))
+        .write.mode(mode).parquet(s"$dir/dl")
+      Layout.writeClustered(
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+        s"$dir/df", Seq(col("term")), math.max(1, numFiles / 4), mode)
+      // n_docs is the CORPUS row count (docs with zero tokens included
+      // — bm25Search counts them too); sum_dl re-aggregates tf
+      val nDocs = docs.count()
+      val sumDl = tf.agg(sum(col("tf"))).head().getLong(0)
+      Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Multi-query search over a persisted index: identical semantics and
+    * arithmetic to [[Retrieval.bm25SearchAll]], but the corpus never
+    * appears — tf is read term-pruned from the index layout, df/idf is
+    * read (not re-counted) and broadcast, and the only driver value is
+    * the one-row meta read. Output: queryIdCol, idCol, `n_hits`,
+    * `score` — topK rows per query.
+    */
+  def searchAll(spark: SparkSession, dir: String, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, idCol: String = "id",
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nDocs = meta.getAs[Long]("n_docs")
+    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+
+    val qterms = queries.select(col(queryIdCol),
+        explode(Text.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val terms = qterms.select("term").distinct()
+    // term-pruned posting read: the equijoin restricts rows, and the
+    // clustered layout means the files outside the query's term ranges
+    // are skipped on footer stats
+    val tfq = spark.read.parquet(s"$dir/tf").join(broadcast(terms), "term")
+    val idf = spark.read.parquet(s"$dir/df").join(broadcast(terms), "term")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+
+    val tfD = col("tf").cast("double")
+    val contrib = round(
+      col("idf") * ((tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+      12).cast(DecimalType(30, 12))
+
+    val scored = tfq
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(idf.select("term", "idf")), Seq("term"))
+      .join(spark.read.parquet(s"$dir/dl"), Seq("id"))
+      .groupBy(col(queryIdCol), col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(sum(contrib).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topK)
+      .drop("__rank")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Single-query search — [[Retrieval.bm25Search]] over the persisted
+    * layout: same output shape (idCol, `n_hits`, `score`), same total
+    * (score DESC, id ASC) order, topK rows.
+    */
+  def search(spark: SparkSession, dir: String, queryTerms: Seq[String],
+      idCol: String = "id", k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    import spark.implicits._
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val q = terms.map(t => ("__q", t)).toDF("__qid", "query_text")
+    // reuse the multi-query path with one synthetic query id; the
+    // pre-tokenized term frame stands in for query text
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nDocs = meta.getAs[Long]("n_docs")
+    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    val termsDf = q.select(col("query_text").as("term")).distinct()
+    val tfq = spark.read.parquet(s"$dir/tf")
+      .join(broadcast(termsDf), "term")
+    val idf = spark.read.parquet(s"$dir/df").join(broadcast(termsDf), "term")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+    val tfD = col("tf").cast("double")
+    val contrib = round(
+      col("idf") * ((tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+      12).cast(DecimalType(30, 12))
+    tfq.join(broadcast(idf.select("term", "idf")), "term")
+      .join(spark.read.parquet(s"$dir/dl"), "id")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(sum(contrib).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+      .withColumnRenamed("id", idCol)
+  }
+}

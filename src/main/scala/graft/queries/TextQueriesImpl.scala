@@ -659,6 +659,27 @@ object TextQueriesImpl {
        |FROM sc GROUP BY 1
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- bm25_indexed -------------------------------------------------
+
+  /** The same BM25 search served from a PERSISTED index
+    * ([[graft.extra.Bm25Index]]): tf/dl/df/meta are built once and
+    * written; the search reads term-pruned index files and never
+    * re-tokenizes (or even sees) the documents table. Scoring is
+    * bit-identical to [[bm25Search]], so the two queries share one
+    * oracle. The build lands in a fresh temp dir per call — in
+    * production it is the amortized once-per-corpus step, exactly like
+    * the ANN index's build/search split.
+    */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_bm25q_")
+    idxDir.toFile.deleteOnExit()
+    graft.extra.Bm25Index.build(docs(s, dir), "doc_id", "text",
+      idxDir.toString)
+    graft.extra.Bm25Index.search(s, idxDir.toString,
+      Seq("spark", "shuffle", "join"), idCol = "doc_id", topK = 20)
+  }
+
   // ---- bm25_multi ---------------------------------------------------
 
   /** Multi-query BM25 against an arbitrary query frame (three queries,
@@ -817,6 +838,9 @@ object TextQueriesImpl {
     QueryDef("bm25_search",
       "BM25 top-20 lexical retrieval (exact counts, decimal score sums)",
       bm25Search, Some(bm25Oracle)),
+    QueryDef("bm25_indexed",
+      "BM25 top-20 served from the persisted tf/dl/df index (no corpus scan)",
+      bm25Indexed, Some(bm25Oracle)),
     QueryDef("pii_redact",
       "sequenced regex PII redaction + span count (digit-run rule)",
       piiRedact, Some(piiRedactOracle)),

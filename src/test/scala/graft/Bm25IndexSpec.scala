@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.{Bm25Index, Retrieval}
+
+/** Persisted BM25 index: build → search must be bit-identical to the
+  * direct [[Retrieval]] forms, and a search must never touch the
+  * documents table — every file it reads lives under the index dir.
+  */
+class Bm25IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_bm25idx_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private lazy val docs = graft.model.Tables.load(spark, sfDir, "documents")
+  private lazy val dir: String = {
+    val d = tmpDir()
+    Bm25Index.build(docs, "doc_id", "text", d)
+    d
+  }
+
+  test("single-query search over the index ≡ Retrieval.bm25Search " +
+      "bit-for-bit") {
+    val terms = Seq("spark", "shuffle", "join")
+    val direct = Retrieval.bm25Search(docs, "doc_id", "text", terms,
+        topK = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = Bm25Index.search(spark, dir, terms, idCol = "doc_id",
+        topK = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
+  test("multi-query search over the index ≡ Retrieval.bm25SearchAll " +
+      "bit-for-bit") {
+    val queries = Seq(("q1", "spark shuffle join"), ("q2", "window sort"),
+      ("q3", "hash table")).toDF("query_id", "query_text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("score"))
+    val direct = Retrieval.bm25SearchAll(docs, "doc_id", "text",
+        queries, "query_id", "query_text", topK = 5)
+      .collect().map(key).sortBy(t => (t._1, -t._4, t._2)).toSeq
+    val indexed = Bm25Index.searchAll(spark, dir, queries,
+        "query_id", "query_text", idCol = "doc_id", topK = 5)
+      .collect().map(key).sortBy(t => (t._1, -t._4, t._2)).toSeq
+    assert(indexed.nonEmpty && indexed == direct)
+  }
+
+  test("a search reads only the index layout — never the documents " +
+      "table") {
+    val queries = Seq(("q1", "spark shuffle join"))
+      .toDF("query_id", "query_text")
+    val out = Bm25Index.searchAll(spark, dir, queries,
+      "query_id", "query_text", idCol = "doc_id", topK = 5)
+    val files = out.inputFiles
+    assert(files.nonEmpty)
+    val canon = new java.io.File(dir).getCanonicalPath
+    assert(files.forall(f =>
+      new java.io.File(new java.net.URI(f).getPath)
+        .getCanonicalPath.startsWith(canon)),
+      s"search read outside the index dir:\n${files.mkString("\n")}")
+  }
+
+  test("empty-token corpus rows are countable: n_docs includes docs " +
+      "with no tokens (bm25Search parity)") {
+    val d2 = tmpDir()
+    val mixed = Seq((0L, "spark shuffle"), (1L, ""), (2L, "spark"))
+      .toDF("doc_id", "text")
+    Bm25Index.build(mixed, "doc_id", "text", d2)
+    val meta = spark.read.parquet(s"$d2/meta").head()
+    assert(meta.getAs[Long]("n_docs") == 3L)
+    // idf therefore matches the direct form on the same tiny corpus
+    val direct = Retrieval.bm25Search(mixed, "doc_id", "text",
+        Seq("spark")).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val indexed = Bm25Index.search(spark, d2, Seq("spark"),
+        idCol = "doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(indexed == direct)
+  }
+}
