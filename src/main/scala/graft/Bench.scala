@@ -171,6 +171,18 @@ object Bench {
         } catch { case _: Throwable => None }
       else None
 
+    // Streaming ANN ingest (r10): one pass — the chain is dominated by
+    // the per-batch encode+append projections, whose regressions the
+    // block exists to catch; its JSON rides the DETAIL line + file
+    // only, keeping the summary line inside its 1 KB tail budget.
+    val streamingAnn =
+      if (benchStream)
+        try Some(StreamBench.measureAnnIngest(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_ANN_TPS", "20000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_ANN_SECS", "10").toInt))
+        catch { case _: Throwable => None }
+      else None
+
     import StreamBench.rnd
     val qs = medians.map { case (k, v) => s"${jstr(k)}:${rnd(v)}" }
       .mkString("{", ",", "}")
@@ -186,6 +198,8 @@ object Bench {
     val streamJson = streaming.map(s => s""","streaming":${s.json}""").getOrElse("")
     val curJson = streamingCuration
       .map(s => s""","streaming_curation":${s.json}""").getOrElse("")
+    val annJson = streamingAnn
+      .map(s => s""","streaming_ann_ingest":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
     // displaced the metric line). The driver keeps only a ~2 KB stdout
     // TAIL (r6-r8 artifacts each cut at ~2,000 bytes), so the final line
@@ -195,7 +209,7 @@ object Bench {
     // complete, parseable JSON object well under the tail.
     spark.stop()
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
-      s""""failures":$fs}""")
+      s""""failures":$fs$annJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""unit":"sec","sf":${jstr(sfDir)},"n":$iters,""" +
       s""""n_queries":${medians.size},""" +
@@ -216,7 +230,8 @@ object Bench {
       s"""{"total_sec":${rnd(total)},"sf":${jstr(sfDir)},"n":$iters,""" +
         s""""n_queries":${medians.size},"n_ok":${ok.size},""" +
         s""""n_failures":${failures.size},"queries":$qs,""" +
-        s""""spreads":$spreads,"failures":$fs$streamJson$curJson}""" + "\n")
+        s""""spreads":$spreads,"failures":$fs$streamJson$curJson""" +
+        s"""$annJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

@@ -232,6 +232,31 @@ object Graft {
       dir: String, emb: DataFrame, idCol: String, vecCol: String): Unit =
     extra.AnnIndex.appendIvfPq(spark, dir, emb, idCol, vecCol)
 
+  /** Build-once persisted BM25 index (tf/dl/df/meta layout) — the
+    * sparse-retrieval mirror of [[buildAndWriteAnnIndex]].
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, numFiles: Int = 8): Unit =
+    extra.Bm25Index.build(docs, idCol, textCol, dir, numFiles)
+
+  /** Multi-query BM25 top-k served from a persisted index — term-pruned
+    * posting reads, no corpus scan.
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, idCol: String = "id",
+      topK: Int = 20): DataFrame =
+    extra.Bm25Index.searchAll(spark, dir, queries, queryIdCol,
+      queryTextCol, idCol, topK = topK)
+
+  /** Streaming ANN ingest: curated doc stream → embed → incremental
+    * append into a persisted index, per micro-batch.
+    */
+  def startAnnIngest(curated: DataFrame, indexDir: String,
+      checkpointDir: String, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.AnnIngest.start(curated, indexDir, checkpointDir, dim)
+
   /** Codegen'd dot product over float/double array columns. */
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.extra.{AnnIndex, Bm25Index, Retrieval, Similarity}
+import graft.gen.SyntheticDocs
+import graft.streaming.AnnIngest
+
+/** Hybrid-retrieval scale smoke: the production serving shape — RRF
+  * fusion of a persisted BM25 index arm and a persisted IVF-PQ index
+  * arm — timed against the non-indexed composition (per-call corpus
+  * re-tokenization + brute-force dense scan) on a generated corpus
+  * orders of magnitude beyond the test tables.
+  *
+  * Corpus: [[SyntheticDocs.textFor]] text (30 tokens/doc over a 50k
+  * vocab) + [[AnnIngest.embedStub]] dim-64 embeddings derived from the
+  * text — both deterministic. The interesting numbers are the walls:
+  * the indexed path pays term-pruned posting reads + nprobe partition
+  * reads per query batch, the brute path re-tokenizes all N docs and
+  * scans N·Q float dots EVERY call. Build walls are reported separately
+  * — they are the amortized once-per-corpus cost.
+  *
+  * Usage: runMain graft.HybridSmoke [nDocs] [k] [nQueries]
+  */
+object HybridSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val nQ = args.lift(2).map(_.toInt).getOrElse(8)
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus(rows: Long) = spark.range(rows).select(
+      col("id").as("doc_id"),
+      SyntheticDocs.textFor(col("id")).as("text"))
+    def withEmb(c: DataFrame) = c.withColumn("embedding",
+      AnnIngest.embedStub(col("text"), dim))
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_HYBRID_DIR",
+      "/tmp/graft_hybrid_smoke_index")
+
+    def queriesOf(c: DataFrame) = c.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+
+    def fusedIndexed(idx: Similarity.IvfPqIndex): Set[(Long, Long)] = {
+      val sparse = Bm25Index.searchAll(spark, s"$dir/bm25",
+          queriesOf(corpus(n)), "query_id", "query_text",
+          idCol = "doc_id", topK = 2 * k)
+        .withColumn("rank", row_number().over(ws))
+      val dense = Similarity.searchIvfPq(idx, col("id") < nQ, k = 2 * k,
+          nprobe = 8)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(sparse, dense, "query_id", "doc_id", topK = k)
+        .select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    def fusedBrute(c: DataFrame): Set[(Long, Long)] = {
+      val sparse = Retrieval.bm25SearchAll(c, "doc_id", "text",
+          queriesOf(c), "query_id", "query_text", topK = 2 * k)
+        .withColumn("rank", row_number().over(ws))
+      val dense = Similarity.topKBruteForce(withEmb(c)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", col("id") < nQ, k = 2 * k)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(sparse, dense, "query_id", "doc_id", topK = k)
+        .select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    // warmup both paths at 1% scale (codegen + parquet committer init)
+    {
+      val small = corpus(math.max(n / 100, 1000L))
+      Bm25Index.build(small, "doc_id", "text", s"$dir/bm25")
+      val wIdx = AnnIndex.buildAndWriteIvfPq(
+        withEmb(small).select(col("doc_id"), col("embedding")),
+        "doc_id", "embedding", s"$dir/ann", numCentroids = 16).get
+      fusedIndexed(wIdx); fusedBrute(small)
+    }
+
+    // build once (the amortized per-corpus step), timed separately
+    val t0 = System.nanoTime()
+    Bm25Index.build(corpus(n), "doc_id", "text", s"$dir/bm25",
+      numFiles = 16)
+    val tBm25Build = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    AnnIndex.buildAndWriteIvfPq(
+      withEmb(corpus(n)).select(col("doc_id"), col("embedding")),
+      "doc_id", "embedding", s"$dir/ann", numCentroids = 64)
+    val tAnnBuild = (System.nanoTime() - t1) / 1e9
+
+    // serving: indexed hybrid (cold read of the persisted layouts)
+    val t2 = System.nanoTime()
+    val idx = AnnIndex.readIvfPq(spark, s"$dir/ann")
+    val fi = fusedIndexed(idx)
+    val tIndexed = (System.nanoTime() - t2) / 1e9
+
+    // the non-indexed composition: full re-tokenization + brute scan
+    val t3 = System.nanoTime()
+    val fb = fusedBrute(corpus(n))
+    val tBrute = (System.nanoTime() - t3) / 1e9
+
+    val overlap =
+      if (fb.isEmpty) 0.0 else fi.intersect(fb).size.toDouble / fb.size
+    spark.stop()
+    println(s"""{"metric":"hybrid_smoke","n_docs":$n,"dim":$dim,"k":$k,""" +
+      s""""n_queries":$nQ,""" +
+      s""""bm25_build_wall_s":${StreamBench.rnd(tBm25Build)},""" +
+      s""""ann_build_wall_s":${StreamBench.rnd(tAnnBuild)},""" +
+      s""""indexed_search_wall_s":${StreamBench.rnd(tIndexed)},""" +
+      s""""brute_search_wall_s":${StreamBench.rnd(tBrute)},""" +
+      s""""search_speedup_vs_brute":${StreamBench.rnd(tBrute / tIndexed, 2)},""" +
+      s""""fused_overlap_vs_brute":${StreamBench.rnd(overlap, 3)}}""")
+    System.out.flush()
+  }
+}

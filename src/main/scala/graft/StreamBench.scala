@@ -243,6 +243,87 @@ object StreamBench {
     }
   }
 
+  /** Throughput of the streaming ANN-ingest chain (gates → exact dedup
+    * → embed-stub → frozen-codebook encode → partitioned index append,
+    * [[graft.streaming.AnnIngest]]) under the synthetic doc wire — the
+    * r10 streaming half of the persisted-index story. A small seed
+    * corpus builds (and freezes) the codebooks first, exactly the
+    * production contract; the measured stream then pays per batch what
+    * a daily batch ingest pays. Same contention-proof deadline + drain
+    * discipline as [[measureCuration]]; `events_per_sec` is sustained
+    * INPUT docs/s, `steady_events_per_sec` the start-up-corrected rate.
+    */
+  def measureAnnIngest(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("sbench_ann_idx").toString
+    // seed ids offset far above anything the rate source emits
+    val seed = spark.range(20000).select(
+      (col("id") + 1000000000L).as("doc_id"),
+      graft.streaming.AnnIngest.embedStub(
+        graft.gen.SyntheticDocs.textFor(col("id") + 1000000000L), 64)
+        .as("embedding"))
+    graft.extra.AnnIndex.buildAndWriteIvfPq(seed, "doc_id", "embedding",
+      dir, numCentroids = 32)
+    val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
+    val monitor = new Monitor().attach(spark)
+    val ckpt = Files.createTempDirectory("sbench_ann_ckpt").toString
+    val writing = new AtomicBoolean(true)
+    val q = graft.streaming.AnnIngest.start(
+      CurationStream.curateStream(wire, watermark = "15 seconds"),
+      dir, ckpt, dim = 64,
+      trigger = Trigger.ProcessingTime(0),
+      sinkGate = () => writing.get())
+    val t0 = System.nanoTime()
+    try {
+      val capSecs = math.max(secs, 60).toDouble
+      var elapsed = 0.0
+      var dataBatches = 0
+      var tFirstData = -1.0
+      var done = false
+      while (!done) {
+        Thread.sleep(200)
+        elapsed = (System.nanoTime() - t0) / 1e9
+        dataBatches = monitor.snapshot
+          .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
+        if (dataBatches >= 1 && tFirstData < 0) tFirstData = elapsed
+        done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
+      }
+      val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val isValid = dataBatches >= 3
+      writing.set(false)
+      val seen = monitor.snapshot.size
+      val tDrain = System.nanoTime()
+      while (monitor.snapshot.size <= seen && q.status.isTriggerActive &&
+          (System.nanoTime() - tDrain) / 1e9 < 30) Thread.sleep(50)
+      q.stop()
+      val rows = progress.map(_.num_input_rows).sum
+      val batchMs = progress.map(_.batch_duration_ms).filter(_ >= 0)
+      val avgBatchMs =
+        if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
+      val p50BatchMs =
+        if (batchMs.isEmpty) -1.0
+        else {
+          val s = batchMs.sorted
+          if (s.size % 2 == 1) s(s.size / 2).toDouble
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
+      val dataProg = progress.filter(_.num_input_rows > 0)
+      val steady =
+        if (tFirstData > 0 && dataProg.size >= 2 && wall > tFirstData)
+          (rows - dataProg.minBy(_.batch_id).num_input_rows) /
+            (wall - tFirstData)
+        else -1.0
+      StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
+        if (batchMs.nonEmpty) batchMs.max else -1L,
+        if (batchMs.nonEmpty) batchMs.min else -1L,
+        p50BatchMs, valid = isValid, steadyEventsPerSec = steady)
+    } finally {
+      if (q.isActive) q.stop()
+      monitor.detach(spark)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val tps = args.headOption.map(_.toInt).getOrElse(1000)
     val secs = args.lift(1).map(_.toInt).getOrElse(15)

@@ -354,6 +354,28 @@ object SimilarityQueriesImpl {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- sim_topk_pq_trained (Lloyd-trained codebook) ----------------
+
+  /** PQ top-5 with a TRAINED codebook: per-subspace Lloyd's k-means
+    * ([[Similarity.kmeansPqCodebook]] — 3 iterations from a
+    * farthest-first seed) instead of the deterministic hash sample.
+    * The training loop is engine-specific float iteration (centroid
+    * means depend on the k-means trajectory), so like the HLL pair the
+    * query is registered rows-only; KmeansSpec pins the quality
+    * contract — quantization error strictly below the sample
+    * codebook's, recall vs exact at least the sample twin's
+    * ([[simTopKPq]]) on the same data.
+    */
+  def simTopKPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val cb = Similarity.kmeansPqCodebook(emb, "vec_id", "embedding",
+      m = 8, numCentroids = 16, iters = 3)
+    Similarity.topKPq(emb, "vec_id", "embedding",
+        queryPred = col("id") < 10, k = 5,
+        codebook = if (cb.isEmpty) None else Some(cb))
+      .orderBy("query_id", "rank")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
@@ -375,5 +397,8 @@ object SimilarityQueriesImpl {
       simTopKPq, Some(simTopKPqOracle)),
     QueryDef("sim_topk_ivfpq",
       "IVF-PQ: 3 probed posting lists scored by PQ byte codes (ADC)",
-      simTopKIvfPq, Some(simTopKIvfPqOracle)))
+      simTopKIvfPq, Some(simTopKIvfPqOracle)),
+    QueryDef("sim_topk_pq_trained",
+      "PQ ADC top-5 with a Lloyd-trained (3-iter) codebook; rows-only",
+      simTopKPqTrained, None))
 }

@@ -828,10 +828,62 @@ object TextQueriesImpl {
        |FROM r WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- hybrid_topk_indexed ------------------------------------------
+
+  /** The PRODUCTION hybrid-retrieval composition: the same RRF fusion
+    * as [[hybridTopK]], but both arms served from PERSISTED indexes —
+    * sparse from a [[graft.extra.Bm25Index]] (term-pruned posting
+    * reads, never a corpus re-tokenization), dense from a persisted
+    * [[graft.extra.AnnIndex]] IVF-PQ layout (search partition-prunes
+    * to the probed posting lists at file-listing time). This is the
+    * serving shape a 100 TB retrieval stack runs: both builds are the
+    * amortized once-per-corpus step (here a temp dir per call, like
+    * [[bm25Indexed]]); a query batch pays index reads only.
+    *
+    * Oracle parity: the ANN arm runs in EXACT mode — every coarse list
+    * probed (nprobe = numCentroids) and the ADC shortlist wide enough
+    * to hold the whole corpus — which makes the exact-cosine re-rank's
+    * top-k bit-identical to [[Similarity.topKBruteForce]]'s, so the
+    * query shares [[hybridTopK]]'s oracle (HybridIndexedSpec pins the
+    * full-result parity). Production flips nprobe/candFactor down and
+    * reads nprobe partitions instead of the corpus — HybridSmoke times
+    * that config at 1M-vector scale.
+    */
+  def hybridTopKIndexed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val queries = d.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_idx_")
+    tmp.toFile.deleteOnExit()
+    graft.extra.Bm25Index.build(d, "doc_id", "text", s"$tmp/bm25")
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = graft.extra.Bm25Index.searchAll(s, s"$tmp/bm25", queries,
+        "query_id", "query_text", idCol = "doc_id", topK = 20)
+      .withColumn("rank", row_number().over(ws))
+    val emb = Tables.load(s, dir, "embeddings")
+    val idx = graft.extra.AnnIndex.buildAndWriteIvfPq(emb, "vec_id",
+        "embedding", s"$tmp/ann").get
+    // exact mode: candFactor sized so k·candFactor covers the corpus —
+    // nothing leaves the ADC shortlist, the re-rank sees every
+    // candidate, and the arm degenerates (by design) to brute force
+    val exactCand = ((emb.count() + 19L) / 20L).toInt + 1
+    val dense = graft.extra.Similarity.searchIvfPq(idx, col("id") < 3,
+        k = 20, nprobe = 32, candFactor = exactCand)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.extra.Retrieval.rrfFuse(sparse, dense, "query_id", "doc_id",
+        rrfK = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("hybrid_topk",
       "hybrid retrieval: RRF fusion of BM25 and dense cosine arms",
       hybridTopK, Some(hybridTopKOracle)),
+    QueryDef("hybrid_topk_indexed",
+      "hybrid RRF served from persisted BM25 + IVF-PQ indexes (exact mode)",
+      hybridTopKIndexed, Some(hybridTopKOracle)),
     QueryDef("bm25_multi",
       "multi-query BM25 from an arbitrary query frame (top-5/query)",
       bm25Multi, Some(bm25MultiOracle)),

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.extra.AnnIndex
+
+/** Streaming half of the amortized ANN-index story: curated documents
+  * flow straight into a persisted [[graft.extra.AnnIndex]] as they
+  * arrive — curate → embed → `appendIvfPq` per micro-batch — so the
+  * index a retrieval stack serves from is always as fresh as the last
+  * committed batch, and the corpus is never re-encoded.
+  *
+  * Contract: the index at `indexDir` must already EXIST (built once
+  * over an initial corpus — that build trains/freezes the codebooks;
+  * [[AnnIndex.appendIvfPq]]'s scaladoc covers why appends never retrain
+  * them). Each micro-batch then pays exactly what a daily batch ingest
+  * pays: one encode projection against the frozen codebooks + one
+  * partitioned parquet append into `codes/`. Empty micro-batches no-op
+  * (appendIvfPq's empty-batch guard), so idle triggers are free.
+  *
+  * Because append-with-frozen-codebooks is bit-equivalent to a batch
+  * build over the union (AnnIndexSpec pins this), N streamed
+  * micro-batches produce an index BIT-IDENTICAL to one batch append of
+  * the same rows — StreamingAnnSpec pins the streamed form of that
+  * equivalence. Exactly-once caveat: parquet appends inside foreachBatch
+  * are at-least-once on batch REPLAY after a crash; a production
+  * deployment keys on doc id and compacts replayed duplicates with the
+  * same last-wins finalizer the flagship sink uses (ST6), or writes
+  * through a transactional table format.
+  */
+object AnnIngest {
+
+  /** Deterministic embedding STUB — honest env-blocked fake (no
+    * embedding model ships in this container; same policy as
+    * [[graft.extra.Multimodal]]'s codec stubs): component d is a hash
+    * lattice over the TEXT content, `(xxhash64(text, d) mod 2000)/1000
+    * − 1 ∈ [−1, 1)` (the component index feeds the hash as a second
+    * argument — an arithmetic mix like `hash·67 + d` overflows ANSI
+    * long multiplication on full-range hash values). Content-
+    * determined, so identical
+    * text embeds identically in streaming and batch paths — which is
+    * what lets the spec compare the two bit-for-bit. Swap for a real
+    * model-serving call (mapInPandas / UDF over a served encoder) in a
+    * real deployment; everything downstream is agnostic to the source
+    * of the floats.
+    */
+  def embedStub(textCol: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), d =>
+      ((pmod(xxhash64(textCol, d), lit(2000L)) / lit(1000.0)) -
+        lit(1.0)).cast("float"))
+
+  /** Start the ingest: a curated (doc_id, text, …) stream — e.g.
+    * [[CurationStream.curateStream]]/[[CurationStream.curateStreamNearDup]]
+    * output — is embedded via [[embedStub]] and appended into the
+    * persisted index each micro-batch. The embed is a pure projection;
+    * the encode inside appendIvfPq is too, so the whole per-batch plan
+    * is projection → one `list_id` repartition → partitioned append.
+    *
+    * `sinkGate` is the same graceful-drain hook as the flagship sink
+    * ([[StreamingPipeline.start]]): once it flips false, batches stop
+    * appending so a bench/shutdown can stop the query without aborting
+    * an in-flight parquet write.
+    */
+  def start(curated: DataFrame, indexDir: String, checkpointDir: String,
+      dim: Int = 64, idCol: String = "doc_id", textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkGate: () => Boolean = () => true): StreamingQuery =
+    curated
+      .select(col(idCol), embedStub(col(textCol), dim).as("embedding"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (sinkGate())
+          AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
+            "embedding")
+      }
+      .start()
+}

@@ -19,7 +19,15 @@ object Monitor {
   final case class BatchProgress(
       query_name: String, batch_id: Long, num_input_rows: Long,
       input_rows_per_second: Double, process_rows_per_second: Double,
-      batch_duration_ms: Long, event_time_watermark: String)
+      batch_duration_ms: Long, event_time_watermark: String,
+      // Late-data observability (SURVEY §4.3): rows silently discarded
+      // by stateful operators because they arrived behind the
+      // watermark, summed over the batch's state operators. The
+      // flagship pipeline DROPS late ticks by design (watermark
+      // semantics); this surfaces how many, per batch, so an ops
+      // dashboard can alarm on late-data spikes instead of inferring
+      // them from row-count gaps.
+      rows_dropped_by_watermark: Long = 0L)
 }
 
 final class Monitor extends StreamingQueryListener {
@@ -42,7 +50,8 @@ final class Monitor extends StreamingQueryListener {
       p.inputRowsPerSecond,
       p.processedRowsPerSecond,
       Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L),
-      Option(p.eventTime.get("watermark")).getOrElse(""))
+      Option(p.eventTime.get("watermark")).getOrElse(""),
+      p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
   }
 
   def snapshot: Seq[BatchProgress] = synchronized(buf.toSeq)

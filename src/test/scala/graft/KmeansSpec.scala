@@ -192,6 +192,30 @@ class KmeansSpec extends SparkSpec {
         (1 to rows.length))
   }
 
+  test("sim_topk_pq_trained (registered query): well-formed ranked " +
+      "output with recall vs exact at least the sample twin's (sf0.001)") {
+    // the registered rows-only query (estimates are engine-specific,
+    // like the HLL pair) — this is its quality gate: same data, same
+    // queries, trained codebook must not LOSE recall vs sim_topk_pq
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(graft.queries.SimilarityQueriesImpl
+      .simTopK(spark, sfDir).collect())
+    val trainedRows = graft.queries.SimilarityQueriesImpl
+      .simTopKPqTrained(spark, sfDir).collect()
+    val sample = pairs(graft.queries.SimilarityQueriesImpl
+      .simTopKPq(spark, sfDir).collect())
+    // well-formed: 10 queries × 5 ranked rows
+    assert(trainedRows.length == 50)
+    val byQuery = trainedRows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    for ((_, rows) <- byQuery)
+      assert(rows.sortBy(_.getInt(1)).map(_.getInt(1)).toSeq == (1 to 5))
+    val rT = pairs(trainedRows).intersect(exact).size.toDouble / exact.size
+    val rS = sample.intersect(exact).size.toDouble / exact.size
+    assert(rT >= rS, s"trained recall $rT regressed below sample $rS")
+  }
+
   test("topKIvfKmeans: valid ranked output with nonzero recall (sf0.001)") {
     val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.topKIvfKmeans(emb, "vec_id", "embedding",

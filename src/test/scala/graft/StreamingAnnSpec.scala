@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.extra.AnnIndex
+import graft.streaming.{AnnIngest, CurationStream}
+
+/** Streaming ANN ingest (r10): curate → embed-stub → appendIvfPq per
+  * micro-batch must land EXACTLY the rows one batch append would — the
+  * streamed form of the append≡build equivalence AnnIndexSpec pins.
+  */
+class StreamingAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    "the quick brown fox jumps over a lazy dog and then runs to the " +
+      "old stone bridge in light rain"
+
+  private def payload(id: Long, text: String, tMs: Long): String =
+    s"""{"doc_id":$id,"text":"$text","event_time_ms":$tMs}"""
+
+  test("N streamed micro-batches ≡ one batch append, bit-identical " +
+      "codes layout (frozen codebooks)") {
+    val base = Files.createTempDirectory("ann_ingest").toString
+    // freeze the codebooks once: identical initial builds in both dirs
+    // (sampleCodebook is hash-order deterministic)
+    val init = spark.range(100).select(col("id").as("doc_id"),
+      AnnIngest.embedStub(concat(lit("seed doc "), col("id")), 64)
+        .as("embedding"))
+    AnnIndex.buildAndWriteIvfPq(init, "doc_id", "embedding",
+      s"$base/streamed", numCentroids = 8, m = 8, pqCentroids = 8)
+    AnnIndex.buildAndWriteIvfPq(init, "doc_id", "embedding",
+      s"$base/batch", numCentroids = 8, m = 8, pqCentroids = 8)
+
+    val batch1 = (1000L to 1004L).map(i => (i, s"$good batch one mark $i"))
+    val batch2 = (1005L to 1009L).map(i => (i, s"$good batch two mark $i"))
+
+    // streamed path: two distinct micro-batches through the curation
+    // front into the index
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("ann_ingest_ckpt").toString
+    val q = AnnIngest.start(CurationStream.curateStream(mem.toDF()),
+      s"$base/streamed", ckpt, dim = 64,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1.map { case (i, t) => payload(i, t, 1000000L + i) })
+      q.processAllAvailable()
+      mem.addData(batch2.map { case (i, t) => payload(i, t, 1100000L + i) })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch path: the same docs, one append call
+    val docs = (batch1 ++ batch2).toDF("doc_id", "text")
+    AnnIndex.appendIvfPq(spark, s"$base/batch",
+      docs.select(col("doc_id"),
+        AnnIngest.embedStub(col("text"), 64).as("embedding")),
+      "doc_id", "embedding")
+
+    def snap(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select("id", "list_id", "codes", "v", "nrm")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getSeq[Any](2),
+        r.getSeq[Any](3), r.getDouble(4)))
+      .toSeq
+    val streamed = snap(s"$base/streamed")
+    assert(streamed == snap(s"$base/batch"))
+    assert(streamed.map(_._1).toSet ==
+      ((0L until 100L) ++ (1000L to 1009L)).toSet)
+  }
+}

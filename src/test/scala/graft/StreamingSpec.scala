@@ -115,6 +115,39 @@ class StreamingSpec extends SparkSpec {
       "late event beyond watermark must not materialize")
   }
 
+  test("Monitor surfaces watermark-dropped rows per batch " +
+      "(late-data observability)") {
+    val out = tmp("out"); val ckpt = tmp("ckpt")
+    val monitor = new graft.streaming.Monitor().attach(spark)
+    try {
+      val src = new MemoryTickSource(spark)
+      val q = StreamingPipeline.start(spark, src,
+        cfg.copy(checkpointDir = ckpt, outDir = out),
+        trigger = Trigger.ProcessingTime(0))
+      // batch 1 advances the watermark to ~9940s
+      src.addData(Seq(payload("AAPL", 100.0, 10000000L)))
+      q.processAllAvailable()
+      // batch 2: two planted-late ticks at t=65s/66s — silently dropped
+      // by watermark semantics; the monitor must COUNT them
+      src.addData(Seq(payload("AAPL", 55.5, 65000L),
+        payload("AAPL", 56.5, 66000L)))
+      q.processAllAvailable()
+      q.stop()
+      val prog = monitor.snapshot.filter(_.query_name == q.id.toString)
+      val firstDataBatch = prog.filter(_.num_input_rows > 0)
+        .minBy(_.batch_id)
+      assert(firstDataBatch.rows_dropped_by_watermark == 0L,
+        "on-time batch must report zero watermark drops")
+      // each late tick fans out to window/slide sliding-window copies
+      // before the stateful agg, so the per-row drop count is >= the
+      // number of late input rows — assert presence, not the multiple
+      assert(prog.map(_.rows_dropped_by_watermark).sum >= 2L,
+        s"late ticks not surfaced: ${prog.map(_.rows_dropped_by_watermark)}")
+      assert(spark.read.parquet(out)
+        .filter(col("first_price") === 55.5).count() == 0L)
+    } finally monitor.detach(spark)
+  }
+
   test("update-mode re-emission accumulates; finalizer collapses to last") {
     val out = tmp("out"); val ckpt = tmp("ckpt")
     val src = new MemoryTickSource(spark)
