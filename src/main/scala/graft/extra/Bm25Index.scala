@@ -84,6 +84,7 @@ object Bm25Index {
   def searchAll(spark: SparkSession, dir: String, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, idCol: String = "id",
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
     val nDocs = meta.getAs[Long]("n_docs")
     val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
@@ -91,12 +92,28 @@ object Bm25Index {
     val qterms = queries.select(col(queryIdCol),
         explode(Text.tokens(col(queryTextCol))).as("term"))
       .distinct()
+    // Term-pruned posting read. A broadcast equijoin alone restricts
+    // ROWS but pushes nothing into the scan — the first cut of this
+    // path read the whole tf table and filtered after decode (measured
+    // at 1M docs / 28M tf rows: the full scan dominated the search
+    // wall). Queries are FEW by construction (the same constant-size
+    // precedent as searchIvfPq's driver-side probe lists), so the
+    // distinct query terms are collected and shipped back as a STATIC
+    // `term IN (…)` predicate: parquet pushes it to row groups and —
+    // against the range-clustered layout — skips whole files on footer
+    // min/max. The guard keeps a runaway query frame from building a
+    // million-literal filter; past it, the broadcast join still bounds
+    // the rows (correctness never depends on the pushdown).
+    val termSeq = qterms.select("term").distinct()
+      .limit(10001).as[String].collect().toSeq
+    def termPruned(df0: DataFrame): DataFrame =
+      if (termSeq.size <= 10000) df0.filter(col("term").isin(termSeq: _*))
+      else df0
     val terms = qterms.select("term").distinct()
-    // term-pruned posting read: the equijoin restricts rows, and the
-    // clustered layout means the files outside the query's term ranges
-    // are skipped on footer stats
-    val tfq = spark.read.parquet(s"$dir/tf").join(broadcast(terms), "term")
-    val idf = spark.read.parquet(s"$dir/df").join(broadcast(terms), "term")
+    val tfq = termPruned(spark.read.parquet(s"$dir/tf"))
+      .join(broadcast(terms), "term")
+    val idf = termPruned(spark.read.parquet(s"$dir/df"))
+      .join(broadcast(terms), "term")
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))
@@ -131,18 +148,17 @@ object Bm25Index {
       idCol: String = "id", k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    import spark.implicits._
     val terms = queryTerms.map(_.toLowerCase).distinct
-    val q = terms.map(t => ("__q", t)).toDF("__qid", "query_text")
-    // reuse the multi-query path with one synthetic query id; the
-    // pre-tokenized term frame stands in for query text
     val meta = spark.read.parquet(s"$dir/meta").head()
     val nDocs = meta.getAs[Long]("n_docs")
     val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
-    val termsDf = q.select(col("query_text").as("term")).distinct()
+    // the term list is already driver-side: static IN predicates push
+    // straight to the parquet scans (file skip on the range-clustered
+    // layout's footer stats — see searchAll's pushdown note)
     val tfq = spark.read.parquet(s"$dir/tf")
-      .join(broadcast(termsDf), "term")
-    val idf = spark.read.parquet(s"$dir/df").join(broadcast(termsDf), "term")
+      .filter(col("term").isin(terms: _*))
+    val idf = spark.read.parquet(s"$dir/df")
+      .filter(col("term").isin(terms: _*))
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))

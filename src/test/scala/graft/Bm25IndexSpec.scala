@@ -67,6 +67,24 @@ class Bm25IndexSpec extends SparkSpec {
       s"search read outside the index dir:\n${files.mkString("\n")}")
   }
 
+  test("the query-term predicate is PUSHED into the index scans " +
+      "(static IN → file-prunable), both search forms") {
+    // a broadcast equijoin restricts rows but pushes nothing into the
+    // scan; the collected-terms static filter is what turns the
+    // range-clustered tf layout into skippable posting files at scale
+    val single = Bm25Index.search(spark, dir, Seq("spark", "shuffle"),
+      idCol = "doc_id").queryExecution.executedPlan.toString
+    assert(single.contains("In(term"),
+      s"tf scan lost the term pushdown:\n${single.take(1500)}")
+    val queries = Seq(("q1", "spark shuffle join"))
+      .toDF("query_id", "query_text")
+    val multi = Bm25Index.searchAll(spark, dir, queries,
+      "query_id", "query_text", idCol = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(multi.contains("In(term"),
+      s"multi-query tf scan lost the term pushdown:\n${multi.take(1500)}")
+  }
+
   test("empty-token corpus rows are countable: n_docs includes docs " +
       "with no tokens (bm25Search parity)") {
     val d2 = tmpDir()

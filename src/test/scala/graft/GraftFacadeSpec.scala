@@ -128,6 +128,19 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.bigramScore(docs, "doc_id", "text").count() > 0)
   }
 
+  test("facade: round-10 surface (persisted BM25 index, indexed " +
+      "multi-query search)") {
+    import spark.implicits._
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("facade_bm25").toString
+    Graft.buildBm25Index(docs, "doc_id", "text", dir)
+    val queries = Seq(("q1", "spark shuffle join")).toDF("qid", "qtext")
+    val hits = Graft.bm25SearchIndexed(spark, dir, queries, "qid", "qtext",
+      idCol = "doc_id", topK = 5)
+    assert(hits.count() == 5)
+    assert(hits.columns.contains("score"))
+  }
+
   test("facade: statistics + quality + multi-query retrieval surface") {
     val ev = graft.model.Tables.load(spark, sfDir, "events")
       .withColumn("variant", (col("user_id") % 2).cast("int"))
