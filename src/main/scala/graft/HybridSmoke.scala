@@ -67,9 +67,12 @@ object HybridSmoke {
       .orderBy(col("score").desc, col("doc_id"))
 
     def fusedIndexed(idx: Similarity.IvfPqIndex): Set[(Long, Long)] = {
+      // production config: stop-cut terms with df > 50% of the corpus
+      // (the synthetic text plants 8 universal stopwords — the
+      // adversarial case the knob exists for; see Bm25Index scaladoc)
       val sparse = Bm25Index.searchAll(spark, s"$dir/bm25",
           queriesOf(corpus()), "query_id", "query_text",
-          idCol = "doc_id", topK = 2 * k)
+          idCol = "doc_id", topK = 2 * k, maxDfRatio = 0.5)
         .withColumn("rank", row_number().over(ws))
       val dense = Similarity.searchIvfPq(idx, col("id") < nQ, k = 2 * k,
           nprobe = 8)
@@ -120,10 +123,47 @@ object HybridSmoke {
     val fi = fusedIndexed(idx)
     val tIndexed = (System.nanoTime() - t2) / 1e9
 
+    // per-arm walls (standalone re-runs, warm): where serving time goes
+    val tA = System.nanoTime()
+    Bm25Index.searchAll(spark, s"$dir/bm25", queriesOf(corpus()),
+      "query_id", "query_text", idCol = "doc_id", topK = 2 * k,
+      maxDfRatio = 0.5).count()
+    val tSparseArm = (System.nanoTime() - tA) / 1e9
+    val tB = System.nanoTime()
+    Similarity.searchIvfPq(idx, col("id") < nQ, k = 2 * k, nprobe = 8)
+      .count()
+    val tDenseArm = (System.nanoTime() - tB) / 1e9
+
     // the non-indexed composition: full re-tokenization + brute scan
     val t3 = System.nanoTime()
     val fb = fusedBrute(corpus(), emb())
     val tBrute = (System.nanoTime() - t3) / 1e9
+
+    // per-arm fidelity (untimed): attributes the fused gap between the
+    // dense arm's ANN recall (random vectors are the documented
+    // adversarial case) and the sparse arm's stop-cut tie reordering
+    // (stop-term contributions are ~1e-6 — pure tiebreak noise — but
+    // this corpus gives most docs ONLY stop overlap with the query)
+    def armPairs(df: DataFrame) = df.select("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sparseIdx = armPairs(Bm25Index.searchAll(spark, s"$dir/bm25",
+      queriesOf(corpus()), "query_id", "query_text", idCol = "doc_id",
+      topK = 2 * k, maxDfRatio = 0.5))
+    val sparseBr = armPairs(Retrieval.bm25SearchAll(corpus(), "doc_id",
+      "text", queriesOf(corpus()), "query_id", "query_text", topK = 2 * k))
+    val denseIdx = armPairs(Similarity.searchIvfPq(idx, col("id") < nQ,
+        k = 2 * k, nprobe = 8)
+      .select(col("query_id"), col("neighbor_id").as("doc_id")))
+    val denseBr = armPairs(Similarity.topKBruteForce(
+        emb().select(col("doc_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", col("id") < nQ, k = 2 * k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id")))
+    val sparseOv =
+      if (sparseBr.isEmpty) 0.0
+      else sparseIdx.intersect(sparseBr).size.toDouble / sparseBr.size
+    val denseOv =
+      if (denseBr.isEmpty) 0.0
+      else denseIdx.intersect(denseBr).size.toDouble / denseBr.size
 
     val overlap =
       if (fb.isEmpty) 0.0 else fi.intersect(fb).size.toDouble / fb.size
@@ -133,8 +173,12 @@ object HybridSmoke {
       s""""bm25_build_wall_s":${StreamBench.rnd(tBm25Build)},""" +
       s""""ann_build_wall_s":${StreamBench.rnd(tAnnBuild)},""" +
       s""""indexed_search_wall_s":${StreamBench.rnd(tIndexed)},""" +
+      s""""sparse_arm_wall_s":${StreamBench.rnd(tSparseArm)},""" +
+      s""""dense_arm_wall_s":${StreamBench.rnd(tDenseArm)},""" +
       s""""brute_search_wall_s":${StreamBench.rnd(tBrute)},""" +
       s""""search_speedup_vs_brute":${StreamBench.rnd(tBrute / tIndexed, 2)},""" +
+      s""""sparse_arm_overlap":${StreamBench.rnd(sparseOv, 3)},""" +
+      s""""dense_arm_overlap":${StreamBench.rnd(denseOv, 3)},""" +
       s""""fused_overlap_vs_brute":${StreamBench.rnd(overlap, 3)}}""")
     System.out.flush()
   }

@@ -31,6 +31,35 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "bm25idx") {
+      // stage-by-stage profile of the persisted-BM25 sparse arm against
+      // the hybrid smoke's staged layout (run HybridSmoke first)
+      val base = args.lift(2).getOrElse("/tmp/graft_hybrid_smoke_index")
+      import spark.implicits._
+      val docsS = spark.read.parquet(s"$base/stage/docs")
+      val queries = docsS.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+      val qterms = queries.select(col("query_id"),
+        explode(Text.tokens(col("query_text"))).as("term")).distinct()
+      val termSeq = qterms.select("term").distinct()
+        .as[String].collect().toSeq
+      println(s"[prof] query terms: ${termSeq.size}")
+      val tf = spark.read.parquet(s"$base/bm25/tf")
+      time("tf full scan")(tf.count())
+      time("tf IN-filtered")(
+        tf.filter(col("term").isin(termSeq: _*)).count())
+      time("tf IN+join qterms")(
+        tf.filter(col("term").isin(termSeq: _*))
+          .join(broadcast(qterms), "term").count())
+      time("dl scan")(spark.read.parquet(s"$base/bm25/dl").count())
+      time("qterms alone")(qterms.count())
+      (1 to 2).foreach { i =>
+        time(s"searchAll #$i")(graft.extra.Bm25Index.searchAll(spark,
+          s"$base/bm25", queries, "query_id", "query_text",
+          idCol = "doc_id", topK = 20).count())
+      }
+      spark.stop(); return
+    }
     val docs = Tables.load(spark, dir, "documents")
     time("docs scan")(docs.count())
     val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("t"))

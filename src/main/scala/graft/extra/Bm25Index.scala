@@ -80,10 +80,28 @@ object Bm25Index {
     * read (not re-counted) and broadcast, and the only driver value is
     * the one-row meta read. Output: queryIdCol, idCol, `n_hits`,
     * `score` — topK rows per query.
+    *
+    * `maxDfRatio` is the production STOP-TERM knob (Lucene-family
+    * common-terms handling): a query term present in more than that
+    * fraction of the corpus contributes ~nothing to ranking (shifted
+    * idf ≈ ln(1+ε)) yet drags df(term) ≈ N rows through the scan, the
+    * per-query fan-out join, and the per-(query, doc) aggregation — at
+    * 1M synthetic docs the 8 universal stopwords alone blew a 200-term
+    * search to 20M aggregated rows and ~25 s (Profile `bm25idx`).
+    * Pruning happens at the df frame (read FIRST, |query| rows), so
+    * dropped terms never reach the tf scan at all. Default 1.0 = off —
+    * bit-parity with [[Retrieval.bm25SearchAll]] preserved. When on:
+    * searching "q₁ … qₙ" ≡ the default search of the query with its
+    * high-df terms removed (docs matching ONLY dropped terms don't
+    * appear; `n_hits` counts kept-term matches) — Bm25IndexSpec pins
+    * that equivalence exactly.
     */
   def searchAll(spark: SparkSession, dir: String, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, idCol: String = "id",
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      maxDfRatio: Double = 1.0): DataFrame = {
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
     val nDocs = meta.getAs[Long]("n_docs")
@@ -106,14 +124,24 @@ object Bm25Index {
     // the rows (correctness never depends on the pushdown).
     val termSeq = qterms.select("term").distinct()
       .limit(10001).as[String].collect().toSeq
-    def termPruned(df0: DataFrame): DataFrame =
-      if (termSeq.size <= 10000) df0.filter(col("term").isin(termSeq: _*))
+    def inPruned(df0: DataFrame, ts: Seq[String]): DataFrame =
+      if (ts.isEmpty) df0.filter(lit(false)) // all-stop query → no hits
+      else if (ts.size <= 10000) df0.filter(col("term").isin(ts: _*))
       else df0
-    val terms = qterms.select("term").distinct()
-    val tfq = termPruned(spark.read.parquet(s"$dir/tf"))
-      .join(broadcast(terms), "term")
-    val idf = termPruned(spark.read.parquet(s"$dir/df"))
-      .join(broadcast(terms), "term")
+    // df first: |query|-bounded rows, and the stop-term cut (if any)
+    // happens HERE, before the tf scan ever sees the terms
+    val dfRead = inPruned(spark.read.parquet(s"$dir/df"), termSeq)
+      .join(broadcast(qterms.select("term").distinct()), "term")
+    val dfKept =
+      if (maxDfRatio >= 1.0) dfRead
+      else dfRead.filter(
+        col("df") <= lit((maxDfRatio * nDocs.toDouble).toLong))
+    val keptSeq =
+      if (maxDfRatio >= 1.0) termSeq
+      else dfKept.select("term").as[String].collect().toSeq
+    val tfq = inPruned(spark.read.parquet(s"$dir/tf"), keptSeq)
+      .join(broadcast(dfKept.select("term")), "term")
+    val idf = dfKept
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))
@@ -146,15 +174,29 @@ object Bm25Index {
     */
   def search(spark: SparkSession, dir: String, queryTerms: Seq[String],
       idCol: String = "id", k1: Double = 1.2, b: Double = 0.75,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20, maxDfRatio: Double = 1.0): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
+    import spark.implicits._
+    val terms0 = queryTerms.map(_.toLowerCase).distinct
     val meta = spark.read.parquet(s"$dir/meta").head()
     val nDocs = meta.getAs[Long]("n_docs")
     val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
     // the term list is already driver-side: static IN predicates push
     // straight to the parquet scans (file skip on the range-clustered
-    // layout's footer stats — see searchAll's pushdown note)
+    // layout's footer stats — see searchAll's pushdown note); the
+    // stop-term cut (searchAll scaladoc) reads the |query|-row df
+    // slice first so dropped terms never reach the tf scan
+    val terms =
+      if (maxDfRatio >= 1.0) terms0
+      else spark.read.parquet(s"$dir/df")
+        .filter(col("term").isin(terms0: _*))
+        .filter(col("df") <= lit((maxDfRatio * nDocs.toDouble).toLong))
+        .select("term").as[String].collect().toSeq
+    if (terms.isEmpty) // every query term was stop-cut → no hits
+      return Seq.empty[(Long, Long, Double)]
+        .toDF(idCol, "n_hits", "score")
     val tfq = spark.read.parquet(s"$dir/tf")
       .filter(col("term").isin(terms: _*))
     val idf = spark.read.parquet(s"$dir/df")

@@ -85,6 +85,38 @@ class Bm25IndexSpec extends SparkSpec {
       s"multi-query tf scan lost the term pushdown:\n${multi.take(1500)}")
   }
 
+  test("maxDfRatio stop-term cut ≡ searching the query with its " +
+      "high-df terms removed (both forms); all-stop query → empty") {
+    val d2 = tmpDir()
+    // 'the' in every doc (df = 1.0); content terms rare
+    val corpus = Seq(
+      (0L, "the spark shuffle"), (1L, "the spark join"),
+      (2L, "the window sort"), (3L, "the hash table"),
+      (4L, "the sort merge"), (5L, "the broadcast loop"))
+      .toDF("doc_id", "text")
+    Bm25Index.build(corpus, "doc_id", "text", d2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val pruned = rows(Bm25Index.search(spark, d2,
+      Seq("the", "spark", "sort"), idCol = "doc_id", maxDfRatio = 0.5))
+    val stripped = rows(Bm25Index.search(spark, d2,
+      Seq("spark", "sort"), idCol = "doc_id"))
+    assert(pruned.nonEmpty && pruned == stripped)
+    val queries = Seq(("q1", "the spark sort")).toDF("query_id", "qtext")
+    val prunedAll = Bm25Index.searchAll(spark, d2, queries, "query_id",
+        "qtext", idCol = "doc_id", maxDfRatio = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("score")))
+      .sortBy(t => (-t._3, t._1)).toSeq
+    assert(prunedAll == pruned.sortBy(t => (-t._3, t._1)))
+    assert(Bm25Index.search(spark, d2, Seq("the"), idCol = "doc_id",
+      maxDfRatio = 0.5).isEmpty)
+    assert(Bm25Index.searchAll(spark, d2,
+      Seq(("q1", "the")).toDF("query_id", "qtext"), "query_id", "qtext",
+      idCol = "doc_id", maxDfRatio = 0.5).isEmpty)
+  }
+
   test("empty-token corpus rows are countable: n_docs includes docs " +
       "with no tokens (bm25Search parity)") {
     val d2 = tmpDir()
