@@ -195,8 +195,9 @@ object Bm25Index {
         .filter(col("df") <= lit((maxDfRatio * nDocs.toDouble).toLong))
         .select("term").as[String].collect().toSeq
     if (terms.isEmpty) // every query term was stop-cut → no hits
-      return Seq.empty[(Long, Long, Double)]
-        .toDF(idCol, "n_hits", "score")
+      return spark.read.parquet(s"$dir/dl").filter(lit(false))
+        .select(col("id").as(idCol), lit(0L).as("n_hits"),
+          lit(0.0).as("score")) // id keeps the corpus key's real type
     val tfq = spark.read.parquet(s"$dir/tf")
       .filter(col("term").isin(terms: _*))
     val idf = spark.read.parquet(s"$dir/df")
