@@ -85,6 +85,25 @@ class Bm25IndexSpec extends SparkSpec {
       s"multi-query tf scan lost the term pushdown:\n${multi.take(1500)}")
   }
 
+  test("IndexedCorpus: build-if-absent is CONTENT-keyed — same content " +
+      "reuses the index dir, any content change forces a new build") {
+    val a = Seq((0L, "spark shuffle"), (1L, "hash join"))
+      .toDF("doc_id", "text")
+    val d1 = graft.queries.IndexedCorpus.bm25Dir(a, "doc_id", "text")
+    val meta = new java.io.File(d1, "meta/_SUCCESS")
+    assert(meta.exists())
+    val built = meta.lastModified()
+    // identical content (different frame instance) → same dir, no rebuild
+    val a2 = Seq((1L, "hash join"), (0L, "spark shuffle"))
+      .toDF("doc_id", "text")
+    assert(graft.queries.IndexedCorpus.bm25Dir(a2, "doc_id", "text") == d1)
+    assert(meta.lastModified() == built, "identical corpus must not rebuild")
+    // one edited row → different fingerprint → different dir
+    val b = Seq((0L, "spark shuffle"), (1L, "hash JOIN edited"))
+      .toDF("doc_id", "text")
+    assert(graft.queries.IndexedCorpus.bm25Dir(b, "doc_id", "text") != d1)
+  }
+
   test("maxDfRatio stop-term cut ≡ searching the query with its " +
       "high-df terms removed (both forms); all-stop query → empty") {
     val d2 = tmpDir()
