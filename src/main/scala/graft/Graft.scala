@@ -239,6 +239,14 @@ object Graft {
       dir: String, numFiles: Int = 8): Unit =
     extra.Bm25Index.build(docs, idCol, textCol, dir, numFiles)
 
+  /** Incrementally append a document batch to a persisted BM25 index
+    * (pure parquet appends; the corpus is never re-tokenized) — the
+    * sparse mirror of [[appendAnnIndex]].
+    */
+  def appendBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    extra.Bm25Index.append(docs, idCol, textCol, dir)
+
   /** Multi-query BM25 top-k served from a persisted index — term-pruned
     * posting reads, no corpus scan.
     */

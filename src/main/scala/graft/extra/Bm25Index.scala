@@ -26,8 +26,16 @@ import org.apache.spark.sql.types.DecimalType
   *     corpus-wide).
   *   - `df/` — (term, df): per-term document frequency, same term
   *     clustering; the search reads its Q terms and broadcasts.
-  *   - `meta/` — one row (n_docs, sum_dl): the only scalars scoring
-  *     needs. Reading it replaces both eager driver actions.
+  *   - `meta/` — (n_docs, sum_dl): the only scalars scoring needs.
+  *     Reading it replaces both eager driver actions.
+  *
+  * The layout is LOG-STRUCTURED: `df/` and `meta/` hold PARTIAL counts
+  * (one set per build/append) that the search read aggregates — a sum
+  * over the |query|-bounded df slice and the O(#appends)-row meta, both
+  * trivial at read time. That makes incremental ingest ([[append]])
+  * pure parquet appends on all four frames: no compact-and-rewrite, no
+  * read-modify-write races, and append-then-search is bit-identical to
+  * a fresh build over the union (Bm25IndexSpec pins it).
   *
   * Search ≡ [[Retrieval.bm25Search]]/[[Retrieval.bm25SearchAll]]
   * bit-for-bit: df per term is the global document frequency (equal to
@@ -74,6 +82,20 @@ object Bm25Index {
     } finally tf.unpersist(blocking = false)
   }
 
+  /** Incrementally ingest a NEW batch of documents into a persisted
+    * index — the sparse mirror of [[AnnIndex.appendIvfPq]]: one batch
+    * tokenization + four parquet APPENDS (tf/dl rows, partial df
+    * counts, one partial meta row); the existing corpus is never
+    * re-tokenized or rewritten. Appended tf files are range-clustered
+    * over the batch's own term ranges, so footer pruning keeps working
+    * per file. Caller owns id-uniqueness across batches (the same
+    * contract as every keyed table here); searching after N appends is
+    * bit-identical to one build over the union.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, numFiles: Int = 8): Unit =
+    build(docs, idCol, textCol, dir, numFiles, SaveMode.Append)
+
   /** Multi-query search over a persisted index: identical semantics and
     * arithmetic to [[Retrieval.bm25SearchAll]], but the corpus never
     * appears — tf is read term-pruned from the index layout, df/idf is
@@ -103,7 +125,9 @@ object Bm25Index {
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    // meta rows are per-build/append partials (log-structured layout)
+    val meta = spark.read.parquet(s"$dir/meta")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
     val nDocs = meta.getAs[Long]("n_docs")
     val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
 
@@ -129,9 +153,11 @@ object Bm25Index {
       else if (ts.size <= 10000) df0.filter(col("term").isin(ts: _*))
       else df0
     // df first: |query|-bounded rows, and the stop-term cut (if any)
-    // happens HERE, before the tf scan ever sees the terms
+    // happens HERE, before the tf scan ever sees the terms. The sum
+    // merges per-append partial counts (and is a no-op on one build).
     val dfRead = inPruned(spark.read.parquet(s"$dir/df"), termSeq)
       .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val dfKept =
       if (maxDfRatio >= 1.0) dfRead
       else dfRead.filter(
@@ -180,9 +206,14 @@ object Bm25Index {
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
     val terms0 = queryTerms.map(_.toLowerCase).distinct
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    // meta/df partials aggregate at read (log-structured layout)
+    val meta = spark.read.parquet(s"$dir/meta")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
     val nDocs = meta.getAs[Long]("n_docs")
     val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    def dfSlice(ts: Seq[String]) = spark.read.parquet(s"$dir/df")
+      .filter(col("term").isin(ts: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     // the term list is already driver-side: static IN predicates push
     // straight to the parquet scans (file skip on the range-clustered
     // layout's footer stats — see searchAll's pushdown note); the
@@ -190,8 +221,7 @@ object Bm25Index {
     // slice first so dropped terms never reach the tf scan
     val terms =
       if (maxDfRatio >= 1.0) terms0
-      else spark.read.parquet(s"$dir/df")
-        .filter(col("term").isin(terms0: _*))
+      else dfSlice(terms0)
         .filter(col("df") <= lit((maxDfRatio * nDocs.toDouble).toLong))
         .select("term").as[String].collect().toSeq
     if (terms.isEmpty) // every query term was stop-cut → no hits
@@ -200,8 +230,7 @@ object Bm25Index {
           lit(0.0).as("score")) // id keeps the corpus key's real type
     val tfq = spark.read.parquet(s"$dir/tf")
       .filter(col("term").isin(terms: _*))
-    val idf = spark.read.parquet(s"$dir/df")
-      .filter(col("term").isin(terms: _*))
+    val idf = dfSlice(terms)
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))

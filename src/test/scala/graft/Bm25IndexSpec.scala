@@ -85,6 +85,32 @@ class Bm25IndexSpec extends SparkSpec {
       s"multi-query tf scan lost the term pushdown:\n${multi.take(1500)}")
   }
 
+  test("append: build(a) + append(b) ≡ build(a ∪ b) bit-for-bit — " +
+      "log-structured df/meta partials aggregate at read") {
+    val half = docs.filter(col("doc_id") < 250)
+    val rest = docs.filter(col("doc_id") >= 250)
+    val dInc = tmpDir(); val dFull = tmpDir()
+    Bm25Index.build(half, "doc_id", "text", dInc)
+    Bm25Index.append(rest, "doc_id", "text", dInc)
+    Bm25Index.build(docs, "doc_id", "text", dFull)
+    def rows(d: String, ratio: Double) =
+      Bm25Index.search(spark, d, Seq("spark", "shuffle", "join"),
+        idCol = "doc_id", topK = 20, maxDfRatio = ratio).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(dInc, 1.0).nonEmpty && rows(dInc, 1.0) == rows(dFull, 1.0))
+    // the stop-cut threshold must see MERGED df counts, not partials
+    assert(rows(dInc, 0.5) == rows(dFull, 0.5))
+    val queries = Seq(("q1", "spark shuffle join"), ("q2", "window sort"))
+      .toDF("query_id", "query_text")
+    def all(d: String) = Bm25Index.searchAll(spark, d, queries,
+        "query_id", "query_text", idCol = "doc_id", topK = 5)
+      .collect().map(r => (r.getAs[String]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("score")))
+      .sortBy(t => (t._1, -t._4, t._2)).toSeq
+    assert(all(dInc) == all(dFull))
+  }
+
   test("IndexedCorpus: build-if-absent is CONTENT-keyed — same content " +
       "reuses the index dir, any content change forces a new build") {
     val a = Seq((0L, "spark shuffle"), (1L, "hash join"))
