@@ -265,6 +265,14 @@ object Graft {
       : org.apache.spark.sql.streaming.StreamingQuery =
     streaming.AnnIngest.start(curated, indexDir, checkpointDir, dim)
 
+  /** Streaming sparse ingest: curated doc stream → per-micro-batch
+    * append into a persisted BM25 index (creates it on first batch).
+    */
+  def startBm25Ingest(curated: DataFrame, indexDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.AnnIngest.startBm25(curated, indexDir, checkpointDir)
+
   /** Codegen'd dot product over float/double array columns. */
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)

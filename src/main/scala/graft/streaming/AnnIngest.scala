@@ -79,4 +79,32 @@ object AnnIngest {
             "embedding")
       }
       .start()
+
+  /** Streaming SPARSE ingest — the BM25 half of the same story: each
+    * curated micro-batch appends into a persisted
+    * [[graft.extra.Bm25Index]] (pure parquet appends on the
+    * log-structured layout, so a micro-batch pays one batch
+    * tokenization and four appends; nothing is rewritten). Unlike the
+    * ANN path there is no frozen model — df/meta partials simply
+    * accumulate and searches aggregate them, so the index needs no
+    * initial build (the first micro-batch creates it). Same
+    * at-least-once caveat as [[start]] on crash replay; empty batches
+    * append nothing.
+    */
+  def startBm25(curated: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkGate: () => Boolean = () => true): StreamingQuery =
+    curated
+      .select(col(idCol), col(textCol))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        if (sinkGate() && !df.isEmpty)
+          graft.extra.Bm25Index.append(df, idCol, textCol, indexDir)
+      }
+      .start()
 }

@@ -72,4 +72,33 @@ class StreamingAnnSpec extends SparkSpec {
     assert(streamed.map(_._1).toSet ==
       ((0L until 100L) ++ (1000L to 1009L)).toSet)
   }
+
+  test("streaming BM25 ingest: N micro-batches ≡ one batch build — " +
+      "searches bit-identical (no initial build needed)") {
+    val base = Files.createTempDirectory("bm25_ingest").toString
+    val batch1 = (0L to 4L).map(i => (i, s"$good alpha mark $i"))
+    val batch2 = (5L to 9L).map(i => (i, s"$good beta mark $i"))
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val ckpt = Files.createTempDirectory("bm25_ingest_ckpt").toString
+    val q = AnnIngest.startBm25(CurationStream.curateStream(mem.toDF()),
+      s"$base/streamed", ckpt, trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1.map { case (i, t) => payload(i, t, 1000000L + i) })
+      q.processAllAvailable()
+      mem.addData(batch2.map { case (i, t) => payload(i, t, 1100000L + i) })
+      q.processAllAvailable()
+    } finally q.stop()
+
+    graft.extra.Bm25Index.build(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/batch")
+    def hits(d: String) = graft.extra.Bm25Index.search(spark, d,
+        Seq("alpha", "quick", "mark"), idCol = "doc_id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val streamed = hits(s"$base/streamed")
+    assert(streamed.nonEmpty && streamed == hits(s"$base/batch"))
+  }
 }
