@@ -96,6 +96,45 @@ object Bm25Index {
       dir: String, numFiles: Int = 8): Unit =
     build(docs, idCol, textCol, dir, numFiles, SaveMode.Append)
 
+  /** Periodic maintenance for an appended index (the LSM compaction
+    * half of the append story, same precedent as
+    * [[graft.streaming.StreamingPipeline.materializeServing]]): each
+    * append adds small tf/dl files and another df/meta partial;
+    * compaction rewrites the four frames into one fresh clustered
+    * layout — tf re-range-clustered across the FULL term space (file
+    * pruning sharpens back up), df/meta partials merged to final
+    * counts, dl re-sorted. Searches before and after are bit-identical
+    * (spec-pinned); run it on the cadence appends accumulate. The swap
+    * is directory-rename best-effort (write aside, then move) — the
+    * maintenance job owns exclusivity, the same contract as any
+    * compaction.
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir.compact_tmp"
+    Layout.writeClustered(spark.read.parquet(s"$dir/tf"), s"$tmp/tf",
+      Seq(col("term"), col("id")), numFiles)
+    spark.read.parquet(s"$dir/dl")
+      .repartition(1).sortWithinPartitions(col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/dl")
+    Layout.writeClustered(
+      spark.read.parquet(s"$dir/df")
+        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+      s"$tmp/df", Seq(col("term")), math.max(1, numFiles / 4))
+    val m = spark.read.parquet(s"$dir/meta")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
+    Seq((m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl")))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
+    // swap: remove the old layout, move the compacted one into place
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compact: rename $tmp -> $dir failed")
+  }
+
   /** Multi-query search over a persisted index: identical semantics and
     * arithmetic to [[Retrieval.bm25SearchAll]], but the corpus never
     * appears — tf is read term-pruned from the index layout, df/idf is

@@ -111,6 +111,29 @@ class Bm25IndexSpec extends SparkSpec {
     assert(all(dInc) == all(dFull))
   }
 
+  test("compact after appends: searches bit-identical, df/meta " +
+      "partials merged to final counts") {
+    val dInc = tmpDir()
+    Bm25Index.build(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      dInc)
+    Bm25Index.append(docs.filter(col("doc_id") >= 200 &&
+      col("doc_id") < 400), "doc_id", "text", dInc)
+    Bm25Index.append(docs.filter(col("doc_id") >= 400), "doc_id", "text",
+      dInc)
+    def hits() = Bm25Index.search(spark, dInc,
+        Seq("spark", "shuffle", "join"), idCol = "doc_id", topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val before = hits()
+    assert(spark.read.parquet(s"$dInc/meta").count() == 3L)
+    Bm25Index.compact(spark, dInc)
+    assert(hits() == before)
+    assert(spark.read.parquet(s"$dInc/meta").count() == 1L)
+    // df holds one final count per term after the merge
+    assert(spark.read.parquet(s"$dInc/df")
+      .groupBy("term").count().filter(col("count") > 1).count() == 0L)
+  }
+
   test("IndexedCorpus: build-if-absent is CONTENT-keyed — same content " +
       "reuses the index dir, any content change forces a new build") {
     val a = Seq((0L, "spark shuffle"), (1L, "hash join"))
