@@ -60,4 +60,34 @@ object IndexedCorpus {
   def annIndex(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String): graft.extra.Similarity.IvfPqIndex =
     graft.extra.AnnIndex.readIvfPq(spark, annDir(emb, idCol, vecCol))
+
+  /** Content-keyed TRAINED PQ codebook — train-once semantics for the
+    * Lloyd build (production practice versions the quantizer with the
+    * data it was trained on): the per-subspace k-means runs once per
+    * distinct (embeddings content, geometry) and persists as a tiny
+    * (pos, cid, v, nrm) parquet; later calls read it back in POSITION
+    * order (PQ codes index centroids by position — the same invariant
+    * [[graft.extra.AnnIndex.writeIvfPq]] persists for its codebooks).
+    */
+  def trainedPqCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, numCentroids: Int, iters: Int)
+      : Seq[graft.extra.Similarity.Centroid] = synchronized {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val fp = fingerprint(emb, col(idCol), to_json(col(vecCol)))
+    val d = new File(sys.props("java.io.tmpdir"),
+      f"graft_qpqcb_$fp%016x_${m}_${numCentroids}_$iters")
+    if (!new File(d, "_SUCCESS").exists()) {
+      val cb = graft.extra.Similarity.kmeansPqCodebook(emb, idCol,
+        vecCol, m, numCentroids, iters)
+      cb.zipWithIndex.map { case (c, i) => (i, c.cid, c.v, c.nrm) }
+        .toDF("pos", "cid", "v", "nrm")
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    }
+    spark.read.parquet(d.toString).select("pos", "cid", "v", "nrm")
+      .collect()
+      .map(r => (r.getInt(0), graft.extra.Similarity.Centroid(
+        r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3))))
+      .sortBy(_._1).map(_._2).toSeq
+  }
 }

@@ -364,11 +364,14 @@ object SimilarityQueriesImpl {
     * query is registered rows-only; KmeansSpec pins the quality
     * contract — quantization error strictly below the sample
     * codebook's, recall vs exact at least the sample twin's
-    * ([[simTopKPq]]) on the same data.
+    * ([[simTopKPq]]) on the same data. The codebook is TRAIN-ONCE,
+    * content-keyed ([[IndexedCorpus.trainedPqCodebook]]): the first
+    * call pays the Lloyd iterations, later calls read the persisted
+    * quantizer — production versions the quantizer with its data.
     */
   def simTopKPqTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
-    val cb = Similarity.kmeansPqCodebook(emb, "vec_id", "embedding",
+    val cb = IndexedCorpus.trainedPqCodebook(emb, "vec_id", "embedding",
       m = 8, numCentroids = 16, iters = 3)
     Similarity.topKPq(emb, "vec_id", "embedding",
         queryPred = col("id") < 10, k = 5,
