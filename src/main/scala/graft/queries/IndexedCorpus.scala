@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * skips. Completion is detected by the layout's `meta/_SUCCESS` —
   * meta is the LAST frame both builders write, so a crashed partial
   * build is rebuilt (Overwrite) on the next call.
+  *
+  * SCALE NOTE: hashing the content is the TEST-RIG binding — these
+  * registered queries receive only a bare parquet directory, so
+  * content is the only identity available. At 100 TB nobody re-scans
+  * the corpus to decide whether an index is fresh: a catalog-managed
+  * table carries a snapshot/version id (Delta/Iceberg snapshot, Hive
+  * transaction id) and THAT keys the index dir — same build-if-absent
+  * logic, O(1) identity check. Only the `fingerprint` implementation
+  * changes; everything downstream is identical.
   */
 object IndexedCorpus {
 
