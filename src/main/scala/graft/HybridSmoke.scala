@@ -165,6 +165,22 @@ object HybridSmoke {
       if (denseBr.isEmpty) 0.0
       else denseIdx.intersect(denseBr).size.toDouble / denseBr.size
 
+    // incremental sparse ingest (runs LAST — it mutates the index):
+    // append a 10% batch of NEW docs (one batch tokenization + four
+    // parquet appends) vs what a rebuild would cost, then compact the
+    // log-structured layout back to one clustered generation — the
+    // AnnSmoke append/rebuild split, sparse edition
+    val newBatch = gen(n + n / 10).filter(col("doc_id") >= n)
+    val t4 = System.nanoTime()
+    Bm25Index.append(newBatch, "doc_id", "text", s"$dir/bm25")
+    val tAppend = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    Bm25Index.compact(spark, s"$dir/bm25", numFiles = 16)
+    val tCompact = (System.nanoTime() - t5) / 1e9
+    // the appended+compacted index still serves
+    val served = Bm25Index.search(spark, s"$dir/bm25",
+      Seq("w1", "w42", "w1234"), idCol = "doc_id", topK = k).count()
+
     val overlap =
       if (fb.isEmpty) 0.0 else fi.intersect(fb).size.toDouble / fb.size
     spark.stop()
@@ -177,6 +193,9 @@ object HybridSmoke {
       s""""dense_arm_wall_s":${StreamBench.rnd(tDenseArm)},""" +
       s""""brute_search_wall_s":${StreamBench.rnd(tBrute)},""" +
       s""""search_speedup_vs_brute":${StreamBench.rnd(tBrute / tIndexed, 2)},""" +
+      s""""bm25_append_10pct_wall_s":${StreamBench.rnd(tAppend)},""" +
+      s""""bm25_compact_wall_s":${StreamBench.rnd(tCompact)},""" +
+      s""""post_append_hits":$served,""" +
       s""""sparse_arm_overlap":${StreamBench.rnd(sparseOv, 3)},""" +
       s""""dense_arm_overlap":${StreamBench.rnd(denseOv, 3)},""" +
       s""""fused_overlap_vs_brute":${StreamBench.rnd(overlap, 3)}}""")

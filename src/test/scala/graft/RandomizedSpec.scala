@@ -182,4 +182,40 @@ class RandomizedSpec extends SparkSpec {
       assert(mine.forall(!_.isNullAt(2)), s"$k has null filled values")
     }
   }
+
+  test("persisted BM25 differential: random corpora + random append " +
+      "splits ≡ direct search and ≡ union build (seeded)") {
+    val vocab = Vector("spark", "shuffle", "join", "sort", "hash",
+      "merge", "scan", "index", "query", "plan", "the", "of")
+    for (seed <- Seq(3, 11)) {
+      val rnd = new Random(seed)
+      val docs = (0L until 60L).map { i =>
+        (i, Seq.fill(4 + rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val d = java.nio.file.Files
+        .createTempDirectory(s"rand_bm25_$seed").toString
+      // random split into 3 append batches over a fresh dir
+      val cut1 = 10 + rnd.nextInt(20); val cut2 = cut1 + 10 + rnd.nextInt(20)
+      graft.extra.Bm25Index.build(
+        df.filter(col("doc_id") < cut1), "doc_id", "text", d)
+      graft.extra.Bm25Index.append(
+        df.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+        "doc_id", "text", d)
+      graft.extra.Bm25Index.append(
+        df.filter(col("doc_id") >= cut2), "doc_id", "text", d)
+      val terms = Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).distinct
+      def rows(x: org.apache.spark.sql.DataFrame) = x.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val direct = rows(graft.extra.Retrieval.bm25Search(
+        df, "doc_id", "text", terms, topK = 60))
+      assert(rows(graft.extra.Bm25Index.search(spark, d, terms,
+        idCol = "doc_id", topK = 60)) == direct, s"seed=$seed")
+      // compaction preserves the differential too
+      graft.extra.Bm25Index.compact(spark, d)
+      assert(rows(graft.extra.Bm25Index.search(spark, d, terms,
+        idCol = "doc_id", topK = 60)) == direct, s"seed=$seed compacted")
+    }
+  }
 }
