@@ -54,7 +54,7 @@ object AnnIndex {
           ("pq", i, c.cid, c.v, c.nrm) }
     cb.toDF("kind", "pos", "cid", "v", "nrm")
       .coalesce(1).write.mode(mode).parquet(s"$dir/codebooks")
-    Seq((idx.m, idx.sub)).toDF("m", "sub")
+    Seq((idx.m, idx.sub, idx.residual)).toDF("m", "sub", "residual")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
   }
 
@@ -66,6 +66,10 @@ object AnnIndex {
   def readIvfPq(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    // indexes written before residual encoding existed have no flag —
+    // they are raw-vector indexes by construction
+    val residual = meta.schema.fieldNames.contains("residual") &&
+      meta.getAs[Boolean]("residual")
     val cbRows = spark.read.parquet(s"$dir/codebooks")
       .select("kind", "pos", "cid", "v", "nrm").collect()
       .map { r =>
@@ -77,7 +81,8 @@ object AnnIndex {
         .sortBy(_._1).map(_._2).toSeq
     val coded = spark.read.parquet(s"$dir/codes")
       .withColumn("list_id", col("list_id").cast("long"))
-    Similarity.IvfPqIndex(kind("coarse"), kind("pq"), m, sub, coded)
+    Similarity.IvfPqIndex(kind("coarse"), kind("pq"), m, sub, coded,
+      residual)
   }
 
   /** Incrementally ingest new vectors into a persisted index WITHOUT
@@ -115,7 +120,7 @@ object AnnIndex {
       s"appendIvfPq: batch dim $batchDim does not match index dim " +
         s"${idx.m * idx.sub} (m=${idx.m} × sub=${idx.sub})")
     Similarity.encodeIvfPq(emb, idCol, vecCol, idx.coarse, idx.pq,
-        idx.m, idx.sub)
+        idx.m, idx.sub, idx.residual)
       .repartition(col("list_id"))
       .sortWithinPartitions(col("list_id"), col("id"))
       .write.mode(SaveMode.Append).partitionBy("list_id")
@@ -127,10 +132,11 @@ object AnnIndex {
       idCol: String, vecCol: String, dir: String,
       numCentroids: Int = 32, m: Int = 8, pqCentroids: Int = 16,
       coarseCodebook: Option[Seq[Similarity.Centroid]] = None,
-      pqCodebook: Option[Seq[Similarity.Centroid]] = None)
+      pqCodebook: Option[Seq[Similarity.Centroid]] = None,
+      residual: Boolean = false)
       : Option[Similarity.IvfPqIndex] =
     Similarity.buildIvfPq(emb, idCol, vecCol, numCentroids, m,
-        pqCentroids, coarseCodebook, pqCodebook)
+        pqCentroids, coarseCodebook, pqCodebook, residual)
       .map { idx =>
         writeIvfPq(idx, dir)
         readIvfPq(emb.sparkSession, dir)

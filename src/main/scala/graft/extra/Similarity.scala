@@ -376,7 +376,7 @@ object Similarity {
     * split.
     */
   final case class IvfPqIndex(coarse: Seq[Centroid], pq: Seq[Centroid],
-      m: Int, sub: Int, coded: DataFrame)
+      m: Int, sub: Int, coded: DataFrame, residual: Boolean = false)
 
   /** Build the IVF-PQ index frame: coarse list assignment + PQ codes,
     * both pure projections against literal codebooks.
@@ -385,7 +385,8 @@ object Similarity {
       numCentroids: Int = 32, m: Int = 8,
       pqCentroids: Int = 16,
       coarseCodebook: Option[Seq[Centroid]] = None,
-      pqCodebook: Option[Seq[Centroid]] = None): Option[IvfPqIndex] = {
+      pqCodebook: Option[Seq[Centroid]] = None,
+      residual: Boolean = false): Option[IvfPqIndex] = {
     require(m >= 1, s"m=$m must be >= 1")
     val dim = probeDim(emb, vecCol)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
@@ -396,13 +397,72 @@ object Similarity {
     // one would silently truncate and degrade every list assignment
     requireCodebookDim(coarseCodebook, dim, "coarse")
     requireCodebookDim(pqCodebook, dim, "pq")
-    val coarse = coarseCodebook.getOrElse(
+    val coarse0 = coarseCodebook.getOrElse(
       sampleCodebook(emb, idCol, vecCol, numCentroids))
+    // residual mode re-keys coarse cids to POSITIONS (0..C-1): the
+    // encode expression indexes the flat coarse array by list_id
+    // directly, and the persisted layout round-trips positions via
+    // `pos` anyway. Raw mode keeps sample-row ids (oracle parity).
+    val coarse = if (residual)
+      coarse0.zipWithIndex.map { case (c, i) => c.copy(cid = i.toLong) }
+    else coarse0
     val pqCents = pqCodebook.getOrElse(
-      sampleCodebook(emb, idCol, vecCol, pqCentroids))
+      if (residual) sampleResidualCodebook(emb, idCol, vecCol,
+        pqCentroids, coarse)
+      else sampleCodebook(emb, idCol, vecCol, pqCentroids))
     if (coarse.isEmpty || pqCents.isEmpty) None
     else Some(IvfPqIndex(coarse, pqCents, m, sub,
-      encodeIvfPq(emb, idCol, vecCol, coarse, pqCents, m, sub)))
+      encodeIvfPq(emb, idCol, vecCol, coarse, pqCents, m, sub, residual),
+      residual))
+  }
+
+  /** Residual-space sample codebook: the same deterministic hash-order
+    * sample as [[sampleCodebook]], with each sample replaced by its
+    * offset from its own nearest coarse centroid. Raw-vector PQ
+    * centroids are the WRONG scale for residual codes (residual norm ≪
+    * corpus norm on clustered data — every residual would collapse to
+    * the centroid nearest the origin); sampling in residual space puts
+    * the codebook where the codes live. Driver-side: C·dim work over
+    * `numCentroids` collected rows.
+    */
+  private def sampleResidualCodebook(emb: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int,
+      coarse: Seq[Centroid]): Seq[Centroid] = {
+    if (coarse.isEmpty) return Seq.empty
+    // over-sample past the coarse rows: the hash-order sample is
+    // DETERMINISTIC, so the first `coarse.size` rows ARE the default
+    // coarse centroids — their residuals are exactly zero (each row's
+    // nearest centroid is itself), and a zero codebook collapses every
+    // vector to one code (the original raw-mode failure, re-created).
+    // Dropping zero-norm residuals also covers a caller-supplied
+    // coarse codebook that happens to contain sample rows.
+    val all = sampleCodebook(emb, idCol, vecCol,
+      coarse.size + numCentroids).map { c =>
+      val near = nearestCoarseDriver(c.v, c.nrm, coarse)
+      val r = Array.tabulate(c.v.length)(i => c.v(i) - near.v(i))
+      Centroid(c.cid, r, r.foldLeft(0d)((a, x) => a + x * x))
+    }
+    val nonZero = all.filter(_.nrm > 0).take(numCentroids)
+    // degenerate corpus (every row is a centroid): keep the zero
+    // codebook rather than none — search still works via the exact
+    // re-rank, codes just carry no signal
+    if (nonZero.nonEmpty) nonZero else all.take(numCentroids)
+  }
+
+  /** Driver-side mirror of [[nearestCid]]'s assignment (rounded cosine
+    * desc, cid asc tie-break) for the handful of collected sample /
+    * query rows residual mode handles on the driver.
+    */
+  private def nearestCoarseDriver(v: Array[Double], nrm: Double,
+      coarse: Seq[Centroid]): Centroid = {
+    val sq = math.sqrt(nrm)
+    coarse.map { c =>
+      var dp = 0d
+      var i = 0
+      val n = math.min(v.length, c.v.length)
+      while (i < n) { dp += v(i) * c.v(i); i += 1 }
+      (rnd6(dp / (sq * math.sqrt(c.nrm))), c)
+    }.minBy { case (cos, c) => (-cos, c.cid) }._2
   }
 
   /** The index-build projection on its own: coarse list assignment +
@@ -413,10 +473,28 @@ object Similarity {
     */
   def encodeIvfPq(emb: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[Centroid], pqCents: Seq[Centroid], m: Int,
-      sub: Int): DataFrame =
-    prepare(emb, idCol, vecCol)
+      sub: Int, residual: Boolean = false): DataFrame = {
+    val assigned = prepare(emb, idCol, vecCol)
       .withColumn("list_id", nearestCid(coarse, col("v"), col("nrm")))
-      .withColumn("codes", pqCodes(pqCents, m, sub))
+    if (!residual) assigned.withColumn("codes", pqCodes(pqCents, m, sub))
+    else {
+      // residual codes index the flat coarse array by list_id — the
+      // position re-keying buildIvfPq applies is a hard precondition
+      require(coarse.zipWithIndex.forall { case (c, i) => c.cid == i },
+        "residual encoding requires coarse cids re-keyed to positions " +
+          "(build the index with residual = true)")
+      val dim = m * sub
+      def flat(cs: Seq[Centroid]): Array[Double] = {
+        val a = new Array[Double](cs.size * dim)
+        for (j <- cs.indices; i <- 0 until dim) a(j * dim + i) = cs(j).v(i)
+        a
+      }
+      assigned.withColumn("codes",
+        graft.functions.GraftFunctions.pq_encode_residual(col("v"),
+          col("list_id"), flat(coarse), flat(pqCents), pqCents.size, m,
+          sub))
+    }
+  }
 
   /** Search a built index: probes + ADC scoring + exact re-rank. The
     * query side re-derives its distance table from the index's own
@@ -475,12 +553,26 @@ object Similarity {
     // the fused join+project never materializes the table per pair —
     // the alternative explode-and-equijoin shape was measured 8× the
     // row volume through an extra exchange for nothing.
-    val dtableByQ = qs.map { case (qid, qv, _) =>
-      qid -> driverDTable(qv, idx.pq, idx.m, idx.sub)
-    }.toMap
-    val probeFrame = probeRows
-      .map { case (qid, lid) => (qid, lid, dtableByQ(qid)) }
-      .toDF("query_id", "list_id", "dtable")
+    val probeFrame = (if (idx.residual) {
+      // residual ADC: the table is per (query, LIST) — distances of
+      // (q − coarse[list]) to the residual codebook, so ADC approximates
+      // ‖q − (coarse[list] + r̂_x)‖² for rows of that list. The probe
+      // frame already carries one row per (query, list); the table just
+      // stops being constant across a query's probes. Driver cost grows
+      // nprobe× (still O(Q·nprobe·m·k·sub), trivially driver-sized).
+      val coarseByCid = idx.coarse.map(c => c.cid -> c.v).toMap
+      val qvById = qs.map { case (qid, qv, _) => qid -> qv }.toMap
+      probeRows.map { case (qid, lid) =>
+        val qv = qvById(qid); val cv = coarseByCid(lid)
+        val r = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+        (qid, lid, driverDTable(r, idx.pq, idx.m, idx.sub))
+      }
+    } else {
+      val dtableByQ = qs.map { case (qid, qv, _) =>
+        qid -> driverDTable(qv, idx.pq, idx.m, idx.sub)
+      }.toMap
+      probeRows.map { case (qid, lid) => (qid, lid, dtableByQ(qid)) }
+    }).toDF("query_id", "list_id", "dtable")
     // STATIC posting-list pruning: the probed list ids are already
     // driver-side, so the scan carries an explicit `list_id IN (…)`
     // filter. Semantically redundant with the equijoin (the join only
@@ -520,8 +612,10 @@ object Similarity {
 
   def topKIvfPq(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, numCentroids: Int = 32, nprobe: Int = 3,
-      m: Int = 8, pqCentroids: Int = 16, candFactor: Int = 3): DataFrame =
-    buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids) match {
+      m: Int = 8, pqCentroids: Int = 16, candFactor: Int = 3,
+      residual: Boolean = false): DataFrame =
+    buildIvfPq(emb, idCol, vecCol, numCentroids, m, pqCentroids,
+        residual = residual) match {
       case None =>
         require(k >= 1 && candFactor >= 1 && nprobe >= 1,
           s"k=$k, candFactor=$candFactor, nprobe=$nprobe must be >= 1")

@@ -228,6 +228,140 @@ case class PqEncode(child: Expression, cents: Array[Double], k: Int,
     copy(child = newChild)
 }
 
+/** Residual PQ code assignment: codes quantize `v − coarse[list_id]`
+  * instead of the raw vector — the standard IVF-PQ refinement
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * §IV.B; FAISS `IndexIVFPQ` encodes residuals by default). On
+  * CLUSTERED corpora — the realistic embedding regime — raw-vector PQ
+  * collapses every member of a tight cluster to the SAME byte codes
+  * (the codes see only the dominant centroid component, never the
+  * within-cluster offset), so ADC cannot rank inside a cluster and
+  * recall floors at random-pick (AnnSmoke clustered mode measured
+  * 0.013 at 1M vectors). Subtracting the coarse centroid first makes
+  * the codes span exactly the within-list geometry ADC needs.
+  *
+  * Same constant-size loop-codegen shape as [[PqEncode]] (janino-safe
+  * at any geometry), with one extra subtraction per dimension against
+  * a second reference array. `coarse` is the flattened C×dim coarse
+  * codebook indexed BY POSITION — residual mode re-indexes coarse cids
+  * to 0..C-1 at build time so `list_id` is a direct offset. An
+  * out-of-range list_id yields null (nothing to subtract), surfacing
+  * as an unscored row rather than a wrong code.
+  */
+case class PqEncodeResidual(left: Expression, right: Expression,
+    coarse: Array[Double], cents: Array[Double], k: Int, m: Int,
+    sub: Int) extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), LongType | IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_residual expects (array<float|double>, long), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def numCoarse: Int = coarse.length / (m * sub)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val lp = b match {
+      case l: java.lang.Long => l.toInt
+      case i: java.lang.Integer => i.toInt
+      case l: Long => l.toInt
+      case i: Int => i
+    }
+    val dim = m * sub
+    if (x.numElements() < dim || lp < 0 || lp >= numCoarse) return null
+    val isF = elemIsFloat
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        var d2 = 0.0
+        var d = 0
+        while (d < sub) {
+          val i = s * sub + d
+          if (x.isNullAt(i)) return null
+          val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+          val diff = (xv - coarse(lp * dim + i)) - cents(j * dim + i)
+          d2 += diff * diff
+          d += 1
+        }
+        d2 = VectorOps.rnd6(d2)
+        if (d2 < bestD) { bestD = d2; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      codes.map(Int.box))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, lid) => {
+      val coRef = ctx.addReferenceObj("coarseCents", coarse, "double[]")
+      val cRef = ctx.addReferenceObj("pqCents", cents, "double[]")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      val d2 = ctx.freshName("d2"); val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val codes = ctx.freshName("codes"); val lp = ctx.freshName("lp")
+      val dim = m * sub
+      val getX = if (elemIsFloat) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
+      s"""
+         |int $lp = (int) $lid;
+         |if ($x.numElements() < $dim || $lp < 0 || $lp >= $numCoarse) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m && !${ev.isNull}; $s++) {
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      double $d2 = 0.0;
+         |      for (int $d = 0; $d < $sub; $d++) {
+         |        int $i = $s * $sub + $d;
+         |        if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |        double $diff = ($getX - $coRef[$lp * $dim + $i])
+         |          - $cRef[$j * $dim + $i];
+         |        $d2 += $diff * $diff;
+         |      }
+         |      if (${ev.isNull}) break;
+         |      $d2 = graft.functions.VectorOps.rnd6($d2);
+         |      if ($d2 < $bestD) { $bestD = $d2; $best = $j; }
+         |    }
+         |    $codes[$s] = $best;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} =
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |        .fromPrimitiveArray($codes);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Nearest-centroid assignment as ONE loop-emitting codegen expression:
   * the id of the codebook centroid with the highest ROUNDED (6 dp)
   * cosine to the row vector, smallest centroid id on ties — exactly the
@@ -372,6 +506,18 @@ object GraftFunctions {
       sub: Int): Column =
     GraftColumnBridge.column(PqEncode(
       GraftColumnBridge.expression(v), cents, k, m, sub))
+
+  /** Residual PQ code assignment: quantizes `v − coarse[list_id]`
+    * against a flattened k×dim codebook (codegen'd constant-size
+    * loops — see [[PqEncodeResidual]]). `coarse` is the flattened
+    * C×dim coarse codebook indexed by position = list_id.
+    */
+  def pq_encode_residual(v: Column, listId: Column,
+      coarse: Array[Double], cents: Array[Double], k: Int, m: Int,
+      sub: Int): Column =
+    GraftColumnBridge.column(PqEncodeResidual(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(listId),
+      coarse, cents, k, m, sub))
 
   /** Nearest-centroid id by rounded cosine (codegen'd constant-size
     * loops — see [[NearestCentroid]]).
