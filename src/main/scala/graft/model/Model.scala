@@ -65,20 +65,34 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Reads a test table. The driver's `events` table is written with
-    * parquet TIMESTAMP(NANOS), which Spark refuses by default; we read
-    * nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-    * to a microsecond timestamp with exact integer division (a double
-    * division would lose precision above 2^53 ns ≈ 1970+104 days).
+  /** Reads a test table, normalizing timestamp physical types across
+    * driver data-generator versions:
+    *   - TIMESTAMP(NANOS) parquet (older generator): Spark refuses it by
+    *     default; we read nanos as long
+    *     (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
+    *     microsecond timestamp with exact integer division (a double
+    *     division would lose precision above 2^53 ns ≈ 1970+104 days).
+    *   - tz-naive TIMESTAMP(MICROS) parquet (current generator): Spark 4
+    *     infers TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ
+    *     .enabled` defaults true), which rejects `unix_millis`/double
+    *     casts downstream; we cast every NTZ column back to TIMESTAMP.
+    *     All graft sessions pin `spark.sql.session.timeZone=UTC`, so the
+    *     cast is value-preserving (same wall clock, same epoch) and
+    *     matches DuckDB's reading of the same naive column as UTC.
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(dir, name))
-    if (name == "events" &&
-      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    val raw = spark.read.parquet(path(dir, name))
+    val df =
+      if (name == "events" &&
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 }
