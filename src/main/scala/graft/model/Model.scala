@@ -75,15 +75,23 @@ object Tables {
     *   - tz-naive TIMESTAMP(MICROS) parquet (current generator): Spark 4
     *     infers TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ
     *     .enabled` defaults true), which rejects `unix_millis`/double
-    *     casts downstream; we cast every NTZ column back to TIMESTAMP.
-    *     All graft sessions pin `spark.sql.session.timeZone=UTC`, so the
-    *     cast is value-preserving (same wall clock, same epoch) and
-    *     matches DuckDB's reading of the same naive column as UTC.
+    *     casts downstream. We disable the inference so the scan itself
+    *     yields TIMESTAMP — critical at scale, because a per-column
+    *     NTZ→LTZ `cast` after the scan is an expression the data source
+    *     cannot see, so time-range predicates (e.g. `recent_slice`'s)
+    *     would stop reaching the parquet footer stats (no PushedFilters,
+    *     no row-group skipping on `ts`). All graft sessions pin
+    *     `spark.sql.session.timeZone=UTC`, so reading the naive micros
+    *     as epoch-micros TIMESTAMP is value-identical to DuckDB's
+    *     reading of the same naive column. A defensive NTZ→TIMESTAMP
+    *     cast fold remains for frames read before the conf was set
+    *     (cached plans), where it is a no-op otherwise.
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String, name: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(path(dir, name))
     val df =
       if (name == "events" &&

@@ -461,4 +461,19 @@ class PlanShapeSpec extends SparkSpec {
     // a silent cache loss would re-tokenize the corpus per branch
     assert(plans.contains("InMemoryTableScan"), plans.take(2000))
   }
+
+  test("recent_slice: the ts range predicate reaches the parquet scan " +
+      "as a pushed filter (no NTZ cast shadowing the column)") {
+    val plan = executedPlan("recent_slice")
+    // GreaterThanOrEqual(ts,...) is the data-source Filter rendering and
+    // only appears inside the scan's PushedFilters — a post-scan cast on
+    // ts (e.g. the TIMESTAMP_NTZ normalization applied per-column) would
+    // keep the plan correct but drop the filter from the scan, losing
+    // row-group skipping on the dominant time dimension at scale
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(ts"),
+      "ts range filter not pushed to the scan:\n" + plan.take(2000))
+    assert(!plan.toLowerCase.contains("timestamp_ntz"),
+      "driver table surfaced as TIMESTAMP_NTZ:\n" + plan.take(2000))
+  }
 }
