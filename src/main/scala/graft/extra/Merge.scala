@@ -1,0 +1,188 @@
+package graft.extra
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** Keyed copy-on-write MERGE (upsert) over a clustered parquet layout —
+  * the incremental-refresh half of table maintenance that
+  * [[Layout.writeClustered]] / [[Layout.compact]] leave open. A training
+  * corpus at scale is not rebuilt per batch; it is upserted: new and
+  * re-crawled documents replace same-key rows, everything else stays on
+  * disk untouched.
+  *
+  * The scale posture is file-level pruning on parquet FOOTER STATS, the
+  * same machinery [[Layout.writeClustered]] lays the data out for:
+  *
+  *   1. the driver reads each file's footer min/max for the merge key
+  *      (O(files) metadata reads, no data scan — the same cost model as
+  *      a Delta/Iceberg manifest, with the footer standing in for the
+  *      manifest entry);
+  *   2. ONE distributed pass over the update batch marks which files'
+  *      [min,max] ranges actually contain an update key — files outside
+  *      every update key range are never opened;
+  *   3. only the touched files are read (`parquet(paths:_*)`), their
+  *      same-key rows replaced (left-anti join on the broadcast-or-keyed
+  *      update batch), and the survivors + the full update batch are
+  *      written back clustered on the key;
+  *   4. untouched files are left in place — zero bytes moved for the
+  *      cold part of the table. New files land beside them with
+  *      collision-free Spark part-UUID names; replaced files are deleted
+  *      LAST, so a crash mid-merge leaves duplicates (re-runnable), not
+  *      data loss.
+  *
+  * Single-writer, no-concurrent-reader contract: without a manifest, a
+  * reader racing step 4 can observe both the old and new copy of a
+  * touched row. At 100 TB this pairs with a catalog/manifest commit
+  * (swap the file list atomically); the data movement — the expensive
+  * part — is exactly what this operator bounds.
+  */
+object Merge {
+
+  /** Result of a [[upsert]]: how much of the table the merge touched. */
+  final case class MergeStats(
+      filesTotal: Int,
+      filesRewritten: Int,
+      rowsWritten: Long)
+
+  /** Per-file key range from the parquet footer (min, max), or None when
+    * the file has no non-null stats for the key (merge then conservatively
+    * treats it as touched).
+    */
+  private def footerKeyRange(fs: FileSystem, file: Path, key: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Any, Any)] = {
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = rdr.getFooter.getBlocks.asScala
+      val ranges = blocks.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == key)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else c.getPrimitiveType.getPrimitiveTypeName match {
+              case PrimitiveTypeName.INT64 =>
+                Some((st.genericGetMin.asInstanceOf[java.lang.Long].longValue: Any,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue: Any))
+              case PrimitiveTypeName.INT32 =>
+                Some((st.genericGetMin.asInstanceOf[java.lang.Integer].intValue: Any,
+                  st.genericGetMax.asInstanceOf[java.lang.Integer].intValue: Any))
+              case PrimitiveTypeName.BINARY =>
+                // decode the raw UTF-8 binary (not minAsString's debug
+                // form). Footer stats are untruncated by default; if a
+                // writer enables parquet.statistics.truncate.length the
+                // truncator keeps min a lower and max an upper bound, so
+                // pruning stays conservative (never skips a true match)
+                Some((st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8: Any,
+                  st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8: Any))
+              case _ => None
+            }
+          }
+      }
+      if (ranges.isEmpty || ranges.size != blocks.size) None
+      else {
+        implicit val ord: Ordering[Any] = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            a.asInstanceOf[Comparable[Any]].compareTo(b)
+        }
+        Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      }
+    } finally rdr.close()
+  }
+
+  /** Upsert `updates` into the parquet table at `dir` on unique key
+    * `key`: rows in the table whose key appears in `updates` are
+    * replaced, all other update rows are inserted, everything else is
+    * untouched ON DISK. Returns merge stats.
+    *
+    * Requirements: `updates` has the table's schema and at most one row
+    * per key (enforced — a multi-row key would make "last wins"
+    * nondeterministic); key type is long/int/string (the footer-stats
+    * types this prunes on).
+    */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String): MergeStats = {
+    val schema = spark.read.parquet(dir).schema
+    require(schema.fieldNames.sameElements(updates.schema.fieldNames),
+      s"updates schema ${updates.schema.fieldNames.mkString(",")} does not " +
+        s"match table schema ${schema.fieldNames.mkString(",")}")
+    val keyType = schema(key).dataType
+    require(Seq(LongType, IntegerType, StringType).contains(keyType),
+      s"merge key $key has unsupported type $keyType (footer-stats " +
+        "pruning is implemented for long/int/string)")
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val files = fs.listStatus(root)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    // O(files) driver-side footer reads — metadata only, no data scan
+    val ranged = files.map(p => p -> footerKeyRange(fs, p, key, hconf))
+
+    val statless = ranged.collect { case (p, None) => p.toString }
+    val filesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ranged.collect { case (p, Some((mn, mx))) =>
+          org.apache.spark.sql.Row(p.toString, mn, mx)
+        }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__file", StringType),
+        org.apache.spark.sql.types.StructField("__mn", keyType),
+        org.apache.spark.sql.types.StructField("__mx", keyType))))
+
+    // one pass over the batch: row count + distinct-key count together
+    val cnts = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(key)).as("d")).head()
+    val (n, d) = (cnts.getLong(0), cnts.getLong(1))
+    require(n == d, s"updates carry $n rows but only $d distinct " +
+      s"$key values — dedup (e.g. latest-wins) before merging")
+    if (n == 0) return MergeStats(files.length, 0, 0L)
+    val dedupedUpdates = updates
+
+    // one distributed pass over the update batch: which file ranges
+    // contain an update key. The broadcast side is O(files) rows; the
+    // range predicate makes this a broadcast nested-loop — fine while
+    // files ≪ updates; bucket the ranges if the file count ever rivals
+    // the batch size.
+    val touched = dedupedUpdates.alias("u")
+      .join(broadcast(filesDf),
+        col(key) >= col("__mn") && col(key) <= col("__mx"))
+      .select("__file").distinct().collect().map(_.getString(0))
+    val rewrite = (touched ++ statless).distinct
+
+    val staging = new Path(root, ".merge-staging")
+    fs.delete(staging, true)
+
+    val survivors =
+      if (rewrite.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(rewrite.toSeq: _*)
+        .join(dedupedUpdates.select(key), Seq(key), "left_anti")
+    val out = survivors.select(schema.fieldNames.map(col).toSeq: _*)
+      .unionByName(dedupedUpdates.select(schema.fieldNames.map(col).toSeq: _*))
+    val rows = out.count()
+    val nFiles = math.max(1, rewrite.length)
+    Layout.writeClustered(out, staging.toString, Seq(col(key)), nFiles)
+
+    // commit: move staged files in (UUID names — no collisions), then
+    // delete replaced files last (crash ⇒ duplicates, never loss)
+    fs.listStatus(staging)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new Path(root, f.getPath.getName)))
+    fs.delete(staging, true)
+    rewrite.foreach(p => fs.delete(new Path(p), false))
+
+    MergeStats(files.length, rewrite.length, rows)
+  }
+}
