@@ -6,16 +6,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
-/** Keyed copy-on-write MERGE (upsert) over a clustered parquet layout —
-  * the incremental-refresh half of table maintenance that
+/** Keyed copy-on-write MERGE (upsert / delete) over a clustered parquet
+  * layout — the incremental-refresh half of table maintenance that
   * [[Layout.writeClustered]] / [[Layout.compact]] leave open. A training
-  * corpus at scale is not rebuilt per batch; it is upserted: new and
-  * re-crawled documents replace same-key rows, everything else stays on
-  * disk untouched.
+  * corpus at scale is not rebuilt per batch; it is upserted (new and
+  * re-crawled documents replace same-key rows) and selectively purged
+  * (takedown / right-to-be-forgotten keys), with everything else staying
+  * on disk untouched.
   *
   * The scale posture is file-level pruning on parquet FOOTER STATS, the
   * same machinery [[Layout.writeClustered]] lays the data out for:
@@ -24,18 +25,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *      (O(files) metadata reads, no data scan — the same cost model as
   *      a Delta/Iceberg manifest, with the footer standing in for the
   *      manifest entry);
-  *   2. ONE distributed pass over the update batch marks which files'
-  *      [min,max] ranges actually contain an update key — files outside
-  *      every update key range are never opened;
+  *   2. ONE distributed pass over the key batch marks which files'
+  *      [min,max] ranges actually contain a batch key — files outside
+  *      every key range are never opened;
   *   3. only the touched files are read (`parquet(paths:_*)`), their
-  *      same-key rows replaced (left-anti join on the broadcast-or-keyed
-  *      update batch), and the survivors + the full update batch are
+  *      same-key rows dropped (left-anti join on the batch keys), and
+  *      the survivors — plus, for upsert, the full update batch — are
   *      written back clustered on the key;
   *   4. untouched files are left in place — zero bytes moved for the
   *      cold part of the table. New files land beside them with
   *      collision-free Spark part-UUID names; replaced files are deleted
-  *      LAST, so a crash mid-merge leaves duplicates (re-runnable), not
-  *      data loss.
+  *      LAST, so a crash mid-merge leaves duplicates (re-runnable for
+  *      upsert, re-runnable-to-empty for delete), not data loss.
   *
   * Single-writer, no-concurrent-reader contract: without a manifest, a
   * reader racing step 4 can observe both the old and new copy of a
@@ -45,7 +46,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   */
 object Merge {
 
-  /** Result of a [[upsert]]: how much of the table the merge touched. */
+  /** Result of a merge: how much of the table the operation touched. */
   final case class MergeStats(
       filesTotal: Int,
       filesRewritten: Int,
@@ -55,7 +56,7 @@ object Merge {
     * the file has no non-null stats for the key (merge then conservatively
     * treats it as touched).
     */
-  private def footerKeyRange(fs: FileSystem, file: Path, key: String,
+  private def footerKeyRange(file: Path, key: String,
       conf: org.apache.hadoop.conf.Configuration): Option[(Any, Any)] = {
     val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
@@ -116,6 +117,40 @@ object Merge {
     require(schema.fieldNames.sameElements(updates.schema.fieldNames),
       s"updates schema ${updates.schema.fieldNames.mkString(",")} does not " +
         s"match table schema ${schema.fieldNames.mkString(",")}")
+    // one pass over the batch: row count + distinct-key count together
+    val cnts = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(key)).as("d")).head()
+    val (n, d) = (cnts.getLong(0), cnts.getLong(1))
+    require(n == d, s"updates carry $n rows but only $d distinct " +
+      s"$key values — dedup (e.g. latest-wins) before merging")
+    rewriteTouched(spark, dir, schema, updates.select(key), key,
+      insert = Some(updates), batchRows = n)
+  }
+
+  /** Delete every row whose `key` appears in `keys` (a 1-column frame
+    * named `key`, or any frame containing that column) — the takedown /
+    * right-to-be-forgotten operation. Files whose footer range holds no
+    * requested key are never opened or moved; keys absent from the table
+    * are ignored. Returns merge stats (`rowsWritten` = surviving rows
+    * rewritten, not rows deleted).
+    */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String): MergeStats = {
+    val schema = spark.read.parquet(dir).schema
+    require(keys.schema.fieldNames.contains(key),
+      s"keys frame has no $key column")
+    val n = keys.select(key).distinct().count()
+    rewriteTouched(spark, dir, schema, keys.select(key).distinct(), key,
+      insert = None, batchRows = n)
+  }
+
+  /** Shared prune-rewrite core: drop `batchKeys` rows from the files
+    * whose footer range intersects the batch, append `insert` if given,
+    * commit staged-rename-then-delete.
+    */
+  private def rewriteTouched(spark: SparkSession, dir: String,
+      schema: StructType, batchKeys: DataFrame, key: String,
+      insert: Option[DataFrame], batchRows: Long): MergeStats = {
     val keyType = schema(key).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"merge key $key has unsupported type $keyType (footer-stats " +
@@ -127,39 +162,33 @@ object Merge {
     val files = fs.listStatus(root)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
-    // O(files) driver-side footer reads — metadata only, no data scan
-    val ranged = files.map(p => p -> footerKeyRange(fs, p, key, hconf))
+    if (batchRows == 0) return MergeStats(files.length, 0, 0L)
 
+    // O(files) driver-side footer reads — metadata only, no data scan
+    val ranged = files.map(p => p -> footerKeyRange(p, key, hconf))
     val statless = ranged.collect { case (p, None) => p.toString }
     val filesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         ranged.collect { case (p, Some((mn, mx))) =>
           org.apache.spark.sql.Row(p.toString, mn, mx)
         }.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__file", StringType),
-        org.apache.spark.sql.types.StructField("__mn", keyType),
-        org.apache.spark.sql.types.StructField("__mx", keyType))))
+      StructType(Seq(
+        StructField("__file", StringType),
+        StructField("__mn", keyType),
+        StructField("__mx", keyType))))
 
-    // one pass over the batch: row count + distinct-key count together
-    val cnts = updates.agg(count(lit(1)).as("n"),
-      count_distinct(col(key)).as("d")).head()
-    val (n, d) = (cnts.getLong(0), cnts.getLong(1))
-    require(n == d, s"updates carry $n rows but only $d distinct " +
-      s"$key values — dedup (e.g. latest-wins) before merging")
-    if (n == 0) return MergeStats(files.length, 0, 0L)
-    val dedupedUpdates = updates
-
-    // one distributed pass over the update batch: which file ranges
-    // contain an update key. The broadcast side is O(files) rows; the
-    // range predicate makes this a broadcast nested-loop — fine while
-    // files ≪ updates; bucket the ranges if the file count ever rivals
+    // one distributed pass over the batch: which file ranges contain a
+    // batch key. The broadcast side is O(files) rows; the range
+    // predicate makes this a broadcast nested-loop — fine while
+    // files ≪ batch; bucket the ranges if the file count ever rivals
     // the batch size.
-    val touched = dedupedUpdates.alias("u")
+    val touched = batchKeys
       .join(broadcast(filesDf),
         col(key) >= col("__mn") && col(key) <= col("__mx"))
       .select("__file").distinct().collect().map(_.getString(0))
     val rewrite = (touched ++ statless).distinct
+    if (rewrite.isEmpty && insert.isEmpty)
+      return MergeStats(files.length, 0, 0L)
 
     val staging = new Path(root, ".merge-staging")
     fs.delete(staging, true)
@@ -168,12 +197,16 @@ object Merge {
       if (rewrite.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(rewrite.toSeq: _*)
-        .join(dedupedUpdates.select(key), Seq(key), "left_anti")
-    val out = survivors.select(schema.fieldNames.map(col).toSeq: _*)
-      .unionByName(dedupedUpdates.select(schema.fieldNames.map(col).toSeq: _*))
-    val rows = out.count()
+        .join(batchKeys, Seq(key), "left_anti")
+    val cols = schema.fieldNames.map(col).toSeq
+    val out = insert.foldLeft(survivors.select(cols: _*))(
+      (s, ins) => s.unionByName(ins.select(cols: _*)))
     val nFiles = math.max(1, rewrite.length)
     Layout.writeClustered(out, staging.toString, Seq(col(key)), nFiles)
+    // row count from the staged footers — metadata only, no second
+    // compute of the anti-join ∪ insert plan (a pre-write .count()
+    // would run the whole rewrite twice)
+    val rows = spark.read.parquet(staging.toString).count()
 
     // commit: move staged files in (UUID names — no collisions), then
     // delete replaced files last (crash ⇒ duplicates, never loss)

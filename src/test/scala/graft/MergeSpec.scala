@@ -112,4 +112,41 @@ class MergeSpec extends SparkSpec {
     assert(sgot.count() == 101)
     assert(sgot.filter($"k" === "k007").head().getDouble(1) == 999.0)
   }
+
+  test("delete purges requested keys, prunes cold files, ignores " +
+      "absent keys, and an empty key batch is a no-op") {
+    val dir = freshDir("delete")
+    writeBase(dir)
+    val before = filesOf(dir)
+    // 3 contiguous keys (one file's range) + one key absent from the
+    // table AND beyond every file range (must not force any rewrite)
+    val keys = Seq(10L, 11L, 12L, 99999L).toDF("id")
+    val stats = Merge.delete(spark, dir, keys, "id")
+    assert(stats.filesRewritten == 1, stats.toString)
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 997)
+    assert(got.filter($"id".isin(10L, 11L, 12L)).isEmpty)
+    // cold files untouched in place
+    val untouched = before.keySet.intersect(filesOf(dir).keySet)
+    assert(untouched.size == 7, s"expected 7 surviving paths, " +
+      s"got ${untouched.size}")
+    // empty batch: nothing listed, nothing moved
+    val after = filesOf(dir)
+    assert(Merge.delete(spark, dir, Seq.empty[Long].toDF("id"), "id") ==
+      Merge.MergeStats(8, 0, 0L))
+    assert(filesOf(dir) == after)
+  }
+
+  test("upsert after delete round-trips: re-inserting a purged key " +
+      "restores it exactly once") {
+    val dir = freshDir("roundtrip")
+    writeBase(dir)
+    Merge.delete(spark, dir, Seq(42L).toDF("id"), "id")
+    assert(spark.read.parquet(dir).filter($"id" === 42L).isEmpty)
+    Merge.upsert(spark, dir,
+      Seq((42L, 1.5, "doc-42-v2")).toDF("id", "v", "text"), "id")
+    val rows = spark.read.parquet(dir).filter($"id" === 42L).collect()
+    assert(rows.length == 1 && rows.head.getString(2) == "doc-42-v2")
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
 }
