@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *   - `codebooks/` — (kind ∈ coarse|pq, cid, v, nrm): both codebooks,
   *     C+K rows total — driver-held metadata, like any k-means model.
   *   - `meta/` — one row (m, sub): the PQ geometry.
+  *   - `tombstones/` — (id), present only after a [[delete]]: ids
+  *     anti-joined out of every coded scan until [[compact]] purges
+  *     them physically.
   *
   * Persisted-search ≡ in-memory-search bit-for-bit: [[readIvfPq]]
   * rebuilds the exact [[Similarity.IvfPqIndex]] (codebooks collected
@@ -79,8 +82,13 @@ object AnnIndex {
     def kind(k: String) =
       cbRows.collect { case (`k`, pos, c) => (pos, c) }
         .sortBy(_._1).map(_._2).toSeq
-    val coded = spark.read.parquet(s"$dir/codes")
+    val coded0 = spark.read.parquet(s"$dir/codes")
       .withColumn("list_id", col("list_id").cast("long"))
+    // tombstoned ids (see delete()) drop out of every scan; the static
+    // list_id IN (probed) filter searchIvfPq adds still pushes through
+    // the left-anti join to the partitioned read (left-side predicate)
+    val coded = readTombstones(spark, dir)
+      .fold(coded0)(t => coded0.join(t, Seq("id"), "left_anti"))
     Similarity.IvfPqIndex(kind("coarse"), kind("pq"), m, sub, coded,
       residual)
   }
@@ -125,6 +133,60 @@ object AnnIndex {
       .sortWithinPartitions(col("list_id"), col("id"))
       .write.mode(SaveMode.Append).partitionBy("list_id")
       .parquet(s"$dir/codes")
+  }
+
+  private def tombPath(dir: String) = s"$dir/tombstones"
+
+  private def readTombstones(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(tombPath(dir))) else None
+  }
+
+  /** Delete vectors from the index — the dense mirror of
+    * [[Bm25Index.delete]], LSM-style: ids are appended to a
+    * `tombstones/` frame (O(batch), the partitioned codes are NOT
+    * rewritten) and [[readIvfPq]] anti-joins them out of the coded
+    * scan, so a search never returns a deleted id and the shortlist
+    * re-rank fills from survivors. Unlike BM25 there is no derived
+    * statistic to go stale: scoring depends only on each row's own
+    * codes, so post-delete search is bit-identical to an index built
+    * without those rows under the same frozen codebooks (spec-pinned).
+    * [[compact]] makes the purge physical. Re-adding a tombstoned id
+    * via [[appendIvfPq]] requires a [[compact]] first (caller
+    * contract, as in [[Bm25Index.delete]]).
+    */
+  def delete(spark: SparkSession, dir: String,
+      ids: org.apache.spark.sql.DataFrame, idCol: String = "id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(tombPath(dir))
+
+  /** Make tombstoned deletes physical: rewrite `codes/` without the
+    * deleted rows (partition layout preserved — one posting list per
+    * directory), drop the tombstone frame. Codebooks and meta are
+    * untouched (the quantizer is frozen; deletion never retrains).
+    * Maintenance owns exclusivity during the swap, the same contract
+    * as [[Bm25Index.compact]].
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val tomb = readTombstones(spark, dir)
+    if (tomb.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/codes.compact_tmp"
+    spark.read.parquet(s"$dir/codes")
+      .withColumn("list_id", col("list_id").cast("long"))
+      .join(tomb.get, Seq("id"), "left_anti")
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(tmp)
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    fs.delete(codes, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), codes),
+      s"compact: rename $tmp -> $codes failed")
+    fs.delete(new org.apache.hadoop.fs.Path(tombPath(dir)), true)
   }
 
   /** Build-and-persist in one call; returns the read-back index. */

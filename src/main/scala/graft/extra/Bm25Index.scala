@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.DecimalType
   *     clustering; the search reads its Q terms and broadcasts.
   *   - `meta/` — (n_docs, sum_dl): the only scalars scoring needs.
   *     Reading it replaces both eager driver actions.
+  *   - `tombstones/` — (id), present only after a [[delete]]: ids the
+  *     searches anti-join out until [[compact]] makes the deletion
+  *     physical (Lucene-style deferred purge — see [[delete]]).
   *
   * The layout is LOG-STRUCTURED: `df/` and `meta/` hold PARTIAL counts
   * (one set per build/append) that the search read aggregates — a sum
@@ -96,6 +99,69 @@ object Bm25Index {
       dir: String, numFiles: Int = 8): Unit =
     build(docs, idCol, textCol, dir, numFiles, SaveMode.Append)
 
+  private def tombPath(dir: String) = s"$dir/tombstones"
+
+  private def readTombstones(spark: SparkSession, dir: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(tombPath(dir))) else None
+  }
+
+  /** Delete documents from the index — the takedown mirror of
+    * [[graft.extra.Merge.delete]] for the sparse arm, LSM-style (the
+    * Lucene precedent: deletes are cheap markers, merges make them
+    * physical):
+    *
+    *   - the ids are appended to a `tombstones/` frame (pure parquet
+    *     append, O(batch) — the posting lists are NOT rewritten);
+    *   - every search anti-joins its candidate rows against the
+    *     tombstones, so deleted docs stop matching IMMEDIATELY and
+    *     lower-ranked docs fill the top-k;
+    *   - `n_docs`/`sum_dl` stay EXACT: the deleted docs' dl rows are
+    *     summed and appended as a NEGATIVE meta partial (the
+    *     log-structured meta read nets it out);
+    *   - per-term df stays STALE until [[compact]] (correcting it needs
+    *     the deleted docs' term lists, i.e. an id-keyed pass over the
+    *     term-clustered tf — exactly the scan LSM engines defer to the
+    *     merge; Lucene's docFreq ignores deletes the same way). Scores
+    *     of surviving docs can therefore differ slightly from a fresh
+    *     build until compaction; membership never does.
+    *
+    * Ids absent from the index are tombstoned harmlessly; re-deleting
+    * an id is a no-op (meta is never double-subtracted). Re-ADDING a
+    * tombstoned id via [[append]] requires a [[compact]] first — the
+    * tombstone would otherwise suppress the new rows too (caller
+    * contract, same id-uniqueness ownership as append). Caveat: a
+    * zero-token doc has no dl row, so deleting one leaves it inside
+    * n_docs until a full rebuild — it never matches a term either way.
+    *
+    * Returns the number of newly tombstoned ids.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String = "id"): Long = {
+    import spark.implicits._
+    val incoming = ids.select(col(idCol).as("id")).distinct()
+    val newIds = readTombstones(spark, dir)
+      .fold(incoming)(t => incoming.join(t, Seq("id"), "left_anti"))
+      .persist()
+    try {
+      val nNew = newIds.count()
+      if (nNew == 0) return 0L
+      // exact meta correction from the deleted docs' dl rows
+      val m = spark.read.parquet(s"$dir/dl")
+        .join(newIds, Seq("id"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+      Seq((-m.getAs[Long]("n"), -m.getAs[Long]("s")))
+        .toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/meta")
+      newIds.coalesce(1).write.mode(SaveMode.Append)
+        .parquet(tombPath(dir))
+      nNew
+    } finally newIds.unpersist(blocking = false)
+  }
+
   /** Periodic maintenance for an appended index (the LSM compaction
     * half of the append story, same precedent as
     * [[graft.streaming.StreamingPipeline.materializeServing]]): each
@@ -112,14 +178,39 @@ object Bm25Index {
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
     import spark.implicits._
     val tmp = s"$dir.compact_tmp"
-    Layout.writeClustered(spark.read.parquet(s"$dir/tf"), s"$tmp/tf",
+    val tomb = readTombstones(spark, dir)
+    // tombstones become physical here: tf/dl rows dropped, and the
+    // deleted docs' term lists — read from tf BEFORE the drop; the
+    // index itself is the only surviving record of them — yield the
+    // per-term df correction that delete() deferred (the one id-keyed
+    // pass over the term-clustered tf, paid at merge time as in any
+    // LSM engine). After the swap the tombstone frame is gone (not
+    // copied into tmp) and df is exact again.
+    val tf0 = spark.read.parquet(s"$dir/tf")
+    val (tfKept, dfCorr) = tomb match {
+      case None => (tf0, None)
+      case Some(t) =>
+        val corr = tf0.join(t, Seq("id")).groupBy(col("term"))
+          .agg(count(lit(1)).as("__dfdel"))
+        (tf0.join(t, Seq("id"), "left_anti"), Some(corr))
+    }
+    Layout.writeClustered(tfKept, s"$tmp/tf",
       Seq(col("term"), col("id")), numFiles)
-    spark.read.parquet(s"$dir/dl")
-      .repartition(1).sortWithinPartitions(col("id"))
+    val dl0 = spark.read.parquet(s"$dir/dl")
+    val dlKept = tomb.fold(dl0)(t => dl0.join(t, Seq("id"), "left_anti"))
+    dlKept.repartition(1).sortWithinPartitions(col("id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/dl")
-    Layout.writeClustered(
-      spark.read.parquet(s"$dir/df")
-        .groupBy(col("term")).agg(sum(col("df")).as("df")),
+    val dfSummed = spark.read.parquet(s"$dir/df")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val dfFinal = dfCorr match {
+      case None => dfSummed
+      case Some(corr) => dfSummed
+        .join(corr, Seq("term"), "left_outer")
+        .withColumn("df", col("df") - coalesce(col("__dfdel"), lit(0L)))
+        .drop("__dfdel")
+        .filter(col("df") > 0)
+    }
+    Layout.writeClustered(dfFinal,
       s"$tmp/df", Seq(col("term")), math.max(1, numFiles / 4))
     val m = spark.read.parquet(s"$dir/meta")
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
@@ -218,7 +309,12 @@ object Bm25Index {
           lit(b) * (col("dl").cast("double") / lit(avgdl))))),
       12).cast(DecimalType(30, 12))
 
-    val scored = tfq
+    // tombstoned docs drop out of the candidates here — before the
+    // rank window, so lower-ranked survivors fill the top-k (see
+    // delete(): membership is exact immediately, df exact after compact)
+    val tfLive = readTombstones(spark, dir)
+      .fold(tfq)(t => tfq.join(t, Seq("id"), "left_anti"))
+    val scored = tfLive
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idf.select("term", "idf")), Seq("term"))
       .join(spark.read.parquet(s"$dir/dl"), Seq("id"))
@@ -267,8 +363,12 @@ object Bm25Index {
       return spark.read.parquet(s"$dir/dl").filter(lit(false))
         .select(col("id").as(idCol), lit(0L).as("n_hits"),
           lit(0.0).as("score")) // id keeps the corpus key's real type
-    val tfq = spark.read.parquet(s"$dir/tf")
+    val tfq0 = spark.read.parquet(s"$dir/tf")
       .filter(col("term").isin(terms: _*))
+    // tombstone anti-join — see searchAll; bounded by the term-pruned
+    // candidate rows, not the corpus
+    val tfq = readTombstones(spark, dir)
+      .fold(tfq0)(t => tfq0.join(t, Seq("id"), "left_anti"))
     val idf = dfSlice(terms)
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /

@@ -115,4 +115,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(disk.pq.map(_.v.toSeq) == trained.map(_.v.toSeq))
     assert(searchRows(disk).nonEmpty)
   }
+
+  test("delete: tombstoned ids never surface, search ≡ an index whose " +
+      "coded rows were filtered directly, and compact purges physically") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val mem = Similarity.buildIvfPq(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 8, pqCentroids = 8).get
+    val dir = tmpDir()
+    AnnIndex.writeIvfPq(mem, dir)
+    // victims: two ids the pre-delete search actually returns
+    val victims = searchRows(AnnIndex.readIvfPq(spark, dir))
+      .map(_._3).distinct.take(2)
+    AnnIndex.delete(spark, dir, victims.toDF("vec_id"), "vec_id")
+
+    val disk = searchRows(AnnIndex.readIvfPq(spark, dir))
+    assert(!disk.map(_._3).toSet.exists(victims.contains))
+    // no derived stats in the dense arm: post-delete search must be
+    // BIT-identical to searching the same codes minus those rows
+    val filtered = mem.copy(coded =
+      mem.coded.filter(!col("id").isin(victims: _*)))
+    assert(disk == searchRows(filtered) && disk.nonEmpty)
+
+    // compact: physical purge, tombstones gone, results unchanged
+    val nBefore = spark.read.parquet(s"$dir/codes").count()
+    AnnIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() == nBefore - 2)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == disk)
+  }
 }

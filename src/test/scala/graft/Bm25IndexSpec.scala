@@ -201,4 +201,47 @@ class Bm25IndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(indexed == direct)
   }
+
+  test("delete: tombstoned docs vanish from results immediately, meta " +
+      "stays exact, re-delete is a no-op, and compact restores full " +
+      "fresh-build bit-parity") {
+    val d3 = tmpDir()
+    Bm25Index.build(docs, "doc_id", "text", d3)
+    val terms = Seq("spark", "shuffle", "join")
+    val before = Bm25Index.search(spark, d3, terms, idCol = "doc_id",
+      topK = 10).collect()
+    val victims = before.take(2).map(_.getLong(0)).toSeq
+    assert(Bm25Index.delete(spark, d3, victims.toDF("doc_id"),
+      "doc_id") == 2L)
+
+    // membership: gone at once, top-k refilled from survivors
+    val after = Bm25Index.search(spark, d3, terms, idCol = "doc_id",
+      topK = 10).collect()
+    assert(after.length == 10)
+    assert(!after.map(_.getLong(0)).toSet.exists(victims.contains))
+
+    // n_docs/sum_dl track the live corpus exactly (negative partials)
+    val live = docs.filter(!col("doc_id").isin(victims: _*))
+    val meta = spark.read.parquet(s"$d3/meta")
+      .agg(sum("n_docs").as("n"), sum("sum_dl").as("s")).head()
+    assert(meta.getAs[Long]("n") == live.count())
+
+    // idempotence: re-deleting subtracts nothing
+    assert(Bm25Index.delete(spark, d3, victims.toDF("doc_id"),
+      "doc_id") == 0L)
+    val meta2 = spark.read.parquet(s"$d3/meta")
+      .agg(sum("n_docs").as("n")).head()
+    assert(meta2.getAs[Long]("n") == meta.getAs[Long]("n"))
+
+    // compact makes it physical: bit-parity with a fresh build over
+    // the surviving corpus (df correction included), tombstones gone
+    Bm25Index.compact(spark, d3)
+    val dFresh = tmpDir()
+    Bm25Index.build(live, "doc_id", "text", dFresh)
+    def rows(d: String) = Bm25Index.search(spark, d, terms,
+        idCol = "doc_id", topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(d3) == rows(dFresh))
+    assert(!new java.io.File(s"$d3/tombstones").exists())
+  }
 }
