@@ -218,4 +218,77 @@ class RandomizedSpec extends SparkSpec {
         idCol = "doc_id", topK = 60)) == direct, s"seed=$seed compacted")
     }
   }
+
+  test("Merge differential: random upsert/delete sequences against a " +
+      "driver-side model (seeded)") {
+    for (seed <- Seq(5, 13)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"rand_merge_$seed").toString
+      // base: a random 70% subset of ids 0..199 (gaps exercise the
+      // absent-key paths)
+      var model: Map[Long, (Double, String)] =
+        (0L until 200L).filter(_ => rnd.nextDouble() < 0.7)
+          .map(i => i -> (rnd.nextDouble(), s"d$i")).toMap
+      graft.extra.Layout.writeClustered(
+        model.toSeq.map { case (k, (v, t)) => (k, v, t) }
+          .toDF("id", "v", "text"),
+        dir, Seq(col("id")), 6)
+      for (step <- 1 to 4) {
+        if (rnd.nextBoolean()) {
+          // upsert: mixed existing + brand-new keys
+          val keys = Seq.fill(15)(rnd.nextLong(250).abs).distinct
+          val batch = keys.map(k => (k, rnd.nextDouble(), s"u$step-$k"))
+          graft.extra.Merge.upsert(spark, dir,
+            batch.toDF("id", "v", "text"), "id")
+          model = model ++ batch.map { case (k, v, t) => k -> (v, t) }
+        } else {
+          // delete: mixed present + absent keys
+          val keys = Seq.fill(10)(rnd.nextLong(250).abs).distinct
+          graft.extra.Merge.delete(spark, dir, keys.toDF("id"), "id")
+          model = model -- keys
+        }
+        val got = spark.read.parquet(dir).collect()
+          .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2))))
+          .toMap
+        assert(got == model, s"seed=$seed step=$step: " +
+          s"extra=${(got.keySet -- model.keySet).take(5)} " +
+          s"missing=${(model.keySet -- got.keySet).take(5)}")
+      }
+    }
+  }
+
+  test("index-delete differential: random deletes + compact ≡ direct " +
+      "search over the surviving corpus (seeded)") {
+    val vocab = Vector("spark", "shuffle", "join", "sort", "hash",
+      "merge", "scan", "index", "query", "plan", "the", "of")
+    for (seed <- Seq(7, 19)) {
+      val rnd = new Random(seed)
+      val docs = (0L until 60L).map { i =>
+        (i, Seq.fill(4 + rnd.nextInt(12))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val d = java.nio.file.Files
+        .createTempDirectory(s"rand_bmdel_$seed").toString
+      graft.extra.Bm25Index.build(df, "doc_id", "text", d)
+      val dead = Seq.fill(12)(rnd.nextLong(70).abs).distinct // some absent
+      graft.extra.Bm25Index.delete(spark, d, dead.toDF("doc_id"),
+        "doc_id")
+      val live = df.filter(!col("doc_id").isin(dead: _*))
+      val terms = Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).distinct
+      def rows(x: org.apache.spark.sql.DataFrame) = x.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // pre-compact: membership exact (df staleness may reorder scores)
+      val pre = rows(graft.extra.Bm25Index.search(spark, d, terms,
+        idCol = "doc_id", topK = 60))
+      assert(!pre.map(_._1).toSet.exists(dead.contains), s"seed=$seed")
+      // post-compact: full bit-parity with the direct form on survivors
+      graft.extra.Bm25Index.compact(spark, d)
+      val direct = rows(graft.extra.Retrieval.bm25Search(
+        live, "doc_id", "text", terms, topK = 60))
+      assert(rows(graft.extra.Bm25Index.search(spark, d, terms,
+        idCol = "doc_id", topK = 60)) == direct, s"seed=$seed compacted")
+    }
+  }
 }
