@@ -277,6 +277,55 @@ object Graft {
   def dot(a: Column, b: Column): Column =
     functions.GraftFunctions.dot_product(a, b)
 
+  // ---- corpus table maintenance -------------------------------------
+
+  /** Keyed copy-on-write upsert into a clustered parquet corpus —
+    * footer-stats file pruning, untouched files never move.
+    */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: DataFrame, key: String): extra.Merge.MergeStats =
+    extra.Merge.upsert(spark, dir, updates, key)
+
+  /** Version-guarded CDC apply: stale rows discarded, replays
+    * idempotent — the form [[startMergeStream]] applies per batch.
+    */
+  def mergeUpsertVersioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, updates: DataFrame, key: String,
+      versionCol: String): extra.Merge.MergeStats =
+    extra.Merge.upsertVersioned(spark, dir, updates, key, versionCol)
+
+  /** Takedown / right-to-be-forgotten purge from a clustered corpus
+    * table; pair with [[deleteFromBm25Index]]/[[deleteFromAnnIndex]] to
+    * purge the serving indexes too.
+    */
+  def mergeDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keys: DataFrame, key: String): extra.Merge.MergeStats =
+    extra.Merge.delete(spark, dir, keys, key)
+
+  /** LSM tombstone delete from a persisted BM25 index (membership exact
+    * immediately; run [[extra.Bm25Index.compact]] to make it physical).
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String = "id"): Long =
+    extra.Bm25Index.delete(spark, dir, ids, idCol)
+
+  /** LSM tombstone delete from a persisted ANN index (bit-equivalent to
+    * an index built without those rows; [[extra.AnnIndex.compact]]
+    * purges physically).
+    */
+  def deleteFromAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: String = "id"): Unit =
+    extra.AnnIndex.delete(spark, dir, ids, idCol)
+
+  /** Streaming CDC apply: change stream → version-guarded upsert per
+    * micro-batch ([[streaming.MergeStream]]).
+    */
+  def startMergeStream(changes: DataFrame, tableDir: String,
+      checkpointDir: String, key: String, versionCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.MergeStream.start(changes, tableDir, checkpointDir, key,
+      versionCol)
+
   // ---- text analysis ------------------------------------------------
 
   def textQuality(docs: DataFrame, textCol: String): DataFrame =

@@ -144,13 +144,89 @@ object Merge {
       insert = None, batchRows = n)
   }
 
-  /** Shared prune-rewrite core: drop `batchKeys` rows from the files
-    * whose footer range intersects the batch, append `insert` if given,
-    * commit staged-rename-then-delete.
+  /** Version-guarded upsert — the CDC APPLY operation: a batch row
+    * replaces the stored row of the same key only when its
+    * `versionCol` is >= the stored one (ties go to the batch); stale
+    * batch rows are DISCARDED rather than applied. Two properties fall
+    * out, and they are why a streaming sink wants this form
+    * ([[graft.streaming.MergeStream]]):
+    *
+    *   - REPLAY IDEMPOTENCE: re-applying a batch (foreachBatch is
+    *     at-least-once on crash recovery) rewrites the same content —
+    *     a replay can never regress the table;
+    *   - OUT-OF-ORDER SAFETY: a late batch carrying versions older
+    *     than what a newer batch already applied is a no-op for those
+    *     keys.
+    *
+    * The batch is first reduced last-wins WITHIN itself (max
+    * `versionCol` per key; at most one row per (key, version) is the
+    * caller contract that keeps the reduction deterministic — the
+    * same-key-same-version case has no defined winner). File pruning,
+    * staging, and commit order are identical to [[upsert]].
+    */
+  def upsertVersioned(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, versionCol: String): MergeStats = {
+    val schema = spark.read.parquet(dir).schema
+    require(schema.fieldNames.sameElements(updates.schema.fieldNames),
+      s"updates schema ${updates.schema.fieldNames.mkString(",")} does " +
+        s"not match table schema ${schema.fieldNames.mkString(",")}")
+    val cnts = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(key), col(versionCol)).as("d")).head()
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"updates carry duplicate ($key, $versionCol) pairs — the " +
+        "within-batch reduction has no deterministic winner")
+    // within-batch last-wins: keep each key's max-version row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val reduced = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val nKeys = reduced.count()
+    rewriteTouchedFn(spark, dir, schema, reduced.select(key), key,
+      batchRows = nKeys, hasInsert = true) { touched =>
+      val bv = reduced.select(col(key), col(versionCol).as("__bv"))
+      // stored row survives iff no batch row for its key, or it is
+      // strictly newer than the batch's (ties go to the batch)
+      val survivors = touched
+        .join(bv, Seq(key), "left_outer")
+        .filter(col("__bv").isNull || col(versionCol) > col("__bv"))
+        .drop("__bv")
+      // batch row applies iff no stored row for its key, or it is
+      // >= the stored one — exactly the complement, so each key
+      // yields ONE row
+      val ev = touched.select(col(key), col(versionCol).as("__ev"))
+      val winners = reduced
+        .join(ev, Seq(key), "left_outer")
+        .filter(col("__ev").isNull || col("__ev") <= col(versionCol))
+        .drop("__ev")
+      survivors.unionByName(winners)
+    }
+  }
+
+  /** Anti-join-∪-insert core shared by [[upsert]] and [[delete]];
+    * [[upsertVersioned]] supplies its conditional form via
+    * [[rewriteTouchedFn]] directly.
     */
   private def rewriteTouched(spark: SparkSession, dir: String,
       schema: StructType, batchKeys: DataFrame, key: String,
-      insert: Option[DataFrame], batchRows: Long): MergeStats = {
+      insert: Option[DataFrame], batchRows: Long): MergeStats =
+    rewriteTouchedFn(spark, dir, schema, batchKeys, key, batchRows,
+      hasInsert = insert.nonEmpty) { touched =>
+      val cols = schema.fieldNames.map(col).toSeq
+      val survivors = touched.join(batchKeys, Seq(key), "left_anti")
+      insert.foldLeft(survivors.select(cols: _*))(
+        (s, ins) => s.unionByName(ins.select(cols: _*)))
+    }
+
+  /** Prune-rewrite core: footer-range file pruning on `batchKeys`,
+    * `fn` maps the touched files' rows to the replacement rows, commit
+    * is staged-rename-then-delete. `fn` receives an empty (typed)
+    * frame when no file is touched (insert-only case).
+    */
+  private def rewriteTouchedFn(spark: SparkSession, dir: String,
+      schema: StructType, batchKeys: DataFrame, key: String,
+      batchRows: Long, hasInsert: Boolean)
+      (fn: DataFrame => DataFrame): MergeStats = {
     val keyType = schema(key).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"merge key $key has unsupported type $keyType (footer-stats " +
@@ -187,20 +263,18 @@ object Merge {
         col(key) >= col("__mn") && col(key) <= col("__mx"))
       .select("__file").distinct().collect().map(_.getString(0))
     val rewrite = (touched ++ statless).distinct
-    if (rewrite.isEmpty && insert.isEmpty)
+    if (rewrite.isEmpty && !hasInsert)
       return MergeStats(files.length, 0, 0L)
 
     val staging = new Path(root, ".merge-staging")
     fs.delete(staging, true)
 
-    val survivors =
+    val touchedRows =
       if (rewrite.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(rewrite.toSeq: _*)
-        .join(batchKeys, Seq(key), "left_anti")
     val cols = schema.fieldNames.map(col).toSeq
-    val out = insert.foldLeft(survivors.select(cols: _*))(
-      (s, ins) => s.unionByName(ins.select(cols: _*)))
+    val out = fn(touchedRows).select(cols: _*)
     val nFiles = math.max(1, rewrite.length)
     Layout.writeClustered(out, staging.toString, Seq(col(key)), nFiles)
     // row count from the staged footers — metadata only, no second

@@ -174,4 +174,35 @@ class GraftFacadeSpec extends SparkSpec {
       zdir, Seq("user_id", "value"), numFiles = 4)
     assert(spark.read.parquet(zdir).count() == ev.count())
   }
+
+  test("facade: corpus-maintenance surface (merge upsert/versioned/" +
+      "delete, index deletes)") {
+    val tdir = java.nio.file.Files.createTempDirectory("fmerge").toString
+    val base = spark.range(100).select(col("id"),
+      lit(1L).as("ver"), concat(lit("d"), col("id")).as("text"))
+    graft.extra.Layout.writeClustered(base, tdir, Seq(col("id")), 4)
+    assert(Graft.mergeUpsert(spark, tdir,
+      Seq((5L, 2L, "up")).toDF("id", "ver", "text"), "id")
+      .rowsWritten > 0)
+    assert(Graft.mergeUpsertVersioned(spark, tdir,
+      Seq((5L, 1L, "stale")).toDF("id", "ver", "text"), "id", "ver")
+      .filesTotal > 0)
+    assert(spark.read.parquet(tdir).filter(col("id") === 5L)
+      .head().getString(2) == "up") // version guard held
+    Graft.mergeDelete(spark, tdir, Seq(7L).toDF("id"), "id")
+    assert(spark.read.parquet(tdir).filter(col("id") === 7L).isEmpty)
+
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val bdir = java.nio.file.Files.createTempDirectory("fbm").toString
+    Graft.buildBm25Index(docs, "doc_id", "text", bdir)
+    assert(Graft.deleteFromBm25Index(spark, bdir,
+      Seq(1L).toDF("doc_id"), "doc_id") == 1L)
+    val adir = java.nio.file.Files.createTempDirectory("fann").toString
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    Graft.buildAndWriteAnnIndex(emb, "vec_id", "embedding", adir,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    Graft.deleteFromAnnIndex(spark, adir, Seq(1L).toDF("vec_id"),
+      "vec_id")
+    assert(new java.io.File(s"$adir/tombstones").exists())
+  }
 }

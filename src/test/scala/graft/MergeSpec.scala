@@ -137,6 +137,47 @@ class MergeSpec extends SparkSpec {
     assert(filesOf(dir) == after)
   }
 
+  test("upsertVersioned: stale rows discarded, newer and tied rows " +
+      "win, new keys insert, replay is idempotent") {
+    val dir = freshDir("versioned")
+    // table carries its version column: (id, ver, text)
+    val base = spark.range(100).select(col("id"),
+      lit(5L).as("ver"), concat(lit("v5-"), col("id")).as("text"))
+    Layout.writeClustered(base, dir, Seq(col("id")), 4)
+    val batch = Seq(
+      (10L, 3L, "stale"), // older than stored 5 → discarded
+      (11L, 5L, "tied"), // equal → batch wins
+      (12L, 9L, "fresh"), // newer → batch wins
+      (500L, 1L, "new")) // absent key → insert
+      .toDF("id", "ver", "text")
+    val stats = Merge.upsertVersioned(spark, dir, batch, "id", "ver")
+    def row(id: Long) = spark.read.parquet(dir)
+      .filter($"id" === id).collect().map(r =>
+        (r.getLong(1), r.getString(2))).toSeq
+    assert(row(10L) == Seq((5L, "v5-10")))
+    assert(row(11L) == Seq((5L, "tied")))
+    assert(row(12L) == Seq((9L, "fresh")))
+    assert(row(500L) == Seq((1L, "new")))
+    assert(spark.read.parquet(dir).count() == 101)
+
+    // replay the exact same batch: same content, no duplicates
+    Merge.upsertVersioned(spark, dir, batch, "id", "ver")
+    assert(spark.read.parquet(dir).count() == 101)
+    assert(row(10L) == Seq((5L, "v5-10")) && row(12L) == Seq((9L, "fresh")))
+
+    // within-batch reduction: max version per key applies; duplicate
+    // (key, version) pairs are rejected as nondeterministic
+    Merge.upsertVersioned(spark, dir,
+      Seq((20L, 7L, "mid"), (20L, 8L, "top")).toDF("id", "ver", "text"),
+      "id", "ver")
+    assert(row(20L) == Seq((8L, "top")))
+    val e = intercept[IllegalArgumentException](
+      Merge.upsertVersioned(spark, dir,
+        Seq((21L, 7L, "a"), (21L, 7L, "b")).toDF("id", "ver", "text"),
+        "id", "ver"))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("upsert after delete round-trips: re-inserting a purged key " +
       "restores it exactly once") {
     val dir = freshDir("roundtrip")
