@@ -1,0 +1,141 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incrementally-maintained materialized aggregate — the "don't re-scan
+  * 100 TB to refresh a dashboard" operator. The view is stored as
+  * ALGEBRAIC partial-aggregate state per grain key (count / sum / min /
+  * max / HLL sketch), so a refresh:
+  *
+  *   1. scans ONLY the delta rows (one map-side-combined `groupBy` —
+  *      O(delta) read, shuffle of O(delta groups) state rows);
+  *   2. merges the delta partials into the stored state with the
+  *      combine half of each aggregate (sum+sum, min∧min, max∨max,
+  *      HLL register-max) via [[Merge.mergeKeyed]] — parquet-footer
+  *      file pruning means only state files whose grain range
+  *      intersects the delta's grains are rewritten; the cold part of
+  *      the view never moves.
+  *
+  * History is never re-read: refresh cost is O(delta + touched state),
+  * independent of table age — the property that makes a daily refresh
+  * over a year of data a minutes job instead of a full recompute.
+  *
+  * Exactness rules (the reason the merged view can hash-match a full
+  * recompute):
+  *   - count: long, exact.
+  *   - sum over integral input: long state, exact.
+  *   - sum over DECIMAL input: state pinned at DECIMAL(38, input
+  *     scale) — exact and order-independent, and the PIN matters:
+  *     without it each re-aggregation would widen the sum type and
+  *     fork the on-disk schema between refreshes.
+  *   - sum over floating input is REJECTED (order-dependent — cast to
+  *     decimal first, the same rule the registered money queries use).
+  *   - min/max/HLL: order-independent by construction (HLL union is a
+  *     register-wise max, so incremental == one-shot estimates
+  *     exactly).
+  *
+  * The same shape maintains itself under streaming: feed micro-batches
+  * to [[refresh]] from `foreachBatch` — but note refresh is NOT replay
+  * idempotent (a replayed delta double-counts); production pairs it
+  * with a batch-id marker commit exactly like
+  * [[graft.streaming.MergeStream]] documents for versioned upserts.
+  */
+object IncrementalAgg {
+
+  /** What the view aggregates, per `grainCol` group. `grainCol` must be
+    * long/int/string ([[Merge]]'s footer-pruning types); composite
+    * grains are pre-concatenated by the caller (a pure projection).
+    */
+  final case class ViewSpec(
+      grainCol: String,
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil)
+
+  /** State column names are deterministic: cnt, sum_c, min_c, max_c,
+    * hll_c — [[partials]] and [[combine]] agree on them by contract.
+    */
+  private def sumStateType(in: DataType): DataType = in match {
+    case d: DecimalType => DecimalType(38, d.scale)
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case t => throw new IllegalArgumentException(
+      s"sum over $t is order-dependent (floating) or unsupported — " +
+        "cast to DECIMAL first for exact, order-independent sums")
+  }
+
+  /** One map-side-combined pass over `rows` → partial state per grain.
+    * This is both the INIT aggregation and the DELTA aggregation — the
+    * algebraic state is the same either way.
+    */
+  def partials(rows: DataFrame, spec: ViewSpec): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("cnt")) ++
+        spec.sumCols.map(c => sum(col(c))
+          .cast(sumStateType(rows.schema(c).dataType)).as(s"sum_$c")) ++
+        spec.minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        spec.maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        spec.hllCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
+    rows.groupBy(col(spec.grainCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Combine two state frames (same schema) — the merge half of every
+    * aggregate, grouped back to one row per grain.
+    */
+  def combine(state: DataFrame, delta: DataFrame, spec: ViewSpec)
+      : DataFrame = {
+    val both = state.unionByName(delta)
+    val aggs: Seq[Column] =
+      Seq(sum(col("cnt")).as("cnt")) ++
+        spec.sumCols.map(c => sum(col(s"sum_$c"))
+          .cast(state.schema(s"sum_$c").dataType).as(s"sum_$c")) ++
+        spec.minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+        spec.maxCols.map(c => max(col(s"max_$c")).as(s"max_$c")) ++
+        spec.hllCols.map(c => hll_union_agg(col(s"hll_$c")).as(s"hll_$c"))
+    both.groupBy(col(spec.grainCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the view from scratch: aggregate `rows` and write the state
+    * grain-clustered (disjoint grain ranges per file → maximally
+    * selective footers for [[refresh]]'s pruning).
+    */
+  def init(rows: DataFrame, spec: ViewSpec, dir: String,
+      numFiles: Int = 8): Unit =
+    Layout.writeClustered(partials(rows, spec), dir,
+      Seq(org.apache.spark.sql.functions.col(spec.grainCol)), numFiles)
+
+  /** Merge a batch of new ROWS into the stored view. Only state files
+    * whose grain range intersects the delta's grains are rewritten
+    * ([[Merge.mergeKeyed]] footer pruning); grains never seen before
+    * are inserted. Returns the merge stats (filesRewritten ≪
+    * filesTotal is the point).
+    */
+  def refresh(spark: SparkSession, dir: String, deltaRows: DataFrame,
+      spec: ViewSpec): Merge.MergeStats = {
+    val delta = partials(deltaRows, spec)
+    Merge.mergeKeyed(spark, dir, delta, spec.grainCol)(
+      (stored, batch) => combine(stored, batch, spec))
+  }
+
+  /** The stored state, as written (one row per grain). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Serving projection: grain + cnt + sums/mins/maxes as stored, HLL
+    * sketches finalized to estimates (`ndv_c`), plus exact decimal
+    * means (`avg_c = sum_c / cnt`) for each sum column.
+    */
+  def finalizeView(state: DataFrame, spec: ViewSpec): DataFrame = {
+    val cols: Seq[Column] =
+      Seq(col(spec.grainCol), col("cnt")) ++
+        spec.sumCols.map(c => col(s"sum_$c")) ++
+        spec.sumCols.map(c => (col(s"sum_$c") / col("cnt")).as(s"avg_$c")) ++
+        spec.minCols.map(c => col(s"min_$c")) ++
+        spec.maxCols.map(c => col(s"max_$c")) ++
+        spec.hllCols.map(c =>
+          hll_sketch_estimate(col(s"hll_$c")).as(s"ndv_$c"))
+    state.select(cols: _*)
+  }
+}

@@ -203,6 +203,45 @@ object Merge {
     }
   }
 
+  /** Keyed read-modify-write — the COMBINE form of merge that
+    * [[graft.extra.IncrementalAgg]] builds on: instead of replacing
+    * same-key rows wholesale (upsert) or conditionally (versioned), the
+    * caller's `combine(storedTouched, batch)` computes the replacement
+    * rows — e.g. summing partial-aggregate state with a delta. File
+    * pruning, staging, and commit order are identical to [[upsert]]:
+    * only files whose footer key range intersects a batch key are read
+    * and rewritten; combine output for keys absent from every file is
+    * inserted as new files.
+    *
+    * Contract: `batch` has the table's schema (names AND types — a
+    * widened decimal would silently fork the on-disk schema across
+    * files) and at most one row per `key`; `combine` must emit at most
+    * one row per key and must not touch keys outside
+    * `storedTouched ∪ batch` (those files are not rewritten).
+    * NOT replay-idempotent in general: re-applying a combine batch
+    * applies the delta twice — pair with a manifest/marker commit when
+    * the caller needs exactly-once (see [[IncrementalAgg]]).
+    */
+  def mergeKeyed(spark: SparkSession, dir: String, batch: DataFrame,
+      key: String)(combine: (DataFrame, DataFrame) => DataFrame)
+      : MergeStats = {
+    val schema = spark.read.parquet(dir).schema
+    val tbl = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val bat = batch.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(tbl == bat,
+      s"batch schema ${bat.mkString(",")} does not match table " +
+        s"schema ${tbl.mkString(",")}")
+    val cnts = batch.agg(count(lit(1)).as("n"),
+      count_distinct(col(key)).as("d")).head()
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"batch carries ${cnts.getLong(0)} rows but only " +
+        s"${cnts.getLong(1)} distinct $key values — reduce per key " +
+        "before merging")
+    rewriteTouchedFn(spark, dir, schema, batch.select(key), key,
+      batchRows = cnts.getLong(0), hasInsert = true)(
+      touched => combine(touched, batch))
+  }
+
   /** Anti-join-∪-insert core shared by [[upsert]] and [[delete]];
     * [[upsertVersioned]] supplies its conditional form via
     * [[rewriteTouchedFn]] directly.

@@ -42,6 +42,30 @@ object IndexedCorpus {
 
   private def complete(dir: File) = new File(dir, "meta/_SUCCESS").exists()
 
+  /** Generic content-keyed build-if-absent artifact dir: `build`
+    * populates `d`, then an empty `_GRAFT_COMPLETE` marker commits it.
+    * An existing dir WITHOUT the marker is a crashed build — wiped and
+    * rebuilt (the marker-commit discipline that makes a non-idempotent
+    * build, e.g. [[graft.extra.IncrementalAgg.refresh]]'s combine,
+    * safe to retry).
+    */
+  def cachedDir(prefix: String, fp: Long)(build: File => Unit): String =
+    synchronized {
+      val d = new File(sys.props("java.io.tmpdir"), f"${prefix}_$fp%016x")
+      val marker = new File(d, "_GRAFT_COMPLETE")
+      if (!marker.exists()) {
+        if (d.exists()) {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          Files.walk(d.toPath).iterator().asScala.toSeq.reverse
+            .foreach((p: Path) => Files.delete(p))
+        }
+        build(d)
+        marker.createNewFile()
+      }
+      d.toString
+    }
+
   /** BM25 index dir for this documents frame (build if absent). */
   def bm25Dir(docs: DataFrame, idCol: String, textCol: String): String =
     synchronized {

@@ -708,6 +708,87 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Incrementally-maintained monthly revenue view
+    * ([[graft.extra.IncrementalAgg]]): the state is built as three
+    * maintenance eras — init on history, then two delta refreshes that
+    * re-read ONLY the delta rows and rewrite only the state files whose
+    * month range they touch — and the SERVED result still hash-matches
+    * the oracle's one-shot GROUP BY over everything. The maintenance
+    * path (the thing that makes a 100 TB view refreshable in O(delta))
+    * IS what this query exercises; the content-keyed cache gives later
+    * calls the serving cost, like the other index-backed queries.
+    */
+  def incrRevenue(s: SparkSession, dir: String): DataFrame = {
+    import graft.extra.IncrementalAgg
+    val rows = t(s, dir, "orders").select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      dec("o_totalprice").as("price"))
+    val spec = IncrementalAgg.ViewSpec("month",
+      sumCols = Seq("price"), minCols = Seq("price"),
+      maxCols = Seq("price"))
+    val fp = IndexedCorpus.fingerprint(rows, col("month"), col("price"))
+    val state = IndexedCorpus.cachedDir("graft_qincr", fp) { d =>
+      val base = rows.filter(col("month") < "1999-01")
+      val d1 = rows.filter(
+        col("month") >= "1999-01" && col("month") < "2000-07")
+      val d2 = rows.filter(col("month") >= "2000-07")
+      IncrementalAgg.init(base, spec, d.toString, numFiles = 8)
+      IncrementalAgg.refresh(s, d.toString, d1, spec)
+      IncrementalAgg.refresh(s, d.toString, d2, spec)
+    }
+    IncrementalAgg.read(s, state)
+      .select(col("month"), col("cnt").as("n_orders"),
+        col("sum_price").cast("double").as("revenue"),
+        col("min_price").cast("double").as("min_price"),
+        col("max_price").cast("double").as("max_price"))
+      .orderBy("month")
+  }
+
+  /** Large⋈large join with an explicit Bloom runtime filter
+    * ([[graft.ops.Joins.bloomPrefilteredJoin]]): the selective order
+    * predicate (~3% of orders) is invisible to lineitem's scan, so a
+    * plain join shuffles every lineitem row; the bloom built over the
+    * filtered orders' keys drops non-matching lineitem rows BEFORE the
+    * shuffle, and false positives are re-verified by the equijoin —
+    * result bit-identical to the plain join the oracle runs.
+    */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders").filter(
+      col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 2000)
+    graft.ops.Joins
+      .bloomPrefilteredJoin(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        urgent, Seq("o_orderkey"), expectedKeys = 1L << 16)
+      .groupBy(month(col("o_orderdate")).as("mth"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec("l_extendedprice")
+          * (lit(1).cast(DecimalType(18, 2)) - dec("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("mth")
+  }
+
+  private val bloomJoinOracle =
+    """SELECT CAST(month(o_orderdate) AS INTEGER) AS mth,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 2000
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  private val incrRevenueOracle =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("shipping_priority",
       "TPC-H Q3 shape: segment dim broadcast, one fact-fact keyed join, top-10 TakeOrdered",
@@ -778,6 +859,14 @@ object RelationalQueries {
     QueryDef("orders_by_month",
       "calendar extraction rollup (year/quarter/month revenue)",
       ordersByMonth, Some(ordersByMonthOracle)),
+    QueryDef("incr_revenue",
+      "incrementally-maintained monthly revenue view (init + 2 delta " +
+        "refreshes, O(delta) maintenance) == one-shot GROUP BY",
+      incrRevenue, Some(incrRevenueOracle)),
+    QueryDef("bloom_join",
+      "large⋈large join with explicit Bloom runtime prefilter on the " +
+        "big side (bit-identical to the plain join)",
+      bloomJoin, Some(bloomJoinOracle)),
     QueryDef("semi_join",
       "left-semi join (EXISTS) customers with filed orders",
       semiJoin, Some(semiJoinOracle)),
