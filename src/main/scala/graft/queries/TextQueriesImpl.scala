@@ -180,6 +180,33 @@ object TextQueriesImpl {
        |ORDER BY n DESC, token
        |LIMIT 50""".stripMargin
 
+  // ---- heavy_hitters -------------------------------------------------
+
+  /** Tokens above 0.5% corpus frequency via Misra-Gries
+    * sketch-then-verify ([[graft.functions.MisraGries]]): pass 1 folds
+    * each partition into ≤ k counters (O(k) state, NO shuffle of the
+    * token stream — the aggregate moves partitions·k counters, not
+    * 100 TB of tokens), pass 2 exact-counts only candidate-matching
+    * rows. The verify pass makes the output deterministic and
+    * identical to the oracle's direct GROUP BY ... HAVING — the
+    * sketch's job is only to bound what the second pass shuffles.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    graft.functions.MisraGries
+      .exactHeavyHitters(toks, "token", minShare = 0.005)
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  private val heavyHittersOracle =
+    s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents)
+       |SELECT token, count(*) AS n
+       |FROM toks
+       |GROUP BY token
+       |HAVING count(*) > 0.005 * (SELECT count(*) FROM toks)
+       |ORDER BY n DESC, token""".stripMargin
+
   // ---- decontaminate -----------------------------------------------
 
   /** Benchmark decontamination via [[Text.decontaminate]] — the
@@ -928,6 +955,10 @@ object TextQueriesImpl {
     QueryDef("word_freq",
       "corpus top-50 token frequencies",
       wordFreq, Some(wordFreqOracle)),
+    QueryDef("heavy_hitters",
+      "tokens above 0.5% corpus share via mergeable Misra-Gries " +
+        "sketch + exact verify pass (O(k) state, no token shuffle)",
+      heavyHitters, Some(heavyHittersOracle)),
     QueryDef("corpus_stats",
       "one-row corpus sizing summary: docs, token totals, mean quality",
       corpusStats, Some(corpusStatsOracle)),
