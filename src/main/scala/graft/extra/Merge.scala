@@ -257,6 +257,37 @@ object Merge {
         (s, ins) => s.unionByName(ins.select(cols: _*)))
     }
 
+  /** Footer-range file pruning: the subset of `files` whose parquet
+    * footer [min,max] on `key` may contain a batch key (plus stat-less
+    * files, conservatively). O(files) driver-side metadata reads + one
+    * distributed pass over the batch — no data scan. Shared by the
+    * in-place rewrite below and [[Snapshots]]' manifest commits.
+    * The broadcast side is O(files) rows; the range predicate makes
+    * the probe a broadcast nested-loop — fine while files ≪ batch;
+    * bucket the ranges if the file count ever rivals the batch size.
+    */
+  private[extra] def pruneTouched(spark: SparkSession, files: Seq[Path],
+      keyType: org.apache.spark.sql.types.DataType, batchKeys: DataFrame,
+      key: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ranged = files.map(p => p -> footerKeyRange(p, key, hconf))
+    val statless = ranged.collect { case (p, None) => p.toString }
+    val filesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ranged.collect { case (p, Some((mn, mx))) =>
+          org.apache.spark.sql.Row(p.toString, mn, mx)
+        }.toSeq, 1),
+      StructType(Seq(
+        StructField("__file", StringType),
+        StructField("__mn", keyType),
+        StructField("__mx", keyType))))
+    val touched = batchKeys
+      .join(broadcast(filesDf),
+        col(key) >= col("__mn") && col(key) <= col("__mx"))
+      .select("__file").distinct().collect().map(_.getString(0))
+    (touched ++ statless).distinct.toSeq
+  }
+
   /** Prune-rewrite core: footer-range file pruning on `batchKeys`,
     * `fn` maps the touched files' rows to the replacement rows, commit
     * is staged-rename-then-delete. `fn` receives an empty (typed)
@@ -279,29 +310,7 @@ object Merge {
       .map(_.getPath)
     if (batchRows == 0) return MergeStats(files.length, 0, 0L)
 
-    // O(files) driver-side footer reads — metadata only, no data scan
-    val ranged = files.map(p => p -> footerKeyRange(p, key, hconf))
-    val statless = ranged.collect { case (p, None) => p.toString }
-    val filesDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        ranged.collect { case (p, Some((mn, mx))) =>
-          org.apache.spark.sql.Row(p.toString, mn, mx)
-        }.toSeq, 1),
-      StructType(Seq(
-        StructField("__file", StringType),
-        StructField("__mn", keyType),
-        StructField("__mx", keyType))))
-
-    // one distributed pass over the batch: which file ranges contain a
-    // batch key. The broadcast side is O(files) rows; the range
-    // predicate makes this a broadcast nested-loop — fine while
-    // files ≪ batch; bucket the ranges if the file count ever rivals
-    // the batch size.
-    val touched = batchKeys
-      .join(broadcast(filesDf),
-        col(key) >= col("__mn") && col(key) <= col("__mx"))
-      .select("__file").distinct().collect().map(_.getString(0))
-    val rewrite = (touched ++ statless).distinct
+    val rewrite = pruneTouched(spark, files.toSeq, keyType, batchKeys, key)
     if (rewrite.isEmpty && !hasInsert)
       return MergeStats(files.length, 0, 0L)
 

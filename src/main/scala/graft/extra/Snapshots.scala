@@ -1,0 +1,241 @@
+package graft.extra
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** Snapshot-versioned table: the manifest-commit layer every
+  * [[Merge]]/[[ViewStream]] scaladoc defers to "at 100 TB". A table is
+  * a DIRECTORY OF IMMUTABLE DATA FILES plus a chain of manifest files,
+  * each listing exactly the data files that make up one version:
+  *
+  *   <dir>/data/part-*.parquet      — written once, never mutated
+  *   <dir>/_manifests/v<N>         — one relative file name per line
+  *
+  * Commit = atomically creating the NEXT manifest (create-fails-if-
+  * exists), which buys, with no coordination service:
+  *
+  *   - READER ISOLATION: a reader resolves one manifest and reads
+  *     exactly its files; a concurrent upsert writes NEW files and a
+  *     NEW manifest, never touching what the reader holds — the race
+  *     [[Merge]]'s in-place file swap documents is gone;
+  *   - TIME TRAVEL: any retained version re-reads exactly (audits,
+  *     reproducible training runs, incremental diffing);
+  *   - OPTIMISTIC CONCURRENCY: two writers racing the same parent
+  *     version both compute, but only the first manifest create wins;
+  *     the loser gets a [[java.util.ConcurrentModificationException]]
+  *     and retries on the new current (the Iceberg/Delta commit
+  *     protocol, with the filesystem as the arbiter);
+  *   - O(1) identity: the (dir, version) pair is the stable snapshot
+  *     id [[graft.queries.IndexedCorpus]]'s scale note wants for
+  *     index cache keying.
+  *
+  * Upsert/delete reuse [[Merge]]'s footer-range pruning — only files
+  * whose key range intersects the batch are REPLACED in the child
+  * manifest; cold files are SHARED BY REFERENCE across versions (the
+  * structural sharing that keeps version history O(changed files), not
+  * O(table)). [[vacuum]] is the GC: drop manifests below a floor, then
+  * delete data files no retained manifest references.
+  */
+object Snapshots {
+
+  final case class Commit(version: Long, files: Seq[String],
+      filesReplaced: Int, rowsWritten: Long)
+
+  private def manifestDir(root: Path) = new Path(root, "_manifests")
+  private def dataDir(root: Path) = new Path(root, "data")
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val root = new Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v")) n.drop(1).toLongOption else None
+  }
+
+  /** Latest committed version, or None for an uninitialized dir. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) None
+    else fs.listStatus(md).toSeq.flatMap(f => versionOf(f.getPath))
+      .maxOption
+  }
+
+  /** The file list of `version` (relative names). */
+  def manifest(spark: SparkSession, dir: String, version: Long)
+      : Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new Path(manifestDir(root), s"v$version")
+    require(fs.exists(p), s"no manifest for version $version at $dir")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Atomically create manifest `version`; throws
+    * ConcurrentModificationException when a racing writer got there
+    * first (retry on the new current version).
+    */
+  private def commitManifest(fs: FileSystem, root: Path, version: Long,
+      files: Seq[String]): Unit = {
+    val md = manifestDir(root)
+    fs.mkdirs(md)
+    val target = new Path(md, s"v$version")
+    val out =
+      try fs.create(target, false)
+      catch { case _: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $version already committed at $root — recompute " +
+            "against the current manifest and retry")
+      }
+    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Test hook: raw manifest commit at an explicit version — the
+    * losing side of the optimistic-concurrency race, made callable.
+    */
+  private[graft] def testCommitAt(spark: SparkSession, dir: String,
+      version: Long, files: Seq[String]): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    commitManifest(fs, root, version, files)
+  }
+
+  /** Write `df` clustered on `key` as the table's first version. */
+  def init(df: DataFrame, dir: String, key: String,
+      numFiles: Int = 8): Commit = {
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, dir)
+    require(latestVersion(spark, dir).isEmpty,
+      s"$dir is already a snapshot table")
+    val staged = writeData(df, fs, root, key, numFiles)
+    val rows = spark.read.parquet(
+      staged.map(f => new Path(dataDir(root), f).toString): _*).count()
+    commitManifest(fs, root, 0L, staged)
+    Commit(0L, staged, 0, rows)
+  }
+
+  /** Read a snapshot — `asOf` version, or latest. */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed version"))
+    val files = manifest(spark, dir, v)
+      .map(f => new Path(dataDir(root), f).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Upsert (replace-by-key ∪ insert) as a NEW VERSION: cold files are
+    * carried by reference, only footer-touched files are replaced.
+    */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String): Commit =
+    commitRewrite(spark, dir, updates.select(key), key) {
+      (touched, cols) =>
+        touched.join(updates.select(key), Seq(key), "left_anti")
+          .select(cols: _*)
+          .unionByName(updates.select(cols: _*))
+    }
+
+  /** Keyed delete (takedown) as a new version. */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String): Commit =
+    commitRewrite(spark, dir, keys.select(key).distinct(), key) {
+      (touched, cols) =>
+        touched.join(keys.select(key).distinct(), Seq(key), "left_anti")
+          .select(cols: _*)
+    }
+
+  /** Drop manifests with version < `retainFrom`, then delete data
+    * files no surviving manifest references. Time travel below the
+    * floor is gone; everything at or above it still reads exactly.
+    * Returns the deleted data file names.
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      retainFrom: Long): Seq[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    val versions = fs.listStatus(md).toSeq.flatMap(f => versionOf(f.getPath))
+    val (drop, keep) = versions.partition(_ < retainFrom)
+    require(keep.nonEmpty, s"vacuum would drop every version of $dir")
+    val live = keep.flatMap(v => manifest(spark, dir, v)).toSet
+    val dead = drop.flatMap(v => manifest(spark, dir, v)).toSet -- live
+    // drop old manifests first: a crash mid-vacuum must never leave a
+    // manifest pointing at deleted files
+    drop.foreach(v => fs.delete(new Path(md, s"v$v"), false))
+    dead.toSeq.sorted.map { f =>
+      fs.delete(new Path(dataDir(root), f), false); f
+    }
+  }
+
+  /** Shared rewrite-commit: prune the current manifest's files on the
+    * batch's key ranges, rewrite only those, commit child manifest =
+    * (parent − touched) ∪ new files.
+    */
+  private def commitRewrite(spark: SparkSession, dir: String,
+      batchKeys: DataFrame, key: String)
+      (fn: (DataFrame, Seq[org.apache.spark.sql.Column]) => DataFrame)
+      : Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val parent = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed version — init first"))
+    val parentFiles = manifest(spark, dir, parent)
+    val schema = read(spark, dir, Some(parent)).schema
+    val keyType = schema(key).dataType
+    require(Seq(LongType, IntegerType, StringType).contains(keyType),
+      s"snapshot key $key has unsupported type $keyType")
+
+    val paths = parentFiles.map(f => new Path(dataDir(root), f))
+    val touchedNames = Merge
+      .pruneTouched(spark, paths, keyType, batchKeys, key)
+      .map(p => new Path(p).getName).toSet
+    val cols = schema.fieldNames.map(col).toSeq
+    val touchedRows =
+      if (touchedNames.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(
+        touchedNames.toSeq.sorted
+          .map(f => new Path(dataDir(root), f).toString): _*)
+    val out = fn(touchedRows, cols)
+    val staged = writeData(out, fs, root, key,
+      math.max(1, touchedNames.size))
+    val rows = if (staged.isEmpty) 0L else spark.read.parquet(
+      staged.map(f => new Path(dataDir(root), f).toString): _*).count()
+    val childFiles =
+      parentFiles.filterNot(touchedNames.contains) ++ staged
+    commitManifest(fs, root, parent + 1, childFiles)
+    Commit(parent + 1, childFiles, touchedNames.size, rows)
+  }
+
+  /** Write rows as new clustered data files (staging + move into
+    * `data/` under their part-UUID names, which cannot collide) and
+    * return the new files' relative names. Files land BEFORE the
+    * manifest commit references them — a crashed writer leaves
+    * unreferenced files (vacuum fodder), never a dangling manifest.
+    */
+  private def writeData(df: DataFrame, fs: FileSystem, root: Path,
+      key: String, numFiles: Int): Seq[String] = {
+    val staging = new Path(root, ".snapshot-staging")
+    fs.delete(staging, true)
+    Layout.writeClustered(df, staging.toString, Seq(col(key)), numFiles)
+    val dd = dataDir(root)
+    fs.mkdirs(dd)
+    val moved = fs.listStatus(staging).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        fs.rename(f.getPath, new Path(dd, f.getPath.getName))
+        f.getPath.getName
+      }
+    fs.delete(staging, true)
+    moved.sorted
+  }
+}

@@ -78,6 +78,58 @@ object DedupQueriesImpl {
       |  ORDER BY ts DESC, event_id DESC) = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---- snapshot_timetravel -----------------------------------------
+
+  /** Snapshot-versioned last-wins table with TIME TRAVEL
+    * ([[graft.extra.Snapshots]]): version 0 is the per-user latest
+    * event BEFORE the cutoff, version 1 upserts the per-user latest of
+    * the rest — cold data files carried by reference, only
+    * footer-touched files rewritten, and BOTH versions re-read exactly
+    * from their manifests. The query serves v0 and v1 side by side
+    * (tagged `version`), which the oracle reproduces as two last-wins
+    * window queries over the raw events — the history a mutable table
+    * cannot answer and a manifest chain can.
+    */
+  def snapshotTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.extra.Snapshots
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
+      col("event_id"), col("ts"))
+    val table = IndexedCorpus.cachedDir("graft_qsnap", fp) { d =>
+      val v0 = Dedup.latestWins(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), "ts", "event_id")
+      val updates = Dedup.latestWins(ev.filter(col("ts") >= cutoff),
+        Seq("user_id"), "ts", "event_id")
+      Snapshots.init(v0, d.toString, "user_id", numFiles = 4)
+      Snapshots.upsert(s, d.toString, updates, "user_id"): Unit
+    }
+    val v0 = Snapshots.read(s, table, Some(0L))
+      .withColumn("version", lit(0))
+    val v1 = Snapshots.read(s, table, Some(1L))
+      .withColumn("version", lit(1))
+    v0.unionByName(v1)
+      .select(col("version"), col("user_id"), col("event_id"),
+        col("ts"), col("event_type"), col("value"))
+      .orderBy("version", "user_id")
+  }
+
+  private val snapshotTimetravelOracle =
+    """WITH v0 AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |v1 AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1)
+      |SELECT 0 AS version, * FROM v0
+      |UNION ALL
+      |SELECT 1 AS version, * FROM v1
+      |ORDER BY version, user_id""".stripMargin
+
   // ---- neardup_minhash ---------------------------------------------
 
   def neardupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -742,6 +794,10 @@ object DedupQueriesImpl {
     QueryDef("dedup_latest",
       "keyed latest-wins dedup (update-mode finalizer)",
       dedupLatest, Some(dedupLatestOracle)),
+    QueryDef("snapshot_timetravel",
+      "manifest-versioned last-wins table: v0 and v1 served side by " +
+        "side from their snapshots (cold files shared by reference)",
+      snapshotTimetravel, Some(snapshotTimetravelOracle)),
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),

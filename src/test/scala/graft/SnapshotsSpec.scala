@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.Snapshots
+
+/** Snapshot-versioned tables: time travel re-reads exactly, child
+  * manifests share cold files by reference, commits are first-wins
+  * under a race, and vacuum deletes only what no retained version
+  * references.
+  */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"snap-$tag").toString
+
+  private def slurp(dir: String): Set[(Long, String)] =
+    Snapshots.read(spark, dir).select("id", "text")
+      .as[(Long, String)].collect().toSet
+
+  private def slurpAt(dir: String, v: Long): Set[(Long, String)] =
+    Snapshots.read(spark, dir, Some(v)).select("id", "text")
+      .as[(Long, String)].collect().toSet
+
+  test("init → upsert → delete: every version time-travels exactly; " +
+      "cold files are shared by reference") {
+    val dir = freshDir("tt")
+    val base = spark.range(1000)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    val c0 = Snapshots.init(base, dir, "id", numFiles = 8)
+    assert(c0.version == 0L && c0.files.size == 8)
+
+    val updates = Seq((5L, "doc-5-v2"), (6L, "doc-6-v2"),
+      (2000L, "doc-2000")).toDF("id", "text")
+    val c1 = Snapshots.upsert(spark, dir, updates, "id")
+    assert(c1.version == 1L)
+    assert(c1.filesReplaced == 1, c1.toString) // 5,6 in one file range
+    // structural sharing: v1 carries 7 of v0's 8 files by reference
+    assert(c0.files.toSet.intersect(c1.files.toSet).size == 7)
+
+    val c2 = Snapshots.delete(spark, dir, Seq(5L, 7L).toDF("id"), "id")
+    assert(c2.version == 2L)
+
+    val v0 = (0L until 1000L).map(i => (i, s"doc-$i")).toSet
+    val v1 = v0 -- Set((5L, "doc-5"), (6L, "doc-6")) ++
+      Set((5L, "doc-5-v2"), (6L, "doc-6-v2"), (2000L, "doc-2000"))
+    val v2 = v1 -- Set((5L, "doc-5-v2"), (7L, "doc-7"))
+    assert(slurpAt(dir, 0) == v0)
+    assert(slurpAt(dir, 1) == v1)
+    assert(slurpAt(dir, 2) == v2)
+    assert(slurp(dir) == v2)
+
+    // data files are immutable across commits: the shared files'
+    // bytes at v2 are the ones v0 wrote
+    val dataFiles = Files.list(Paths.get(dir, "data")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+  }
+
+  test("concurrent commit: second writer on the same parent loses " +
+      "with ConcurrentModificationException") {
+    val dir = freshDir("race")
+    Snapshots.init(spark.range(100)
+      .select(col("id"), lit("x").as("text")), dir, "id", 2)
+    // simulate the racing winner by pre-creating v1
+    val winner = Seq((1L, "won")).toDF("id", "text")
+    Snapshots.upsert(spark, dir, winner, "id")
+    // a loser that computed against v0 now tries to commit v1 again
+    assert(Files.exists(Paths.get(dir, "_manifests", "v1")))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.testCommitAt(spark, dir, 1L, Seq("nope.parquet"))
+    }
+    // the winner's manifest is untouched by the failed commit
+    assert(slurp(dir).contains((1L, "won")))
+  }
+
+  test("vacuum drops old versions' exclusive files, keeps everything " +
+      "retained versions reference") {
+    val dir = freshDir("vac")
+    Snapshots.init(spark.range(400)
+      .select(col("id"), concat(lit("d"), col("id")).as("text")),
+      dir, "id", 4)
+    Snapshots.upsert(spark, dir,
+      Seq((1L, "d1-v2")).toDF("id", "text"), "id")
+    Snapshots.upsert(spark, dir,
+      Seq((399L, "d399-v2")).toDF("id", "text"), "id")
+    val before = slurp(dir)
+    val deleted = Snapshots.vacuum(spark, dir, retainFrom = 2L)
+    assert(deleted.nonEmpty)
+    // latest still reads exactly
+    assert(slurp(dir) == before)
+    assert(slurpAt(dir, 2) == before)
+    // time travel below the floor is gone
+    intercept[IllegalArgumentException] { slurpAt(dir, 0) }
+    // deleted files are really gone from data/
+    deleted.foreach { f =>
+      assert(!Files.exists(Paths.get(dir, "data", f)))
+    }
+    // and every retained-manifest file still exists
+    Snapshots.manifest(spark, dir, 2L).foreach { f =>
+      assert(Files.exists(Paths.get(dir, "data", f)))
+    }
+  }
+
+  test("guards: double init rejected; read of uninitialized dir " +
+      "rejected; vacuum refusing to drop all versions") {
+    val dir = freshDir("guards")
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir)
+    }
+    Snapshots.init(spark.range(10)
+      .select(col("id"), lit("t").as("text")), dir, "id", 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.init(spark.range(10)
+        .select(col("id"), lit("t").as("text")), dir, "id", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, dir, retainFrom = 99L)
+    }
+  }
+}
