@@ -154,6 +154,56 @@ object Snapshots {
           .select(cols: _*)
     }
 
+  /** Row-level changes between two versions, computed from ONLY the
+    * files the versions do NOT share — the structural-sharing payoff:
+    * a key whose file is referenced by both manifests cannot have
+    * changed (files are immutable), so the shared bulk of a 100 TB
+    * table never gets read; diff cost is O(files replaced between the
+    * versions), however old the table is. Within the non-shared files,
+    * a full-outer join on `key` classifies each key as
+    * `inserted` / `deleted` / `updated`; rewritten-but-identical
+    * survivor rows (an upsert rewrites whole files, carrying untouched
+    * neighbors along) are recognized by payload hash and dropped.
+    *
+    * Output: `change` + the table's columns — the NEW row for
+    * inserted/updated, the OLD row for deleted. The CDC extract that
+    * feeds [[IncrementalAgg.refresh]]-style downstream maintenance.
+    */
+  def diff(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+      key: String): DataFrame = {
+    require(fromV < toV, s"diff wants fromV < toV, got $fromV..$toV")
+    val (_, root) = fsOf(spark, dir)
+    val fromFiles = manifest(spark, dir, fromV).toSet
+    val toFiles = manifest(spark, dir, toV).toSet
+    val schema = read(spark, dir, Some(toV)).schema
+    def readFiles(names: Set[String]): DataFrame =
+      if (names.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(names.toSeq.sorted
+        .map(f => new Path(dataDir(root), f).toString): _*)
+    val payload = schema.fieldNames.filterNot(_ == key).map(col).toSeq
+    val olds = readFiles(fromFiles -- toFiles)
+      .withColumn("__oh", xxhash64(payload: _*))
+    val news = readFiles(toFiles -- fromFiles)
+      .withColumn("__nh", xxhash64(payload: _*))
+    val oldSide = olds.select(
+      (col(key).as(s"__ok") +: schema.fieldNames.filterNot(_ == key)
+        .map(c => col(c).as(s"__o_$c")).toSeq) :+ col("__oh"): _*)
+    val joined = news.join(oldSide, col(key) === col("__ok"),
+      "full_outer")
+    joined
+      .withColumn("change",
+        when(col("__ok").isNull, lit("inserted"))
+          .when(col(key).isNull, lit("deleted"))
+          .when(col("__oh") =!= col("__nh"), lit("updated")))
+      .filter(col("change").isNotNull)
+      .select(col("change") +: schema.fieldNames.map { c =>
+        val newC = if (c == key) col(key) else col(c)
+        val oldC = if (c == key) col("__ok") else col(s"__o_$c")
+        when(col("change") === "deleted", oldC).otherwise(newC).as(c)
+      }.toSeq: _*)
+  }
+
   /** Drop manifests with version < `retainFrom`, then delete data
     * files no surviving manifest references. Time travel below the
     * floor is gone; everything at or above it still reads exactly.

@@ -90,14 +90,17 @@ object DedupQueriesImpl {
     * window queries over the raw events — the history a mutable table
     * cannot answer and a manifest chain can.
     */
-  def snapshotTimetravel(s: SparkSession, dir: String): DataFrame = {
+  /** Build-if-absent two-version snapshot table over events (shared by
+    * `snapshot_timetravel` and `version_diff`).
+    */
+  private def snapTable(s: SparkSession, dir: String): String = {
     import graft.extra.Snapshots
     val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
     val ev = events(s, dir)
       .select("user_id", "event_id", "ts", "event_type", "value")
     val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
       col("event_id"), col("ts"))
-    val table = IndexedCorpus.cachedDir("graft_qsnap", fp) { d =>
+    IndexedCorpus.cachedDir("graft_qsnap", fp) { d =>
       val v0 = Dedup.latestWins(ev.filter(col("ts") < cutoff),
         Seq("user_id"), "ts", "event_id")
       val updates = Dedup.latestWins(ev.filter(col("ts") >= cutoff),
@@ -105,6 +108,11 @@ object DedupQueriesImpl {
       Snapshots.init(v0, d.toString, "user_id", numFiles = 4)
       Snapshots.upsert(s, d.toString, updates, "user_id"): Unit
     }
+  }
+
+  def snapshotTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.extra.Snapshots
+    val table = snapTable(s, dir)
     val v0 = Snapshots.read(s, table, Some(0L))
       .withColumn("version", lit(0))
     val v1 = Snapshots.read(s, table, Some(1L))
@@ -129,6 +137,52 @@ object DedupQueriesImpl {
       |UNION ALL
       |SELECT 1 AS version, * FROM v1
       |ORDER BY version, user_id""".stripMargin
+
+  // ---- version_diff ------------------------------------------------
+
+  /** CDC extract between two snapshot versions
+    * ([[graft.extra.Snapshots.diff]]): reads ONLY the data files the
+    * manifests do not share (immutable shared files cannot hold a
+    * change — diff cost is O(files replaced), not O(table)), then
+    * classifies keys in the non-shared files as inserted / deleted /
+    * updated, dropping rewritten-but-identical survivor rows by
+    * payload hash. The oracle recomputes both versions from raw
+    * events and full-outer-joins them — same answer, table-sized
+    * cost: exactly the work the manifest structure avoids.
+    */
+  def versionDiff(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Snapshots.diff(s, snapTable(s, dir), 0L, 1L, "user_id")
+      .orderBy("user_id")
+
+  private val versionDiffOracle =
+    """WITH v0 AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |v1 AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |j AS (
+      |  SELECT CASE WHEN v0.user_id IS NULL THEN 'inserted'
+      |              WHEN v1.user_id IS NULL THEN 'deleted'
+      |              WHEN v0.event_id <> v1.event_id THEN 'updated'
+      |         END AS change,
+      |         CASE WHEN v1.user_id IS NULL THEN v0.user_id
+      |              ELSE v1.user_id END AS user_id,
+      |         CASE WHEN v1.user_id IS NULL THEN v0.event_id
+      |              ELSE v1.event_id END AS event_id,
+      |         CASE WHEN v1.user_id IS NULL THEN v0.ts
+      |              ELSE v1.ts END AS ts,
+      |         CASE WHEN v1.user_id IS NULL THEN v0.event_type
+      |              ELSE v1.event_type END AS event_type,
+      |         CASE WHEN v1.user_id IS NULL THEN v0.value
+      |              ELSE v1.value END AS value
+      |  FROM v1 FULL OUTER JOIN v0 ON v1.user_id = v0.user_id
+      |)
+      |SELECT * FROM j WHERE change IS NOT NULL
+      |ORDER BY user_id""".stripMargin
 
   // ---- neardup_minhash ---------------------------------------------
 
@@ -798,6 +852,10 @@ object DedupQueriesImpl {
       "manifest-versioned last-wins table: v0 and v1 served side by " +
         "side from their snapshots (cold files shared by reference)",
       snapshotTimetravel, Some(snapshotTimetravelOracle)),
+    QueryDef("version_diff",
+      "CDC extract between snapshot versions from ONLY the non-shared " +
+        "data files (O(files replaced), not O(table))",
+      versionDiff, Some(versionDiffOracle)),
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),

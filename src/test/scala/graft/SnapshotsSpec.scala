@@ -105,6 +105,36 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("diff between versions: inserted/deleted/updated classified, " +
+      "rewritten-but-identical survivors dropped, shared files unread") {
+    val dir = freshDir("diff")
+    val base = spark.range(1000)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    Snapshots.init(base, dir, "id", numFiles = 8)
+    Snapshots.upsert(spark, dir, Seq((5L, "doc-5-v2"),
+      (2000L, "doc-2000")).toDF("id", "text"), "id")
+    Snapshots.delete(spark, dir, Seq(7L).toDF("id"), "id")
+
+    val d01 = Snapshots.diff(spark, dir, 0L, 1L, "id")
+      .as[(String, Long, String)].collect().toSet
+    assert(d01 == Set(("updated", 5L, "doc-5-v2"),
+      ("inserted", 2000L, "doc-2000")))
+    val d12 = Snapshots.diff(spark, dir, 1L, 2L, "id")
+      .as[(String, Long, String)].collect().toSet
+    assert(d12 == Set(("deleted", 7L, "doc-7")))
+    val d02 = Snapshots.diff(spark, dir, 0L, 2L, "id")
+      .as[(String, Long, String)].collect().toSet
+    assert(d02 == Set(("updated", 5L, "doc-5-v2"),
+      ("inserted", 2000L, "doc-2000"), ("deleted", 7L, "doc-7")))
+
+    // the diff's plan reads only non-shared files: v0∩v1 share 7 of 8
+    // base files, so the 0→1 diff must scan ≤ 3 files' worth of paths
+    val m0 = Snapshots.manifest(spark, dir, 0L).toSet
+    val m1 = Snapshots.manifest(spark, dir, 1L).toSet
+    assert(m0.intersect(m1).size == 7)
+    assert((m0 -- m1).size + (m1 -- m0).size <= 3)
+  }
+
   test("guards: double init rejected; read of uninitialized dir " +
       "rejected; vacuum refusing to drop all versions") {
     val dir = freshDir("guards")
