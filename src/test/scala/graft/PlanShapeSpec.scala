@@ -476,4 +476,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("timestamp_ntz"),
       "driver table surfaced as TIMESTAMP_NTZ:\n" + plan.take(2000))
   }
+
+  test("bloom_join: the might_contain prefilter sits on the big side " +
+      "below the join, and the join stays a hash equijoin") {
+    val plan = executedPlan("bloom_join")
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    // the filter must be BELOW the join: in the bottom-up plan string
+    // the join operator prints before its children, so might_contain
+    // must appear AFTER the first join line
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && plan.indexOf("might_contain") > joinIdx,
+      plan.take(2000))
+  }
+
+  test("incr_revenue (serving): reads the materialized state only — " +
+      "the orders table is never scanned") {
+    val plan = executedPlan("incr_revenue")
+    assert(!plan.contains("orders.parquet"),
+      "serving path re-scanned the base table:\n" + plan.take(2000))
+    assert(plan.contains("parquet"), plan.take(2000)) // state read
+  }
+
+  test("snapshot_timetravel / version_diff (serving): read manifest " +
+      "data files only — the events table is never scanned") {
+    Seq("snapshot_timetravel", "version_diff").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("events.parquet"),
+        s"$q serving path re-scanned events:\n" + plan.take(2000))
+    }
+  }
+
+  test("heavy_hitters: the exact verify pass semi-joins a broadcast " +
+      "candidate list — no shuffle of the token stream for the sketch") {
+    val plan = executedPlan("heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
