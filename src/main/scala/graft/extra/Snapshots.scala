@@ -154,6 +154,37 @@ object Snapshots {
           .select(cols: _*)
     }
 
+  /** Coalesce the current version's data into ≈`targetFileBytes`
+    * clustered files as a NEW VERSION — the snapshot-aware form of
+    * [[Layout.compact]]: frequent small upserts fragment the
+    * clustering (each rewrite re-clusters only its touched range, and
+    * insert-only commits add single files); compaction restores
+    * footer selectivity and file sizing WITHOUT breaking history —
+    * prior versions keep reading their own manifests, and
+    * [[diff]] across the compaction reports zero changes (every file
+    * is replaced, no row is). [[vacuum]] past the compaction point
+    * reclaims the fragments.
+    */
+  def compact(spark: SparkSession, dir: String, key: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Commit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (fs, root) = fsOf(spark, dir)
+    val parent = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed version — init first"))
+    val files = manifest(spark, dir, parent)
+    val bytes = files.map(f =>
+      fs.getFileStatus(new Path(dataDir(root), f)).getLen).sum
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .toInt
+    val df = read(spark, dir, Some(parent))
+    val staged = writeData(df, fs, root, key, n)
+    val rows = spark.read.parquet(
+      staged.map(f => new Path(dataDir(root), f).toString): _*).count()
+    commitManifest(fs, root, parent + 1, staged)
+    Commit(parent + 1, staged, files.size, rows)
+  }
+
   /** Row-level changes between two versions, computed from ONLY the
     * files the versions do NOT share — the structural-sharing payoff:
     * a key whose file is referenced by both manifests cannot have

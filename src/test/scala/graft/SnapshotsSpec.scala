@@ -135,6 +135,33 @@ class SnapshotsSpec extends SparkSpec {
     assert((m0 -- m1).size + (m1 -- m0).size <= 3)
   }
 
+  test("compact: new version has fewer files and identical rows; " +
+      "history still travels; diff across the compaction is empty") {
+    val dir = freshDir("compact")
+    Snapshots.init(spark.range(500)
+      .select(col("id"), concat(lit("d"), col("id")).as("text")),
+      dir, "id", 4)
+    // ten tiny insert-only upserts fragment the table
+    (0 until 10).foreach { i =>
+      Snapshots.upsert(spark, dir,
+        Seq((1000L + i, s"new-$i")).toDF("id", "text"), "id")
+    }
+    val vFrag = Snapshots.latestVersion(spark, dir).get
+    val fragFiles = Snapshots.manifest(spark, dir, vFrag).size
+    assert(fragFiles >= 13, s"expected fragmentation, got $fragFiles")
+    val before = slurp(dir)
+
+    val c = Snapshots.compact(spark, dir, "id",
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(c.files.size < fragFiles && c.files.size <= 2)
+    assert(slurp(dir) == before)
+    assert(slurpAt(dir, vFrag) == before)   // history intact
+    assert(slurpAt(dir, 0).size == 500)
+    // every file replaced, no row changed
+    assert(Snapshots.diff(spark, dir, vFrag, c.version, "id")
+      .isEmpty)
+  }
+
   test("guards: double init rejected; read of uninitialized dir " +
       "rejected; vacuum refusing to drop all versions") {
     val dir = freshDir("guards")
