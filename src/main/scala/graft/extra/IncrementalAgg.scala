@@ -119,6 +119,51 @@ object IncrementalAgg {
       (stored, batch) => combine(stored, batch, spec))
   }
 
+  /** Maintain the view from a SNAPSHOT CHANGE FEED: everything
+    * [[Snapshots.diff]] reports between `fromV` and `toV` — inserts,
+    * deletes, AND updates — is applied with RETRACTIONS: old
+    * contributions of deleted/updated rows are subtracted, new
+    * contributions of inserted/updated rows added, in ONE delta frame
+    * merged into the state ([[Merge.mergeKeyed]], same pruning as
+    * [[refresh]]). Cost is O(files replaced between the versions +
+    * touched state) — the view follows a mutating 100 TB table without
+    * either side being rescanned.
+    *
+    * Only subtractable state qualifies: count and sum form a group
+    * under addition; min/max/HLL do not (retracting a grain's maximum
+    * needs that grain recomputed from the table) — such specs are
+    * rejected rather than silently served wrong. Grains whose count
+    * reaches zero are REMOVED from the view.
+    */
+  def refreshFromSnapshot(spark: SparkSession, viewDir: String,
+      snapDir: String, fromV: Long, toV: Long, snapKey: String,
+      spec: ViewSpec): Merge.MergeStats = {
+    require(spec.minCols.isEmpty && spec.maxCols.isEmpty &&
+      spec.hllCols.isEmpty,
+      "retraction refresh needs subtractable state (count/sum only) — " +
+        "min/max/HLL would need grain recompute; rebuild those views " +
+        "with init or feed insert-only deltas through refresh")
+    val ch = Snapshots.diffTwoSided(spark, snapDir, fromV, toV, snapKey)
+    val tableCols = ch.columns
+      .filterNot(c => c == "change" || c.startsWith("__")).toSeq
+    val newRows = ch.filter(col("change").isin("inserted", "updated"))
+      .select(tableCols.map(col): _*)
+    val oldRows = ch.filter(col("change").isin("deleted", "updated"))
+      .select(tableCols.map(c =>
+        (if (c == snapKey) col("__ok") else col(s"__o_$c")).as(c)): _*)
+    val add = partials(newRows, spec)
+    val sub = partials(oldRows, spec)
+    val negated = sub.select(
+      col(spec.grainCol) +:
+        (-col("cnt")).cast(sub.schema("cnt").dataType).as("cnt") +:
+        spec.sumCols.map(c => (-col(s"sum_$c"))
+          .cast(sub.schema(s"sum_$c").dataType).as(s"sum_$c")): _*)
+    val delta = combine(add, negated, spec)
+    Merge.mergeKeyed(spark, viewDir, delta, spec.grainCol)(
+      (stored, batch) => combine(stored, batch, spec)
+        .filter(col("cnt") =!= 0))
+  }
+
   /** The stored state, as written (one row per grain). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

@@ -202,6 +202,23 @@ object Snapshots {
     */
   def diff(spark: SparkSession, dir: String, fromV: Long, toV: Long,
       key: String): DataFrame = {
+    val schema = read(spark, dir, Some(toV)).schema
+    diffTwoSided(spark, dir, fromV, toV, key)
+      .select(col("change") +: schema.fieldNames.map { c =>
+        val newC = if (c == key) col(key) else col(c)
+        val oldC = if (c == key) col("__ok") else col(s"__o_$c")
+        when(col("change") === "deleted", oldC).otherwise(newC).as(c)
+      }.toSeq: _*)
+  }
+
+  /** [[diff]]'s two-sided core: `change` + the NEW row in the table's
+    * columns (null for deleted) + the OLD row as `__ok` / `__o_<c>`
+    * (null for inserted) — what a retraction consumer
+    * ([[IncrementalAgg.refreshFromChanges]]) needs that the
+    * single-sided CDC projection drops.
+    */
+  private[extra] def diffTwoSided(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long, key: String): DataFrame = {
     require(fromV < toV, s"diff wants fromV < toV, got $fromV..$toV")
     val (_, root) = fsOf(spark, dir)
     val fromFiles = manifest(spark, dir, fromV).toSet
@@ -220,19 +237,12 @@ object Snapshots {
     val oldSide = olds.select(
       (col(key).as(s"__ok") +: schema.fieldNames.filterNot(_ == key)
         .map(c => col(c).as(s"__o_$c")).toSeq) :+ col("__oh"): _*)
-    val joined = news.join(oldSide, col(key) === col("__ok"),
-      "full_outer")
-    joined
+    news.join(oldSide, col(key) === col("__ok"), "full_outer")
       .withColumn("change",
         when(col("__ok").isNull, lit("inserted"))
           .when(col(key).isNull, lit("deleted"))
           .when(col("__oh") =!= col("__nh"), lit("updated")))
       .filter(col("change").isNotNull)
-      .select(col("change") +: schema.fieldNames.map { c =>
-        val newC = if (c == key) col(key) else col(c)
-        val oldC = if (c == key) col("__ok") else col(s"__o_$c")
-        when(col("change") === "deleted", oldC).otherwise(newC).as(c)
-      }.toSeq: _*)
   }
 
   /** Drop manifests with version < `retainFrom`, then delete data

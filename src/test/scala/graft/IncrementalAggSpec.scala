@@ -120,6 +120,48 @@ class IncrementalAggSpec extends SparkSpec {
     assert(served(dir) == beforeState)
   }
 
+  test("refreshFromSnapshot: a snapshot change feed with inserts, " +
+      "deletes, and updates retracts exactly — view == one-shot over " +
+      "the new version; emptied grains vanish; min/max specs rejected") {
+    import graft.extra.Snapshots
+    val subSpec = ViewSpec("g", sumCols = Seq("amt"))
+    val snap = freshDir("snapsrc")
+    val view = freshDir("snapview")
+    // snapshot table keyed by id, grain g = id % 5; grain 4 has
+    // exactly two rows (ids 4, 9) so deleting both empties it
+    def tbl(ids: Seq[Long]) = ids.toDF("id")
+      .select(col("id"), (col("id") % 5).as("g"),
+        (col("id") * 7 % 13).cast("decimal(18,2)").as("amt"))
+    Snapshots.init(tbl(0L until 10L), snap, "id", numFiles = 2)
+    IncrementalAgg.init(
+      Snapshots.read(spark, snap, Some(0L)), subSpec, view, 2)
+
+    Snapshots.upsert(spark, snap, Seq((3L, 3L, BigDecimal(99)),
+      (20L, 0L, BigDecimal(1))).toDF("id", "g", "amt")
+      .select(col("id"), col("g"),
+        col("amt").cast("decimal(18,2)").as("amt")), "id")
+    Snapshots.delete(spark, snap,
+      Seq(4L, 9L).toDF("id"), "id")
+
+    IncrementalAgg.refreshFromSnapshot(spark, view, snap, 0L, 2L,
+      "id", subSpec)
+
+    val oneShot = freshDir("snapfull")
+    IncrementalAgg.init(
+      Snapshots.read(spark, snap, Some(2L)), subSpec, oneShot, 2)
+    def state(d: String) = IncrementalAgg.read(spark, d)
+      .select(col("g"), col("cnt"), col("sum_amt").cast("double"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(state(view) == state(oneShot))
+    // grain 4 (ids 4 and 9 both deleted) is gone, not zero-count
+    assert(!state(view).exists(_._1 == 4L))
+
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.refreshFromSnapshot(spark, view, snap, 0L, 2L,
+        "id", spec) // spec has min/max/hll — not subtractable
+    }
+  }
+
   test("randomized differential: random batch splits land on the " +
       "one-shot state (seeded)") {
     val rnd = new scala.util.Random(20260813L)
