@@ -130,6 +130,17 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
 
     val benchStream = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") == "1"
+    // Shed the query phase's weight before the stream blocks: cached
+    // plans (IndexedCorpus serving frames) and the old-gen garbage of
+    // ~400 query executions otherwise tax the stateful curation
+    // chain's source and state store (r10: in-bench curation read
+    // 2.5k docs/s with per-batch cost matching the 16k standalone
+    // smoke — the deficit was all warmup/GC, not the operator).
+    if (benchStream) {
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      System.gc()
+    }
     val streaming =
       if (benchStream)
         // tps deliberately ABOVE single-node capacity: the reported

@@ -122,7 +122,11 @@ object Snapshots {
     Commit(0L, staged, 0, rows)
   }
 
-  /** Read a snapshot — `asOf` version, or latest. */
+  /** Read a snapshot — `asOf` version, or latest. A version whose
+    * manifest is EMPTY (a takedown deleted every row) reads as a
+    * zero-row frame with the schema of the nearest earlier non-empty
+    * version — never a crash.
+    */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val (_, root) = fsOf(spark, dir)
@@ -130,7 +134,19 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir has no committed version"))
     val files = manifest(spark, dir, v)
       .map(f => new Path(dataDir(root), f).toString)
-    spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      val donor = (v - 1 to 0L by -1).iterator
+        .flatMap(pv => scala.util.Try(manifest(spark, dir, pv)).toOption)
+        .find(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $dir is empty and no earlier version holds " +
+            "a schema-bearing file"))
+        .map(f => new Path(dataDir(root), f).toString)
+      val schema = spark.read.parquet(donor: _*).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Upsert (replace-by-key ∪ insert) as a NEW VERSION: cold files are

@@ -64,15 +64,23 @@ object Joins {
     *
     * `joinType` is restricted to inner/left_semi (big side left):
     * pre-dropping big rows is only sound when unmatched big rows are
-    * absent from the result anyway.
+    * absent from the result anyway. `expectedKeys` sizes the filter;
+    * the default 0 auto-sizes with one count() of the small side.
     */
   def bloomPrefilteredJoin(big: DataFrame, bigKeys: Seq[String],
       small: DataFrame, smallKeys: Seq[String],
-      expectedKeys: Long = 1L << 22, fpp: Double = 0.01,
+      expectedKeys: Long = 0L, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
     require(bigKeys.nonEmpty && bigKeys.size == smallKeys.size,
       s"key lists must be non-empty and same-length, got " +
         s"$bigKeys vs $smallKeys")
+    // auto-size by default: one count() over the SMALL (already
+    // filtered) side — trivial next to the shuffle it tunes. An
+    // under-sized filter is only a selectivity loss (it saturates and
+    // admits more rows; the equijoin still verifies), never wrong.
+    val estKeys =
+      if (expectedKeys > 0) expectedKeys
+      else math.max(64L, small.count())
     val jt = joinType.toLowerCase.replace("_", "")
     require(Seq("inner", "leftsemi").contains(jt),
       s"joinType $joinType would need unmatched big-side rows — the " +
@@ -83,8 +91,8 @@ object Joins {
           s"$s:${small.schema(s).dataType} — xxhash64 is " +
           "type-sensitive, cast to a common type first")
     }
-    val bloom = keyBloom(small, smallKeys.map(small(_)), expectedKeys,
-      optimalNumBits(expectedKeys, fpp))
+    val bloom = keyBloom(small, smallKeys.map(small(_)), estKeys,
+      optimalNumBits(estKeys, fpp))
     val filtered = big.filter(mightContain(bloom, bigKeys.map(big(_))))
     val cond = bigKeys.zip(smallKeys)
       .map { case (b, s) => filtered(b) === small(s) }

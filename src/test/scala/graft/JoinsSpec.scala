@@ -32,8 +32,9 @@ class JoinsSpec extends SparkSpec {
   test("left_semi parity; multi-column keys") {
     val b2 = big.withColumn("k2", col("k") % 7)
     val s2 = small.withColumn("k2", col("k") % 7)
+    // default expectedKeys=0 exercises the auto-sizing count() path
     val got = Joins.bloomPrefilteredJoin(b2, Seq("k", "k2"),
-      s2, Seq("k", "k2"), expectedKeys = 1024, joinType = "left_semi")
+      s2, Seq("k", "k2"), joinType = "left_semi")
     val want = b2.join(s2,
       b2("k") === s2("k") && b2("k2") === s2("k2"), "left_semi")
     assert(got.except(want).isEmpty && want.except(got).isEmpty)

@@ -162,6 +162,19 @@ class SnapshotsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("deleting every row commits an empty version that reads as a " +
+      "zero-row frame with the prior schema") {
+    val dir = freshDir("empty")
+    Snapshots.init(spark.range(20)
+      .select(col("id"), lit("t").as("text")), dir, "id", 1)
+    Snapshots.delete(spark, dir,
+      spark.range(20).select(col("id")), "id")
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.schema.fieldNames.toSeq == Seq("id", "text"))
+    assert(latest.count() == 0)
+    assert(slurpAt(dir, 0).size == 20) // history intact
+  }
+
   test("guards: double init rejected; read of uninitialized dir " +
       "rejected; vacuum refusing to drop all versions") {
     val dir = freshDir("guards")
