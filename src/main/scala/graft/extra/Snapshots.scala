@@ -149,6 +149,31 @@ object Snapshots {
     }
   }
 
+  /** Point read: rows whose `key` appears in `keys`, opening ONLY the
+    * data files whose parquet-footer range may hold a requested key
+    * (the same [[Merge.pruneTouched]] metadata pass the writers use) —
+    * the serving-read shape: a handful of keys against a 100 TB table
+    * costs O(manifest + touched files), and the clustered layout
+    * [[init]]/[[compact]] maintain is what keeps "touched" small.
+    * Version-stable under concurrent writers (reads one manifest).
+    */
+  def lookup(spark: SparkSession, dir: String, keys: DataFrame,
+      key: String, asOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed version"))
+    val schema = read(spark, dir, Some(v)).schema
+    val paths = manifest(spark, dir, v)
+      .map(f => new Path(dataDir(root), f))
+    val batchKeys = keys.select(key).distinct()
+    val touched = Merge.pruneTouched(spark, paths, schema(key).dataType,
+      batchKeys, key)
+    if (touched.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(touched.sorted: _*)
+      .join(broadcast(batchKeys), Seq(key), "left_semi")
+  }
+
   /** Upsert (replace-by-key ∪ insert) as a NEW VERSION: cold files are
     * carried by reference, only footer-touched files are replaced.
     */

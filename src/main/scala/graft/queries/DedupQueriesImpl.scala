@@ -138,6 +138,29 @@ object DedupQueriesImpl {
       |SELECT 1 AS version, * FROM v1
       |ORDER BY version, user_id""".stripMargin
 
+  // ---- point_lookup ------------------------------------------------
+
+  /** Serving-read shape ([[graft.extra.Snapshots.lookup]]): five user
+    * keys against the snapshot table open ONLY the data files whose
+    * parquet-footer range may hold them (O(manifest + touched files),
+    * the same metadata pass the writers prune with) — the oracle
+    * recomputes the latest version from raw events and filters, i.e.
+    * the table-scan cost the footer pruning avoids.
+    */
+  def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq(3L, 31L, 59L, 97L, 131L).toDF("user_id")
+    graft.extra.Snapshots.lookup(s, snapTable(s, dir), keys, "user_id")
+      .orderBy("user_id")
+  }
+
+  private val pointLookupOracle =
+    """SELECT user_id, event_id, ts, event_type, value FROM events
+      |WHERE user_id IN (3, 31, 59, 97, 131)
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---- version_diff ------------------------------------------------
 
   /** CDC extract between two snapshot versions
@@ -856,6 +879,10 @@ object DedupQueriesImpl {
       "CDC extract between snapshot versions from ONLY the non-shared " +
         "data files (O(files replaced), not O(table))",
       versionDiff, Some(versionDiffOracle)),
+    QueryDef("point_lookup",
+      "snapshot serving read: five keys open only footer-touched " +
+        "files (O(manifest + touched), never the table)",
+      pointLookup, Some(pointLookupOracle)),
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),

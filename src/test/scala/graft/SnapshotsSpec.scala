@@ -162,6 +162,36 @@ class SnapshotsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("lookup opens only footer-touched files and returns exactly " +
+      "the requested keys; version-pinned lookups see old values") {
+    val dir = freshDir("lookup")
+    val base = spark.range(1000)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    Snapshots.init(base, dir, "id", numFiles = 8)
+    Snapshots.upsert(spark, dir,
+      Seq((5L, "doc-5-v2")).toDF("id", "text"), "id")
+
+    val got = Snapshots.lookup(spark, dir,
+      Seq(5L, 6L, 5000L).toDF("id"), "id")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "doc-5-v2"), (6L, "doc-6")))
+    val old = Snapshots.lookup(spark, dir,
+      Seq(5L).toDF("id"), "id", asOf = Some(0L))
+      .as[(Long, String)].collect().toSet
+    assert(old == Set((5L, "doc-5")))
+    // the plan reads a pruned file subset, not the table: contiguous
+    // keys 5,6 live in at most 2 of the 9 current files
+    val plan = Snapshots.lookup(spark, dir,
+      Seq(5L, 6L).toDF("id"), "id")
+      .queryExecution.executedPlan.toString
+    val scanned = "part-[0-9a-f-]+".r.findAllIn(plan).toSet
+    assert(scanned.size <= 2, s"scanned ${scanned.size} files:\n" +
+      plan.take(1500))
+    // absent keys in an untouched range → empty, zero files opened
+    assert(Snapshots.lookup(spark, dir,
+      Seq(99999L).toDF("id"), "id").isEmpty)
+  }
+
   test("deleting every row commits an empty version that reads as a " +
       "zero-row frame with the prior schema") {
     val dir = freshDir("empty")

@@ -32,6 +32,41 @@ class StreamStaticSpec extends SparkSpec {
     assert(rows(1).isNullAt(2))                // UNKN left-join null
   }
 
+  test("snapshot-dim enrichment picks up a new dim version at the " +
+      "next trigger, without a stream restart") {
+    import graft.extra.Snapshots
+    import graft.streaming.SnapshotDim
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("snapdim").toString
+    Snapshots.init(Seq((1L, "tech"), (2L, "energy"))
+      .toDF("k", "sector"), dimDir, "k", 1)
+
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val in = MemoryStream[Long]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("snapdim_ckpt").toString
+    val q = SnapshotDim.start(in.toDF().toDF("k"), dimDir, Seq("k"),
+      ckpt, batch => batch.collect().foreach(r =>
+        out.add((r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      in.addData(1L)
+      q.processAllAvailable()
+      // dim update commits a new snapshot version mid-stream
+      Snapshots.upsert(spark, dimDir,
+        Seq((1L, "fintech"), (3L, "retail")).toDF("k", "sector"), "k")
+      in.addData(1L, 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = out.asScala.toSeq
+    assert(got.contains((1L, "tech")))     // batch 1 saw v0
+    assert(got.contains((1L, "fintech")))  // batch 2 saw v1
+    assert(got.contains((3L, "retail")))   // including the new key
+  }
+
   test("append-mode windowed agg emits each window once, only when closed") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Tick]
