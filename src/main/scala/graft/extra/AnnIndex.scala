@@ -158,9 +158,19 @@ object AnnIndex {
     * contract, as in [[Bm25Index.delete]]).
     */
   def delete(spark: SparkSession, dir: String,
-      ids: org.apache.spark.sql.DataFrame, idCol: String = "id"): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .coalesce(1).write.mode(SaveMode.Append).parquet(tombPath(dir))
+      ids: org.apache.spark.sql.DataFrame, idCol: String = "id"): Unit = {
+    val incoming = ids.select(col(idCol).as("id")).distinct()
+    // drop ids already tombstoned — a takedown job that re-runs its
+    // full list daily (the natural idempotent retry) would otherwise
+    // grow the frame linearly with RUNS, and every search's anti-join
+    // pays for the duplicates until a compact (Bm25Index.delete
+    // already dedups; this is its dense mirror)
+    val newIds = readTombstones(spark, dir)
+      .fold(incoming)(t =>
+        incoming.join(t.select("id"), Seq("id"), "left_anti"))
+    newIds.coalesce(1).write.mode(SaveMode.Append)
+      .parquet(tombPath(dir))
+  }
 
   /** Make tombstoned deletes physical: rewrite `codes/` without the
     * deleted rows (partition layout preserved — one posting list per

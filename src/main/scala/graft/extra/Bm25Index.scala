@@ -118,9 +118,10 @@ object Bm25Index {
     *   - every search anti-joins its candidate rows against the
     *     tombstones, so deleted docs stop matching IMMEDIATELY and
     *     lower-ranked docs fill the top-k;
-    *   - `n_docs`/`sum_dl` stay EXACT: the deleted docs' dl rows are
-    *     summed and appended as a NEGATIVE meta partial (the
-    *     log-structured meta read nets it out);
+    *   - `n_docs`/`sum_dl` stay EXACT: each tombstone row carries its
+    *     doc's meta contribution (dl presence + value), and every
+    *     reader nets meta against the tombstone frame — one append,
+    *     no second write to crash between;
     *   - per-term df stays STALE until [[compact]] (correcting it needs
     *     the deleted docs' term lists, i.e. an id-keyed pass over the
     *     term-clustered tf — exactly the scan LSM engines defer to the
@@ -140,26 +141,44 @@ object Bm25Index {
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String = "id"): Long = {
-    import spark.implicits._
     val incoming = ids.select(col(idCol).as("id")).distinct()
     val newIds = readTombstones(spark, dir)
-      .fold(incoming)(t => incoming.join(t, Seq("id"), "left_anti"))
+      .fold(incoming)(t =>
+        incoming.join(t.select("id"), Seq("id"), "left_anti"))
       .persist()
     try {
       val nNew = newIds.count()
       if (nNew == 0) return 0L
-      // exact meta correction from the deleted docs' dl rows
-      val m = spark.read.parquet(s"$dir/dl")
-        .join(newIds, Seq("id"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-      Seq((-m.getAs[Long]("n"), -m.getAs[Long]("s")))
-        .toDF("n_docs", "sum_dl")
-        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/meta")
-      newIds.coalesce(1).write.mode(SaveMode.Append)
-        .parquet(tombPath(dir))
+      // ONE atomic append: each tombstone CARRIES its doc's meta
+      // contribution (n = had a dl row, s = its dl), and readers net
+      // n_docs/sum_dl out of the tombstone frame itself — a separate
+      // negative-meta write (the first design) left a crash window
+      // between the two appends in which a retried delete would
+      // double-subtract meta
+      newIds
+        .join(spark.read.parquet(s"$dir/dl"), Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("dl").isNotNull, lit(1L)).otherwise(lit(0L)).as("n"),
+          coalesce(col("dl"), lit(0L)).as("s"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(tombPath(dir))
       nNew
-    } finally newIds.unpersist(blocking = false)
+    } finally newIds.unpersist(blocking = false): Unit
+  }
+
+  /** Net (n_docs, sum_dl): the meta partials minus the tombstoned
+    * docs' carried contributions — every reader's one source of truth
+    * for the scoring scalars.
+    */
+  private def netMeta(spark: SparkSession, dir: String): (Long, Long) = {
+    val m = spark.read.parquet(s"$dir/meta")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+        coalesce(sum("sum_dl"), lit(0L)).as("s")).head()
+    val (tn, ts) = readTombstones(spark, dir).map { t =>
+      val r = t.agg(coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(sum("s"), lit(0L)).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
+    (m.getLong(0) - tn, m.getLong(1) - ts)
   }
 
   /** Periodic maintenance for an appended index (the LSM compaction
@@ -212,15 +231,16 @@ object Bm25Index {
     }
     Layout.writeClustered(dfFinal,
       s"$tmp/df", Seq(col("term")), math.max(1, numFiles / 4))
-    val m = spark.read.parquet(s"$dir/meta")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
-    Seq((m.getAs[Long]("n_docs"), m.getAs[Long]("sum_dl")))
-      .toDF("n_docs", "sum_dl")
+    // net of the tombstones' carried contributions — the tombstone
+    // frame is dropped by the swap, so its correction bakes in here
+    val (mN, mS) = netMeta(spark, dir)
+    Seq((mN, mS)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
     // swap: remove the old layout, move the compacted one into place
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // (filesystem resolved FROM the path — FileSystem.get(conf) would
+    // bind the default FS and throw Wrong-FS for any other scheme)
     val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
       s"compact: rename $tmp -> $dir failed")
@@ -255,11 +275,10 @@ object Bm25Index {
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
-    // meta rows are per-build/append partials (log-structured layout)
-    val meta = spark.read.parquet(s"$dir/meta")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
-    val nDocs = meta.getAs[Long]("n_docs")
-    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    // meta rows are per-build/append partials (log-structured layout),
+    // net of tombstoned docs' carried contributions
+    val (nDocs, sumDl) = netMeta(spark, dir)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
 
     val qterms = queries.select(col(queryIdCol),
         explode(Text.tokens(col(queryTextCol))).as("term"))
@@ -341,11 +360,10 @@ object Bm25Index {
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
     val terms0 = queryTerms.map(_.toLowerCase).distinct
-    // meta/df partials aggregate at read (log-structured layout)
-    val meta = spark.read.parquet(s"$dir/meta")
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")).head()
-    val nDocs = meta.getAs[Long]("n_docs")
-    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs.toDouble
+    // meta/df partials aggregate at read (log-structured layout), net
+    // of tombstoned docs' carried contributions
+    val (nDocs, sumDl) = netMeta(spark, dir)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
     def dfSlice(ts: Seq[String]) = spark.read.parquet(s"$dir/df")
       .filter(col("term").isin(ts: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))

@@ -88,12 +88,19 @@ object Snapshots {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val target = new Path(md, s"v$version")
+    def lostRace() = new java.util.ConcurrentModificationException(
+      s"version $version already committed at $root — recompute " +
+        "against the current manifest and retry")
     val out =
       try fs.create(target, false)
-      catch { case _: java.io.IOException =>
-        throw new java.util.ConcurrentModificationException(
-          s"version $version already committed at $root — recompute " +
-            "against the current manifest and retry")
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw lostRace()
+        // some filesystems signal the existing file with a bare
+        // IOException — only map to the retry path when the target
+        // really exists; genuine I/O failures must surface as such
+        case e: java.io.IOException =>
+          if (fs.exists(target)) throw lostRace() else throw e
       }
     try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -178,13 +185,23 @@ object Snapshots {
     * carried by reference, only footer-touched files are replaced.
     */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-      key: String): Commit =
+      key: String): Commit = {
+    // same at-most-one-row-per-key contract as Merge.upsert — without
+    // it a duplicated batch key silently breaks the keyed-table
+    // invariant every consumer (diff, lookup, later upserts) relies on
+    val cnts = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(key)).as("d")).head()
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"updates carry ${cnts.getLong(0)} rows but only " +
+        s"${cnts.getLong(1)} distinct $key values — dedup (e.g. " +
+        "latest-wins) before upserting")
     commitRewrite(spark, dir, updates.select(key), key) {
       (touched, cols) =>
         touched.join(updates.select(key), Seq(key), "left_anti")
           .select(cols: _*)
           .unionByName(updates.select(cols: _*))
     }
+  }
 
   /** Keyed delete (takedown) as a new version. */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
@@ -286,24 +303,40 @@ object Snapshots {
       .filter(col("change").isNotNull)
   }
 
-  /** Drop manifests with version < `retainFrom`, then delete data
-    * files no surviving manifest references. Time travel below the
-    * floor is gone; everything at or above it still reads exactly.
-    * Returns the deleted data file names.
+  /** Drop manifests with version < `retainFrom`, then delete every
+    * data file no surviving manifest references — both the dropped
+    * versions' exclusive files AND ORPHANS (files a crashed or
+    * race-losing writer moved into `data/` without ever committing a
+    * manifest; they are referenced by nothing and would otherwise leak
+    * forever). Orphans younger than `orphanGraceMs` are spared: an
+    * IN-FLIGHT writer's files look identical to orphans between its
+    * data move and its manifest commit, and the grace window is what
+    * keeps vacuum from racing it. Time travel below the floor is
+    * gone; everything at or above it still reads exactly. Returns the
+    * deleted data file names.
     */
-  def vacuum(spark: SparkSession, dir: String,
-      retainFrom: Long): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, retainFrom: Long,
+      orphanGraceMs: Long = 60L * 60 * 1000): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     val versions = fs.listStatus(md).toSeq.flatMap(f => versionOf(f.getPath))
     val (drop, keep) = versions.partition(_ < retainFrom)
     require(keep.nonEmpty, s"vacuum would drop every version of $dir")
     val live = keep.flatMap(v => manifest(spark, dir, v)).toSet
-    val dead = drop.flatMap(v => manifest(spark, dir, v)).toSet -- live
+    // capture the dropped versions' file lists BEFORE deleting their
+    // manifests (deletable at any age — their versions are gone)
+    val droppedRefs = drop.flatMap(v => manifest(spark, dir, v)).toSet
     // drop old manifests first: a crash mid-vacuum must never leave a
     // manifest pointing at deleted files
     drop.foreach(v => fs.delete(new Path(md, s"v$v"), false))
-    dead.toSeq.sorted.map { f =>
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val dead = fs.listStatus(dataDir(root)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter(f => !live.contains(f.getPath.getName))
+      .filter(f => droppedRefs.contains(f.getPath.getName) ||
+        f.getModificationTime <= cutoff)
+      .map(_.getPath.getName)
+    dead.sorted.map { f =>
       fs.delete(new Path(dataDir(root), f), false); f
     }
   }
@@ -356,18 +389,25 @@ object Snapshots {
     */
   private def writeData(df: DataFrame, fs: FileSystem, root: Path,
       key: String, numFiles: Int): Seq[String] = {
-    val staging = new Path(root, ".snapshot-staging")
-    fs.delete(staging, true)
-    Layout.writeClustered(df, staging.toString, Seq(col(key)), numFiles)
-    val dd = dataDir(root)
-    fs.mkdirs(dd)
-    val moved = fs.listStatus(staging).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map { f =>
-        fs.rename(f.getPath, new Path(dd, f.getPath.getName))
-        f.getPath.getName
-      }
-    fs.delete(staging, true)
-    moved.sorted
+    // PER-WRITER staging dir: two writers racing the same parent both
+    // stage (only one will win the manifest commit) — a shared path
+    // would let writer B's cleanup wipe writer A's staged files or
+    // leak B's files into A's manifest
+    val staging = new Path(root,
+      s".snapshot-staging-${java.util.UUID.randomUUID()}")
+    try {
+      Layout.writeClustered(df, staging.toString, Seq(col(key)), numFiles)
+      val dd = dataDir(root)
+      fs.mkdirs(dd)
+      val moved = fs.listStatus(staging).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val dst = new Path(dd, f.getPath.getName)
+          require(fs.rename(f.getPath, dst),
+            s"failed to move staged file ${f.getPath} to $dst")
+          f.getPath.getName
+        }
+      moved.sorted
+    } finally fs.delete(staging, true): Unit
   }
 }

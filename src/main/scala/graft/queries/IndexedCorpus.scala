@@ -34,11 +34,23 @@ import org.apache.spark.sql.functions._
   */
 object IndexedCorpus {
 
-  /** Order-independent content fingerprint of `cols`. */
-  def fingerprint(df: DataFrame, cols: Column*): Long =
-    df.select(xxhash64(cols: _*).as("h"))
-      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("fp"))
-      .head().getLong(0)
+  /** Order-independent content fingerprint of `cols`: bit_xor of the
+    * row hashes XOR the low 64 bits of their wrapped SUM. The xor arm
+    * alone cancels pairwise — a corpus differing by an EVEN number of
+    * copies of the same row (generator dedup bugs produce exactly
+    * this) would collide and serve a stale index; the sum arm is
+    * multiplicity-sensitive, so duplicate-count changes shift the
+    * fingerprint. Both arms are commutative → partitioning-independent.
+    */
+  def fingerprint(df: DataFrame, cols: Column*): Long = {
+    val r = df.select(xxhash64(cols: _*).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+        coalesce(sum(col("h")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
+      .head()
+    r.getLong(0) ^ r.getDecimal(1).toBigInteger.longValue()
+  }
 
   private def complete(dir: File) = new File(dir, "meta/_SUCCESS").exists()
 

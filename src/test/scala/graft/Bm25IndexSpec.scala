@@ -220,18 +220,25 @@ class Bm25IndexSpec extends SparkSpec {
     assert(after.length == 10)
     assert(!after.map(_.getLong(0)).toSet.exists(victims.contains))
 
-    // n_docs/sum_dl track the live corpus exactly (negative partials)
+    // n_docs/sum_dl track the live corpus exactly — the correction is
+    // CARRIED BY the tombstone rows (one atomic append; the meta dir
+    // itself is untouched, so there is no second write for a crashed
+    // retry to repeat — the old negative-partial design's window)
     val live = docs.filter(!col("doc_id").isin(victims: _*))
-    val meta = spark.read.parquet(s"$d3/meta")
+    val metaRaw = spark.read.parquet(s"$d3/meta")
       .agg(sum("n_docs").as("n"), sum("sum_dl").as("s")).head()
-    assert(meta.getAs[Long]("n") == live.count())
+    assert(metaRaw.getAs[Long]("n") == docs.count()) // meta untouched
+    val tombNet = spark.read.parquet(s"$d3/tombstones")
+      .agg(sum("n").as("n"), sum("s").as("s")).head()
+    assert(metaRaw.getAs[Long]("n") - tombNet.getAs[Long]("n")
+      == live.count())
 
-    // idempotence: re-deleting subtracts nothing
+    // idempotence: re-deleting tombstones nothing new
     assert(Bm25Index.delete(spark, d3, victims.toDF("doc_id"),
       "doc_id") == 0L)
-    val meta2 = spark.read.parquet(s"$d3/meta")
-      .agg(sum("n_docs").as("n")).head()
-    assert(meta2.getAs[Long]("n") == meta.getAs[Long]("n"))
+    val tombNet2 = spark.read.parquet(s"$d3/tombstones")
+      .agg(sum("n").as("n")).head()
+    assert(tombNet2.getAs[Long]("n") == tombNet.getAs[Long]("n"))
 
     // compact makes it physical: bit-parity with a fresh build over
     // the surviving corpus (df correction included), tombstones gone

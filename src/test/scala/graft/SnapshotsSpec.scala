@@ -162,6 +162,25 @@ class SnapshotsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("vacuum reclaims orphaned data files (crashed/race-losing " +
+      "writers) once past the grace window, never inside it") {
+    val dir = freshDir("orphan")
+    Snapshots.init(spark.range(100)
+      .select(col("id"), lit("x").as("text")), dir, "id", 2)
+    // plant an orphan: a data file no manifest references
+    val orphan = Paths.get(dir, "data", "part-orphan-test.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // inside the grace window: spared
+    assert(Snapshots.vacuum(spark, dir, retainFrom = 0L).isEmpty)
+    assert(Files.exists(orphan))
+    // past the grace window: reclaimed, live files untouched
+    val deleted = Snapshots.vacuum(spark, dir, retainFrom = 0L,
+      orphanGraceMs = 0L)
+    assert(deleted == Seq("part-orphan-test.parquet"))
+    assert(!Files.exists(orphan))
+    assert(Snapshots.read(spark, dir).count() == 100)
+  }
+
   test("lookup opens only footer-touched files and returns exactly " +
       "the requested keys; version-pinned lookups see old values") {
     val dir = freshDir("lookup")
