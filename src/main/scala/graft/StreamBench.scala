@@ -84,16 +84,35 @@ object StreamBench {
         lateness = "60 seconds", checkpointDir = ckpt, outDir = out),
       trigger = Trigger.ProcessingTime(0),
       sinkGate = () => writing.get())
+    runMeasured(spark, monitor, q, writing, tps, secs)
+  }
+
+  /** The ONE measurement harness every stream block runs (the three
+    * blocks previously hand-copied it and the r10 steady-state change
+    * had to be applied three times — a drift magnet):
+    *
+    *   - contention-proof deadline (r6: a fixed 10 s deadline expired
+    *     on a contended machine before any data batch committed and
+    *     masqueraded as a capacity collapse) — the run extends past
+    *     the nominal deadline until >= 3 DATA batches, capped at
+    *     max(secs, 60) s; still short of 3 → `valid:false`, so it can
+    *     never be read as a throughput number;
+    *   - graceful drain: no-op the sink via its gate, wait for the
+    *     in-flight batch, THEN stop (a hard stop mid-parquet-write
+    *     sprays task aborts over the captured stdout tail);
+    *   - accounting via [[Monitor]], not `recentProgress` (capped at
+    *     100 updates — a ProcessingTime(0) run exceeds it);
+    *   - min/p50 alongside avg/max (r5: spreads separate one slow
+    *     contended batch from a shifted distribution);
+    *   - steady state: drop the first data batch's rows and the wall
+    *     up to its commit — the post-start-up rate (r9: short passes
+    *     structurally under-read steady state).
+    */
+  private def runMeasured(spark: SparkSession, monitor: Monitor,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      writing: AtomicBoolean, tps: Int, secs: Int): StreamStats = {
     val t0 = System.nanoTime()
     try {
-      // Contention-proof deadline (r6: the driver's run recorded
-      // 0.0 ev/s / 1 batch / 0 rows because the fixed 10s deadline
-      // expired on a contended machine before any data batch committed,
-      // masquerading as a capacity collapse). The run extends past the
-      // nominal deadline until >= 3 DATA batches (num_input_rows > 0)
-      // have completed, capped at max(secs, 60)s wall; a run that still
-      // can't produce 3 data batches is stamped valid=false so it can
-      // never be read as a throughput number.
       val capSecs = math.max(secs, 60).toDouble
       var elapsed = 0.0
       var dataBatches = 0
@@ -107,13 +126,11 @@ object StreamBench {
         if (dataBatches >= 1 && tFirstData < 0) tFirstData = elapsed
         done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
       }
-      // Measurement closes at the deadline: only batches that completed
-      // while the sink was live count toward throughput.
+      // measurement closes at the deadline: only batches that completed
+      // while the sink was live count toward throughput
       val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
       val wall = (System.nanoTime() - t0) / 1e9
       val isValid = dataBatches >= 3
-      // Drain: no-op the sink, then wait for the in-flight batch to
-      // commit (>= 1 new progress event, or trigger idle) before stop.
       writing.set(false)
       val seen = monitor.snapshot.size
       val tDrain = System.nanoTime()
@@ -124,10 +141,6 @@ object StreamBench {
       val batchMs = progress.map(_.batch_duration_ms).filter(_ >= 0)
       val avgBatchMs =
         if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
-      val maxBatchMs = if (batchMs.nonEmpty) batchMs.max else -1L
-      val minBatchMs = if (batchMs.nonEmpty) batchMs.min else -1L
-      // min/median alongside avg/max (r5 verdict: spreads let the judge
-      // separate one slow contended batch from a shifted distribution)
       val p50BatchMs =
         if (batchMs.isEmpty) -1.0
         else {
@@ -135,8 +148,6 @@ object StreamBench {
           if (s.size % 2 == 1) s(s.size / 2).toDouble
           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
         }
-      // steady state: drop the first data batch's rows AND the wall up
-      // to its observed commit — what remains is the post-start-up rate
       val dataProg = progress.filter(_.num_input_rows > 0)
       val steady =
         if (tFirstData > 0 && dataProg.size >= 2 && wall > tFirstData)
@@ -144,8 +155,9 @@ object StreamBench {
             (wall - tFirstData)
         else -1.0
       StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
-        maxBatchMs, minBatchMs, p50BatchMs, valid = isValid,
-        steadyEventsPerSec = steady)
+        if (batchMs.nonEmpty) batchMs.max else -1L,
+        if (batchMs.nonEmpty) batchMs.min else -1L,
+        p50BatchMs, valid = isValid, steadyEventsPerSec = steady)
     } finally {
       if (q.isActive) q.stop()
       monitor.detach(spark)
@@ -192,55 +204,7 @@ object StreamBench {
         if (writing.get()) df.count(): Unit
       }
       .start()
-    val t0 = System.nanoTime()
-    try {
-      val capSecs = math.max(secs, 60).toDouble
-      var elapsed = 0.0
-      var dataBatches = 0
-      var tFirstData = -1.0
-      var done = false
-      while (!done) {
-        Thread.sleep(200)
-        elapsed = (System.nanoTime() - t0) / 1e9
-        dataBatches = monitor.snapshot
-          .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
-        if (dataBatches >= 1 && tFirstData < 0) tFirstData = elapsed
-        done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
-      }
-      val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val isValid = dataBatches >= 3
-      writing.set(false)
-      val seen = monitor.snapshot.size
-      val tDrain = System.nanoTime()
-      while (monitor.snapshot.size <= seen && q.status.isTriggerActive &&
-          (System.nanoTime() - tDrain) / 1e9 < 30) Thread.sleep(50)
-      q.stop()
-      val rows = progress.map(_.num_input_rows).sum
-      val batchMs = progress.map(_.batch_duration_ms).filter(_ >= 0)
-      val avgBatchMs =
-        if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
-      val p50BatchMs =
-        if (batchMs.isEmpty) -1.0
-        else {
-          val s = batchMs.sorted
-          if (s.size % 2 == 1) s(s.size / 2).toDouble
-          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-        }
-      val dataProg = progress.filter(_.num_input_rows > 0)
-      val steady =
-        if (tFirstData > 0 && dataProg.size >= 2 && wall > tFirstData)
-          (rows - dataProg.minBy(_.batch_id).num_input_rows) /
-            (wall - tFirstData)
-        else -1.0
-      StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
-        if (batchMs.nonEmpty) batchMs.max else -1L,
-        if (batchMs.nonEmpty) batchMs.min else -1L,
-        p50BatchMs, valid = isValid, steadyEventsPerSec = steady)
-    } finally {
-      if (q.isActive) q.stop()
-      monitor.detach(spark)
-    }
+    runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
   /** Throughput of the streaming ANN-ingest chain (gates → exact dedup
@@ -273,55 +237,7 @@ object StreamBench {
       dir, ckpt, dim = 64,
       trigger = Trigger.ProcessingTime(0),
       sinkGate = () => writing.get())
-    val t0 = System.nanoTime()
-    try {
-      val capSecs = math.max(secs, 60).toDouble
-      var elapsed = 0.0
-      var dataBatches = 0
-      var tFirstData = -1.0
-      var done = false
-      while (!done) {
-        Thread.sleep(200)
-        elapsed = (System.nanoTime() - t0) / 1e9
-        dataBatches = monitor.snapshot
-          .count(p => p.query_name == q.id.toString && p.num_input_rows > 0)
-        if (dataBatches >= 1 && tFirstData < 0) tFirstData = elapsed
-        done = (elapsed >= secs && dataBatches >= 3) || elapsed >= capSecs
-      }
-      val progress = monitor.snapshot.filter(_.query_name == q.id.toString)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val isValid = dataBatches >= 3
-      writing.set(false)
-      val seen = monitor.snapshot.size
-      val tDrain = System.nanoTime()
-      while (monitor.snapshot.size <= seen && q.status.isTriggerActive &&
-          (System.nanoTime() - tDrain) / 1e9 < 30) Thread.sleep(50)
-      q.stop()
-      val rows = progress.map(_.num_input_rows).sum
-      val batchMs = progress.map(_.batch_duration_ms).filter(_ >= 0)
-      val avgBatchMs =
-        if (batchMs.nonEmpty) batchMs.sum.toDouble / batchMs.size else -1.0
-      val p50BatchMs =
-        if (batchMs.isEmpty) -1.0
-        else {
-          val s = batchMs.sorted
-          if (s.size % 2 == 1) s(s.size / 2).toDouble
-          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-        }
-      val dataProg = progress.filter(_.num_input_rows > 0)
-      val steady =
-        if (tFirstData > 0 && dataProg.size >= 2 && wall > tFirstData)
-          (rows - dataProg.minBy(_.batch_id).num_input_rows) /
-            (wall - tFirstData)
-        else -1.0
-      StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
-        if (batchMs.nonEmpty) batchMs.max else -1L,
-        if (batchMs.nonEmpty) batchMs.min else -1L,
-        p50BatchMs, valid = isValid, steadyEventsPerSec = steady)
-    } finally {
-      if (q.isActive) q.stop()
-      monitor.detach(spark)
-    }
+    runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
   def main(args: Array[String]): Unit = {
