@@ -708,6 +708,72 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Explicit window FRAMES: first_value / last_value / nth_value over
+    * the full-partition frame plus a trailing ROWS 3..1 max — the
+    * value-picking window family `rank_metrics` (ranks) and
+    * `running_totals` (cumulative frame) don't cover. Value-picking
+    * over a deterministic total order is bit-exact in both engines.
+    */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTrail = w.rowsBetween(-3, -1)
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_totalprice")).over(wAll).as("first_price"),
+      last(col("o_totalprice")).over(wAll).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(wAll).as("second_price"),
+      max(col("o_totalprice")).over(wTrail).as("trail3_max"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowFramesOracle =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER wa AS first_price,
+      |  last_value(o_totalprice) OVER wa AS last_price,
+      |  nth_value(o_totalprice, 2) OVER wa AS second_price,
+      |  max(o_totalprice) OVER wt AS trail3_max
+      |FROM orders
+      |WINDOW
+      |  wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** UNPIVOT (wide → long): the inverse of the pivot pair — per-type
+    * metrics melted to (event_type, name, val) rows via the native
+    * `Dataset.unpivot` (Spark's melt; a pure projection + generator,
+    * no shuffle beyond the feeding aggregate). Decimal-exact mean,
+    * doubles rounded to 6 dp in both engines.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(s, dir, "events").groupBy("event_type").agg(
+      round(sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+        count(col("value")), 6).as("avg_value"),
+      count(lit(1)).cast("double").as("n"),
+      round(max(col("value")), 6).as("max_value"))
+    wide.unpivot(Array(col("event_type")),
+        Array(col("avg_value"), col("n"), col("max_value")),
+        "name", "val")
+      .orderBy("event_type", "name")
+  }
+
+  private val unpivotMetricsOracle =
+    """WITH wide AS (
+      |  SELECT event_type,
+      |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |          / count(value), 6) AS avg_value,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    round(max(value), 6) AS max_value
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, name, val
+      |FROM wide UNPIVOT (val FOR name IN (avg_value, n, max_value))
+      |ORDER BY event_type, name""".stripMargin
+
   /** Incrementally-maintained monthly revenue view
     * ([[graft.extra.IncrementalAgg]]): the state is built as three
     * maintenance eras — init on history, then two delta refreshes that
@@ -867,6 +933,13 @@ object RelationalQueries {
       "large⋈large join with explicit Bloom runtime prefilter on the " +
         "big side (bit-identical to the plain join)",
       bloomJoin, Some(bloomJoinOracle)),
+    QueryDef("window_frames",
+      "first/last/nth_value full-partition frame + trailing ROWS 3..1 " +
+        "max (value-picking window family)",
+      windowFrames, Some(windowFramesOracle)),
+    QueryDef("unpivot_metrics",
+      "native unpivot/melt wide->long (inverse of the pivot pair)",
+      unpivotMetrics, Some(unpivotMetricsOracle)),
     QueryDef("semi_join",
       "left-semi join (EXISTS) customers with filed orders",
       semiJoin, Some(semiJoinOracle)),
