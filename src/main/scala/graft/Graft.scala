@@ -326,6 +326,109 @@ object Graft {
     streaming.MergeStream.start(changes, tableDir, checkpointDir, key,
       versionCol)
 
+  // ---- snapshot-versioned tables -------------------------------------
+
+  /** Create a snapshot table (manifest-versioned, time-travelable). */
+  def snapshotInit(df: DataFrame, dir: String, key: String,
+      numFiles: Int = 8): extra.Snapshots.Commit =
+    extra.Snapshots.init(df, dir, key, numFiles)
+
+  /** Read a snapshot version (latest by default). */
+  def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[Long] = None): DataFrame =
+    extra.Snapshots.read(spark, dir, asOf)
+
+  /** Upsert as a NEW version — cold files shared by reference. */
+  def snapshotUpsert(spark: org.apache.spark.sql.SparkSession,
+      dir: String, updates: DataFrame, key: String)
+      : extra.Snapshots.Commit =
+    extra.Snapshots.upsert(spark, dir, updates, key)
+
+  /** Keyed takedown as a new version (history keeps the old rows
+    * until [[snapshotVacuum]] drops their versions).
+    */
+  def snapshotDelete(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: DataFrame, key: String): extra.Snapshots.Commit =
+    extra.Snapshots.delete(spark, dir, keys, key)
+
+  /** CDC extract between versions — reads only non-shared files. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+      fromV: Long, toV: Long, key: String): DataFrame =
+    extra.Snapshots.diff(spark, dir, fromV, toV, key)
+
+  /** Point read: keys open only footer-touched files of one manifest. */
+  def snapshotLookup(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: DataFrame, key: String,
+      asOf: Option[Long] = None): DataFrame =
+    extra.Snapshots.lookup(spark, dir, keys, key, asOf)
+
+  /** Defragment as a new version (diff-empty; history intact). */
+  def snapshotCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): extra.Snapshots.Commit =
+    extra.Snapshots.compact(spark, dir, key)
+
+  /** GC versions below the floor + orphaned data files past grace. */
+  def snapshotVacuum(spark: org.apache.spark.sql.SparkSession,
+      dir: String, retainFrom: Long): Seq[String] =
+    extra.Snapshots.vacuum(spark, dir, retainFrom)
+
+  // ---- incremental materialized aggregates ----------------------------
+
+  /** Build a materialized aggregate view's partial-agg state. */
+  def viewInit(rows: DataFrame, spec: extra.IncrementalAgg.ViewSpec,
+      dir: String, numFiles: Int = 8): Unit =
+    extra.IncrementalAgg.init(rows, spec, dir, numFiles)
+
+  /** O(delta + touched state) refresh with new rows. */
+  def viewRefresh(spark: org.apache.spark.sql.SparkSession, dir: String,
+      deltaRows: DataFrame, spec: extra.IncrementalAgg.ViewSpec)
+      : extra.Merge.MergeStats =
+    extra.IncrementalAgg.refresh(spark, dir, deltaRows, spec)
+
+  /** Retraction refresh from a snapshot change feed (count/sum views). */
+  def viewRefreshFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String, snapDir: String, fromV: Long, toV: Long,
+      snapKey: String, spec: extra.IncrementalAgg.ViewSpec)
+      : extra.Merge.MergeStats =
+    extra.IncrementalAgg.refreshFromSnapshot(spark, viewDir, snapDir,
+      fromV, toV, snapKey, spec)
+
+  /** Serve the view (HLL estimates finalized, exact decimal means). */
+  def viewServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      spec: extra.IncrementalAgg.ViewSpec): DataFrame =
+    extra.IncrementalAgg.finalizeView(
+      extra.IncrementalAgg.read(spark, dir), spec)
+
+  /** Streaming view maintenance with an applied-batch ledger. */
+  def startViewStream(rows: DataFrame, viewDir: String,
+      checkpointDir: String, spec: extra.IncrementalAgg.ViewSpec)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.ViewStream.start(rows, viewDir, checkpointDir, spec)
+
+  /** SCD enrichment: stream ⋈ latest snapshot dim, per trigger. */
+  def startSnapshotDimStream(rows: DataFrame, snapDir: String,
+      keys: Seq[String], checkpointDir: String,
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.SnapshotDim.start(rows, snapDir, keys, checkpointDir, sink)
+
+  // ---- join/runtime-filter & sketch utilities -------------------------
+
+  /** Bloom-prefiltered large⋈large join (bit-identical to the plain
+    * join; inner/left_semi only).
+    */
+  def bloomJoin(big: DataFrame, bigKeys: Seq[String], small: DataFrame,
+      smallKeys: Seq[String], joinType: String = "inner"): DataFrame =
+    ops.Joins.bloomPrefilteredJoin(big, bigKeys, small, smallKeys,
+      joinType = joinType)
+
+  /** Exact heavy hitters above `minShare` via Misra-Gries sketch +
+    * exact verify pass (no shuffle of the item stream).
+    */
+  def heavyHitters(df: DataFrame, itemCol: String,
+      minShare: Double): DataFrame =
+    functions.MisraGries.exactHeavyHitters(df, itemCol, minShare)
+
   // ---- text analysis ------------------------------------------------
 
   def textQuality(docs: DataFrame, textCol: String): DataFrame =

@@ -205,4 +205,46 @@ class GraftFacadeSpec extends SparkSpec {
       "vec_id")
     assert(new java.io.File(s"$adir/tombstones").exists())
   }
+
+  test("facade: snapshot-table + incremental-view + join/sketch " +
+      "surface (init/upsert/diff/lookup/compact/vacuum, view " +
+      "init/refresh/serve, bloom join, heavy hitters)") {
+    val sdir = java.nio.file.Files.createTempDirectory("fsnap").toString
+    Graft.snapshotInit(spark.range(50)
+      .select(col("id"), lit("a").as("t")), sdir, "id", 2)
+    Graft.snapshotUpsert(spark, sdir,
+      Seq((1L, "b")).toDF("id", "t"), "id")
+    assert(Graft.snapshotRead(spark, sdir, Some(0L))
+      .filter(col("id") === 1L).head().getString(1) == "a")
+    assert(Graft.snapshotDiff(spark, sdir, 0L, 1L, "id").count() == 1)
+    assert(Graft.snapshotLookup(spark, sdir,
+      Seq(1L).toDF("id"), "id").head().getString(1) == "b")
+    Graft.snapshotDelete(spark, sdir, Seq(2L).toDF("id"), "id")
+    Graft.snapshotCompact(spark, sdir, "id")
+    Graft.snapshotVacuum(spark, sdir, retainFrom = 3L)
+    assert(Graft.snapshotRead(spark, sdir).count() == 49)
+
+    val vdir = java.nio.file.Files.createTempDirectory("fview").toString
+    val spec = graft.extra.IncrementalAgg.ViewSpec("g",
+      sumCols = Seq("amt"))
+    def rows(r: Range) = r.map(i => (i.toLong % 4, BigDecimal(i)))
+      .toDF("g", "amt")
+      .select(col("g"), col("amt").cast("decimal(18,2)").as("amt"))
+    Graft.viewInit(rows(0 until 40), spec, vdir, 2)
+    Graft.viewRefresh(spark, vdir, rows(40 until 60), spec)
+    val served = Graft.viewServe(spark, vdir, spec)
+    assert(served.count() == 4)
+    assert(served.agg(sum("cnt")).head().getLong(0) == 60L)
+
+    val big = spark.range(5000).select(col("id"), (col("id") % 97).as("k"))
+    val dim = spark.range(5).select((col("id") * 10).as("k"))
+    assert(Graft.bloomJoin(big, Seq("k"), dim, Seq("k")).count() ==
+      big.join(dim, big("k") === dim("k")).count())
+
+    val items = (0 until 500).map(i =>
+      if (i % 2 == 0) "hot" else s"t$i").toDF("item")
+    val hh = Graft.heavyHitters(items, "item", 0.1)
+      .as[(String, Long)].collect()
+    assert(hh.toSeq == Seq(("hot", 250L)))
+  }
 }
