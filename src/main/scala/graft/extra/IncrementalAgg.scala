@@ -164,6 +164,30 @@ object IncrementalAgg {
         .filter(col("cnt") =!= 0))
   }
 
+  /** VERSIONED view maintenance: the state lives as a [[Snapshots]]
+    * table instead of a mutable directory, and every refresh commits a
+    * new version — "what did the dashboard say before Tuesday's load"
+    * becomes a time-travel read, a bad batch is a version rollback,
+    * and concurrent dashboard readers are isolated from in-flight
+    * refreshes (the manifest guarantees). The refresh itself stays
+    * O(delta + touched state): delta partials are combined with ONLY
+    * the stored rows of touched grains ([[Snapshots.lookup]]'s
+    * footer-pruned read) and upserted — cold state files are carried
+    * by reference into the new version.
+    *
+    * Init the table with `Snapshots.init(partials(rows, spec), dir,
+    * spec.grainCol)`; serve any version with
+    * `finalizeView(Snapshots.read(spark, dir, asOf), spec)`.
+    */
+  def refreshVersioned(spark: SparkSession, stateSnapDir: String,
+      deltaRows: DataFrame, spec: ViewSpec): Snapshots.Commit = {
+    val delta = partials(deltaRows, spec)
+    val stored = Snapshots.lookup(spark, stateSnapDir,
+      delta.select(spec.grainCol), spec.grainCol)
+    Snapshots.upsert(spark, stateSnapDir,
+      combine(stored, delta, spec), spec.grainCol)
+  }
+
   /** The stored state, as written (one row per grain). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)

@@ -162,6 +162,39 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("refreshVersioned: every refresh commits a snapshot version; " +
+      "any version serves exactly its era's one-shot view") {
+    import graft.extra.Snapshots
+    val dir = freshDir("versioned")
+    Snapshots.init(IncrementalAgg.partials(rows(0 until 300, 12), spec),
+      dir, "g", numFiles = 4)
+    val c1 = IncrementalAgg.refreshVersioned(spark, dir,
+      rows(300 until 700, 12), spec)
+    val c2 = IncrementalAgg.refreshVersioned(spark, dir,
+      rows(700 until 900, 12), spec)
+    assert(c1.version == 1L && c2.version == 2L)
+
+    def servedAt(v: Long, era: Range) = {
+      val got = IncrementalAgg.finalizeView(
+        Snapshots.read(spark, dir, Some(v)), spec)
+        .select(col("g"), col("cnt"), col("sum_amt").cast("double"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val full = freshDir(s"vfull$v")
+      IncrementalAgg.init(rows(era, 12), spec, full, 2)
+      val want = IncrementalAgg.finalizeView(
+        IncrementalAgg.read(spark, full), spec)
+        .select(col("g"), col("cnt"), col("sum_amt").cast("double"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      (got, want)
+    }
+    val (g0, w0) = servedAt(0L, 0 until 300)
+    assert(g0 == w0)
+    val (g1, w1) = servedAt(1L, 0 until 700)
+    assert(g1 == w1)
+    val (g2, w2) = servedAt(2L, 0 until 900)
+    assert(g2 == w2)
+  }
+
   test("randomized differential: random batch splits land on the " +
       "one-shot state (seeded)") {
     val rnd = new scala.util.Random(20260813L)
