@@ -708,6 +708,37 @@ object RelationalQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** LATERAL correlated subquery — per-region top-2 nations by
+    * customer count, the "top-N of a correlated aggregate per outer
+    * row" SQL surface (`topk_per_group` does the window form; this is
+    * the subquery form Catalyst plans via DecorrelateInnerQuery —
+    * SQL-authored, like [[groupingSetsRevenue]]). Deterministic: the
+    * LATERAL's own (cnt DESC, n_name) order breaks count ties
+    * identically in both engines.
+    */
+  def lateralTopNations(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("region_v")
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT r_name, n_name, cnt FROM region_v,
+        |LATERAL (
+        |  SELECT n_name, count(*) AS cnt
+        |  FROM nation_v JOIN customer_v ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r_regionkey
+        |  GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2)
+        |ORDER BY r_name, cnt DESC, n_name""".stripMargin)
+  }
+
+  private val lateralTopNationsOracle =
+    """SELECT r_name, n_name, cnt FROM region,
+      |LATERAL (
+      |  SELECT n_name, count(*) AS cnt
+      |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |  WHERE n_regionkey = r_regionkey
+      |  GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 2) t
+      |ORDER BY r_name, cnt DESC, n_name""".stripMargin
+
   /** Explicit window FRAMES: first_value / last_value / nth_value over
     * the full-partition frame plus a trailing ROWS 3..1 max — the
     * value-picking window family `rank_metrics` (ranks) and
@@ -933,6 +964,10 @@ object RelationalQueries {
       "large⋈large join with explicit Bloom runtime prefilter on the " +
         "big side (bit-identical to the plain join)",
       bloomJoin, Some(bloomJoinOracle)),
+    QueryDef("lateral_top_nations",
+      "LATERAL correlated subquery: per-region top-2 nations " +
+        "(the subquery form of top-N per group)",
+      lateralTopNations, Some(lateralTopNationsOracle)),
     QueryDef("window_frames",
       "first/last/nth_value full-partition frame + trailing ROWS 3..1 " +
         "max (value-picking window family)",
