@@ -338,11 +338,21 @@ object Graft {
       asOf: Option[Long] = None): DataFrame =
     extra.Snapshots.read(spark, dir, asOf)
 
-  /** Upsert as a NEW version — cold files shared by reference. */
+  /** Upsert as a NEW version — cold files shared by reference. With
+    * `evolveSchema`, new columns in `updates` widen the table schema
+    * (nullable; untouched files are NOT rewritten — readers fill the
+    * added columns with NULL from the manifest-recorded schema).
+    */
   def snapshotUpsert(spark: org.apache.spark.sql.SparkSession,
-      dir: String, updates: DataFrame, key: String)
-      : extra.Snapshots.Commit =
-    extra.Snapshots.upsert(spark, dir, updates, key)
+      dir: String, updates: DataFrame, key: String,
+      evolveSchema: Boolean = false): extra.Snapshots.Commit =
+    extra.Snapshots.upsert(spark, dir, updates, key, evolveSchema)
+
+  /** A version's resolved schema — O(manifest), no data file opened. */
+  def snapshotSchema(spark: org.apache.spark.sql.SparkSession,
+      dir: String, asOf: Option[Long] = None)
+      : org.apache.spark.sql.types.StructType =
+    extra.Snapshots.tableSchema(spark, dir, asOf)
 
   /** Keyed takedown as a new version (history keeps the old rows
     * until [[snapshotVacuum]] drops their versions).

@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
+  LongType, MapType, StringType, StructType}
 
 /** Snapshot-versioned table: the manifest-commit layer every
   * [[Merge]]/[[ViewStream]] scaladoc defers to "at 100 TB". A table is
@@ -13,7 +14,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * each listing exactly the data files that make up one version:
   *
   *   <dir>/data/part-*.parquet      — written once, never mutated
-  *   <dir>/_manifests/v<N>         — one relative file name per line
+  *   <dir>/_manifests/v<N>         — `#schema=<json>` header + one
+  *                                    relative file name per line
   *
   * Commit = atomically creating the NEXT manifest (create-fails-if-
   * exists), which buys, with no coordination service:
@@ -67,9 +69,13 @@ object Snapshots {
       .maxOption
   }
 
-  /** The file list of `version` (relative names). */
-  def manifest(spark: SparkSession, dir: String, version: Long)
-      : Seq[String] = {
+  /** Raw manifest lines: `#`-prefixed metadata lines (currently only
+    * `#schema=<json>`) followed by one relative data-file name per
+    * line. Manifests written before the schema header existed carry no
+    * `#` lines and parse identically.
+    */
+  private def manifestLines(spark: SparkSession, dir: String,
+      version: Long): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
     val p = new Path(manifestDir(root), s"v$version")
     require(fs.exists(p), s"no manifest for version $version at $dir")
@@ -79,12 +85,72 @@ object Snapshots {
     finally in.close()
   }
 
+  /** The file list of `version` (relative names). */
+  def manifest(spark: SparkSession, dir: String, version: Long)
+      : Seq[String] =
+    manifestLines(spark, dir, version).filterNot(_.startsWith("#"))
+
+  private val SchemaHeader = "#schema="
+
+  /** The schema the manifest of `version` RECORDS, when it records one
+    * (every commit since schema tracking landed does; legacy manifests
+    * return None and fall back to file inference).
+    */
+  def committedSchema(spark: SparkSession, dir: String,
+      version: Long): Option[StructType] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(SchemaHeader))
+      .map(l => DataType.fromJson(l.drop(SchemaHeader.length))
+        .asInstanceOf[StructType])
+
+  /** Everything file-backed reads as nullable (Spark file relations
+    * force nullability on read); normalizing the RECORDED schema the
+    * same way keeps `read(stored-schema)` and legacy file-inferred
+    * reads indistinguishable.
+    */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = asNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
+  /** Resolved schema of a version: the manifest's recorded schema when
+    * present — O(manifest read), no data-file footer is opened, the
+    * property that matters when the manifest lists 10⁵ files on a
+    * 100 TB table — else inferred from the version's files (legacy
+    * manifests), else the nearest earlier schema-bearing version (a
+    * legacy empty manifest).
+    */
+  def tableSchema(spark: SparkSession, dir: String,
+      asOf: Option[Long] = None): StructType = {
+    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed version"))
+    committedSchema(spark, dir, v).getOrElse {
+      val (_, root) = fsOf(spark, dir)
+      val files = manifest(spark, dir, v)
+      val donor =
+        if (files.nonEmpty) files
+        else (v - 1 to 0L by -1).iterator
+          .flatMap(pv => scala.util.Try(manifest(spark, dir, pv)).toOption)
+          .find(_.nonEmpty)
+          .getOrElse(throw new IllegalStateException(
+            s"version $v of $dir is empty and no earlier version holds " +
+              "a schema-bearing file"))
+      spark.read.parquet(
+        donor.map(f => new Path(dataDir(root), f).toString): _*).schema
+    }
+  }
+
   /** Atomically create manifest `version`; throws
     * ConcurrentModificationException when a racing writer got there
     * first (retry on the new current version).
     */
   private def commitManifest(fs: FileSystem, root: Path, version: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String], schema: Option[StructType] = None): Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val target = new Path(md, s"v$version")
@@ -102,7 +168,10 @@ object Snapshots {
         case e: java.io.IOException =>
           if (fs.exists(target)) throw lostRace() else throw e
       }
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val lines = schema.map(s =>
+      SchemaHeader + asNullable(s).asInstanceOf[StructType].json).toSeq ++
+      files
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -123,9 +192,10 @@ object Snapshots {
     require(latestVersion(spark, dir).isEmpty,
       s"$dir is already a snapshot table")
     val staged = writeData(df, fs, root, key, numFiles)
-    val rows = spark.read.parquet(
-      staged.map(f => new Path(dataDir(root), f).toString): _*).count()
-    commitManifest(fs, root, 0L, staged)
+    val back = spark.read.parquet(
+      staged.map(f => new Path(dataDir(root), f).toString): _*)
+    val rows = back.count()
+    commitManifest(fs, root, 0L, staged, Some(back.schema))
     Commit(0L, staged, 0, rows)
   }
 
@@ -141,19 +211,13 @@ object Snapshots {
       throw new IllegalArgumentException(s"$dir has no committed version"))
     val files = manifest(spark, dir, v)
       .map(f => new Path(dataDir(root), f).toString)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else {
-      val donor = (v - 1 to 0L by -1).iterator
-        .flatMap(pv => scala.util.Try(manifest(spark, dir, pv)).toOption)
-        .find(_.nonEmpty)
-        .getOrElse(throw new IllegalStateException(
-          s"version $v of $dir is empty and no earlier version holds " +
-            "a schema-bearing file"))
-        .map(f => new Path(dataDir(root), f).toString)
-      val schema = spark.read.parquet(donor: _*).schema
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    val schema = tableSchema(spark, dir, Some(v))
+    // explicit schema: files predating a schema evolution lack the
+    // later-added columns and read them as NULL — no file is rewritten
+    // when a column is added, and no footer is opened to plan the read
+    if (files.nonEmpty) spark.read.schema(schema).parquet(files: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Point read: rows whose `key` appears in `keys`, opening ONLY the
@@ -169,7 +233,7 @@ object Snapshots {
     val (_, root) = fsOf(spark, dir)
     val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed version"))
-    val schema = read(spark, dir, Some(v)).schema
+    val schema = tableSchema(spark, dir, Some(v))
     val paths = manifest(spark, dir, v)
       .map(f => new Path(dataDir(root), f))
     val batchKeys = keys.select(key).distinct()
@@ -183,9 +247,20 @@ object Snapshots {
 
   /** Upsert (replace-by-key ∪ insert) as a NEW VERSION: cold files are
     * carried by reference, only footer-touched files are replaced.
+    *
+    * Schema evolution (`evolveSchema = true`): columns in `updates`
+    * the table doesn't have yet are ADDED as nullable columns — the
+    * child manifest records the widened schema, and every file the
+    * batch does NOT touch is still carried by reference (readers fill
+    * the new columns with NULL from the recorded schema; nothing is
+    * rewritten — add-column on a 100 TB table costs one manifest).
+    * Without the flag, new columns are an error (the silent-drop the
+    * previous contract implied is gone). Dropping or re-typing a
+    * column is rejected either way: `updates` must carry every
+    * existing column at its existing type.
     */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-      key: String): Commit = {
+      key: String, evolveSchema: Boolean = false): Commit = {
     // same at-most-one-row-per-key contract as Merge.upsert — without
     // it a duplicated batch key silently breaks the keyed-table
     // invariant every consumer (diff, lookup, later upserts) relies on
@@ -195,7 +270,32 @@ object Snapshots {
       s"updates carry ${cnts.getLong(0)} rows but only " +
         s"${cnts.getLong(1)} distinct $key values — dedup (e.g. " +
         "latest-wins) before upserting")
-    commitRewrite(spark, dir, updates.select(key), key) {
+    val parentSchema = tableSchema(spark, dir)
+    val upSchema = updates.schema
+    val missing = parentSchema.fieldNames.filterNot(upSchema.fieldNames
+      .contains(_))
+    require(missing.isEmpty,
+      s"updates are missing table columns ${missing.mkString(", ")} — " +
+        "an upsert replaces whole rows, so every existing column must " +
+        "be present")
+    parentSchema.fields.foreach { f =>
+      val up = upSchema(f.name).dataType
+      require(asNullable(up) == asNullable(f.dataType),
+        s"column ${f.name} is ${f.dataType.simpleString} in the table " +
+          s"but ${up.simpleString} in the updates — re-typing a column " +
+          "is not supported")
+    }
+    val newFields = upSchema.fields
+      .filterNot(f => parentSchema.fieldNames.contains(f.name))
+    require(newFields.isEmpty || evolveSchema,
+      s"updates carry new columns ${newFields.map(_.name).mkString(", ")}" +
+        " — pass evolveSchema=true to add them to the table")
+    val evolved =
+      if (newFields.isEmpty) None
+      else Some(StructType(parentSchema.fields ++
+        newFields.map(f =>
+          f.copy(dataType = asNullable(f.dataType), nullable = true))))
+    commitRewrite(spark, dir, updates.select(key), key, evolved) {
       (touched, cols) =>
         touched.join(updates.select(key), Seq(key), "left_anti")
           .select(cols: _*)
@@ -239,7 +339,7 @@ object Snapshots {
     val staged = writeData(df, fs, root, key, n)
     val rows = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
-    commitManifest(fs, root, parent + 1, staged)
+    commitManifest(fs, root, parent + 1, staged, Some(df.schema))
     Commit(parent + 1, staged, files.size, rows)
   }
 
@@ -260,7 +360,7 @@ object Snapshots {
     */
   def diff(spark: SparkSession, dir: String, fromV: Long, toV: Long,
       key: String): DataFrame = {
-    val schema = read(spark, dir, Some(toV)).schema
+    val schema = tableSchema(spark, dir, Some(toV))
     diffTwoSided(spark, dir, fromV, toV, key)
       .select(col("change") +: schema.fieldNames.map { c =>
         val newC = if (c == key) col(key) else col(c)
@@ -281,7 +381,10 @@ object Snapshots {
     val (_, root) = fsOf(spark, dir)
     val fromFiles = manifest(spark, dir, fromV).toSet
     val toFiles = manifest(spark, dir, toV).toSet
-    val schema = read(spark, dir, Some(toV)).schema
+    // toV's schema on BOTH sides: across an evolution, fromV's rows
+    // read the added columns as NULL, exactly how toV's survivors
+    // carried them — identical-payload survivors still hash-cancel
+    val schema = tableSchema(spark, dir, Some(toV))
     def readFiles(names: Set[String]): DataFrame =
       if (names.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -346,7 +449,8 @@ object Snapshots {
     * (parent − touched) ∪ new files.
     */
   private def commitRewrite(spark: SparkSession, dir: String,
-      batchKeys: DataFrame, key: String)
+      batchKeys: DataFrame, key: String,
+      evolved: Option[StructType] = None)
       (fn: (DataFrame, Seq[org.apache.spark.sql.Column]) => DataFrame)
       : Commit = {
     val (fs, root) = fsOf(spark, dir)
@@ -354,7 +458,10 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"$dir has no committed version — init first"))
     val parentFiles = manifest(spark, dir, parent)
-    val schema = read(spark, dir, Some(parent)).schema
+    // the child's schema: the parent's, or the caller's widened one —
+    // touched files are read under IT (missing new columns → NULL), so
+    // `fn` sees fully-evolved rows and the rewrite lands evolved files
+    val schema = evolved.getOrElse(tableSchema(spark, dir, Some(parent)))
     val keyType = schema(key).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"snapshot key $key has unsupported type $keyType")
@@ -377,7 +484,7 @@ object Snapshots {
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
     val childFiles =
       parentFiles.filterNot(touchedNames.contains) ++ staged
-    commitManifest(fs, root, parent + 1, childFiles)
+    commitManifest(fs, root, parent + 1, childFiles, Some(schema))
     Commit(parent + 1, childFiles, touchedNames.size, rows)
   }
 

@@ -224,6 +224,99 @@ class SnapshotsSpec extends SparkSpec {
     assert(slurpAt(dir, 0).size == 20) // history intact
   }
 
+  test("schema evolution: evolveSchema upsert adds a nullable column " +
+      "without rewriting cold files; every era resolves its own schema") {
+    val dir = freshDir("evolve")
+    val base = spark.range(1000)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    val c0 = Snapshots.init(base, dir, "id", numFiles = 8)
+
+    // new column without the flag → rejected, nothing committed
+    val widened = Seq((5L, "doc-5-v2", 0.9), (2000L, "doc-2000", 0.1))
+      .toDF("id", "text", "score")
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, dir, widened, "id")
+    }
+    assert(Snapshots.latestVersion(spark, dir).contains(0L))
+
+    val c1 = Snapshots.upsert(spark, dir, widened, "id",
+      evolveSchema = true)
+    // add-column costs ONE manifest: cold files carried by reference
+    assert(c1.filesReplaced == 1, c1.toString)
+    assert(c0.files.toSet.intersect(c1.files.toSet).size == 7)
+
+    // latest reads the widened schema; untouched rows (cold files AND
+    // rewritten survivors) read the new column as NULL
+    val v1 = Snapshots.read(spark, dir)
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "text", "score"))
+    val byId = v1.select("id", "text", "score")
+      .as[(Long, String, Option[Double])].collect().map(r => r._1 -> r)
+      .toMap
+    assert(byId(5L) == ((5L, "doc-5-v2", Some(0.9))))
+    assert(byId(2000L) == ((2000L, "doc-2000", Some(0.1))))
+    assert(byId(6L) == ((6L, "doc-6", None))) // survivor in rewritten file
+    assert(byId(999L) == ((999L, "doc-999", None))) // cold file
+    assert(v1.count() == 1001)
+
+    // time travel below the evolution keeps the ORIGINAL schema
+    assert(Snapshots.read(spark, dir, Some(0L)).schema.fieldNames.toSeq
+      == Seq("id", "text"))
+    assert(Snapshots.tableSchema(spark, dir, Some(0L)).fieldNames.toSeq
+      == Seq("id", "text"))
+
+    // diff across the evolution: only truly-changed keys, with the new
+    // column present (survivors hash-cancel despite the rewrite)
+    val d = Snapshots.diff(spark, dir, 0L, 1L, "id")
+      .select("change", "id").as[(String, Long)].collect().toSet
+    assert(d == Set(("updated", 5L), ("inserted", 2000L)))
+
+    // lookup serves the evolved column; a later plain upsert and a
+    // delete both inherit the evolved schema
+    val looked = Snapshots.lookup(spark, dir,
+      Seq(5L, 6L).toDF("id"), "id")
+      .select("id", "score").as[(Long, Option[Double])].collect().toSet
+    assert(looked == Set((5L, Some(0.9)), (6L, None)))
+    Snapshots.upsert(spark, dir,
+      Seq((7L, "doc-7-v2", Option.empty[Double]))
+        .toDF("id", "text", "score"), "id")
+    Snapshots.delete(spark, dir, Seq(8L).toDF("id"), "id")
+    assert(Snapshots.read(spark, dir).schema.fieldNames.toSeq
+      == Seq("id", "text", "score"))
+
+    // contract guards: a missing existing column and a re-typed column
+    // are both rejected even with the flag
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, dir, Seq((9L, "x")).toDF("id", "text"),
+        "id", evolveSchema = true)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.upsert(spark, dir,
+        Seq((9L, "x", "not-a-double")).toDF("id", "text", "score"),
+        "id", evolveSchema = true)
+    }
+  }
+
+  test("legacy manifests without a schema header still read, diff and " +
+      "lookup via file-inferred schema") {
+    val dir = freshDir("legacy")
+    val c0 = Snapshots.init(spark.range(50)
+      .select(col("id"), lit("t").as("text")), dir, "id", 2)
+    // rewrite v0's manifest as a header-less legacy file (drop the
+    // Hadoop LocalFS checksum sidecar too — the raw rewrite invalidates it)
+    val mf = Paths.get(dir, "_manifests", "v0")
+    Files.write(mf, c0.files.mkString("\n").getBytes("UTF-8"))
+    Files.deleteIfExists(Paths.get(dir, "_manifests", ".v0.crc"))
+    assert(Snapshots.committedSchema(spark, dir, 0L).isEmpty)
+    assert(Snapshots.tableSchema(spark, dir).fieldNames.toSeq
+      == Seq("id", "text"))
+    assert(Snapshots.read(spark, dir).count() == 50)
+    val up = Snapshots.upsert(spark, dir,
+      Seq((0L, "t2")).toDF("id", "text"), "id")
+    // the child commit records a schema header even over a legacy parent
+    assert(Snapshots.committedSchema(spark, dir, up.version).nonEmpty)
+    assert(Snapshots.diff(spark, dir, 0L, 1L, "id").count() == 1)
+  }
+
   test("guards: double init rejected; read of uninitialized dir " +
       "rejected; vacuum refusing to drop all versions") {
     val dir = freshDir("guards")
