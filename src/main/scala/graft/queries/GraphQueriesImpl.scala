@@ -80,7 +80,7 @@ object GraphQueriesImpl {
     // materialize the edge list BEFORE the recursion: UnionLoop
     // re-evaluates the recursive step's whole subtree every level, so
     // an edges CTE would re-run the 600k-row DISTINCT scan per hop
-    // (measured: 8.7s → 2.9s from hoisting it once)
+    // (measured at sf0.1, 4 cores: 8.7s → 4.8s from hoisting it once)
     val li = Tables.load(s, dir, "lineitem")
     val e0 = li.select(
         concat(lit("s"), col("l_suppkey")).as("src"),
