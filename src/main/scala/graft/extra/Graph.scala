@@ -112,4 +112,82 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_e12"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
+
+  /** Exact global triangle count + clustering coefficient via
+    * DEGREE-ORDERED edge orientation — the standard distributed
+    * formulation (Suri & Vassilvitskii's MR triangle counting; also the
+    * Cohen/GraphX shape): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges as
+    * a self-equijoin of the ORIENTED edge list on the common tail, and
+    * close each wedge with a semi-join back to the oriented edges.
+    *
+    * Why orientation is THE scale decision: wedge volume drops from
+    * Σ C(deg, 2) — quadratic in hub degree, fatal on power-law graphs
+    * where one 10⁶-degree hub alone yields 5·10¹¹ wedges — to
+    * Σ C(outdeg, 2) with outdeg bounded by O(√|E|) (arboricity bound),
+    * and each triangle is enumerated EXACTLY once (its lowest-ranked
+    * vertex is the unique common tail whose two out-edges form the
+    * wedge), so no divide-by-3 correction and no duplicate work. All
+    * three steps are keyed equijoins (tail, then (ws, wt)) — no
+    * cartesian anywhere, map-side combinable, partitionable on the join
+    * keys at any scale.
+    *
+    * Input may contain duplicates, self-loops, or both (u,v)/(v,u)
+    * directions: edges are canonicalized (least/greatest + distinct,
+    * self-loops dropped) first, so the count is over the SIMPLE
+    * undirected graph.
+    *
+    * Output: ONE row — `n_nodes`, `n_edges` (simple undirected),
+    * `n_wedges` (Σ C(deg,2), the clustering-coefficient denominator —
+    * exact BIGINT via `d*(d-1) div 2`), `n_triangles`, and
+    * `global_cc` = 3·triangles / wedges (double; 0.0 on a wedge-free
+    * graph). Deterministic by construction — counts are integers, the
+    * one double division is a pure function of them.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+      .transform(Dedup.materialize)
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // Orient: keep the HEAD's (deg, id) on each oriented edge so the
+    // wedge join can order the two out-neighbors without re-joining
+    // degrees (rank(b) < rank(c) decides which wedge instance closes).
+    val o = canon
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        greatest(col("du"), col("dv")).as("td"))
+      .transform(Dedup.materialize)
+    val e1 = o.select(col("s"), col("t").as("b"), col("td").as("bd"))
+    val e2 = o.select(col("s").as("s2"), col("t").as("c"), col("td").as("cd"))
+    val wedges = e1.join(e2,
+        col("s") === col("s2") &&
+          (col("bd") < col("cd") ||
+            (col("bd") === col("cd") && col("b") < col("c"))))
+      .select(col("b").as("ws"), col("c").as("wt"))
+    val tri = wedges
+      .join(o.select(col("s").as("ws"), col("t").as("wt")),
+        Seq("ws", "wt"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgeStats = canon.agg(count(lit(1)).as("n_edges"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("global_cc"))
+  }
 }

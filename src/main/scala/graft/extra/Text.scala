@@ -267,6 +267,60 @@ object Text {
     } finally tokArr.unpersist(blocking = false)
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per document, the log importance ratio
+    *
+    *   log w(doc) = Σ_tok [ ln p_target(tok) − ln p_raw(tok) ]
+    *
+    * under add-one-smoothed unigram models trained on (a) the TARGET
+    * subset (`isTarget` rows — the domain you want more of) and (b) the
+    * whole raw corpus. High log-weight docs "look like" the target
+    * domain; resampling the raw corpus ∝ w approximates sampling from
+    * the target distribution — the standard cheap-LM data-selection
+    * recipe when a trained quality model is unavailable. Smoothing is
+    * over the RAW vocabulary (target ⊆ raw, so every scored token has
+    * both probabilities; an unseen-in-target token contributes its
+    * 1/(n_t+V) penalty instead of −∞).
+    *
+    * Scale shape (identical to [[unigramScore]]): ONE token aggregation
+    * computes both models' counts (`c_raw`, `c_target` via conditional
+    * sum — the target model costs no second pass); totals and the
+    * per-token delta table are vocab-sized and broadcast; the per-doc
+    * score is explode + broadcast join + one keyed agg with map-side
+    * partials. Nothing is doc-count-proportional on the driver.
+    *
+    * Determinism: the delta is computed once per DISTINCT token as
+    * `round(ln p_t − ln p_r, 6)` DECIMAL(18,6), summed exactly
+    * (order-independent), one final cast — engine-identical, oracle-able.
+    *
+    * Output: idCol, `n_tokens`, `log_weight` (rounded-6dp double; docs
+    * with zero tokens drop — same contract as [[unigramScore]]).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = df.select(col(idCol), isTarget.as("__tgt"),
+      explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy("token").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_t"))
+    val totals = vocab.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"),
+      count(lit(1)).as("v"))
+    val table = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(
+          log((col("c_t").cast("double") + lit(1.0)) /
+            (col("n_t").cast("double") + col("v").cast("double"))) -
+          log((col("c_r").cast("double") + lit(1.0)) /
+            (col("n_r").cast("double") + col("v").cast("double"))), 6)
+          .cast(DecimalType(18, 6)).as("delta"))
+    tok.join(broadcast(table), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("delta")).cast("double"), 6).as("log_weight"))
+  }
+
   /** Per-document coverage of the corpus's top-K vocabulary: the
     * fraction of a doc's tokens that fall inside the K most frequent
     * corpus tokens (ties broken by token asc — engine-independent).

@@ -125,11 +125,81 @@ object GraphQueriesImpl {
        |  max(id) AS last_id
        |FROM bfs GROUP BY dist ORDER BY dist""".stripMargin
 
+  /** Exact triangle census + global clustering coefficient over the
+    * Q1-1995 part co-purchase graph (parts sharing an order whose
+    * `o_orderdate` falls in the quarter — the window keys on the ORDER
+    * date so each order's clique survives intact; a `l_shipdate` window
+    * fragments orders, whose lineitems ship months apart). The quarter
+    * scopes the census the way temporal graph analytics does — a
+    * bounded snapshot of an unbounded stream of interactions; the
+    * operator itself ([[graft.extra.Graph.triangles]]) is
+    * degree-oriented and scales to the full graph.
+    *
+    * The oracle replays the identical orientation + wedge-close joins;
+    * every output is an exact integer except `global_cc`, one double
+    * division of two integers (round 6dp) — engine-independent.
+    */
+  def triangleQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(s, dir, "lineitem")
+    // orders-in-window is |orders|/28 — broadcast it into the lineitem
+    // scan rather than shuffling the fact table.
+    val op = li.join(broadcast(orders), li("l_orderkey") === orders("ok"))
+      .select(col("l_orderkey").as("ok2"), col("l_partkey").as("p"))
+      .distinct()
+    val a = op.select(col("ok2"), col("p").as("pa"))
+    val b = op.select(col("ok2"), col("p").as("pb"))
+    val edges = a.join(b, Seq("ok2")).where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    Graph.triangles(edges, "src", "dst")
+  }
+
+  private val triangleOracle =
+    """WITH o_win AS (SELECT o_orderkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+      |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem JOIN o_win ON l_orderkey = o_orderkey),
+      |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+      |deg AS (SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN u ELSE v END AS s,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN v ELSE u END AS t,
+      |    greatest(du.d, dv.d) AS td
+      |  FROM e0 JOIN deg du ON e0.u = du.node
+      |    JOIN deg dv ON e0.v = dv.node),
+      |w AS (SELECT e1.t AS ws, e2.t AS wt
+      |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+      |    AND (e1.td < e2.td OR (e1.td = e2.td AND e1.t < e2.t))),
+      |tri AS (SELECT count(*) AS n_triangles
+      |  FROM w SEMI JOIN o ON w.ws = o.s AND w.wt = o.t)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM e0) AS n_edges,
+      |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+      |    AS n_wedges,
+      |  n_triangles,
+      |  CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) = 0 THEN 0.0
+      |    ELSE round(3e0 * n_triangles /
+      |      (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg), 6)
+      |    END AS global_cc
+      |FROM tri""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pagerank",
       s"PageRank, $Iters fixed decimal-exact iterations, unrolled oracle",
       pagerankQ, Some(pagerankOracle)),
     QueryDef("reachability_bfs",
       s"recursive-CTE BFS hop distances (depth $BfsDepth) from a seed node",
-      reachabilityQ, Some(reachabilityOracle)))
+      reachabilityQ, Some(reachabilityOracle)),
+    QueryDef("triangle_count",
+      "degree-oriented exact triangle census + clustering coefficient",
+      triangleQ, Some(triangleOracle)))
 }

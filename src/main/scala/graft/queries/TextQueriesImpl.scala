@@ -458,6 +458,48 @@ object TextQueriesImpl {
        |FROM c WHERE cum_tokens <= 10000
        |ORDER BY doc_id""".stripMargin
 
+  // ---- dsir_weights ------------------------------------------------
+
+  /** DSIR importance resampling weights (Xie et al. 2023) toward the
+    * `src0` domain: every doc scored by its log importance ratio under
+    * add-one-smoothed unigram LMs of (target = src0 docs) vs (raw =
+    * whole corpus), top-50 most target-like docs. See
+    * [[graft.extra.Text.dsirWeights]] — one token pass trains BOTH
+    * models; ties break by doc_id so the cut is total.
+    */
+  def dsirWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Text.dsirWeights(d, "doc_id", "text", col("source") === "src0")
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("log_weight"))
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val dsirWeightsOracle =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |x AS (SELECT doc_id, (source = 'src0') AS tgt, unnest(toks) AS token
+       |  FROM t),
+       |v AS (SELECT token, count(*) AS c_r,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM x GROUP BY 1),
+       |n AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+       |    CAST(sum(c_t) AS BIGINT) AS n_t, count(*) AS v FROM v),
+       |tab AS (SELECT token, CAST(round(
+       |    ln((CAST(c_t AS DOUBLE) + 1.0) /
+       |       (CAST(n_t AS DOUBLE) + CAST(v AS DOUBLE))) -
+       |    ln((CAST(c_r AS DOUBLE) + 1.0) /
+       |       (CAST(n_r AS DOUBLE) + CAST(v AS DOUBLE))), 6)
+       |    AS DECIMAL(18,6)) AS delta
+       |  FROM v CROSS JOIN n),
+       |s AS (SELECT x.doc_id, count(*) AS n_tokens,
+       |    round(CAST(sum(tab.delta) AS DOUBLE), 6) AS log_weight
+       |  FROM x JOIN tab ON x.token = tab.token GROUP BY 1)
+       |SELECT s.doc_id, d.source, s.n_tokens, s.log_weight
+       |FROM s JOIN documents d ON s.doc_id = d.doc_id
+       |ORDER BY log_weight DESC, s.doc_id LIMIT 50""".stripMargin
+
   // ---- unigram_logprob ---------------------------------------------
 
   /** Self-trained unigram LM cross-entropy per doc (mean −ln p(token),
@@ -962,6 +1004,9 @@ object TextQueriesImpl {
     QueryDef("corpus_stats",
       "one-row corpus sizing summary: docs, token totals, mean quality",
       corpusStats, Some(corpusStatsOracle)),
+    QueryDef("dsir_weights",
+      "DSIR importance log-weights toward the src0 domain, top-50 docs",
+      dsirWeightsQ, Some(dsirWeightsOracle)),
     QueryDef("unigram_logprob",
       "self-trained unigram LM cross-entropy per doc (perplexity proxy)",
       unigramLogprob, Some(unigramLogprobOracle)),

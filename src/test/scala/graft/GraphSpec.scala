@@ -56,4 +56,56 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-empty"))
   }
+
+  // ---- triangles ----------------------------------------------------
+
+  private def triRow(edges: Seq[(String, String)]) = {
+    val r = Graph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
+      r.getAs[Double]("global_cc"))
+  }
+
+  test("triangles: K4 has 4 triangles, cc = 1; counted once each") {
+    // complete graph on 4 nodes: C(4,3)=4 triangles, wedges Σ C(3,2)=12,
+    // cc = 3·4/12 = 1.0
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    assert(triRow(k4) == (4L, 6L, 12L, 4L, 1.0))
+  }
+
+  test("triangles: a path has wedges but zero triangles, cc = 0") {
+    assert(triRow(Seq(("a", "b"), ("b", "c"), ("c", "d"))) ==
+      (4L, 3L, 2L, 0L, 0.0))
+  }
+
+  test("triangles canonicalizes: duplicates, reversed edges and " +
+      "self-loops do not change the simple-graph census") {
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"),
+      ("c", "a"), ("a", "a"))
+    // simple graph = triangle abc: 3 nodes, 3 edges, 3 wedges, 1 triangle
+    assert(triRow(messy) == (3L, 3L, 3L, 1L, 1.0))
+  }
+
+  test("triangles: hub star plus one closing edge — orientation " +
+      "enumerates each triangle exactly once at its lowest-rank vertex") {
+    // star center h with leaves l1..l5, plus edge l1-l2: exactly 1
+    // triangle (h,l1,l2); wedges = C(5,2) at h + 2·C(2,2) at l1,l2
+    val edges = (1 to 5).map(i => ("h", s"l$i")) :+ ("l1", "l2")
+    assert(triRow(edges) == (6L, 6L, 12L, 1L, 0.25))
+  }
+
+  test("triangles is invariant to input partitioning") {
+    val edges = (1 to 60).flatMap(i =>
+      Seq((s"n$i", s"n${(i * 7) % 23}"), (s"n${i % 5}", s"n${(i * 3) % 11}")))
+    val once = triRow(edges)
+    val df = edges.toDF("src", "dst").repartition(17)
+    val r2 = Graph.triangles(df, "src", "dst").collect().head
+    assert(once == (r2.getAs[Long]("n_nodes"), r2.getAs[Long]("n_edges"),
+      r2.getAs[Long]("n_wedges"), r2.getAs[Long]("n_triangles"),
+      r2.getAs[Double]("global_cc")))
+  }
 }

@@ -62,6 +62,39 @@ class TextOpsSpec extends SparkSpec {
       Seq(0.693147, 0.693147))
   }
 
+  test("dsirWeights: hand-checked add-one-smoothed log importance ratio") {
+    // target doc "x x", raw extra doc "y y": c_r(x)=c_r(y)=2, c_t(x)=2,
+    // c_t(y)=0, n_r=4, n_t=2, V=2.
+    //   delta_x = ln(3/4) - ln(3/6) = ln 1.5 → 0.405465 (6dp)
+    //   delta_y = ln(1/4) - ln(3/6) = ln 0.5 → -0.693147
+    // d1 = 2·0.405465 = 0.810930, d2 = 2·(-0.693147) = -1.386294
+    val df = Seq((1L, "x x", true), (2L, "y y", false))
+      .toDF("doc_id", "text", "tgt")
+    val m = graft.extra.Text.dsirWeights(df, "doc_id", "text", col("tgt"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("log_weight"))).toMap
+    assert(m(1L) == (2L, 0.81093))
+    assert(m(2L) == (2L, -1.386294))
+  }
+
+  test("dsirWeights: target-like docs outrank target-unlike docs, and " +
+      "the score is invariant to input partitioning") {
+    val df = Seq(
+      (1L, "spark shuffle join window agg", true),
+      (2L, "spark shuffle join window scan", true),
+      (3L, "spark shuffle agg window join", false), // target-like raw doc
+      (4L, "llama curry paddle stone river", false))
+      .toDF("doc_id", "text", "tgt")
+    def weights(d: org.apache.spark.sql.DataFrame) =
+      graft.extra.Text.dsirWeights(d, "doc_id", "text", col("tgt"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("log_weight"))
+        .toMap
+    val m = weights(df)
+    assert(m(3L) > m(4L)) // target-vocabulary doc scores higher
+    assert(weights(df.repartition(7)) == m)
+  }
+
   test("unigramScore: rare-token docs score higher than common-token docs") {
     val df = Seq(
       1L -> "common common common common common common common",
