@@ -441,6 +441,51 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Near-dup pairs over ANY bit-fingerprint column (simhash, image
+    * dHash, audio fingerprint) via BANDED LSH on the hash bits: split
+    * each hash into `bands` contiguous `bandBits`-bit bands, self-join
+    * on (band index, band value) — a KEYED equijoin, never all-pairs —
+    * then verify candidates exactly with `bit_count(xor) <= maxHamming`.
+    *
+    * Recall contract (pigeonhole): a pair within Hamming distance
+    * `bands − 1` has at least one band its differing bits miss, so it
+    * is GUARANTEED to surface; pairs between `bands` and `maxHamming`
+    * bits apart surface only when their differing bits happen to
+    * cluster — the standard LSH trade. Deterministic either way: both
+    * engines (and the oracle) replay the identical banding, so output
+    * parity does not depend on recall.
+    *
+    * Scale shape: |hashes|·bands rows into the band join; hot bands
+    * (constant regions hashing alike) fan out quadratically ONLY within
+    * a band bucket — the same bounded-bucket behavior as
+    * [[lshCandidates]]; candidates carry both hashes so verification is
+    * a pure projection, no re-join. Hashes must be non-negative
+    * (< 2⁶³), which every producer here guarantees (56-bit dHash,
+    * 20-bit simhash).
+    */
+  def hashNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, bandBits: Int = 14, maxHamming: Int = 8): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
+      s"bands·bandBits must fit a non-negative BIGINT, got $bands x $bandBits")
+    val mask = (1L << bandBits) - 1
+    val banded = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        posexplode(array((0 until bands).map(k =>
+          shiftrightunsigned(col("h"), k * bandBits)
+            .bitwiseAND(lit(mask))): _*)).as(Seq("k", "band")))
+    val a = banded.select(col("k"), col("band"), col("id").as("id_a"),
+      col("h").as("h_a"))
+    val b = banded.select(col("k"), col("band"), col("id").as("id_b"),
+      col("h").as("h_b"))
+    a.join(b, Seq("k", "band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over a near-dup pair list: every doc that
     * appears in a pair gets `cluster_id` = the smallest doc id reachable
     * through the pair graph — the operator that turns pairwise

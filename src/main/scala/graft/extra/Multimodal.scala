@@ -44,18 +44,23 @@ object Multimodal {
   object ImageCodec {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
 
-    /** True (width, height) if the payload is a decodable image. */
-    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+    /** The decoded image itself, if the payload is decodable. */
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       try Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(payload)))
-        .map(img => (img.getWidth, img.getHeight))
       catch { case _: Exception => None }
 
-    /** Render a `width`×`height` PNG with seed-determined pixels —
-      * byte-deterministic for a fixed JDK, used for round-trip tests and
-      * the executor-side render → decode query path.
+    /** True (width, height) if the payload is a decodable image. */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
+      decodeImage(payload).map(img => (img.getWidth, img.getHeight))
+
+    /** Deterministic `width`×`height` RGB raster: pixel (x, y) carries
+      * the low 24 bits of `seed·2654435761 + 131x + 31y` — the formula
+      * the SQL oracles replay, so decoded PIXEL VALUES (not just
+      * dimensions) are independently checkable.
       */
-    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    def renderRgb(width: Int, height: Int,
+        seed: Long): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -68,10 +73,24 @@ object Multimodal {
         }
         y += 1
       }
+      img
+    }
+
+    /** PNG-encode an image (lossless RGB — decode returns the exact
+      * pixel values, which the perceptual-hash path depends on).
+      */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** Render a `width`×`height` PNG with seed-determined pixels —
+      * byte-deterministic for a fixed JDK, used for round-trip tests and
+      * the executor-side render → decode query path.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
+      encodePng(renderRgb(width, height, seed))
   }
 
   /** REAL audio codec on the JDK-builtin `javax.sound.sampled` — no
@@ -202,6 +221,90 @@ object Multimodal {
         val png = ImageCodec.encodePng(w, h, seed = id)
         val (dw, dh) = ImageCodec.decodeDims(png).getOrElse((-1, -1))
         MediaMeta(id, "image", png.length.toLong, dw, dh, 1)
+      }
+    }
+  }
+
+  /** Per-image perceptual hash row: true decoded dims + 56-bit dHash. */
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+      dhash: Long)
+
+  /** 56-bit DIFFERENCE HASH (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection: average the
+    * grayscale into an 8×8 cell grid, then emit one bit per
+    * horizontally adjacent cell pair (left brighter → 1), 7 bits × 8
+    * rows. Near-identical images (small edits, re-encodes) differ in
+    * few bits; unrelated images differ in ~half of them — Hamming
+    * distance on the hash is the similarity metric.
+    *
+    * INTEGER-EXACT by construction: gray = (r+g+b) div 3, cell value =
+    * sum(gray) div count, cell index = (x·8) div w — no floats, so the
+    * hash is a pure function of the pixel values, reproducible by any
+    * engine (the SQL oracle replays it) and stable across partitioning.
+    * 56 bits (not 64) keeps the hash in a non-negative BIGINT for
+    * engine-portable shifts/masks. Requires w, h ≥ 8 (every cell
+    * non-empty).
+    */
+  def dHash56(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 8 && h >= 8, s"dHash56 needs w,h >= 8, got ${w}x$h")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) & 0xffffff
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val c = cy * 8 + x * 8 / w
+        sums(c) += gray
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 7) {
+        if (sums(cy * 8 + cx) / cnts(cy * 8 + cx) >
+            sums(cy * 8 + cx + 1) / cnts(cy * 8 + cx + 1))
+          hash |= 1L << (cy * 7 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Executor-side render → perturb → PNG encode → REAL decode → dHash,
+    * one partition pass per id (no driver hop, no shuffle): ids 2k and
+    * 2k+1 render the SAME seed-k image, with the odd id's pixel (0,0)
+    * overwritten white before encoding — a planted near-dup pair per k
+    * (one changed pixel moves only cell (0,0)'s average, which feeds a
+    * single adjacent-cell comparison, so the pair differs in ≤ 1 hash
+    * bit). The hash is computed from the DECODED pixels, so the
+    * pipeline exercises the real codec end to end, and the SQL oracle —
+    * which knows only the pixel formulas, never the PNG bytes —
+    * independently reproduces every hash bit.
+    */
+  def renderDHash(ids: DataFrame, idCol: String): Dataset[ImageHash] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val pair = id / 2
+        val w = 8 + (pair % 30).toInt
+        val h = 8 + ((pair * 7) % 24).toInt
+        val img = ImageCodec.renderRgb(w, h, seed = pair)
+        if (id % 2 == 1) img.setRGB(0, 0, 0xffffff)
+        val png = ImageCodec.encodePng(img)
+        val dec = ImageCodec.decodeImage(png).getOrElse(
+          throw new IllegalStateException(s"PNG round trip failed for id $id"))
+        ImageHash(id, dec.getWidth, dec.getHeight, dHash56(dec))
       }
     }
   }

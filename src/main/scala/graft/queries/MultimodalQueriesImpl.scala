@@ -200,6 +200,67 @@ object MultimodalQueriesImpl {
       |FROM documents CROSS JOIN range(0, 8) t(i)
       |ORDER BY media_id, dim""".stripMargin
 
+  // ---- image_neardup -----------------------------------------------
+
+  /** IMAGE NEAR-DUP detection end to end on the REAL codec: per doc_id,
+    * render a deterministic PNG (ids 2k/2k+1 share seed k, the odd id
+    * perturbed by one white pixel — a planted near-dup pair per k),
+    * decode it back with javax.imageio, compute the 56-bit integer-exact
+    * difference hash from the DECODED pixels, then find near-dup pairs
+    * with banded LSH over the hash bits + exact Hamming verify
+    * ([[graft.extra.Dedup.hashNearDup]]). The oracle reproduces every
+    * hash bit from the pixel FORMULAS alone (it never sees a PNG), so a
+    * hash match proves decode faithfulness pixel-by-pixel AND the
+    * banding/verify pipeline — the full image-dedup path a training-data
+    * pipeline runs, minus only the exotic codecs this env lacks.
+    */
+  def imageNearDupQ(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Dedup.hashNearDup(
+        Multimodal.renderDHash(docs(s, dir), "doc_id").toDF(),
+        "media_id", "dhash", bands = 4, bandBits = 14, maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  private val imageNearDupOracle =
+    """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS pair FROM documents),
+      |dims AS (SELECT id, pair,
+      |    CAST(8 + pair % 30 AS BIGINT) AS w,
+      |    CAST(8 + (pair * 7) % 24 AS BIGINT) AS h
+      |  FROM ids),
+      |px AS (SELECT id, w, h, gx.x AS x, gy.y AS y,
+      |    CASE WHEN id % 2 = 1 AND gx.x = 0 AND gy.y = 0 THEN 255
+      |      ELSE (((pair * 2654435761 + gx.x * 131 + gy.y * 31) % 16777216)
+      |              // 65536
+      |        + (((pair * 2654435761 + gx.x * 131 + gy.y * 31) % 16777216)
+      |              // 256) % 256
+      |        + ((pair * 2654435761 + gx.x * 131 + gy.y * 31) % 16777216)
+      |              % 256) // 3
+      |      END AS gray
+      |  FROM dims
+      |  CROSS JOIN range(0, 37) gx(x)
+      |  CROSS JOIN range(0, 31) gy(y)
+      |  WHERE gx.x < w AND gy.y < h),
+      |cells AS (SELECT id, (x * 8) // w AS cx, (y * 8) // h AS cy,
+      |    sum(gray) // count(*) AS a
+      |  FROM px GROUP BY 1, 2, 3),
+      |hashes AS (SELECT l.id,
+      |    CAST(sum(CASE WHEN l.a > r.a
+      |      THEN 1::BIGINT << CAST(l.cy * 7 + l.cx AS INTEGER)
+      |      ELSE 0 END) AS BIGINT) AS h
+      |  FROM cells l JOIN cells r
+      |    ON l.id = r.id AND l.cy = r.cy AND r.cx = l.cx + 1
+      |  GROUP BY 1),
+      |banded AS (SELECT id, h, k.k AS k,
+      |    (h >> CAST(k.k * 14 AS INTEGER)) & 16383 AS band
+      |  FROM hashes CROSS JOIN range(0, 4) k(k)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    a.h AS h_a, b.h AS h_b
+      |  FROM banded a JOIN banded b
+      |    ON a.k = b.k AND a.band = b.band AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER)
+      |    AS hamming
+      |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_resize",
       "aspect-preserving resize plan (metadata math)",
@@ -224,5 +285,8 @@ object MultimodalQueriesImpl {
       audioDecode, Some(audioDecodeOracle)),
     QueryDef("multimodal_frames",
       "frame sampling explode over video assets",
-      multimodalFrames, Some(multimodalFramesOracle)))
+      multimodalFrames, Some(multimodalFramesOracle)),
+    QueryDef("image_neardup",
+      "REAL-codec image near-dup: decoded-pixel dHash + banded LSH pairs",
+      imageNearDupQ, Some(imageNearDupOracle)))
 }

@@ -289,4 +289,73 @@ class ExtraSpec extends SparkSpec {
     assert(frames.length <= 8)
     assert(frames.forall(_ % 4 == 0))
   }
+
+  // ---- image perceptual hash + banded near-dup ----------------------
+
+  test("dHash56: deterministic, 56-bit bounded; the one-pixel planted " +
+      "perturbation flips at most 1 bit; different seeds differ widely") {
+    val base = Multimodal.ImageCodec.renderRgb(20, 16, seed = 7L)
+    val h1 = Multimodal.dHash56(base)
+    assert(h1 == Multimodal.dHash56(
+      Multimodal.ImageCodec.renderRgb(20, 16, seed = 7L)))
+    assert(h1 >= 0L && h1 < (1L << 56))
+    val pert = Multimodal.ImageCodec.renderRgb(20, 16, seed = 7L)
+    pert.setRGB(0, 0, 0xffffff)
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.dHash56(pert)) <= 1)
+    val other = Multimodal.dHash56(
+      Multimodal.ImageCodec.renderRgb(20, 16, seed = 1234567L))
+    assert(java.lang.Long.bitCount(h1 ^ other) > 8)
+  }
+
+  test("dHash56 survives the PNG encode/decode round trip (lossless RGB)") {
+    val img = Multimodal.ImageCodec.renderRgb(33, 29, seed = 99L)
+    val dec = Multimodal.ImageCodec.decodeImage(
+      Multimodal.ImageCodec.encodePng(img)).get
+    assert(Multimodal.dHash56(img) == Multimodal.dHash56(dec))
+  }
+
+  test("hashNearDup: pigeonhole guarantee — pairs within bands-1 bits " +
+      "always surface; bits spread across every band can be missed") {
+    import graft.extra.Dedup
+    val h0 = 0x00FF00FF00FFL
+    val near = h0 ^ 7L                // 3 differing bits, all in band 0
+    val spread = h0 ^ (1L | (1L << 14) | (1L << 28) | (1L << 42)) // 1 per band
+    val hashes = Seq((1L, h0), (2L, near), (3L, spread))
+      .toDF("id", "h")
+    val out = Dedup.hashNearDup(hashes, "id", "h",
+        bands = 4, bandBits = 14, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L))) // <= bands-1 diffs: guaranteed
+    assert(!out.contains((1L, 3L))) // 4 diffs, one per band: every band differs
+    // hamming value is exact on the surfaced pair
+    val ham = Dedup.hashNearDup(hashes, "id", "h", 4, 14, 8)
+      .where($"id_a" === 1L && $"id_b" === 2L)
+      .select("hamming").as[Int].collect().head
+    assert(ham == 3)
+  }
+
+  test("hashNearDup: maxHamming filters verified pairs; identical " +
+      "hashes pair at distance 0") {
+    import graft.extra.Dedup
+    val hashes = Seq((1L, 5L), (2L, 5L), (3L, 5L ^ 0x3FFL))
+      .toDF("id", "h")
+    val out = Dedup.hashNearDup(hashes, "id", "h", 4, 14, 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 2L)) == 0)
+    assert(!out.contains((1L, 3L))) // hamming 10 > 4, same band 1..3 though
+  }
+
+  test("renderDHash plants near-dup pairs (2k, 2k+1) and is invariant " +
+      "to partitioning") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val rows = Multimodal.renderDHash(ids, "doc_id").collect()
+      .map(r => r.media_id -> r.dhash).toMap
+    (0L until 10L).foreach { k =>
+      assert(java.lang.Long.bitCount(rows(2 * k) ^ rows(2 * k + 1)) <= 1,
+        s"pair $k")
+    }
+    val again = Multimodal.renderDHash(ids.repartition(7), "doc_id")
+      .collect().map(r => r.media_id -> r.dhash).toMap
+    assert(again == rows)
+  }
 }
