@@ -515,4 +515,30 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("LeftSemi"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("triangle_count: wedge enumeration and closure are keyed " +
+      "equijoins — no cartesian anywhere in any executed job") {
+    // the operator eagerly materializes canon/oriented frames, so the
+    // real join shapes live in the checkpoint executions
+    val plans = allExecutedPlans("triangle_count")
+    assert(!plans.contains("CartesianProduct"), plans.take(3000))
+    // the final three single-row stat frames ARE allowed to cross-join
+    // (1×1×1 nested loop); anything bigger must not
+    assert(plans.contains("SortMergeJoin") || plans.contains("BroadcastHashJoin"),
+      plans.take(3000))
+  }
+
+  test("image_neardup: band candidates ride a keyed equijoin on " +
+      "(band index, band value); no cartesian, no nested loop") {
+    val plan = executedPlan("image_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("dsir_weights: both LM lookups broadcast the vocab-sized table; " +
+      "the token stream never shuffles for the join") {
+    val plan = executedPlan("dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
