@@ -115,32 +115,85 @@ object Multimodal {
       } finally if (in != null) in.close()
     }
 
-    /** Synthesize an `nFrames`-frame signed-PCM16 little-endian WAV with
-      * seed-determined samples, written through the real
-      * `AudioSystem.write` WAVE encoder — byte-deterministic for a fixed
-      * JDK, used for round-trip tests and the executor-side
-      * encode → decode query path.
+    /** The deterministic PCG-style sample stream `encodeWav` writes:
+      * sample i = top 16 bits of the mod-2⁶⁴ product — the formula the
+      * SQL oracles replay (HUGEINT arithmetic reproduces the wrap).
       */
-    def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
-        seed: Long): Array[Byte] = {
-      val bytesPerFrame = 2 * channels
-      val pcm = new Array[Byte](nFrames * bytesPerFrame)
+    def sampleAt(seed: Long, i: Int): Short =
+      ((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 48).toShort
+
+    /** Fingerprint-path sample stream: like [[sampleAt]] plus a
+      * `seed·i` CROSS TERM. Without it, two seeds' streams differ by a
+      * constant 64-bit offset at every index, so their energy contours
+      * (and fingerprints) correlate heavily — measured Hamming ≈ 6/56
+      * between unrelated clips vs ≈ 30/56 with the cross term. All
+      * terms stay products of bounded ints, so the SQL oracle replays
+      * the mod-2⁶⁴ wrap exactly in HUGEINT.
+      */
+    def fpSampleAt(seed: Long, i: Int): Short =
+      ((seed * 6364136223846793005L + i * 1442695040888963407L +
+        seed * i * 2862933555777941757L) >>> 48).toShort
+
+    /** PCM16-LE-encode explicit samples (interleaved if channels > 1)
+      * through the real `AudioSystem.write` WAVE encoder.
+      */
+    def encodeWavSamples(sampleRate: Int, channels: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(samples.length % channels == 0, "partial frame")
+      val pcm = new Array[Byte](2 * samples.length)
       var i = 0
-      while (i < nFrames * channels) {
-        val s = ((seed * 6364136223846793005L + i * 1442695040888963407L)
-          >>> 48).toShort
-        pcm(2 * i) = (s & 0xff).toByte
-        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
         i += 1
       }
       val fmt = new javax.sound.sampled.AudioFormat(
         sampleRate.toFloat, 16, channels, true, false)
       val stream = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        (samples.length / channels).toLong)
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(stream,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
+    }
+
+    /** Synthesize an `nFrames`-frame signed-PCM16 little-endian WAV with
+      * seed-determined samples ([[sampleAt]]), written through the real
+      * `AudioSystem.write` WAVE encoder — byte-deterministic for a fixed
+      * JDK, used for round-trip tests and the executor-side
+      * encode → decode query path.
+      */
+    def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+        seed: Long): Array[Byte] =
+      encodeWavSamples(sampleRate, channels,
+        Array.tabulate(nFrames * channels)(i => sampleAt(seed, i)))
+
+    /** The decoded PCM16 samples themselves (interleaved), if the
+      * payload is JDK-decodable 16-bit audio — the pixel-value analog
+      * for the fingerprinting path.
+      */
+    def decodeSamples(payload: Array[Byte]): Option[Array[Short]] = {
+      var in: javax.sound.sampled.AudioInputStream = null
+      try {
+        in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) return None
+        val bytes = in.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        val le = !f.isBigEndian
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (le) (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+            else (((bytes(2 * i) & 0xff) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+          i += 1
+        }
+        Some(out)
+      } catch {
+        case _: Exception => None
+      } finally if (in != null) in.close()
     }
   }
 
@@ -305,6 +358,67 @@ object Multimodal {
         val dec = ImageCodec.decodeImage(png).getOrElse(
           throw new IllegalStateException(s"PNG round trip failed for id $id"))
         ImageHash(id, dec.getWidth, dec.getHeight, dHash56(dec))
+      }
+    }
+  }
+
+  /** Per-clip fingerprint row: decoded frame count + 56-bit hash. */
+  final case class AudioHash(media_id: Long, n_frames: Int, ahash: Long)
+
+  /** 56-bit ENERGY-CONTOUR fingerprint of decoded PCM samples — the
+    * audio analog of [[dHash56]] (chromaprint-style shape, integer
+    * arithmetic): map each sample index to one of 57 consecutive
+    * windows (`window = i·57 div n` — the same floor partition the SQL
+    * oracle replays), window energy = mean |sample| (integer division),
+    * one bit per adjacent-window comparison. Clips that differ by a few
+    * samples keep their contour (small Hamming distance); unrelated
+    * clips differ in ~half the bits. Requires ≥ 57 samples.
+    */
+  def audioHash56(samples: Array[Short]): Long = {
+    val n = samples.length
+    require(n >= 57, s"audioHash56 needs >= 57 samples, got $n")
+    val sums = new Array[Long](57)
+    val cnts = new Array[Long](57)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 57 / n).toInt
+      sums(w) += math.abs(samples(i).toInt)
+      cnts(w) += 1
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 56) {
+      if (sums(j) / cnts(j) > sums(j + 1) / cnts(j + 1)) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Executor-side synthesize → perturb → WAV encode → REAL decode →
+    * fingerprint, one partition pass per id (the audio mirror of
+    * [[renderDHash]]): ids 2k and 2k+1 carry the SAME seed-k mono PCM
+    * stream, with the odd id's sample 0 overwritten to max amplitude
+    * before encoding — a planted near-dup pair per k (one sample moves
+    * only window 0's energy, one adjacent comparison, ≤ 1 hash bit).
+    * The fingerprint is computed from the DECODED samples, so the green
+    * oracle row proves `javax.sound.sampled` reads back every PCM
+    * sample faithfully — the formula-only oracle replays the mod-2⁶⁴
+    * sample generator in HUGEINT.
+    */
+  def renderAudioHash(ids: DataFrame, idCol: String): Dataset[AudioHash] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val pair = id / 2
+        val nFrames = 60 + ((pair * 13) % 200).toInt
+        val samples = Array.tabulate(nFrames)(i => AudioCodec.fpSampleAt(pair, i))
+        if (id % 2 == 1) samples(0) = 32767
+        val wav = AudioCodec.encodeWavSamples(8000, 1, samples)
+        val dec = AudioCodec.decodeSamples(wav).getOrElse(
+          throw new IllegalStateException(s"WAV round trip failed for id $id"))
+        AudioHash(id, dec.length, audioHash56(dec))
       }
     }
   }

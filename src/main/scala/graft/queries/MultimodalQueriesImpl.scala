@@ -261,6 +261,60 @@ object MultimodalQueriesImpl {
       |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- audio_neardup -----------------------------------------------
+
+  /** AUDIO NEAR-DUP detection end to end on the REAL codec — the audio
+    * mirror of [[imageNearDupQ]]: per doc_id, synthesize a deterministic
+    * mono PCM16 clip (ids 2k/2k+1 share seed k, the odd id perturbed by
+    * one max-amplitude sample), WAV-encode and decode it back with
+    * javax.sound.sampled, fingerprint the DECODED samples with the
+    * 56-bit integer-exact energy contour, then pair near-dups with the
+    * same banded-LSH + Hamming verify. The oracle replays the mod-2⁶⁴
+    * sample generator in HUGEINT arithmetic and rebuilds every hash bit
+    * from the formulas alone — a green row proves the codec reads back
+    * every PCM sample faithfully.
+    */
+  def audioNearDupQ(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Dedup.hashNearDup(
+        Multimodal.renderAudioHash(docs(s, dir), "doc_id").toDF(),
+        "media_id", "ahash", bands = 4, bandBits = 14, maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  private val audioNearDupOracle =
+    """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS pair FROM documents),
+      |par AS (SELECT id, pair,
+      |    CAST(60 + (pair * 13) % 200 AS BIGINT) AS n FROM ids),
+      |raw AS (SELECT id, n, i.i AS i,
+      |    CAST(((pair::HUGEINT * 6364136223846793005 +
+      |           i.i::HUGEINT * 1442695040888963407 +
+      |           pair::HUGEINT * i.i * 2862933555777941757)
+      |          % 18446744073709551616::HUGEINT)
+      |         // 281474976710656 AS BIGINT) AS x
+      |  FROM par CROSS JOIN range(0, 260) i(i) WHERE i.i < n),
+      |samp AS (SELECT id, n, i,
+      |    CASE WHEN id % 2 = 1 AND i = 0 THEN 32767
+      |         WHEN x >= 32768 THEN x - 65536 ELSE x END AS s
+      |  FROM raw),
+      |en AS (SELECT id, (i * 57) // n AS w,
+      |    sum(abs(s)) // count(*) AS e
+      |  FROM samp GROUP BY 1, 2),
+      |hashes AS (SELECT l.id, CAST(sum(CASE WHEN l.e > r.e
+      |      THEN 1::BIGINT << CAST(l.w AS INTEGER) ELSE 0 END) AS BIGINT)
+      |    AS h
+      |  FROM en l JOIN en r ON l.id = r.id AND r.w = l.w + 1
+      |  GROUP BY 1),
+      |banded AS (SELECT id, h, k.k AS k,
+      |    (h >> CAST(k.k * 14 AS INTEGER)) & 16383 AS band
+      |  FROM hashes CROSS JOIN range(0, 4) k(k)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    a.h AS h_a, b.h AS h_b
+      |  FROM banded a JOIN banded b
+      |    ON a.k = b.k AND a.band = b.band AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER)
+      |    AS hamming
+      |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_resize",
       "aspect-preserving resize plan (metadata math)",
@@ -288,5 +342,8 @@ object MultimodalQueriesImpl {
       multimodalFrames, Some(multimodalFramesOracle)),
     QueryDef("image_neardup",
       "REAL-codec image near-dup: decoded-pixel dHash + banded LSH pairs",
-      imageNearDupQ, Some(imageNearDupOracle)))
+      imageNearDupQ, Some(imageNearDupOracle)),
+    QueryDef("audio_neardup",
+      "REAL-codec audio near-dup: decoded-sample energy hash + LSH pairs",
+      audioNearDupQ, Some(audioNearDupOracle)))
 }

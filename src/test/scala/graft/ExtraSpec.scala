@@ -345,6 +345,37 @@ class ExtraSpec extends SparkSpec {
     assert(!out.contains((1L, 3L))) // hamming 10 > 4, same band 1..3 though
   }
 
+  test("audioHash56: deterministic 56-bit contour; one-sample planted " +
+      "perturbation flips at most 1 bit; WAV round trip preserves it") {
+    val samples = Array.tabulate(123)(i => Multimodal.AudioCodec.fpSampleAt(9L, i))
+    val h1 = Multimodal.audioHash56(samples)
+    assert(h1 >= 0L && h1 < (1L << 56))
+    val pert = samples.clone(); pert(0) = 32767
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.audioHash56(pert)) <= 1)
+    // encode → REAL decode → identical samples → identical hash
+    val wav = Multimodal.AudioCodec.encodeWavSamples(8000, 1, samples)
+    val dec = Multimodal.AudioCodec.decodeSamples(wav).get
+    assert(dec.toSeq == samples.toSeq)
+    assert(Multimodal.audioHash56(dec) == h1)
+    val other = Multimodal.audioHash56(
+      Array.tabulate(123)(i => Multimodal.AudioCodec.fpSampleAt(987654L, i)))
+    assert(java.lang.Long.bitCount(h1 ^ other) > 8)
+  }
+
+  test("renderAudioHash plants near-dup pairs (2k, 2k+1) and is " +
+      "invariant to partitioning") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val rows = Multimodal.renderAudioHash(ids, "doc_id").collect()
+      .map(r => r.media_id -> r.ahash).toMap
+    (0L until 10L).foreach { k =>
+      assert(java.lang.Long.bitCount(rows(2 * k) ^ rows(2 * k + 1)) <= 1,
+        s"pair $k")
+    }
+    val again = Multimodal.renderAudioHash(ids.repartition(7), "doc_id")
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    assert(again == rows)
+  }
+
   test("renderDHash plants near-dup pairs (2k, 2k+1) and is invariant " +
       "to partitioning") {
     val ids = (0L until 20L).toDF("doc_id")
