@@ -699,6 +699,28 @@ object Graft {
       iters: Int = 10): DataFrame =
     extra.Graph.pagerank(edges, srcCol, dstCol, iters)
 
+  /** Exact triangle census + global clustering coefficient
+    * (degree-oriented wedge join — one row out).
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    extra.Graph.triangles(edges, srcCol, dstCol)
+
+  /** DSIR importance log-weights toward a target domain (Xie et al.
+    * 2023): resample the raw corpus ∝ exp(log_weight) to approximate
+    * the target distribution.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame =
+    extra.Text.dsirWeights(docs, idCol, textCol, isTarget)
+
+  /** Near-dup pairs over any 56-bit-or-narrower fingerprint column
+    * (simhash / image dHash / audio energy hash): banded-LSH candidates
+    * + exact Hamming verify.
+    */
+  def hashNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 8): DataFrame =
+    extra.Dedup.hashNearDup(hashes, idCol, hashCol, maxHamming = maxHamming)
+
   /** N-stage ordered conversion funnel with exact mean latencies. */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame =

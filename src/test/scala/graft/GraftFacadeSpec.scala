@@ -141,6 +141,19 @@ class GraftFacadeSpec extends SparkSpec {
     assert(hits.columns.contains("score"))
   }
 
+  test("facade: graph census + DSIR + fingerprint near-dup surface") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val tri = Graft.triangles(edges, "src", "dst").collect().head
+    assert(tri.getAs[Long]("n_triangles") == 1L)
+    val docs = graft.model.Tables.load(spark, sfDir, "documents")
+    val w = Graft.dsirWeights(docs, "doc_id", "text",
+      col("source") === "src0")
+    assert(w.columns.toSeq == Seq("doc_id", "n_tokens", "log_weight"))
+    assert(w.count() == docs.count())
+    val hashes = Seq((1L, 5L), (2L, 5L)).toDF("id", "h")
+    assert(Graft.hashNearDup(hashes, "id", "h").count() == 1)
+  }
+
   test("facade: statistics + quality + multi-query retrieval surface") {
     val ev = graft.model.Tables.load(spark, sfDir, "events")
       .withColumn("variant", (col("user_id") % 2).cast("int"))

@@ -535,6 +535,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("audio_neardup: band candidates ride a keyed equijoin; no " +
+      "cartesian, no nested loop") {
+    val plan = executedPlan("audio_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("dsir_weights: both LM lookups broadcast the vocab-sized table; " +
       "the token stream never shuffles for the join") {
     val plan = executedPlan("dsir_weights")
