@@ -339,6 +339,37 @@ object AnalyticsQueriesImpl {
       |FROM t WHERE prev_type IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- cep_pattern --------------------------------------------------
+
+  /** Strict-contiguous CEP pattern detection (the SQL-2016
+    * MATCH_RECOGNIZE `PATTERN (A B C)` core): all click→view→purchase
+    * runs at consecutive per-user positions completing within 48
+    * hours (the events table is a sparse 30-day stream, ~10 h between
+    * a user's events, so a CEP window is measured in hours) — see [[graft.extra.Cep.matchContiguous]] (one keyed
+    * window, overlaps emit, exact-millis duration). The oracle replays
+    * the identical lead chain.
+    */
+  def cepPattern(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Cep.matchContiguous(events(s, dir), "user_id", "ts",
+        "event_type", Seq("click", "view", "purchase"),
+        withinMs = 172800000L, tieCol = "event_id")
+      .orderBy("user_id", "match_start")
+
+  private val cepPatternOracle =
+    """WITH t AS (SELECT user_id, ts, event_type,
+      |    lead(event_type, 1) OVER w AS t1,
+      |    lead(event_type, 2) OVER w AS t2,
+      |    lead(ts, 2) OVER w AS end_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, ts AS match_start, end_ts AS match_end,
+      |  epoch_ms(end_ts) - epoch_ms(ts) AS duration_ms
+      |FROM t
+      |WHERE event_type = 'click' AND t1 = 'view' AND t2 = 'purchase'
+      |  AND end_ts IS NOT NULL
+      |  AND epoch_ms(end_ts) - epoch_ms(ts) <= 172800000
+      |ORDER BY user_id, match_start""".stripMargin
+
   // ---- type_entropy -------------------------------------------------
 
   def typeEntropy(s: SparkSession, dir: String): DataFrame =
@@ -444,6 +475,9 @@ object AnalyticsQueriesImpl {
     QueryDef("cohort_retention",
       "first-seen cohort x day-offset active-user triangle",
       cohortRetention, Some(cohortOracle)),
+    QueryDef("cep_pattern",
+      "strict-contiguous CEP pattern (MATCH_RECOGNIZE core) per user",
+      cepPattern, Some(cepPatternOracle)),
     QueryDef("event_transitions",
       "first-order Markov transition counts between event types",
       eventTransitions, Some(transitionsOracle)),
