@@ -721,6 +721,44 @@ object Graft {
       maxHamming: Int = 8): DataFrame =
     extra.Dedup.hashNearDup(hashes, idCol, hashCol, maxHamming = maxHamming)
 
+  /** CEP: strict-contiguous pattern matches (MATCH_RECOGNIZE
+    * `PATTERN (A B C)`) per key — window-only, oracle-exact.
+    */
+  def matchContiguous(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, pattern: Seq[String], withinMs: Long,
+      tieCol: String): DataFrame =
+    extra.Cep.matchContiguous(df, keyCol, tsCol, typeCol, pattern,
+      withinMs, tieCol)
+
+  /** CEP: greedy skip-till-next-match detection (gaps allowed,
+    * non-overlapping) — the default discipline of most CEP engines.
+    */
+  def matchSkipTillNext(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, pattern: Seq[String], withinMs: Long,
+      tieCol: String): Dataset[extra.Cep.SeqMatch] =
+    extra.Cep.matchSkipTillNext(df, keyCol, tsCol, typeCol, pattern,
+      withinMs, tieCol)
+
+  /** STREAMING CEP: the skip-till-next automaton as bounded per-key
+    * operator state — matches emit in the micro-batch that closes them.
+    */
+  def cepStream(events: Dataset[streaming.Stateful.CepEvent],
+      pattern: Seq[String], withinMs: Long) =
+    streaming.Stateful.cepPerKey(events, pattern, withinMs)
+
+  /** Count-Min sketch cells (deterministic fixed-constant hashes —
+    * additive, mergeable, O(w) however large the input).
+    */
+  def countMinCells(df: DataFrame, keyCol: String, w: Int = 256): DataFrame =
+    extra.Stats.countMinCells(df, keyCol, w)
+
+  /** Point-frequency estimates from a Count-Min cell frame (never
+    * undercounts; overshoot bounded by ~e/w of the total count).
+    */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame,
+      keyCol: String, w: Int = 256): DataFrame =
+    extra.Stats.countMinEstimate(cells, probes, keyCol, w)
+
   /** N-stage ordered conversion funnel with exact mean latencies. */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame =

@@ -7,6 +7,71 @@ import org.apache.spark.sql.functions._
 /** Distribution statistics beyond the builtin aggregates. */
 object Stats {
 
+  /** (multiplier, increment) per Count-Min row — fixed public 31-bit
+    * constants for the Carter–Wegman universal hash
+    * `((a·(k mod p) + b) mod p) mod w` with p = 2³¹−1: every
+    * intermediate fits 2⁶² so the arithmetic is overflow-free under
+    * ANSI mode in Spark AND replays verbatim in the SQL oracle — no
+    * wraparound semantics needed anywhere.
+    */
+  val CmsRows: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L),
+    (1588635695L, 1117695901L),
+    (784588716L, 998244353L),
+    (1223106847L, 103658078L))
+
+  /** p = 2³¹ − 1 (prime) — the universal-hash modulus. */
+  val CmsP: Long = 2147483647L
+
+  private def cmsBucket(key: org.apache.spark.sql.Column, a: Long, b: Long,
+      w: Int): org.apache.spark.sql.Column =
+    pmod(pmod(pmod(key, lit(CmsP)) * a + b, lit(CmsP)), lit(w.toLong))
+
+  /** COUNT-MIN SKETCH cells (Cormode & Muthukrishnan 2005): d=4 hash
+    * rows × `w` buckets of summed counts — the point-frequency
+    * complement to the Misra-Gries top-k sketch: estimate(k) =
+    * min_j cell(j, h_j(k)) is never below the true count and
+    * overshoots by at most εN (ε ≈ e/w) with high probability.
+    *
+    * Deterministic BY CONSTRUCTION, unlike library CMS impls: buckets
+    * come from the fixed-constant Carter–Wegman hash ([[CmsRows]]),
+    * so the cell frame is engine-reproducible and ORACLE-ABLE, not
+    * just spec-bounded.
+    *
+    * Scale shape: a 4-way projection explode then ONE map-side-combined
+    * aggregation to ≤ 4·w cells — the reduced frame is O(w) no matter
+    * the input size, and cells are additive, so per-partition partials
+    * (or per-day sketches) merge by cell-wise sum — the same
+    * mergeability contract as the HLL rollup.
+    */
+  def countMinCells(df: DataFrame, keyCol: String, w: Int = 256): DataFrame = {
+    require(w >= 2, s"w must be >= 2, got $w")
+    val k = col(keyCol).cast("long")
+    val buckets = array(CmsRows.zipWithIndex.map { case ((a, b), _) =>
+      cmsBucket(k, a, b, w)
+    }: _*)
+    df.select(posexplode(buckets).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-frequency estimates for `probes` (any frame with `keyCol`)
+    * against a [[countMinCells]] frame: min over the d row lookups,
+    * coalescing an untouched cell to 0. The cell frame is O(w) and
+    * broadcasts; probes never shuffle.
+    */
+  def countMinEstimate(cells: DataFrame, probes: DataFrame,
+      keyCol: String, w: Int = 256): DataFrame = {
+    val k = col(keyCol).cast("long")
+    val withBuckets = probes.select(col(keyCol),
+      posexplode(array(CmsRows.map { case (a, b) =>
+        cmsBucket(k, a, b, w)
+      }: _*)).as(Seq("j", "bucket")))
+    withBuckets
+      .join(broadcast(cells), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** Exact linear-interpolated quantiles per key (the percentile_cont
     * definition): for probability p over n sorted values, position
     * pos = p·(n−1) (0-based), result = v⌊pos⌋ + frac·(v⌊pos⌋₊₁ − v⌊pos⌋).

@@ -199,6 +199,49 @@ object RelationalQueries {
       |ORDER BY side""".stripMargin
 
   /** Exact distinct counting (shuffle-dedup) per group. */
+  /** COUNT-MIN SKETCH point frequencies vs truth (see
+    * [[graft.extra.Stats.countMinCells]]): every user's estimated event
+    * count from a d=4 × w=64 sketch next to the exact count — est is
+    * never below truth and the overcount column makes the ε-error
+    * visible. Fixed LCG hash constants make the sketch a pure function
+    * of the data, so — unusually for a sketch — the query is fully
+    * ORACLE-EXACT, not rows-only: DuckDB replays every cell with the
+    * identical mod-p arithmetic.
+    */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val cells = graft.extra.Stats.countMinCells(e, "user_id", w = 64)
+    val truth = e.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+    graft.extra.Stats.countMinEstimate(cells,
+        truth.select("user_id"), "user_id", w = 64)
+      .join(truth, "user_id")
+      .select(col("user_id"), col("est"), col("true_n"),
+        (col("est") - col("true_n")).as("overcount"))
+      .orderBy("user_id")
+  }
+
+  private val cmsFreqOracle =
+    """WITH r(j, a, b) AS (SELECT * FROM (VALUES
+      |  (0, 1103515245, 12345),
+      |  (1, 1588635695, 1117695901),
+      |  (2, 784588716, 998244353),
+      |  (3, 1223106847, 103658078)) v(j, a, b)),
+      |cells AS (SELECT j,
+      |    (a * (user_id % 2147483647) + b) % 2147483647 % 64 AS bucket,
+      |    count(*) AS c
+      |  FROM events CROSS JOIN r GROUP BY 1, 2),
+      |truth AS (SELECT user_id, count(*) AS true_n
+      |  FROM events GROUP BY 1),
+      |est AS (SELECT t.user_id,
+      |    CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+      |  FROM truth t CROSS JOIN r
+      |  LEFT JOIN cells c ON c.j = r.j AND c.bucket =
+      |    (r.a * (t.user_id % 2147483647) + r.b) % 2147483647 % 64
+      |  GROUP BY 1)
+      |SELECT e.user_id, e.est, t.true_n, e.est - t.true_n AS overcount
+      |FROM est e JOIN truth t USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   def distinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
@@ -923,6 +966,9 @@ object RelationalQueries {
     QueryDef("distinct_users",
       "exact count-distinct per group",
       distinctUsers, Some(distinctUsersOracle)),
+    QueryDef("cms_freq",
+      "Count-Min sketch point frequencies vs truth (oracle-exact cells)",
+      cmsFreq, Some(cmsFreqOracle)),
     QueryDef("approx_distinct_users",
       "HLL++ approx count-distinct (engine-specific estimate; no oracle)",
       approxDistinctUsers, None),

@@ -201,4 +201,70 @@ object Stateful {
           }
       }
   }
+
+  final case class CepEvent(key: String, event_time_ms: Long, tie: Long,
+      event_type: String)
+  final case class CepState(step: Int, startMs: Long, skipped: Int)
+  final case class CepMatch(key: String, start_ms: Long, end_ms: Long,
+      duration_ms: Long, n_skipped: Int)
+
+  /** STREAMING CEP — the skip-till-next-match automaton of
+    * [[graft.extra.Cep.matchSkipTillNext]] as per-key operator state
+    * (CEP is classically a streaming concern; this is its low-latency
+    * half): state per key is the CURRENT partial match only —
+    * (step, start, skipped), O(pattern) bounded — advanced event by
+    * event; a completed match emits in the batch that closes it.
+    *
+    * Semantics vs the batch operator (documented deviations, both
+    * inherent to bounded-state streaming):
+    *   - in-batch event-time order, arrival order across batches
+    *     (the [[emaPerSymbol]]/[[asofPerKey]] contract);
+    *   - a partial match whose window expires is abandoned and the scan
+    *     resumes at the CURRENT event — the batch form rescans from
+    *     just after the failed start, which requires the event buffer a
+    *     stream cannot keep. On streams where a viable start never
+    *     hides behind an expiring one (e.g. the window comfortably
+    *     exceeds pattern spans) the two disciplines emit identical
+    *     matches — spec-asserted on such a fixture.
+    */
+  def cepPerKey(events: Dataset[CepEvent], pattern: Seq[String],
+      withinMs: Long): Dataset[CepMatch] = {
+    require(pattern.size >= 2, s"pattern needs >= 2 steps, got $pattern")
+    require(withinMs > 0, s"withinMs must be positive, got $withinMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CepState, CepMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CepEvent], state: GroupState[CepState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.event_time_ms, e.tie))
+          var cur = state.getOption
+          val out = Seq.newBuilder[CepMatch]
+          sorted.foreach { e =>
+            // expire the partial match BEFORE consuming the event, so
+            // the event can immediately open a fresh match
+            if (cur.exists(c => e.event_time_ms - c.startMs > withinMs))
+              cur = None
+            cur match {
+              case Some(c) if e.event_type == pattern(c.step) =>
+                if (c.step + 1 == pattern.size) {
+                  out += CepMatch(key, c.startMs, e.event_time_ms,
+                    e.event_time_ms - c.startMs, c.skipped)
+                  cur = None
+                } else cur = Some(c.copy(step = c.step + 1))
+              case Some(c) =>
+                cur = Some(c.copy(skipped = c.skipped + 1))
+              case None if e.event_type == pattern.head =>
+                cur = Some(CepState(1, e.event_time_ms, 0))
+              case None => ()
+            }
+          }
+          cur match {
+            case Some(c) => state.update(c)
+            case None if state.exists => state.remove()
+            case None => ()
+          }
+          out.result().iterator
+      }
+  }
 }

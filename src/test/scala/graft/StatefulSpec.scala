@@ -184,4 +184,65 @@ class StatefulSpec extends SparkSpec {
     assert(fin.head.getAs[Double]("last_price") == 105.0)
     assert(fin.head.getAs[Long]("latency_ms") > 0L)
   }
+
+  test("streaming CEP: a partial match crosses micro-batches, emits on " +
+      "completion, and matches the batch operator on a timeout-free " +
+      "fixture") {
+    import Stateful.CepEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[CepEvent]
+    val q = Stateful.cepPerKey(in.toDS(), Seq("a", "b", "c"),
+        withinMs = 1000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1 opens a partial (a, skip x, b) — nothing emits yet
+    in.addData(CepEvent("u1", 0L, 0L, "a"), CepEvent("u1", 1L, 1L, "x"),
+      CepEvent("u1", 2L, 2L, "b"))
+    q.processAllAvailable()
+    assert(spark.table("cep_out").count() == 0)
+    // batch 2 closes it; a second full run in one batch also emits
+    in.addData(CepEvent("u1", 3L, 3L, "c"),
+      CepEvent("u2", 0L, 0L, "a"), CepEvent("u2", 1L, 1L, "b"),
+      CepEvent("u2", 2L, 2L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cep_out").collect()
+      .map(m => (m.getString(0), m.getAs[Long]("start_ms"),
+        m.getAs[Long]("end_ms"), m.getAs[Int]("n_skipped"))).toSet
+    assert(got == Set(("u1", 0L, 3L, 1), ("u2", 0L, 2L, 0)))
+    // timeout-free fixture ⇒ identical to the batch skip-till-next
+    val batch = graft.extra.Cep.matchSkipTillNext(
+      Seq(("u1", 0L, 0L, "a"), ("u1", 1L, 1L, "x"), ("u1", 2L, 2L, "b"),
+        ("u1", 3L, 3L, "c"), ("u2", 0L, 0L, "a"), ("u2", 1L, 1L, "b"),
+        ("u2", 2L, 2L, "c"))
+        .toDF("key", "ms", "id", "typ")
+        .select(xxhash64(col("key")).as("k"),
+          timestamp_millis(col("ms")).as("ts"), col("id"), col("typ")),
+      "k", "ts", "typ", Seq("a", "b", "c"), 1000000L, "id")
+      .collect().map(m => (m.match_start.getTime, m.match_end.getTime,
+        m.n_skipped)).toSet
+    assert(batch == got.map(g => (g._2, g._3, g._4)))
+  }
+
+  test("streaming CEP: an expired partial abandons and the next event " +
+      "can open a fresh match immediately") {
+    import Stateful.CepEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[CepEvent]
+    val q = Stateful.cepPerKey(in.toDS(), Seq("a", "b"), withinMs = 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cep_to")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    in.addData(
+      CepEvent("k", 0L, 0L, "a"),     // partial opens
+      CepEvent("k", 500L, 1L, "a"),   // first partial expired; reopens here
+      CepEvent("k", 550L, 2L, "b"))   // closes the second
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("cep_to").collect()
+      .map(m => (m.getAs[Long]("start_ms"), m.getAs[Long]("end_ms")))
+    assert(out.toSeq == Seq((500L, 550L)))
+  }
 }

@@ -91,4 +91,49 @@ class StatsSpec extends SparkSpec {
       .select("id", "id2").orderBy("id", "id2").collect().toSeq
     assert(repart == naive)
   }
+
+  // ---- Count-Min sketch ---------------------------------------------
+
+  test("countMin: estimates never undercount, are exact when the " +
+      "domain is collision-free, and the cell frame is bounded") {
+    import graft.extra.Stats
+    val keys = Seq.fill(40)(1L) ++ Seq.fill(7)(2L) ++ Seq(3L)
+    val df = keys.toDF("k")
+    val cells = Stats.countMinCells(df, "k", w = 64)
+    assert(cells.count() <= 4L * 64)
+    // sum per hash row equals the total count (nothing lost)
+    val sums = cells.groupBy("j").agg(sum("c").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.toSeq == Seq.fill(4)(48L))
+    val est = Stats.countMinEstimate(cells,
+        Seq(1L, 2L, 3L, 999L).toDF("k"), "k", w = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est")).toMap
+    // 3 distinct keys in 64 buckets x 4 independent rows: exact
+    assert(est(1L) == 40L && est(2L) == 7L && est(3L) == 1L)
+    assert(est(999L) >= 0L) // absent key: only collision mass
+  }
+
+  test("countMin: cells are additive (mergeable) and partitioning-" +
+      "independent; a forced-collision domain overcounts, never under") {
+    import graft.extra.Stats
+    val keys = (0L until 500L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+    val df = keys.toDF("k")
+    def cellMap(d: org.apache.spark.sql.DataFrame) =
+      Stats.countMinCells(d, "k", w = 8).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cellMap(df)
+    assert(cellMap(df.repartition(17)) == whole)
+    // additivity: halves sum to the whole, cell by cell
+    val h1 = cellMap(keys.take(700).toDF("k"))
+    val h2 = cellMap(keys.drop(700).toDF("k"))
+    val merged = (h1.keySet ++ h2.keySet)
+      .map(c => c -> (h1.getOrElse(c, 0L) + h2.getOrElse(c, 0L))).toMap
+    assert(merged == whole)
+    // 500 keys into w=8: estimates collide hard but never undercount
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = Stats.countMinEstimate(Stats.countMinCells(df, "k", 8),
+        keys.distinct.toDF("k"), "k", 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est")).toMap
+    truth.foreach { case (k, n) => assert(est(k) >= n, s"key $k") }
+  }
 }
