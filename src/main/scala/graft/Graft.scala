@@ -759,6 +759,13 @@ object Graft {
       keyCol: String, w: Int = 256): DataFrame =
     extra.Stats.countMinEstimate(cells, probes, keyCol, w)
 
+  /** 2-D skyline (Pareto frontier) under (minimize, maximize) — the
+    * sort-based distributed shape, never an all-pairs anti-join.
+    */
+  def skyline2d(df: DataFrame, minimizeCol: String,
+      maximizeCol: String): DataFrame =
+    extra.Stats.skyline2d(df, minimizeCol, maximizeCol)
+
   /** N-stage ordered conversion funnel with exact mean latencies. */
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame =

@@ -72,6 +72,36 @@ object Stats {
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
+  /** 2-D SKYLINE (Pareto frontier): the rows NOT DOMINATED under
+    * (minimize `minimizeCol`, maximize `maximizeCol`) — r is dominated
+    * iff some other row is ≤ on the minimized axis AND ≥ on the
+    * maximized one, with at least one strict. Equal-on-both rows do not
+    * dominate each other (both stay on the frontier).
+    *
+    * Distributed shape (the 2-D case admits a sort-based plan; a naive
+    * skyline is an all-pairs anti-join): ONE keyed aggregation reduces
+    * to per-value groups (`__gmax` = best maximized value per minimized
+    * value), the strictly-cheaper running best comes from
+    * [[graft.ops.Ranks.withGlobalPrefixMax]] over the REDUCED frame
+    * (range shuffle + O(P) offsets — never a one-task window), and rows
+    * join back keyed on the minimized value. Dominance is then two
+    * comparisons: beaten by a strictly-cheaper group's best, or by a
+    * same-cost strictly-better row.
+    *
+    * `maximizeCol` must be integral (cast to long for the prefix max).
+    */
+  def skyline2d(df: DataFrame, minimizeCol: String,
+      maximizeCol: String): DataFrame = {
+    val g = df.groupBy(col(minimizeCol).as("__sk_min"))
+      .agg(max(col(maximizeCol).cast("long")).as("__gmax"))
+    val pm = graft.ops.Ranks.withGlobalPrefixMax(
+      g, Seq(col("__sk_min")), col("__gmax"), "__prevmax")
+    df.join(pm, col(minimizeCol) === col("__sk_min"))
+      .where(!(col("__prevmax") >= col(maximizeCol).cast("long") ||
+        col("__gmax") > col(maximizeCol).cast("long")))
+      .drop("__sk_min", "__gmax", "__prevmax")
+  }
+
   /** Exact linear-interpolated quantiles per key (the percentile_cont
     * definition): for probability p over n sorted values, position
     * pos = p·(n−1) (0-based), result = v⌊pos⌋ + frac·(v⌊pos⌋₊₁ − v⌊pos⌋).

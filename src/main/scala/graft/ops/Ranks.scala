@@ -143,4 +143,48 @@ object Ranks {
     }
     spark.createDataFrame(summed, schema).drop(valCol)
   }
+
+  /** Appends the EXCLUSIVE running max of `valueOf` over the global
+    * `sortCols` order as `out` — `MAX(v) OVER (ORDER BY … ROWS BETWEEN
+    * UNBOUNDED PRECEDING AND 1 PRECEDING)` without the one-task window,
+    * by the same two-pass range-shuffle trick as
+    * [[withGlobalPrefixSum]] (per-partition maxes → O(P) longs →
+    * partition prefix offsets → local accumulate). Exclusive — the row's
+    * own value does NOT count, and the global first row gets
+    * `Long.MinValue` — because the driving use is dominance tests
+    * ("does anything strictly before me beat me": skyline frontiers,
+    * record-so-far streams), where including self is exactly the bug.
+    */
+  def withGlobalPrefixMax(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueOf: Column,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val valCol = "__graft_prefix_val"
+    val sorted = df.withColumn(valCol, valueOf.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val valIdx = sorted.schema.fieldIndex(valCol)
+    val rdd = sorted.rdd // one lineage: the range shuffle is built once
+    val partMaxes = rdd
+      .mapPartitions({ it =>
+        var m = Long.MinValue
+        while (it.hasNext) m = math.max(m, it.next().getLong(valIdx))
+        Iterator.single(m)
+      }, preservesPartitioning = true)
+      .collect()
+    val offsets = partMaxes.scanLeft(Long.MinValue)(math.max)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val maxed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { row =>
+        val o = Row.fromSeq(row.toSeq :+ acc)
+        acc = math.max(acc, row.getLong(valIdx))
+        o
+      }
+    }
+    spark.createDataFrame(maxed, schema).drop(valCol)
+  }
 }

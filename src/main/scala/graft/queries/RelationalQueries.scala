@@ -242,6 +242,31 @@ object RelationalQueries {
       |FROM est e JOIN truth t USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** 2-D skyline over part: the price/size Pareto frontier (cheapest
+    * part at every size level no cheaper-and-bigger alternative beats) —
+    * see [[graft.extra.Stats.skyline2d]] for the sort-based distributed
+    * shape (keyed reduce + O(P)-offset prefix max, never all-pairs).
+    * The oracle states the same reduction with a plain window over the
+    * reduced per-price frame.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Stats.skyline2d(t(s, dir, "part"),
+        "p_retailprice", "p_size")
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")
+
+  private val skylineOracle =
+    """WITH g AS (SELECT p_retailprice AS price, max(p_size) AS gmax
+      |  FROM part GROUP BY 1),
+      |pm AS (SELECT price, gmax, max(gmax) OVER (ORDER BY price
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM g)
+      |SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+      |FROM part p JOIN pm ON p.p_retailprice = pm.price
+      |WHERE NOT (coalesce(pm.prevmax, -2147483648) >= p.p_size
+      |           OR pm.gmax > p.p_size)
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
+
   def distinctUsers(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
@@ -969,6 +994,9 @@ object RelationalQueries {
     QueryDef("cms_freq",
       "Count-Min sketch point frequencies vs truth (oracle-exact cells)",
       cmsFreq, Some(cmsFreqOracle)),
+    QueryDef("skyline_parts",
+      "2-D Pareto frontier (min price, max size) via sorted dominance",
+      skylineParts, Some(skylineOracle)),
     QueryDef("approx_distinct_users",
       "HLL++ approx count-distinct (engine-specific estimate; no oracle)",
       approxDistinctUsers, None),

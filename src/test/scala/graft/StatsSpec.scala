@@ -92,6 +92,46 @@ class StatsSpec extends SparkSpec {
     assert(repart == naive)
   }
 
+  // ---- 2-D skyline --------------------------------------------------
+
+  test("skyline2d: hand-checked dominance incl. duplicate points and " +
+      "same-cost strict domination; invariant to partitioning") {
+    import graft.extra.Stats
+    val rows = Seq(
+      (1L, 1.0, 10),  // frontier: cheapest
+      (2L, 2.0, 12),  // frontier: pricier but bigger
+      (3L, 2.0, 11),  // dominated by id=2 (same price, bigger size)
+      (4L, 3.0, 12),  // dominated by id=2 (cheaper, same size)
+      (5L, 3.0, 15),  // frontier
+      (6L, 4.0, 15),  // dominated by id=5
+      (7L, 3.0, 15))  // duplicate of id=5 on both axes: BOTH stay
+    val df = rows.toDF("id", "price", "size")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Stats.skyline2d(d, "price", "size").select("id").as[Long]
+        .collect().sorted.toSeq
+    assert(ids(df) == Seq(1L, 2L, 5L, 7L))
+    assert(ids(df.repartition(5)) == Seq(1L, 2L, 5L, 7L))
+  }
+
+  test("withGlobalPrefixMax is EXCLUSIVE and equals the one-task " +
+      "window form on a random frame") {
+    import graft.ops.Ranks
+    val df = (1 to 500).map(i => ((i * 37) % 101, (i * 13) % 97))
+      .toDF("ord", "v")
+    val got = Ranks.withGlobalPrefixMax(df,
+        Seq(col("ord"), col("v")), col("v"), "pm")
+      .select("ord", "v", "pm").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("ord", "v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("pm",
+        coalesce(max(col("v").cast("long")).over(w), lit(Long.MinValue)))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == want)
+  }
+
   // ---- Count-Min sketch ---------------------------------------------
 
   test("countMin: estimates never undercount, are exact when the " +
