@@ -542,6 +542,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("cep_pattern: one keyed window, no join of any kind") {
+    val plan = executedPlan("cep_pattern")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("cms_freq: probe lookups broadcast the O(w) cell frame; no " +
+      "cartesian") {
+    val plan = executedPlan("cms_freq")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("skyline_parts: dominance rides keyed joins over the reduced " +
+      "frame — no one-task global window, no cartesian") {
+    val plan = executedPlan("skyline_parts")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the prefix max is the range-shuffle two-pass, not a window
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("dsir_weights: both LM lookups broadcast the vocab-sized table; " +
       "the token stream never shuffles for the join") {
     val plan = executedPlan("dsir_weights")
