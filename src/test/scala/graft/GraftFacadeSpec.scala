@@ -154,6 +154,27 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.hashNearDup(hashes, "id", "h").count() == 1)
   }
 
+  test("facade: CEP + Count-Min + skyline surface") {
+    val ev = Seq((1L, 1000L, 0L, "a"), (1L, 2000L, 1L, "b"),
+      (1L, 3000L, 2L, "c"))
+      .toDF("k", "ms", "id", "typ")
+      .select(col("k"), timestamp_millis(col("ms")).as("ts"),
+        col("id"), col("typ"))
+    assert(Graft.matchContiguous(ev, "k", "ts", "typ",
+      Seq("a", "b", "c"), 10000L, "id").count() == 1)
+    assert(Graft.matchSkipTillNext(ev, "k", "ts", "typ",
+      Seq("a", "c"), 10000L, "id").collect().head.n_skipped == 1)
+    val keys = Seq(1L, 1L, 2L).toDF("k")
+    val est = Graft.countMinEstimate(Graft.countMinCells(keys, "k"),
+        keys.distinct(), "k")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est")).toMap
+    assert(est(1L) == 2L && est(2L) == 1L)
+    val pts = Seq((1L, 1.0, 5), (2L, 2.0, 4)).toDF("id", "cost", "gain")
+    // id=2 costs more and gains less: dominated
+    assert(Graft.skyline2d(pts, "cost", "gain").select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
   test("facade: statistics + quality + multi-query retrieval surface") {
     val ev = graft.model.Tables.load(spark, sfDir, "events")
       .withColumn("variant", (col("user_id") % 2).cast("int"))
