@@ -732,6 +732,9 @@ object Graft {
 
   /** CEP: greedy skip-till-next-match detection (gaps allowed,
     * non-overlapping) — the default discipline of most CEP engines.
+    * `keyCol` must be NUMERIC (it is cast to long for the typed state
+    * row); pre-hash string keys with `xxhash64(key)` — see
+    * [[extra.Cep.matchSkipTillNext]]'s key contract.
     */
   def matchSkipTillNext(df: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, pattern: Seq[String], withinMs: Long,

@@ -91,6 +91,13 @@ object Cep {
     *
     * Typed-tier implementation (see class doc): one groupByKey shuffle,
     * events sorted per key, O(pattern) live state, streaming emit.
+    *
+    * KEY CONTRACT: `keyCol` must be NUMERIC — it is cast to long for
+    * the typed `Ev` row, so a string key becomes NULL under the cast
+    * (or throws under ANSI) and dies at deserialization of the
+    * non-nullable field. Pre-hash arbitrary keys with
+    * `xxhash64(key)` (what StatefulSpec does); the emitted `key` is
+    * then that hash — join back on it to recover the original.
     */
   def matchSkipTillNext(df: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, pattern: Seq[String], withinMs: Long,

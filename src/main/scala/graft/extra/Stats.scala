@@ -23,9 +23,22 @@ object Stats {
   /** p = 2³¹ − 1 (prime) — the universal-hash modulus. */
   val CmsP: Long = 2147483647L
 
+  /** Bucket for one Carter–Wegman row. The key is first FOLDED as
+    * `key xor (key >> 31)` (arithmetic shift — identical two's-
+    * complement semantics in Spark and DuckDB, so the oracle replays
+    * it verbatim): the mod-p reduction alone would make any two keys
+    * congruent mod 2³¹−1 collide STRUCTURALLY in all d rows (no
+    * min-protection), which matters exactly for 64-bit id spaces
+    * (xxhash64-derived keys). The fold mixes the high 33 bits into the
+    * low word before the reduction, so congruent-mod-p longs land in
+    * independent buckets; the pairwise-independence bound then holds
+    * over the folded 64-bit universe rather than only below p.
+    */
   private def cmsBucket(key: org.apache.spark.sql.Column, a: Long, b: Long,
-      w: Int): org.apache.spark.sql.Column =
-    pmod(pmod(pmod(key, lit(CmsP)) * a + b, lit(CmsP)), lit(w.toLong))
+      w: Int): org.apache.spark.sql.Column = {
+    val folded = key.bitwiseXOR(shiftright(key, 31))
+    pmod(pmod(pmod(folded, lit(CmsP)) * a + b, lit(CmsP)), lit(w.toLong))
+  }
 
   /** COUNT-MIN SKETCH cells (Cormode & Muthukrishnan 2005): d=4 hash
     * rows × `w` buckets of summed counts — the point-frequency
@@ -88,7 +101,11 @@ object Stats {
     * comparisons: beaten by a strictly-cheaper group's best, or by a
     * same-cost strictly-better row.
     *
-    * `maximizeCol` must be integral (cast to long for the prefix max).
+    * `maximizeCol` must be integral (cast to long for the prefix max)
+    * and NON-NULL on every row: a null is incomparable under dominance,
+    * so the operator refuses it (the prefix-max pass fails fast naming
+    * the contract) rather than silently ranking it — filter or impute
+    * nulls before calling.
     */
   def skyline2d(df: DataFrame, minimizeCol: String,
       maximizeCol: String): DataFrame = {

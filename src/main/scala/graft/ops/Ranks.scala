@@ -128,7 +128,17 @@ object Ranks {
     val partSums = rdd
       .mapPartitions({ it =>
         var s = 0L
-        while (it.hasNext) s += it.next().getLong(valIdx)
+        while (it.hasNext) {
+          val row = it.next()
+          // fail with the contract, not an executor NPE: a null here is
+          // a caller bug (nullable valueOf), and getLong on a null slot
+          // dies as an opaque NullPointerException deep in the task
+          if (row.isNullAt(valIdx)) throw new IllegalArgumentException(
+            "withGlobalPrefixSum: valueOf evaluated to NULL — the value " +
+              "expression must be non-null integral for every row " +
+              "(filter nulls or coalesce before calling)")
+          s += row.getLong(valIdx)
+        }
         Iterator.single(s)
       }, preservesPartitioning = true)
       .collect()
@@ -171,7 +181,17 @@ object Ranks {
     val partMaxes = rdd
       .mapPartitions({ it =>
         var m = Long.MinValue
-        while (it.hasNext) m = math.max(m, it.next().getLong(valIdx))
+        while (it.hasNext) {
+          val row = it.next()
+          // same fail-fast contract as withGlobalPrefixSum: a null
+          // valueOf (e.g. skyline2d over a group whose maximize column
+          // is all NULL) must name the contract, not NPE in a task
+          if (row.isNullAt(valIdx)) throw new IllegalArgumentException(
+            "withGlobalPrefixMax: valueOf evaluated to NULL — the value " +
+              "expression must be non-null integral for every row " +
+              "(filter nulls or coalesce before calling)")
+          m = math.max(m, row.getLong(valIdx))
+        }
         Iterator.single(m)
       }, preservesPartitioning = true)
       .collect()

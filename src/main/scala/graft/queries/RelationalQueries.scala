@@ -227,7 +227,8 @@ object RelationalQueries {
       |  (2, 784588716, 998244353),
       |  (3, 1223106847, 103658078)) v(j, a, b)),
       |cells AS (SELECT j,
-      |    (a * (user_id % 2147483647) + b) % 2147483647 % 64 AS bucket,
+      |    (a * ((((xor(user_id, user_id >> 31)) % 2147483647)
+      |      + 2147483647) % 2147483647) + b) % 2147483647 % 64 AS bucket,
       |    count(*) AS c
       |  FROM events CROSS JOIN r GROUP BY 1, 2),
       |truth AS (SELECT user_id, count(*) AS true_n
@@ -236,7 +237,8 @@ object RelationalQueries {
       |    CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
       |  FROM truth t CROSS JOIN r
       |  LEFT JOIN cells c ON c.j = r.j AND c.bucket =
-      |    (r.a * (t.user_id % 2147483647) + r.b) % 2147483647 % 64
+      |    (r.a * ((((xor(t.user_id, t.user_id >> 31)) % 2147483647)
+      |      + 2147483647) % 2147483647) + r.b) % 2147483647 % 64
       |  GROUP BY 1)
       |SELECT e.user_id, e.est, t.true_n, e.est - t.true_n AS overcount
       |FROM est e JOIN truth t USING (user_id)
