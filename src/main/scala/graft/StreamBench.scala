@@ -45,15 +45,26 @@ object StreamBench {
       // the steady-state claim. -1 when the pass had <2 data batches.
       // `eventsPerSec` keeps its historical meaning for round-over-
       // round comparability.
-      steadyEventsPerSec: Double = -1.0) {
+      steadyEventsPerSec: Double = -1.0,
+      // 1-min /proc/loadavg at measurement start (−1 if unreadable):
+      // the block's contention stamp — a `valid:false` or below-target
+      // number next to a high load reads as machine load, not a
+      // regression, without needing a quiet re-run (r10 verdict #1).
+      load1: Double = -1.0) {
     def json: String =
       s"""{"events_per_sec":${rnd(eventsPerSec, 1)},"target_tps":$targetTps,""" +
         s""""rows":$rows,"wall_s":${rnd(wallS)},"n_batches":$nBatches,""" +
         s""""avg_batch_ms":${rnd(avgBatchMs, 1)},"max_batch_ms":$maxBatchMs,""" +
         s""""min_batch_ms":$minBatchMs,"p50_batch_ms":${rnd(p50BatchMs, 1)},""" +
         s""""steady_events_per_sec":${rnd(steadyEventsPerSec, 1)},""" +
-        s""""valid":$valid}"""
+        s""""load1":${rnd(load1, 2)},"valid":$valid}"""
   }
+
+  private def readLoad1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   /** Run the flagship streaming pipeline for `secs` wall-clock seconds at
     * `tps` generated ticks/sec and collect throughput + per-micro-batch
@@ -111,6 +122,7 @@ object StreamBench {
   private def runMeasured(spark: SparkSession, monitor: Monitor,
       q: org.apache.spark.sql.streaming.StreamingQuery,
       writing: AtomicBoolean, tps: Int, secs: Int): StreamStats = {
+    val loadAtStart = readLoad1()
     val t0 = System.nanoTime()
     try {
       val capSecs = math.max(secs, 60).toDouble
@@ -157,7 +169,8 @@ object StreamBench {
       StreamStats(rows / wall, tps, rows, wall, batchMs.size, avgBatchMs,
         if (batchMs.nonEmpty) batchMs.max else -1L,
         if (batchMs.nonEmpty) batchMs.min else -1L,
-        p50BatchMs, valid = isValid, steadyEventsPerSec = steady)
+        p50BatchMs, valid = isValid, steadyEventsPerSec = steady,
+        load1 = loadAtStart)
     } finally {
       if (q.isActive) q.stop()
       monitor.detach(spark)
