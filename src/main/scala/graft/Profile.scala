@@ -31,6 +31,40 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "bfs") {
+      // stage-by-stage profile of the Scala-driven BFS loop
+      val li = Tables.load(spark, dir, "lineitem")
+      li.count() // warm IO
+      (1 to 2).foreach { i =>
+        val edges = li.select(explode(array(
+            struct((col("l_suppkey") * 2).as("src"),
+              (col("l_partkey") * 2 + 1).as("dst")),
+            struct((col("l_partkey") * 2 + 1).as("src"),
+              (col("l_suppkey") * 2).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        time(s"#$i edges scan")(edges.count())
+        var visited = Dedup.materialize(
+          spark.range(1).select(lit(2L).as("id"),
+            lit(0).cast("int").as("dist")))
+        var frontier = visited.select("id")
+        (1 to 3).foreach { lvl =>
+          val t0 = System.nanoTime()
+          val next = edges
+            .join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id")).distinct()
+            .join(visited.select("id"), Seq("id"), "left_anti")
+            .select(col("id"), lit(lvl).cast("int").as("dist"))
+          val mat = Dedup.materialize(next)
+          println(f"[prof] #$i level $lvl%d materialize " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2fs")
+          time(s"#$i level $lvl isEmpty")(if (mat.isEmpty) 0L else 1L)
+          visited = visited.unionAll(mat)
+          frontier = mat.select("id")
+        }
+        time(s"#$i final agg")(visited.groupBy("dist").count().count())
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bm25idx") {
       // stage-by-stage profile of the persisted-BM25 sparse arm against
       // the hybrid smoke's staged layout (run HybridSmoke first)

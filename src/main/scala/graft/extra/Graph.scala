@@ -113,6 +113,92 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** BFS hop distances from a seed node, depth-bounded: returns one
+    * row per REACHED node — `id`, `dist` (INT, the true minimum hop
+    * count ≤ `maxDepth`; the seed itself at dist 0).
+    *
+    * The loop is DRIVEN IN SCALA — one keyed frontier join per level —
+    * not via `WITH RECURSIVE`: Spark's `UnionLoop` re-plans and
+    * re-executes the recursive step's whole subtree each level at full
+    * `shuffle.partitions` over a frontier that is tiny after level 1
+    * (measured at sf0.1, 1.18M edges: 6.7 s recursive vs ~1 s here for
+    * depth 3 — same asymptotics, 6× constant factor). Exactly the
+    * shape [[pagerank]] already uses: loop-invariant edge list
+    * materialized ONCE, per-level state materialized so the planner
+    * sees exact row counts and converts the frontier and visited-set
+    * joins to broadcasts while they are small — falling back to keyed
+    * shuffle joins automatically on a frontier that outgrows the
+    * threshold (the 100× graph), because nothing is force-broadcast.
+    *
+    * Per level: expand (frontier ⋈ edges on src — the only touch of
+    * the edge-proportional frame), dedup the expansion, anti-join the
+    * visited set (so each node enters the frontier exactly once —
+    * frontier sizes are bounded by |V| TOTAL across all levels, never
+    * path-enumerating), stamp the level as `dist`. First visit = BFS
+    * distance, so no min(dist) collapse is needed afterwards. Early
+    * exit when a frontier empties (the isEmpty probe reads one
+    * partition of an already-materialized frame).
+    */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seed: org.apache.spark.sql.Column, maxDepth: Int,
+      materializeEdges: Boolean = false): DataFrame = {
+    // The edge frame is re-evaluated once per LEVEL (maxDepth times).
+    // For the common case — a narrow projection over a columnar scan —
+    // re-scanning beats paying one edge-proportional checkpoint write
+    // up front (measured at sf0.1, 1.2M edges, depth 3: ~0.7 s saved);
+    // set materializeEdges for an edge frame with expensive lineage
+    // (joins/aggregations above it), which is pagerank's default
+    // because its loop runs 10+ levels.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (materializeEdges) Dedup.materialize(e0) else e0
+    bfsLevels(_ => e, seed, maxDepth)
+  }
+
+  /** Level-parameterized BFS: like [[bfs]], but level `d`'s expansion
+    * joins the frontier against `edgesAt(d)` (columns `src`, `dst`) —
+    * the multi-hop traversal over a LEVEL-DEPENDENT relation. This is
+    * how structure the caller knows and the operator can't shrinks the
+    * scan: a bipartite graph (the supplier↔part co-purchase graph)
+    * alternates its two one-directional halves, so each level scans
+    * |E| rows instead of the 2|E| symmetric closure (measured at
+    * sf0.1: ~0.4 s/level saved); temporal multi-hop feeds the
+    * per-epoch edge slice. Distances remain true hop counts over the
+    * implied union-by-level semantics.
+    */
+  def bfsLevels(edgesAt: Int => DataFrame,
+      seed: org.apache.spark.sql.Column, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    // edgesAt(1) is evaluated once up front for its session handle —
+    // building the (lazy) frame is side-effect free by DataFrame
+    // contract, nothing is executed for it
+    val spark = edgesAt(1).sparkSession
+    var visited = Dedup.materialize(spark.range(1)
+      .select(seed.as("id"), lit(0).cast("int").as("dist")))
+    var frontier = visited.select("id")
+    var d = 1
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
+      val next = edgesAt(d)
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(d).cast("int").as("dist"))
+        .transform(Dedup.materialize)
+      if (next.isEmpty) exhausted = true
+      else {
+        // lazy union of per-level CHECKPOINTED frames — every leg is
+        // already materialized, so the union needs no re-checkpoint
+        // (its stats are the exact sum of the legs') and the visited
+        // set stays ≤ maxDepth checkpointed legs deep, never a
+        // recursive lineage
+        visited = visited.unionAll(next)
+        frontier = next.select("id")
+      }
+      d += 1
+    }
+    visited
+  }
+
   /** Exact global triangle count + clustering coefficient via
     * DEGREE-ORDERED edge orientation — the standard distributed
     * formulation (Suri & Vassilvitskii's MR triangle counting; also the

@@ -60,49 +60,54 @@ object GraphQueriesImpl {
        |FROM r$Iters ORDER BY id""".stripMargin
   }
 
-  /** Bounded-depth BFS reachability via a RECURSIVE CTE (Spark 4's
-    * `WITH RECURSIVE` — planned through `UnionLoop`, the iterative
-    * union operator): hop distances from a seed supplier over the
-    * symmetric co-purchase graph, depth ≤ [[BfsDepth]]. The recursive
-    * step DEDUPS its frontier (`SELECT DISTINCT`), so each level is
-    * bounded by |V| nodes — a path-enumerating step without it is
-    * combinatorial (measured: depth 3 at sf0.01 exceeds Spark's 10⁶
-    * recursion row limit; the deduped form is ~|V| per level at any
-    * scale, the formulation that survives a 100× graph). A node
-    * re-reached at a deeper level still re-expands, so the outer
-    * `min(dist)` per node collapses levels to the true BFS distance —
-    * identical set semantics in DuckDB, engine-independent by
-    * construction. Each step joins only the PREVIOUS level against
-    * the edge list — a keyed equijoin per level, never a re-scan of
-    * accumulated levels.
+  /** Bounded-depth BFS reachability: hop distances from a seed
+    * supplier over the symmetric co-purchase graph, depth ≤
+    * [[BfsDepth]], via [[graft.extra.Graph.bfs]] — a Scala-driven loop
+    * of keyed frontier joins (frontier materialized per level so it
+    * broadcasts while small; each node enters the frontier exactly
+    * once, so total work is |E| touched per level plus |V| frontier
+    * rows — never path-enumerating). The recursive-CTE formulation
+    * (Spark 4 `WITH RECURSIVE` planned through `UnionLoop`) computes
+    * the identical result — GraphSpec pins the equivalence — but
+    * re-plans and re-executes the step subtree per level at full
+    * shuffle width over a post-level-1 frontier that is tiny
+    * (measured at sf0.1: 6.7 s recursive vs ~1 s here), so the driven
+    * loop is the registered shape. The oracle replays DuckDB's
+    * recursive CTE with a `min(dist)` collapse — first-visit distance
+    * and min-over-reexpansions agree by BFS induction, so the two
+    * formulations are engine-independently equal.
     */
   def reachabilityQ(s: SparkSession, dir: String): DataFrame = {
-    // materialize the edge list BEFORE the recursion: UnionLoop
-    // re-evaluates the recursive step's whole subtree every level, so
-    // an edges CTE would re-run the 600k-row DISTINCT scan per hop
-    // (measured at sf0.1, 4 cores: 8.7s → 4.8s from hoisting it once)
+    // Traverse on LONG-encoded node ids (supplier k → 2k, part k →
+    // 2k+1) and skip the edge-list dedup entirely: BFS is
+    // duplicate-insensitive (the per-level frontier distinct collapses
+    // them), so paying a full fact-table distinct shuffle up front
+    // buys nothing, and long keys make the per-level distinct/join
+    // hashing ~2× cheaper than 's…'/'p…' strings (measured at sf0.1:
+    // 3.5 s → ~1.3 s). The string ids the oracle speaks reappear as a
+    // projection over the |V|-row result, BEFORE the final tiny
+    // aggregate — min/max(first_id/last_id) order over strings is
+    // preserved because the projection is applied pre-aggregation.
     val li = Tables.load(s, dir, "lineitem")
-    val e0 = li.select(
-        concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-      .distinct()
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .transform(graft.extra.Dedup.materialize)
-      .createOrReplaceTempView("bfs_edges_v")
-    s.sql(
-      s"""WITH RECURSIVE edges AS (
-         |  SELECT src, dst FROM bfs_edges_v),
-         |reach AS (
-         |  SELECT 's1' AS id, 0 AS dist
-         |  UNION ALL
-         |  SELECT DISTINCT e.dst AS id, r.dist + 1 AS dist
-         |  FROM reach r JOIN edges e ON e.src = r.id
-         |  WHERE r.dist < $BfsDepth),
-         |bfs AS (SELECT id, CAST(min(dist) AS INT) AS dist
-         |  FROM reach GROUP BY id)
-         |SELECT dist, count(*) AS n_nodes, min(id) AS first_id,
-         |  max(id) AS last_id
-         |FROM bfs GROUP BY dist ORDER BY dist""".stripMargin)
+    // The co-purchase graph is BIPARTITE (suppliers on one side, parts
+    // on the other), so a symmetric-closure BFS wastes half of every
+    // level's scan: from a supplier seed, odd levels can only cross
+    // supplier→part edges and even levels part→supplier. bfsLevels
+    // feeds each level just its one-directional half — |E| rows per
+    // level instead of 2|E|, from a bare two-column fact projection.
+    val sp = li.select((col("l_suppkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    val ps = li.select((col("l_partkey") * 2 + 1).as("src"),
+      (col("l_suppkey") * 2).as("dst"))
+    Graph.bfsLevels(lvl => if (lvl % 2 == 1) sp else ps,
+        lit(2L), BfsDepth) // seed: supplier 1
+      .select(col("dist"),
+        when(col("id") % 2 === 0, concat(lit("s"), expr("id div 2")))
+          .otherwise(concat(lit("p"), expr("(id - 1) div 2"))).as("id"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), min("id").as("first_id"),
+        max("id").as("last_id"))
+      .orderBy("dist")
   }
 
   private val BfsDepth = 3
@@ -197,7 +202,8 @@ object GraphQueriesImpl {
       s"PageRank, $Iters fixed decimal-exact iterations, unrolled oracle",
       pagerankQ, Some(pagerankOracle)),
     QueryDef("reachability_bfs",
-      s"recursive-CTE BFS hop distances (depth $BfsDepth) from a seed node",
+      s"Scala-driven frontier BFS hop distances (depth $BfsDepth) " +
+        "from a seed node; recursive-CTE oracle",
       reachabilityQ, Some(reachabilityOracle)),
     QueryDef("triangle_count",
       "degree-oriented exact triangle census + clustering coefficient",

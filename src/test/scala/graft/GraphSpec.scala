@@ -67,6 +67,58 @@ class GraphSpec extends SparkSpec {
       r.getAs[Double]("global_cc"))
   }
 
+  test("bfs: hand-checked hop distances on a small digraph, depth " +
+      "bound respected, unreachable nodes absent") {
+    // a -> b -> c -> d, a -> c (shortcut), e isolated
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("e", "e2")).toDF("src", "dst")
+    val out = Graph.bfs(edges, "src", "dst",
+        org.apache.spark.sql.functions.lit("a"), maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // c is dist 1 via the shortcut (NOT 2), d is dist 2 via c; e/e2
+    // unreachable from a
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    val deep = Graph.bfs(edges, "src", "dst",
+        org.apache.spark.sql.functions.lit("a"), maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(deep == Map("a" -> 0, "b" -> 1, "c" -> 1))
+  }
+
+  test("bfs: early exit on an exhausted frontier — depth 10 on a " +
+      "3-chain returns the 3 reachable nodes") {
+    val edges = Seq(("x", "y"), ("y", "z")).toDF("src", "dst")
+    val out = Graph.bfs(edges, "src", "dst",
+        org.apache.spark.sql.functions.lit("x"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("x" -> 0, "y" -> 1, "z" -> 2))
+  }
+
+  test("bfs: Scala-driven loop equals the recursive-CTE formulation " +
+      "(min-dist collapse) on a random-ish graph") {
+    // deterministic pseudo-random sparse digraph: 60 nodes, edges from
+    // a fixed LCG; exercises re-reached nodes at multiple depths
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(150)((rnd.nextInt(60), rnd.nextInt(60)))
+      .filter { case (a, b) => a != b }
+    val edges = pairs.toDF("src", "dst")
+    edges.createOrReplaceTempView("bfs_eq_edges")
+    val depth = 4
+    val cte = spark.sql(
+      s"""WITH RECURSIVE reach AS (
+         |  SELECT 0 AS id, 0 AS dist
+         |  UNION ALL
+         |  SELECT DISTINCT e.dst AS id, r.dist + 1 AS dist
+         |  FROM reach r JOIN bfs_eq_edges e ON e.src = r.id
+         |  WHERE r.dist < $depth)
+         |SELECT id, CAST(min(dist) AS INT) AS dist
+         |FROM reach GROUP BY id""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val loop = Graph.bfs(edges, "src", "dst",
+        org.apache.spark.sql.functions.lit(0), depth)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(loop == cte)
+  }
+
   test("triangles: K4 has 4 triangles, cc = 1; counted once each") {
     // complete graph on 4 nodes: C(4,3)=4 triangles, wedges Σ C(3,2)=12,
     // cc = 3·4/12 = 1.0
