@@ -29,6 +29,7 @@ object GraphSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "triangles") { runTriangles(spark, nEdges, nNodes); return }
+    if (mode == "cc") { runCc(spark, nEdges, nNodes); return }
 
     // hashed random graph + every 100th node points at hub 0
     val rand = spark.range(nEdges).select(
@@ -49,6 +50,37 @@ object GraphSmoke {
       f"top=${top.map(r => s"${r.getLong(0)}:${r.getDouble(2)}").mkString(",")}")
     require(top.head.getLong(0) == 0L,
       s"planted hub 0 should hold the top rank, got ${top.head.getLong(0)}")
+    spark.stop()
+    println("[graph-smoke] OK")
+  }
+
+  /** Connected components on the hub-skewed hashed graph: the planted
+    * hub (node 0, degree ≈ nNodes/100) plus a dense random layer makes
+    * one giant short-diameter component — the consolidation shape CC
+    * exists for. The hub-degree adjacency rows stay MaxChunk-bounded
+    * (same chunked layout as pagerank), so the smoke finishing without
+    * an executor-side blowup on a hub-skewed input is the layout
+    * working; the label of node 0's component must be 0 (it is the
+    * minimum id and the hub wires 0 into the giant component).
+    */
+  private def runCc(spark: SparkSession, nEdges: Long,
+      nNodes: Long): Unit = {
+    val rand = spark.range(nEdges).select(
+      pmod(hash(col("id")), lit(nNodes)).cast("long").as("src"),
+      pmod(hash(col("id") * 7 + 13), lit(nNodes)).cast("long").as("dst"))
+    val hub = spark.range(nNodes / 100).select(
+      (col("id") * 100 + 1).as("src"), lit(0L).as("dst"))
+    val t0 = System.nanoTime()
+    val comps = graft.extra.Graph.connectedComponents(
+      rand.union(hub), "src", "dst", maxIters = 15)
+    val sizes = comps.groupBy("component").count()
+      .orderBy(col("count").desc).limit(3).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[graph-smoke] cc edges=$nEdges nodes=$nNodes " +
+      f"wall=$wall%.1fs top=${sizes.map(r =>
+        s"${r.getLong(0)}:${r.getLong(1)}").mkString(",")}")
+    require(sizes.head.getLong(0) == 0L,
+      s"giant component should be labeled 0, got ${sizes.head.getLong(0)}")
     spark.stop()
     println("[graph-smoke] OK")
   }

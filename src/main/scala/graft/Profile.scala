@@ -65,6 +65,27 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "cc") {
+      // connected-components timing on the Q1-1995 graph
+      val orders = Tables.load(spark, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey").as("ok"))
+      val li = Tables.load(spark, dir, "lineitem")
+      val op = li.join(broadcast(orders), li("l_orderkey") === orders("ok"))
+        .select(col("l_orderkey").as("ok2"), col("l_partkey").as("p"))
+        .distinct()
+      val a = op.select(col("ok2"), col("p").as("pa"))
+      val b = op.select(col("ok2"), col("p").as("pb"))
+      val edges = a.join(b, Seq("ok2")).where(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      (1 to 3).foreach { pass =>
+        time(s"#$pass connectedComponents")(
+          graft.extra.Graph.connectedComponents(edges, "src", "dst")
+            .count())
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bm25idx") {
       // stage-by-stage profile of the persisted-BM25 sparse arm against
       // the hybrid smoke's staged layout (run HybridSmoke first)

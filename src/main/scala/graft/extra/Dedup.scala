@@ -493,79 +493,17 @@ object Dedup {
     * cluster, not per pair; pairwise dropping under-deletes on chains
     * a~b, b~c).
     *
-    * Implementation: min-label propagation WITH POINTER DOUBLING —
-    * labels start as self; each iteration (a) takes the min of own and
-    * neighbors' labels and (b) shortcuts `lab := lab(lab)` (every label
-    * is itself a node id, so the indirection is a keyed self-join). The
-    * reach of a label roughly doubles per round (d → 2d+1), so
-    * convergence needs O(log diameter) iterations — the default
-    * `maxIters = 20` covers diameter ≈ 2²⁰, where plain propagation
-    * covers only 20 (ADVICE r3: templated corpora DO produce long
-    * near-dup chains). Each iteration is two keyed joins + one
-    * aggregation; the changed-label count rides the aggregation as an
-    * observed metric, so convergence probing costs no extra job. A
-    * propagate pass with zero changes means labels are constant on every
-    * edge — the fixed point — so the probe on step (a) alone is sound.
-    *
-    * If the graph is somehow still unconverged after `maxIters`, the
-    * labels would be silently wrong — that case throws instead.
+    * Delegates to [[Graph.connectedComponents]] — min-label
+    * propagation with pointer doubling (O(log diameter) rounds,
+    * observed-metric convergence probe, throws on an unconverged
+    * exit); see that operator for the algorithm and scale shape. The
+    * default `maxIters = 20` covers diameter ≈ 2²⁰ (ADVICE r3:
+    * templated corpora DO produce long near-dup chains).
     */
   def dupClusters(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .transform(materialize) // reused every iteration — cut the lineage
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
-      .transform(materialize)
-    var converged = edges.isEmpty
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lab"))
-      // carry the previous label through the aggregation: min(lab) is
-      // the update, and the changed-count observed metric answers the
-      // convergence probe from the job that materializes the labels
-      // anyway. The frame feeds BOTH sides of the pointer-doubling
-      // self-join below, so it is materialized HERE (eager checkpoint =
-      // one job, which also fires the Observation) — without this the
-      // union+groupBy and its whole upstream execute twice per
-      // iteration (r5 verdict: prime suspect in the neardup_clusters
-      // 3.3s -> 11.2s swing).
-      val obs = new org.apache.spark.sql.Observation()
-      val propagated = labels.withColumn("old", col("lab")).unionByName(
-          nbr.withColumn("old", lit(null).cast(nbr.schema("lab").dataType)))
-        .groupBy("id")
-        .agg(min("lab").as("lab"), min("old").as("old"))
-        .observe(obs, sum(when(col("lab") =!= col("old"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select("id", "lab")
-        .transform(materialize)
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
-      // pointer doubling: follow the label one hop (lab := lab's lab —
-      // monotone non-increasing, reaches the component min in log
-      // rounds). At the fixed point the hop is the identity, so skip it
-      // (and its materialization job) once the probe reports converged.
-      // `next` is materialized too: it becomes the next iteration's
-      // `labels`, which is itself referenced twice (neighbor join +
-      // union side).
-      labels =
-        if (converged) propagated
-        else propagated
-          .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
-            "lab")
-          .select(col("id"), col("lab2").as("lab"))
-          .transform(materialize)
-      i += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"dupClusters: not converged after $maxIters iterations — " +
-          "component diameter exceeds 2^maxIters (?); labels would be " +
-          "wrong. Raise maxIters.")
-    labels.select(col("id"), col("lab").as("cluster_id"))
-  }
+      bCol: String = "id_b", maxIters: Int = 20): DataFrame =
+    Graph.connectedComponents(pairs, aCol, bCol, maxIters)
+      .select(col("id"), col("component").as("cluster_id"))
 
   /** Embedding-cosine near-dup, LSH-bucketed — the scale path and the
     * registered headline query: candidate pairs must collide in at least

@@ -199,6 +199,96 @@ object Graph {
     visited
   }
 
+  /** CONNECTED COMPONENTS by min-label propagation WITH POINTER
+    * DOUBLING — the cluster consolidation primitive (near-dup
+    * clusters, entity resolution) as a keyed iteration, the same
+    * execution shape as [[pagerank]]: every node starts labeled with
+    * its own id; each round (a) every node takes the min of its own
+    * and its neighbors' labels, then (b) shortcuts `lab := lab(lab)`
+    * (labels are node ids, so the indirection is one keyed self-join
+    * of the node-proportional label frame). The shortcut lets a
+    * label's reach grow super-linearly — on an id-ordered path it
+    * doubles per round; with RANDOM id placement the jump's gain
+    * depends on where the minimum happens to sit, and measured
+    * convergence sits between log and linear (the sf0.1 one-month
+    * co-purchase graph converges in 15 rounds where plain propagation
+    * would need its full diameter). `maxIters = 20` therefore buys
+    * headroom, not just 2²⁰ path diameter. At the fixpoint all nodes
+    * of a component share the component's minimum node id.
+    *
+    * Determinism & oracle-ability: the round-`k` state is a PURE
+    * function of the input (both steps are min/join algebra — no
+    * randomness, no partitioning dependence), so a fixed round count
+    * unrolls into chained SQL CTEs (`AS MATERIALIZED`, two per round)
+    * replaying the identical update, and EARLY EXIT on convergence
+    * cannot diverge from the unrolled form: post-fixpoint rounds are
+    * the identity for both steps — propagate because labels are
+    * constant on every edge, the jump because `lab(lab) = lab` once
+    * every label points at its component minimum, which labels itself.
+    *
+    * Scale shape: edges symmetrize + dedup ONCE (materialized — reused
+    * every round); step (a) is one keyed equijoin plus a map-side-
+    * combined min-aggregation over |E| rows (hub-safe: a hot dst key
+    * partial-aggregates before the shuffle); step (b) is a keyed
+    * self-join of the |V|-row label frame. The convergence probe rides
+    * step (a)'s aggregation as an `Observation` metric, costing no
+    * extra job, and the per-round materialization bounds lineage while
+    * handing the planner exact stats. An unconverged exit after
+    * `maxIters` rounds THROWS — silent k-hop labels masquerading as
+    * components is the failure mode this operator exists to prevent.
+    *
+    * Output: `id`, `component` (min node id of the component), one row
+    * per distinct node appearing in an edge.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .transform(Dedup.materialize)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .transform(Dedup.materialize)
+    var converged = sym.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbr = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+      // carry the previous label through the aggregation: min(lab) is
+      // the update, and the changed-count observed metric answers the
+      // convergence probe from the materialization job itself
+      val obs = new org.apache.spark.sql.Observation()
+      val propagated = labels.withColumn("old", col("lab")).unionByName(
+          nbr.withColumn("old", lit(null).cast(nbr.schema("lab").dataType)))
+        .groupBy("id")
+        .agg(min("lab").as("lab"), min("old").as("old"))
+        .observe(obs, sum(when(col("lab") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select("id", "lab")
+        .transform(Dedup.materialize)
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // pointer doubling — skipped (with its job) once converged: the
+      // hop is the identity at the fixed point
+      labels =
+        if (converged) propagated
+        else propagated
+          .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
+            "lab")
+          .select(col("id"), col("lab2").as("lab"))
+          .transform(Dedup.materialize)
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIters rounds — " +
+          "component diameter exceeds 2^maxIters; labels would be " +
+          "wrong. Raise maxIters.")
+    labels.select(col("id"), col("lab").as("component"))
+  }
+
   /** Exact global triangle count + clustering coefficient via
     * DEGREE-ORDERED edge orientation — the standard distributed
     * formulation (Suri & Vassilvitskii's MR triangle counting; also the

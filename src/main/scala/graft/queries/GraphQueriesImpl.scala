@@ -130,6 +130,76 @@ object GraphQueriesImpl {
        |  max(id) AS last_id
        |FROM bfs GROUP BY dist ORDER BY dist""".stripMargin
 
+  /** Connected components of the Q1-1995 part co-purchase graph (the
+    * same bounded temporal snapshot [[triangleQ]] censuses — parts
+    * sharing an order in the quarter): each part labeled with its
+    * component's minimum part key via
+    * [[graft.extra.Graph.connectedComponents]] — min-label propagation
+    * with pointer doubling; the result is the TRUE component labeling
+    * (the operator throws rather than return unconverged labels, and
+    * [[CcIters]] = 16 carries headroom over the ≤10 rounds measured at
+    * sf0.1 — post-fixpoint rounds are the identity, so oracle-side
+    * headroom costs Spark nothing). The
+    * oracle unrolls the identical two-step round as chained
+    * materialized CTEs (the [[pagerankQ]] trick) — each round is a
+    * pure integer function of the input, so both engines replay it
+    * exactly.
+    */
+  def connectedComponentsQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey").as("ok"))
+    val li = Tables.load(s, dir, "lineitem")
+    val op = li.join(broadcast(orders), li("l_orderkey") === orders("ok"))
+      .select(col("l_orderkey").as("ok2"), col("l_partkey").as("p"))
+      .distinct()
+    val a = op.select(col("ok2"), col("p").as("pa"))
+    val b = op.select(col("ok2"), col("p").as("pb"))
+    val edges = a.join(b, Seq("ok2")).where(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    Graph.connectedComponents(edges, "src", "dst", maxIters = CcIters)
+      .orderBy("id")
+  }
+
+  private val CcIters = 16
+
+  /** Replays [[graft.extra.Graph.connectedComponents]]' two-step round
+    * exactly: `p_i` = min of own and neighbors' labels (the self-label
+    * rides a self-loop added to the edge list, so the CTE references
+    * the previous round exactly once), `c_i` = the pointer-doubling
+    * shortcut `lab := lab(lab)`. The jump CTE references `p_i` twice,
+    * so every round CTE is `AS MATERIALIZED` — an inlining planner
+    * would otherwise re-evaluate the chain 2^rounds times. Spark's
+    * early convergence exit cannot diverge: post-fixpoint rounds are
+    * the identity for both steps.
+    */
+  private val ccOracle: String = {
+    val iterCtes = (1 to CcIters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, min(c.component) AS component
+         |  FROM edges e JOIN c${i - 1} c ON e.src = c.id
+         |  GROUP BY 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT a.id, b.component
+         |  FROM p$i a JOIN p$i b ON a.component = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o_win AS (SELECT o_orderkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+       |op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+       |  FROM lineitem JOIN o_win ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p),
+       |edges AS (SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL SELECT v AS src, u AS dst FROM e0
+       |  UNION ALL SELECT DISTINCT u AS src, u AS dst FROM e0
+       |  UNION ALL SELECT DISTINCT v AS src, v AS dst FROM e0),
+       |c0 AS (SELECT DISTINCT src AS id, src AS component FROM edges),
+       |$iterCtes
+       |SELECT id, component FROM c$CcIters ORDER BY id""".stripMargin
+  }
+
   /** Exact triangle census + global clustering coefficient over the
     * Q1-1995 part co-purchase graph (parts sharing an order whose
     * `o_orderdate` falls in the quarter — the window keys on the ORDER
@@ -207,5 +277,8 @@ object GraphQueriesImpl {
       reachabilityQ, Some(reachabilityOracle)),
     QueryDef("triangle_count",
       "degree-oriented exact triangle census + clustering coefficient",
-      triangleQ, Some(triangleOracle)))
+      triangleQ, Some(triangleOracle)),
+    QueryDef("connected_components",
+      "min-label-propagation connected components, unrolled-CTE oracle",
+      connectedComponentsQ, Some(ccOracle)))
 }

@@ -119,6 +119,45 @@ class GraphSpec extends SparkSpec {
     assert(loop == cte)
   }
 
+  test("connectedComponents: two separate chains + an isolated pair " +
+      "get their min ids; directions and duplicates don't matter") {
+    // component {1,2,3} (chain, mixed directions, a duplicate edge),
+    // component {10,11}, component {20,21,22} (star around 21)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L),
+      (21L, 20L), (21L, 22L)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: pointer doubling labels a long chain in " +
+      "O(log diameter) rounds; an unconverged cap THROWS instead of " +
+      "returning k-hop labels") {
+    // 0-1-2-...-40 chain: diameter 40 — plain propagation needs 40
+    // rounds, pointer doubling converges within the default 10
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val full = Graph.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(1)).distinct.toSeq
+    assert(full == Seq(0L))
+    // 2 rounds reach ≤ ~7 hops — far short of 40: must throw, never
+    // silently return partial labels
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, "src", "dst", maxIters = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
+  test("connectedComponents is invariant to input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    def run(parts: Int) = Graph.connectedComponents(
+        pairs.toDF("src", "dst").repartition(parts), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("triangles: K4 has 4 triangles, cc = 1; counted once each") {
     // complete graph on 4 nodes: C(4,3)=4 triangles, wedges Σ C(3,2)=12,
     // cc = 3·4/12 = 1.0
