@@ -225,9 +225,14 @@ object Bench {
     // only, keeping the summary line inside its 1 KB tail budget.
     val streamingAnn =
       if (benchStream)
+        // offered rate deliberately ABOVE the arm's measured ~39k/s
+        // capacity (same discipline as the flagship's 100k): the
+        // reported events_per_sec then measures sustained throughput,
+        // not the generation target. 30 s window: the arm's batches
+        // run 1-2 s, so this is 15+ steady batches after start-up.
         try Some(StreamBench.measureAnnIngest(spark,
-          tps = sys.env.getOrElse("SPARK_GRAFT_ANN_TPS", "20000").toInt,
-          secs = sys.env.getOrElse("SPARK_GRAFT_ANN_SECS", "10").toInt))
+          tps = sys.env.getOrElse("SPARK_GRAFT_ANN_TPS", "40000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_ANN_SECS", "30").toInt))
         catch { case _: Throwable => None }
       else None
 

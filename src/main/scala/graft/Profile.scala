@@ -86,6 +86,39 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "ann") {
+      // stage-by-stage cost of the streaming ANN-ingest arm, batch-mode
+      import graft.streaming.AnnIngest
+      val n = args.lift(2).map(_.toLong).getOrElse(200000L)
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        graft.gen.SyntheticDocs.textFor(col("id")).as("text"))
+        .transform(Dedup.materialize)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("prof_ann_idx").toString
+      val seed = spark.range(20000).select(
+        (col("id") + 1000000000L).as("doc_id"),
+        AnnIngest.embedStub(
+          graft.gen.SyntheticDocs.textFor(col("id") + 1000000000L), 64)
+          .as("embedding"))
+      graft.extra.AnnIndex.buildAndWriteIvfPq(seed, "doc_id", "embedding",
+        idxDir, numCentroids = 32)
+      val cb = graft.extra.AnnIndex.readCodebooks(spark, idxDir)
+      (1 to 2).foreach { i =>
+        time(s"#$i docs scan")(docs.count())
+        val emb = docs.select(col("doc_id"),
+          AnnIngest.embedStub(col("text"), 64).as("embedding"))
+        time(s"#$i embed")(emb.count())
+        val enc = graft.extra.Similarity.encodeIvfPq(emb, "doc_id",
+          "embedding", cb.coarse, cb.pq, cb.m, cb.sub, cb.residual)
+        time(s"#$i embed+encode")(enc.count())
+        time(s"#$i append (write)")({
+          graft.extra.AnnIndex.appendIvfPq(spark, idxDir, emb, "doc_id",
+            "embedding", codebooks = Some(cb), singleFileBatch = true)
+          0L
+        })
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bm25idx") {
       // stage-by-stage profile of the persisted-BM25 sparse arm against
       // the hybrid smoke's staged layout (run HybridSmoke first)

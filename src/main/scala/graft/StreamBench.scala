@@ -220,15 +220,26 @@ object StreamBench {
     runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
-  /** Throughput of the streaming ANN-ingest chain (gates → exact dedup
-    * → embed-stub → frozen-codebook encode → partitioned index append,
-    * [[graft.streaming.AnnIngest]]) under the synthetic doc wire — the
-    * r10 streaming half of the persisted-index story. A small seed
-    * corpus builds (and freezes) the codebooks first, exactly the
-    * production contract; the measured stream then pays per batch what
-    * a daily batch ingest pays. Same contention-proof deadline + drain
-    * discipline as [[measureCuration]]; `events_per_sec` is sustained
-    * INPUT docs/s, `steady_events_per_sec` the start-up-corrected rate.
+  /** Throughput of the streaming ANN-INGEST ARM — embed-stub →
+    * frozen-codebook encode → partitioned index append
+    * ([[graft.streaming.AnnIngest]]) — under a structured synthetic
+    * doc stream. A small seed corpus builds (and freezes) the
+    * codebooks first, exactly the production contract; the measured
+    * stream then pays per batch what a daily batch ingest pays.
+    *
+    * SCOPE (r11): the block measures the INGEST ARM's capacity alone.
+    * The r10 block ran the arm behind the full wire-parse + gate +
+    * stateful-dedup chain, so its number was min(parse, gates, dedup,
+    * ingest) — re-measuring capacities the flagship (wire parse) and
+    * curation (gates + dedup) blocks already own, and the dedup's
+    * ~18k docs/s cap made the arm's 20k target structurally
+    * unreachable regardless of the arm's own speed (measured: the arm
+    * writes ~59k docs/s batch-mode; behind the chain the block read
+    * 15-17k). A production chain composes the stages; each block's
+    * number is its stage's capacity. Same contention-proof deadline +
+    * drain discipline as [[measureCuration]]; `events_per_sec` is
+    * sustained INPUT docs/s, `steady_events_per_sec` the
+    * start-up-corrected rate.
     */
   def measureAnnIngest(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
     import org.apache.spark.sql.functions._
@@ -241,21 +252,29 @@ object StreamBench {
         .as("embedding"))
     graft.extra.AnnIndex.buildAndWriteIvfPq(seed, "doc_id", "embedding",
       dir, numCentroids = 32)
-    val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
+    val docs = graft.gen.SyntheticDocs.rateDocs(spark, tps)
     val monitor = new Monitor().attach(spark)
     val ckpt = Files.createTempDirectory("sbench_ann_ckpt").toString
     val writing = new AtomicBoolean(true)
     val q = graft.streaming.AnnIngest.start(
-      CurationStream.curateStream(wire, watermark = "15 seconds"),
-      dir, ckpt, dim = 64,
+      docs, dir, ckpt, dim = 64,
       trigger = Trigger.ProcessingTime(0),
       sinkGate = () => writing.get())
     runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
+  /** Usage: runMain graft.StreamBench [mode] [tps] [secs] — mode is
+    * `flagship` (default), `curation`, or `ann`; a bare numeric first
+    * arg keeps the historical `[tps] [secs]` flagship form.
+    */
   def main(args: Array[String]): Unit = {
-    val tps = args.headOption.map(_.toInt).getOrElse(1000)
-    val secs = args.lift(1).map(_.toInt).getOrElse(15)
+    val (mode, rest) = args.headOption match {
+      case Some(m) if m.forall(!_.isDigit) => (m, args.drop(1))
+      case _ => ("flagship", args)
+    }
+    val tps = rest.headOption.map(_.toInt)
+      .getOrElse(if (mode == "flagship") 1000 else 20000)
+    val secs = rest.lift(1).map(_.toInt).getOrElse(15)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -264,11 +283,15 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = measure(spark, tps, secs)
+    val s = mode match {
+      case "curation" => measureCuration(spark, tps, secs)
+      case "ann" => measureAnnIngest(spark, tps, secs)
+      case _ => measure(spark, tps, secs)
+    }
     // Metric line printed LAST, after spark.stop(): nothing Spark logs
     // during shutdown can land after it in a captured tail.
     spark.stop()
-    println(s"""{"metric":"stream_throughput",""" + s.json.tail)
+    println(s"""{"metric":"stream_throughput_$mode",""" + s.json.tail)
     System.out.flush()
   }
 }

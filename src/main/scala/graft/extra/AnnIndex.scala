@@ -61,12 +61,22 @@ object AnnIndex {
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
   }
 
-  /** Read a persisted index back as a lazily-scanned
-    * [[Similarity.IvfPqIndex]]: codebooks + meta are collected (tiny),
-    * `codes/` stays a parquet scan that [[Similarity.searchIvfPq]]
-    * prunes by partition.
+  /** The driver-held half of a persisted index — both codebooks and
+    * the PQ geometry, FROZEN by the build contract (appends never
+    * retrain; see [[appendIvfPq]]). O(C + K) centroids, the same
+    * bounded footprint as any k-means model.
     */
-  def readIvfPq(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
+  final case class FrozenCodebooks(coarse: Seq[Similarity.Centroid],
+      pq: Seq[Similarity.Centroid], m: Int, sub: Int, residual: Boolean)
+
+  /** Read ONLY the codebooks + meta (no `codes/` file listing): the
+    * ingest-path read. A steady append stream holds one of these for
+    * its lifetime instead of re-collecting the codebooks — and
+    * re-LISTING the ever-growing partitioned `codes/` tree — every
+    * micro-batch (r10: that per-batch overhead held streaming ingest
+    * to half its target).
+    */
+  def readCodebooks(spark: SparkSession, dir: String): FrozenCodebooks = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
     // indexes written before residual encoding existed have no flag —
@@ -82,6 +92,16 @@ object AnnIndex {
     def kind(k: String) =
       cbRows.collect { case (`k`, pos, c) => (pos, c) }
         .sortBy(_._1).map(_._2).toSeq
+    FrozenCodebooks(kind("coarse"), kind("pq"), m, sub, residual)
+  }
+
+  /** Read a persisted index back as a lazily-scanned
+    * [[Similarity.IvfPqIndex]]: codebooks + meta are collected (tiny),
+    * `codes/` stays a parquet scan that [[Similarity.searchIvfPq]]
+    * prunes by partition.
+    */
+  def readIvfPq(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val cb = readCodebooks(spark, dir)
     val coded0 = spark.read.parquet(s"$dir/codes")
       .withColumn("list_id", col("list_id").cast("long"))
     // tombstoned ids (see delete()) drop out of every scan; the static
@@ -89,8 +109,8 @@ object AnnIndex {
     // the left-anti join to the partitioned read (left-side predicate)
     val coded = readTombstones(spark, dir)
       .fold(coded0)(t => coded0.join(t, Seq("id"), "left_anti"))
-    Similarity.IvfPqIndex(kind("coarse"), kind("pq"), m, sub, coded,
-      residual)
+    Similarity.IvfPqIndex(cb.coarse, cb.pq, cb.m, cb.sub, coded,
+      cb.residual)
   }
 
   /** Incrementally ingest new vectors into a persisted index WITHOUT
@@ -112,8 +132,11 @@ object AnnIndex {
     */
   def appendIvfPq(spark: SparkSession, dir: String,
       emb: org.apache.spark.sql.DataFrame, idCol: String,
-      vecCol: String): Unit = {
-    val idx = readIvfPq(spark, dir)
+      vecCol: String, codebooks: Option[FrozenCodebooks] = None,
+      singleFileBatch: Boolean = false): Unit = {
+    // codebooks are FROZEN, so a steady ingest reads them once and
+    // passes them in; the per-call read is only the convenience path
+    val cb = codebooks.getOrElse(readCodebooks(spark, dir))
     // an empty (or all-NULL-vector) batch can't be dim-probed —
     // probeDim falls back to MaxDim, which would surface as a
     // misleading "batch dim 4096" geometry error. Nothing to append →
@@ -124,14 +147,29 @@ object AnnIndex {
     // dim would otherwise encode silently against the wrong subspace
     // layout and poison the index
     val batchDim = Similarity.probeDim(emb, vecCol)
-    require(batchDim == idx.m * idx.sub,
+    require(batchDim == cb.m * cb.sub,
       s"appendIvfPq: batch dim $batchDim does not match index dim " +
-        s"${idx.m * idx.sub} (m=${idx.m} × sub=${idx.sub})")
-    Similarity.encodeIvfPq(emb, idCol, vecCol, idx.coarse, idx.pq,
-        idx.m, idx.sub, idx.residual)
-      .repartition(col("list_id"))
-      .sortWithinPartitions(col("list_id"), col("id"))
-      .write.mode(SaveMode.Append).partitionBy("list_id")
+        s"${cb.m * cb.sub} (m=${cb.m} × sub=${cb.sub})")
+    val encoded = Similarity.encodeIvfPq(emb, idCol, vecCol, cb.coarse,
+      cb.pq, cb.m, cb.sub, cb.residual)
+    // Two output shapes: a bulk batch hash-partitions on list_id (one
+    // task per list → one well-sized file per list); a streaming
+    // micro-batch instead funnels into ONE post-encode task
+    // (repartition(1) — the encode projection still parallelizes
+    // upstream of the exchange) writing one small file per touched
+    // list, since hashing a few thousand rows across the full shuffle
+    // width just multiplies tiny files and pays a pointless shuffle
+    // (r10: the per-batch fan-out was half the ingest shortfall).
+    // [[compact]] folds the accumulated per-batch files back into one
+    // file per list on the maintenance cadence.
+    val arranged =
+      if (singleFileBatch)
+        encoded.repartition(1)
+          .sortWithinPartitions(col("list_id"), col("id"))
+      else
+        encoded.repartition(col("list_id"))
+          .sortWithinPartitions(col("list_id"), col("id"))
+    arranged.write.mode(SaveMode.Append).partitionBy("list_id")
       .parquet(s"$dir/codes")
   }
 
@@ -172,22 +210,35 @@ object AnnIndex {
       .parquet(tombPath(dir))
   }
 
-  /** Make tombstoned deletes physical: rewrite `codes/` without the
-    * deleted rows (partition layout preserved — one posting list per
-    * directory), drop the tombstone frame. Codebooks and meta are
-    * untouched (the quantizer is frozen; deletion never retrains).
-    * Maintenance owns exclusivity during the swap, the same contract
-    * as [[Bm25Index.compact]].
+  /** Index maintenance — BOTH halves of the LSM story:
+    *
+    *   - makes tombstoned deletes physical: `codes/` is rewritten
+    *     without the deleted rows and the tombstone frame dropped;
+    *   - folds per-batch APPEND files back together: streaming ingest
+    *     ([[appendIvfPq]] with `singleFileBatch`) accretes one small
+    *     file per touched list per micro-batch without bound; the
+    *     rewrite hash-partitions on `list_id`, restoring one
+    *     well-sized, id-sorted file per posting list, which is what
+    *     keeps a probed-partition read one sequential scan instead of
+    *     N seeks after N batches.
+    *
+    * So it runs even with no tombstones pending. Search results are
+    * bit-identical before and after (AnnIndexSpec pins it — row order
+    * within a list is id-sorted either way and scoring is per-row).
+    * Codebooks and meta are untouched (the quantizer is frozen;
+    * maintenance never retrains). Idempotent: a second run rewrites
+    * the already-compact layout to itself. Maintenance owns
+    * exclusivity during the swap, the same contract as
+    * [[Bm25Index.compact]].
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val tomb = readTombstones(spark, dir)
-    if (tomb.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$dir/codes.compact_tmp"
-    spark.read.parquet(s"$dir/codes")
+    val live0 = spark.read.parquet(s"$dir/codes")
       .withColumn("list_id", col("list_id").cast("long"))
-      .join(tomb.get, Seq("id"), "left_anti")
+    tomb.fold(live0)(t => live0.join(t, Seq("id"), "left_anti"))
       .repartition(col("list_id"))
       .sortWithinPartitions(col("list_id"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id")

@@ -48,4 +48,18 @@ object SyntheticDocs {
       plantedText(col("value")).as("text"),
       unix_millis(col("timestamp")).as("event_time_ms"))).as("value"))
   }
+
+  /** STRUCTURED synthetic doc stream — the same planted-dup corpus as
+    * [[rateWire]] without the to_json/from_json round trip: the feed
+    * for benches that measure a downstream arm's capacity (e.g. ANN
+    * index ingest), where paying the wire-parse again would re-measure
+    * what the flagship block already owns.
+    */
+  def rateDocs(spark: SparkSession, tps: Int): DataFrame = {
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", tps).load()
+    raw.select(col("value").as("doc_id"),
+      plantedText(col("value")).as("text"),
+      col("timestamp").as("event_time"))
+  }
 }

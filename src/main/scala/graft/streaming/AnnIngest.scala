@@ -34,22 +34,34 @@ object AnnIngest {
 
   /** Deterministic embedding STUB — honest env-blocked fake (no
     * embedding model ships in this container; same policy as
-    * [[graft.extra.Multimodal]]'s codec stubs): component d is a hash
-    * lattice over the TEXT content, `(xxhash64(text, d) mod 2000)/1000
-    * − 1 ∈ [−1, 1)` (the component index feeds the hash as a second
-    * argument — an arithmetic mix like `hash·67 + d` overflows ANSI
-    * long multiplication on full-range hash values). Content-
-    * determined, so identical
-    * text embeds identically in streaming and batch paths — which is
-    * what lets the spec compare the two bit-for-bit. Swap for a real
-    * model-serving call (mapInPandas / UDF over a served encoder) in a
-    * real deployment; everything downstream is agnostic to the source
-    * of the floats.
+    * [[graft.extra.Multimodal]]'s codec stubs): the TEXT is hashed
+    * ONCE (`xxhash64(text)`), then component d mixes the component
+    * index over that 8-byte seed — `(xxhash64(seed, d) mod 2000)/1000
+    * − 1 ∈ [−1, 1)`. Hashing the full string per component (the first
+    * cut) cost dim × |text| bytes of hashing per row and was a
+    * measurable slice of the streaming ingest batch wall; the
+    * seed-then-mix form hashes |text| once plus dim fixed-width
+    * rounds. The component index feeds the hash as a second argument —
+    * an arithmetic mix like `seed·67 + d` overflows ANSI long
+    * multiplication on full-range hash values. Content-determined, so
+    * identical text embeds identically in streaming and batch paths —
+    * which is what lets the spec compare the two bit-for-bit. Swap for
+    * a real model-serving call (mapInPandas / UDF over a served
+    * encoder) in a real deployment; everything downstream is agnostic
+    * to the source of the floats.
     */
-  def embedStub(textCol: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), d =>
-      ((pmod(xxhash64(textCol, d), lit(2000L)) / lit(1000.0)) -
+  def embedStub(textCol: Column, dim: Int): Column = {
+    // the seed rides in via array_repeat so it is evaluated ONCE PER
+    // ROW: a lambda-captured expression is substituted into the lambda
+    // body by projection collapse and re-evaluated per element — 64×
+    // the string hash, and when textCol is itself an unevaluated
+    // generator expression (the structured synthetic feed), 64× the
+    // whole generator (measured: the ingest arm collapsed from ~59k to
+    // ~5k docs/s through exactly that trap)
+    transform(array_repeat(xxhash64(textCol), dim), (s, d) =>
+      ((pmod(xxhash64(s, d), lit(2000L)) / lit(1000.0)) -
         lit(1.0)).cast("float"))
+  }
 
   /** Start the ingest: a curated (doc_id, text, …) stream — e.g.
     * [[CurationStream.curateStream]]/[[CurationStream.curateStreamNearDup]]
@@ -66,7 +78,15 @@ object AnnIngest {
   def start(curated: DataFrame, indexDir: String, checkpointDir: String,
       dim: Int = 64, idCol: String = "doc_id", textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
-      sinkGate: () => Boolean = () => true): StreamingQuery =
+      sinkGate: () => Boolean = () => true): StreamingQuery = {
+    // the codebooks are FROZEN for the index's lifetime (append
+    // contract), so read them ONCE at stream start — r10 measured the
+    // per-batch readIvfPq (codebook collect + a re-LISTING of the
+    // ever-growing partitioned codes/ tree) plus the per-batch
+    // list_id shuffle fan-out holding ingest to half its target; with
+    // the cached codebooks and single-file batches the per-batch cost
+    // is the encode projection + one file-per-touched-list append.
+    val codebooks = AnnIndex.readCodebooks(curated.sparkSession, indexDir)
     curated
       .select(col(idCol), embedStub(col(textCol), dim).as("embedding"))
       .writeStream
@@ -76,9 +96,11 @@ object AnnIngest {
       .foreachBatch { (df: DataFrame, _: Long) =>
         if (sinkGate())
           AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
-            "embedding")
+            "embedding", codebooks = Some(codebooks),
+            singleFileBatch = true)
       }
       .start()
+  }
 
   /** Streaming SPARSE ingest — the BM25 half of the same story: each
     * curated micro-batch appends into a persisted

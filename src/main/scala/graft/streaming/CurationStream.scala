@@ -56,6 +56,17 @@ object CurationStream {
       .filter(!Curation.lowQualityFlag(cfg) && !Curation.wrongLangFlag(cfg))
   }
 
+  /** The STATELESS curation front alone — parse + enrich + quality and
+    * language gates, no watermark, no dedup state. The feed for sinks
+    * that do their own keyed reconciliation (or whose bench block
+    * should measure the SINK's capacity, not the upstream dedup's —
+    * [[graft.StreamBench.measureAnnIngest]]): exact/near dedup capacity
+    * has its own block over [[curateStream]]/[[curateStreamNearDup]].
+    */
+  def gatedOnly(raw: DataFrame,
+      cfg: Curation.Config = Curation.Config()): DataFrame =
+    gatedStream(raw, cfg).select("doc_id", "text", "event_time")
+
   /** Raw `value`-column stream → curated (doc_id, text, event_time)
     * stream: parsed, gated, exact-deduped within the watermark.
     */
