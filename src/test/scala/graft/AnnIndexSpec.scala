@@ -143,4 +143,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/tombstones").exists())
     assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == disk)
   }
+
+  private def codeFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$dir/codes"))
+      .count(f => f.getName.endsWith(".parquet"))
+  }
+
+  test("compact with NO tombstones folds per-batch append files into " +
+      "one file per posting list; search bit-identical; idempotent") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    // stream-style ingest: several singleFileBatch appends, each
+    // leaving one small file per touched list
+    val cb = AnnIndex.readCodebooks(spark, dir)
+    (0 until 3).foreach { b =>
+      AnnIndex.appendIvfPq(spark, dir,
+        emb.filter(col("vec_id") >= 200 + b * 100 &&
+          col("vec_id") < 300 + b * 100),
+        "vec_id", "embedding", codebooks = Some(cb),
+        singleFileBatch = true)
+    }
+    val before = searchRows(AnnIndex.readIvfPq(spark, dir))
+    val filesBefore = codeFileCount(dir)
+    val lists = spark.read.parquet(s"$dir/codes")
+      .select("list_id").distinct().count().toInt
+    assert(filesBefore > lists,
+      s"appends should accrete files: $filesBefore files / $lists lists")
+    AnnIndex.compact(spark, dir)
+    val filesAfter = codeFileCount(dir)
+    assert(filesAfter <= lists,
+      s"compact should leave <= one file per list: $filesAfter / $lists")
+    assert(filesAfter < filesBefore)
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == before)
+    // idempotent: a second compact changes nothing observable
+    AnnIndex.compact(spark, dir)
+    assert(codeFileCount(dir) <= lists)
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == before)
+  }
 }
