@@ -205,7 +205,8 @@ object Bench {
             sys.env.getOrElse("SPARK_GRAFT_CUR_PASSES", "3").toInt)
             .map(_ => StreamBench.measureCuration(spark,
               tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
-              secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt))
+              secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt,
+              nearDup = false))
           val pool = {
             val valid = passes.filter(_.valid)
             if (valid.nonEmpty) valid else passes
@@ -217,6 +218,19 @@ object Bench {
           // the pass count is odd (the default).
           Some(pool.sortBy(_.eventsPerSec).apply((pool.size - 1) / 2))
         } catch { case _: Throwable => None }
+      else None
+
+    // Near-dup curation chain (r11): one pass, DETAIL line + file only
+    // — `streaming_curation` above keeps the r9 like-for-like plain
+    // chain for round-over-round comparability; this block carries the
+    // heavier banded-LSH suppression chain's own number.
+    val streamingCurationNearDup =
+      if (benchStream)
+        try Some(StreamBench.measureCuration(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt,
+          nearDup = true))
+        catch { case _: Throwable => None }
       else None
 
     // Streaming ANN ingest (r10): one pass — the chain is dominated by
@@ -251,6 +265,8 @@ object Bench {
     val streamJson = streaming.map(s => s""","streaming":${s.json}""").getOrElse("")
     val curJson = streamingCuration
       .map(s => s""","streaming_curation":${s.json}""").getOrElse("")
+    val curNdJson = streamingCurationNearDup
+      .map(s => s""","streaming_curation_neardup":${s.json}""").getOrElse("")
     val annJson = streamingAnn
       .map(s => s""","streaming_ann_ingest":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
@@ -263,7 +279,7 @@ object Bench {
     spark.stop()
     val loadsJson = passLoads.map(l => rnd(l, 2)).mkString("[", ",", "]")
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
-      s""""failures":$fs$annJson}""")
+      s""""failures":$fs$curNdJson$annJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""min_total":${rnd(minTotal)},"loadavg1":$loadsJson,""" +
       s""""unit":"sec","sf":${jstr(sfDir)},"n":$iters,""" +
@@ -287,7 +303,7 @@ object Bench {
         s""""n_queries":${medians.size},"n_ok":${ok.size},""" +
         s""""n_failures":${failures.size},"queries":$qs,""" +
         s""""spreads":$spreads,"failures":$fs$streamJson$curJson""" +
-        s"""$annJson}""" + "\n")
+        s"""$curNdJson$annJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
