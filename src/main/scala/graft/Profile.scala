@@ -132,7 +132,7 @@ object Profile {
       val termSeq = qterms.select("term").distinct()
         .as[String].collect().toSeq
       println(s"[prof] query terms: ${termSeq.size}")
-      val tf = spark.read.parquet(s"$base/bm25/tf")
+      val tf = spark.read.parquet(s"$base/bm25/tf/*")
       time("tf full scan")(tf.count())
       time("tf IN-filtered")(
         tf.filter(col("term").isin(termSeq: _*)).count())

@@ -1,5 +1,6 @@
 package graft.extra
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,31 +15,55 @@ import org.apache.spark.sql.types.DecimalType
   * per-call corpus re-tokenization (a full text scan per query batch)
   * and its two eager driver actions (`docs.count()` + the avgdl head).
   *
-  * Layout under `dir`:
-  *   - `tf/` — (id, term, tf) parquet, RANGE-CLUSTERED on `term`
-  *     ([[Layout.writeClustered]]): each file covers a disjoint sorted
-  *     term range, so the search's `term IN (…)` predicate prunes whole
-  *     files on parquet footer min/max — the posting-list read. At
-  *     100 TB this is the index table: a Q-term search reads the ≤Q
-  *     files whose ranges cover its terms, never the corpus.
-  *   - `dl/` — (id, dl): per-doc token length, keyed by id (joined
-  *     keyed on the scored rows — |query|·df(term)-bounded, never
-  *     corpus-wide).
-  *   - `df/` — (term, df): per-term document frequency, same term
-  *     clustering; the search reads its Q terms and broadcasts.
-  *   - `meta/` — (n_docs, sum_dl): the only scalars scoring needs.
-  *     Reading it replaces both eager driver actions.
-  *   - `tombstones/` — (id), present only after a [[delete]]: ids the
-  *     searches anti-join out until [[compact]] makes the deletion
-  *     physical (Lucene-style deferred purge — see [[delete]]).
+  * Layout under `dir` — SEGMENTED, with MANIFEST-COMMITTED versions
+  * (the Lucene commit-point discipline, and the same manifest-commit
+  * idea as [[Snapshots]]):
+  *
+  *   - `tf/seg-N/` — (id, term, tf) parquet, RANGE-CLUSTERED on `term`
+  *     within each segment ([[Layout.writeClustered]]): each file
+  *     covers a disjoint sorted term range, so the search's
+  *     `term IN (…)` predicate prunes whole files on parquet footer
+  *     min/max — the posting-list read. At 100 TB this is the index
+  *     table: a Q-term search reads the ≤Q files per segment whose
+  *     ranges cover its terms, never the corpus.
+  *   - `dl/seg-N/` — (id, dl): per-doc token length, keyed by id
+  *     (joined keyed on the scored rows — |query|·df(term)-bounded,
+  *     never corpus-wide).
+  *   - `df/seg-N/` — (term, df): per-term document frequency PARTIALS,
+  *     same term clustering; the search reads its Q terms, sums the
+  *     partials, and broadcasts.
+  *   - `meta/seg-N/` — one row (n_docs, sum_dl) per segment: the only
+  *     scalars scoring needs. Reading them replaces both eager driver
+  *     actions.
+  *   - `tombstones/seg-N/` — (id, n, s), present only after a
+  *     [[delete]]: ids the searches anti-join out until [[compact]]
+  *     makes the deletion physical (Lucene-style deferred purge).
+  *   - `_manifests/v*.txt` — one COMMIT POINT per writer operation:
+  *     `frame<TAB>segment` lines naming exactly the live segments.
+  *     Committed by atomic rename; the version number is a CAS (a
+  *     lost race throws rather than silently clobbers).
+  *
+  * SNAPSHOT ISOLATION (r10 verdict #8): every reader resolves the
+  * LATEST COMMITTED manifest once per call and plans only against the
+  * segments it names. A concurrent [[append]] writes its new segments
+  * beside the live ones and they stay INVISIBLE until its manifest
+  * rename lands — a search can never see a torn index (half an
+  * append's tf without its meta partial), which the previous
+  * directory-scan layout allowed (appends are multi-file and
+  * non-atomic). Single WRITER at a time is still the caller's
+  * contract (the CAS turns a writer race into an error, not
+  * corruption); [[compact]] additionally owns exclusivity against
+  * READERS while it physically removes superseded segments, exactly
+  * the maintenance contract it had before.
   *
   * The layout is LOG-STRUCTURED: `df/` and `meta/` hold PARTIAL counts
-  * (one set per build/append) that the search read aggregates — a sum
-  * over the |query|-bounded df slice and the O(#appends)-row meta, both
-  * trivial at read time. That makes incremental ingest ([[append]])
-  * pure parquet appends on all four frames: no compact-and-rewrite, no
-  * read-modify-write races, and append-then-search is bit-identical to
-  * a fresh build over the union (Bm25IndexSpec pins it).
+  * (one segment per build/append) that the search read aggregates — a
+  * sum over the |query|-bounded df slice and the O(#appends)-row meta,
+  * both trivial at read time. That makes incremental ingest
+  * ([[append]]) pure segment writes + one manifest commit: no
+  * compact-and-rewrite, no read-modify-write races, and
+  * append-then-search is bit-identical to a fresh build over the union
+  * (Bm25IndexSpec pins it).
   *
   * Search ≡ [[Retrieval.bm25Search]]/[[Retrieval.bm25SearchAll]]
   * bit-for-bit: df per term is the global document frequency (equal to
@@ -50,16 +75,125 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bm25Index {
 
-  /** Tokenize the corpus once and persist tf/dl/df/meta. One explode
-    * shuffle builds tf; dl, df, and the meta scalars are re-aggregated
-    * from it (the raw text is scanned exactly once). `numFiles` sets
-    * the term-range file count of `tf/` — size it so each file is
-    * ~128 MB at the target corpus (the usual parquet scan sweet spot).
+  private val Frames = Seq("tf", "dl", "df", "meta", "tombstones")
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(dir: String) = s"$dir/_manifests"
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      name.stripPrefix("v").stripSuffix(".txt").toLongOption
+    else None
+
+  /** Latest committed (version, frame → live segment relpaths). */
+  private def latest(spark: SparkSession, dir: String)
+      : Option[(Long, Map[String, Seq[String]])] = {
+    val (fs, md) = fsOf(spark, manifestDir(dir))
+    if (!fs.exists(md)) return None
+    val vs = fs.listStatus(md).toSeq
+      .flatMap(s => versionOf(s.getPath.getName))
+    vs.maxOption.map { v =>
+      val in = fs.open(new Path(md, f"v$v%09d.txt"))
+      val txt = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      val entries = txt.linesIterator.filter(_.nonEmpty).toSeq
+        .map { l => val Array(f, seg) = l.split("\t", 2); (f, seg) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      (v, entries)
+    }
+  }
+
+  private def requireLatest(spark: SparkSession, dir: String)
+      : (Long, Map[String, Seq[String]]) =
+    latest(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no committed BM25 index at $dir (missing _manifests)"))
+
+  /** Atomic commit: write aside, rename into place. The rename is the
+    * commit point; a version collision (two writers racing) surfaces
+    * as an exception, never a clobbered manifest.
+    */
+  private def commit(spark: SparkSession, dir: String, version: Long,
+      entries: Map[String, Seq[String]]): Unit = {
+    val (fs, md) = fsOf(spark, manifestDir(dir))
+    fs.mkdirs(md)
+    val tmp = new Path(md,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .flatMap { case (f, segs) => segs.map(s => s"$f\t$s") }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(md, f"v$version%09d.txt")
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"BM25 manifest v$version already committed at $dir — " +
+          "concurrent writer (single-writer contract)")
+    }
+  }
+
+  /** Read one frame as the union of its committed segments; None when
+    * the manifest lists no segment for it (e.g. no tombstones yet).
+    */
+  private def readFrame(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]], frame: String)
+      : Option[DataFrame] = {
+    val paths = entries.getOrElse(frame, Nil).map(rel => s"$dir/$rel")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Delete every on-disk segment not named by `live` (post-commit
+    * physical cleanup — build-overwrite and compact).
+    */
+  private def dropOrphanSegments(spark: SparkSession, dir: String,
+      live: Map[String, Seq[String]]): Unit = {
+    val (fs, _) = fsOf(spark, dir)
+    val keep = live.values.flatten.toSet
+    Frames.foreach { f =>
+      val fd = new Path(s"$dir/$f")
+      if (fs.exists(fd)) {
+        fs.listStatus(fd).foreach { st =>
+          val rel = s"$f/${st.getPath.getName}"
+          if (!keep.contains(rel)) fs.delete(st.getPath, true): Unit
+        }
+        // a frame with no live segments loses its (now empty) dir too
+        // — e.g. tombstones after a compact
+        if (fs.listStatus(fd).isEmpty) fs.delete(fd, true): Unit
+      }
+    }
+  }
+
+  /** Tokenize the corpus once and persist tf/dl/df/meta as one new
+    * SEGMENT per frame, then commit the manifest (the crash-atomic
+    * point — a failure before it leaves the index exactly as it was).
+    * One explode shuffle builds tf; dl, df, and the meta scalars are
+    * re-aggregated from it (the raw text is scanned exactly once).
+    * `numFiles` sets the term-range file count of the tf segment —
+    * size it so each file is ~128 MB at the target corpus (the usual
+    * parquet scan sweet spot). `SaveMode.Overwrite` (the default)
+    * commits a manifest naming ONLY the new segments and physically
+    * drops the superseded ones; `SaveMode.Append` is [[append]].
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       numFiles: Int = 8, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
+      s"build supports Overwrite|Append, got $mode")
     val spark = docs.sparkSession
     import spark.implicits._
+    val prev = latest(spark, dir)
+    val prevV = prev.map(_._1).getOrElse(0L)
+    val base: Map[String, Seq[String]] =
+      if (mode == SaveMode.Append) prev.map(_._2).getOrElse(Map.empty)
+      else Map.empty
+    val v = prevV + 1
+    val seg = f"seg-$v%09d"
     val tf = docs.select(col(idCol).as("id"),
         explode(Text.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term"))
@@ -68,30 +202,40 @@ object Bm25Index {
     // house cache rule: tf feeds four consumers (tf/, dl/, df/, meta);
     // materialize once, release before returning
     try {
-      Layout.writeClustered(tf, s"$dir/tf",
-        Seq(col("term"), col("id")), numFiles, mode)
+      Layout.writeClustered(tf, s"$dir/tf/$seg",
+        Seq(col("term"), col("id")), numFiles)
       tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
         .repartition(1).sortWithinPartitions(col("id"))
-        .write.mode(mode).parquet(s"$dir/dl")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/dl/$seg")
       Layout.writeClustered(
         tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
-        s"$dir/df", Seq(col("term")), math.max(1, numFiles / 4), mode)
+        s"$dir/df/$seg", Seq(col("term")), math.max(1, numFiles / 4))
       // n_docs is the CORPUS row count (docs with zero tokens included
       // — bm25Search counts them too); sum_dl re-aggregates tf
       val nDocs = docs.count()
-      val sumDl = tf.agg(sum(col("tf"))).head().getLong(0)
+      val sumDl = tf.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
       Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
-        .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
-    } finally tf.unpersist(blocking = false)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/meta/$seg")
+    } finally tf.unpersist(blocking = false): Unit
+    val entries = Seq("tf", "dl", "df", "meta").map { f =>
+      f -> (base.getOrElse(f, Nil) :+ s"$f/$seg")
+    }.toMap ++
+      // tombstones carry across appends; an overwrite starts clean
+      base.get("tombstones").map("tombstones" -> _).toMap
+    commit(spark, dir, v, entries)
+    if (mode == SaveMode.Overwrite && prev.nonEmpty)
+      dropOrphanSegments(spark, dir, entries)
   }
 
   /** Incrementally ingest a NEW batch of documents into a persisted
     * index — the sparse mirror of [[AnnIndex.appendIvfPq]]: one batch
-    * tokenization + four parquet APPENDS (tf/dl rows, partial df
-    * counts, one partial meta row); the existing corpus is never
-    * re-tokenized or rewritten. Appended tf files are range-clustered
+    * tokenization, four new SEGMENTS (tf/dl rows, partial df counts,
+    * one partial meta row), ONE manifest commit; the existing corpus
+    * is never re-tokenized or rewritten, and searches see the whole
+    * append or none of it. Appended tf segments are range-clustered
     * over the batch's own term ranges, so footer pruning keeps working
-    * per file. Caller owns id-uniqueness across batches (the same
+    * per segment. Caller owns id-uniqueness across batches (the same
     * contract as every keyed table here); searching after N appends is
     * bit-identical to one build over the union.
     */
@@ -99,29 +243,24 @@ object Bm25Index {
       dir: String, numFiles: Int = 8): Unit =
     build(docs, idCol, textCol, dir, numFiles, SaveMode.Append)
 
-  private def tombPath(dir: String) = s"$dir/tombstones"
-
-  private def readTombstones(spark: SparkSession, dir: String)
-      : Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(tombPath(dir))) else None
-  }
+  private def readTombstones(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]]): Option[DataFrame] =
+    readFrame(spark, dir, entries, "tombstones")
 
   /** Delete documents from the index — the takedown mirror of
     * [[graft.extra.Merge.delete]] for the sparse arm, LSM-style (the
     * Lucene precedent: deletes are cheap markers, merges make them
     * physical):
     *
-    *   - the ids are appended to a `tombstones/` frame (pure parquet
-    *     append, O(batch) — the posting lists are NOT rewritten);
+    *   - the ids land in a new `tombstones/` segment + one manifest
+    *     commit (O(batch) — the posting lists are NOT rewritten);
     *   - every search anti-joins its candidate rows against the
     *     tombstones, so deleted docs stop matching IMMEDIATELY and
     *     lower-ranked docs fill the top-k;
     *   - `n_docs`/`sum_dl` stay EXACT: each tombstone row carries its
     *     doc's meta contribution (dl presence + value), and every
-    *     reader nets meta against the tombstone frame — one append,
-    *     no second write to crash between;
+    *     reader nets meta against the tombstone frame — one committed
+    *     segment, no second write to crash between;
     *   - per-term df stays STALE until [[compact]] (correcting it needs
     *     the deleted docs' term lists, i.e. an id-keyed pass over the
     *     term-clustered tf — exactly the scan LSM engines defer to the
@@ -141,26 +280,34 @@ object Bm25Index {
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String = "id"): Long = {
+    val (v0, entries) = requireLatest(spark, dir)
     val incoming = ids.select(col(idCol).as("id")).distinct()
-    val newIds = readTombstones(spark, dir)
+    val newIds = readTombstones(spark, dir, entries)
       .fold(incoming)(t =>
         incoming.join(t.select("id"), Seq("id"), "left_anti"))
       .persist()
     try {
       val nNew = newIds.count()
       if (nNew == 0) return 0L
-      // ONE atomic append: each tombstone CARRIES its doc's meta
+      val v = v0 + 1
+      val seg = f"seg-$v%09d"
+      // ONE atomic commit: each tombstone CARRIES its doc's meta
       // contribution (n = had a dl row, s = its dl), and readers net
       // n_docs/sum_dl out of the tombstone frame itself — a separate
       // negative-meta write (the first design) left a crash window
-      // between the two appends in which a retried delete would
+      // between two appends in which a retried delete would
       // double-subtract meta
+      val dl = readFrame(spark, dir, entries, "dl").get
       newIds
-        .join(spark.read.parquet(s"$dir/dl"), Seq("id"), "left_outer")
+        .join(dl, Seq("id"), "left_outer")
         .select(col("id"),
           when(col("dl").isNotNull, lit(1L)).otherwise(lit(0L)).as("n"),
           coalesce(col("dl"), lit(0L)).as("s"))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(tombPath(dir))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/tombstones/$seg")
+      commit(spark, dir, v, entries +
+        ("tombstones" -> (entries.getOrElse("tombstones", Nil) :+
+          s"tombstones/$seg")))
       nNew
     } finally newIds.unpersist(blocking = false): Unit
   }
@@ -169,11 +316,12 @@ object Bm25Index {
     * docs' carried contributions — every reader's one source of truth
     * for the scoring scalars.
     */
-  private def netMeta(spark: SparkSession, dir: String): (Long, Long) = {
-    val m = spark.read.parquet(s"$dir/meta")
+  private def netMeta(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]]): (Long, Long) = {
+    val m = readFrame(spark, dir, entries, "meta").get
       .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
         coalesce(sum("sum_dl"), lit(0L)).as("s")).head()
-    val (tn, ts) = readTombstones(spark, dir).map { t =>
+    val (tn, ts) = readTombstones(spark, dir, entries).map { t =>
       val r = t.agg(coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(sum("s"), lit(0L)).as("s")).head()
       (r.getLong(0), r.getLong(1))
@@ -184,42 +332,42 @@ object Bm25Index {
   /** Periodic maintenance for an appended index (the LSM compaction
     * half of the append story, same precedent as
     * [[graft.streaming.StreamingPipeline.materializeServing]]): each
-    * append adds small tf/dl files and another df/meta partial;
-    * compaction rewrites the four frames into one fresh clustered
-    * layout — tf re-range-clustered across the FULL term space (file
-    * pruning sharpens back up), df/meta partials merged to final
-    * counts, dl re-sorted. Searches before and after are bit-identical
-    * (spec-pinned); run it on the cadence appends accumulate. The swap
-    * is directory-rename best-effort (write aside, then move) — the
-    * maintenance job owns exclusivity, the same contract as any
+    * append adds segments; compaction rewrites the four frames into
+    * ONE fresh segment each — tf re-range-clustered across the FULL
+    * term space (file pruning sharpens back up), df/meta partials
+    * merged to final counts, dl re-sorted, tombstones made physical
+    * (tf/dl rows dropped and the deferred per-term df correction
+    * applied — the one id-keyed pass over the term-clustered tf, paid
+    * at merge time as in any LSM engine). Searches before and after
+    * are bit-identical (spec-pinned); run it on the cadence appends
+    * accumulate. The new manifest commits BEFORE the superseded
+    * segments are physically dropped, so the swap itself is atomic;
+    * the maintenance job owns exclusivity against concurrent readers
+    * of OLDER versions during the drop, the same contract as any
     * compaction.
     */
   def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
     import spark.implicits._
-    val tmp = s"$dir.compact_tmp"
-    val tomb = readTombstones(spark, dir)
-    // tombstones become physical here: tf/dl rows dropped, and the
-    // deleted docs' term lists — read from tf BEFORE the drop; the
-    // index itself is the only surviving record of them — yield the
-    // per-term df correction that delete() deferred (the one id-keyed
-    // pass over the term-clustered tf, paid at merge time as in any
-    // LSM engine). After the swap the tombstone frame is gone (not
-    // copied into tmp) and df is exact again.
-    val tf0 = spark.read.parquet(s"$dir/tf")
+    val (v0, entries) = requireLatest(spark, dir)
+    val v = v0 + 1
+    val seg = f"seg-$v%09d"
+    val tomb = readTombstones(spark, dir, entries)
+    val tf0 = readFrame(spark, dir, entries, "tf").get
     val (tfKept, dfCorr) = tomb match {
       case None => (tf0, None)
       case Some(t) =>
-        val corr = tf0.join(t, Seq("id")).groupBy(col("term"))
+        val corr = tf0.join(t.select("id"), Seq("id")).groupBy(col("term"))
           .agg(count(lit(1)).as("__dfdel"))
-        (tf0.join(t, Seq("id"), "left_anti"), Some(corr))
+        (tf0.join(t.select("id"), Seq("id"), "left_anti"), Some(corr))
     }
-    Layout.writeClustered(tfKept, s"$tmp/tf",
+    Layout.writeClustered(tfKept, s"$dir/tf/$seg",
       Seq(col("term"), col("id")), numFiles)
-    val dl0 = spark.read.parquet(s"$dir/dl")
-    val dlKept = tomb.fold(dl0)(t => dl0.join(t, Seq("id"), "left_anti"))
+    val dl0 = readFrame(spark, dir, entries, "dl").get
+    val dlKept =
+      tomb.fold(dl0)(t => dl0.join(t.select("id"), Seq("id"), "left_anti"))
     dlKept.repartition(1).sortWithinPartitions(col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/dl")
-    val dfSummed = spark.read.parquet(s"$dir/df")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dl/$seg")
+    val dfSummed = readFrame(spark, dir, entries, "df").get
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val dfFinal = dfCorr match {
       case None => dfSummed
@@ -230,28 +378,28 @@ object Bm25Index {
         .filter(col("df") > 0)
     }
     Layout.writeClustered(dfFinal,
-      s"$tmp/df", Seq(col("term")), math.max(1, numFiles / 4))
+      s"$dir/df/$seg", Seq(col("term")), math.max(1, numFiles / 4))
     // net of the tombstones' carried contributions — the tombstone
-    // frame is dropped by the swap, so its correction bakes in here
-    val (mN, mS) = netMeta(spark, dir)
+    // segments are dropped by the new manifest, so their correction
+    // bakes in here
+    val (mN, mS) = netMeta(spark, dir, entries)
     Seq((mN, mS)).toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$tmp/meta")
-    // swap: remove the old layout, move the compacted one into place
-    // (filesystem resolved FROM the path — FileSystem.get(conf) would
-    // bind the default FS and throw Wrong-FS for any other scheme)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compact: rename $tmp -> $dir failed")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/meta/$seg")
+    val fresh = Seq("tf", "dl", "df", "meta").map(f => f -> Seq(s"$f/$seg"))
+      .toMap
+    commit(spark, dir, v, fresh)
+    dropOrphanSegments(spark, dir, fresh)
   }
 
   /** Multi-query search over a persisted index: identical semantics and
     * arithmetic to [[Retrieval.bm25SearchAll]], but the corpus never
     * appears — tf is read term-pruned from the index layout, df/idf is
     * read (not re-counted) and broadcast, and the only driver value is
-    * the one-row meta read. Output: queryIdCol, idCol, `n_hits`,
-    * `score` — topK rows per query.
+    * the one-row-per-segment meta read. The manifest is resolved ONCE
+    * here, so the whole plan reads one committed version (snapshot
+    * isolation against concurrent appends). Output: queryIdCol, idCol,
+    * `n_hits`, `score` — topK rows per query.
     *
     * `maxDfRatio` is the production STOP-TERM knob (Lucene-family
     * common-terms handling): a query term present in more than that
@@ -275,9 +423,11 @@ object Bm25Index {
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
+    // ONE manifest resolution for the whole call — the snapshot
+    val (_, entries) = requireLatest(spark, dir)
     // meta rows are per-build/append partials (log-structured layout),
     // net of tombstoned docs' carried contributions
-    val (nDocs, sumDl) = netMeta(spark, dir)
+    val (nDocs, sumDl) = netMeta(spark, dir, entries)
     val avgdl = sumDl.toDouble / nDocs.toDouble
 
     val qterms = queries.select(col(queryIdCol),
@@ -304,7 +454,7 @@ object Bm25Index {
     // df first: |query|-bounded rows, and the stop-term cut (if any)
     // happens HERE, before the tf scan ever sees the terms. The sum
     // merges per-append partial counts (and is a no-op on one build).
-    val dfRead = inPruned(spark.read.parquet(s"$dir/df"), termSeq)
+    val dfRead = inPruned(readFrame(spark, dir, entries, "df").get, termSeq)
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val dfKept =
@@ -314,7 +464,7 @@ object Bm25Index {
     val keptSeq =
       if (maxDfRatio >= 1.0) termSeq
       else dfKept.select("term").as[String].collect().toSeq
-    val tfq = inPruned(spark.read.parquet(s"$dir/tf"), keptSeq)
+    val tfq = inPruned(readFrame(spark, dir, entries, "tf").get, keptSeq)
       .join(broadcast(dfKept.select("term")), "term")
     val idf = dfKept
       .withColumn("idf",
@@ -331,12 +481,12 @@ object Bm25Index {
     // tombstoned docs drop out of the candidates here — before the
     // rank window, so lower-ranked survivors fill the top-k (see
     // delete(): membership is exact immediately, df exact after compact)
-    val tfLive = readTombstones(spark, dir)
-      .fold(tfq)(t => tfq.join(t, Seq("id"), "left_anti"))
+    val tfLive = readTombstones(spark, dir, entries)
+      .fold(tfq)(t => tfq.join(t.select("id"), Seq("id"), "left_anti"))
     val scored = tfLive
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(idf.select("term", "idf")), Seq("term"))
-      .join(spark.read.parquet(s"$dir/dl"), Seq("id"))
+      .join(readFrame(spark, dir, entries, "dl").get, Seq("id"))
       .groupBy(col(queryIdCol), col("id"))
       .agg(count(lit(1)).as("n_hits"),
         round(sum(contrib).cast("double"), 6).as("score"))
@@ -350,7 +500,8 @@ object Bm25Index {
 
   /** Single-query search — [[Retrieval.bm25Search]] over the persisted
     * layout: same output shape (idCol, `n_hits`, `score`), same total
-    * (score DESC, id ASC) order, topK rows.
+    * (score DESC, id ASC) order, topK rows. Same one-manifest snapshot
+    * discipline as [[searchAll]].
     */
   def search(spark: SparkSession, dir: String, queryTerms: Seq[String],
       idCol: String = "id", k1: Double = 1.2, b: Double = 0.75,
@@ -359,12 +510,13 @@ object Bm25Index {
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
+    val (_, entries) = requireLatest(spark, dir)
     val terms0 = queryTerms.map(_.toLowerCase).distinct
     // meta/df partials aggregate at read (log-structured layout), net
     // of tombstoned docs' carried contributions
-    val (nDocs, sumDl) = netMeta(spark, dir)
+    val (nDocs, sumDl) = netMeta(spark, dir, entries)
     val avgdl = sumDl.toDouble / nDocs.toDouble
-    def dfSlice(ts: Seq[String]) = spark.read.parquet(s"$dir/df")
+    def dfSlice(ts: Seq[String]) = readFrame(spark, dir, entries, "df").get
       .filter(col("term").isin(ts: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     // the term list is already driver-side: static IN predicates push
@@ -378,15 +530,15 @@ object Bm25Index {
         .filter(col("df") <= lit((maxDfRatio * nDocs.toDouble).toLong))
         .select("term").as[String].collect().toSeq
     if (terms.isEmpty) // every query term was stop-cut → no hits
-      return spark.read.parquet(s"$dir/dl").filter(lit(false))
+      return readFrame(spark, dir, entries, "dl").get.filter(lit(false))
         .select(col("id").as(idCol), lit(0L).as("n_hits"),
           lit(0.0).as("score")) // id keeps the corpus key's real type
-    val tfq0 = spark.read.parquet(s"$dir/tf")
+    val tfq0 = readFrame(spark, dir, entries, "tf").get
       .filter(col("term").isin(terms: _*))
     // tombstone anti-join — see searchAll; bounded by the term-pruned
     // candidate rows, not the corpus
-    val tfq = readTombstones(spark, dir)
-      .fold(tfq0)(t => tfq0.join(t, Seq("id"), "left_anti"))
+    val tfq = readTombstones(spark, dir, entries)
+      .fold(tfq0)(t => tfq0.join(t.select("id"), Seq("id"), "left_anti"))
     val idf = dfSlice(terms)
       .withColumn("idf",
         log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
@@ -398,7 +550,7 @@ object Bm25Index {
           lit(b) * (col("dl").cast("double") / lit(avgdl))))),
       12).cast(DecimalType(30, 12))
     tfq.join(broadcast(idf.select("term", "idf")), "term")
-      .join(spark.read.parquet(s"$dir/dl"), "id")
+      .join(readFrame(spark, dir, entries, "dl").get, "id")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"),
         round(sum(contrib).cast("double"), 6).as("score"))

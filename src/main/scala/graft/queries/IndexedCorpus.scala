@@ -78,15 +78,17 @@ object IndexedCorpus {
       d.toString
     }
 
-  /** BM25 index dir for this documents frame (build if absent). */
-  def bm25Dir(docs: DataFrame, idCol: String, textCol: String): String =
-    synchronized {
-      val fp = fingerprint(docs, col(idCol), col(textCol))
-      val d = new File(sys.props("java.io.tmpdir"), f"graft_qbm25_$fp%016x")
-      if (!complete(d))
-        graft.extra.Bm25Index.build(docs, idCol, textCol, d.toString)
-      d.toString
-    }
+  /** BM25 index dir for this documents frame (build if absent). The
+    * marker-committed [[cachedDir]] discipline (not the ANN path's
+    * `meta/_SUCCESS` probe): the segmented BM25 layout has its own
+    * manifest commit inside, and the v2 prefix keeps pre-segmentation
+    * cache dirs from being mistaken for complete indexes.
+    */
+  def bm25Dir(docs: DataFrame, idCol: String, textCol: String): String = {
+    val fp = fingerprint(docs, col(idCol), col(textCol))
+    cachedDir("graft_qbm25v2", fp)(d =>
+      graft.extra.Bm25Index.build(docs, idCol, textCol, d.toString))
+  }
 
   /** IVF-PQ index dir for this embeddings frame (build if absent;
     * deterministic sample codebooks, the registered queries' config).

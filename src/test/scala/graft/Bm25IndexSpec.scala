@@ -125,12 +125,12 @@ class Bm25IndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq
     val before = hits()
-    assert(spark.read.parquet(s"$dInc/meta").count() == 3L)
+    assert(spark.read.parquet(s"$dInc/meta/*").count() == 3L)
     Bm25Index.compact(spark, dInc)
     assert(hits() == before)
-    assert(spark.read.parquet(s"$dInc/meta").count() == 1L)
+    assert(spark.read.parquet(s"$dInc/meta/*").count() == 1L)
     // df holds one final count per term after the merge
-    assert(spark.read.parquet(s"$dInc/df")
+    assert(spark.read.parquet(s"$dInc/df/*")
       .groupBy("term").count().filter(col("count") > 1).count() == 0L)
   }
 
@@ -139,7 +139,9 @@ class Bm25IndexSpec extends SparkSpec {
     val a = Seq((0L, "spark shuffle"), (1L, "hash join"))
       .toDF("doc_id", "text")
     val d1 = graft.queries.IndexedCorpus.bm25Dir(a, "doc_id", "text")
-    val meta = new java.io.File(d1, "meta/_SUCCESS")
+    // completion marker is IndexedCorpus's cachedDir commit (the
+    // segmented BM25 layout commits internally via its manifest)
+    val meta = new java.io.File(d1, "_GRAFT_COMPLETE")
     assert(meta.exists())
     val built = meta.lastModified()
     // identical content (different frame instance) → same dir, no rebuild
@@ -191,7 +193,7 @@ class Bm25IndexSpec extends SparkSpec {
     val mixed = Seq((0L, "spark shuffle"), (1L, ""), (2L, "spark"))
       .toDF("doc_id", "text")
     Bm25Index.build(mixed, "doc_id", "text", d2)
-    val meta = spark.read.parquet(s"$d2/meta").head()
+    val meta = spark.read.parquet(s"$d2/meta/*").head()
     assert(meta.getAs[Long]("n_docs") == 3L)
     // idf therefore matches the direct form on the same tiny corpus
     val direct = Retrieval.bm25Search(mixed, "doc_id", "text",
@@ -225,10 +227,10 @@ class Bm25IndexSpec extends SparkSpec {
     // itself is untouched, so there is no second write for a crashed
     // retry to repeat — the old negative-partial design's window)
     val live = docs.filter(!col("doc_id").isin(victims: _*))
-    val metaRaw = spark.read.parquet(s"$d3/meta")
+    val metaRaw = spark.read.parquet(s"$d3/meta/*")
       .agg(sum("n_docs").as("n"), sum("sum_dl").as("s")).head()
     assert(metaRaw.getAs[Long]("n") == docs.count()) // meta untouched
-    val tombNet = spark.read.parquet(s"$d3/tombstones")
+    val tombNet = spark.read.parquet(s"$d3/tombstones/*")
       .agg(sum("n").as("n"), sum("s").as("s")).head()
     assert(metaRaw.getAs[Long]("n") - tombNet.getAs[Long]("n")
       == live.count())
@@ -236,7 +238,7 @@ class Bm25IndexSpec extends SparkSpec {
     // idempotence: re-deleting tombstones nothing new
     assert(Bm25Index.delete(spark, d3, victims.toDF("doc_id"),
       "doc_id") == 0L)
-    val tombNet2 = spark.read.parquet(s"$d3/tombstones")
+    val tombNet2 = spark.read.parquet(s"$d3/tombstones/*")
       .agg(sum("n").as("n")).head()
     assert(tombNet2.getAs[Long]("n") == tombNet.getAs[Long]("n"))
 
@@ -250,5 +252,53 @@ class Bm25IndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows(d3) == rows(dFresh))
     assert(!new java.io.File(s"$d3/tombstones").exists())
+  }
+
+  test("snapshot isolation: uncommitted segment files are invisible " +
+      "to searches — a torn in-flight append can never be read; the " +
+      "manifest commit makes it visible atomically") {
+    val d = tmpDir()
+    Bm25Index.build(docs.filter(col("doc_id") < 300), "doc_id", "text", d)
+    val terms = Seq("spark", "shuffle", "join")
+    def rows() = Bm25Index.search(spark, d, terms, idCol = "doc_id",
+        topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val committed = rows()
+
+    // simulate the torn middle of a concurrent append: new tf/dl/df
+    // segment files exist on disk (what a crashed or in-flight writer
+    // leaves) but NO manifest commit — exactly the state the old
+    // directory-scan reader consumed as a half-applied append
+    val extra = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val tfTorn = extra.select(col("doc_id").as("id"),
+        explode(graft.extra.Text.tokens(col("text"))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    tfTorn.write.parquet(s"$d/tf/seg-torn")
+    tfTorn.groupBy("id").agg(sum("tf").as("dl"))
+      .write.parquet(s"$d/dl/seg-torn")
+    tfTorn.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.parquet(s"$d/df/seg-torn")
+    // note: deliberately NO meta partial — the classic torn state
+
+    assert(rows() == committed,
+      "uncommitted segments must be invisible to a search")
+
+    // a real append COMMITS, and only then do the new docs surface
+    Bm25Index.append(extra, "doc_id", "text", d)
+    val after = rows()
+    assert(after != committed)
+    // and the result equals a fresh build over the union (the torn
+    // leftovers stay dead weight until a compact sweeps them)
+    val dRef = tmpDir()
+    Bm25Index.build(docs.filter(col("doc_id") < 400), "doc_id", "text",
+      dRef)
+    def rowsAt(dd: String) = Bm25Index.search(spark, dd, terms,
+        idCol = "doc_id", topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == rowsAt(dRef))
+    // compact drops the orphaned torn segment physically
+    Bm25Index.compact(spark, d)
+    assert(!new java.io.File(s"$d/tf/seg-torn").exists())
+    assert(rowsAt(d) == after)
   }
 }
