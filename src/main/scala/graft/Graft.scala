@@ -705,6 +705,21 @@ object Graft {
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     extra.Graph.triangles(edges, srcCol, dstCol)
 
+  /** Depth-bounded BFS hop distances from a seed node (Scala-driven
+    * frontier loop — one keyed join per level, never UnionLoop
+    * re-planning).
+    */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seed: Column, maxDepth: Int): DataFrame =
+    extra.Graph.bfs(edges, srcCol, dstCol, seed, maxDepth)
+
+  /** Connected components (min-label propagation + pointer doubling;
+    * throws rather than return unconverged labels).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 20): DataFrame =
+    extra.Graph.connectedComponents(edges, srcCol, dstCol, maxIters)
+
   /** DSIR importance log-weights toward a target domain (Xie et al.
     * 2023): resample the raw corpus ∝ exp(log_weight) to approximate
     * the target distribution.

@@ -154,6 +154,17 @@ class GraftFacadeSpec extends SparkSpec {
     assert(Graft.hashNearDup(hashes, "id", "h").count() == 1)
   }
 
+  test("facade: BFS + connected components surface") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val dists = Graft.bfs(edges, "src", "dst", lit("a"), maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(dists == Map("a" -> 0, "b" -> 1, "c" -> 2))
+    val comps = Graft.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("facade: CEP + Count-Min + skyline surface") {
     val ev = Seq((1L, 1000L, 0L, "a"), (1L, 2000L, 1L, "b"),
       (1L, 3000L, 2L, "c"))
