@@ -9,21 +9,35 @@ import org.apache.spark.sql.functions._
   * `nprobe` posting-list partitions and the two tiny codebooks, never
   * the raw corpus.
   *
-  * Layout under `dir`:
-  *   - `codes/` — (id, v, nrm, codes) parquet, DIRECTORY-PARTITIONED
-  *     by `list_id` and sorted by `id` within each file. Partitioning
-  *     by posting list is the point: [[Similarity.searchIvfPq]] emits a
-  *     static `list_id IN (probed…)` filter, so a search plans down to
-  *     the probed partitions at file-listing time (PartitionFilters,
-  *     no DPP machinery). The float vectors ride in the same files for
-  *     the in-place shortlist re-rank; a storage-tiered deployment
-  *     would split them into a separate id-keyed table.
+  * Layout under `dir` — SEGMENTED with MANIFEST-COMMITTED versions
+  * ([[IndexManifests]], the same commit-point discipline as
+  * [[Bm25Index]]):
+  *   - `codes/seg-N/` — (id, v, nrm, codes) parquet, one segment per
+  *     write operation, each DIRECTORY-PARTITIONED by `list_id` and
+  *     sorted by `id` within files. Partitioning by posting list is
+  *     the point: [[Similarity.searchIvfPq]] emits a static
+  *     `list_id IN (probed…)` filter, and because the committed
+  *     segments are read as a UNION of per-segment partitioned scans,
+  *     the filter reaches EVERY leg as PartitionFilters — a search
+  *     plans down to the probed partitions of each live segment at
+  *     file-listing time (no DPP machinery). The float vectors ride
+  *     in the same files for the in-place shortlist re-rank; a
+  *     storage-tiered deployment would split them into a separate
+  *     id-keyed table.
   *   - `codebooks/` — (kind ∈ coarse|pq, cid, v, nrm): both codebooks,
   *     C+K rows total — driver-held metadata, like any k-means model.
-  *   - `meta/` — one row (m, sub): the PQ geometry.
-  *   - `tombstones/` — (id), present only after a [[delete]]: ids
-  *     anti-joined out of every coded scan until [[compact]] purges
-  *     them physically.
+  *     IMMUTABLE after the build (appends never retrain), so not
+  *     manifest-versioned.
+  *   - `meta/` — one row (m, sub): the PQ geometry. Immutable too.
+  *   - `tombstones/seg-N/` — (id), present only after a [[delete]]:
+  *     ids anti-joined out of every coded scan until [[compact]]
+  *     purges them physically.
+  *   - `_manifests/vN.txt` — the commit points: readers resolve the
+  *     latest and plan only against the segments it names, so a
+  *     concurrent (or crashed) append's files are INVISIBLE until its
+  *     commit lands — the dense mirror of [[Bm25Index]]'s snapshot
+  *     isolation. A pre-manifest index (flat `codes/`) is adopted
+  *     read-compatibly: its root dirs count as one legacy segment.
   *
   * Persisted-search ≡ in-memory-search bit-for-bit: [[readIvfPq]]
   * rebuilds the exact [[Similarity.IvfPqIndex]] (codebooks collected
@@ -37,15 +51,17 @@ object AnnIndex {
     * posting list lands in one task → one file per list; lists are
     * sorted by `id` within files for stable reads.
     */
-  def writeIvfPq(idx: Similarity.IvfPqIndex, dir: String,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+  def writeIvfPq(idx: Similarity.IvfPqIndex, dir: String): Unit = {
     val spark = idx.coded.sparkSession
     import spark.implicits._
+    val prev = IndexManifests.latest(spark, dir)
+    val v = prev.map(_._1).getOrElse(0L) + 1
+    val seg = f"codes/seg-$v%09d"
     idx.coded
       .repartition(col("list_id"))
       .sortWithinPartitions(col("list_id"), col("id"))
-      .write.mode(mode).partitionBy("list_id")
-      .parquet(s"$dir/codes")
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/$seg")
     // `pos` persists the SEQUENCE ORDER, which is load-bearing: PQ
     // codes index centroids by position (codes/dtable entry j = j-th
     // element), and the sample codebook's order is hash-order, not cid
@@ -56,9 +72,16 @@ object AnnIndex {
         idx.pq.zipWithIndex.map { case (c, i) =>
           ("pq", i, c.cid, c.v, c.nrm) }
     cb.toDF("kind", "pos", "cid", "v", "nrm")
-      .coalesce(1).write.mode(mode).parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/codebooks")
     Seq((idx.m, idx.sub, idx.residual)).toDF("m", "sub", "residual")
-      .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    // the manifest commit is the atomic point; a fresh build names
+    // only its own segment (a crashed previous layout's files become
+    // invisible orphans for compact to sweep)
+    IndexManifests.commit(spark, dir, v, Map("codes" -> Seq(seg)))
+    IndexManifests.dropOrphanSegments(spark, dir,
+      Seq("codes", "tombstones"), Map("codes" -> Seq(seg)))
   }
 
   /** The driver-held half of a persisted index — both codebooks and
@@ -95,19 +118,61 @@ object AnnIndex {
     FrozenCodebooks(kind("coarse"), kind("pq"), m, sub, residual)
   }
 
+  /** Committed (version, entries) — or the LEGACY adoption for a
+    * pre-manifest index: its flat `codes/` (and `tombstones/`) root
+    * dirs count as one segment each, read-compatibly.
+    */
+  private def entriesOf(spark: SparkSession, dir: String)
+      : (Long, Map[String, Seq[String]]) =
+    IndexManifests.latest(spark, dir).getOrElse {
+      val (fs, _) = IndexManifests.fsOf(spark, dir)
+      val legacy = Seq("codes", "tombstones")
+        .filter(f => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$f")))
+        .map(f => f -> Seq(f)).toMap
+      (0L, legacy)
+    }
+
+  /** The committed codes segments as ONE union of per-segment
+    * partitioned scans — each leg keeps `list_id` as a partition
+    * column, so searchIvfPq's static probe filter reaches every leg as
+    * PartitionFilters.
+    */
+  private def readCodes(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]])
+      : org.apache.spark.sql.DataFrame = {
+    val segs = entries.getOrElse("codes", Nil)
+    require(segs.nonEmpty, s"no committed codes segments at $dir")
+    segs.map(rel => spark.read.parquet(s"$dir/$rel"))
+      .reduce(_.unionByName(_))
+      .withColumn("list_id", col("list_id").cast("long"))
+  }
+
+  /** All COMMITTED coded rows (no tombstone anti-join) — the physical
+    * content of the live segments, for maintenance jobs and layout
+    * introspection (a plain `spark.read.parquet` cannot union sibling
+    * partitioned segment dirs — partition discovery rejects the
+    * intervening seg-N component).
+    */
+  def committedCodes(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (_, entries) = entriesOf(spark, dir)
+    readCodes(spark, dir, entries)
+  }
+
   /** Read a persisted index back as a lazily-scanned
     * [[Similarity.IvfPqIndex]]: codebooks + meta are collected (tiny),
-    * `codes/` stays a parquet scan that [[Similarity.searchIvfPq]]
-    * prunes by partition.
+    * `codes/` stays a union of partitioned segment scans that
+    * [[Similarity.searchIvfPq]] prunes per leg. The manifest is
+    * resolved ONCE here — the snapshot the whole search plans against.
     */
   def readIvfPq(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
     val cb = readCodebooks(spark, dir)
-    val coded0 = spark.read.parquet(s"$dir/codes")
-      .withColumn("list_id", col("list_id").cast("long"))
+    val (_, entries) = entriesOf(spark, dir)
+    val coded0 = readCodes(spark, dir, entries)
     // tombstoned ids (see delete()) drop out of every scan; the static
     // list_id IN (probed) filter searchIvfPq adds still pushes through
     // the left-anti join to the partitioned read (left-side predicate)
-    val coded = readTombstones(spark, dir)
+    val coded = readTombstones(spark, dir, entries)
       .fold(coded0)(t => coded0.join(t, Seq("id"), "left_anti"))
     Similarity.IvfPqIndex(cb.coarse, cb.pq, cb.m, cb.sub, coded,
       cb.residual)
@@ -152,16 +217,16 @@ object AnnIndex {
         s"${cb.m * cb.sub} (m=${cb.m} × sub=${cb.sub})")
     val encoded = Similarity.encodeIvfPq(emb, idCol, vecCol, cb.coarse,
       cb.pq, cb.m, cb.sub, cb.residual)
-    // Two output shapes: a bulk batch hash-partitions on list_id (one
-    // task per list → one well-sized file per list); a streaming
-    // micro-batch instead funnels into ONE post-encode task
-    // (repartition(1) — the encode projection still parallelizes
-    // upstream of the exchange) writing one small file per touched
-    // list, since hashing a few thousand rows across the full shuffle
-    // width just multiplies tiny files and pays a pointless shuffle
-    // (r10: the per-batch fan-out was half the ingest shortfall).
-    // [[compact]] folds the accumulated per-batch files back into one
-    // file per list on the maintenance cadence.
+    // Two output shapes. Default: hash on list_id — AQE coalesces the
+    // exchange to few tasks on a small batch while a backlog batch
+    // keeps parallel writers, and partitionBy writes one file per
+    // touched list either way. singleFileBatch funnels through ONE
+    // post-encode task (repartition(1) — the encode projection still
+    // parallelizes upstream of the exchange): marginally cheaper for
+    // TRICKLE batches, but measured 43µs/row at 200k-row batches vs
+    // ~26µs on the hash path, so streams that can see backlog batches
+    // should keep the default. [[compact]] folds accumulated per-batch
+    // files back into one file per list on the maintenance cadence.
     val arranged =
       if (singleFileBatch)
         encoded.repartition(1)
@@ -169,17 +234,22 @@ object AnnIndex {
       else
         encoded.repartition(col("list_id"))
           .sortWithinPartitions(col("list_id"), col("id"))
-    arranged.write.mode(SaveMode.Append).partitionBy("list_id")
-      .parquet(s"$dir/codes")
+    // new SEGMENT + manifest commit: the batch's files are invisible
+    // to searches until the commit lands (a crashed append leaves an
+    // orphan segment compact sweeps, never a torn read)
+    val (v0, entries) = entriesOf(spark, dir)
+    val seg = f"codes/seg-${v0 + 1}%09d"
+    arranged.write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/$seg")
+    IndexManifests.commit(spark, dir, v0 + 1,
+      entries + ("codes" -> (entries.getOrElse("codes", Nil) :+ seg)))
   }
 
-  private def tombPath(dir: String) = s"$dir/tombstones"
-
-  private def readTombstones(spark: SparkSession, dir: String)
+  private def readTombstones(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]])
       : Option[org.apache.spark.sql.DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombPath(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(tombPath(dir))) else None
+    val paths = entries.getOrElse("tombstones", Nil).map(r => s"$dir/$r")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   /** Delete vectors from the index — the dense mirror of
@@ -197,17 +267,21 @@ object AnnIndex {
     */
   def delete(spark: SparkSession, dir: String,
       ids: org.apache.spark.sql.DataFrame, idCol: String = "id"): Unit = {
+    val (v0, entries) = entriesOf(spark, dir)
     val incoming = ids.select(col(idCol).as("id")).distinct()
     // drop ids already tombstoned — a takedown job that re-runs its
     // full list daily (the natural idempotent retry) would otherwise
     // grow the frame linearly with RUNS, and every search's anti-join
     // pays for the duplicates until a compact (Bm25Index.delete
     // already dedups; this is its dense mirror)
-    val newIds = readTombstones(spark, dir)
+    val newIds = readTombstones(spark, dir, entries)
       .fold(incoming)(t =>
         incoming.join(t.select("id"), Seq("id"), "left_anti"))
-    newIds.coalesce(1).write.mode(SaveMode.Append)
-      .parquet(tombPath(dir))
+    val seg = f"tombstones/seg-${v0 + 1}%09d"
+    newIds.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$seg")
+    IndexManifests.commit(spark, dir, v0 + 1, entries +
+      ("tombstones" -> (entries.getOrElse("tombstones", Nil) :+ seg)))
   }
 
   /** Index maintenance — BOTH halves of the LSM story:
@@ -232,22 +306,23 @@ object AnnIndex {
     * [[Bm25Index.compact]].
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val tomb = readTombstones(spark, dir)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$dir/codes.compact_tmp"
-    val live0 = spark.read.parquet(s"$dir/codes")
-      .withColumn("list_id", col("list_id").cast("long"))
+    val (v0, entries) = entriesOf(spark, dir)
+    val tomb = readTombstones(spark, dir, entries)
+    val live0 = readCodes(spark, dir, entries)
+    val seg = f"codes/seg-${v0 + 1}%09d"
     tomb.fold(live0)(t => live0.join(t, Seq("id"), "left_anti"))
       .repartition(col("list_id"))
       .sortWithinPartitions(col("list_id"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id")
-      .parquet(tmp)
-    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    fs.delete(codes, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), codes),
-      s"compact: rename $tmp -> $codes failed")
-    fs.delete(new org.apache.hadoop.fs.Path(tombPath(dir)), true)
+      .parquet(s"$dir/$seg")
+    // the commit is the swap: one fresh segment, no tombstones; the
+    // superseded segments (and any crashed writer's orphans) are then
+    // dropped physically — maintenance owns exclusivity against
+    // readers of older versions during the drop
+    val fresh = Map("codes" -> Seq(seg))
+    IndexManifests.commit(spark, dir, v0 + 1, fresh)
+    IndexManifests.dropOrphanSegments(spark, dir,
+      Seq("codes", "tombstones"), fresh)
   }
 
   /** Build-and-persist in one call; returns the read-back index. */

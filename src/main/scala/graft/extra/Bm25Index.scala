@@ -77,67 +77,17 @@ object Bm25Index {
 
   private val Frames = Seq("tf", "dl", "df", "meta", "tombstones")
 
-  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val p = new Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
-  private def manifestDir(dir: String) = s"$dir/_manifests"
-
-  private def versionOf(name: String): Option[Long] =
-    if (name.startsWith("v") && name.endsWith(".txt"))
-      name.stripPrefix("v").stripSuffix(".txt").toLongOption
-    else None
-
-  /** Latest committed (version, frame → live segment relpaths). */
   private def latest(spark: SparkSession, dir: String)
-      : Option[(Long, Map[String, Seq[String]])] = {
-    val (fs, md) = fsOf(spark, manifestDir(dir))
-    if (!fs.exists(md)) return None
-    val vs = fs.listStatus(md).toSeq
-      .flatMap(s => versionOf(s.getPath.getName))
-    vs.maxOption.map { v =>
-      val in = fs.open(new Path(md, f"v$v%09d.txt"))
-      val txt = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-        bos.toString("UTF-8")
-      } finally in.close()
-      val entries = txt.linesIterator.filter(_.nonEmpty).toSeq
-        .map { l => val Array(f, seg) = l.split("\t", 2); (f, seg) }
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      (v, entries)
-    }
-  }
+      : Option[(Long, Map[String, Seq[String]])] =
+    IndexManifests.latest(spark, dir)
 
   private def requireLatest(spark: SparkSession, dir: String)
       : (Long, Map[String, Seq[String]]) =
-    latest(spark, dir).getOrElse(throw new IllegalStateException(
-      s"no committed BM25 index at $dir (missing _manifests)"))
+    IndexManifests.requireLatest(spark, dir, "BM25")
 
-  /** Atomic commit: write aside, rename into place. The rename is the
-    * commit point; a version collision (two writers racing) surfaces
-    * as an exception, never a clobbered manifest.
-    */
   private def commit(spark: SparkSession, dir: String, version: Long,
-      entries: Map[String, Seq[String]]): Unit = {
-    val (fs, md) = fsOf(spark, manifestDir(dir))
-    fs.mkdirs(md)
-    val tmp = new Path(md,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .flatMap { case (f, segs) => segs.map(s => s"$f\t$s") }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(md, f"v$version%09d.txt")
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"BM25 manifest v$version already committed at $dir — " +
-          "concurrent writer (single-writer contract)")
-    }
-  }
+      entries: Map[String, Seq[String]]): Unit =
+    IndexManifests.commit(spark, dir, version, entries)
 
   /** Read one frame as the union of its committed segments; None when
     * the manifest lists no segment for it (e.g. no tombstones yet).
@@ -149,26 +99,9 @@ object Bm25Index {
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
-  /** Delete every on-disk segment not named by `live` (post-commit
-    * physical cleanup — build-overwrite and compact).
-    */
   private def dropOrphanSegments(spark: SparkSession, dir: String,
-      live: Map[String, Seq[String]]): Unit = {
-    val (fs, _) = fsOf(spark, dir)
-    val keep = live.values.flatten.toSet
-    Frames.foreach { f =>
-      val fd = new Path(s"$dir/$f")
-      if (fs.exists(fd)) {
-        fs.listStatus(fd).foreach { st =>
-          val rel = s"$f/${st.getPath.getName}"
-          if (!keep.contains(rel)) fs.delete(st.getPath, true): Unit
-        }
-        // a frame with no live segments loses its (now empty) dir too
-        // — e.g. tombstones after a compact
-        if (fs.listStatus(fd).isEmpty) fs.delete(fd, true): Unit
-      }
-    }
-  }
+      live: Map[String, Seq[String]]): Unit =
+    IndexManifests.dropOrphanSegments(spark, dir, Frames, live)
 
   /** Tokenize the corpus once and persist tf/dl/df/meta as one new
     * SEGMENT per frame, then commit the manifest (the crash-atomic

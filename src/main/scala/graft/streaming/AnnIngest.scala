@@ -94,10 +94,14 @@ object AnnIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, _: Long) =>
+        // hash-on-list_id write (NOT singleFileBatch): AQE coalesces
+        // the exchange to few tasks on a small batch while a backlog
+        // batch keeps parallel writers — the single-task funnel was
+        // measured 43µs/row at 200k-row batches vs ~26µs here, and
+        // the file count is one per touched list either way
         if (sinkGate())
           AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
-            "embedding", codebooks = Some(codebooks),
-            singleFileBatch = true)
+            "embedding", codebooks = Some(codebooks))
       }
       .start()
   }

@@ -137,9 +137,9 @@ class AnnIndexSpec extends SparkSpec {
     assert(disk == searchRows(filtered) && disk.nonEmpty)
 
     // compact: physical purge, tombstones gone, results unchanged
-    val nBefore = spark.read.parquet(s"$dir/codes").count()
+    val nBefore = AnnIndex.committedCodes(spark, dir).count()
     AnnIndex.compact(spark, dir)
-    assert(spark.read.parquet(s"$dir/codes").count() == nBefore - 2)
+    assert(AnnIndex.committedCodes(spark, dir).count() == nBefore - 2)
     assert(!new java.io.File(s"$dir/tombstones").exists())
     assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == disk)
   }
@@ -170,7 +170,7 @@ class AnnIndexSpec extends SparkSpec {
     }
     val before = searchRows(AnnIndex.readIvfPq(spark, dir))
     val filesBefore = codeFileCount(dir)
-    val lists = spark.read.parquet(s"$dir/codes")
+    val lists = AnnIndex.committedCodes(spark, dir)
       .select("list_id").distinct().count().toInt
     assert(filesBefore > lists,
       s"appends should accrete files: $filesBefore files / $lists lists")
@@ -184,5 +184,48 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.compact(spark, dir)
     assert(codeFileCount(dir) <= lists)
     assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == before)
+  }
+
+  test("snapshot isolation: an uncommitted codes segment is invisible " +
+      "to searches; a committed append surfaces atomically; compact " +
+      "sweeps the orphan") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    val committed = searchRows(AnnIndex.readIvfPq(spark, dir))
+    val nCommitted = AnnIndex.committedCodes(spark, dir).count()
+
+    // simulate the torn middle of a crashed append: a fully-written
+    // codes segment on disk with NO manifest commit — the state the
+    // old flat layout consumed as half-applied data
+    val cb = AnnIndex.readCodebooks(spark, dir)
+    Similarity.encodeIvfPq(
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", cb.coarse, cb.pq, cb.m, cb.sub,
+        cb.residual)
+      .repartition(1).write.partitionBy("list_id")
+      .parquet(s"$dir/codes/seg-torn")
+
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == committed,
+      "uncommitted segment must be invisible")
+    assert(AnnIndex.committedCodes(spark, dir).count() == nCommitted)
+
+    // a real append commits; ≡ building over the union with the same
+    // frozen codebooks
+    AnnIndex.appendIvfPq(spark, dir,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    val after = searchRows(AnnIndex.readIvfPq(spark, dir))
+    val ref = Similarity.buildIvfPq(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", numCentroids = 8, m = 8, pqCentroids = 8,
+      coarseCodebook = Some(cb.coarse), pqCodebook = Some(cb.pq)).get
+    assert(after == searchRows(ref))
+
+    // compact physically removes the orphaned torn segment
+    AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/codes/seg-torn").exists())
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == after)
   }
 }

@@ -61,7 +61,7 @@ class StreamingAnnSpec extends SparkSpec {
         AnnIngest.embedStub(col("text"), 64).as("embedding")),
       "doc_id", "embedding")
 
-    def snap(dir: String) = spark.read.parquet(s"$dir/codes")
+    def snap(dir: String) = graft.extra.AnnIndex.committedCodes(spark, dir)
       .select("id", "list_id", "codes", "v", "nrm")
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.get(1).toString, r.getSeq[Any](2),
