@@ -203,9 +203,12 @@ object Bench {
         try {
           val passes = (1 to
             sys.env.getOrElse("SPARK_GRAFT_CUR_PASSES", "3").toInt)
+            // 20 s window (r11): at ~2 s batches a 10 s pass is 4-5
+            // batches — the per-pass number swung 2x run-to-run; the
+            // longer window doubles the steady batches per pass
             .map(_ => StreamBench.measureCuration(spark,
               tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
-              secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt,
+              secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "20").toInt,
               nearDup = false))
           val pool = {
             val valid = passes.filter(_.valid)
@@ -228,7 +231,7 @@ object Bench {
       if (benchStream)
         try Some(StreamBench.measureCuration(spark,
           tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
-          secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "10").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "20").toInt,
           nearDup = true))
         catch { case _: Throwable => None }
       else None
