@@ -223,17 +223,29 @@ object Bench {
         } catch { case _: Throwable => None }
       else None
 
-    // Near-dup curation chain (r11): one pass, DETAIL line + file only
-    // — `streaming_curation` above keeps the r9 like-for-like plain
+    // Near-dup curation chain (r11): DETAIL line + file only —
+    // `streaming_curation` above keeps the r9 like-for-like plain
     // chain for round-over-round comparability; this block carries the
-    // heavier banded-LSH suppression chain's own number.
+    // heavier banded-LSH suppression chain's own number. Same
+    // median-of-valid-passes discipline as the plain block: a single
+    // pass swung 4.8k–17.8k docs/s run-to-run (the first pass pays the
+    // LSH band-table warmup and any leftover GC debt), which made the
+    // committed number a coin flip.
     val streamingCurationNearDup =
       if (benchStream)
-        try Some(StreamBench.measureCuration(spark,
-          tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
-          secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "20").toInt,
-          nearDup = true))
-        catch { case _: Throwable => None }
+        try {
+          val passes = (1 to
+            sys.env.getOrElse("SPARK_GRAFT_CUR_PASSES", "3").toInt)
+            .map(_ => StreamBench.measureCuration(spark,
+              tps = sys.env.getOrElse("SPARK_GRAFT_CUR_TPS", "30000").toInt,
+              secs = sys.env.getOrElse("SPARK_GRAFT_CUR_SECS", "20").toInt,
+              nearDup = true))
+          val pool = {
+            val valid = passes.filter(_.valid)
+            if (valid.nonEmpty) valid else passes
+          }
+          Some(pool.sortBy(_.eventsPerSec).apply((pool.size - 1) / 2))
+        } catch { case _: Throwable => None }
       else None
 
     // Streaming ANN ingest (r10): one pass — the chain is dominated by

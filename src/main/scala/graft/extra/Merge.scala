@@ -56,7 +56,7 @@ object Merge {
     * the file has no non-null stats for the key (merge then conservatively
     * treats it as touched).
     */
-  private def footerKeyRange(file: Path, key: String,
+  private[extra] def footerKeyRange(file: Path, key: String,
       conf: org.apache.hadoop.conf.Configuration): Option[(Any, Any)] = {
     val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
@@ -270,12 +270,25 @@ object Merge {
       keyType: org.apache.spark.sql.types.DataType, batchKeys: DataFrame,
       key: String): Seq[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val ranged = files.map(p => p -> footerKeyRange(p, key, hconf))
-    val statless = ranged.collect { case (p, None) => p.toString }
+    pruneRanged(spark,
+      files.map(p => p.toString -> footerKeyRange(p, key, hconf)),
+      keyType, batchKeys, key)
+  }
+
+  /** The probe half of [[pruneTouched]] over PRE-RESOLVED ranges — what
+    * [[Snapshots]] calls when the manifest already carries each file's
+    * key range (no footer is opened at all; `None` entries — files whose
+    * stats are unknown — stay conservatively touched).
+    */
+  private[extra] def pruneRanged(spark: SparkSession,
+      ranged: Seq[(String, Option[(Any, Any)])],
+      keyType: org.apache.spark.sql.types.DataType, batchKeys: DataFrame,
+      key: String): Seq[String] = {
+    val statless = ranged.collect { case (p, None) => p }
     val filesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         ranged.collect { case (p, Some((mn, mx))) =>
-          org.apache.spark.sql.Row(p.toString, mn, mx)
+          org.apache.spark.sql.Row(p, mn, mx)
         }.toSeq, 1),
       StructType(Seq(
         StructField("__file", StringType),

@@ -14,7 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
   * each listing exactly the data files that make up one version:
   *
   *   <dir>/data/part-*.parquet      — written once, never mutated
-  *   <dir>/_manifests/v<N>         — `#schema=<json>` header + one
+  *   <dir>/_manifests/v<N>         — `#schema=<json>` header,
+  *                                    `#range=` per-file key-range
+  *                                    stats ([[fileRanges]]), then one
   *                                    relative file name per line
   *
   * Commit = atomically creating the NEXT manifest (create-fails-if-
@@ -91,6 +93,83 @@ object Snapshots {
     manifestLines(spark, dir, version).filterNot(_.startsWith("#"))
 
   private val SchemaHeader = "#schema="
+  private val RangeHeader = "#range="
+
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Per-file key ranges RECORDED IN THE MANIFEST (Iceberg-style file
+    * stats): `#range=<b64 name>,<b64 min>,<b64 max>` header lines, one
+    * per data file whose key range was known at commit time. This is
+    * what makes pruning O(one manifest read) instead of O(files) footer
+    * opens — on a 10⁵-file table a [[lookup]] or upsert plans its file
+    * set from metadata it already holds, without touching the object
+    * store once per file. Values are stored as strings (decimal text
+    * for long/int keys, raw text for string keys — base64 makes any
+    * key value line-safe) and parsed back under the table schema's key
+    * type at use; files without an entry (legacy manifests, empty
+    * files) fall back to a footer read, keeping old tables readable
+    * and pruning conservative.
+    */
+  def fileRanges(spark: SparkSession, dir: String,
+      version: Long): Map[String, (String, String)] =
+    manifestLines(spark, dir, version)
+      .filter(_.startsWith(RangeHeader))
+      .map { l =>
+        val parts = l.drop(RangeHeader.length).split(",", 3)
+        require(parts.length == 3, s"malformed range line in v$version")
+        b64d(parts(0)) -> (b64d(parts(1)), b64d(parts(2)))
+      }.toMap
+
+  /** Parse a stored range back to the key type's runtime values. */
+  private def parseRange(keyType: DataType,
+      r: (String, String)): (Any, Any) = keyType match {
+    case LongType => (r._1.toLong, r._2.toLong)
+    case IntegerType => (r._1.toInt, r._2.toInt)
+    case StringType => (r._1, r._2)
+    case t => throw new IllegalArgumentException(
+      s"unsupported snapshot key type $t")
+  }
+
+  private def encodeRangeValue(v: Any): String = v.toString
+
+  /** Prune a version's file list against a key batch using the
+    * MANIFEST's recorded ranges — zero footer opens for stats-bearing
+    * files; only legacy/stat-less entries fall back to a footer read
+    * (or, when the footer also has no stats, stay conservatively
+    * touched). Returns full path strings of the touched files.
+    */
+  private def pruneVersion(spark: SparkSession, root: Path, dir: String,
+      version: Long, keyType: DataType, batchKeys: DataFrame,
+      key: String): Seq[String] = {
+    val stats = fileRanges(spark, dir, version)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val ranged = manifest(spark, dir, version).map { f =>
+      val p = new Path(dataDir(root), f)
+      p.toString -> stats.get(f).map(parseRange(keyType, _))
+        .orElse(Merge.footerKeyRange(p, key, hconf))
+    }
+    Merge.pruneRanged(spark, ranged, keyType, batchKeys, key)
+  }
+
+  /** Footer ranges of freshly staged files, keyed by relative name —
+    * read ONCE at commit time (the writer just wrote these files; their
+    * footers are hot) and then carried in every descendant manifest by
+    * reference, so no reader or later writer ever re-opens them.
+    */
+  private def stagedRanges(spark: SparkSession, root: Path,
+      staged: Seq[String], key: String): Map[String, (String, String)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    staged.flatMap { f =>
+      Merge.footerKeyRange(new Path(dataDir(root), f), key, hconf)
+        .map { case (mn, mx) =>
+          f -> (encodeRangeValue(mn), encodeRangeValue(mx))
+        }
+    }.toMap
+  }
 
   /** The schema the manifest of `version` RECORDS, when it records one
     * (every commit since schema tracking landed does; legacy manifests
@@ -150,7 +229,8 @@ object Snapshots {
     * first (retry on the new current version).
     */
   private def commitManifest(fs: FileSystem, root: Path, version: Long,
-      files: Seq[String], schema: Option[StructType] = None): Unit = {
+      files: Seq[String], schema: Option[StructType] = None,
+      ranges: Map[String, (String, String)] = Map.empty): Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val target = new Path(md, s"v$version")
@@ -170,6 +250,9 @@ object Snapshots {
       }
     val lines = schema.map(s =>
       SchemaHeader + asNullable(s).asInstanceOf[StructType].json).toSeq ++
+      files.flatMap(f => ranges.get(f).map { case (mn, mx) =>
+        RangeHeader + s"${b64e(f)},${b64e(mn)},${b64e(mx)}"
+      }) ++
       files
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -195,7 +278,8 @@ object Snapshots {
     val back = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*)
     val rows = back.count()
-    commitManifest(fs, root, 0L, staged, Some(back.schema))
+    commitManifest(fs, root, 0L, staged, Some(back.schema),
+      stagedRanges(spark, root, staged, key))
     Commit(0L, staged, 0, rows)
   }
 
@@ -234,10 +318,8 @@ object Snapshots {
     val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"$dir has no committed version"))
     val schema = tableSchema(spark, dir, Some(v))
-    val paths = manifest(spark, dir, v)
-      .map(f => new Path(dataDir(root), f))
     val batchKeys = keys.select(key).distinct()
-    val touched = Merge.pruneTouched(spark, paths, schema(key).dataType,
+    val touched = pruneVersion(spark, root, dir, v, schema(key).dataType,
       batchKeys, key)
     if (touched.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -339,7 +421,8 @@ object Snapshots {
     val staged = writeData(df, fs, root, key, n)
     val rows = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
-    commitManifest(fs, root, parent + 1, staged, Some(df.schema))
+    commitManifest(fs, root, parent + 1, staged, Some(df.schema),
+      stagedRanges(spark, root, staged, key))
     Commit(parent + 1, staged, files.size, rows)
   }
 
@@ -466,9 +549,8 @@ object Snapshots {
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"snapshot key $key has unsupported type $keyType")
 
-    val paths = parentFiles.map(f => new Path(dataDir(root), f))
-    val touchedNames = Merge
-      .pruneTouched(spark, paths, keyType, batchKeys, key)
+    val touchedNames = pruneVersion(spark, root, dir, parent, keyType,
+      batchKeys, key)
       .map(p => new Path(p).getName).toSet
     val cols = schema.fieldNames.map(col).toSeq
     val touchedRows =
@@ -484,7 +566,13 @@ object Snapshots {
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
     val childFiles =
       parentFiles.filterNot(touchedNames.contains) ++ staged
-    commitManifest(fs, root, parent + 1, childFiles, Some(schema))
+    // carried-by-reference files keep their parent-manifest ranges;
+    // only the staged files' footers are read (once, while hot)
+    val childRanges = fileRanges(spark, dir, parent)
+      .filter { case (f, _) => !touchedNames.contains(f) } ++
+      stagedRanges(spark, root, staged, key)
+    commitManifest(fs, root, parent + 1, childFiles, Some(schema),
+      childRanges)
     Commit(parent + 1, childFiles, touchedNames.size, rows)
   }
 

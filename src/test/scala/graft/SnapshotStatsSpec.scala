@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.extra.Snapshots
+
+/** Manifest-level file statistics (Iceberg-style data skipping): every
+  * commit records each data file's key range in the manifest, pruning
+  * plans from those recorded ranges without opening parquet footers,
+  * carried-by-reference files keep their parent's entries, and
+  * range-less legacy manifests still read via the footer fallback.
+  */
+class SnapshotStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"snapstat-$tag").toString
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(StandardCharsets.UTF_8))
+
+  test("init/upsert/compact record per-file ranges; carried files " +
+      "keep their parent entries verbatim") {
+    val dir = freshDir("cover")
+    val base = spark.range(1000)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    val c0 = Snapshots.init(base, dir, "id", numFiles = 8)
+    val r0 = Snapshots.fileRanges(spark, dir, 0L)
+    assert(r0.keySet == c0.files.toSet) // every file has a range
+    // ranges are disjoint-ish and ordered: global min/max span 0..999
+    assert(r0.values.map(_._1.toLong).min == 0L)
+    assert(r0.values.map(_._2.toLong).max == 999L)
+
+    val c1 = Snapshots.upsert(spark, dir,
+      Seq((5L, "v2"), (2000L, "new")).toDF("id", "text"), "id")
+    val r1 = Snapshots.fileRanges(spark, dir, 1L)
+    assert(r1.keySet == c1.files.toSet)
+    // files shared between v0 and v1 carry identical recorded ranges
+    val shared = c0.files.toSet.intersect(c1.files.toSet)
+    assert(shared.nonEmpty)
+    shared.foreach(f => assert(r1(f) == r0(f)))
+
+    val c2 = Snapshots.compact(spark, dir, "id", targetFileBytes = 1L << 30)
+    val r2 = Snapshots.fileRanges(spark, dir, c2.version)
+    assert(r2.keySet == c2.files.toSet)
+    assert(r2.values.map(_._2.toLong).max == 2000L)
+  }
+
+  test("pruning plans from manifest ranges alone: a lookup against a " +
+      "manifest of stats-bearing but NONEXISTENT files never opens one") {
+    val dir = freshDir("noopen")
+    Files.createDirectories(Paths.get(dir, "_manifests"))
+    // hand-written manifest: schema + ranges for two phantom files.
+    // If pruning read footers instead of the manifest, lookup would
+    // throw FileNotFoundException; an out-of-range probe must instead
+    // plan an empty file set and return zero rows.
+    val schema = new StructType().add("id", LongType).add("text", StringType)
+    val lines = Seq(
+      "#schema=" + schema.json,
+      s"#range=${b64("ghost-a.parquet")},${b64("0")},${b64("499")}",
+      s"#range=${b64("ghost-b.parquet")},${b64("500")},${b64("999")}",
+      "ghost-a.parquet",
+      "ghost-b.parquet")
+    Files.write(Paths.get(dir, "_manifests", "v0"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val out = Snapshots.lookup(spark, dir,
+      Seq(5000L).toDF("id"), "id")
+    assert(out.count() == 0L)
+    // an in-range probe DOES select the phantom file — proving the
+    // range metadata, not file existence or footers, drives the plan
+    intercept[Exception] {
+      Snapshots.lookup(spark, dir, Seq(7L).toDF("id"), "id").count()
+    }
+  }
+
+  test("legacy range-less manifest still reads and prunes via the " +
+      "footer fallback; lookup results match the stats path") {
+    val dir = freshDir("legacy")
+    val base = spark.range(500)
+      .select(col("id"), concat(lit("d-"), col("id")).as("text"))
+    val c0 = Snapshots.init(base, dir, "id", numFiles = 4)
+    // simulate a pre-stats manifest: same files, no #range lines
+    Snapshots.testCommitAt(spark, dir, 1L, c0.files)
+    assert(Snapshots.fileRanges(spark, dir, 1L).isEmpty)
+    val viaStats = Snapshots.lookup(spark, dir,
+      Seq(7L, 420L).toDF("id"), "id", asOf = Some(0L))
+      .select("id", "text").as[(Long, String)].collect().toSet
+    val viaFooters = Snapshots.lookup(spark, dir,
+      Seq(7L, 420L).toDF("id"), "id", asOf = Some(1L))
+      .select("id", "text").as[(Long, String)].collect().toSet
+    assert(viaStats == Set((7L, "d-7"), (420L, "d-420")))
+    assert(viaFooters == viaStats)
+  }
+
+  test("string keys round-trip through the manifest encoding and " +
+      "prune lexicographically, matching parquet BINARY stats order") {
+    val dir = freshDir("strkey")
+    val docs = Seq("apple", "banana", "cherry", "kiwi", "mango",
+      "peach", "pear", "plum").zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    Snapshots.init(docs, dir, "k", numFiles = 4)
+    val ranges = Snapshots.fileRanges(spark, dir, 0L)
+    assert(ranges.size == 4)
+    assert(ranges.values.map(_._1).min == "apple")
+    assert(ranges.values.map(_._2).max == "plum")
+    val hit = Snapshots.lookup(spark, dir, Seq("mango").toDF("k"), "k")
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(4L))
+    // the lookup's planned file set is range-pruned, not the full table
+    assert(hit.inputFiles.length < 4)
+  }
+
+  test("lookup reads only the manifest-range-matching files") {
+    val dir = freshDir("prune")
+    val base = spark.range(1024)
+      .select(col("id"), (col("id") * 3).as("v"))
+    Snapshots.init(base, dir, "id", numFiles = 8)
+    val out = Snapshots.lookup(spark, dir, Seq(12L).toDF("id"), "id")
+    assert(out.inputFiles.length == 1)
+    assert(out.select("v").as[Long].collect().toSeq == Seq(36L))
+  }
+}
