@@ -57,10 +57,29 @@ object Merge {
     * treats it as touched).
     */
   private[extra] def footerKeyRange(file: Path, key: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[(Any, Any)] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[(Any, Any)] =
+    footerRanges(file, Seq(key), conf).get(key)
+
+  /** Per-file (min, max) for SEVERAL columns from ONE footer open —
+    * what [[Snapshots]]' commit-time stats pass calls so that stat-ing
+    * N columns costs the same single metadata read as one. Columns
+    * with no usable stats in any block are simply absent from the map.
+    */
+  private[extra] def footerRanges(file: Path, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, (Any, Any)] = {
     val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = rdr.getFooter.getBlocks.asScala
+      cols.flatMap(c => colRange(blocks, c).map(c -> _)).toMap
+    } finally rdr.close()
+  }
+
+  private def colRange(
+      blocks: scala.collection.Seq[
+        org.apache.parquet.hadoop.metadata.BlockMetaData],
+      key: String): Option[(Any, Any)] = {
+    {
       val ranges = blocks.flatMap { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == key)
@@ -98,7 +117,7 @@ object Merge {
         }
         Some((ranges.map(_._1).min, ranges.map(_._2).max))
       }
-    } finally rdr.close()
+    }
   }
 
   /** Upsert `updates` into the parquet table at `dir` on unique key

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
-  LongType, MapType, StringType, StructType}
+  LongType, MapType, StringType, StructType, TimestampNTZType,
+  TimestampType}
 
 /** Snapshot-versioned table: the manifest-commit layer every
   * [[Merge]]/[[ViewStream]] scaladoc defers to "at 100 TB". A table is
@@ -134,6 +135,53 @@ object Snapshots {
       s"unsupported snapshot key type $t")
   }
 
+  private val StatsColsHeader = "#statscols="
+  private val ColRangeHeader = "#rangec="
+  private val KeyColHeader = "#keycol="
+
+  /** The cluster-key column the manifest's `#range=` stats describe
+    * (recorded since multi-column stats landed; None on older
+    * manifests — [[readRange]] then treats the key like any other
+    * column and falls back to a conservative full-file read).
+    */
+  def keyColumn(spark: SparkSession, dir: String,
+      version: Long): Option[String] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(KeyColHeader))
+      .map(l => b64d(l.drop(KeyColHeader.length)))
+
+  /** The SECONDARY columns this table records per-file stats for
+    * (chosen once at [[init]]; every later commit re-stats its staged
+    * files for them). Empty for tables initialized without
+    * `statsCols` and for legacy manifests.
+    */
+  def statsColumns(spark: SparkSession, dir: String,
+      version: Long): Seq[String] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(StatsColsHeader))
+      .map(_.drop(StatsColsHeader.length).split(",").toSeq
+        .filter(_.nonEmpty).map(b64d))
+      .getOrElse(Nil)
+
+  /** Per-file (min, max) recorded for a SECONDARY column (`#rangec=`
+    * manifest lines) — the multi-column half of [[fileRanges]]: a
+    * key-clustered table whose commits are time-correlated (streaming
+    * appends, daily batches) gets near-disjoint per-file ranges on
+    * its event-time column for free, and [[readRange]] turns those
+    * into file skipping no clustering decision had to pay for.
+    */
+  def columnRanges(spark: SparkSession, dir: String, version: Long,
+      column: String): Map[String, (String, String)] =
+    manifestLines(spark, dir, version)
+      .filter(_.startsWith(ColRangeHeader))
+      .flatMap { l =>
+        val parts = l.drop(ColRangeHeader.length).split(",", 4)
+        require(parts.length == 4, s"malformed rangec line in v$version")
+        if (b64d(parts(0)) == column)
+          Some(b64d(parts(1)) -> (b64d(parts(2)), b64d(parts(3))))
+        else None
+      }.toMap
+
   private def encodeRangeValue(v: Any): String = v.toString
 
   /** Prune a version's file list against a key batch using the
@@ -155,19 +203,26 @@ object Snapshots {
     Merge.pruneRanged(spark, ranged, keyType, batchKeys, key)
   }
 
-  /** Footer ranges of freshly staged files, keyed by relative name —
-    * read ONCE at commit time (the writer just wrote these files; their
-    * footers are hot) and then carried in every descendant manifest by
-    * reference, so no reader or later writer ever re-opens them.
+  /** Footer ranges of freshly staged files for the key plus every
+    * stats column — ONE footer open per file regardless of column
+    * count, read at commit time (the writer just wrote these files;
+    * their footers are hot) and then carried in every descendant
+    * manifest by reference, so no reader or later writer ever
+    * re-opens them. Returns column → (file → (min, max)).
     */
-  private def stagedRanges(spark: SparkSession, root: Path,
-      staged: Seq[String], key: String): Map[String, (String, String)] = {
+  private def stagedStats(spark: SparkSession, root: Path,
+      staged: Seq[String], cols: Seq[String])
+      : Map[String, Map[String, (String, String)]] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    staged.flatMap { f =>
-      Merge.footerKeyRange(new Path(dataDir(root), f), key, hconf)
-        .map { case (mn, mx) =>
+    val perFile = staged.map { f =>
+      f -> Merge.footerRanges(new Path(dataDir(root), f), cols, hconf)
+    }
+    cols.map { c =>
+      c -> perFile.flatMap { case (f, m) =>
+        m.get(c).map { case (mn, mx) =>
           f -> (encodeRangeValue(mn), encodeRangeValue(mx))
         }
+      }.toMap
     }.toMap
   }
 
@@ -230,7 +285,11 @@ object Snapshots {
     */
   private def commitManifest(fs: FileSystem, root: Path, version: Long,
       files: Seq[String], schema: Option[StructType] = None,
-      ranges: Map[String, (String, String)] = Map.empty): Unit = {
+      ranges: Map[String, (String, String)] = Map.empty,
+      keyCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      colRanges: Map[String, Map[String, (String, String)]] = Map.empty)
+      : Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val target = new Path(md, s"v$version")
@@ -250,9 +309,18 @@ object Snapshots {
       }
     val lines = schema.map(s =>
       SchemaHeader + asNullable(s).asInstanceOf[StructType].json).toSeq ++
+      keyCol.map(k => KeyColHeader + b64e(k)).toSeq ++
+      (if (statsCols.isEmpty) Nil
+       else Seq(StatsColsHeader + statsCols.map(b64e).mkString(","))) ++
       files.flatMap(f => ranges.get(f).map { case (mn, mx) =>
         RangeHeader + s"${b64e(f)},${b64e(mn)},${b64e(mx)}"
       }) ++
+      statsCols.flatMap { c =>
+        val m = colRanges.getOrElse(c, Map.empty)
+        files.flatMap(f => m.get(f).map { case (mn, mx) =>
+          ColRangeHeader + s"${b64e(c)},${b64e(f)},${b64e(mn)},${b64e(mx)}"
+        })
+      } ++
       files
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -267,19 +335,28 @@ object Snapshots {
     commitManifest(fs, root, version, files)
   }
 
-  /** Write `df` clustered on `key` as the table's first version. */
+  /** Write `df` clustered on `key` as the table's first version.
+    * `statsCols` picks SECONDARY columns whose per-file (min, max)
+    * every commit of this table will record in the manifest (the
+    * choice is persisted via a `#statscols=` header) — what
+    * [[readRange]] prunes on.
+    */
   def init(df: DataFrame, dir: String, key: String,
-      numFiles: Int = 8): Commit = {
+      numFiles: Int = 8, statsCols: Seq[String] = Nil): Commit = {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, dir)
     require(latestVersion(spark, dir).isEmpty,
       s"$dir is already a snapshot table")
+    val missing = statsCols.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"statsCols ${missing.mkString(", ")} are not columns of the frame")
     val staged = writeData(df, fs, root, key, numFiles)
     val back = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*)
     val rows = back.count()
+    val stats = stagedStats(spark, root, staged, key +: statsCols)
     commitManifest(fs, root, 0L, staged, Some(back.schema),
-      stagedRanges(spark, root, staged, key))
+      stats.getOrElse(key, Map.empty), Some(key), statsCols, stats)
     Commit(0L, staged, 0, rows)
   }
 
@@ -325,6 +402,74 @@ object Snapshots {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(touched.sorted: _*)
       .join(broadcast(batchKeys), Seq(key), "left_semi")
+  }
+
+  /** Range read over a stats-bearing column: rows of `asOf` (or the
+    * latest version) whose `column` lies in the INCLUSIVE [lo, hi],
+    * opening ONLY the data files whose manifest-recorded (min, max)
+    * on `column` intersects the bound — file skipping on a column the
+    * table is NOT clustered by. The canonical shape: a corpus
+    * clustered by doc key whose commits arrive in event-time order
+    * gets near-disjoint per-file ranges on its timestamp column for
+    * free, so an incremental consumer's "last N hours" read costs
+    * O(matching files) instead of a table scan. Files without a
+    * recorded range (legacy manifests, columns outside `statsCols`)
+    * are read conservatively, and the exact predicate is applied
+    * either way — pruning is purely a performance matter. Bound
+    * types: Long/Int for integral columns, String for string
+    * columns, java.time.Instant or java.sql.Timestamp for timestamp
+    * columns (java.time.LocalDateTime, read as UTC, for
+    * timestamp_ntz).
+    */
+  def readRange(spark: SparkSession, dir: String, column: String,
+      lo: Any, hi: Any, asOf: Option[Long] = None): DataFrame = {
+    val (_, root) = fsOf(spark, dir)
+    val v = asOf.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no committed version"))
+    val schema = tableSchema(spark, dir, Some(v))
+    require(schema.fieldNames.contains(column),
+      s"$column is not a column of $dir")
+    val dt = schema(column).dataType
+    val stats =
+      if (keyColumn(spark, dir, v).contains(column))
+        fileRanges(spark, dir, v)
+      else columnRanges(spark, dir, v, column)
+    val loB = bound(dt, lo)
+    val hiB = bound(dt, hi)
+    def overlaps(r: (String, String)): Boolean = dt match {
+      case StringType =>
+        r._1 <= hiB.asInstanceOf[String] && r._2 >= loB.asInstanceOf[String]
+      case _ =>
+        r._1.toLong <= hiB.asInstanceOf[Long] &&
+          r._2.toLong >= loB.asInstanceOf[Long]
+    }
+    val kept = manifest(spark, dir, v)
+      .filter(f => stats.get(f).forall(overlaps))
+      .map(f => new Path(dataDir(root), f).toString)
+    val base =
+      if (kept.nonEmpty) spark.read.schema(schema).parquet(kept: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Driver-side comparable form of a user bound under the column
+    * type: integral → Long, string → String, timestamps → epoch
+    * micros (the unit parquet footer stats and the manifest record).
+    */
+  private def bound(dt: DataType, v: Any): Any = (dt, v) match {
+    case (LongType | IntegerType, n: java.lang.Number) => n.longValue
+    case (StringType, s: String) => s
+    case (TimestampType | TimestampNTZType, i: java.time.Instant) =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+      bound(dt, t.toInstant)
+    case (TimestampNTZType, l: java.time.LocalDateTime) =>
+      bound(dt, l.toInstant(java.time.ZoneOffset.UTC))
+    case _ => throw new IllegalArgumentException(
+      s"bound $v (${v.getClass.getSimpleName}) is unsupported for a " +
+        s"${dt.simpleString} column")
   }
 
   /** Upsert (replace-by-key ∪ insert) as a NEW VERSION: cold files are
@@ -421,8 +566,10 @@ object Snapshots {
     val staged = writeData(df, fs, root, key, n)
     val rows = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
+    val statsCols = statsColumns(spark, dir, parent)
+    val stats = stagedStats(spark, root, staged, key +: statsCols)
     commitManifest(fs, root, parent + 1, staged, Some(df.schema),
-      stagedRanges(spark, root, staged, key))
+      stats.getOrElse(key, Map.empty), Some(key), statsCols, stats)
     Commit(parent + 1, staged, files.size, rows)
   }
 
@@ -566,13 +713,21 @@ object Snapshots {
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
     val childFiles =
       parentFiles.filterNot(touchedNames.contains) ++ staged
-    // carried-by-reference files keep their parent-manifest ranges;
-    // only the staged files' footers are read (once, while hot)
+    // carried-by-reference files keep their parent-manifest ranges
+    // (key and secondary columns alike); only the staged files'
+    // footers are read (once, while hot)
+    val statsCols = statsColumns(spark, dir, parent)
+    val staged2 = stagedStats(spark, root, staged, key +: statsCols)
     val childRanges = fileRanges(spark, dir, parent)
       .filter { case (f, _) => !touchedNames.contains(f) } ++
-      stagedRanges(spark, root, staged, key)
+      staged2.getOrElse(key, Map.empty)
+    val childColRanges = statsCols.map { c =>
+      c -> (columnRanges(spark, dir, parent, c)
+        .filter { case (f, _) => !touchedNames.contains(f) } ++
+        staged2.getOrElse(c, Map.empty))
+    }.toMap
     commitManifest(fs, root, parent + 1, childFiles, Some(schema),
-      childRanges)
+      childRanges, Some(key), statsCols, childColRanges)
     Commit(parent + 1, childFiles, touchedNames.size, rows)
   }
 
@@ -583,6 +738,25 @@ object Snapshots {
     * unreferenced files (vacuum fodder), never a dangling manifest.
     */
   private def writeData(df: DataFrame, fs: FileSystem, root: Path,
+      key: String, numFiles: Int): Seq[String] = {
+    // Snapshot data files always use TIMESTAMP(MICROS), never INT96:
+    // INT96 writes NO footer min/max statistics, which would leave
+    // timestamp statsCols blank in the manifest AND disable parquet
+    // row-group skipping on every time predicate over the table.
+    // Scoped set-and-restore: the session's own choice is untouched
+    // outside the write.
+    val conf = df.sparkSession.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.getOption(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try writeDataInner(df, fs, root, key, numFiles)
+    finally prev match {
+      case Some(v) => conf.set(tsKey, v)
+      case None => conf.unset(tsKey)
+    }
+  }
+
+  private def writeDataInner(df: DataFrame, fs: FileSystem, root: Path,
       key: String, numFiles: Int): Seq[String] = {
     // PER-WRITER staging dir: two writers racing the same parent both
     // stage (only one will win the manifest commit) — a shared path

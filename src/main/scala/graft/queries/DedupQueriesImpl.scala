@@ -100,12 +100,15 @@ object DedupQueriesImpl {
       .select("user_id", "event_id", "ts", "event_type", "value")
     val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
       col("event_id"), col("ts"))
-    IndexedCorpus.cachedDir("graft_qsnap", fp) { d =>
+    // tag bump (qsnap → qsnap_s1): older cached tables predate the
+    // manifest file-stats format and would miss the ts statsCols
+    IndexedCorpus.cachedDir("graft_qsnap_s1", fp) { d =>
       val v0 = Dedup.latestWins(ev.filter(col("ts") < cutoff),
         Seq("user_id"), "ts", "event_id")
       val updates = Dedup.latestWins(ev.filter(col("ts") >= cutoff),
         Seq("user_id"), "ts", "event_id")
-      Snapshots.init(v0, d.toString, "user_id", numFiles = 4)
+      Snapshots.init(v0, d.toString, "user_id", numFiles = 4,
+        statsCols = Seq("ts"))
       Snapshots.upsert(s, d.toString, updates, "user_id"): Unit
     }
   }
@@ -162,6 +165,33 @@ object DedupQueriesImpl {
       |WHERE user_id IN (3, 31, 59, 97, 131)
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- snapshot_range_read -----------------------------------------
+
+  /** Time-window read over the snapshot table via its manifest-recorded
+    * SECONDARY-column stats ([[graft.extra.Snapshots.readRange]]): the
+    * table is clustered by `user_id`, but every commit also records
+    * each file's (min, max) on `ts` (`statsCols`), so a "which rows
+    * changed in this window" read skips files whose recorded ts range
+    * misses the window — zero footer opens, one manifest read, exact
+    * predicate applied on top. The oracle recomputes latest-wins from
+    * raw events and filters — the table-scan cost the stats avoid.
+    * Session tz is pinned UTC, so the UTC instants below equal the
+    * oracle's naive literals.
+    */
+  def snapshotRangeRead(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Snapshots.readRange(s, snapTable(s, dir), "ts",
+      java.time.Instant.parse("2024-01-28T00:00:00Z"),
+      java.time.Instant.parse("2024-01-30T00:00:00Z"))
+      .orderBy("user_id")
+
+  private val snapshotRangeReadOracle =
+    """SELECT user_id, event_id, ts, event_type, value FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |  AND ts >= TIMESTAMP '2024-01-28 00:00:00'
+      |  AND ts <= TIMESTAMP '2024-01-30 00:00:00'
       |ORDER BY user_id""".stripMargin
 
   // ---- version_diff ------------------------------------------------
@@ -883,9 +913,13 @@ object DedupQueriesImpl {
         "data files (O(files replaced), not O(table))",
       versionDiff, Some(versionDiffOracle)),
     QueryDef("point_lookup",
-      "snapshot serving read: five keys open only footer-touched " +
-        "files (O(manifest + touched), never the table)",
+      "snapshot serving read: five keys open only manifest-range-" +
+        "matched files (one manifest read, zero footer opens)",
       pointLookup, Some(pointLookupOracle)),
+    QueryDef("snapshot_range_read",
+      "time-window read via manifest-recorded secondary-column stats " +
+        "(file skipping on a non-cluster column)",
+      snapshotRangeRead, Some(snapshotRangeReadOracle)),
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),

@@ -114,6 +114,58 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(hit.inputFiles.length < 4)
   }
 
+  test("statsCols: secondary-column ranges recorded at init, carried " +
+      "on upsert, and readRange skips non-matching files") {
+    val dir = freshDir("cols")
+    // id-clustered with ts correlated to id (one second per id) —
+    // the streaming-append shape where secondary ranges prune well
+    val base = spark.range(1000).select(col("id"),
+      timestamp_micros(col("id") * 1000000L + 1700000000000000L)
+        .as("ts"),
+      (col("id") % 7).as("v"))
+    Snapshots.init(base, dir, "id", numFiles = 8, statsCols = Seq("ts"))
+    assert(Snapshots.statsColumns(spark, dir, 0L) == Seq("ts"))
+    assert(Snapshots.columnRanges(spark, dir, 0L, "ts").size == 8)
+
+    val lo = java.time.Instant.ofEpochSecond(1700000100L) // id 100
+    val hi = java.time.Instant.ofEpochSecond(1700000150L) // id 150
+    val out = Snapshots.readRange(spark, dir, "ts", lo, hi)
+    assert(out.count() == 51)
+    // ids 100..150 live in 2 of the 8 clustered files
+    assert(out.inputFiles.length <= 2)
+
+    // the statsCols choice persists across commits without re-stating
+    val upd = spark.range(3).select((col("id") + 5000L).as("id"),
+      timestamp_micros(col("id") * 1000000L + 1705000000000000L)
+        .as("ts"),
+      lit(0L).as("v"))
+    Snapshots.upsert(spark, dir, upd, "id")
+    assert(Snapshots.statsColumns(spark, dir, 1L) == Seq("ts"))
+    val out1 = Snapshots.readRange(spark, dir, "ts", lo, hi)
+    assert(out1.count() == 51)
+    assert(out1.inputFiles.length <= 2)
+    // the new window only matches the upserted file(s)
+    val out2 = Snapshots.readRange(spark, dir, "ts",
+      java.time.Instant.ofEpochSecond(1705000000L),
+      java.time.Instant.ofEpochSecond(1705000010L))
+    assert(out2.count() == 3)
+    assert(out2.inputFiles.length == 1)
+  }
+
+  test("readRange on the cluster key uses the #range stats; a column " +
+      "with no recorded stats reads conservatively but exactly") {
+    val dir = freshDir("rrkey")
+    val base = spark.range(800).select(col("id"), (col("id") % 5).as("v"))
+    Snapshots.init(base, dir, "id", numFiles = 8)
+    val byKey = Snapshots.readRange(spark, dir, "id", 100L, 150L)
+    assert(byKey.count() == 51)
+    assert(byKey.inputFiles.length <= 2)
+    // no stats for v: all files read, result still exact
+    val byV = Snapshots.readRange(spark, dir, "v", 0L, 1L)
+    assert(byV.count() == 320)
+    assert(byV.inputFiles.length == 8)
+  }
+
   test("lookup reads only the manifest-range-matching files") {
     val dir = freshDir("prune")
     val base = spark.range(1024)
