@@ -328,10 +328,15 @@ object Graft {
 
   // ---- snapshot-versioned tables -------------------------------------
 
-  /** Create a snapshot table (manifest-versioned, time-travelable). */
+  /** Create a snapshot table (manifest-versioned, time-travelable).
+    * `statsCols` picks secondary columns whose per-file (min, max)
+    * every commit records in the manifest — what [[snapshotReadRange]]
+    * prunes on.
+    */
   def snapshotInit(df: DataFrame, dir: String, key: String,
-      numFiles: Int = 8): extra.Snapshots.Commit =
-    extra.Snapshots.init(df, dir, key, numFiles)
+      numFiles: Int = 8,
+      statsCols: Seq[String] = Nil): extra.Snapshots.Commit =
+    extra.Snapshots.init(df, dir, key, numFiles, statsCols)
 
   /** Read a snapshot version (latest by default). */
   def snapshotRead(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -366,11 +371,25 @@ object Graft {
       fromV: Long, toV: Long, key: String): DataFrame =
     extra.Snapshots.diff(spark, dir, fromV, toV, key)
 
-  /** Point read: keys open only footer-touched files of one manifest. */
+  /** Point read: keys open only the manifest-range-matched files of
+    * one committed version (zero footer opens on stats-bearing
+    * manifests).
+    */
   def snapshotLookup(spark: org.apache.spark.sql.SparkSession,
       dir: String, keys: DataFrame, key: String,
       asOf: Option[Long] = None): DataFrame =
     extra.Snapshots.lookup(spark, dir, keys, key, asOf)
+
+  /** Range read pruned on any stats-bearing column — the cluster key
+    * or a `statsCols` secondary column (e.g. a "last N hours" read
+    * over a key-clustered table whose commits arrive in time order).
+    * Inclusive bounds; exact predicate applied on top of the file
+    * skipping.
+    */
+  def snapshotReadRange(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String, lo: Any, hi: Any,
+      asOf: Option[Long] = None): DataFrame =
+    extra.Snapshots.readRange(spark, dir, column, lo, hi, asOf)
 
   /** Defragment as a new version (diff-empty; history intact). */
   def snapshotCompact(spark: org.apache.spark.sql.SparkSession,

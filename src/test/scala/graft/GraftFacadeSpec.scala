@@ -268,6 +268,17 @@ class GraftFacadeSpec extends SparkSpec {
     Graft.snapshotCompact(spark, sdir, "id")
     Graft.snapshotVacuum(spark, sdir, retainFrom = 3L)
     assert(Graft.snapshotRead(spark, sdir).count() == 49)
+    // range read on the cluster key rides the manifest stats
+    assert(Graft.snapshotReadRange(spark, sdir, "id", 10L, 19L)
+      .count() == 10)
+
+    val rdir = java.nio.file.Files.createTempDirectory("frange").toString
+    Graft.snapshotInit(spark.range(100)
+      .select(col("id"), (col("id") * 2).as("ts2")), rdir, "id", 4,
+      statsCols = Seq("ts2"))
+    val rr = Graft.snapshotReadRange(spark, rdir, "ts2", 0L, 48L)
+    assert(rr.count() == 25)
+    assert(rr.inputFiles.length == 1)
 
     val vdir = java.nio.file.Files.createTempDirectory("fview").toString
     val spec = graft.extra.IncrementalAgg.ViewSpec("g",
