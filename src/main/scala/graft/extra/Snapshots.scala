@@ -438,7 +438,12 @@ object Snapshots {
     val hiB = bound(dt, hi)
     def overlaps(r: (String, String)): Boolean = dt match {
       case StringType =>
-        r._1 <= hiB.asInstanceOf[String] && r._2 >= loB.asInstanceOf[String]
+        // UNSIGNED UTF-8 byte order — the order parquet BINARY stats
+        // and Spark's UTF8String comparisons use. Plain String <=
+        // compares UTF-16 code units, which disagrees for
+        // supplementary characters and could prune a matching file.
+        u8cmp(r._1, hiB.asInstanceOf[String]) <= 0 &&
+          u8cmp(r._2, loB.asInstanceOf[String]) >= 0
       case _ =>
         r._1.toLong <= hiB.asInstanceOf[Long] &&
           r._2.toLong >= loB.asInstanceOf[Long]
@@ -451,6 +456,22 @@ object Snapshots {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Unsigned lexicographic compare of the UTF-8 encodings — the
+    * collation parquet BINARY footer stats are computed under.
+    */
+  private def u8cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Driver-side comparable form of a user bound under the column

@@ -166,6 +166,20 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(byV.inputFiles.length == 8)
   }
 
+  test("readRange string pruning follows UTF-8 byte order, not UTF-16: " +
+      "a supplementary-char key survives a U+FFFD lower bound") {
+    val dir = freshDir("u8ord")
+    // U+1F600 (😀) encodes ABOVE U+FFFD in UTF-8 (F0.. > EF..) but its
+    // UTF-16 lead surrogate 0xD83D sorts BELOW 0xFFFD — a UTF-16
+    // driver compare would prune the file holding the matching row
+    val docs = Seq(("alpha", 1L), ("beta", 2L), ("😀", 3L))
+      .toDF("k", "v")
+    Snapshots.init(docs, dir, "k", numFiles = 2)
+    val out = Snapshots.readRange(spark, dir, "k",
+      "�", "🚀")
+    assert(out.select("v").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("lookup reads only the manifest-range-matching files") {
     val dir = freshDir("prune")
     val base = spark.range(1024)
