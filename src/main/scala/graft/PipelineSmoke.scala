@@ -153,9 +153,13 @@ object PipelineSmoke {
     // the full ts range, so probe v(upsert) explicitly for the prune.
     val upsertV = Snapshots.latestVersion(spark, snapDir).get - 1
     val (nRange, rangeFiles, totalFiles) = timed("range-read") {
+      // bounds in exact micros (1 ms of crawl time per id): an
+      // integer-seconds window would leak base-corpus ids when n is
+      // not a multiple of 1000
       val rr = Snapshots.readRange(spark, snapDir, "crawl_ts",
-        java.time.Instant.ofEpochSecond(1700000000L + n / 1000, 0),
-        java.time.Instant.ofEpochSecond(1700000000L + (n + nb) / 1000, 0),
+        java.time.Instant.ofEpochSecond(1700000000L, n.toLong * 1000000L),
+        java.time.Instant.ofEpochSecond(1700000000L,
+          (n + nb).toLong * 1000000L),
         asOf = Some(upsertV))
       (rr.count(), rr.inputFiles.length,
         Snapshots.manifest(spark, snapDir, upsertV).size)

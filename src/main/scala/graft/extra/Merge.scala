@@ -79,7 +79,6 @@ object Merge {
       blocks: scala.collection.Seq[
         org.apache.parquet.hadoop.metadata.BlockMetaData],
       key: String): Option[(Any, Any)] = {
-    {
       val ranges = blocks.flatMap { b =>
         b.getColumns.asScala
           .find(_.getPath.toDotString == key)
@@ -117,7 +116,6 @@ object Merge {
         }
         Some((ranges.map(_._1).min, ranges.map(_._2).max))
       }
-    }
   }
 
   /** Upsert `updates` into the parquet table at `dir` on unique key

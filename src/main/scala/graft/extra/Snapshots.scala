@@ -77,15 +77,38 @@ object Snapshots {
     * line. Manifests written before the schema header existed carry no
     * `#` lines and parse identically.
     */
+  // Committed manifests are IMMUTABLE (create-fails-if-exists), so
+  // their parsed lines are safe to cache forever; the LRU bound keeps
+  // the driver footprint fixed. One operation touches the same
+  // manifest several times (schema, key column, ranges, file list) —
+  // without this, a single upsert against an object store pays ~6
+  // GET+parse round trips of the same multi-MB file.
+  private val ManifestCacheMax = 64
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), Seq[String]](
+      ManifestCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
+        size() > ManifestCacheMax
+    }
+
   private def manifestLines(spark: SparkSession, dir: String,
       version: Long): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
+    val cacheKey = (root.toString, version)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(cacheKey)
+      if (hit != null) return hit
+    }
     val p = new Path(manifestDir(root), s"v$version")
     require(fs.exists(p), s"no manifest for version $version at $dir")
     val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    manifestCache.synchronized(manifestCache.put(cacheKey, lines)): Unit
+    lines
   }
 
   /** The file list of `version` (relative names). */
@@ -193,7 +216,15 @@ object Snapshots {
   private def pruneVersion(spark: SparkSession, root: Path, dir: String,
       version: Long, keyType: DataType, batchKeys: DataFrame,
       key: String): Seq[String] = {
-    val stats = fileRanges(spark, dir, version)
+    // the manifest's #range stats describe the CLUSTER KEY — apply
+    // them only when the requested column IS that key (recorded since
+    // #keycol landed; unknown on legacy manifests). A lookup/prune on
+    // any other column, or on a legacy manifest, footer-stats the
+    // requested column per file, exactly the pre-stats behavior.
+    val stats =
+      if (keyColumn(spark, dir, version).contains(key))
+        fileRanges(spark, dir, version)
+      else Map.empty[String, (String, String)]
     val hconf = spark.sparkContext.hadoopConfiguration
     val ranged = manifest(spark, dir, version).map { f =>
       val p = new Path(dataDir(root), f)
@@ -350,6 +381,14 @@ object Snapshots {
     val missing = statsCols.filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"statsCols ${missing.mkString(", ")} are not columns of the frame")
+    val statable = Set[DataType](LongType, IntegerType, StringType,
+      TimestampType, TimestampNTZType)
+    val unstattable = statsCols
+      .filterNot(c => statable.contains(df.schema(c).dataType))
+    require(unstattable.isEmpty,
+      s"statsCols ${unstattable.mkString(", ")} have types readRange " +
+        "cannot prune on (supported: int, long, string, timestamp, " +
+        "timestamp_ntz)")
     val staged = writeData(df, fs, root, key, numFiles)
     val back = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*)
@@ -481,16 +520,24 @@ object Snapshots {
   private def bound(dt: DataType, v: Any): Any = (dt, v) match {
     case (LongType | IntegerType, n: java.lang.Number) => n.longValue
     case (StringType, s: String) => s
-    case (TimestampType | TimestampNTZType, i: java.time.Instant) =>
+    case (TimestampType, i: java.time.Instant) =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         i.getNano / 1000L)
-    case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+    case (TimestampType, t: java.sql.Timestamp) =>
       bound(dt, t.toInstant)
+    // NTZ bounds must be LocalDateTime: an Instant bound would prune
+    // in UTC while the exact filter coerces the NTZ column through
+    // the SESSION time zone — prune and filter would disagree off-UTC
     case (TimestampNTZType, l: java.time.LocalDateTime) =>
-      bound(dt, l.toInstant(java.time.ZoneOffset.UTC))
+      Math.addExact(Math.multiplyExact(
+        l.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        l.getNano / 1000L)
     case _ => throw new IllegalArgumentException(
       s"bound $v (${v.getClass.getSimpleName}) is unsupported for a " +
-        s"${dt.simpleString} column")
+        s"${dt.simpleString} column" + (dt match {
+          case TimestampNTZType => " (pass java.time.LocalDateTime)"
+          case _ => ""
+        }))
   }
 
   /** Upsert (replace-by-key ∪ insert) as a NEW VERSION: cold files are
@@ -578,6 +625,8 @@ object Snapshots {
     val parent = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no committed version — init first"))
+    keyColumn(spark, dir, parent).foreach(k => require(k == key,
+      s"$dir is keyed by $k; compact must use that key, got $key"))
     val files = manifest(spark, dir, parent)
     val bytes = files.map(f =>
       fs.getFileStatus(new Path(dataDir(root), f)).getLen).sum
@@ -682,7 +731,14 @@ object Snapshots {
     val droppedRefs = drop.flatMap(v => manifest(spark, dir, v)).toSet
     // drop old manifests first: a crash mid-vacuum must never leave a
     // manifest pointing at deleted files
-    drop.foreach(v => fs.delete(new Path(md, s"v$v"), false))
+    drop.foreach { v =>
+      fs.delete(new Path(md, s"v$v"), false)
+      // the lines cache assumes manifests are immutable AND live;
+      // a dropped version must stop resolving (time travel below the
+      // floor is gone), so evict it
+      manifestCache.synchronized(
+        manifestCache.remove((root.toString, v))): Unit
+    }
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dead = fs.listStatus(dataDir(root)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -716,6 +772,12 @@ object Snapshots {
     val keyType = schema(key).dataType
     require(Seq(LongType, IntegerType, StringType).contains(keyType),
       s"snapshot key $key has unsupported type $keyType")
+    // a rewrite on a different column than the table's cluster key
+    // would re-cluster the touched files on that column (degrading
+    // the layout) and stamp the child manifest's #keycol/#range stats
+    // for a column the carried entries do not describe — reject it
+    keyColumn(spark, dir, parent).foreach(k => require(k == key,
+      s"$dir is keyed by $k; upsert/delete must use that key, got $key"))
 
     val touchedNames = pruneVersion(spark, root, dir, parent, keyType,
       batchKeys, key)
@@ -758,24 +820,48 @@ object Snapshots {
     * manifest commit references them — a crashed writer leaves
     * unreferenced files (vacuum fodder), never a dangling manifest.
     */
+  private val TsConfKey = "spark.sql.parquet.outputTimestampType"
+  // per-session refcount for the scoped conf override: two CONCURRENT
+  // writers on one session (the supported optimistic-commit race) must
+  // not interleave set/restore — a naive save-and-restore lets writer
+  // A's restore flip the conf back mid-write for B (B's files then
+  // carry INT96 = no timestamp stats, forever), and B's restore then
+  // leaks the override into the session. First-in saves, last-out
+  // restores; everyone in between just bumps the count.
+  private val tsConfDepth =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      (Int, Option[String])]()
+
+  private def withMicrosTimestamps[T](spark: SparkSession)(f: => T): T = {
+    tsConfDepth.synchronized {
+      val (d, prev) = tsConfDepth.getOrDefault(spark, (0, None))
+      if (d == 0) {
+        val p = spark.conf.getOption(TsConfKey)
+        spark.conf.set(TsConfKey, "TIMESTAMP_MICROS")
+        tsConfDepth.put(spark, (1, p))
+      } else tsConfDepth.put(spark, (d + 1, prev))
+    }
+    try f
+    finally tsConfDepth.synchronized {
+      val (d, prev) = tsConfDepth.get(spark)
+      if (d == 1) {
+        prev match {
+          case Some(v) => spark.conf.set(TsConfKey, v)
+          case None => spark.conf.unset(TsConfKey)
+        }
+        tsConfDepth.remove(spark): Unit
+      } else tsConfDepth.put(spark, (d - 1, prev))
+    }
+  }
+
   private def writeData(df: DataFrame, fs: FileSystem, root: Path,
-      key: String, numFiles: Int): Seq[String] = {
+      key: String, numFiles: Int): Seq[String] =
     // Snapshot data files always use TIMESTAMP(MICROS), never INT96:
     // INT96 writes NO footer min/max statistics, which would leave
     // timestamp statsCols blank in the manifest AND disable parquet
     // row-group skipping on every time predicate over the table.
-    // Scoped set-and-restore: the session's own choice is untouched
-    // outside the write.
-    val conf = df.sparkSession.conf
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.getOption(tsKey)
-    conf.set(tsKey, "TIMESTAMP_MICROS")
-    try writeDataInner(df, fs, root, key, numFiles)
-    finally prev match {
-      case Some(v) => conf.set(tsKey, v)
-      case None => conf.unset(tsKey)
-    }
-  }
+    withMicrosTimestamps(df.sparkSession)(
+      writeDataInner(df, fs, root, key, numFiles))
 
   private def writeDataInner(df: DataFrame, fs: FileSystem, root: Path,
       key: String, numFiles: Int): Seq[String] = {

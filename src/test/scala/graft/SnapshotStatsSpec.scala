@@ -62,6 +62,7 @@ class SnapshotStatsSpec extends SparkSpec {
     val schema = new StructType().add("id", LongType).add("text", StringType)
     val lines = Seq(
       "#schema=" + schema.json,
+      s"#keycol=${b64("id")}", // stats apply only to the recorded key
       s"#range=${b64("ghost-a.parquet")},${b64("0")},${b64("499")}",
       s"#range=${b64("ghost-b.parquet")},${b64("500")},${b64("999")}",
       "ghost-a.parquet",
@@ -164,6 +165,15 @@ class SnapshotStatsSpec extends SparkSpec {
     val byV = Snapshots.readRange(spark, dir, "v", 0L, 1L)
     assert(byV.count() == 320)
     assert(byV.inputFiles.length == 8)
+    // lookup on a NON-key column must ignore the key's #range stats
+    // (they describe id, not v) and fall back to footer-statting v
+    val byV2 = Snapshots.lookup(spark, dir, Seq(2L).toDF("v"), "v")
+    assert(byV2.count() == 160)
+    // rewrites on a different column than the recorded cluster key
+    // would degrade the layout and corrupt carried stats — rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.delete(spark, dir, Seq(0L).toDF("v"), "v")
+    }
   }
 
   test("readRange string pruning follows UTF-8 byte order, not UTF-16: " +
