@@ -328,6 +328,26 @@ object Graft {
 
   // ---- snapshot-versioned tables -------------------------------------
 
+  /** Version-guarded CDC apply as a NEW snapshot version; `txn` is the
+    * exactly-once token [[startSnapshotStream]] commits per batch.
+    */
+  def snapshotUpsertVersioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, updates: DataFrame, key: String, versionCol: String,
+      txn: Option[(String, Long)] = None): extra.Snapshots.Commit =
+    extra.Snapshots.upsertVersioned(spark, dir, updates, key,
+      versionCol, txn)
+
+  /** Streaming CDC into a snapshot table: each micro-batch commits an
+    * isolated, time-travelable version; replays are skipped via the
+    * manifest-committed transaction token — exactly-once
+    * ([[streaming.SnapshotStream]]).
+    */
+  def startSnapshotStream(changes: DataFrame, tableDir: String,
+      checkpointDir: String, key: String, versionCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.SnapshotStream.start(changes, tableDir, checkpointDir,
+      key, versionCol)
+
   /** Create a snapshot table (manifest-versioned, time-travelable).
     * `statsCols` picks secondary columns whose per-file (min, max)
     * every commit records in the manifest — what [[snapshotReadRange]]

@@ -161,6 +161,44 @@ object Snapshots {
   private val StatsColsHeader = "#statscols="
   private val ColRangeHeader = "#rangec="
   private val KeyColHeader = "#keycol="
+  private val TxnHeader = "#txn="
+
+  /** The TRANSACTION ID a version's manifest records — `(appId,
+    * batchId)`, the Delta-style exactly-once token
+    * ([[upsertVersioned]]'s `txn`): because the id commits atomically
+    * WITH the data (same manifest, same create-fails-if-exists), "was
+    * this batch applied?" and "is its data visible?" can never
+    * disagree, which is what makes a replayed foreachBatch SKIP
+    * cleanly instead of re-committing.
+    */
+  def committedTxn(spark: SparkSession, dir: String,
+      version: Long): Option[(String, Long)] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(TxnHeader))
+      .map { l =>
+        val parts = l.drop(TxnHeader.length).split(",", 2)
+        require(parts.length == 2, s"malformed txn line in v$version")
+        (b64d(parts(0)), parts(1).toLong)
+      }
+
+  /** Highest batchId `appId` has committed to this table, scanning
+    * manifests newest-first (short walk in the streaming steady state
+    * — the stream's own commit is at or near the top; other writers'
+    * interleaved versions are skipped over). None if the app never
+    * committed (or its versions were vacuumed — after which a replay
+    * that old cannot be in-flight anyway).
+    */
+  def lastTxn(spark: SparkSession, dir: String,
+      appId: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    if (!fs.exists(md)) return None
+    fs.listStatus(md).toSeq.flatMap(f => versionOf(f.getPath))
+      .sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => committedTxn(spark, dir, v))
+      .collectFirst { case (a, b) if a == appId => b }
+  }
 
   /** The cluster-key column the manifest's `#range=` stats describe
     * (recorded since multi-column stats landed; None on older
@@ -319,7 +357,8 @@ object Snapshots {
       ranges: Map[String, (String, String)] = Map.empty,
       keyCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      colRanges: Map[String, Map[String, (String, String)]] = Map.empty)
+      colRanges: Map[String, Map[String, (String, String)]] = Map.empty,
+      txn: Option[(String, Long)] = None)
       : Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
@@ -340,6 +379,7 @@ object Snapshots {
       }
     val lines = schema.map(s =>
       SchemaHeader + asNullable(s).asInstanceOf[StructType].json).toSeq ++
+      txn.map { case (a, b) => TxnHeader + s"${b64e(a)},$b" }.toSeq ++
       keyCol.map(k => KeyColHeader + b64e(k)).toSeq ++
       (if (statsCols.isEmpty) Nil
        else Seq(StatsColsHeader + statsCols.map(b64e).mkString(","))) ++
@@ -598,6 +638,57 @@ object Snapshots {
     }
   }
 
+  /** Version-guarded CDC APPLY as a new snapshot version — the
+    * [[Merge.upsertVersioned]] semantics lifted onto the manifest
+    * layer, plus an EXACTLY-ONCE transaction token for streaming
+    * sinks ([[graft.streaming.SnapshotStream]]):
+    *
+    *   - the batch is reduced last-wins within itself (max
+    *     `versionCol` per key); a stored row survives only if it is
+    *     strictly newer than the batch's row for its key (ties go to
+    *     the batch), so stale/out-of-order rows are discarded;
+    *   - `txn = Some((appId, batchId))` commits the id IN the child
+    *     manifest — atomically with the data. A replayed foreachBatch
+    *     asks [[lastTxn]] first and SKIPS a batch the table already
+    *     holds: true exactly-once, not just idempotent-rewrite, and
+    *     readers get full snapshot isolation during the apply (the
+    *     concurrent-reader race [[Merge]]'s in-place sink documents
+    *     is structurally gone).
+    */
+  def upsertVersioned(spark: SparkSession, dir: String,
+      updates: DataFrame, key: String, versionCol: String,
+      txn: Option[(String, Long)] = None): Commit = {
+    val schema = tableSchema(spark, dir)
+    require(schema.fieldNames.sorted.sameElements(
+      updates.schema.fieldNames.sorted),
+      s"updates columns ${updates.schema.fieldNames.mkString(",")} do " +
+        s"not match table columns ${schema.fieldNames.mkString(",")}")
+    val cnts = updates.agg(count(lit(1)).as("n"),
+      count_distinct(col(key), col(versionCol)).as("d")).head()
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"updates carry duplicate ($key, $versionCol) pairs — the " +
+        "within-batch reduction has no deterministic winner")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val reduced = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    commitRewrite(spark, dir, reduced.select(key), key, txn = txn) {
+      (touched, cols) =>
+        val bv = reduced.select(col(key), col(versionCol).as("__bv"))
+        val survivors = touched
+          .join(bv, Seq(key), "left_outer")
+          .filter(col("__bv").isNull || col(versionCol) > col("__bv"))
+          .select(cols: _*)
+        val ev = touched.select(col(key), col(versionCol).as("__ev"))
+        val winners = reduced
+          .join(ev, Seq(key), "left_outer")
+          .filter(col("__ev").isNull || col("__ev") <= col(versionCol))
+          .select(cols: _*)
+        survivors.unionByName(winners)
+    }
+  }
+
   /** Keyed delete (takedown) as a new version. */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
       key: String): Commit =
@@ -757,7 +848,8 @@ object Snapshots {
     */
   private def commitRewrite(spark: SparkSession, dir: String,
       batchKeys: DataFrame, key: String,
-      evolved: Option[StructType] = None)
+      evolved: Option[StructType] = None,
+      txn: Option[(String, Long)] = None)
       (fn: (DataFrame, Seq[org.apache.spark.sql.Column]) => DataFrame)
       : Commit = {
     val (fs, root) = fsOf(spark, dir)
@@ -810,7 +902,7 @@ object Snapshots {
         staged2.getOrElse(c, Map.empty))
     }.toMap
     commitManifest(fs, root, parent + 1, childFiles, Some(schema),
-      childRanges, Some(key), statsCols, childColRanges)
+      childRanges, Some(key), statsCols, childColRanges, txn)
     Commit(parent + 1, childFiles, touchedNames.size, rows)
   }
 

@@ -279,6 +279,12 @@ class GraftFacadeSpec extends SparkSpec {
     val rr = Graft.snapshotReadRange(spark, rdir, "ts2", 0L, 48L)
     assert(rr.count() == 25)
     assert(rr.inputFiles.length == 1)
+    // versioned CDC apply with the exactly-once txn token
+    Graft.snapshotUpsertVersioned(spark, rdir,
+      Seq((1L, 999L)).toDF("id", "ts2"), "id", "ts2",
+      txn = Some(("facade", 1L)))
+    assert(graft.extra.Snapshots.lastTxn(spark, rdir, "facade")
+      .contains(1L))
 
     val vdir = java.nio.file.Files.createTempDirectory("fview").toString
     val spec = graft.extra.IncrementalAgg.ViewSpec("g",
