@@ -27,6 +27,7 @@ import graft.plans.AsOfStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectTableFunction(GraftExtensions.snapshotTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -46,12 +47,61 @@ object GraftExtensions {
         DotProduct(children.head, children(1))
       })
 
+  /** `graft_snapshot('dir'[, version])` — a TABLE-VALUED FUNCTION over
+    * [[graft.extra.Snapshots]]: time travel straight from SQL,
+    *
+    *   SELECT * FROM graft_snapshot('/data/corpus', 3)
+    *   SELECT count(*) FROM graft_snapshot('/data/corpus')
+    *
+    * planned exactly like [[graft.extra.Snapshots.read]] (manifest
+    * file list, recorded schema, no footer opens) — the analyzer calls
+    * the builder once with LITERAL arguments and receives the
+    * resolved relation. Joins/views/CTEs over it compose as with any
+    * table.
+    */
+  private[graft] val snapshotTvf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan) =
+    (FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo("graft.extra.Snapshots", "graft_snapshot",
+        "graft_snapshot(dir[, version]) - rows of a snapshot-table " +
+          "version (latest when version is omitted); dir and version " +
+          "must be literals"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          s"graft_snapshot expects (dir[, version]), got " +
+            s"${children.length} arguments")
+        def folded(e: Expression, what: String): Any = {
+          require(e.foldable, s"graft_snapshot $what must be a literal")
+          e.eval()
+        }
+        val dir = folded(children.head, "dir") match {
+          case null => throw new IllegalArgumentException(
+            "graft_snapshot dir must not be NULL")
+          case s => s.toString
+        }
+        val asOf = children.lift(1).map(e =>
+          folded(e, "version") match {
+            case n: java.lang.Number => n.longValue
+            case o => throw new IllegalArgumentException(
+              s"graft_snapshot version must be an integral literal, " +
+                s"got $o")
+          })
+        val spark = SparkSession.active
+        graft.extra.Snapshots.read(spark, dir, asOf)
+          .queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(id))
       reg.registerFunction(id, info, builder)
+    val (tid, tinfo, tbuilder) = snapshotTvf
+    val treg = spark.sessionState.tableFunctionRegistry
+    if (!treg.functionExists(tid))
+      treg.registerFunction(tid, tinfo, tbuilder)
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfStrategy

@@ -34,6 +34,42 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaExpr == 12.0)
   }
 
+  test("graft_snapshot TVF: SQL time travel over a snapshot table, " +
+      "composable in joins; literal-argument contract enforced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tvfsnap").toString
+    graft.extra.Snapshots.init(spark.range(20)
+      .select(col("id"), concat(lit("d"), col("id")).as("text")),
+      dir, "id", 2)
+    graft.extra.Snapshots.upsert(spark,
+      dir, Seq((1L, "d1-v2")).toDF("id", "text"), "id")
+
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$dir')")
+      .head().getLong(0) == 20L)
+    // explicit version: v0 still serves the original row
+    assert(spark.sql(
+      s"SELECT text FROM graft_snapshot('$dir', 0) WHERE id = 1")
+      .head().getString(0) == "d1")
+    assert(spark.sql(
+      s"SELECT text FROM graft_snapshot('$dir', 1) WHERE id = 1")
+      .head().getString(0) == "d1-v2")
+    // composes like any relation: self-join across versions = the
+    // SQL spelling of a version diff probe
+    val changed = spark.sql(
+      s"""SELECT a.id FROM graft_snapshot('$dir', 0) a
+         |JOIN graft_snapshot('$dir', 1) b ON a.id = b.id
+         |WHERE a.text <> b.text""".stripMargin)
+    assert(changed.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // non-literal arguments are rejected at analysis
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM range(1), LATERAL graft_snapshot('$dir', id)")
+        .collect()
+    }
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
