@@ -82,7 +82,12 @@ object GraftExtensions {
         }
         val asOf = children.lift(1).map(e =>
           folded(e, "version") match {
-            case n: java.lang.Number => n.longValue
+            // integral types only: a Double/Decimal literal would
+            // silently truncate (1.9 → version 1) — reject instead
+            case b: java.lang.Byte => b.longValue
+            case s: java.lang.Short => s.longValue
+            case i: java.lang.Integer => i.longValue
+            case l: java.lang.Long => l.longValue
             case o => throw new IllegalArgumentException(
               s"graft_snapshot version must be an integral literal, " +
                 s"got $o")

@@ -187,37 +187,52 @@ object Merge {
     require(schema.fieldNames.sameElements(updates.schema.fieldNames),
       s"updates schema ${updates.schema.fieldNames.mkString(",")} does " +
         s"not match table schema ${schema.fieldNames.mkString(",")}")
+    val reduced = reduceLastWins(updates, key, versionCol)
+    val nKeys = reduced.count()
+    rewriteTouchedFn(spark, dir, schema, reduced.select(key), key,
+      batchRows = nKeys, hasInsert = true)(touched =>
+      versionGuardCombine(touched, reduced, key, versionCol,
+        schema.fieldNames.map(col).toSeq))
+  }
+
+  /** Within-batch last-wins reduction: each key's max-`versionCol`
+    * row. Duplicate (key, version) pairs are rejected — the reduction
+    * has no deterministic winner for them. Shared by the merge-layer
+    * and snapshot-layer CDC applies.
+    */
+  private[extra] def reduceLastWins(updates: DataFrame, key: String,
+      versionCol: String): DataFrame = {
     val cnts = updates.agg(count(lit(1)).as("n"),
       count_distinct(col(key), col(versionCol)).as("d")).head()
     require(cnts.getLong(0) == cnts.getLong(1),
       s"updates carry duplicate ($key, $versionCol) pairs — the " +
         "within-batch reduction has no deterministic winner")
-    // within-batch last-wins: keep each key's max-version row
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col(versionCol).desc)
-    val reduced = updates
-      .withColumn("__rn", row_number().over(w))
+    updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val nKeys = reduced.count()
-    rewriteTouchedFn(spark, dir, schema, reduced.select(key), key,
-      batchRows = nKeys, hasInsert = true) { touched =>
-      val bv = reduced.select(col(key), col(versionCol).as("__bv"))
-      // stored row survives iff no batch row for its key, or it is
-      // strictly newer than the batch's (ties go to the batch)
-      val survivors = touched
-        .join(bv, Seq(key), "left_outer")
-        .filter(col("__bv").isNull || col(versionCol) > col("__bv"))
-        .drop("__bv")
-      // batch row applies iff no stored row for its key, or it is
-      // >= the stored one — exactly the complement, so each key
-      // yields ONE row
-      val ev = touched.select(col(key), col(versionCol).as("__ev"))
-      val winners = reduced
-        .join(ev, Seq(key), "left_outer")
-        .filter(col("__ev").isNull || col("__ev") <= col(versionCol))
-        .drop("__ev")
-      survivors.unionByName(winners)
-    }
+  }
+
+  /** The version-guard combine both CDC applies share: a stored row
+    * survives iff no batch row for its key or it is strictly newer
+    * (ties go to the batch); a batch row applies iff no stored row or
+    * it is >= the stored one — exact complements, so each key yields
+    * ONE row.
+    */
+  private[extra] def versionGuardCombine(touched: DataFrame,
+      reduced: DataFrame, key: String, versionCol: String,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val bv = reduced.select(col(key), col(versionCol).as("__bv"))
+    val survivors = touched
+      .join(bv, Seq(key), "left_outer")
+      .filter(col("__bv").isNull || col(versionCol) > col("__bv"))
+      .select(cols: _*)
+    val ev = touched.select(col(key), col(versionCol).as("__ev"))
+    val winners = reduced
+      .join(ev, Seq(key), "left_outer")
+      .filter(col("__ev").isNull || col("__ev") <= col(versionCol))
+      .select(cols: _*)
+    survivors.unionByName(winners)
   }
 
   /** Keyed read-modify-write — the COMBINE form of merge that

@@ -78,36 +78,79 @@ object Snapshots {
     * `#` lines and parse identically.
     */
   // Committed manifests are IMMUTABLE (create-fails-if-exists), so
-  // their parsed lines are safe to cache forever; the LRU bound keeps
-  // the driver footprint fixed. One operation touches the same
+  // their parsed lines are cacheable. One operation touches the same
   // manifest several times (schema, key column, ranges, file list) —
   // without this, a single upsert against an object store pays ~6
-  // GET+parse round trips of the same multi-MB file.
-  private val ManifestCacheMax = 64
+  // GET+parse round trips of the same multi-MB file. Safety against
+  // the two ways "immutable" can lie — a table deleted and re-created
+  // at the same path, and a vacuumed version — comes from validating
+  // each hit against the file's (mtime, length): one metadata HEAD
+  // per call instead of a full GET+parse, and a changed or missing
+  // file drops the entry. Keys are fs-QUALIFIED paths so aliased
+  // spellings of one dir share entries. Bounded by entry count AND
+  // total character volume (large tables have multi-MB manifests; an
+  // entry-only bound could pin GBs of driver heap).
+  private val ManifestCacheMaxEntries = 64
+  private val ManifestCacheMaxChars = 64L * 1024 * 1024
+  private final case class CachedManifest(mtime: Long, len: Long,
+      lines: Seq[String], chars: Long)
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long), Seq[String]](
-      ManifestCacheMax, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[String]]): Boolean =
-        size() > ManifestCacheMax
+    new java.util.LinkedHashMap[(String, Long), CachedManifest](
+      ManifestCacheMaxEntries, 0.75f, true)
+  private var manifestCacheChars = 0L
+
+  private def cacheEvictLoop(): Unit = {
+    // caller holds the manifestCache lock
+    val it = manifestCache.entrySet().iterator()
+    while ((manifestCache.size() > ManifestCacheMaxEntries ||
+        manifestCacheChars > ManifestCacheMaxChars) && it.hasNext) {
+      manifestCacheChars -= it.next().getValue.chars
+      it.remove()
+    }
+  }
+
+  private[extra] def evictManifest(root: Path, version: Long): Unit =
+    manifestCache.synchronized {
+      val old = manifestCache.remove((root.toString, version))
+      if (old != null) manifestCacheChars -= old.chars
     }
 
   private def manifestLines(spark: SparkSession, dir: String,
       version: Long): Seq[String] = {
-    val (fs, root) = fsOf(spark, dir)
+    val (fs, root0) = fsOf(spark, dir)
+    val root = fs.makeQualified(root0)
     val cacheKey = (root.toString, version)
+    val p = new Path(manifestDir(root), s"v$version")
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          evictManifest(root, version)
+          throw new IllegalArgumentException(
+            s"no manifest for version $version at $dir")
+      }
     manifestCache.synchronized {
       val hit = manifestCache.get(cacheKey)
-      if (hit != null) return hit
+      if (hit != null) {
+        if (hit.mtime == st.getModificationTime && hit.len == st.getLen)
+          return hit.lines
+        manifestCacheChars -= hit.chars
+        manifestCache.remove(cacheKey): Unit
+      }
     }
-    val p = new Path(manifestDir(root), s"v$version")
-    require(fs.exists(p), s"no manifest for version $version at $dir")
     val in = fs.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
       finally in.close()
-    manifestCache.synchronized(manifestCache.put(cacheKey, lines)): Unit
+    manifestCache.synchronized {
+      val chars = lines.iterator.map(_.length.toLong).sum
+      val prev = manifestCache.put(cacheKey,
+        CachedManifest(st.getModificationTime, st.getLen, lines, chars))
+      if (prev != null) manifestCacheChars -= prev.chars
+      manifestCacheChars += chars
+      cacheEvictLoop()
+    }
     lines
   }
 
@@ -182,21 +225,29 @@ object Snapshots {
       }
 
   /** Highest batchId `appId` has committed to this table, scanning
-    * manifests newest-first (short walk in the streaming steady state
-    * — the stream's own commit is at or near the top; other writers'
+    * manifests newest-first (O(1) in the streaming steady state — the
+    * stream's own commit is at or near the top; other writers'
     * interleaved versions are skipped over). None if the app never
     * committed (or its versions were vacuumed — after which a replay
-    * that old cannot be in-flight anyway).
+    * that old cannot be in-flight anyway). `maxLookback` bounds the
+    * cold walk: a fresh app on a long-history table would otherwise
+    * read EVERY retained manifest to conclude None, and a replayed
+    * batch can only be as old as the checkpoint's recent history —
+    * default 1000 versions of headroom. Concurrent vacuum is
+    * tolerated: a manifest deleted between the listing and the read
+    * is skipped, not an error.
     */
-  def lastTxn(spark: SparkSession, dir: String,
-      appId: String): Option[Long] = {
+  def lastTxn(spark: SparkSession, dir: String, appId: String,
+      maxLookback: Int = 1000): Option[Long] = {
     val (fs, root) = fsOf(spark, dir)
     val md = manifestDir(root)
     if (!fs.exists(md)) return None
     fs.listStatus(md).toSeq.flatMap(f => versionOf(f.getPath))
       .sorted(Ordering[Long].reverse)
       .iterator
-      .flatMap(v => committedTxn(spark, dir, v))
+      .take(maxLookback)
+      .flatMap(v => scala.util.Try(committedTxn(spark, dir, v))
+        .toOption.flatten)
       .collectFirst { case (a, b) if a == appId => b }
   }
 
@@ -540,18 +591,10 @@ object Snapshots {
   /** Unsigned lexicographic compare of the UTF-8 encodings — the
     * collation parquet BINARY footer stats are computed under.
     */
-  private def u8cmp(a: String, b: String): Int = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    x.length - y.length
-  }
+  private def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
 
   /** Driver-side comparable form of a user bound under the column
     * type: integral → Long, string → String, timestamps → epoch
@@ -663,30 +706,21 @@ object Snapshots {
       updates.schema.fieldNames.sorted),
       s"updates columns ${updates.schema.fieldNames.mkString(",")} do " +
         s"not match table columns ${schema.fieldNames.mkString(",")}")
-    val cnts = updates.agg(count(lit(1)).as("n"),
-      count_distinct(col(key), col(versionCol)).as("d")).head()
-    require(cnts.getLong(0) == cnts.getLong(1),
-      s"updates carry duplicate ($key, $versionCol) pairs — the " +
-        "within-batch reduction has no deterministic winner")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(col(versionCol).desc)
-    val reduced = updates
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    commitRewrite(spark, dir, reduced.select(key), key, txn = txn) {
-      (touched, cols) =>
-        val bv = reduced.select(col(key), col(versionCol).as("__bv"))
-        val survivors = touched
-          .join(bv, Seq(key), "left_outer")
-          .filter(col("__bv").isNull || col(versionCol) > col("__bv"))
-          .select(cols: _*)
-        val ev = touched.select(col(key), col(versionCol).as("__ev"))
-        val winners = reduced
-          .join(ev, Seq(key), "left_outer")
-          .filter(col("__ev").isNull || col("__ev") <= col(versionCol))
-          .select(cols: _*)
-        survivors.unionByName(winners)
+    // same re-type rejection as upsert: name-only matching would let a
+    // mistyped column stage files that disagree with the manifest's
+    // recorded schema — every later read of the version would fail
+    schema.fields.foreach { f =>
+      val up = updates.schema(f.name).dataType
+      require(asNullable(up) == asNullable(f.dataType),
+        s"column ${f.name} is ${f.dataType.simpleString} in the table " +
+          s"but ${up.simpleString} in the updates — re-typing a column " +
+          "is not supported")
     }
+    val reduced = Merge.reduceLastWins(updates, key, versionCol)
+    commitRewrite(spark, dir, reduced.select(key), key, txn = txn)(
+      (touched, cols) =>
+        Merge.versionGuardCombine(touched, reduced, key, versionCol,
+          cols))
   }
 
   /** Keyed delete (takedown) as a new version. */
@@ -827,8 +861,7 @@ object Snapshots {
       // the lines cache assumes manifests are immutable AND live;
       // a dropped version must stop resolving (time travel below the
       // floor is gone), so evict it
-      manifestCache.synchronized(
-        manifestCache.remove((root.toString, v))): Unit
+      evictManifest(fs.makeQualified(root), v)
     }
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val dead = fs.listStatus(dataDir(root)).toSeq
@@ -890,12 +923,21 @@ object Snapshots {
       parentFiles.filterNot(touchedNames.contains) ++ staged
     // carried-by-reference files keep their parent-manifest ranges
     // (key and secondary columns alike); only the staged files'
-    // footers are read (once, while hot)
+    // footers are read (once, while hot). A LEGACY parent (#range
+    // lines but no #keycol) can't prove which column its ranges
+    // describe — carrying them under the child's freshly stamped
+    // #keycol would let a pre-#keycol table rewritten on a different
+    // column serve another column's ranges as key stats; drop them
+    // instead (footer fallback, conservative) and let this commit's
+    // staged entries start the trustworthy record.
     val statsCols = statsColumns(spark, dir, parent)
     val staged2 = stagedStats(spark, root, staged, key +: statsCols)
-    val childRanges = fileRanges(spark, dir, parent)
-      .filter { case (f, _) => !touchedNames.contains(f) } ++
-      staged2.getOrElse(key, Map.empty)
+    val carriedKeyRanges =
+      if (keyColumn(spark, dir, parent).contains(key))
+        fileRanges(spark, dir, parent)
+          .filter { case (f, _) => !touchedNames.contains(f) }
+      else Map.empty[String, (String, String)]
+    val childRanges = carriedKeyRanges ++ staged2.getOrElse(key, Map.empty)
     val childColRanges = statsCols.map { c =>
       c -> (columnRanges(spark, dir, parent, c)
         .filter { case (f, _) => !touchedNames.contains(f) } ++

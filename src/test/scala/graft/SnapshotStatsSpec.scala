@@ -190,6 +190,53 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(out.select("v").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("a table deleted and re-created at the same path serves the " +
+      "NEW table — the manifest cache validates against file metadata") {
+    val dir = freshDir("recreate")
+    Snapshots.init(spark.range(10).select(col("id"),
+      lit("old").as("t")), dir, "id", 1)
+    assert(Snapshots.read(spark, dir).count() == 10) // populates cache
+    // wipe and rebuild a DIFFERENT table at the same path
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmrf(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmrf(Paths.get(dir))
+    Snapshots.init(spark.range(7).select(col("id"),
+      lit("new").as("t")), dir, "id", 1)
+    val back = Snapshots.read(spark, dir)
+    assert(back.count() == 7)
+    assert(back.select("t").distinct().head().getString(0) == "new")
+  }
+
+  test("a legacy #range-without-#keycol parent's stats are NOT carried " +
+      "into a child stamped with a different key") {
+    val dir = freshDir("legacycarry")
+    // v = id so footer pruning on v behaves like id — a targeted
+    // delete on v touches one file and carries the rest
+    val base = spark.range(400).select(col("id"), col("id").as("v"))
+    val c0 = Snapshots.init(base, dir, "id", numFiles = 4)
+    // hand-write v1: same files, same ranges, but NO #keycol — the
+    // pre-#keycol manifest format
+    val schema = Snapshots.tableSchema(spark, dir, Some(0L))
+    val r0 = Snapshots.fileRanges(spark, dir, 0L)
+    val lines = Seq("#schema=" + schema.json) ++
+      c0.files.map(f => s"#range=${b64(f)},${b64(r0(f)._1)},${b64(r0(f)._2)}") ++
+      c0.files
+    Files.write(Paths.get(dir, "_manifests", "v1"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // rewrite keyed on v — allowed (legacy parent has no recorded key)
+    val c2 = Snapshots.delete(spark, dir, Seq(5L).toDF("v"), "v")
+    assert(c2.filesReplaced < c0.files.size) // some files carried
+    // the carried files' id-ranges must NOT appear as v-ranges
+    val r2 = Snapshots.fileRanges(spark, dir, c2.version)
+    val carried = c0.files.toSet.intersect(c2.files.toSet)
+    carried.foreach(f => assert(!r2.contains(f)))
+    // and the result is still exact (footer fallback, conservative)
+    assert(Snapshots.read(spark, dir).count() == 399)
+  }
+
   test("lookup reads only the manifest-range-matching files") {
     val dir = freshDir("prune")
     val base = spark.range(1024)

@@ -113,5 +113,11 @@ class SnapshotStreamSpec extends SparkSpec {
       Snapshots.upsertVersioned(spark, dir,
         Seq((1L, 5L, "a")).toDF("id", "ver", "text"), "ver", "id")
     }
+    // re-typed column rejected (a mistyped batch would stage files
+    // that disagree with the manifest's recorded schema)
+    intercept[IllegalArgumentException] {
+      Snapshots.upsertVersioned(spark, dir,
+        Seq((1L, 5.0, "a")).toDF("id", "ver", "text"), "id", "ver")
+    }
   }
 }
