@@ -194,6 +194,29 @@ object DedupQueriesImpl {
       |  AND ts <= TIMESTAMP '2024-01-30 00:00:00'
       |ORDER BY user_id""".stripMargin
 
+  // ---- snapshot_sql_tvf --------------------------------------------
+
+  /** The SQL surface of time travel: the same snapshot table served
+    * through the `graft_snapshot('dir', version)` TABLE-VALUED
+    * FUNCTION ([[graft.GraftExtensions]], `injectTableFunction`) — a
+    * SQL user reads any committed version with a plain SELECT, planned
+    * through the identical manifest path as
+    * [[graft.extra.Snapshots.read]]. The oracle recomputes v1
+    * (latest-wins over all events) from the raw table.
+    */
+  def snapshotSqlTvf(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.registerAll(s)
+    val table = snapTable(s, dir)
+    s.sql(s"SELECT user_id, event_id, ts, event_type, value " +
+      s"FROM graft_snapshot('$table', 1) ORDER BY user_id")
+  }
+
+  private val snapshotSqlTvfOracle =
+    """SELECT user_id, event_id, ts, event_type, value FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---- version_diff ------------------------------------------------
 
   /** CDC extract between two snapshot versions
@@ -920,6 +943,10 @@ object DedupQueriesImpl {
       "time-window read via manifest-recorded secondary-column stats " +
         "(file skipping on a non-cluster column)",
       snapshotRangeRead, Some(snapshotRangeReadOracle)),
+    QueryDef("snapshot_sql_tvf",
+      "SQL time travel via the graft_snapshot table-valued function " +
+        "(injectTableFunction)",
+      snapshotSqlTvf, Some(snapshotSqlTvfOracle)),
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),
