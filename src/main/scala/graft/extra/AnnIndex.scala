@@ -132,6 +132,27 @@ object AnnIndex {
       (0L, legacy)
     }
 
+  /** Writer-side entry resolution. A LEGACY (pre-manifest) layout is
+    * READ-compatible via [[entriesOf]] but NOT write-compatible: a new
+    * `codes/seg-N` landing INSIDE the live flat `codes/` dir would put
+    * `list_id=` partition dirs at two depths of one scan root —
+    * partition discovery then fails ("conflicting directory
+    * structures") and the index is unreadable until manual repair. So
+    * writers MIGRATE first: one [[compact]] rewrites the flat layout
+    * into a proper committed segment (dropping the flat dirs), after
+    * which appends/deletes proceed normally. A dir with neither a
+    * manifest nor legacy frames starts empty at version 0.
+    */
+  private def writerEntries(spark: SparkSession, dir: String)
+      : (Long, Map[String, Seq[String]]) =
+    IndexManifests.latest(spark, dir).getOrElse {
+      val (fs, _) = IndexManifests.fsOf(spark, dir)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes"))) {
+        compact(spark, dir)
+        IndexManifests.requireLatest(spark, dir, "ANN")
+      } else (0L, Map.empty)
+    }
+
   /** The committed codes segments as ONE union of per-segment
     * partitioned scans — each leg keeps `list_id` as a partition
     * column, so searchIvfPq's static probe filter reaches every leg as
@@ -236,8 +257,9 @@ object AnnIndex {
           .sortWithinPartitions(col("list_id"), col("id"))
     // new SEGMENT + manifest commit: the batch's files are invisible
     // to searches until the commit lands (a crashed append leaves an
-    // orphan segment compact sweeps, never a torn read)
-    val (v0, entries) = entriesOf(spark, dir)
+    // orphan segment compact sweeps, never a torn read). writerEntries
+    // migrates a legacy flat layout first — see its scaladoc.
+    val (v0, entries) = writerEntries(spark, dir)
     val seg = f"codes/seg-${v0 + 1}%09d"
     arranged.write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/$seg")
@@ -267,7 +289,10 @@ object AnnIndex {
     */
   def delete(spark: SparkSession, dir: String,
       ids: org.apache.spark.sql.DataFrame, idCol: String = "id"): Unit = {
-    val (v0, entries) = entriesOf(spark, dir)
+    // writerEntries migrates a legacy flat layout first: a new
+    // tombstones/seg-N nested inside a live flat tombstones/ dir would
+    // corrupt later unions the same way a nested codes segment does
+    val (v0, entries) = writerEntries(spark, dir)
     val incoming = ids.select(col(idCol).as("id")).distinct()
     // drop ids already tombstoned — a takedown job that re-runs its
     // full list daily (the natural idempotent retry) would otherwise

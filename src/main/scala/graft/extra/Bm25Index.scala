@@ -40,8 +40,8 @@ import org.apache.spark.sql.types.DecimalType
   *     makes the deletion physical (Lucene-style deferred purge).
   *   - `_manifests/v*.txt` — one COMMIT POINT per writer operation:
   *     `frame<TAB>segment` lines naming exactly the live segments.
-  *     Committed by atomic rename; the version number is a CAS (a
-  *     lost race throws rather than silently clobbers).
+  *     Committed create-fails-if-exists; the version number is a CAS
+  *     (a lost race throws rather than silently clobbers).
   *
   * SNAPSHOT ISOLATION (r10 verdict #8): every reader resolves the
   * LATEST COMMITTED manifest once per call and plans only against the
@@ -121,6 +121,15 @@ object Bm25Index {
     val spark = docs.sparkSession
     import spark.implicits._
     val prev = latest(spark, dir)
+    // Append EXTENDS the committed index: on a manifest-less dir (a
+    // pre-manifest layout, or plain uninitialized) prev=None would
+    // yield base=empty and commit a manifest naming ONLY the new
+    // segments — any existing corpus silently disappears from every
+    // search (files left on disk but invisible). Fail loudly instead,
+    // the same requireLatest discipline as delete/compact; initialize
+    // with SaveMode.Overwrite.
+    if (mode == SaveMode.Append && prev.isEmpty)
+      requireLatest(spark, dir): Unit
     val prevV = prev.map(_._1).getOrElse(0L)
     val base: Map[String, Seq[String]] =
       if (mode == SaveMode.Append) prev.map(_._2).getOrElse(Map.empty)

@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
 /** Manifest-committed versions for the persisted index layouts
   * ([[Bm25Index]], [[AnnIndex]]) — the Lucene commit-point discipline,
   * shared: a manifest file `_manifests/vN.txt` holds one
-  * `frame<TAB>segment-relpath` line per live segment, committed by
-  * ATOMIC RENAME with a CAS on the version number. Readers resolve the
+  * `frame<TAB>segment-relpath` line per live segment, committed by a
+  * CREATE-FAILS-IF-EXISTS on the version number (a true CAS even on
+  * filesystems whose rename clobbers). Readers resolve the
   * latest committed manifest once per call and plan only against the
   * segments it names, so an in-flight (or crashed) writer's files are
   * invisible until its commit lands — snapshot isolation for
@@ -15,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * caller's contract; the CAS turns a writer race into an error, never
   * a clobbered manifest.
   */
-private[extra] object IndexManifests {
+private[graft] object IndexManifests {
 
   def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -55,28 +56,40 @@ private[extra] object IndexManifests {
     latest(spark, dir).getOrElse(throw new IllegalStateException(
       s"no committed $what index at $dir (missing _manifests)"))
 
-  /** Atomic commit: write aside, rename into place. The rename is the
-    * commit point; a version collision (two writers racing) surfaces
-    * as an exception, never a clobbered manifest.
+  /** Atomic commit via create-fails-if-exists on the FINAL name (the
+    * same commit point as [[Snapshots]]' manifest commit): the create
+    * is the CAS — two writers racing one version both reach it, the
+    * loser throws, and the winner's committed bytes are never
+    * clobbered. The earlier write-aside-then-rename form was NOT a CAS
+    * everywhere: RawLocalFileSystem's rename replaces an existing
+    * destination (File.renameTo semantics) and rename-less object
+    * stores copy-over, so two racers could both pass an exists check
+    * and the loser would overwrite the committed manifest.
     */
   def commit(spark: SparkSession, dir: String, version: Long,
       entries: Map[String, Seq[String]]): Unit = {
     val (fs, md) = fsOf(spark, manifestDir(dir))
     fs.mkdirs(md)
-    val tmp = new Path(md,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .flatMap { case (f, segs) => segs.map(s => s"$f\t$s") }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
     val dst = new Path(md, f"v$version%09d.txt")
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"index manifest v$version already committed at $dir — " +
-          "concurrent writer (single-writer contract)")
-    }
+    def lostRace() = new java.util.ConcurrentModificationException(
+      s"index manifest v$version already committed at $dir — " +
+        "concurrent writer (single-writer contract)")
+    val bytes = entries.toSeq.sortBy(_._1)
+      .flatMap { case (f, segs) => segs.map(s => s"$f\t$s") }
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    val out =
+      try fs.create(dst, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw lostRace()
+        // some filesystems signal the existing file with a bare
+        // IOException — map to the retry path only when the target
+        // really exists; genuine I/O failures must surface as such
+        case e: java.io.IOException =>
+          if (fs.exists(dst)) throw lostRace() else throw e
+      }
+    try out.write(bytes)
+    finally out.close()
   }
 
   /** Delete every on-disk child of the given frame dirs not named by

@@ -109,6 +109,24 @@ object Snapshots {
     }
   }
 
+  /** Drop EVERY cached manifest of a table — called by [[init]]: the
+    * (mtime, length) validity check can be fooled by a table deleted
+    * and re-created at the same path within one mtime tick with a
+    * same-length manifest (coarse-granularity filesystems), and init
+    * is the one place re-creation is visible in-process.
+    */
+  private[extra] def evictTable(root: Path): Unit =
+    manifestCache.synchronized {
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == root.toString) {
+          manifestCacheChars -= e.getValue.chars
+          it.remove()
+        }
+      }
+    }
+
   private[extra] def evictManifest(root: Path, version: Long): Unit =
     manifestCache.synchronized {
       val old = manifestCache.remove((root.toString, version))
@@ -233,9 +251,15 @@ object Snapshots {
     * cold walk: a fresh app on a long-history table would otherwise
     * read EVERY retained manifest to conclude None, and a replayed
     * batch can only be as old as the checkpoint's recent history —
-    * default 1000 versions of headroom. Concurrent vacuum is
-    * tolerated: a manifest deleted between the listing and the read
-    * is skipped, not an error.
+    * default 1000 versions of headroom. PAST the horizon the guarantee
+    * degrades gracefully: a replay whose token is buried under more
+    * than `maxLookback` interleaved commits reads None and re-applies,
+    * which the per-row version guard keeps CONTENT-correct
+    * (idempotent-apply), but the ledger then records the same (appId,
+    * batchId) token in a second version — raise `maxLookback` if your
+    * ledger audits must stay unambiguous under that much interleaving.
+    * Concurrent vacuum is tolerated: a manifest deleted between the
+    * listing and the read is skipped, not an error.
     */
   def lastTxn(spark: SparkSession, dir: String, appId: String,
       maxLookback: Int = 1000): Option[Long] = {
@@ -469,6 +493,9 @@ object Snapshots {
     val (fs, root) = fsOf(spark, dir)
     require(latestVersion(spark, dir).isEmpty,
       s"$dir is already a snapshot table")
+    // re-creating a table at a previously used path must not serve the
+    // old table's cached manifest lines — see evictTable
+    evictTable(fs.makeQualified(root))
     val missing = statsCols.filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"statsCols ${missing.mkString(", ")} are not columns of the frame")

@@ -228,4 +228,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/codes/seg-torn").exists())
     assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == after)
   }
+
+  test("appendIvfPq on a legacy (pre-manifest) flat layout migrates it " +
+      "to a committed segment first — never nests a segment inside the " +
+      "live flat codes/ dir") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val first = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val dir = tmpDir()
+    val initial = Similarity.buildIvfPq(first, "vec_id", "embedding",
+      numCentroids = 8, m = 8, pqCentroids = 8).get
+    AnnIndex.writeIvfPq(initial, dir)
+    // reconstruct the pre-manifest layout: flatten codes/seg-1/* up
+    // into codes/ and drop the manifests — exactly what an index
+    // written before segments existed looks like on disk
+    val codes = new java.io.File(s"$dir/codes")
+    val seg1 = new java.io.File(codes, "seg-000000001")
+    seg1.listFiles().foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(codes, f.getName).toPath)
+    }
+    assert(seg1.delete())
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/_manifests"))
+    // sanity: the legacy layout reads (adoption path)
+    assert(AnnIndex.readIvfPq(spark, dir).coded.count() == first.count())
+
+    // the append must migrate, not nest codes/seg-N inside codes/
+    AnnIndex.appendIvfPq(spark, dir, rest, "vec_id", "embedding")
+    assert(codes.listFiles().filter(_.isDirectory)
+      .forall(_.getName.startsWith("seg-")),
+      "flat list_id= dirs must be gone after the migrating append")
+    val appended = AnnIndex.readIvfPq(spark, dir)
+    assert(appended.coded.count() == emb.count())
+    // and the result is the frozen-codebook union, bit-for-bit
+    val full = Similarity.buildIvfPq(emb, "vec_id", "embedding",
+      numCentroids = 8, m = 8, pqCentroids = 8,
+      coarseCodebook = Some(initial.coarse),
+      pqCodebook = Some(initial.pq)).get
+    assert(searchRows(appended) == searchRows(full))
+  }
 }

@@ -301,4 +301,42 @@ class Bm25IndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$d/tf/seg-torn").exists())
     assert(rowsAt(d) == after)
   }
+
+  test("append to a manifest-less dir fails loudly instead of " +
+      "silently re-basing the index on only the new batch") {
+    val d = tmpDir()
+    // a pre-manifest layout: segment files on disk, no _manifests —
+    // append must NOT commit a manifest naming only its own segments
+    // (the old corpus would vanish from every search)
+    docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id"), lit("x").as("term"),
+        lit(1L).as("tf"))
+      .write.parquet(s"$d/tf/seg-000000001")
+    val err = intercept[IllegalStateException] {
+      Bm25Index.append(docs.filter(col("doc_id") >= 100 &&
+        col("doc_id") < 120), "doc_id", "text", d)
+    }
+    assert(err.getMessage.contains("no committed BM25 index"))
+    // and plain-uninitialized append fails the same way
+    intercept[IllegalStateException] {
+      Bm25Index.append(docs.limit(5), "doc_id", "text", tmpDir())
+    }
+  }
+
+  test("the manifest commit is a true CAS: a version collision throws " +
+      "and never clobbers the committed manifest (RawLocalFileSystem " +
+      "rename would have replaced it)") {
+    val d = tmpDir()
+    val winner = Map("tf" -> Seq("tf/seg-000000001"))
+    graft.extra.IndexManifests.commit(spark, d, 1L, winner)
+    // a racing loser computing the same version must throw, and the
+    // winner's committed bytes must survive the attempt (rename-based
+    // commits clobbered here on RawLocalFileSystem)
+    intercept[java.util.ConcurrentModificationException] {
+      graft.extra.IndexManifests.commit(spark, d, 1L,
+        Map("tf" -> Seq("tf/seg-loser")))
+    }
+    assert(graft.extra.IndexManifests.latest(spark, d)
+      .contains((1L, winner)))
+  }
 }

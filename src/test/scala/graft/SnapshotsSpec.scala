@@ -333,4 +333,25 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.vacuum(spark, dir, retainFrom = 99L)
     }
   }
+
+  test("a table deleted and re-created at the same path never serves " +
+      "the old table's cached manifest (init evicts the path)") {
+    val dir = freshDir("recreate")
+    Snapshots.init(spark.range(50)
+      .select(col("id"), lit("old").as("text")), dir, "id", 2)
+    // populate the manifest cache with the OLD table's v0
+    assert(slurpAt(dir, 0).forall(_._2 == "old"))
+    // drop and re-create at the SAME path — the (mtime, length) cache
+    // validity check can collide on coarse-mtime filesystems, so init
+    // must evict the path outright
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(dir))
+    Snapshots.init(spark.range(50)
+      .select(col("id"), lit("new").as("text")), dir, "id", 2)
+    assert(slurpAt(dir, 0).forall(_._2 == "new"),
+      "re-created table must not read the old table's cached lines")
+  }
 }
