@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"detail","queries":{name:medianSec,…},
   *  "spreads":{name:[minSec,medianSec,maxSec],…},"failures":{name:error,…}}
   * {"metric":"total","value":S,"min_total":S',"loadavg1":[l…],
+  *  "gated_sec":[g…],"retried":R,
   *  "unit":"sec","sf":dir,"n":3,"n_queries":N,"n_ok":N,"n_failures":0,
   *  "streaming":{…},"streaming_curation":{…}}
   * }}}
@@ -75,6 +76,29 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** LOAD GATE (r11 verdict #5): delay a rep while external 1-min load
+    * exceeds `maxLoad`, up to a per-pass wait budget — shrinking rep
+    * spread AT THE SOURCE instead of only rejecting contaminated
+    * samples after the fact (min-of-n stays the committed statistic
+    * either way). Returns seconds spent gated; the caller stamps the
+    * total per pass in both artifact lines, so a gated run is
+    * self-describing. The budget keeps a permanently-loaded machine
+    * from stalling the bench: once spent, reps run ungated and the
+    * loadavg stamps tell the story.
+    */
+  private def gate(maxLoad: Double, budget: java.util.concurrent.atomic
+      .AtomicLong): Double = {
+    if (maxLoad <= 0) return 0.0
+    var waited = 0.0
+    while (load1() > maxLoad && budget.get() > 0) {
+      val step = math.min(2000L, budget.get())
+      budget.addAndGet(-step): Unit
+      Thread.sleep(step)
+      waited += step / 1000.0
+    }
+    waited
+  }
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -133,20 +157,53 @@ object Bench {
     val times = collection.mutable.Map.empty[String, List[Double]]
     val failures = collection.mutable.Map.empty[String, String]
     val passLoads = collection.mutable.ArrayBuffer.empty[Double]
+    val gatedSecs = collection.mutable.ArrayBuffer.empty[Double]
+    // per-QUERY pre-check against the load gate: loadavg moves slowly,
+    // but a pass takes ~30-90 s, so a pass-start-only check misses
+    // mid-pass load windows (r11: cms_freq reps [0.30, 1.50, 12.4])
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "12").toDouble
+    def gateBudget() = new java.util.concurrent.atomic.AtomicLong(
+      sys.env.getOrElse("SPARK_GRAFT_GATE_SECS", "60").toLong * 1000L)
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt :: times.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        failures(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("")
+            .linesIterator.nextOption().getOrElse("").take(200)
+      }
+    }
     for (_ <- 1 to iters) {
       passLoads += load1() // external load at pass start, per rep
+      val budget = gateBudget()
+      var gated = 0.0
       for ((name, fn) <- SparkEntry.queries) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          times(name) = dt :: times.getOrElse(name, Nil)
-        } catch { case e: Throwable =>
-          failures(name) = s"${e.getClass.getSimpleName}: " +
-            Option(e.getMessage).getOrElse("")
-              .linesIterator.nextOption().getOrElse("").take(200)
-        }
+        gated += gate(maxLoad, budget)
+        runOnce(name, fn)
       }
+      gatedSecs += gated
+    }
+    // BONUS REP for wide-spread queries (r11 verdict #5: two queries
+    // still showed 8-12x rep spread under load): one extra gated rep
+    // per query whose max/min exceeds 2x — it can only LOWER the min
+    // and tightens the median when the outlier was contention. Capped
+    // so a genuinely noisy machine can't double the bench.
+    val retried = {
+      val wide = SparkEntry.queries.keys.filter { name =>
+        val ts = times.getOrElse(name, Nil)
+        ts.size >= 2 && ts.min > 0 && ts.max / ts.min > 2.0
+      }.toSeq.sortBy(name => -(times(name).max / times(name).min))
+        .take(40)
+      val budget = gateBudget()
+      wide.foreach { name =>
+        gate(maxLoad, budget): Unit
+        runOnce(name, SparkEntry.queries(name))
+      }
+      wide.size
     }
     val medians = SparkEntry.queries.keys.map { name =>
       name -> median(times.getOrElse(name, Nil)) // -1 iff zero successes
@@ -293,10 +350,12 @@ object Bench {
     // complete, parseable JSON object well under the tail.
     spark.stop()
     val loadsJson = passLoads.map(l => rnd(l, 2)).mkString("[", ",", "]")
+    val gatedJson = gatedSecs.map(g => rnd(g, 1)).mkString("[", ",", "]")
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
       s""""failures":$fs$curNdJson$annJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""min_total":${rnd(minTotal)},"loadavg1":$loadsJson,""" +
+      s""""gated_sec":$gatedJson,"retried":$retried,""" +
       s""""unit":"sec","sf":${jstr(sfDir)},"n":$iters,""" +
       s""""n_queries":${medians.size},""" +
       s""""n_ok":${ok.size},"n_failures":${failures.size}""" +
@@ -314,7 +373,8 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath),
       s"""{"total_sec":${rnd(total)},"min_total":${rnd(minTotal)},""" +
-        s""""loadavg1":$loadsJson,"sf":${jstr(sfDir)},"n":$iters,""" +
+        s""""loadavg1":$loadsJson,"gated_sec":$gatedJson,""" +
+        s""""retried":$retried,"sf":${jstr(sfDir)},"n":$iters,""" +
         s""""n_queries":${medians.size},"n_ok":${ok.size},""" +
         s""""n_failures":${failures.size},"queries":$qs,""" +
         s""""spreads":$spreads,"failures":$fs$streamJson$curJson""" +

@@ -47,29 +47,36 @@ object GraftExtensions {
         DotProduct(children.head, children(1))
       })
 
-  /** `graft_snapshot('dir'[, version])` — a TABLE-VALUED FUNCTION over
-    * [[graft.extra.Snapshots]]: time travel straight from SQL,
+  /** `graft_snapshot('dir'[, version | TIMESTAMP])` — a TABLE-VALUED
+    * FUNCTION over [[graft.extra.Snapshots]]: time travel straight
+    * from SQL,
     *
     *   SELECT * FROM graft_snapshot('/data/corpus', 3)
+    *   SELECT * FROM graft_snapshot('/data/corpus',
+    *                                TIMESTAMP '2026-01-03 00:00:00')
     *   SELECT count(*) FROM graft_snapshot('/data/corpus')
     *
-    * planned exactly like [[graft.extra.Snapshots.read]] (manifest
-    * file list, recorded schema, no footer opens) — the analyzer calls
-    * the builder once with LITERAL arguments and receives the
-    * resolved relation. Joins/views/CTEs over it compose as with any
-    * table.
+    * An integral second argument pins a VERSION NUMBER; a timestamp
+    * second argument is `TIMESTAMP AS OF` — the latest version whose
+    * commit stamp is ≤ the literal ([[graft.extra.Snapshots
+    * .versionAsOf]]), how reproducible training runs pin "the corpus
+    * as of <wall time>". Planned exactly like
+    * [[graft.extra.Snapshots.read]] (manifest file list, recorded
+    * schema, no footer opens) — the analyzer calls the builder once
+    * with LITERAL arguments and receives the resolved relation.
+    * Joins/views/CTEs over it compose as with any table.
     */
   private[graft] val snapshotTvf: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan) =
     (FunctionIdentifier("graft_snapshot"),
       new ExpressionInfo("graft.extra.Snapshots", "graft_snapshot",
-        "graft_snapshot(dir[, version]) - rows of a snapshot-table " +
-          "version (latest when version is omitted); dir and version " +
-          "must be literals"),
+        "graft_snapshot(dir[, version | timestamp]) - rows of a " +
+          "snapshot-table version (latest when omitted; a timestamp " +
+          "resolves TIMESTAMP AS OF); arguments must be literals"),
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
-          s"graft_snapshot expects (dir[, version]), got " +
+          s"graft_snapshot expects (dir[, version | timestamp]), got " +
             s"${children.length} arguments")
         def folded(e: Expression, what: String): Any = {
           require(e.foldable, s"graft_snapshot $what must be a literal")
@@ -80,19 +87,36 @@ object GraftExtensions {
             "graft_snapshot dir must not be NULL")
           case s => s.toString
         }
-        val asOf = children.lift(1).map(e =>
-          folded(e, "version") match {
-            // integral types only: a Double/Decimal literal would
-            // silently truncate (1.9 → version 1) — reject instead
-            case b: java.lang.Byte => b.longValue
-            case s: java.lang.Short => s.longValue
-            case i: java.lang.Integer => i.longValue
-            case l: java.lang.Long => l.longValue
-            case o => throw new IllegalArgumentException(
-              s"graft_snapshot version must be an integral literal, " +
-                s"got $o")
-          })
         val spark = SparkSession.active
+        val asOf = children.lift(1).map { e =>
+          import org.apache.spark.sql.types.{TimestampNTZType,
+            TimestampType}
+          e.dataType match {
+            // timestamp literals eval to epoch MICROS; NTZ is read as
+            // UTC wall time, matching the UTC-stamped commit clock
+            case TimestampType | TimestampNTZType =>
+              val micros = folded(e, "timestamp") match {
+                case null => throw new IllegalArgumentException(
+                  "graft_snapshot timestamp must not be NULL")
+                case l: java.lang.Long => l.longValue
+                case o => throw new IllegalArgumentException(
+                  s"unexpected timestamp literal value $o")
+              }
+              graft.extra.Snapshots.versionAsOf(spark, dir,
+                Math.floorDiv(micros, 1000L))
+            case _ => folded(e, "version") match {
+              // integral types only: a Double/Decimal literal would
+              // silently truncate (1.9 → version 1) — reject instead
+              case b: java.lang.Byte => b.longValue
+              case s: java.lang.Short => s.longValue
+              case i: java.lang.Integer => i.longValue
+              case l: java.lang.Long => l.longValue
+              case o => throw new IllegalArgumentException(
+                s"graft_snapshot version must be an integral or " +
+                  s"timestamp literal, got $o")
+            }
+          }
+        }
         graft.extra.Snapshots.read(spark, dir, asOf)
           .queryExecution.analyzed
       })

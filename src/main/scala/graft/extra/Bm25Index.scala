@@ -121,15 +121,23 @@ object Bm25Index {
     val spark = docs.sparkSession
     import spark.implicits._
     val prev = latest(spark, dir)
-    // Append EXTENDS the committed index: on a manifest-less dir (a
-    // pre-manifest layout, or plain uninitialized) prev=None would
-    // yield base=empty and commit a manifest naming ONLY the new
-    // segments — any existing corpus silently disappears from every
-    // search (files left on disk but invisible). Fail loudly instead,
+    // Append EXTENDS the committed index: on a dir that HOLDS SEGMENT
+    // DATA but no manifest (a pre-manifest legacy layout), prev=None
+    // would yield base=empty and commit a manifest naming ONLY the new
+    // segments — the existing corpus silently disappears from every
+    // search (files left on disk but invisible). Fail loudly there,
     // the same requireLatest discipline as delete/compact; initialize
-    // with SaveMode.Overwrite.
-    if (mode == SaveMode.Append && prev.isEmpty)
-      requireLatest(spark, dir): Unit
+    // legacy layouts with SaveMode.Overwrite. An EMPTY/nonexistent dir
+    // is different: appending there BOOTSTRAPS a fresh index (the
+    // streaming-ingest first batch — nothing exists to vanish).
+    if (mode == SaveMode.Append && prev.isEmpty) {
+      val (fs, _) = IndexManifests.fsOf(spark, dir)
+      val legacyData = Frames.exists { f =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+        fs.exists(p) && fs.listStatus(p).nonEmpty
+      }
+      if (legacyData) requireLatest(spark, dir): Unit
+    }
     val prevV = prev.map(_._1).getOrElse(0L)
     val base: Map[String, Seq[String]] =
       if (mode == SaveMode.Append) prev.map(_._2).getOrElse(Map.empty)

@@ -230,12 +230,19 @@ object Graph {
     * every round); step (a) is one keyed equijoin plus a map-side-
     * combined min-aggregation over |E| rows (hub-safe: a hot dst key
     * partial-aggregates before the shuffle); step (b) is a keyed
-    * self-join of the |V|-row label frame. The convergence probe rides
-    * step (a)'s aggregation as an `Observation` metric, costing no
-    * extra job, and the per-round materialization bounds lineage while
-    * handing the planner exact stats. An unconverged exit after
-    * `maxIters` rounds THROWS — silent k-hop labels masquerading as
-    * components is the failure mode this operator exists to prevent.
+    * self-join of the |V|-row label frame. ONE eager job per round
+    * (r12, was two): round 1 seeds from the edge frame itself
+    * (identity labels make a neighbor's label its id — no initial
+    * label frame, no first join), and the doubling hop is LAZY on top
+    * of each round's materialized propagate result, executing inside
+    * the next round's job (and skipped entirely once converged — the
+    * hop is the identity at the fixed point). Lineage stays bounded:
+    * the lazy hop is one join over the round's checkpointed frame.
+    * The convergence probe rides step (a)'s aggregation as an
+    * `Observation` metric, costing no extra job. An unconverged exit
+    * after `maxIters` rounds THROWS — silent k-hop labels masquerading
+    * as components is the failure mode this operator exists to
+    * prevent.
     *
     * Output: `id`, `component` (min node id of the component), one row
     * per distinct node appearing in an edge.
@@ -249,11 +256,38 @@ object Graph {
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .transform(Dedup.materialize)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
+    if (sym.isEmpty)
+      return sym.select(col("src").as("id"), col("src").as("component"))
+
+    // ROUND 1 seeded straight from the edge frame: with identity
+    // initial labels, a neighbor's label IS its id, so min(own,
+    // neighbors) needs no label frame and no join — one aggregation
+    // over 2|E| rows replaces the old distinct-nodes job plus the
+    // first propagate join. `old` = the node's own id rides the same
+    // rows (the src-side union leg), so the convergence probe is
+    // identical in form to the loop's.
+    val obs1 = new org.apache.spark.sql.Observation()
+    var labels = sym.select(col("dst").as("id"), col("src").as("lab"))
+      .unionAll(sym.select(col("src").as("id"), col("src").as("lab")))
+      .groupBy("id").agg(min("lab").as("lab"))
+      .observe(obs1, sum(when(col("lab") =!= col("id"), 1L)
+        .otherwise(0L)).as("changed"))
       .transform(Dedup.materialize)
-    var converged = sym.isEmpty
-    var i = 0
+    var converged = obs1.get("changed").asInstanceOf[Long] == 0L
+
+    // Pointer doubling `lab := lab(lab)` is built LAZILY on top of the
+    // materialized propagate result: the hop executes inside the NEXT
+    // round's single materialization job (or not at all once
+    // converged — it is the identity at the fixed point), so each
+    // round costs ONE eager job, not two. Lineage stays bounded: the
+    // lazy hop is one join over the round's checkpointed frame.
+    def doubled(propagated: DataFrame): DataFrame = propagated
+      .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
+        "lab")
+      .select(col("id"), col("lab2").as("lab"))
+    if (!converged) labels = doubled(labels)
+
+    var i = 1
     while (!converged && i < maxIters) {
       val nbr = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lab"))
@@ -270,15 +304,7 @@ object Graph {
         .select("id", "lab")
         .transform(Dedup.materialize)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
-      // pointer doubling — skipped (with its job) once converged: the
-      // hop is the identity at the fixed point
-      labels =
-        if (converged) propagated
-        else propagated
-          .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
-            "lab")
-          .select(col("id"), col("lab2").as("lab"))
-          .transform(Dedup.materialize)
+      labels = if (converged) propagated else doubled(propagated)
       i += 1
     }
     if (!converged)

@@ -15,10 +15,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType,
   * each listing exactly the data files that make up one version:
   *
   *   <dir>/data/part-*.parquet      — written once, never mutated
-  *   <dir>/_manifests/v<N>         — `#schema=<json>` header,
-  *                                    `#range=` per-file key-range
-  *                                    stats ([[fileRanges]]), then one
-  *                                    relative file name per line
+  *   <dir>/_manifests/v<N>         — `#schema=<json>` + `#ts=` headers,
+  *                                    then EITHER the flat body
+  *                                    (`#range=` per-file key stats +
+  *                                    one relative file name per line)
+  *                                    OR, above `filesPerManifest`
+  *                                    files, a MANIFEST TREE: `#mchunk=`
+  *                                    refs to immutable chunk files
+  *   <dir>/_manifests/c-<uuid>     — one tree chunk: ≤ filesPerManifest
+  *                                    per-file entries in the flat body
+  *                                    grammar, key-range-packed
+  *
+  * The TREE (Iceberg's manifest-list → manifest structure) is what
+  * holds at 10⁶ files: the version file carries per-chunk AGGREGATE
+  * key/column ranges, so planning reads the version file plus only
+  * the chunks overlapping the predicate — O(touched manifests), never
+  * O(table files) — and a commit carries untouched chunks BY NAME,
+  * rewriting only the chunks its keys hit plus one packed chunk of
+  * new files. `#ts=` commit stamps (monotonic per table) give
+  * `TIMESTAMP AS OF` resolution ([[versionAsOf]], [[readAsOfTime]],
+  * and the `graft_snapshot(dir, TIMESTAMP '…')` TVF).
   *
   * Commit = atomically creating the NEXT manifest (create-fails-if-
   * exists), which buys, with no coordination service:
@@ -90,14 +106,24 @@ object Snapshots {
   // spellings of one dir share entries. Bounded by entry count AND
   // total character volume (large tables have multi-MB manifests; an
   // entry-only bound could pin GBs of driver heap).
-  private val ManifestCacheMaxEntries = 64
+  private val ManifestCacheMaxEntries = 256
   private val ManifestCacheMaxChars = 64L * 1024 * 1024
   private final case class CachedManifest(mtime: Long, len: Long,
       lines: Seq[String], chars: Long)
+  // keyed (qualified root, manifest-file name): version files ("v3")
+  // and tree manifest chunks ("c-<uuid>") share the cache — both are
+  // immutable once committed
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long), CachedManifest](
+    new java.util.LinkedHashMap[(String, String), CachedManifest](
       ManifestCacheMaxEntries, 0.75f, true)
   private var manifestCacheChars = 0L
+
+  /** Count of PHYSICAL manifest-file reads (cache misses) — the smoke
+    * observable for "planning reads only the manifests overlapping the
+    * predicate" on tree-format tables.
+    */
+  private[graft] val manifestReadCount =
+    new java.util.concurrent.atomic.AtomicLong()
 
   private def cacheEvictLoop(): Unit = {
     // caller holds the manifestCache lock
@@ -127,25 +153,37 @@ object Snapshots {
       }
     }
 
-  private[extra] def evictManifest(root: Path, version: Long): Unit =
+  /** Test hook: evict a table's cached manifest lines so a spec can
+    * count COLD physical manifest reads ([[manifestReadCount]]).
+    */
+  private[graft] def evictTableForTest(spark: SparkSession,
+      dir: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    evictTable(fs.makeQualified(root))
+  }
+
+  private[extra] def evictManifest(root: Path, name: String): Unit =
     manifestCache.synchronized {
-      val old = manifestCache.remove((root.toString, version))
+      val old = manifestCache.remove((root.toString, name))
       if (old != null) manifestCacheChars -= old.chars
     }
 
-  private def manifestLines(spark: SparkSession, dir: String,
-      version: Long): Seq[String] = {
+  /** Cached read of one immutable file under `_manifests/` — a version
+    * file (`v<N>`) or a tree manifest chunk (`c-<uuid>`). `missing`
+    * builds the caller-appropriate error for a file that is not there.
+    */
+  private def linesOfNamed(spark: SparkSession, dir: String,
+      name: String, missing: String => Exception): Seq[String] = {
     val (fs, root0) = fsOf(spark, dir)
     val root = fs.makeQualified(root0)
-    val cacheKey = (root.toString, version)
-    val p = new Path(manifestDir(root), s"v$version")
+    val cacheKey = (root.toString, name)
+    val p = new Path(manifestDir(root), name)
     val st =
       try fs.getFileStatus(p)
       catch {
         case _: java.io.FileNotFoundException =>
-          evictManifest(root, version)
-          throw new IllegalArgumentException(
-            s"no manifest for version $version at $dir")
+          evictManifest(root, name)
+          throw missing(name)
       }
     manifestCache.synchronized {
       val hit = manifestCache.get(cacheKey)
@@ -156,6 +194,7 @@ object Snapshots {
         manifestCache.remove(cacheKey): Unit
       }
     }
+    manifestReadCount.incrementAndGet()
     val in = fs.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -172,13 +211,107 @@ object Snapshots {
     lines
   }
 
-  /** The file list of `version` (relative names). */
-  def manifest(spark: SparkSession, dir: String, version: Long)
-      : Seq[String] =
-    manifestLines(spark, dir, version).filterNot(_.startsWith("#"))
+  private def manifestLines(spark: SparkSession, dir: String,
+      version: Long): Seq[String] =
+    linesOfNamed(spark, dir, s"v$version", _ =>
+      new IllegalArgumentException(
+        s"no manifest for version $version at $dir"))
+
+  private def chunkLines(spark: SparkSession, dir: String,
+      name: String): Seq[String] =
+    linesOfNamed(spark, dir, name, n =>
+      new IllegalStateException(
+        s"manifest chunk $n of $dir is missing — the version file " +
+          "references it (corruption, or a vacuum raced this read)"))
 
   private val SchemaHeader = "#schema="
   private val RangeHeader = "#range="
+  private val ChunkHeader = "#mchunk="
+  private val ChunkRangeHeader = "#mrange="
+  private val ChunkColRangeHeader = "#mrangec="
+  private val TsHeader = "#ts="
+
+  /** One manifest chunk of a TREE-format version: `name` is the chunk
+    * file under `_manifests/`, `count` its file count, and the ranges
+    * are chunk-level AGGREGATES (min of mins, max of maxs) — present
+    * only when EVERY file in the chunk carries the corresponding
+    * per-file range, so pruning a whole chunk on them can never skip a
+    * stat-less file.
+    */
+  private final case class ChunkRef(name: String, count: Long,
+      keyRange: Option[(String, String)],
+      colRanges: Map[String, (String, String)])
+
+  /** Parsed per-file body of a flat version file or a tree chunk:
+    * file names + `#range=` key ranges + `#rangec=` secondary ranges
+    * (column → file → (min, max)).
+    */
+  private final case class Body(files: Seq[String],
+      ranges: Map[String, (String, String)],
+      colRanges: Map[String, Map[String, (String, String)]])
+
+  private def parseBody(lines: Seq[String]): Body = {
+    val files = lines.filterNot(_.startsWith("#"))
+    val ranges = lines.filter(_.startsWith(RangeHeader)).map { l =>
+      val parts = l.drop(RangeHeader.length).split(",", 3)
+      require(parts.length == 3, "malformed #range line")
+      b64d(parts(0)) -> (b64d(parts(1)), b64d(parts(2)))
+    }.toMap
+    val colRanges = lines.filter(_.startsWith(ColRangeHeader)).map { l =>
+      val parts = l.drop(ColRangeHeader.length).split(",", 4)
+      require(parts.length == 4, "malformed #rangec line")
+      (b64d(parts(0)), b64d(parts(1)), b64d(parts(2)), b64d(parts(3)))
+    }.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> (t._3, t._4)).toMap).toMap
+    Body(files, ranges, colRanges)
+  }
+
+  /** The chunk refs of a TREE-format version file, or None when the
+    * version is FLAT (lists its files inline). Chunks preserve the
+    * version file's listing order.
+    */
+  private def treeRefs(spark: SparkSession, dir: String,
+      version: Long): Option[Seq[ChunkRef]] = {
+    val lines = manifestLines(spark, dir, version)
+    val chunks = lines.filter(_.startsWith(ChunkHeader)).map { l =>
+      val parts = l.drop(ChunkHeader.length).split(",", 2)
+      require(parts.length == 2, s"malformed #mchunk line in v$version")
+      (b64d(parts(0)), parts(1).toLong)
+    }
+    if (chunks.isEmpty) None
+    else {
+      val kr = lines.filter(_.startsWith(ChunkRangeHeader)).map { l =>
+        val parts = l.drop(ChunkRangeHeader.length).split(",", 3)
+        require(parts.length == 3, s"malformed #mrange line in v$version")
+        b64d(parts(0)) -> (b64d(parts(1)), b64d(parts(2)))
+      }.toMap
+      val cr = lines.filter(_.startsWith(ChunkColRangeHeader)).map { l =>
+        val parts = l.drop(ChunkColRangeHeader.length).split(",", 4)
+        require(parts.length == 4, s"malformed #mrangec line in v$version")
+        (b64d(parts(1)), b64d(parts(0)) -> (b64d(parts(2)), b64d(parts(3))))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toMap).toMap
+      Some(chunks.map { case (n, c) =>
+        ChunkRef(n, c, kr.get(n), cr.getOrElse(n, Map.empty))
+      })
+    }
+  }
+
+  private def chunkBody(spark: SparkSession, dir: String,
+      name: String): Body = parseBody(chunkLines(spark, dir, name))
+
+  /** The file list of `version` (relative names). TREE versions expand
+    * every chunk — callers that can prune (lookup, readRange, rewrites)
+    * never use this path; it serves whole-table reads, diff and vacuum,
+    * which genuinely need the full inventory.
+    */
+  def manifest(spark: SparkSession, dir: String, version: Long)
+      : Seq[String] =
+    treeRefs(spark, dir, version) match {
+      case Some(refs) =>
+        refs.flatMap(r => chunkBody(spark, dir, r.name).files)
+      case None =>
+        manifestLines(spark, dir, version).filterNot(_.startsWith("#"))
+    }
 
   private def b64e(s: String): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -201,13 +334,11 @@ object Snapshots {
     */
   def fileRanges(spark: SparkSession, dir: String,
       version: Long): Map[String, (String, String)] =
-    manifestLines(spark, dir, version)
-      .filter(_.startsWith(RangeHeader))
-      .map { l =>
-        val parts = l.drop(RangeHeader.length).split(",", 3)
-        require(parts.length == 3, s"malformed range line in v$version")
-        b64d(parts(0)) -> (b64d(parts(1)), b64d(parts(2)))
-      }.toMap
+    treeRefs(spark, dir, version) match {
+      case Some(refs) =>
+        refs.flatMap(r => chunkBody(spark, dir, r.name).ranges).toMap
+      case None => parseBody(manifestLines(spark, dir, version)).ranges
+    }
 
   /** Parse a stored range back to the key type's runtime values. */
   private def parseRange(keyType: DataType,
@@ -223,6 +354,19 @@ object Snapshots {
   private val ColRangeHeader = "#rangec="
   private val KeyColHeader = "#keycol="
   private val TxnHeader = "#txn="
+  private val ZOrderHeader = "#zorder="
+
+  /** The Z-ORDER dimensions this table clusters on (chosen at [[init]]
+    * via `zorderCols`, persisted so [[compact]] and every rewrite
+    * re-cluster the same way). Empty = 1-D key clustering.
+    */
+  def zorderColumns(spark: SparkSession, dir: String,
+      version: Long): Seq[String] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(ZOrderHeader))
+      .map(_.drop(ZOrderHeader.length).split(",").toSeq
+        .filter(_.nonEmpty).map(b64d))
+      .getOrElse(Nil)
 
   /** The TRANSACTION ID a version's manifest records — `(appId,
     * batchId)`, the Delta-style exactly-once token
@@ -308,15 +452,13 @@ object Snapshots {
     */
   def columnRanges(spark: SparkSession, dir: String, version: Long,
       column: String): Map[String, (String, String)] =
-    manifestLines(spark, dir, version)
-      .filter(_.startsWith(ColRangeHeader))
-      .flatMap { l =>
-        val parts = l.drop(ColRangeHeader.length).split(",", 4)
-        require(parts.length == 4, s"malformed rangec line in v$version")
-        if (b64d(parts(0)) == column)
-          Some(b64d(parts(1)) -> (b64d(parts(2)), b64d(parts(3))))
-        else None
-      }.toMap
+    treeRefs(spark, dir, version) match {
+      case Some(refs) =>
+        refs.flatMap(r => chunkBody(spark, dir, r.name).colRanges
+          .getOrElse(column, Map.empty)).toMap
+      case None => parseBody(manifestLines(spark, dir, version))
+        .colRanges.getOrElse(column, Map.empty)
+    }
 
   private def encodeRangeValue(v: Any): String = v.toString
 
@@ -326,6 +468,22 @@ object Snapshots {
     * (or, when the footer also has no stats, stay conservatively
     * touched). Returns full path strings of the touched files.
     */
+  /** Chunk refs of a tree version whose chunk-level key range may hold
+    * a batch key — the MANIFEST-LEVEL prune: on a 10⁶-file table only
+    * the version file plus the overlapping chunks are ever read, so
+    * planning cost is O(touched manifests), not O(table files). A
+    * chunk without an aggregate range is conservatively kept.
+    */
+  private def pruneChunks(spark: SparkSession, refs: Seq[ChunkRef],
+      keyType: DataType, batchKeys: DataFrame,
+      key: String): Seq[ChunkRef] = {
+    val ranged = refs.map(r =>
+      r.name -> r.keyRange.map(parseRange(keyType, _)))
+    val keep = Merge.pruneRanged(spark, ranged, keyType, batchKeys, key)
+      .toSet
+    refs.filter(r => keep.contains(r.name))
+  }
+
   private def pruneVersion(spark: SparkSession, root: Path, dir: String,
       version: Long, keyType: DataType, batchKeys: DataFrame,
       key: String): Seq[String] = {
@@ -334,12 +492,24 @@ object Snapshots {
     // #keycol landed; unknown on legacy manifests). A lookup/prune on
     // any other column, or on a legacy manifest, footer-stats the
     // requested column per file, exactly the pre-stats behavior.
-    val stats =
-      if (keyColumn(spark, dir, version).contains(key))
-        fileRanges(spark, dir, version)
-      else Map.empty[String, (String, String)]
+    val isKey = keyColumn(spark, dir, version).contains(key)
+    val (files, stats) = treeRefs(spark, dir, version) match {
+      case Some(refs) =>
+        // tree: prune whole chunks on their aggregate key range first,
+        // then expand ONLY the surviving chunks for per-file stats
+        val cand = if (isKey) pruneChunks(spark, refs, keyType,
+          batchKeys, key) else refs
+        val bodies = cand.map(r => chunkBody(spark, dir, r.name))
+        (bodies.flatMap(_.files),
+          if (isKey) bodies.flatMap(_.ranges).toMap
+          else Map.empty[String, (String, String)])
+      case None =>
+        (manifest(spark, dir, version),
+          if (isKey) fileRanges(spark, dir, version)
+          else Map.empty[String, (String, String)])
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
-    val ranged = manifest(spark, dir, version).map { f =>
+    val ranged = files.map { f =>
       val p = new Path(dataDir(root), f)
       p.toString -> stats.get(f).map(parseRange(keyType, _))
         .orElse(Merge.footerKeyRange(p, key, hconf))
@@ -427,14 +597,11 @@ object Snapshots {
     * ConcurrentModificationException when a racing writer got there
     * first (retry on the new current version).
     */
-  private def commitManifest(fs: FileSystem, root: Path, version: Long,
-      files: Seq[String], schema: Option[StructType] = None,
-      ranges: Map[String, (String, String)] = Map.empty,
-      keyCol: Option[String] = None,
-      statsCols: Seq[String] = Nil,
-      colRanges: Map[String, Map[String, (String, String)]] = Map.empty,
-      txn: Option[(String, Long)] = None)
-      : Unit = {
+  /** CAS-create the version file with the given lines — the commit
+    * point shared by flat and tree formats.
+    */
+  private def writeVersionFile(fs: FileSystem, root: Path, version: Long,
+      lines: Seq[String]): Unit = {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val target = new Path(md, s"v$version")
@@ -452,12 +619,35 @@ object Snapshots {
         case e: java.io.IOException =>
           if (fs.exists(target)) throw lostRace() else throw e
       }
-    val lines = schema.map(s =>
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def headerLines(schema: Option[StructType],
+      ts: Option[Long], txn: Option[(String, Long)],
+      keyCol: Option[String], statsCols: Seq[String],
+      zorder: Seq[String] = Nil): Seq[String] =
+    schema.map(s =>
       SchemaHeader + asNullable(s).asInstanceOf[StructType].json).toSeq ++
+      ts.map(t => TsHeader + t).toSeq ++
       txn.map { case (a, b) => TxnHeader + s"${b64e(a)},$b" }.toSeq ++
       keyCol.map(k => KeyColHeader + b64e(k)).toSeq ++
       (if (statsCols.isEmpty) Nil
        else Seq(StatsColsHeader + statsCols.map(b64e).mkString(","))) ++
+      (if (zorder.isEmpty) Nil
+       else Seq(ZOrderHeader + zorder.map(b64e).mkString(",")))
+
+  private def commitManifest(fs: FileSystem, root: Path, version: Long,
+      files: Seq[String], schema: Option[StructType] = None,
+      ranges: Map[String, (String, String)] = Map.empty,
+      keyCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      colRanges: Map[String, Map[String, (String, String)]] = Map.empty,
+      txn: Option[(String, Long)] = None,
+      ts: Option[Long] = None,
+      zorder: Seq[String] = Nil)
+      : Unit = {
+    val lines = headerLines(schema, ts, txn, keyCol, statsCols, zorder) ++
       files.flatMap(f => ranges.get(f).map { case (mn, mx) =>
         RangeHeader + s"${b64e(f)},${b64e(mn)},${b64e(mx)}"
       }) ++
@@ -468,8 +658,7 @@ object Snapshots {
         })
       } ++
       files
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    writeVersionFile(fs, root, version, lines)
   }
 
   /** Test hook: raw manifest commit at an explicit version — the
@@ -481,14 +670,262 @@ object Snapshots {
     commitManifest(fs, root, version, files)
   }
 
+  /** Smoke hook: commit a version from SYNTHETIC file entries (name,
+    * keyMin, keyMax) without any data write — how the ≥100k-file
+    * planning/commit-cost smoke builds a table whose metadata is real
+    * (full manifest tree, stats, pruning) while the cold files are
+    * phantoms the pruned plans must never touch.
+    */
+  private[graft] def testCommitEntries(spark: SparkSession, dir: String,
+      version: Long, entries: Seq[(String, String, String)],
+      schema: StructType, key: String): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    commitVersion(spark, fs, root, dir, version, Nil,
+      entries.map { case (n, mn, mx) => Entry(n, Some((mn, mx)),
+        Map.empty) },
+      schema, key, Nil, None,
+      nextTs(spark, dir, if (version > 0) Some(version - 1) else None))
+  }
+
+  // ---------------------------------------------------------------
+  // Commit timestamps — `TIMESTAMP AS OF` time travel
+  // ---------------------------------------------------------------
+
+  /** Injectable wall clock (tests pin it for deterministic stamps).
+    * Commit stamps are additionally forced MONOTONIC per table —
+    * child ts = max(clock, parent ts + 1) — so `versionAsOf` is
+    * well-defined even across writer clock skew.
+    */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
+  /** Epoch-millis commit timestamp the version's manifest records
+    * (every commit since `#ts=` landed; None on older manifests).
+    */
+  def commitTime(spark: SparkSession, dir: String,
+      version: Long): Option[Long] =
+    manifestLines(spark, dir, version)
+      .find(_.startsWith(TsHeader))
+      .map(_.drop(TsHeader.length).toLong)
+
+  private def nextTs(spark: SparkSession, dir: String,
+      parent: Option[Long]): Long = {
+    val pts = parent.flatMap(v =>
+      scala.util.Try(commitTime(spark, dir, v)).toOption.flatten)
+      .getOrElse(Long.MinValue)
+    math.max(clock(), pts + 1)
+  }
+
+  /** The LATEST version committed at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution rule (Delta/Iceberg semantics):
+    * reproducible training runs pin "the corpus as of <wall time>"
+    * without knowing version numbers. Versions predating the `#ts=`
+    * header count as committed at the beginning of time (they are
+    * eligible for ANY timestamp; the newest eligible version wins).
+    * Throws when no version qualifies or the table is uninitialized.
+    */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    require(fs.exists(md), s"$dir has no committed version")
+    val versions = fs.listStatus(md).toSeq
+      .flatMap(f => versionOf(f.getPath))
+    require(versions.nonEmpty, s"$dir has no committed version")
+    val eligible = versions.filter(v =>
+      scala.util.Try(commitTime(spark, dir, v)).toOption.flatten
+        .getOrElse(Long.MinValue) <= tsMillis)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"no version of $dir was committed at or before epoch-ms " +
+        s"$tsMillis (earliest retained commit is at " +
+        s"${versions.min} @ ${commitTime(spark, dir, versions.min)})")
+    eligible.max
+  }
+
+  /** [[read]] pinned by wall time instead of version number. */
+  def readAsOfTime(spark: SparkSession, dir: String,
+      ts: java.time.Instant): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, ts.toEpochMilli)))
+
+  // ---------------------------------------------------------------
+  // Tree-format commit engine
+  // ---------------------------------------------------------------
+
+  /** Files-per-manifest-chunk knob. A commit whose resulting file list
+    * exceeds this writes a TREE version (version file → chunk files);
+    * at or below it, a version with nothing carried stays FLAT. The
+    * default keeps every small table single-file; tests set it low to
+    * exercise the tree on toy data.
+    */
+  private[graft] val FilesPerManifestKey =
+    "spark.graft.snapshot.filesPerManifest"
+
+  private def filesPerManifest(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption(FilesPerManifestKey)
+      .map(_.toInt).getOrElse(1000))
+
+  /** One data file's manifest entry: name + stored key range +
+    * stored secondary-column ranges.
+    */
+  private final case class Entry(name: String,
+      keyRange: Option[(String, String)],
+      colRanges: Map[String, (String, String)])
+
+  private def bodyEntries(b: Body, statsCols: Seq[String]): Seq[Entry] =
+    b.files.map(f => Entry(f, b.ranges.get(f),
+      statsCols.flatMap(c =>
+        b.colRanges.getOrElse(c, Map.empty).get(f).map(c -> _)).toMap))
+
+  private def entriesFromStats(staged: Seq[String], key: String,
+      statsCols: Seq[String],
+      stats: Map[String, Map[String, (String, String)]]): Seq[Entry] =
+    staged.map(f => Entry(f,
+      stats.getOrElse(key, Map.empty).get(f),
+      statsCols.flatMap(c =>
+        stats.getOrElse(c, Map.empty).get(f).map(c -> _)).toMap))
+
+  /** Ordering of STORED (string-encoded) range values under the
+    * column's type: decimal text for integral/timestamp columns,
+    * unsigned UTF-8 byte order for strings (the parquet collation).
+    */
+  private def storedOrd(dt: DataType): Ordering[String] = dt match {
+    case StringType => Ordering.fromLessThan((a, b) => u8cmp(a, b) < 0)
+    case _ => Ordering.by((s: String) => s.toLong)
+  }
+
+  private def optMinOrd(ord: Ordering[String]): Ordering[Option[String]] =
+    new Ordering[Option[String]] {
+      def compare(a: Option[String], b: Option[String]): Int =
+        (a, b) match {
+          case (Some(x), Some(y)) => ord.compare(x, y)
+          case (Some(_), None) => -1
+          case (None, Some(_)) => 1
+          case (None, None) => 0
+        }
+    }
+
+  /** Chunk-level aggregate of per-file ranges: present ONLY when every
+    * file has one — pruning a chunk on a partial aggregate could skip
+    * a stat-less file that matches.
+    */
+  private def aggRange(rs: Seq[Option[(String, String)]],
+      ord: Ordering[String]): Option[(String, String)] =
+    if (rs.isEmpty || rs.exists(_.isEmpty)) None
+    else {
+      val v = rs.flatten
+      Some((v.map(_._1).min(ord), v.map(_._2).max(ord)))
+    }
+
+  private def entryLines(entries: Seq[Entry],
+      statsCols: Seq[String]): Seq[String] =
+    entries.flatMap(e => e.keyRange.map { case (mn, mx) =>
+      RangeHeader + s"${b64e(e.name)},${b64e(mn)},${b64e(mx)}"
+    }) ++
+      statsCols.flatMap(c => entries.flatMap(e =>
+        e.colRanges.get(c).map { case (mn, mx) =>
+          ColRangeHeader +
+            s"${b64e(c)},${b64e(e.name)},${b64e(mn)},${b64e(mx)}"
+        })) ++
+      entries.map(_.name)
+
+  /** Commit `version` as FLAT or TREE, whichever fits:
+    *
+    *   - nothing carried and ≤ filesPerManifest files → flat (one
+    *     self-contained list, the historical format);
+    *   - otherwise → tree: `carried` chunk refs are REUSED BY NAME
+    *     (their chunk files are not rewritten, not even read), `loose`
+    *     entries are sorted by key range and packed into new chunk
+    *     files of ≤ filesPerManifest entries, and the version file
+    *     records only chunk refs + per-chunk aggregate ranges. Commit
+    *     cost is O(changed + new/filesPerManifest) manifest writes —
+    *     never O(table files).
+    *
+    * REBALANCE GUARD: a long run of small commits each adds a tiny
+    * chunk; when the ref list exceeds 4× its packed size (min 16),
+    * every carried chunk is expanded and the whole inventory re-packed
+    * — a manifest-only rewrite (no data IO), amortized O(1) per
+    * commit. Chunk files are written BEFORE the version-file CAS; a
+    * lost race or crash strands unreferenced chunk files, which
+    * [[vacuum]] reclaims past the orphan grace window.
+    */
+  private def commitVersion(spark: SparkSession, fs: FileSystem,
+      root: Path, dir: String, version: Long, carried: Seq[ChunkRef],
+      loose: Seq[Entry], schema: StructType, key: String,
+      statsCols: Seq[String], txn: Option[(String, Long)],
+      tsMillis: Long, zorder: Seq[String] = Nil): Unit = {
+    val chunkSize = filesPerManifest(spark)
+    val total = carried.map(_.count).sum + loose.size
+    if (carried.isEmpty && total <= chunkSize) {
+      commitManifest(fs, root, version, loose.map(_.name),
+        Some(schema),
+        loose.flatMap(e => e.keyRange.map(e.name -> _)).toMap,
+        Some(key), statsCols,
+        statsCols.map(c => c -> loose.flatMap(e =>
+          e.colRanges.get(c).map(e.name -> _)).toMap).toMap,
+        txn, Some(tsMillis), zorder)
+      return
+    }
+    val packed = (total + chunkSize - 1) / chunkSize
+    val estRefs = carried.size + (loose.size + chunkSize - 1) / chunkSize
+    val maxRefs = math.max(16L, 4L * packed)
+    val (car, lo) =
+      if (estRefs > maxRefs)
+        (Seq.empty[ChunkRef],
+          carried.flatMap(r =>
+            bodyEntries(chunkBody(spark, dir, r.name), statsCols)) ++
+            loose)
+      else (carried, loose)
+    val keyOrd = storedOrd(schema(key).dataType)
+    val sorted = lo.sortBy(_.keyRange.map(_._1))(optMinOrd(keyOrd))
+    val md = manifestDir(root)
+    fs.mkdirs(md)
+    val newRefs = sorted.grouped(chunkSize).filter(_.nonEmpty).map { g =>
+      val name = s"c-${java.util.UUID.randomUUID()}"
+      val out = fs.create(new Path(md, name), false)
+      try out.write(entryLines(g, statsCols)
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      ChunkRef(name, g.size,
+        aggRange(g.map(_.keyRange), keyOrd),
+        statsCols.flatMap(c => aggRange(g.map(_.colRanges.get(c)),
+          storedOrd(schema(c).dataType)).map(c -> _)).toMap)
+    }.toSeq
+    val refs = car ++ newRefs
+    val lines = headerLines(Some(schema), Some(tsMillis), txn,
+      Some(key), statsCols, zorder) ++
+      refs.map(r => ChunkHeader + s"${b64e(r.name)},${r.count}") ++
+      refs.flatMap(r => r.keyRange.map { case (mn, mx) =>
+        ChunkRangeHeader + s"${b64e(r.name)},${b64e(mn)},${b64e(mx)}"
+      }) ++
+      statsCols.flatMap(c => refs.flatMap(r =>
+        r.colRanges.get(c).map { case (mn, mx) =>
+          ChunkColRangeHeader +
+            s"${b64e(c)},${b64e(r.name)},${b64e(mn)},${b64e(mx)}"
+        }))
+    writeVersionFile(fs, root, version, lines)
+  }
+
   /** Write `df` clustered on `key` as the table's first version.
     * `statsCols` picks SECONDARY columns whose per-file (min, max)
     * every commit of this table will record in the manifest (the
     * choice is persisted via a `#statscols=` header) — what
     * [[readRange]] prunes on.
+    *
+    * `zorderCols` (≥ 2 numeric/timestamp columns) switches the
+    * clustering strategy to a Z-ORDER curve over those dimensions
+    * ([[Layout.writeZOrdered]]) instead of 1-D key ranges: every file
+    * is narrow on ALL the dims at once, so [[readRange]] prunes files
+    * on any of them — the multi-dim layout 1-D clustering cannot give
+    * (a key-clustered file spans the full width of every other
+    * column). The choice persists (`#zorder=` header): rewrites and
+    * [[compact]] re-cluster the same way, and the dims are auto-added
+    * to `statsCols` so their per-file ranges always ride the manifest.
+    * Trade-off to choose knowingly: key ranges overlap across files
+    * under Z-ordering, so pure key lookups touch more files than 1-D
+    * clustering — pick it when multi-dim range reads dominate.
     */
   def init(df: DataFrame, dir: String, key: String,
-      numFiles: Int = 8, statsCols: Seq[String] = Nil): Commit = {
+      numFiles: Int = 8, statsCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Commit = {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, dir)
     require(latestVersion(spark, dir).isEmpty,
@@ -496,24 +933,38 @@ object Snapshots {
     // re-creating a table at a previously used path must not serve the
     // old table's cached manifest lines — see evictTable
     evictTable(fs.makeQualified(root))
-    val missing = statsCols.filterNot(df.schema.fieldNames.contains)
+    require(zorderCols.isEmpty || zorderCols.size >= 2,
+      "zorderCols needs >= 2 dimensions (1-D z-order IS key clustering)")
+    val zNumeric = Set[DataType](LongType, IntegerType, TimestampType,
+      TimestampNTZType)
+    zorderCols.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"zorder column $c is not a column of the frame")
+      require(zNumeric.contains(df.schema(c).dataType),
+        s"zorder column $c must be int/long/timestamp (cell bucketing " +
+          "needs a numeric extent)")
+    }
+    // z-dims always get manifest stats — pruning on them is the point
+    val allStats = (statsCols ++ zorderCols.filterNot(_ == key)).distinct
+    val missing = allStats.filterNot(df.schema.fieldNames.contains)
     require(missing.isEmpty,
       s"statsCols ${missing.mkString(", ")} are not columns of the frame")
     val statable = Set[DataType](LongType, IntegerType, StringType,
       TimestampType, TimestampNTZType)
-    val unstattable = statsCols
+    val unstattable = allStats
       .filterNot(c => statable.contains(df.schema(c).dataType))
     require(unstattable.isEmpty,
       s"statsCols ${unstattable.mkString(", ")} have types readRange " +
         "cannot prune on (supported: int, long, string, timestamp, " +
         "timestamp_ntz)")
-    val staged = writeData(df, fs, root, key, numFiles)
+    val staged = writeData(df, fs, root, key, numFiles, zorderCols)
     val back = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*)
     val rows = back.count()
-    val stats = stagedStats(spark, root, staged, key +: statsCols)
-    commitManifest(fs, root, 0L, staged, Some(back.schema),
-      stats.getOrElse(key, Map.empty), Some(key), statsCols, stats)
+    val stats = stagedStats(spark, root, staged, key +: allStats)
+    commitVersion(spark, fs, root, dir, 0L, Nil,
+      entriesFromStats(staged, key, allStats, stats), back.schema,
+      key, allStats, None, nextTs(spark, dir, None), zorderCols)
     Commit(0L, staged, 0, rows)
   }
 
@@ -587,10 +1038,7 @@ object Snapshots {
     require(schema.fieldNames.contains(column),
       s"$column is not a column of $dir")
     val dt = schema(column).dataType
-    val stats =
-      if (keyColumn(spark, dir, v).contains(column))
-        fileRanges(spark, dir, v)
-      else columnRanges(spark, dir, v, column)
+    val isKey = keyColumn(spark, dir, v).contains(column)
     val loB = bound(dt, lo)
     val hiB = bound(dt, hi)
     def overlaps(r: (String, String)): Boolean = dt match {
@@ -605,9 +1053,24 @@ object Snapshots {
         r._1.toLong <= hiB.asInstanceOf[Long] &&
           r._2.toLong >= loB.asInstanceOf[Long]
     }
-    val kept = manifest(spark, dir, v)
-      .filter(f => stats.get(f).forall(overlaps))
-      .map(f => new Path(dataDir(root), f).toString)
+    val kept = (treeRefs(spark, dir, v) match {
+      case Some(refs) =>
+        // tree: skip whole chunks on their aggregate range for this
+        // column first — only overlapping chunks are ever read
+        val cand = refs.filter(r =>
+          (if (isKey) r.keyRange else r.colRanges.get(column))
+            .forall(overlaps))
+        cand.map(r => chunkBody(spark, dir, r.name)).flatMap { b =>
+          val stats = if (isKey) b.ranges
+            else b.colRanges.getOrElse(column, Map.empty)
+          b.files.filter(f => stats.get(f).forall(overlaps))
+        }
+      case None =>
+        val stats =
+          if (isKey) fileRanges(spark, dir, v)
+          else columnRanges(spark, dir, v, column)
+        manifest(spark, dir, v).filter(f => stats.get(f).forall(overlaps))
+    }).map(f => new Path(dataDir(root), f).toString)
     val base =
       if (kept.nonEmpty) spark.read.schema(schema).parquet(kept: _*)
       else spark.createDataFrame(
@@ -785,13 +1248,15 @@ object Snapshots {
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       .toInt
     val df = read(spark, dir, Some(parent))
-    val staged = writeData(df, fs, root, key, n)
+    val zorder = zorderColumns(spark, dir, parent)
+    val staged = writeData(df, fs, root, key, n, zorder)
     val rows = spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
     val statsCols = statsColumns(spark, dir, parent)
     val stats = stagedStats(spark, root, staged, key +: statsCols)
-    commitManifest(fs, root, parent + 1, staged, Some(df.schema),
-      stats.getOrElse(key, Map.empty), Some(key), statsCols, stats)
+    commitVersion(spark, fs, root, dir, parent + 1, Nil,
+      entriesFromStats(staged, key, statsCols, stats), df.schema,
+      key, statsCols, None, nextTs(spark, dir, Some(parent)), zorder)
     Commit(parent + 1, staged, files.size, rows)
   }
 
@@ -873,14 +1338,21 @@ object Snapshots {
   def vacuum(spark: SparkSession, dir: String, retainFrom: Long,
       orphanGraceMs: Long = 60L * 60 * 1000): Seq[String] = {
     val (fs, root) = fsOf(spark, dir)
+    val qroot = fs.makeQualified(root)
     val md = manifestDir(root)
     val versions = fs.listStatus(md).toSeq.flatMap(f => versionOf(f.getPath))
     val (drop, keep) = versions.partition(_ < retainFrom)
     require(keep.nonEmpty, s"vacuum would drop every version of $dir")
     val live = keep.flatMap(v => manifest(spark, dir, v)).toSet
-    // capture the dropped versions' file lists BEFORE deleting their
-    // manifests (deletable at any age — their versions are gone)
+    // capture the dropped versions' file AND chunk lists BEFORE
+    // deleting their manifests (deletable at any age — their versions
+    // are gone); chunks may be SHARED with retained versions, so only
+    // the ones no survivor references die
     val droppedRefs = drop.flatMap(v => manifest(spark, dir, v)).toSet
+    val keptChunks = keep.flatMap(v => treeRefs(spark, dir, v)
+      .getOrElse(Nil).map(_.name)).toSet
+    val droppedChunks = drop.flatMap(v => treeRefs(spark, dir, v)
+      .getOrElse(Nil).map(_.name)).toSet
     // drop old manifests first: a crash mid-vacuum must never leave a
     // manifest pointing at deleted files
     drop.foreach { v =>
@@ -888,9 +1360,23 @@ object Snapshots {
       // the lines cache assumes manifests are immutable AND live;
       // a dropped version must stop resolving (time travel below the
       // floor is gone), so evict it
-      evictManifest(fs.makeQualified(root), v)
+      evictManifest(qroot, s"v$v")
     }
     val cutoff = System.currentTimeMillis() - orphanGraceMs
+    // chunk files no retained version references: dropped versions'
+    // exclusive chunks die at any age; ORPHANS (a crashed or
+    // race-losing writer's chunks — written before the version-file
+    // CAS) get the same grace window as orphan data files, since an
+    // in-flight writer's chunks look identical until its commit lands
+    fs.listStatus(md).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("c-"))
+      .filter(f => !keptChunks.contains(f.getPath.getName))
+      .filter(f => droppedChunks.contains(f.getPath.getName) ||
+        f.getModificationTime <= cutoff)
+      .foreach { f =>
+        fs.delete(f.getPath, false)
+        evictManifest(qroot, f.getPath.getName)
+      }
     val dead = fs.listStatus(dataDir(root)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .filter(f => !live.contains(f.getPath.getName))
@@ -916,7 +1402,6 @@ object Snapshots {
     val parent = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"$dir has no committed version — init first"))
-    val parentFiles = manifest(spark, dir, parent)
     // the child's schema: the parent's, or the caller's widened one —
     // touched files are read under IT (missing new columns → NULL), so
     // `fn` sees fully-evolved rows and the rewrite lands evolved files
@@ -930,10 +1415,44 @@ object Snapshots {
     // for a column the carried entries do not describe — reject it
     keyColumn(spark, dir, parent).foreach(k => require(k == key,
       s"$dir is keyed by $k; upsert/delete must use that key, got $key"))
+    val statsCols = statsColumns(spark, dir, parent)
+    val keyStatsOk = keyColumn(spark, dir, parent).contains(key)
+    val hconf = spark.sparkContext.hadoopConfiguration
 
-    val touchedNames = pruneVersion(spark, root, dir, parent, keyType,
-      batchKeys, key)
-      .map(p => new Path(p).getName).toSet
+    // candidate entries: on a TREE parent, chunks whose aggregate key
+    // range misses every batch key are CARRIED BY NAME — their chunk
+    // files are neither read nor rewritten, which is what makes a
+    // small upsert on a 10⁶-file table O(touched manifests). A LEGACY
+    // parent (#range lines but no #keycol) can't prove which column
+    // its ranges describe — strip them (footer fallback, conservative)
+    // and let this commit's staged entries start the trustworthy
+    // record; secondary-column ranges carry either way.
+    val (carriedCold, candGroups) = treeRefs(spark, dir, parent) match {
+      case Some(refs) =>
+        val cand =
+          if (keyStatsOk) pruneChunks(spark, refs, keyType, batchKeys, key)
+          else refs
+        val candSet = cand.map(_.name).toSet
+        (refs.filterNot(r => candSet.contains(r.name)),
+          cand.map(r => Option(r) ->
+            bodyEntries(chunkBody(spark, dir, r.name), statsCols)))
+      case None =>
+        (Seq.empty[ChunkRef],
+          Seq((Option.empty[ChunkRef]) ->
+            bodyEntries(parseBody(manifestLines(spark, dir, parent)),
+              statsCols)))
+    }
+    val candEntries = candGroups.map { case (r, es) =>
+      r -> (if (keyStatsOk) es else es.map(_.copy(keyRange = None)))
+    }
+    val ranged = candEntries.flatMap(_._2).map { e =>
+      val p = new Path(dataDir(root), e.name)
+      p.toString -> e.keyRange.map(parseRange(keyType, _))
+        .orElse(Merge.footerKeyRange(p, key, hconf))
+    }
+    val touchedNames = Merge.pruneRanged(spark, ranged, keyType,
+      batchKeys, key).map(p => new Path(p).getName).toSet
+
     val cols = schema.fieldNames.map(col).toSeq
     val touchedRows =
       if (touchedNames.isEmpty) spark.createDataFrame(
@@ -942,37 +1461,36 @@ object Snapshots {
         touchedNames.toSeq.sorted
           .map(f => new Path(dataDir(root), f).toString): _*)
     val out = fn(touchedRows, cols)
+    val zorder = zorderColumns(spark, dir, parent)
     val staged = writeData(out, fs, root, key,
-      math.max(1, touchedNames.size))
+      math.max(1, touchedNames.size), zorder)
     val rows = if (staged.isEmpty) 0L else spark.read.parquet(
       staged.map(f => new Path(dataDir(root), f).toString): _*).count()
-    val childFiles =
-      parentFiles.filterNot(touchedNames.contains) ++ staged
-    // carried-by-reference files keep their parent-manifest ranges
-    // (key and secondary columns alike); only the staged files'
-    // footers are read (once, while hot). A LEGACY parent (#range
-    // lines but no #keycol) can't prove which column its ranges
-    // describe — carrying them under the child's freshly stamped
-    // #keycol would let a pre-#keycol table rewritten on a different
-    // column serve another column's ranges as key stats; drop them
-    // instead (footer fallback, conservative) and let this commit's
-    // staged entries start the trustworthy record.
-    val statsCols = statsColumns(spark, dir, parent)
+    // carried-by-reference entries keep their parent-manifest ranges;
+    // only the staged files' footers are read (once, while hot).
+    // Candidate chunks with NO touched file are carried whole (chunk
+    // ref reused); partially-touched chunks contribute their
+    // survivors as loose entries for re-packing.
     val staged2 = stagedStats(spark, root, staged, key +: statsCols)
-    val carriedKeyRanges =
-      if (keyColumn(spark, dir, parent).contains(key))
-        fileRanges(spark, dir, parent)
-          .filter { case (f, _) => !touchedNames.contains(f) }
-      else Map.empty[String, (String, String)]
-    val childRanges = carriedKeyRanges ++ staged2.getOrElse(key, Map.empty)
-    val childColRanges = statsCols.map { c =>
-      c -> (columnRanges(spark, dir, parent, c)
-        .filter { case (f, _) => !touchedNames.contains(f) } ++
-        staged2.getOrElse(c, Map.empty))
-    }.toMap
-    commitManifest(fs, root, parent + 1, childFiles, Some(schema),
-      childRanges, Some(key), statsCols, childColRanges, txn)
-    Commit(parent + 1, childFiles, touchedNames.size, rows)
+    val carried = Seq.newBuilder[ChunkRef]
+    carried ++= carriedCold
+    val loose = Seq.newBuilder[Entry]
+    candEntries.foreach { case (refOpt, es) =>
+      val untouched = !es.exists(e => touchedNames.contains(e.name))
+      if (untouched && refOpt.isDefined) carried += refOpt.get
+      else loose ++= es.filterNot(e => touchedNames.contains(e.name))
+    }
+    loose ++= entriesFromStats(staged, key, statsCols, staged2)
+    val looseEntries = loose.result()
+    commitVersion(spark, fs, root, dir, parent + 1, carried.result(),
+      looseEntries, schema, key, statsCols, txn,
+      nextTs(spark, dir, Some(parent)), zorder)
+    // Commit.files: for a flat child (nothing carried) this is the
+    // full inventory, as always; for a tree child it lists the files
+    // named in NEW manifests (rewritten survivors + staged) — the
+    // full inventory is manifest(), which a tree commit deliberately
+    // never materializes
+    Commit(parent + 1, looseEntries.map(_.name), touchedNames.size, rows)
   }
 
   /** Write rows as new clustered data files (staging + move into
@@ -1016,16 +1534,17 @@ object Snapshots {
   }
 
   private def writeData(df: DataFrame, fs: FileSystem, root: Path,
-      key: String, numFiles: Int): Seq[String] =
+      key: String, numFiles: Int, zorder: Seq[String] = Nil)
+      : Seq[String] =
     // Snapshot data files always use TIMESTAMP(MICROS), never INT96:
     // INT96 writes NO footer min/max statistics, which would leave
     // timestamp statsCols blank in the manifest AND disable parquet
     // row-group skipping on every time predicate over the table.
     withMicrosTimestamps(df.sparkSession)(
-      writeDataInner(df, fs, root, key, numFiles))
+      writeDataInner(df, fs, root, key, numFiles, zorder))
 
   private def writeDataInner(df: DataFrame, fs: FileSystem, root: Path,
-      key: String, numFiles: Int): Seq[String] = {
+      key: String, numFiles: Int, zorder: Seq[String]): Seq[String] = {
     // PER-WRITER staging dir: two writers racing the same parent both
     // stage (only one will win the manifest commit) — a shared path
     // would let writer B's cleanup wipe writer A's staged files or
@@ -1033,7 +1552,10 @@ object Snapshots {
     val staging = new Path(root,
       s".snapshot-staging-${java.util.UUID.randomUUID()}")
     try {
-      Layout.writeClustered(df, staging.toString, Seq(col(key)), numFiles)
+      if (zorder.nonEmpty)
+        Layout.writeZOrdered(df, staging.toString, zorder, numFiles)
+      else
+        Layout.writeClustered(df, staging.toString, Seq(col(key)), numFiles)
       val dd = dataDir(root)
       fs.mkdirs(dd)
       val moved = fs.listStatus(staging).toSeq

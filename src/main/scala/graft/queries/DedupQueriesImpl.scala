@@ -100,9 +100,9 @@ object DedupQueriesImpl {
       .select("user_id", "event_id", "ts", "event_type", "value")
     val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
       col("event_id"), col("ts"))
-    // tag bump (qsnap → qsnap_s1): older cached tables predate the
-    // manifest file-stats format and would miss the ts statsCols
-    IndexedCorpus.cachedDir("graft_qsnap_s1", fp) { d =>
+    // tag bump (qsnap_s1 → qsnap_s2): older cached tables predate the
+    // #ts commit-stamp header snapshot_ts_travel resolves against
+    IndexedCorpus.cachedDir("graft_qsnap_s2", fp) { d =>
       val v0 = Dedup.latestWins(ev.filter(col("ts") < cutoff),
         Seq("user_id"), "ts", "event_id")
       val updates = Dedup.latestWins(ev.filter(col("ts") >= cutoff),
@@ -216,6 +216,118 @@ object DedupQueriesImpl {
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY ts DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
+
+  // ---- snapshot_ts_travel ------------------------------------------
+
+  /** `TIMESTAMP AS OF` time travel over the same snapshot table: v0
+    * resolved through the SCALA surface
+    * ([[graft.extra.Snapshots.readAsOfTime]]) at one millisecond
+    * before v1's commit stamp (proving the "latest version ≤ t"
+    * boundary), v1 through the SQL surface — a `TIMESTAMP` literal in
+    * the `graft_snapshot` TVF. Commit stamps are wall-clock (monotonic
+    * per table), so the query derives its probe instants from the
+    * table's OWN recorded stamps ([[graft.extra.Snapshots.commitTime]])
+    * — the resolved versions, and therefore the rows, are
+    * deterministic regardless of when the table was built. Output is
+    * identical to `snapshot_timetravel`, pinning ts-resolution ==
+    * version-resolution against the same oracle.
+    */
+  def snapshotTsTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.extra.Snapshots
+    graft.GraftExtensions.registerAll(s)
+    val table = snapTable(s, dir)
+    val t1 = Snapshots.commitTime(s, table, 1L).getOrElse(
+      throw new IllegalStateException(s"$table v1 carries no #ts stamp"))
+    val v0 = Snapshots.readAsOfTime(s, table,
+        java.time.Instant.ofEpochMilli(t1 - 1))
+      .withColumn("version", lit(0))
+    val lit1 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t1))
+    val v1 = s.sql(
+      s"SELECT * FROM graft_snapshot('$table', " +
+        s"TIMESTAMP '$lit1+00:00')")
+      .withColumn("version", lit(1))
+    v0.unionByName(v1)
+      .select(col("version"), col("user_id"), col("event_id"),
+        col("ts"), col("event_type"), col("value"))
+      .orderBy("version", "user_id")
+  }
+
+  // ---- cdc_view_stream ---------------------------------------------
+
+  /** Streamed CDC history maintaining an incremental view END TO END —
+    * the two halves composed: [[graft.streaming.SnapshotStream]]'s
+    * batch apply commits three exactly-once CDC versions onto a
+    * last-wins snapshot table (key `user_id`, version `ver` =
+    * event-time micros ⊕ event id, so "latest" is total and matches
+    * the oracle's `ts DESC, event_id DESC`), and after each commit
+    * [[graft.extra.IncrementalAgg.refreshFromSnapshot]] consumes
+    * exactly that version-pair's change feed — retracting updated
+    * users' old contributions, adding new ones — into a per-event-type
+    * count/sum view. The served view hash-matches the oracle's
+    * ONE-SHOT aggregate over the final latest-wins state: streamed
+    * maintenance == recompute, which is the correctness bar for
+    * maintaining a dashboard off a mutating 100 TB table without
+    * rescanning either side.
+    */
+  def cdcViewStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.extra.{IncrementalAgg, Snapshots}
+    import graft.streaming.SnapshotStream
+    val rows = events(s, dir).select(
+      col("user_id"),
+      col("event_type"),
+      col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        .as("value"),
+      (unix_micros(col("ts"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * lit(1000000000L) + col("event_id")).as("ver"),
+      col("ts"))
+    val spec = IncrementalAgg.ViewSpec("event_type",
+      sumCols = Seq("value"))
+    val fp = IndexedCorpus.fingerprint(rows, col("user_id"), col("ver"))
+    val viewDir = IndexedCorpus.cachedDir("graft_qcdcview", fp) { d =>
+      val tbl = new java.io.File(d, "tbl").toString
+      val view = new java.io.File(d, "view").toString
+      def slice(lo: String, hi: String) = rows
+        .filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .select("user_id", "event_type", "value", "ver")
+      val v0 = graft.extra.Dedup.latestWins(
+        slice("2024-01-01", "2024-01-10"), Seq("user_id"), "ver", "ver")
+        .select("user_id", "event_type", "value", "ver")
+      Snapshots.init(v0, tbl, "user_id", numFiles = 4)
+      IncrementalAgg.init(Snapshots.read(s, tbl, Some(0L)), spec, view,
+        numFiles = 2)
+      // three CDC batches through the streaming sink's exact apply
+      // path (txn-ledgered, last-wins-reduced, version-guarded), each
+      // followed by the view consuming that version-pair's diff
+      Seq(("2024-01-10", "2024-01-16"), ("2024-01-16", "2024-01-23"),
+        ("2024-01-23", "2024-02-01")).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            val applied = SnapshotStream.applyBatch(slice(lo, hi), tbl,
+              "user_id", "ver", appId = "cdc_view_stream", batchId = i)
+            require(applied, s"CDC batch $i was unexpectedly skipped")
+            IncrementalAgg.refreshFromSnapshot(s, view, tbl, i, i + 1L,
+              "user_id", spec): Unit
+          }
+    }
+    IncrementalAgg.read(s, new java.io.File(viewDir, "view").toString)
+      .select(col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val cdcViewStreamOracle =
+    """WITH latest AS (
+      |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1)
+      |SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+      |FROM latest
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   // ---- version_diff ------------------------------------------------
 
@@ -947,6 +1059,14 @@ object DedupQueriesImpl {
       "SQL time travel via the graft_snapshot table-valued function " +
         "(injectTableFunction)",
       snapshotSqlTvf, Some(snapshotSqlTvfOracle)),
+    QueryDef("snapshot_ts_travel",
+      "TIMESTAMP AS OF time travel: commit-stamp resolution via " +
+        "readAsOfTime and a TIMESTAMP literal in the TVF",
+      snapshotTsTravel, Some(snapshotTimetravelOracle)),
+    QueryDef("cdc_view_stream",
+      "streamed CDC versions (exactly-once sink) maintaining a " +
+        "retraction-correct incremental view == one-shot aggregate",
+      cdcViewStream, Some(cdcViewStreamOracle)),
     QueryDef("neardup_minhash",
       "MinHash(16 perms)+LSH(4 bands) near-dup pairs, Jaccard>=0.5",
       neardupMinhash, Some(neardupMinhashOracle)),

@@ -302,8 +302,9 @@ class Bm25IndexSpec extends SparkSpec {
     assert(rowsAt(d) == after)
   }
 
-  test("append to a manifest-less dir fails loudly instead of " +
-      "silently re-basing the index on only the new batch") {
+  test("append to a manifest-less dir WITH segment data fails loudly " +
+      "instead of silently re-basing the index on only the new batch; " +
+      "append to an EMPTY dir bootstraps a fresh index") {
     val d = tmpDir()
     // a pre-manifest layout: segment files on disk, no _manifests —
     // append must NOT commit a manifest naming only its own segments
@@ -317,10 +318,17 @@ class Bm25IndexSpec extends SparkSpec {
         col("doc_id") < 120), "doc_id", "text", d)
     }
     assert(err.getMessage.contains("no committed BM25 index"))
-    // and plain-uninitialized append fails the same way
-    intercept[IllegalStateException] {
-      Bm25Index.append(docs.limit(5), "doc_id", "text", tmpDir())
-    }
+    // a plain-uninitialized dir is DIFFERENT: nothing exists to
+    // vanish, so appending there bootstraps a fresh index — the
+    // streaming-ingest first micro-batch (AnnIngest.startBm25 appends
+    // from batch 0 with no prior build)
+    val fresh = tmpDir()
+    Bm25Index.append(docs.filter(col("doc_id") < 20), "doc_id", "text",
+      fresh)
+    assert(Bm25Index.search(spark, fresh, Seq("the"),
+      idCol = "doc_id", topK = 5).count() >= 0)
+    // and the bootstrap committed a manifest (not a legacy layout)
+    assert(new java.io.File(s"$fresh/_manifests").exists())
   }
 
   test("the manifest commit is a true CAS: a version collision throws " +

@@ -1,0 +1,235 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.Snapshots
+
+/** TREE-format snapshot manifests (manifest-list → key-range chunk
+  * files) + commit-timestamp time travel: identical read/write/diff
+  * semantics to the flat format, with planning cost O(touched chunks)
+  * and commit cost O(changed) — the Iceberg manifest-tree property.
+  * The tree engages above `spark.graft.snapshot.filesPerManifest`,
+  * pinned low here so toy tables exercise it.
+  */
+class SnapshotTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"snaptree-$tag").toString
+
+  private def slurpAt(dir: String, v: Long): Set[(Long, String)] =
+    Snapshots.read(spark, dir, Some(v)).select("id", "text")
+      .as[(Long, String)].collect().toSet
+
+  private def versionLines(dir: String, v: Long): Seq[String] =
+    new String(Files.readAllBytes(Paths.get(dir, "_manifests", s"v$v")),
+      "UTF-8").linesIterator.toSeq
+
+  private def chunkNames(dir: String, v: Long): Seq[String] =
+    versionLines(dir, v).filter(_.startsWith("#mchunk=")).map { l =>
+      new String(java.util.Base64.getDecoder.decode(
+        l.stripPrefix("#mchunk=").split(",")(0)), "UTF-8")
+    }
+
+  private def withChunkSize[T](n: Int)(f: => T): T = {
+    spark.conf.set(Snapshots.FilesPerManifestKey, n.toString)
+    try f finally spark.conf.unset(Snapshots.FilesPerManifestKey)
+  }
+
+  test("tree lifecycle: init → upsert → delete → compact → vacuum " +
+      "semantics identical to flat; chunks shared by reference") {
+    withChunkSize(4) {
+      val dir = freshDir("life")
+      val base = spark.range(1000)
+        .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+      val c0 = Snapshots.init(base, dir, "id", numFiles = 16)
+      assert(c0.files.size == 16)
+      // 16 files / 4 per chunk = 4 chunks, tree format
+      val chunks0 = chunkNames(dir, 0)
+      assert(chunks0.size == 4, s"expected 4 chunks, got $chunks0")
+      assert(versionLines(dir, 0).forall(_.startsWith("#")),
+        "a tree version file lists no data files inline")
+
+      val c1 = Snapshots.upsert(spark, dir,
+        Seq((5L, "doc-5-v2"), (2000L, "doc-2000")).toDF("id", "text"),
+        "id")
+      assert(c1.filesReplaced == 1, c1.toString)
+      val chunks1 = chunkNames(dir, 1)
+      // 3 of 4 chunks carried BY NAME (their key ranges miss 5/2000)
+      assert(chunks0.toSet.intersect(chunks1.toSet).size == 3,
+        s"v0=$chunks0 v1=$chunks1")
+
+      Snapshots.delete(spark, dir, Seq(5L, 7L).toDF("id"), "id")
+      val v0 = (0L until 1000L).map(i => (i, s"doc-$i")).toSet
+      val v1 = v0 -- Set((5L, "doc-5"), (6L, "doc-6")) ++
+        Set((5L, "doc-5-v2"), (6L, "doc-6"), (2000L, "doc-2000"))
+      val v2 = v1 -- Set((5L, "doc-5-v2"), (7L, "doc-7"))
+      assert(slurpAt(dir, 0) == v0)
+      assert(slurpAt(dir, 1) == v1)
+      assert(slurpAt(dir, 2) == v2)
+
+      // diff across tree versions
+      val d01 = Snapshots.diff(spark, dir, 0L, 1L, "id")
+        .as[(String, Long, String)].collect().toSet
+      assert(d01 == Set(("updated", 5L, "doc-5-v2"),
+        ("inserted", 2000L, "doc-2000")))
+
+      // lookup prunes to ≤2 files through the tree
+      val got = Snapshots.lookup(spark, dir,
+        Seq(6L, 2000L).toDF("id"), "id")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((6L, "doc-6"), (2000L, "doc-2000")))
+
+      // compact re-packs data AND manifests; history intact
+      val cc = Snapshots.compact(spark, dir, "id")
+      assert(slurpAt(dir, cc.version) == v2)
+      assert(slurpAt(dir, 0) == v0)
+      assert(Snapshots.diff(spark, dir, 2L, cc.version, "id").isEmpty)
+
+      // vacuum to the compaction point: dropped versions' exclusive
+      // chunks and data files die; the survivor reads exactly
+      val deleted = Snapshots.vacuum(spark, dir, cc.version,
+        orphanGraceMs = 0L)
+      assert(deleted.nonEmpty)
+      assert(slurpAt(dir, cc.version) == v2)
+      intercept[IllegalArgumentException] { slurpAt(dir, 0) }
+      // no dropped-version chunk file survives unless shared forward
+      val liveChunks = chunkNames(dir, cc.version).toSet
+      val onDisk = Files.list(Paths.get(dir, "_manifests")).toArray
+        .map(_.toString.split("/").last).filter(_.startsWith("c-")).toSet
+      assert(onDisk == liveChunks,
+        s"orphan chunks left: ${onDisk -- liveChunks}")
+    }
+  }
+
+  test("planning reads only the version file + touched chunks; a " +
+      "miss-everything commit rewrites no carried chunk") {
+    withChunkSize(4) {
+      val dir = freshDir("plan")
+      Snapshots.init(spark.range(1024)
+        .select(col("id"), concat(lit("d"), col("id")).as("text")),
+        dir, "id", numFiles = 32) // 8 chunks
+      val chunks0 = chunkNames(dir, 0)
+      assert(chunks0.size == 8)
+
+      // cold planning pass: count PHYSICAL manifest reads for a
+      // single-key lookup — version file + 1 chunk, not 8
+      graft.extra.Snapshots.evictTableForTest(spark, dir)
+      val before = Snapshots.manifestReadCount.get()
+      val rows = Snapshots.lookup(spark, dir, Seq(700L).toDF("id"), "id")
+        .collect()
+      val reads = Snapshots.manifestReadCount.get() - before
+      assert(rows.map(_.getLong(0)).toSet == Set(700L))
+      assert(reads <= 2, s"lookup read $reads manifest files (want ≤2)")
+
+      // an insert beyond every range: no chunk is read or rewritten;
+      // the child carries all 8 refs + 1 new chunk
+      graft.extra.Snapshots.evictTableForTest(spark, dir)
+      val b2 = Snapshots.manifestReadCount.get()
+      val c1 = Snapshots.upsert(spark, dir,
+        Seq((5000L, "new")).toDF("id", "text"), "id")
+      val commitReads = Snapshots.manifestReadCount.get() - b2
+      assert(c1.filesReplaced == 0)
+      val chunks1 = chunkNames(dir, 1)
+      assert(chunks0.forall(chunks1.contains),
+        "all parent chunks must be carried by name")
+      assert(chunks1.size == chunks0.size + 1)
+      // version file + (0 chunk bodies — chunk-level prune missed all)
+      assert(commitReads <= 2,
+        s"miss-everything commit read $commitReads manifest files")
+    }
+  }
+
+  test("rebalance guard: a long run of tiny inserts re-packs the " +
+      "chunk list instead of growing it per-commit") {
+    withChunkSize(8) {
+      val dir = freshDir("rebal")
+      Snapshots.init(spark.range(128)
+        .select(col("id"), lit("x").as("text")), dir, "id", 16)
+      (0 until 40).foreach { i =>
+        Snapshots.upsert(spark, dir,
+          Seq((1000L + i, s"n$i")).toDF("id", "text"), "id")
+      }
+      val v = Snapshots.latestVersion(spark, dir).get
+      val total = Snapshots.manifest(spark, dir, v).size
+      val refs = chunkNames(dir, v).size
+      val packed = (total + 7) / 8
+      // without the guard refs would be 2 + 40 = 42; the guard bounds
+      // the list at max(16, 4·packed)
+      assert(refs <= math.max(16, 4 * packed) && refs < 42,
+        s"$refs chunk refs for $total files (packed=$packed)")
+      assert(Snapshots.read(spark, dir).count() == 168)
+    }
+  }
+
+  test("readRange prunes chunks on secondary-column aggregates; " +
+      "key-column ranges prune the same way") {
+    withChunkSize(4) {
+      val dir = freshDir("range")
+      // ts correlates with id → near-disjoint per-chunk ts ranges
+      val df = spark.range(1024).select(col("id"),
+        (col("id") * 1000).as("ts"),
+        concat(lit("d"), col("id")).as("text"))
+      Snapshots.init(df, dir, "id", numFiles = 32,
+        statsCols = Seq("ts"))
+      graft.extra.Snapshots.evictTableForTest(spark, dir)
+      val before = Snapshots.manifestReadCount.get()
+      val got = Snapshots.readRange(spark, dir, "ts", 10000L, 12000L)
+        .select("id").as[Long].collect().toSet
+      val reads = Snapshots.manifestReadCount.get() - before
+      assert(got == (10L to 12L).toSet)
+      assert(reads <= 2, s"readRange read $reads manifest files")
+      val byKey = Snapshots.readRange(spark, dir, "id", 100L, 103L)
+        .select("id").as[Long].collect().toSet
+      assert(byKey == (100L to 103L).toSet)
+    }
+  }
+
+  test("commit timestamps: monotonic stamps, versionAsOf resolves " +
+      "latest ≤ t, readAsOfTime travels, TVF accepts TIMESTAMP") {
+    val dir = freshDir("ts")
+    // pin the clock: commits at 1000, 2000, 3000 (monotonic guard
+    // bumps a stalled clock by +1)
+    val ticks = Iterator(1000L, 2000L, 2000L, 3000L)
+    val saved = Snapshots.clock
+    Snapshots.clock = () => if (ticks.hasNext) ticks.next() else 9000L
+    try {
+      Snapshots.init(spark.range(10)
+        .select(col("id"), lit("v0").as("text")), dir, "id", 1)
+      Snapshots.upsert(spark, dir,
+        Seq((1L, "v1")).toDF("id", "text"), "id")
+      Snapshots.upsert(spark, dir,
+        Seq((2L, "v2")).toDF("id", "text"), "id")
+      assert(Snapshots.commitTime(spark, dir, 0L).contains(1000L))
+      assert(Snapshots.commitTime(spark, dir, 1L).contains(2000L))
+      // stalled clock at v2: monotonic guard stamps 2001
+      assert(Snapshots.commitTime(spark, dir, 2L).contains(2001L))
+
+      assert(Snapshots.versionAsOf(spark, dir, 1000L) == 0L)
+      assert(Snapshots.versionAsOf(spark, dir, 1999L) == 0L)
+      assert(Snapshots.versionAsOf(spark, dir, 2000L) == 1L)
+      assert(Snapshots.versionAsOf(spark, dir, 5000L) == 2L)
+      intercept[IllegalArgumentException] {
+        Snapshots.versionAsOf(spark, dir, 999L)
+      }
+      val asOf = Snapshots.readAsOfTime(spark, dir,
+        java.time.Instant.ofEpochMilli(2000L))
+        .select("id", "text").as[(Long, String)].collect().toMap
+      // v1 committed exactly at t=2000 wins; v2 (t=2001) is not yet
+      // visible, so id 2 still reads its init value
+      assert(asOf(1L) == "v1" && asOf(2L) == "v0")
+
+      // SQL: graft_snapshot('dir', TIMESTAMP '...') — resolves the
+      // same version
+      GraftExtensions.registerAll(spark)
+      val lit2s = java.time.Instant.ofEpochMilli(2000L).toString
+        .replace("T", " ").replace("Z", "")
+      val sqlRows = spark.sql(
+        s"SELECT text FROM graft_snapshot('$dir', TIMESTAMP '$lit2s" +
+          s"+00:00') WHERE id = 1").as[String].collect().toSeq
+      assert(sqlRows == Seq("v1"))
+    } finally Snapshots.clock = saved
+  }
+}
