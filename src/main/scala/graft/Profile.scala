@@ -80,6 +80,13 @@ object Profile {
       val edges = a.join(b, Seq("ok2")).where(col("pa") < col("pb"))
         .select(col("pa").as("src"), col("pb").as("dst"))
       (1 to 3).foreach { pass =>
+        time(s"#$pass edges (gen+dedup)")(edges.count())
+        time(s"#$pass sym materialize") {
+          val e0 = edges.select(col("src"), col("dst"))
+          graft.extra.Dedup.materialize(
+            e0.unionAll(e0.select(col("dst").as("src"),
+              col("src").as("dst"))).distinct()).count()
+        }
         time(s"#$pass connectedComponents")(
           graft.extra.Graph.connectedComponents(edges, "src", "dst")
             .count())

@@ -293,6 +293,8 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     val s = mode match {
       case "curation" => measureCuration(spark, tps, secs)
+      case "curation-neardup" =>
+        measureCuration(spark, tps, secs, nearDup = true)
       case "ann" => measureAnnIngest(spark, tps, secs)
       case _ => measure(spark, tps, secs)
     }

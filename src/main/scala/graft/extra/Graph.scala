@@ -1,6 +1,6 @@
 package graft.extra
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames — the second graph
@@ -252,12 +252,45 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+    val spark = edges.sparkSession
+    // distinct() leaves sym hash-partitioned on (src, dst); every
+    // round's propagate join would then RE-SHUFFLE the full edge frame
+    // by src — the dominant per-round cost, paid |rounds| times.
+    // Re-partitioning on the join key ONCE before the checkpoint (the
+    // partitioning survives localCheckpoint) makes the edge side of
+    // every round's join shuffle-free; only the |V|-row label frame
+    // moves per round. The same hoisted-partitioning trick pagerank
+    // uses — at 1000 executors this is the difference between one |E|
+    // shuffle and |rounds| of them.
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .transform(Dedup.materialize)
-    if (sym.isEmpty)
+    val symCount = sym.count()
+    if (symCount == 0L)
       return sym.select(col("src").as("id"), col("src").as("component"))
+    // SMALL-GRAPH fast path: the loop's per-round cost on a graph this
+    // size is almost entirely fixed scheduling overhead (9 rounds × a
+    // few KB-sized shuffles spread over the session's full partition
+    // count). Scope shuffle.partitions down for the loop — restored in
+    // the finally — so each tiny round is a handful of tasks, not
+    // hundreds. Large graphs keep the session's parallelism untouched.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.getOption(partsKey)
+    val scopeDown = symCount < 2000000L
+    if (scopeDown) spark.conf.set(partsKey,
+      math.min(8, savedParts.map(_.toInt).getOrElse(8)).toString)
+    try {
+      connectedLoop(spark, sym, maxIters)
+    } finally if (scopeDown) savedParts match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+  }
+
+  private def connectedLoop(spark: SparkSession, sym: DataFrame,
+      maxIters: Int): DataFrame = {
 
     // ROUND 1 seeded straight from the edge frame: with identity
     // initial labels, a neighbor's label IS its id, so min(own,
@@ -312,6 +345,8 @@ object Graph {
         s"connectedComponents: not converged after $maxIters rounds — " +
           "component diameter exceeds 2^maxIters; labels would be " +
           "wrong. Raise maxIters.")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $i rounds")
     labels.select(col("id"), col("lab").as("component"))
   }
 
