@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectTableFunction(GraftExtensions.snapshotTvf)
+    ext.injectTableFunction(GraftExtensions.snapshotHistoryTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -121,16 +122,47 @@ object GraftExtensions {
           .queryExecution.analyzed
       })
 
+  /** `graft_snapshot_history('dir')` — DESCRIBE HISTORY as a TVF:
+    * one row per retained version (version, commit_ts, txn_app_id,
+    * txn_batch_id, n_files, format) via
+    * [[graft.extra.Snapshots.history]] — O(versions) manifest-header
+    * reads, no chunk expansion, composable in joins like any table.
+    */
+  private[graft] val snapshotHistoryTvf: (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst
+        .plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_snapshot_history"),
+      new ExpressionInfo("graft.extra.Snapshots",
+        "graft_snapshot_history",
+        "graft_snapshot_history(dir) - commit history of a snapshot " +
+          "table, one row per retained version; dir must be a literal"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_snapshot_history expects (dir), got " +
+            s"${children.length} arguments")
+        require(children.head.foldable,
+          "graft_snapshot_history dir must be a literal")
+        val dir = children.head.eval() match {
+          case null => throw new IllegalArgumentException(
+            "graft_snapshot_history dir must not be NULL")
+          case s => s.toString
+        }
+        graft.extra.Snapshots.history(SparkSession.active, dir)
+          .queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(id))
       reg.registerFunction(id, info, builder)
-    val (tid, tinfo, tbuilder) = snapshotTvf
     val treg = spark.sessionState.tableFunctionRegistry
-    if (!treg.functionExists(tid))
-      treg.registerFunction(tid, tinfo, tbuilder)
+    Seq(snapshotTvf, snapshotHistoryTvf).foreach {
+      case (tid, tinfo, tbuilder) =>
+        if (!treg.functionExists(tid))
+          treg.registerFunction(tid, tinfo, tbuilder)
+    }
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfStrategy

@@ -746,6 +746,40 @@ object Snapshots {
       ts: java.time.Instant): DataFrame =
     read(spark, dir, Some(versionAsOf(spark, dir, ts.toEpochMilli)))
 
+  /** The table's commit history as a frame — DESCRIBE HISTORY for
+    * snapshot tables: one row per RETAINED version with its commit
+    * stamp, exactly-once txn token (when the commit was a streaming
+    * CDC apply), file count and format. Cost is O(retained versions)
+    * manifest-HEADER reads — tree versions report their ref-counted
+    * file total WITHOUT expanding any chunk. Columns: `version`,
+    * `commit_ts` (timestamp, null pre-`#ts=`), `txn_app_id`,
+    * `txn_batch_id`, `n_files`, `format` (flat|tree).
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val md = manifestDir(root)
+    require(fs.exists(md), s"$dir has no committed version")
+    val versions = fs.listStatus(md).toSeq
+      .flatMap(f => versionOf(f.getPath)).sorted
+    val rows = versions.map { v =>
+      val ts = scala.util.Try(commitTime(spark, dir, v)).toOption.flatten
+      val txn = scala.util.Try(committedTxn(spark, dir, v)).toOption.flatten
+      val (nFiles, format) = treeRefs(spark, dir, v) match {
+        case Some(refs) => (refs.map(_.count).sum, "tree")
+        case None =>
+          (manifestLines(spark, dir, v).count(!_.startsWith("#")).toLong,
+            "flat")
+      }
+      (v, ts.map(new java.sql.Timestamp(_)).orNull,
+        txn.map(_._1).orNull,
+        txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
+        nFiles, format)
+    }
+    import spark.implicits._
+    rows.toDF("version", "commit_ts", "txn_app_id", "txn_batch_id",
+      "n_files", "format")
+  }
+
   // ---------------------------------------------------------------
   // Tree-format commit engine
   // ---------------------------------------------------------------

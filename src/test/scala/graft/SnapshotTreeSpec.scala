@@ -187,6 +187,63 @@ class SnapshotTreeSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution lands on a tree parent: cold chunks carried " +
+      "by name, evolved column reads NULL from carried files") {
+    withChunkSize(4) {
+      val dir = freshDir("evolve")
+      Snapshots.init(spark.range(256)
+        .select(col("id"), concat(lit("d"), col("id")).as("text")),
+        dir, "id", numFiles = 16) // 4 chunks
+      val chunks0 = chunkNames(dir, 0)
+      val widened = Seq((3L, "d3-v2", 0.9)).toDF("id", "text", "score")
+      Snapshots.upsert(spark, dir, widened, "id", evolveSchema = true)
+      // 3 cold chunks carried by name across the evolution
+      assert(chunks0.toSet.intersect(chunkNames(dir, 1).toSet).size == 3)
+      val got = Snapshots.read(spark, dir)
+        .select("id", "text", "score")
+        .as[(Long, String, Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got(3L) == ((3L, "d3-v2", Some(0.9))))
+      assert(got(200L) == ((200L, "d200", None))) // cold carried chunk
+      assert(got.size == 256)
+      // time travel below the evolution keeps the original schema
+      assert(Snapshots.read(spark, dir, Some(0L)).schema.fieldNames.toSeq
+        == Seq("id", "text"))
+    }
+  }
+
+  test("history: one row per retained version with stamp, txn, file " +
+      "count and format — tree versions counted without chunk reads") {
+    withChunkSize(4) {
+      val dir = freshDir("hist")
+      Snapshots.init(spark.range(64)
+        .select(col("id"), lit("x").as("text"),
+          col("id").cast("decimal(38,0)").as("ver")),
+        dir, "id", numFiles = 16)
+      def batch(text: String, v: Long) = Seq((999L, text, v))
+        .toDF("id", "text", "ver")
+        .withColumn("ver", col("ver").cast("decimal(38,0)"))
+      Snapshots.upsert(spark, dir, batch("new", 1L), "id")
+      graft.streaming.SnapshotStream.applyBatch(batch("newer", 2L),
+        dir, "id", "ver", appId = "histapp", batchId = 5L)
+      GraftExtensions.registerAll(spark)
+      val h = spark.sql(
+        s"SELECT * FROM graft_snapshot_history('$dir') ORDER BY version")
+        .collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+      assert(h.forall(r => !r.isNullAt(1)), "every commit is stamped")
+      assert(h(2).getString(2) == "histapp" && h(2).getLong(3) == 5L)
+      assert(h(0).getLong(4) == 16L && h(0).getString(5) == "tree")
+      // counting a tree version's files reads no chunk bodies
+      graft.extra.Snapshots.evictTableForTest(spark, dir)
+      val before = Snapshots.manifestReadCount.get()
+      Snapshots.history(spark, dir).collect()
+      val reads = Snapshots.manifestReadCount.get() - before
+      assert(reads <= 3, s"history read $reads manifest files for 3 " +
+        "versions (chunk bodies must not be expanded)")
+    }
+  }
+
   test("commit timestamps: monotonic stamps, versionAsOf resolves " +
       "latest ≤ t, readAsOfTime travels, TVF accepts TIMESTAMP") {
     val dir = freshDir("ts")
