@@ -761,19 +761,23 @@ object Snapshots {
     require(fs.exists(md), s"$dir has no committed version")
     val versions = fs.listStatus(md).toSeq
       .flatMap(f => versionOf(f.getPath)).sorted
-    val rows = versions.map { v =>
-      val ts = scala.util.Try(commitTime(spark, dir, v)).toOption.flatten
-      val txn = scala.util.Try(committedTxn(spark, dir, v)).toOption.flatten
-      val (nFiles, format) = treeRefs(spark, dir, v) match {
-        case Some(refs) => (refs.map(_.count).sum, "tree")
-        case None =>
-          (manifestLines(spark, dir, v).count(!_.startsWith("#")).toLong,
-            "flat")
-      }
-      (v, ts.map(new java.sql.Timestamp(_)).orNull,
-        txn.map(_._1).orNull,
-        txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
-        nFiles, format)
+    // a version vacuumed between the listing and its read is skipped,
+    // not an error — same tolerance as lastTxn's ledger walk
+    val rows = versions.flatMap { v =>
+      scala.util.Try {
+        val ts = commitTime(spark, dir, v)
+        val txn = committedTxn(spark, dir, v)
+        val (nFiles, format) = treeRefs(spark, dir, v) match {
+          case Some(refs) => (refs.map(_.count).sum, "tree")
+          case None =>
+            (manifestLines(spark, dir, v).count(!_.startsWith("#"))
+              .toLong, "flat")
+        }
+        (v, ts.map(new java.sql.Timestamp(_)).orNull,
+          txn.map(_._1).orNull,
+          txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
+          nFiles, format)
+      }.toOption
     }
     import spark.implicits._
     rows.toDF("version", "commit_ts", "txn_app_id", "txn_batch_id",
