@@ -244,6 +244,62 @@ class SnapshotTreeSpec extends SparkSpec {
     }
   }
 
+  test("randomized differential: the same op sequence against a FLAT " +
+      "and a TREE table agrees at every version, lookup and readRange " +
+      "(seeded)") {
+    val rnd = new scala.util.Random(4242)
+    val flatDir = freshDir("difflat")
+    val treeDir = freshDir("diftree")
+    def base = spark.range(300)
+      .select(col("id"), concat(lit("b"), col("id")).as("text"))
+    Snapshots.init(base, flatDir, "id", numFiles = 12)
+    withChunkSize(4) {
+      Snapshots.init(base, treeDir, "id", numFiles = 12)
+    }
+    // tree conf scoped per-op so the tree table keeps committing tree
+    // versions while the flat twin stays flat
+    def onBoth(op: String => Unit): Unit = {
+      op(flatDir)
+      withChunkSize(4)(op(treeDir))
+    }
+    (0 until 12).foreach { i =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val ks = Seq.fill(3)(rnd.nextInt(400).toLong).distinct
+          onBoth(d => Snapshots.delete(spark, d, ks.toDF("id"), "id"): Unit)
+        case 3 if i % 5 == 4 =>
+          onBoth(d => Snapshots.compact(spark, d, "id",
+            targetFileBytes = 32L * 1024): Unit)
+        case _ =>
+          val rows = Seq.fill(5)(rnd.nextInt(400).toLong).distinct
+            .map(k => k -> s"i$i-$k")
+          onBoth(d => Snapshots.upsert(spark, d,
+            rows.toDF("id", "text"), "id"): Unit)
+      }
+    }
+    val vMax = Snapshots.latestVersion(spark, flatDir).get
+    assert(Snapshots.latestVersion(spark, treeDir).contains(vMax))
+    def slurpV(d: String, v: Long) = Snapshots.read(spark, d, Some(v))
+      .select("id", "text").as[(Long, String)].collect().toSet
+    (0L to vMax).foreach { v =>
+      assert(slurpV(flatDir, v) == slurpV(treeDir, v),
+        s"content diverged at v$v")
+    }
+    val probe = Seq(5L, 150L, 399L, 777L).toDF("id")
+    assert(
+      Snapshots.lookup(spark, flatDir, probe, "id")
+        .as[(Long, String)].collect().toSet ==
+      Snapshots.lookup(spark, treeDir, probe, "id")
+        .as[(Long, String)].collect().toSet)
+    assert(
+      Snapshots.readRange(spark, flatDir, "id", 100L, 160L)
+        .as[(Long, String)].collect().toSet ==
+      Snapshots.readRange(spark, treeDir, "id", 100L, 160L)
+        .as[(Long, String)].collect().toSet)
+    // and the tree table really is in tree format
+    assert(chunkNames(treeDir, vMax).nonEmpty)
+  }
+
   test("commit timestamps: monotonic stamps, versionAsOf resolves " +
       "latest ≤ t, readAsOfTime travels, TVF accepts TIMESTAMP") {
     val dir = freshDir("ts")
