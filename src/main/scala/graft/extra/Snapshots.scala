@@ -1330,12 +1330,34 @@ object Snapshots {
     * ([[IncrementalAgg.refreshFromChanges]]) needs that the
     * single-sided CDC projection drops.
     */
+  /** The two versions' file sets with SHARED-CHUNK files already
+    * cancelled: when both versions are tree-format, a chunk carried by
+    * the same name references the same immutable files on both sides —
+    * they cannot contribute a difference, so neither side expands it.
+    * Diff planning on a tree table is therefore O(changed chunks)
+    * manifest reads, completing the O(changed) story end to end (a
+    * flat version on either side falls back to the full lists, whose
+    * set-difference is equally correct).
+    */
+  private def diffFileSets(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): (Set[String], Set[String]) =
+    (treeRefs(spark, dir, fromV), treeRefs(spark, dir, toV)) match {
+      case (Some(a), Some(b)) =>
+        val shared = a.map(_.name).toSet.intersect(b.map(_.name).toSet)
+        def expand(refs: Seq[ChunkRef]) = refs
+          .filterNot(r => shared.contains(r.name))
+          .flatMap(r => chunkBody(spark, dir, r.name).files).toSet
+        (expand(a), expand(b))
+      case _ =>
+        (manifest(spark, dir, fromV).toSet,
+          manifest(spark, dir, toV).toSet)
+    }
+
   private[extra] def diffTwoSided(spark: SparkSession, dir: String,
       fromV: Long, toV: Long, key: String): DataFrame = {
     require(fromV < toV, s"diff wants fromV < toV, got $fromV..$toV")
     val (_, root) = fsOf(spark, dir)
-    val fromFiles = manifest(spark, dir, fromV).toSet
-    val toFiles = manifest(spark, dir, toV).toSet
+    val (fromFiles, toFiles) = diffFileSets(spark, dir, fromV, toV)
     // toV's schema on BOTH sides: across an evolution, fromV's rows
     // read the added columns as NULL, exactly how toV's survivors
     // carried them — identical-payload survivors still hash-cancel

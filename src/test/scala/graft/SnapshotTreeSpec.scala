@@ -142,6 +142,27 @@ class SnapshotTreeSpec extends SparkSpec {
     }
   }
 
+  test("diff between tree versions cancels shared chunks without " +
+      "expanding them: planning reads only the changed chunks") {
+    withChunkSize(4) {
+      val dir = freshDir("difft")
+      Snapshots.init(spark.range(1024)
+        .select(col("id"), concat(lit("d"), col("id")).as("text")),
+        dir, "id", numFiles = 32) // 8 chunks
+      Snapshots.upsert(spark, dir,
+        Seq((5L, "d5-v2"), (2000L, "new")).toDF("id", "text"), "id")
+      graft.extra.Snapshots.evictTableForTest(spark, dir)
+      val before = Snapshots.manifestReadCount.get()
+      val d = Snapshots.diff(spark, dir, 0L, 1L, "id")
+        .as[(String, Long, String)].collect().toSet
+      val reads = Snapshots.manifestReadCount.get() - before
+      assert(d == Set(("updated", 5L, "d5-v2"), ("inserted", 2000L, "new")))
+      // 2 version files + the ≤2 non-shared chunks per side — never
+      // the 8-chunk inventory
+      assert(reads <= 6, s"diff read $reads manifest files")
+    }
+  }
+
   test("rebalance guard: a long run of tiny inserts re-packs the " +
       "chunk list instead of growing it per-commit") {
     withChunkSize(8) {
