@@ -1383,6 +1383,30 @@ object Snapshots {
       .filter(col("change").isNotNull)
   }
 
+  /** Time-based retention: [[vacuum]] with the floor resolved from
+    * commit stamps — keep every version needed to time-travel to ANY
+    * instant inside the retention window (the latest version at or
+    * before the cutoff is the window start's snapshot, so it stays).
+    * No-op when every retained version is younger than the window or
+    * the table predates `#ts=` stamps entirely (legacy versions rank
+    * before any timestamp, so they only fall once a stamped version
+    * covers the cutoff). The Delta `RETAIN n HOURS` shape.
+    */
+  def vacuumOlderThan(spark: SparkSession, dir: String,
+      retention: java.time.Duration,
+      orphanGraceMs: Long = 60L * 60 * 1000): Seq[String] = {
+    require(!retention.isNegative, "retention must be >= 0")
+    val cutoff = clock() - retention.toMillis
+    val floor =
+      try versionAsOf(spark, dir, cutoff)
+      catch {
+        // every version is younger than the cutoff → nothing to drop
+        case _: IllegalArgumentException
+            if latestVersion(spark, dir).isDefined => return Nil
+      }
+    vacuum(spark, dir, floor, orphanGraceMs)
+  }
+
   /** Drop manifests with version < `retainFrom`, then delete every
     * data file no surviving manifest references — both the dropped
     * versions' exclusive files AND ORPHANS (files a crashed or

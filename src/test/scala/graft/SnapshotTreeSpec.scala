@@ -321,6 +321,56 @@ class SnapshotTreeSpec extends SparkSpec {
     assert(chunkNames(treeDir, vMax).nonEmpty)
   }
 
+  test("vacuumOlderThan: keeps every version inside the retention " +
+      "window PLUS the window-start snapshot; young tables are a no-op") {
+    val dir = freshDir("ret")
+    val saved = Snapshots.clock
+    var now = 1000L
+    Snapshots.clock = () => now
+    try {
+      Snapshots.init(spark.range(40)
+        .select(col("id"), lit("v0").as("text")), dir, "id", 2)
+      now = 2000L
+      Snapshots.upsert(spark, dir, Seq((1L, "v1")).toDF("id", "text"), "id")
+      now = 3000L
+      Snapshots.upsert(spark, dir, Seq((2L, "v2")).toDF("id", "text"), "id")
+      // everything younger than the window → no-op
+      now = 3100L
+      assert(Snapshots.vacuumOlderThan(spark, dir,
+        java.time.Duration.ofMillis(5000)).isEmpty)
+      assert(Snapshots.latestVersion(spark, dir).contains(2L))
+      assert(Snapshots.read(spark, dir, Some(0L)).count() == 40)
+      // window [now-1500, now] = [8500, 10000]: v1 (ts 2000) is the
+      // window-start snapshot? No — cutoff 8500 resolves v2 (ts 3000
+      // <= 8500), so v0 and v1 fall, v2 survives
+      now = 10000L
+      Snapshots.vacuumOlderThan(spark, dir,
+        java.time.Duration.ofMillis(1500), orphanGraceMs = 0L): Unit
+      intercept[IllegalArgumentException] {
+        Snapshots.read(spark, dir, Some(0L)).count()
+      }
+      assert(Snapshots.read(spark, dir, Some(2L)).count() == 40)
+      // cutoff between v1 and v2: v1 is the window-start snapshot and
+      // must survive — build a fresh table to check the boundary
+      val dir2 = freshDir("ret2")
+      now = 1000L
+      Snapshots.init(spark.range(10)
+        .select(col("id"), lit("a").as("text")), dir2, "id", 1)
+      now = 2000L
+      Snapshots.upsert(spark, dir2, Seq((1L, "b")).toDF("id", "text"), "id")
+      now = 3000L
+      Snapshots.upsert(spark, dir2, Seq((2L, "c")).toDF("id", "text"), "id")
+      now = 3500L // window [2500, 3500]: v1 (2000) = start snapshot
+      Snapshots.vacuumOlderThan(spark, dir2,
+        java.time.Duration.ofMillis(1000), orphanGraceMs = 0L): Unit
+      intercept[IllegalArgumentException] {
+        Snapshots.read(spark, dir2, Some(0L)).count()
+      }
+      assert(Snapshots.read(spark, dir2, Some(1L)).count() == 10)
+      assert(Snapshots.read(spark, dir2, Some(2L)).count() == 10)
+    } finally Snapshots.clock = saved
+  }
+
   test("commit timestamps: monotonic stamps, versionAsOf resolves " +
       "latest ≤ t, readAsOfTime travels, TVF accepts TIMESTAMP") {
     val dir = freshDir("ts")
