@@ -142,6 +142,40 @@ object SnapshotTreeSmoke {
       s"insert-only commit read $insReads manifests, " +
         s"replaced ${c2.filesReplaced}")
 
+    // ---- REAL-DATA A/B: tree bookkeeping must not tax normal ops ----
+    // same 1M-row table committed tree (32 chunks) and flat; a 1%
+    // stripe upsert pays the same data rewrite either way — the tree
+    // adds only chunk-file bookkeeping, which must stay noise-level
+    def realCorpus = spark.range(1000000).select(col("id"),
+      sha2(col("id").cast("string"), 256).as("text"))
+    def stripe = spark.range(10000).select((col("id") + 500000L).as("id"),
+      lit("updated").as("text"))
+    val realTree = java.nio.file.Files
+      .createTempDirectory("tree-real").toString
+    val realFlat = java.nio.file.Files
+      .createTempDirectory("flat-real").toString
+    spark.conf.set(Snapshots.FilesPerManifestKey, "32")
+    val (_, tInitTree) = timed(
+      Snapshots.init(realCorpus, realTree, "id", numFiles = 256))
+    val (ct, tUpTree) = timed(
+      Snapshots.upsert(spark, realTree, stripe, "id"))
+    spark.conf.set(Snapshots.FilesPerManifestKey, "100000")
+    val (_, tInitFlat) = timed(
+      Snapshots.init(realCorpus, realFlat, "id", numFiles = 256))
+    val (cf, tUpFlat) = timed(
+      Snapshots.upsert(spark, realFlat, stripe, "id"))
+    println(f"real 1M/256f: init tree $tInitTree%.1f s vs flat " +
+      f"$tInitFlat%.1f s; 1%% stripe upsert tree $tUpTree%.1f s " +
+      f"(${ct.filesReplaced} replaced) vs flat $tUpFlat%.1f s " +
+      f"(${cf.filesReplaced} replaced)")
+    require(ct.filesReplaced == cf.filesReplaced,
+      "tree and flat must touch the same files")
+    val (rowsT, rowsF) = (Snapshots.read(spark, realTree).count(),
+      Snapshots.read(spark, realFlat).count())
+    require(rowsT == 1000000L && rowsF == 1000000L,
+      s"row counts diverged: $rowsT / $rowsF")
+    spark.conf.set(Snapshots.FilesPerManifestKey, "1000")
+
     // ---- readRange through the tree ----
     Snapshots.evictTableForTest(spark, treeDir)
     val r3 = Snapshots.manifestReadCount.get()
