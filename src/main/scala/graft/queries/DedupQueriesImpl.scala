@@ -194,6 +194,37 @@ object DedupQueriesImpl {
       |  AND ts <= TIMESTAMP '2024-01-30 00:00:00'
       |ORDER BY user_id""".stripMargin
 
+  // ---- snapshot_zorder_read ----------------------------------------
+
+  /** The SAME time-window read as `snapshot_range_read`, served from a
+    * Z-ORDERED snapshot ([[graft.extra.Snapshots.init]]'s `zorderCols`
+    * → [[graft.extra.Layout.writeZOrdered]]'s Morton curve, persisted
+    * as `#zorder=`): every file is narrow on BOTH user_id and ts at
+    * once, so the window prune works through the same manifest stats
+    * without relying on commit-order correlation — the multi-dim
+    * clustering answer where 1-D key files would each span the full
+    * ts width. Both queries hash-match the same oracle, pinning that
+    * the layout strategy changes file-skipping, never rows.
+    */
+  private def zSnapTable(s: SparkSession, dir: String): String = {
+    import graft.extra.Snapshots
+    val ev = events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
+      col("event_id"), col("ts"))
+    IndexedCorpus.cachedDir("graft_qzsnap", fp) { d =>
+      val latest = Dedup.latestWins(ev, Seq("user_id"), "ts", "event_id")
+      Snapshots.init(latest, d.toString, "user_id", numFiles = 8,
+        zorderCols = Seq("user_id", "ts")): Unit
+    }
+  }
+
+  def snapshotZorderRead(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Snapshots.readRange(s, zSnapTable(s, dir), "ts",
+      java.time.Instant.parse("2024-01-28T00:00:00Z"),
+      java.time.Instant.parse("2024-01-30T00:00:00Z"))
+      .orderBy("user_id")
+
   // ---- snapshot_sql_tvf --------------------------------------------
 
   /** The SQL surface of time travel: the same snapshot table served
@@ -1059,6 +1090,10 @@ object DedupQueriesImpl {
       "SQL time travel via the graft_snapshot table-valued function " +
         "(injectTableFunction)",
       snapshotSqlTvf, Some(snapshotSqlTvfOracle)),
+    QueryDef("snapshot_zorder_read",
+      "the range-read window served from a Z-ORDERED snapshot " +
+        "(Morton-curve clustering, multi-dim manifest stats)",
+      snapshotZorderRead, Some(snapshotRangeReadOracle)),
     QueryDef("snapshot_ts_travel",
       "TIMESTAMP AS OF time travel: commit-stamp resolution via " +
         "readAsOfTime and a TIMESTAMP literal in the TVF",
