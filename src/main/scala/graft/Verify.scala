@@ -19,11 +19,37 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Driver-hash conformance guard: the driver's hasher does not
+    // canonicalize DECIMAL the way DuckDB emits it, so the repo-wide
+    // convention is CAST(... AS DOUBLE) on both sides of every oracle.
+    // A decimal-typed output column is therefore a latent red hash row
+    // even when every value matches (r12's cdc_view_stream) — catch it
+    // at build time, not in the driver's gate.
+    import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType,
+      MapType, StructType}
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val decimalViolations = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        val bad = df.schema.fields.filter(f => hasDecimal(f.dataType))
+        if (bad.nonEmpty) {
+          decimalViolations += s"$name: ${bad.map(_.name).mkString(",")}"
+          throw new IllegalStateException(
+            s"output columns ${bad.map(_.name).mkString(", ")} are " +
+              "DECIMAL-typed — cast to DOUBLE in the serving " +
+              "projection AND the oracle (driver-hash convention)")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -44,5 +70,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (decimalViolations.nonEmpty) {
+      System.err.println(
+        "[verify] FATAL: DECIMAL-typed output columns (cast to DOUBLE " +
+          "per the driver-hash convention):\n  " +
+          decimalViolations.mkString("\n  "))
+      sys.exit(2)
+    }
   }
 }

@@ -100,9 +100,10 @@ object DedupQueriesImpl {
       .select("user_id", "event_id", "ts", "event_type", "value")
     val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
       col("event_id"), col("ts"))
-    // tag bump (qsnap_s1 → qsnap_s2): older cached tables predate the
-    // #ts commit-stamp header snapshot_ts_travel resolves against
-    IndexedCorpus.cachedDir("graft_qsnap_s2", fp) { d =>
+    // Ver.snap bumps whenever the snapshot layout the query builders
+    // write changes (e.g. the #ts commit-stamp header the s1→s2 bump
+    // covered) — old cached tables become structurally unreachable.
+    IndexedCorpus.cachedDir("graft_qsnap", IndexedCorpus.Ver.snap, fp) { d =>
       val v0 = Dedup.latestWins(ev.filter(col("ts") < cutoff),
         Seq("user_id"), "ts", "event_id")
       val updates = Dedup.latestWins(ev.filter(col("ts") >= cutoff),
@@ -212,7 +213,8 @@ object DedupQueriesImpl {
       .select("user_id", "event_id", "ts", "event_type", "value")
     val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
       col("event_id"), col("ts"))
-    IndexedCorpus.cachedDir("graft_qzsnap", fp) { d =>
+    IndexedCorpus.cachedDir("graft_qzsnap", IndexedCorpus.Ver.zsnap,
+        fp) { d =>
       val latest = Dedup.latestWins(ev, Seq("user_id"), "ts", "event_id")
       Snapshots.init(latest, d.toString, "user_id", numFiles = 8,
         zorderCols = Seq("user_id", "ts")): Unit
@@ -318,7 +320,8 @@ object DedupQueriesImpl {
     val spec = IncrementalAgg.ViewSpec("event_type",
       sumCols = Seq("value"))
     val fp = IndexedCorpus.fingerprint(rows, col("user_id"), col("ver"))
-    val viewDir = IndexedCorpus.cachedDir("graft_qcdcview", fp) { d =>
+    val viewDir = IndexedCorpus.cachedDir("graft_qcdcview",
+        IndexedCorpus.Ver.cdcview, fp) { d =>
       val tbl = new java.io.File(d, "tbl").toString
       val view = new java.io.File(d, "view").toString
       def slice(lo: String, hi: String) = rows
@@ -344,8 +347,13 @@ object DedupQueriesImpl {
               "user_id", spec): Unit
           }
     }
+    // Serving projection casts the DECIMAL(38,6) running sum to DOUBLE
+    // (rounded 6dp), the registry-wide oracle convention: the view's
+    // internal state stays decimal-exact, only the served frame is
+    // canonicalized so the driver hash and DuckDB agree byte-for-byte.
     IncrementalAgg.read(s, new java.io.File(viewDir, "view").toString)
-      .select(col("event_type"), col("cnt"), col("sum_value"))
+      .select(col("event_type"), col("cnt"),
+        round(col("sum_value").cast("double"), 6).as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -355,7 +363,8 @@ object DedupQueriesImpl {
       |  FROM events
       |  QUALIFY row_number() OVER (PARTITION BY user_id
       |    ORDER BY ts DESC, event_id DESC) = 1)
-      |SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+      |SELECT event_type, count(*) AS cnt,
+      |  round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
       |FROM latest
       |GROUP BY 1
       |ORDER BY 1""".stripMargin

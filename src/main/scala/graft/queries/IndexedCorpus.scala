@@ -54,16 +54,39 @@ object IndexedCorpus {
 
   private def complete(dir: File) = new File(dir, "meta/_SUCCESS").exists()
 
+  /** Per-algorithm cache VERSION tokens — the hermeticity half of the
+    * cache key. The content fingerprint says "same input"; the version
+    * token says "same building CODE". Bump the constant whenever the
+    * code that populates the cached artifact changes, and the old dir
+    * is structurally unreachable (the token is part of the path), so a
+    * mid-round code change can never serve stale bytes to the driver's
+    * correctness gate. This systematizes the one-off `qbm25v2` /
+    * `qsnap_s2` prefix bumps that ad-hoc'd the same need.
+    */
+  object Ver {
+    val snap = 3 // v3 = hermetic-path migration (subsumes the s2 bump)
+    val zsnap = 2
+    val cdcview = 2 // r13: DOUBLE serving-cast convention landed
+    val incr = 2
+    val bm25 = 3 // subsumes the segmented-layout "v2" prefix bump
+    val ann = 2
+    val pqcb = 2
+  }
+
   /** Generic content-keyed build-if-absent artifact dir: `build`
     * populates `d`, then an empty `_GRAFT_COMPLETE` marker commits it.
     * An existing dir WITHOUT the marker is a crashed build — wiped and
     * rebuilt (the marker-commit discipline that makes a non-idempotent
     * build, e.g. [[graft.extra.IncrementalAgg.refresh]]'s combine,
-    * safe to retry).
+    * safe to retry). `ver` is the building code's [[Ver]] token,
+    * folded into the path so the cache is hermetic across code
+    * changes, not just data changes.
     */
-  def cachedDir(prefix: String, fp: Long)(build: File => Unit): String =
+  def cachedDir(prefix: String, ver: Int, fp: Long)(
+      build: File => Unit): String =
     synchronized {
-      val d = new File(sys.props("java.io.tmpdir"), f"${prefix}_$fp%016x")
+      val d = new File(sys.props("java.io.tmpdir"),
+        f"${prefix}_v${ver}_$fp%016x")
       val marker = new File(d, "_GRAFT_COMPLETE")
       if (!marker.exists()) {
         if (d.exists()) {
@@ -86,7 +109,7 @@ object IndexedCorpus {
     */
   def bm25Dir(docs: DataFrame, idCol: String, textCol: String): String = {
     val fp = fingerprint(docs, col(idCol), col(textCol))
-    cachedDir("graft_qbm25v2", fp)(d =>
+    cachedDir("graft_qbm25", Ver.bm25, fp)(d =>
       graft.extra.Bm25Index.build(docs, idCol, textCol, d.toString))
   }
 
@@ -96,7 +119,8 @@ object IndexedCorpus {
   def annDir(emb: DataFrame, idCol: String, vecCol: String): String =
     synchronized {
       val fp = fingerprint(emb, col(idCol), to_json(col(vecCol)))
-      val d = new File(sys.props("java.io.tmpdir"), f"graft_qann_$fp%016x")
+      val d = new File(sys.props("java.io.tmpdir"),
+        f"graft_qann_v${Ver.ann}_$fp%016x")
       if (!complete(d))
         graft.extra.AnnIndex.buildAndWriteIvfPq(emb, idCol, vecCol,
           d.toString)
@@ -123,7 +147,7 @@ object IndexedCorpus {
     import spark.implicits._
     val fp = fingerprint(emb, col(idCol), to_json(col(vecCol)))
     val d = new File(sys.props("java.io.tmpdir"),
-      f"graft_qpqcb_$fp%016x_${m}_${numCentroids}_$iters")
+      f"graft_qpqcb_v${Ver.pqcb}_$fp%016x_${m}_${numCentroids}_$iters")
     if (!new File(d, "_SUCCESS").exists()) {
       val cb = graft.extra.Similarity.kmeansPqCodebook(emb, idCol,
         vecCol, m, numCentroids, iters)

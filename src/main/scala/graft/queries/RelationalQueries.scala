@@ -894,7 +894,8 @@ object RelationalQueries {
       sumCols = Seq("price"), minCols = Seq("price"),
       maxCols = Seq("price"))
     val fp = IndexedCorpus.fingerprint(rows, col("month"), col("price"))
-    val state = IndexedCorpus.cachedDir("graft_qincr", fp) { d =>
+    val state = IndexedCorpus.cachedDir("graft_qincr",
+        IndexedCorpus.Ver.incr, fp) { d =>
       val base = rows.filter(col("month") < "1999-01")
       val d1 = rows.filter(
         col("month") >= "1999-01" && col("month") < "2000-07")
