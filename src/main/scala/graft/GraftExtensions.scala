@@ -74,14 +74,31 @@ object GraftExtensions {
       new ExpressionInfo("graft.extra.Snapshots", "graft_snapshot",
         "graft_snapshot(dir[, version | timestamp]) - rows of a " +
           "snapshot-table version (latest when omitted; a timestamp " +
-          "resolves TIMESTAMP AS OF); arguments must be literals"),
+          "resolves TIMESTAMP AS OF); arguments must be constant " +
+          "literals. Resolution happens ONCE, at analysis time: a " +
+          "view/CTE defined over graft_snapshot pins whatever version " +
+          "the dir/timestamp resolved to when the view body was " +
+          "analyzed, and does NOT track later commits"),
       (children: Seq[Expression]) => {
         require(children.nonEmpty && children.length <= 2,
           s"graft_snapshot expects (dir[, version | timestamp]), got " +
             s"${children.length} arguments")
         def folded(e: Expression, what: String): Any = {
           require(e.foldable, s"graft_snapshot $what must be a literal")
-          e.eval()
+          // foldable ≠ evaluable HERE: current_timestamp() et al. are
+          // foldable but only substituted later by the optimizer's
+          // ComputeCurrentTime — eval() at analysis time throws an
+          // opaque UnsupportedOperationException. Surface the real
+          // contract instead.
+          try e.eval()
+          catch { case scala.util.control.NonFatal(_) =>
+            throw new IllegalArgumentException(
+              s"graft_snapshot $what must be a constant literal " +
+                "evaluable at analysis time (e.g. TIMESTAMP '2026-01-03" +
+                " 00:00:00'); expressions like current_timestamp() " +
+                "are substituted only at optimization time and cannot " +
+                "pin a snapshot version here")
+          }
         }
         val dir = folded(children.head, "dir") match {
           case null => throw new IllegalArgumentException(

@@ -1,0 +1,96 @@
+package graft.extra
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+
+/** Atomic PUT-IF-ABSENT of a small immutable file — the commit
+  * primitive under every optimistic version CAS in this library
+  * ([[Snapshots]] version files, [[IndexManifests]] index manifests).
+  *
+  * Why `fs.create(dst, overwrite = false)` alone is NOT that
+  * primitive: on HDFS the exclusive create is arbitrated by the
+  * namenode and is a true CAS, but Hadoop's LOCAL filesystem
+  * implements `overwrite = false` as an exists() check followed by a
+  * plain open — check-then-act. Two writers racing the same version
+  * file through it BOTH "win" (measured on this box: 1936/2000
+  * barrier-synchronized races ended with two successful creates, the
+  * second silently truncating the first), which breaks the
+  * single-winner-per-version invariant the whole commit protocol
+  * rests on. The r13 randomized rebalance-storm race spec caught
+  * exactly this as a `version 1 committed twice`.
+  *
+  * Local-scheme path: write the full content to a hidden same-dir
+  * temp file, then publish it with `Files.createLink` — the POSIX
+  * link(2) syscall fails atomically with EEXIST when the target
+  * already exists, giving both the CAS and full-content atomicity (a
+  * reader can never observe a half-written committed file, a gap the
+  * direct-create form also had). Filesystems without hard links fall
+  * back to `Files.createFile` (O_CREAT|O_EXCL — still a true CAS,
+  * atomic reserve) followed by the content write. Non-local schemes
+  * keep `fs.create(dst, false)`, which is atomic where it matters
+  * (HDFS; object stores with conditional PUT surface it the same
+  * way).
+  *
+  * Throws Hadoop's [[FileAlreadyExistsException]] on a lost race —
+  * callers map it to their protocol-level
+  * `ConcurrentModificationException`.
+  */
+private[graft] object AtomicFiles {
+
+  def createExclusive(fs: FileSystem, dst: Path,
+      bytes: Array[Byte]): Unit = {
+    val scheme = Option(dst.toUri.getScheme)
+      .getOrElse(fs.getUri.getScheme)
+    if (scheme == "file") createExclusiveLocal(dst, bytes)
+    else {
+      val out =
+        try fs.create(dst, false)
+        catch {
+          case e: FileAlreadyExistsException => throw e
+          // some filesystems signal the existing file with a bare
+          // IOException — map to the lost-race path only when the
+          // target really exists; genuine I/O failures must surface
+          case e: java.io.IOException =>
+            if (fs.exists(dst))
+              throw new FileAlreadyExistsException(dst.toString)
+            else throw e
+        }
+      try out.write(bytes)
+      finally out.close()
+    }
+  }
+
+  def createExclusive(fs: FileSystem, dst: Path, text: String): Unit =
+    createExclusive(fs, dst, text.getBytes(StandardCharsets.UTF_8))
+
+  private def createExclusiveLocal(dst: Path,
+      bytes: Array[Byte]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val target = Paths.get(dst.toUri.getPath)
+    if (target.getParent != null)
+      Files.createDirectories(target.getParent): Unit
+    // dot-prefixed temp: invisible to every manifest listing (they
+    // match `v*` / `c-*` names) and to vacuum's orphan sweeps
+    val tmp = target.resolveSibling(
+      s".tmp-${java.util.UUID.randomUUID()}")
+    try {
+      Files.write(tmp, bytes)
+      try Files.createLink(target, tmp): Unit
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new FileAlreadyExistsException(dst.toString)
+        case _: UnsupportedOperationException =>
+          // no hard links on this FS: O_CREAT|O_EXCL reserve is still
+          // an atomic CAS; content lands right after (readers of a
+          // just-reserved empty file retry at the protocol level)
+          try Files.createFile(target): Unit
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new FileAlreadyExistsException(dst.toString)
+          }
+          Files.write(target, bytes): Unit
+      }
+    } finally Files.deleteIfExists(tmp): Unit
+  }
+}

@@ -273,24 +273,26 @@ object Graph {
     // SMALL-GRAPH fast path: the loop's per-round cost on a graph this
     // size is almost entirely fixed scheduling overhead (9 rounds × a
     // few KB-sized shuffles spread over the session's full partition
-    // count). Scope shuffle.partitions down for the loop — restored in
-    // the finally — so each tiny round is a handful of tasks, not
-    // hundreds. Large graphs keep the session's parallelism untouched.
-    val partsKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.getOption(partsKey)
-    val scopeDown = symCount < 2000000L
-    if (scopeDown) spark.conf.set(partsKey,
-      math.min(8, savedParts.map(_.toInt).getOrElse(8)).toString)
-    try {
-      connectedLoop(spark, sym, maxIters)
-    } finally if (scopeDown) savedParts match {
-      case Some(v) => spark.conf.set(partsKey, v)
-      case None => spark.conf.unset(partsKey)
-    }
+    // count). Scope the loop's shuffles down via EXPLICIT
+    // repartition(n, key) on the frames feeding each groupBy/join —
+    // never by mutating the session-global shuffle.partitions conf: a
+    // save/restore there is not reentrant (two concurrent calls can
+    // capture each other's scoped-down value and leave the session
+    // permanently at 8) and it would bleed into every unrelated query
+    // sharing the session. Large graphs keep the session parallelism.
+    val loopParts = if (symCount < 2000000L) Some(8) else None
+    connectedLoop(spark, sym, maxIters, loopParts)
   }
 
   private def connectedLoop(spark: SparkSession, sym: DataFrame,
-      maxIters: Int): DataFrame = {
+      maxIters: Int, loopParts: Option[Int]): DataFrame = {
+
+    // Pre-size a shuffle explicitly on the small-graph path: hash
+    // partition on the upcoming groupBy/join key with a fixed tiny
+    // partition count, so the downstream exchange is satisfied and the
+    // round runs as a handful of tasks without touching session conf.
+    def sized(df: DataFrame, key: String): DataFrame =
+      loopParts.map(n => df.repartition(n, col(key))).getOrElse(df)
 
     // ROUND 1 seeded straight from the edge frame: with identity
     // initial labels, a neighbor's label IS its id, so min(own,
@@ -300,8 +302,10 @@ object Graph {
     // rows (the src-side union leg), so the convergence probe is
     // identical in form to the loop's.
     val obs1 = new org.apache.spark.sql.Observation()
-    var labels = sym.select(col("dst").as("id"), col("src").as("lab"))
-      .unionAll(sym.select(col("src").as("id"), col("src").as("lab")))
+    var labels = sized(
+        sym.select(col("dst").as("id"), col("src").as("lab"))
+          .unionAll(sym.select(col("src").as("id"), col("src").as("lab"))),
+        "id")
       .groupBy("id").agg(min("lab").as("lab"))
       .observe(obs1, sum(when(col("lab") =!= col("id"), 1L)
         .otherwise(0L)).as("changed"))
@@ -314,10 +318,12 @@ object Graph {
     // converged — it is the identity at the fixed point), so each
     // round costs ONE eager job, not two. Lineage stays bounded: the
     // lazy hop is one join over the round's checkpointed frame.
-    def doubled(propagated: DataFrame): DataFrame = propagated
-      .join(propagated.select(col("id").as("lab"), col("lab").as("lab2")),
-        "lab")
-      .select(col("id"), col("lab2").as("lab"))
+    def doubled(propagated: DataFrame): DataFrame =
+      sized(propagated, "lab")
+        .join(sized(
+          propagated.select(col("id").as("lab"), col("lab").as("lab2")),
+          "lab"), "lab")
+        .select(col("id"), col("lab2").as("lab"))
     if (!converged) labels = doubled(labels)
 
     var i = 1
@@ -328,8 +334,11 @@ object Graph {
       // the update, and the changed-count observed metric answers the
       // convergence probe from the materialization job itself
       val obs = new org.apache.spark.sql.Observation()
-      val propagated = labels.withColumn("old", col("lab")).unionByName(
-          nbr.withColumn("old", lit(null).cast(nbr.schema("lab").dataType)))
+      val propagated = sized(
+          labels.withColumn("old", col("lab")).unionByName(
+            nbr.withColumn("old",
+              lit(null).cast(nbr.schema("lab").dataType))),
+          "id")
         .groupBy("id")
         .agg(min("lab").as("lab"), min("old").as("old"))
         .observe(obs, sum(when(col("lab") =!= col("old"), 1L)

@@ -56,15 +56,15 @@ private[graft] object IndexManifests {
     latest(spark, dir).getOrElse(throw new IllegalStateException(
       s"no committed $what index at $dir (missing _manifests)"))
 
-  /** Atomic commit via create-fails-if-exists on the FINAL name (the
-    * same commit point as [[Snapshots]]' manifest commit): the create
-    * is the CAS — two writers racing one version both reach it, the
-    * loser throws, and the winner's committed bytes are never
-    * clobbered. The earlier write-aside-then-rename form was NOT a CAS
-    * everywhere: RawLocalFileSystem's rename replaces an existing
-    * destination (File.renameTo semantics) and rename-less object
-    * stores copy-over, so two racers could both pass an exists check
-    * and the loser would overwrite the committed manifest.
+  /** Atomic commit via put-if-absent on the FINAL name (the same
+    * commit point as [[Snapshots]]' manifest commit): the exclusive
+    * create is the CAS — two writers racing one version both reach
+    * it, the loser throws, and the winner's committed bytes are never
+    * clobbered. Neither write-aside-then-rename (RawLocalFileSystem's
+    * rename replaces an existing destination) nor a bare
+    * `fs.create(dst, false)` (check-then-act on the local scheme —
+    * see [[AtomicFiles]]) is that primitive everywhere, so the create
+    * goes through [[AtomicFiles.createExclusive]].
     */
   def commit(spark: SparkSession, dir: String, version: Long,
       entries: Map[String, Seq[String]]): Unit = {
@@ -77,19 +77,15 @@ private[graft] object IndexManifests {
     val bytes = entries.toSeq.sortBy(_._1)
       .flatMap { case (f, segs) => segs.map(s => s"$f\t$s") }
       .mkString("", "\n", "\n").getBytes("UTF-8")
-    val out =
-      try fs.create(dst, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw lostRace()
-        // some filesystems signal the existing file with a bare
-        // IOException — map to the retry path only when the target
-        // really exists; genuine I/O failures must surface as such
-        case e: java.io.IOException =>
-          if (fs.exists(dst)) throw lostRace() else throw e
-      }
-    try out.write(bytes)
-    finally out.close()
+    // AtomicFiles supplies a TRUE put-if-absent: on the local scheme
+    // Hadoop's create(dst, false) is check-then-act (two racers can
+    // both win, the loser clobbering the committed manifest) — see
+    // [[AtomicFiles]] for the measurement
+    try AtomicFiles.createExclusive(fs, dst, bytes)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw lostRace()
+    }
   }
 
   /** Delete every on-disk child of the given frame dirs not named by

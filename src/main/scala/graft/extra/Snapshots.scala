@@ -195,11 +195,21 @@ object Snapshots {
       }
     }
     manifestReadCount.incrementAndGet()
-    val in = fs.open(p)
+    // A vacuum can delete the file BETWEEN the getFileStatus above and
+    // this open/read — map that FileNotFoundException through the same
+    // missing() path (cache evicted, caller-appropriate error) instead
+    // of leaking a raw FNF that skips the eviction.
     val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toList
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          evictManifest(root, name)
+          throw missing(name)
+      }
     manifestCache.synchronized {
       val chars = lines.iterator.map(_.length.toLong).sum
       val prev = manifestCache.put(cacheKey,
@@ -605,22 +615,18 @@ object Snapshots {
     val md = manifestDir(root)
     fs.mkdirs(md)
     val target = new Path(md, s"v$version")
-    def lostRace() = new java.util.ConcurrentModificationException(
-      s"version $version already committed at $root — recompute " +
-        "against the current manifest and retry")
-    val out =
-      try fs.create(target, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          throw lostRace()
-        // some filesystems signal the existing file with a bare
-        // IOException — only map to the retry path when the target
-        // really exists; genuine I/O failures must surface as such
-        case e: java.io.IOException =>
-          if (fs.exists(target)) throw lostRace() else throw e
-      }
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // AtomicFiles is the actual CAS: a plain fs.create(target, false)
+    // is NOT exclusive on Hadoop's local filesystem (check-then-act),
+    // and the r13 rebalance-storm race spec demonstrated two writers
+    // both winning the same version through it
+    try AtomicFiles.createExclusive(fs, target,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"version $version already committed at $root — recompute " +
+            "against the current manifest and retry")
+    }
   }
 
   private def headerLines(schema: Option[StructType],
@@ -1461,6 +1467,13 @@ object Snapshots {
         fs.delete(f.getPath, false)
         evictManifest(qroot, f.getPath.getName)
       }
+    // a writer that crashed between staging and publishing its
+    // version file leaves a .tmp- sibling ([[AtomicFiles]]); grace-
+    // aged ones are dead by definition (the publish link is atomic)
+    fs.listStatus(md).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith(".tmp-"))
+      .filter(_.getModificationTime <= cutoff)
+      .foreach(f => fs.delete(f.getPath, false): Unit)
     val dead = fs.listStatus(dataDir(root)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .filter(f => !live.contains(f.getPath.getName))

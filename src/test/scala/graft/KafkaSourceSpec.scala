@@ -35,6 +35,55 @@ class KafkaSourceSpec extends SparkSpec {
     assert(!src.options.contains("maxOffsetsPerTrigger"))
   }
 
+  // CURRENCY CHECK for the env-blocked live leg (no connector jar in
+  // this sandbox, so nothing else would catch a rotten option name):
+  // every option this source emits must be a real Spark 4.x
+  // structured-streaming Kafka reader option. The table is the
+  // published option list of spark-sql-kafka-0-10 (Structured
+  // Streaming + Kafka Integration Guide, Spark 4.1) — the connector
+  // matches names case-insensitively, so compare lowercased.
+  private val spark41KafkaReaderOptions = Set(
+    // subscription (exactly one of)
+    "assign", "subscribe", "subscribepattern",
+    // offsets / limits
+    "startingoffsets", "endingoffsets",
+    "startingoffsetsbytimestamp", "endingoffsetsbytimestamp",
+    "startingtimestamp", "endingtimestamp",
+    "startingoffsetsbytimestampstrategy",
+    "maxoffsetspertrigger", "minoffsetspertrigger", "maxtriggerdelay",
+    // behavior
+    "failondataloss", "kafkaconsumer.polltimeoutms",
+    "fetchoffset.numretries", "fetchoffset.retryintervalms",
+    "maxrecordsperpartition",
+    "minpartitions", "groupidprefix", "includeheaders",
+    // pass-through consumer configs keep their kafka. prefix
+    "kafka.bootstrap.servers", "kafka.group.id")
+
+  test("every emitted option name is a current Spark 4.1 Kafka reader " +
+      "option (rot guard for the jar-blocked live leg)") {
+    val src = new KafkaTickSource("b:9092", "ticks",
+      SourceOptions(startingOffsets = "earliest", failOnDataLoss = true),
+      maxOffsetsPerTrigger = Some(1L))
+    val unknown = src.options.keySet
+      .filterNot(k => spark41KafkaReaderOptions.contains(k.toLowerCase))
+    assert(unknown.isEmpty,
+      s"option name(s) not in the Spark 4.1 kafka reader option table: " +
+        s"${unknown.mkString(", ")}")
+  }
+
+  test("the full reference reader option set is emitted byte-for-byte " +
+      "(spark_streaming.py:315-322)") {
+    // reference: kafka.bootstrap.servers, subscribe, startingOffsets,
+    // failOnDataLoss — with startingOffsets ∈ {earliest, latest} and
+    // failOnDataLoss hard-coded "false"
+    val src = new KafkaTickSource("kafka:9092", "market.ticks")
+    assert(Set("kafka.bootstrap.servers", "subscribe",
+      "startingOffsets", "failOnDataLoss").subsetOf(src.options.keySet))
+    assert(src.options("failOnDataLoss") == "false")
+    assert(Set("earliest", "latest")
+      .contains(src.options("startingOffsets")))
+  }
+
   test("without the connector jar, stream() raises the clear guard error") {
     assume(!KafkaTickSource.providerAvailable)
     val e = intercept[IllegalStateException] {

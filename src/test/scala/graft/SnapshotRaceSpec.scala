@@ -149,4 +149,105 @@ class SnapshotRaceSpec extends SparkSpec {
           s"${(model.toSet diff got.toSet).take(5)}")
     } finally spark.conf.unset(Snapshots.FilesPerManifestKey)
   }
+
+  /** Rebalance-under-contention arm (r12 verdict #5): a commit STORM
+    * of tiny appends from racing writers drives the chunk-ref list
+    * across the 4×-packed-size guard repeatedly, so the tree's
+    * re-pack path (expand every carried chunk, re-pack the whole
+    * inventory, all inside the optimistic CAS) is exercised WHILE
+    * losing and retrying races — not just serially as in
+    * SnapshotTreeSpec. Asserts the usual isolation invariants plus
+    * that at least one committed version actually re-packed (its ref
+    * count collapses vs its parent; appends otherwise only ever grow
+    * the list by one).
+    */
+  test("racing tiny-append writers: rebalance re-pack fires inside " +
+      "the CAS race and never tears a read") {
+    spark.conf.set(Snapshots.FilesPerManifestKey, "8")
+    try {
+      val dir = Files.createTempDirectory("snap-race-rebal").toString
+      val init = (0L until 128L).map(i => i -> s"base-$i").toMap
+      Snapshots.init(
+        init.toSeq.toDF("id", "text"), dir, "id", numFiles = 16)
+
+      val committed =
+        new java.util.concurrent.ConcurrentHashMap[Long, Map[Long, String]]()
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val nPerWriter = 12
+      val writers = (0 until 3).map { w =>
+        new Thread(() => {
+          try {
+            for (i <- 0 until nPerWriter) {
+              // strictly new keys, disjoint per writer: every commit
+              // carries ALL prior chunks untouched and adds one tiny
+              // chunk — the exact shape that grows the ref list until
+              // the guard re-packs it
+              val rows = Map(
+                (100000L + w * 10000L + i) -> s"w$w-i$i")
+              var done = false
+              var tries = 0
+              while (!done) {
+                try {
+                  val c = Snapshots.upsert(spark, dir,
+                    rows.toSeq.toDF("id", "text"), "id")
+                  val prev = committed.put(c.version, rows)
+                  assert(prev == null,
+                    s"version ${c.version} committed twice")
+                  done = true
+                } catch {
+                  case _: ConcurrentModificationException =>
+                    tries += 1
+                    if (tries > 80) throw new IllegalStateException(
+                      "writer starved after 80 lost races")
+                    Thread.sleep(10L * (1 + tries % 5))
+                }
+              }
+            }
+          } catch { case t: Throwable => errors.add(t): Unit }
+        }, s"rebal-writer-$w")
+      }
+      writers.foreach(_.start())
+      writers.foreach(_.join(300000))
+      assert(errors.isEmpty, s"writer errors: " +
+        errors.toArray.map(_.toString).mkString("; "))
+
+      import scala.jdk.CollectionConverters._
+      val versions = committed.keySet.asScala.toSeq.sorted
+      assert(versions == (1L to (3L * nPerWriter)),
+        s"non-contiguous: $versions")
+
+      // ref-count trajectory across the retained chain: appends add
+      // at most one ref per commit, so any drop is the guard firing.
+      def refCount(v: Long): Int =
+        new String(Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_manifests", s"v$v")), "UTF-8")
+          .linesIterator.count(_.startsWith("#mchunk="))
+      val refCounts = (0L +: versions).map(refCount)
+      val drops = refCounts.sliding(2).count(p => p(1) < p.head)
+      assert(drops >= 1,
+        s"no rebalance fired across ${versions.size} tiny commits: " +
+          s"ref trajectory $refCounts")
+      // guard invariant holds at the head
+      val head = versions.last
+      val total = Snapshots.manifest(spark, dir, head).size
+      val packed = (total + 7) / 8
+      assert(refCounts.last <= math.max(16, 4 * packed),
+        s"${refCounts.last} refs for $total files (packed=$packed)")
+
+      // no torn read anywhere on the chain; final state == init plus
+      // every winning append
+      versions.foreach { v =>
+        val d = Snapshots.read(spark, dir, Some(v))
+          .agg(count(lit(1)), count_distinct(col("id"))).head()
+        assert(d.getLong(0) == d.getLong(1), s"v$v duplicate keys")
+      }
+      val model = committed.values.asScala.foldLeft(init)(_ ++ _)
+      val got = Snapshots.read(spark, dir).select("id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(got == model,
+        s"divergence: ${(got.toSet diff model.toSet).take(5)} / " +
+          s"${(model.toSet diff got.toSet).take(5)}")
+    } finally spark.conf.unset(Snapshots.FilesPerManifestKey)
+  }
 }
