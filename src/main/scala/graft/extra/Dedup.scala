@@ -616,4 +616,81 @@ object Dedup {
     assigned.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cluster_id"))
   }
+
+  /** Exact duplicated-SUBSTRING spans per document — the span-level
+    * form of Lee et al. 2022's ExactSubstr dedup (arXiv:2107.06499),
+    * k-gram-anchored instead of suffix-array'd: a token span is
+    * reported iff every length-`k` window inside it occurs ≥ 2 times
+    * in the whole corpus (within- or cross-document). Any duplicated
+    * substring of ≥ k tokens flags all of its k-gram start positions
+    * consecutively, so merging flagged starts with gap ≤ k
+    * reconstructs exactly the maximal duplicated spans — the
+    * suffix-array result at k-token resolution, as one keyed shuffle
+    * plus a per-document window instead of a global suffix sort.
+    *
+    * Pipeline shape (100 TB posture):
+    *   1. positioned k-grams via the zip_with chain (collection args
+    *      evaluate once per row — the lambda-CSE trap note on
+    *      [[Text.shinglesFromTokens]]); posexplode keeps the start
+    *      index;
+    *   2. duplicate k-grams by ONE groupBy on the gram key (map-side
+    *      partial count), `hashed = true` swaps the shuffled key for
+    *      xxhash64(gram) — 8 bytes instead of ~k words per row, the
+    *      production form (collision odds ~n²/2⁶⁵ only ever ADD a
+    *      false span anchor);
+    *   3. flagged starts rejoin (broadcast-averse: both sides keyed on
+    *      the gram), then a PER-DOCUMENT window merges starts into
+    *      maximal spans — partitioned by doc id, bounded by doc
+    *      length, never global.
+    *
+    * Output, one row per input document: `n_spans`, `dup_tokens`
+    * (tokens covered by merged spans — overlaps never double-count),
+    * `max_span` (longest span, tokens), `dup_span_frac` =
+    * dup_tokens / n_tokens (0.0 for span-free or empty docs).
+    */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, hashed: Boolean = false): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = Text.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__toks"),
+      size(toks).cast("long").as("__n_toks"))
+    // joined[i] = k-gram starting at 0-based token i; the k-1 tail
+    // slots are null (zip_with pads) and drop after the posexplode
+    val joined = (2 to k).foldLeft(col("__toks"))((cur, j) =>
+      zip_with(cur, slice(col("__toks"), lit(j), size(col("__toks"))),
+        (p, c) => concat(p, lit(" "), c)))
+    val grams = base
+      .select(col(idCol), posexplode(joined).as(Seq("pos", "__sh")))
+      .filter(col("__sh").isNotNull)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (if (hashed) xxhash64(col("__sh")) else col("__sh")).as("__g"))
+    val dup = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__g")
+    val flagged = grams.join(dup, Seq("__g")).select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val spans = flagged
+      // new span iff the previous flagged start is more than k back:
+      // spans [p, p+k-1] and [q, q+k-1] touch/overlap iff q - p <= k
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("__span",
+        sum("__brk").over(byDoc
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg((max("pos") - min("pos") + k).as("__len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), sum("__len").as("dup_tokens"),
+        max("__len").as("max_span"))
+    base.select(col(idCol), col("__n_toks"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        when(col("__n_toks") === 0L || col("n_spans").isNull, lit(0.0))
+          .otherwise(round(
+            col("dup_tokens").cast("double") / col("__n_toks"), 6))
+          .as("dup_span_frac"))
+  }
 }

@@ -691,6 +691,52 @@ object TextQueriesImpl {
       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- dup_spans ----------------------------------------------------
+
+  /** Maximal duplicated-substring SPANS per doc at 5-gram resolution
+    * ([[graft.extra.Dedup.exactSubstrSpans]] — the span-level Lee et
+    * al. ExactSubstr form; dup_ngrams above is only the coverage
+    * fraction). Registered with string gram keys so the oracle can
+    * reproduce the grouping; `hashed = true` is the 8-byte-key
+    * production form, spec-pinned equivalent in DedupSpec.
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Dedup.exactSubstrSpans(docs(s, dir), "doc_id", "text",
+        k = 5)
+      .orderBy("doc_id")
+
+  private val dupSpansOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |    unnest(range(1, len(toks) - 3)) AS pos
+       |  FROM t WHERE len(toks) >= 5),
+       |s AS (SELECT doc_id, pos,
+       |    array_to_string(toks[pos:pos+4], ' ') AS sh
+       |  FROM g),
+       |dup AS (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2),
+       |f AS (SELECT s.doc_id, s.pos FROM s JOIN dup USING (sh)),
+       |b AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+       |  FROM f),
+       |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS span FROM b),
+       |ln AS (SELECT doc_id, span, max(pos) - min(pos) + 5 AS len
+       |  FROM sp GROUP BY 1, 2),
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(len) AS BIGINT) AS dup_tokens,
+       |    CAST(max(len) AS BIGINT) AS max_span
+       |  FROM ln GROUP BY 1)
+       |SELECT t.doc_id,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(p.max_span, 0) AS max_span,
+       |  CASE WHEN p.n_spans IS NULL OR len(t.toks) = 0 THEN 0.0
+       |    ELSE round(CAST(p.dup_tokens AS DOUBLE) / len(t.toks), 6)
+       |  END AS dup_span_frac
+       |FROM t LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- bm25_search --------------------------------------------------
 
   /** BM25 top-20 for a fixed three-term query over the corpus (see
@@ -964,6 +1010,10 @@ object TextQueriesImpl {
     QueryDef("dup_ngrams",
       "duplicated-3-gram coverage per doc (exact-substring dedup signal)",
       dupNgrams, Some(dupNgramsOracle)),
+    QueryDef("dup_spans",
+      "maximal duplicated-substring spans per doc (Lee et al. " +
+        "ExactSubstr at 5-gram resolution: anchor + span merge)",
+      dupSpans, Some(dupSpansOracle)),
     QueryDef("tfidf_top_terms",
       "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",
       tfidfTopTerms, Some(tfidfTopTermsOracle)),

@@ -229,6 +229,48 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.CheckpointModeKey)
   }
 
+  test("exactSubstrSpans: hand-built corpus — shared run merges into " +
+      "one maximal span, uniques report zero") {
+    // docs 1 and 2 share the 8-token run "q w e r t y u i" (starts at
+    // token 2 in doc 1, token 0 in doc 2); with k=5 that flags starts
+    // {2,3,4,5} / {0,1,2,3}, each merging to ONE span of 8 tokens.
+    // doc 3 shares nothing. doc 4 repeats a 6-token phrase WITHIN
+    // itself → two spans of 6 in the same doc.
+    val docs = Seq(
+      (1L, "a b q w e r t y u i c d"), // 12 toks, span 8 @2
+      (2L, "q w e r t y u i z z2 z3"), // 11 toks, span 8 @0
+      (3L, "m n o p s m2 n2 o2 p2 s2"), // 10 toks, none
+      (4L, "k l m n o p g1 g2 g3 g4 g5 g6 k l m n o p") // 18 toks, 2×6
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "dup_tokens", "max_span",
+        "dup_span_frac")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, 8L, 8L, math.rint(8.0 / 12 * 1e6) / 1e6),
+      (2L, 1L, 8L, 8L, math.rint(8.0 / 11 * 1e6) / 1e6),
+      (3L, 0L, 0L, 0L, 0.0),
+      (4L, 2L, 12L, 6L, math.rint(12.0 / 18 * 1e6) / 1e6)))
+  }
+
+  test("exactSubstrSpans: hashed gram keys (production form) match " +
+      "the string-key form exactly") {
+    val docs = (0L until 60L).map { i =>
+      val body = if (i % 3 == 0) "the quick brown fox jumps over the lazy dog"
+        else s"unique u$i v$i w$i x$i y$i z$i a$i b$i"
+      (i, s"h$i $body t$i")
+    }.toDF("doc_id", "text")
+    val a = Dedup.exactSubstrSpans(docs, "doc_id", "text", k = 5,
+      hashed = false).orderBy("doc_id").collect().toSeq
+    val b = Dedup.exactSubstrSpans(docs, "doc_id", "text", k = 5,
+      hashed = true).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("dedup operators leave nothing in the session cache manager") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),

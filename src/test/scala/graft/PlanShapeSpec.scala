@@ -569,4 +569,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("dup_spans: gram-keyed equijoin + per-doc window — no cartesian, " +
+      "no nested loop, and the span merge never runs as one global task") {
+    val plan = executedPlan("dup_spans")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the window is partitioned by doc id — a single-partition global
+    // window would show as 'Window' fed by 'Exchange SinglePartition'
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      plan.take(3000))
+  }
 }
