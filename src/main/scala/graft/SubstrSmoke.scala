@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.extra.Dedup
+
+/** ExactSubstr-span scale smoke: [[Dedup.exactSubstrSpans]] (hashed
+  * production form — 8-byte gram keys on the shuffle) over a generated
+  * corpus orders of magnitude beyond the test documents, with PLANTED
+  * duplicated substrings so the smoke reports exact recall alongside
+  * walls.
+  *
+  * Corpus: `n` docs of 50 synthetic tokens each; background tokens are
+  * seeded-hash-unique across the corpus (a chance duplicate 5-gram is
+  * impossible without token collisions, and a single token collision
+  * cannot form one), and every 5th doc carries the SAME 12-token
+  * boilerplate run at positions 20..31. The expected answer is
+  * therefore exact: planted docs report exactly one span of exactly 12
+  * tokens (5-gram anchors 20..27 merge; the boundary grams mix unique
+  * background and stay unflagged), everything else reports zero.
+  *
+  * Scale posture under test: gram volume is 46·n rows through ONE
+  * keyed groupBy + one keyed join + a per-doc window — all linear in
+  * n. Walls at n/4 and n make the shape visible: healthy is ~4×, a
+  * quadratic regression would show ~16×.
+  *
+  * Usage: runMain graft.SubstrSmoke [nDocs]
+  */
+object SubstrSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(400000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus(rows: Long) = {
+      val planted = pmod(col("id"), lit(5L)) === 4L
+      val tok = (i: org.apache.spark.sql.Column) =>
+        when(planted && i >= 20 && i <= 31,
+          concat(lit("b"), (i - 20).cast("string")))
+          .otherwise(concat(lit("t"), pmod(
+            xxhash64(col("id") * 53L + i), lit(1L << 40)).cast("string")))
+      spark.range(rows).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0L), lit(49L)), tok)).as("text"))
+    }
+
+    def run(rows: Long): (Double, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val out = Dedup.exactSubstrSpans(corpus(rows), "doc_id", "text",
+        k = 5, hashed = true)
+      val agg = out.agg(
+        sum(when(col("n_spans") === 1L && col("max_span") === 12L &&
+          pmod(col("doc_id"), lit(5L)) === 4L, 1L).otherwise(0L)),
+        sum(when(pmod(col("doc_id"), lit(5L)) === 4L, 1L).otherwise(0L)),
+        sum(when(pmod(col("doc_id"), lit(5L)) =!= 4L &&
+          col("n_spans") =!= 0L, 1L).otherwise(0L))).head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    }
+
+    run(10000L): Unit // warmup
+    val (wq, _, _, _) = run(n / 4)
+    val (wall, found, plantedN, falseDocs) = run(n)
+    assert(found == plantedN,
+      s"planted recall: $found of $plantedN docs report the 12-token span")
+    assert(falseDocs == 0L, s"$falseDocs unplanted docs report spans")
+    println(s"""{"metric":"substr_smoke","n_docs":$n,""" +
+      s""""planted":$plantedN,"planted_found":$found,""" +
+      s""""false_docs":$falseDocs,"wall_quarter_s":$wq,"wall_s":$wall,""" +
+      s""""docs_per_sec":${(n / wall).toLong}}""")
+    spark.stop()
+  }
+}

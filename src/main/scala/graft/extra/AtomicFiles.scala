@@ -27,10 +27,12 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   * reader can never observe a half-written committed file, a gap the
   * direct-create form also had). Filesystems without hard links fall
   * back to `Files.createFile` (O_CREAT|O_EXCL — still a true CAS,
-  * atomic reserve) followed by the content write. Non-local schemes
-  * keep `fs.create(dst, false)`, which is atomic where it matters
-  * (HDFS; object stores with conditional PUT surface it the same
-  * way).
+  * atomic reserve) followed by the content write. HDFS stages the
+  * content and publishes with namenode-arbitrated rename (atomic,
+  * fails on an existing destination — the canonical HDFS commit, and
+  * content-atomic where direct create-then-write would let readers
+  * see a growing file). Other schemes keep `fs.create(dst, false)`,
+  * atomic where the store arbitrates creates server-side.
   *
   * Throws Hadoop's [[FileAlreadyExistsException]] on a lost race —
   * callers map it to their protocol-level
@@ -42,23 +44,58 @@ private[graft] object AtomicFiles {
       bytes: Array[Byte]): Unit = {
     val scheme = Option(dst.toUri.getScheme)
       .getOrElse(fs.getUri.getScheme)
-    if (scheme == "file") createExclusiveLocal(dst, bytes)
-    else {
-      val out =
-        try fs.create(dst, false)
-        catch {
-          case e: FileAlreadyExistsException => throw e
-          // some filesystems signal the existing file with a bare
-          // IOException — map to the lost-race path only when the
-          // target really exists; genuine I/O failures must surface
-          case e: java.io.IOException =>
-            if (fs.exists(dst))
-              throw new FileAlreadyExistsException(dst.toString)
-            else throw e
-        }
+    scheme match {
+      case "file" => createExclusiveLocal(dst, bytes)
+      // HDFS: rename is arbitrated at the namenode — atomic, and it
+      // FAILS (returns false) when the destination exists. Staging
+      // the full content first means a reader can never open a
+      // half-written committed file, which direct create-then-write
+      // would expose (the stream is visible from creation)
+      case "hdfs" => createExclusiveViaRename(fs, dst, bytes)
+      case _ =>
+        // generic fallback: exclusive create. Atomic where the store
+        // arbitrates creates server-side; object stores with
+        // conditional PUT surface the conflict on close
+        val out =
+          try fs.create(dst, false)
+          catch {
+            case e: FileAlreadyExistsException => throw e
+            // some filesystems signal the existing file with a bare
+            // IOException — map to the lost-race path only when the
+            // target really exists; genuine I/O failures must surface
+            case e: java.io.IOException =>
+              if (fs.exists(dst))
+                throw new FileAlreadyExistsException(dst.toString)
+              else throw e
+          }
+        try out.write(bytes)
+        finally out.close()
+    }
+  }
+
+  private def createExclusiveViaRename(fs: FileSystem, dst: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dst.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}")
+    var published = false
+    try {
+      val out = fs.create(tmp, false)
       try out.write(bytes)
       finally out.close()
-    }
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch {
+          case _: FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.PathExistsException => false
+        }
+      if (!renamed) {
+        if (fs.exists(dst))
+          throw new FileAlreadyExistsException(dst.toString)
+        throw new java.io.IOException(
+          s"rename $tmp -> $dst failed without an existing destination")
+      }
+      published = true
+    } finally if (!published) fs.delete(tmp, false): Unit
   }
 
   def createExclusive(fs: FileSystem, dst: Path, text: String): Unit =
