@@ -421,6 +421,13 @@ object Graft {
       dir: String, retainFrom: Long): Seq[String] =
     extra.Snapshots.vacuum(spark, dir, retainFrom)
 
+  /** Roll back by committing toVersion's content as a NEW version
+    * (append-only history, manifest-only cost — no data IO).
+    */
+  def snapshotRestore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, toVersion: Long): extra.Snapshots.Commit =
+    extra.Snapshots.restore(spark, dir, toVersion)
+
   // ---- incremental materialized aggregates ----------------------------
 
   /** Build a materialized aggregate view's partial-agg state. */

@@ -1304,6 +1304,59 @@ object Snapshots {
     Commit(parent + 1, staged, files.size, rows)
   }
 
+  /** RESTORE: commit a NEW version whose content is exactly that of
+    * an earlier `toVersion` — the Delta `RESTORE TABLE ... TO VERSION
+    * AS OF` shape. History is append-only: nothing after `toVersion`
+    * is deleted (time travel to the undone versions still works, and
+    * a racing reader never sees the chain shrink); the rollback is
+    * itself a commit, CAS-arbitrated like any other, with its own
+    * `#ts=` stamp (so TIMESTAMP AS OF keeps a consistent timeline)
+    * and an optional `txn` token for exactly-once streaming callers.
+    *
+    * Cost is manifest-only — NO data IO: a tree-format source version
+    * re-commits its chunk refs BY NAME (the restored version file is
+    * O(chunks) headers, chunks are neither read nor rewritten); a
+    * flat source re-lists its entries. Data files are shared with the
+    * source version by reference, exactly like any carried-chunk
+    * child, so vacuum keeps them alive as long as either version is
+    * retained. Restoring the current head is a no-op commit (allowed:
+    * it leaves an explicit audit row in [[history]]).
+    *
+    * Requires `toVersion` to still be retained — a vacuumed-away
+    * source fails with the missing-manifest error, never a silent
+    * partial restore.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+      txn: Option[(String, Long)] = None): Commit = {
+    val (fs, root) = fsOf(spark, dir)
+    val parent = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir has no committed version — init first"))
+    require(toVersion >= 0 && toVersion <= parent,
+      s"restore target v$toVersion outside committed range 0..$parent")
+    val schema = tableSchema(spark, dir, Some(toVersion))
+    val key = keyColumn(spark, dir, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"v$toVersion of $dir records no #keycol header (legacy " +
+          "manifest) — restore needs the keyed-commit metadata"))
+    val statsCols = statsColumns(spark, dir, toVersion)
+    val zorder = zorderColumns(spark, dir, toVersion)
+    val (carried, loose) = treeRefs(spark, dir, toVersion) match {
+      case Some(refs) => (refs, Seq.empty[Entry])
+      case None => (Seq.empty[ChunkRef],
+        bodyEntries(parseBody(manifestLines(spark, dir, toVersion)),
+          statsCols))
+    }
+    commitVersion(spark, fs, root, dir, parent + 1, carried, loose,
+      schema, key, statsCols, txn, nextTs(spark, dir, Some(parent)),
+      zorder)
+    // files = the restored manifest's inventory names for a flat
+    // source (tree refs are carried unexpanded — listing them would
+    // defeat the O(chunks) commit); filesReplaced 0 and rowsWritten 0
+    // are literal: restore moves no data
+    Commit(parent + 1, loose.map(_.name), 0, 0L)
+  }
+
   /** Row-level changes between two versions, computed from ONLY the
     * files the versions do NOT share — the structural-sharing payoff:
     * a key whose file is referenced by both manifests cannot have

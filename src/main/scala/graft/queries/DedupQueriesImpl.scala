@@ -288,6 +288,68 @@ object DedupQueriesImpl {
       .orderBy("version", "user_id")
   }
 
+  // ---- snapshot_restore --------------------------------------------
+
+  /** RESTORE as an append-only rollback ([[graft.extra.Snapshots
+    * .restore]] — the Delta `RESTORE TABLE ... TO VERSION AS OF`
+    * shape): its own three-version table (init v0, upsert v1,
+    * restore-to-0 v2 — built once, content-keyed + version-token
+    * cached, so the chain is fixed across runs). The query serves the
+    * PRE-rollback head (v1, still time-travelable — history is
+    * append-only) next to the post-rollback head (latest = v2, whose
+    * content must equal v0), tagged by version. The restore commit
+    * itself moved NO data: v2 re-references v0's files by name.
+    * Oracle: the same two last-wins window queries over raw events,
+    * with the head tag proving the rollback landed.
+    */
+  private def snapRestoreTable(s: SparkSession, dir: String): String = {
+    import graft.extra.Snapshots
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val fp = IndexedCorpus.fingerprint(ev, col("user_id"),
+      col("event_id"), col("ts"))
+    IndexedCorpus.cachedDir("graft_qsnapr", IndexedCorpus.Ver.snapRestore,
+        fp) { d =>
+      val v0 = Dedup.latestWins(ev.filter(col("ts") < cutoff),
+        Seq("user_id"), "ts", "event_id")
+      val updates = Dedup.latestWins(ev.filter(col("ts") >= cutoff),
+        Seq("user_id"), "ts", "event_id")
+      Snapshots.init(v0, d.toString, "user_id", numFiles = 4,
+        statsCols = Seq("ts"))
+      Snapshots.upsert(s, d.toString, updates, "user_id"): Unit
+      Snapshots.restore(s, d.toString, 0L): Unit
+    }
+  }
+
+  def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.extra.Snapshots
+    val table = snapRestoreTable(s, dir)
+    val v1 = Snapshots.read(s, table, Some(1L))
+      .withColumn("version", lit(1))
+    val head = Snapshots.read(s, table) // latest == the v2 rollback
+      .withColumn("version", lit(2))
+    v1.unionByName(head)
+      .select(col("version"), col("user_id"), col("event_id"),
+        col("ts"), col("event_type"), col("value"))
+      .orderBy("version", "user_id")
+  }
+
+  private val snapshotRestoreOracle =
+    """WITH v0 AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |v1 AS (
+      |  SELECT user_id, event_id, ts, event_type, value FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) = 1)
+      |SELECT 1 AS version, * FROM v1
+      |UNION ALL
+      |SELECT 2 AS version, * FROM v0
+      |ORDER BY version, user_id""".stripMargin
+
   // ---- cdc_view_stream ---------------------------------------------
 
   /** Streamed CDC history maintaining an incremental view END TO END —
@@ -1107,6 +1169,11 @@ object DedupQueriesImpl {
       "TIMESTAMP AS OF time travel: commit-stamp resolution via " +
         "readAsOfTime and a TIMESTAMP literal in the TVF",
       snapshotTsTravel, Some(snapshotTimetravelOracle)),
+    QueryDef("snapshot_restore",
+      "append-only rollback: RESTORE commits the target's content as " +
+        "a new head (manifest-only, files shared by name); pre-" +
+        "rollback head still travels",
+      snapshotRestore, Some(snapshotRestoreOracle)),
     QueryDef("cdc_view_stream",
       "streamed CDC versions (exactly-once sink) maintaining a " +
         "retraction-correct incremental view == one-shot aggregate",

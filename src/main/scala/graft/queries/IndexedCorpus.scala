@@ -65,6 +65,7 @@ object IndexedCorpus {
     */
   object Ver {
     val snap = 3 // v3 = hermetic-path migration (subsumes the s2 bump)
+    val snapRestore = 1
     val zsnap = 2
     val cdcview = 2 // r13: DOUBLE serving-cast convention landed
     val incr = 2

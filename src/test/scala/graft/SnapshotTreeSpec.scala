@@ -185,6 +185,32 @@ class SnapshotTreeSpec extends SparkSpec {
     }
   }
 
+  test("restore on a tree table: chunk refs re-committed BY NAME — " +
+      "no chunk reads or rewrites, content exact") {
+    withChunkSize(4) {
+      val dir = freshDir("restore")
+      Snapshots.init(spark.range(512)
+        .select(col("id"), lit("x").as("text")), dir, "id", 16): Unit
+      (0 until 3).foreach { i =>
+        Snapshots.upsert(spark, dir,
+          Seq((i * 7L, s"v$i")).toDF("id", "text"), "id"): Unit
+      }
+      val srcChunks = chunkNames(dir, 0).toSet
+      graft.extra.Snapshots.evictTableForTest(spark, dir)
+      val before = Snapshots.manifestReadCount.get()
+      val c = Snapshots.restore(spark, dir, 0L)
+      val reads = Snapshots.manifestReadCount.get() - before
+      // cold restore plans from the latest + target version FILES
+      // only — carried chunks are named, never opened
+      assert(reads <= 2, s"restore read $reads manifest files")
+      assert(c.version == 4L)
+      assert(chunkNames(dir, 4).toSet == srcChunks,
+        "restored version must reference v0's chunk files by name")
+      assert(slurpAt(dir, 4) == slurpAt(dir, 0))
+      assert(slurpAt(dir, 3) != slurpAt(dir, 0))
+    }
+  }
+
   test("readRange prunes chunks on secondary-column aggregates; " +
       "key-column ranges prune the same way") {
     withChunkSize(4) {

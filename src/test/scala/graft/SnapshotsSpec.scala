@@ -60,6 +60,44 @@ class SnapshotsSpec extends SparkSpec {
     assert(dataFiles.nonEmpty)
   }
 
+  test("restore: rollback is an append-only commit — old versions " +
+      "still travel, restored head == target, vacuum keeps shared files") {
+    val dir = freshDir("restore")
+    val base = spark.range(200)
+      .select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    Snapshots.init(base, dir, "id", numFiles = 4): Unit
+    Snapshots.upsert(spark, dir,
+      Seq((5L, "v1"), (300L, "new")).toDF("id", "text"), "id"): Unit
+    Snapshots.delete(spark, dir, Seq(7L).toDF("id"), "id"): Unit
+
+    val v0 = (0L until 200L).map(i => (i, s"doc-$i")).toSet
+    val v1 = v0 - ((5L, "doc-5")) + ((5L, "v1")) + ((300L, "new"))
+    val v2 = v1 - ((7L, "doc-7"))
+
+    val c = Snapshots.restore(spark, dir, 0L)
+    assert(c.version == 3L && c.filesReplaced == 0 && c.rowsWritten == 0L)
+    // head serves the restored content; nothing behind it moved
+    assert(slurp(dir) == v0)
+    assert(slurpAt(dir, 1) == v1)
+    assert(slurpAt(dir, 2) == v2)
+    assert(slurpAt(dir, 3) == v0)
+    // the rollback is itself history: restore the PRE-rollback head
+    val c2 = Snapshots.restore(spark, dir, 2L)
+    assert(c2.version == 4L)
+    assert(slurp(dir) == v2)
+    // out-of-range targets rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, 99L)
+    }
+    // vacuum to the rollback floor: v0's files survive because the
+    // retained v3 references them by name
+    Snapshots.restore(spark, dir, 0L): Unit // v5 == v0 content
+    Snapshots.vacuum(spark, dir, retainFrom = 5L,
+      orphanGraceMs = 3600L * 1000): Unit
+    assert(slurp(dir) == v0)
+    intercept[Exception] { slurpAt(dir, 1) } // dropped version gone
+  }
+
   test("concurrent commit: second writer on the same parent loses " +
       "with ConcurrentModificationException") {
     val dir = freshDir("race")
