@@ -178,4 +178,89 @@ object Retrieval {
       .select(col(queryIdCol), col("rank"), col(idCol),
         col("rrf_score"), col("sparse_rank"), col("dense_rank"))
   }
+
+  /** Ranking-quality EVAL over a retrieval run — the harness stage
+    * every retrieval pipeline ends in (TREC convention, binary
+    * relevance): per query, precision@k / recall@k / MRR@k / nDCG@k
+    * against a relevance-judgment frame.
+    *
+    *   - `run`: (queryIdCol, idCol, scoreCol) rows — any arm's output
+    *     (BM25, dense, fused). Ranks are derived HERE via
+    *     `row_number` over (score desc, id asc), the library-wide
+    *     deterministic tie order, so float-scored arms evaluate
+    *     engine-identically.
+    *   - `qrels`: (queryIdCol, idCol) binary judgments — one row per
+    *     relevant (query, doc).
+    *
+    * Engine-exact arithmetic (the house DECIMAL discipline): each
+    * DCG/IDCG term `1/log2(rank+1)` is rounded to 9 dp and summed as
+    * DECIMAL(20,9) — ulp-level `log2` differences between engines
+    * cannot flip a 6-dp final rounding. IDCG expands
+    * `min(n_rel, k)` ideal ranks per query (a tiny explode, ≤ k rows
+    * per query). Queries with no relevant docs score 0.0 across
+    * recall/MRR/nDCG rather than NULL.
+    *
+    * Scale shape: the run is already per-query top-k (Q·k rows,
+    * corpus-independent); qrels joins are keyed equijoins; every
+    * aggregation is per-query. Nothing here grows with the corpus —
+    * eval cost is O(Q·k + |qrels|).
+    *
+    * Output per query: `n_rel`, `n_ret`, `hits`, `precision_at_k`,
+    * `recall_at_k`, `mrr`, `ndcg`, ordered by query id.
+    */
+  def evalMetrics(run: DataFrame, queryIdCol: String, idCol: String,
+      scoreCol: String, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = DecimalType(20, 9)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = run
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val rel = qrels.select(col(queryIdCol), col(idCol),
+      lit(1L).as("__rel"))
+    val j = ranked.join(rel, Seq(queryIdCol, idCol), "left")
+      .select(col(queryIdCol), col("__rk"),
+        coalesce(col("__rel"), lit(0L)).as("__rel"))
+    val dcgTerm = round(lit(1.0) / log2(col("__rk") + lit(1)), 9)
+      .cast(dec)
+    val perQ = j.groupBy(queryIdCol).agg(
+      count(lit(1)).as("n_ret"),
+      sum("__rel").as("hits"),
+      min(when(col("__rel") === 1L, col("__rk"))).as("__frr"),
+      sum(when(col("__rel") === 1L, dcgTerm)
+        .otherwise(lit(0).cast(dec))).as("__dcg"))
+    val nrel = qrels.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_rel"))
+    // ideal DCG: the first min(n_rel, k) ranks all relevant — same
+    // 9-dp DECIMAL terms so dcg == idcg exactly for a perfect run
+    val idcg = nrel.filter(col("n_rel") >= 1L)
+      .select(col(queryIdCol),
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+          .as("__i"))
+      .select(col(queryIdCol),
+        round(lit(1.0) / log2(col("__i") + lit(1)), 9).cast(dec)
+          .as("__t"))
+      .groupBy(queryIdCol).agg(sum("__t").as("__idcg"))
+    perQ
+      .join(nrel, Seq(queryIdCol), "left")
+      .join(idcg, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_ret"), col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(
+            col("hits").cast("double") / col("n_rel").cast("double"), 6))
+          .as("recall_at_k"),
+        when(col("__frr").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__frr").cast("double"), 6))
+          .as("mrr"),
+        when(col("__idcg").isNull, lit(0.0))
+          .otherwise(round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6))
+          .as("ndcg"))
+      .orderBy(queryIdCol)
+  }
 }

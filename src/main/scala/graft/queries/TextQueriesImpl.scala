@@ -809,7 +809,13 @@ object TextQueriesImpl {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
-  private val bm25MultiOracle =
+  /** Shared CTE prefix: the 3-query BM25 scoring chain, ending in `r`
+    * = per-query scored docs with deterministic rank `rk` (score desc,
+    * doc_id). Reused verbatim by `bm25_multi` (top-5 serving cut) and
+    * `retrieval_metrics` (top-10 eval cut) so the eval oracle judges
+    * EXACTLY the ranking the serving oracle proves.
+    */
+  private val bm25MultiCte =
     s"""WITH q(query_id, query_text) AS (VALUES
        |  ('q1', 'spark shuffle join'), ('q2', 'window sort'),
        |  ('q3', 'hash table')),
@@ -842,9 +848,89 @@ object TextQueriesImpl {
        |  JOIN dl USING (doc_id)
        |  GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |  ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |  ORDER BY score DESC, doc_id) AS rk FROM sc)""".stripMargin
+
+  private val bm25MultiOracle =
+    s"""$bm25MultiCte
        |SELECT query_id, doc_id, n_hits, score FROM r WHERE rk <= 5
        |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
+  // ---- retrieval_metrics --------------------------------------------
+
+  /** Ranking-quality eval over the bm25_multi run at k=10
+    * ([[graft.extra.Retrieval.evalMetrics]]): binary qrels = documents
+    * containing EVERY term of the query (derived from the corpus
+    * itself, so the judgment set is deterministic and
+    * oracle-reproducible), metrics per query = precision/recall@10,
+    * MRR, nDCG with 9-dp DECIMAL-summed DCG terms.
+    */
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val queries = Seq(
+      ("q1", "spark shuffle join"),
+      ("q2", "window sort"),
+      ("q3", "hash table")).toDF("query_id", "query_text")
+    val run = graft.extra.Retrieval.bm25SearchAll(d, "doc_id", "text",
+      queries, "query_id", "query_text", topK = 10)
+    val qterms = queries.select(col("query_id"),
+      explode(Text.tokens(col("query_text"))).as("term")).distinct()
+    val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("__nq"))
+    val docTerms = d.select(col("doc_id"),
+      explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val qrels = qterms.join(docTerms, "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("__m"))
+      .join(nq, "query_id")
+      .filter(col("__m") === col("__nq"))
+      .select("query_id", "doc_id")
+    graft.extra.Retrieval.evalMetrics(run, "query_id", "doc_id",
+      "score", qrels, k = 10)
+  }
+
+  private val retrievalMetricsOracle =
+    s"""$bm25MultiCte,
+       |nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+       |dterm AS (SELECT DISTINCT doc_id, term FROM tf),
+       |drel AS (SELECT qt.query_id, dterm.doc_id
+       |  FROM qt JOIN dterm USING (term)
+       |  JOIN nq ON nq.query_id = qt.query_id
+       |  GROUP BY qt.query_id, dterm.doc_id, nq.nq
+       |  HAVING count(*) = nq.nq),
+       |j AS (SELECT r.query_id, r.rk,
+       |    CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM r LEFT JOIN drel d
+       |    ON r.query_id = d.query_id AND r.doc_id = d.doc_id
+       |  WHERE r.rk <= 10),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM drel GROUP BY 1),
+       |m AS (SELECT query_id,
+       |    CAST(count(*) AS BIGINT) AS n_ret,
+       |    CAST(sum(rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS frr,
+       |    sum(CASE WHEN rel = 1
+       |      THEN CAST(round(1.0 / log2(rk + 1), 9) AS DECIMAL(20,9))
+       |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg
+       |  FROM j GROUP BY 1),
+       |ii AS (SELECT query_id, unnest(range(1, least(n_rel, 10) + 1)) AS i
+       |  FROM nrel WHERE n_rel >= 1),
+       |ideal AS (SELECT query_id,
+       |    sum(CAST(round(1.0 / log2(i + 1), 9) AS DECIMAL(20,9)))
+       |      AS idcg
+       |  FROM ii GROUP BY 1)
+       |SELECT m.query_id,
+       |  coalesce(nrel.n_rel, 0) AS n_rel, m.n_ret, m.hits,
+       |  round(CAST(m.hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       |  CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(m.hits AS DOUBLE) / nrel.n_rel, 6)
+       |  END AS recall_at_k,
+       |  CASE WHEN m.frr IS NULL THEN 0.0
+       |    ELSE round(1.0 / m.frr, 6) END AS mrr,
+       |  CASE WHEN ideal.idcg IS NULL THEN 0.0
+       |    ELSE round(CAST(m.dcg AS DOUBLE) / CAST(ideal.idcg AS DOUBLE),
+       |      6) END AS ndcg
+       |FROM m LEFT JOIN nrel USING (query_id)
+       |LEFT JOIN ideal USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   // ---- hybrid_topk --------------------------------------------------
 
@@ -998,6 +1084,10 @@ object TextQueriesImpl {
     QueryDef("bm25_multi",
       "multi-query BM25 from an arbitrary query frame (top-5/query)",
       bm25Multi, Some(bm25MultiOracle)),
+    QueryDef("retrieval_metrics",
+      "retrieval eval harness: precision/recall@10, MRR, nDCG per " +
+        "query (9-dp DECIMAL DCG terms) vs corpus-derived qrels",
+      retrievalMetrics, Some(retrievalMetricsOracle)),
     QueryDef("bm25_search",
       "BM25 top-20 lexical retrieval (exact counts, decimal score sums)",
       bm25Search, Some(bm25Oracle)),

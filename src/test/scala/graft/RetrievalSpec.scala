@@ -102,4 +102,44 @@ class RetrievalSpec extends SparkSpec {
       (Some(2), Some(1)), (Some(3), Some(2)),
       (Some(1), None), (None, Some(3))))
   }
+
+  test("evalMetrics: hand-computed partial-hit, perfect and " +
+      "zero-relevance queries at k=4") {
+    // qA: ranks 10,11,12,13 by score; relevant {11, 13, 99} → hits at
+    // rk 2 and 4, one judged doc (99) unretrieved.
+    // qB: single retrieved doc, relevant → all metrics 1.0 (dcg==idcg).
+    // qC: no relevant docs at all → recall/mrr/ndcg 0.0, not NULL.
+    val run = Seq(
+      ("qA", 10L, 4.0), ("qA", 11L, 3.0), ("qA", 12L, 2.0),
+      ("qA", 13L, 1.0),
+      ("qB", 20L, 9.0),
+      ("qC", 30L, 5.0), ("qC", 31L, 4.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(("qA", 11L), ("qA", 13L), ("qA", 99L), ("qB", 20L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalMetrics(run, "query_id", "doc_id", "score",
+        qrels, k = 4)
+      .collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2),
+        r0.getLong(3), r0.getDouble(4), r0.getDouble(5),
+        r0.getDouble(6), r0.getDouble(7)))
+      .toSeq
+    // qA: dcg = r9(1/log2 3) + r9(1/log2 5); idcg over min(3,4)=3
+    // ideal ranks; ndcg = 1.061606312 / 2.130929754 → 0.498189
+    assert(out == Seq(
+      ("qA", 3L, 4L, 2L, 0.5, 0.666667, 0.5, 0.498189),
+      ("qB", 1L, 1L, 1L, 0.25, 1.0, 1.0, 1.0),
+      ("qC", 0L, 2L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("evalMetrics ranks by (score desc, id asc): a score tie cannot " +
+      "reorder metrics between engines") {
+    val run = Seq(("q", 2L, 1.0), ("q", 1L, 1.0), ("q", 3L, 1.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(("q", 1L)).toDF("query_id", "doc_id")
+    val out = Retrieval.evalMetrics(run, "query_id", "doc_id", "score",
+      qrels, k = 3).collect().head
+    // tie broken by doc_id: 1 ranks first → mrr = 1.0
+    assert(out.getDouble(6) == 1.0)
+  }
 }
