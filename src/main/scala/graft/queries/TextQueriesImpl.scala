@@ -737,6 +737,64 @@ object TextQueriesImpl {
        |FROM t LEFT JOIN p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- dedup_substr ------------------------------------------------
+
+  /** The removal half of ExactSubstr dedup
+    * ([[graft.extra.Dedup.removeDupSpans]]): every duplicated span's
+    * non-canonical occurrences cut from the text (canonical = minimal
+    * (doc_id, pos) across the corpus — exactly one copy survives),
+    * rebuilt per row. The oracle replays canonical selection as a
+    * per-gram (doc_id, pos) rank and the cut as an indexed
+    * list_filter against the merged span list.
+    */
+  def dedupSubstr(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Dedup.removeDupSpans(docs(s, dir), "doc_id", "text",
+        k = 5)
+      .orderBy("doc_id")
+
+  private val dedupSubstrOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |    unnest(range(1, len(toks) - 3)) AS pos
+       |  FROM t WHERE len(toks) >= 5),
+       |s AS (SELECT doc_id, pos,
+       |    array_to_string(toks[pos:pos+4], ' ') AS sh
+       |  FROM g),
+       |o AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY sh) AS n
+       |  FROM s),
+       |f AS (SELECT doc_id, pos FROM o WHERE n >= 2 AND rn > 1),
+       |b AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+       |  FROM f),
+       |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS span FROM b),
+       |sl AS (SELECT doc_id, span, min(pos) AS st, max(pos) + 4 AS en
+       |  FROM sp GROUP BY 1, 2),
+       |sa AS (SELECT doc_id,
+       |    list(struct_pack(st := st, en := en) ORDER BY st) AS spans,
+       |    count(*) AS nsp
+       |  FROM sl GROUP BY 1),
+       |fin AS (SELECT t.doc_id, t.toks,
+       |    CASE WHEN sa.doc_id IS NULL THEN t.toks
+       |      ELSE list_filter(t.toks, (x, i) ->
+       |        len(list_filter(sa.spans,
+       |          q -> i >= q.st AND i <= q.en)) = 0)
+       |    END AS kept,
+       |    coalesce(sa.nsp, 0) AS nsp
+       |  FROM t LEFT JOIN sa USING (doc_id))
+       |SELECT doc_id,
+       |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join
+       |  -- of an empty array is '' — canonicalize the fully-removed
+       |  coalesce(array_to_string(kept, ' '), '') AS text,
+       |  CAST(nsp AS BIGINT) AS n_spans_removed,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+       |FROM fin
+       |ORDER BY doc_id""".stripMargin
+
   // ---- bm25_search --------------------------------------------------
 
   /** BM25 top-20 for a fixed three-term query over the corpus (see
@@ -1104,6 +1162,10 @@ object TextQueriesImpl {
       "maximal duplicated-substring spans per doc (Lee et al. " +
         "ExactSubstr at 5-gram resolution: anchor + span merge)",
       dupSpans, Some(dupSpansOracle)),
+    QueryDef("dedup_substr",
+      "ExactSubstr removal: non-canonical duplicated spans cut from " +
+        "the text, one copy survives (min (doc,pos) canonical)",
+      dedupSubstr, Some(dedupSubstrOracle)),
     QueryDef("tfidf_top_terms",
       "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",
       tfidfTopTerms, Some(tfidfTopTermsOracle)),

@@ -257,6 +257,43 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 12L, 6L, math.rint(12.0 / 18 * 1e6) / 1e6)))
   }
 
+  test("removeDupSpans: canonical (min doc, pos) copy survives intact; " +
+      "later occurrences are cut, within-doc repeats too") {
+    val docs = Seq(
+      (1L, "a b q w e r t y u i c d"), // canonical holder: unchanged
+      (2L, "q w e r t y u i z z2 z3"), // loses the 8-token run
+      (3L, "m n o p s m2 n2 o2 p2 s2"), // untouched
+      (4L, "k l m n o p g1 g2 g3 g4 g5 g6 k l m n o p") // 2nd copy cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_spans_removed", "n_tokens_removed")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, "a b q w e r t y u i c d", 0L, 0L),
+      (2L, "z z2 z3", 1L, 8L),
+      (3L, "m n o p s m2 n2 o2 p2 s2", 0L, 0L),
+      (4L, "k l m n o p g1 g2 g3 g4 g5 g6", 1L, 6L)))
+  }
+
+  test("removeDupSpans: idempotent — cleaning the cleaned corpus " +
+      "changes nothing") {
+    val docs = Seq(
+      (1L, "a b q w e r t y u i c d"),
+      (2L, "q w e r t y u i z z2 z3"),
+      (4L, "k l m n o p g1 g2 g3 g4 g5 g6 k l m n o p"))
+      .toDF("doc_id", "text")
+    val once = Dedup.removeDupSpans(docs, "doc_id", "text", k = 5)
+      .select("doc_id", "text")
+    val twice = Dedup.removeDupSpans(once, "doc_id", "text", k = 5)
+      .select("doc_id", "text")
+    assert(once.orderBy("doc_id").collect().toSeq ==
+      twice.orderBy("doc_id").collect().toSeq)
+  }
+
   test("exactSubstrSpans: hashed gram keys (production form) match " +
       "the string-key form exactly") {
     val docs = (0L until 60L).map { i =>

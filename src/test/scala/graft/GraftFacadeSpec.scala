@@ -285,6 +285,14 @@ class GraftFacadeSpec extends SparkSpec {
       txn = Some(("facade", 1L)))
     assert(graft.extra.Snapshots.lastTxn(spark, rdir, "facade")
       .contains(1L))
+    // append-only rollback: head reverts to v0's content, the undone
+    // version still travels
+    val rc = Graft.snapshotRestore(spark, rdir, 0L)
+    assert(rc.rowsWritten == 0L)
+    assert(Graft.snapshotRead(spark, rdir)
+      .filter(col("id") === 1L).head().getLong(1) == 2L)
+    assert(Graft.snapshotRead(spark, rdir, Some(rc.version - 1))
+      .filter(col("id") === 1L).head().getLong(1) == 999L)
 
     val vdir = java.nio.file.Files.createTempDirectory("fview").toString
     val spec = graft.extra.IncrementalAgg.ViewSpec("g",
