@@ -148,4 +148,80 @@ object Indicators {
       .select(col(keyCol), col("col.__s.day").as("day"),
         col("col.__s.px").as("px"), col("col.__e").as("ewma"))
   }
+
+  /** Two-sided CUSUM drift detector (Page 1954) over the per-(key,
+    * day) daily mean series — level-shift monitoring for a market
+    * feed, and the standard drift check a training-data pipeline runs
+    * on per-domain quality series:
+    *
+    *   z_t  = (px_t − mean) / std        (standardized vs the key's
+    *                                      own full series, 6-dp)
+    *   S⁺_t = max(0, S⁺_{t−1} + z_t − slack)
+    *   S⁻_t = max(0, S⁻_{t−1} − z_t − slack)   (each rounded 6-dp)
+    *   alarm_t = S⁺_t > threshold ∨ S⁻_t > threshold
+    *
+    * Determinism discipline (the EWMA playbook): series mean/std come
+    * from DECIMAL-exact sums (px is a 6-dp double so px² rounded to
+    * 12 dp is exact in DECIMAL(30,12)); mean and std are rounded to
+    * 6 dp BEFORE standardization, z is rounded to 6 dp, and each
+    * recurrence step re-rounds — every intermediate both engines
+    * compare is a 6-dp value, so the recursive-CTE oracle replays the
+    * fold bit-identically. Degenerate series (n < 2 or zero/negative
+    * variance) standardize to z = 0 — flat, alarm-free.
+    *
+    * Scale: the raw scan aggregates away into the daily roll-up (one
+    * keyed shuffle); stats are one more keyed agg joined back
+    * (broadcast-sized: one row per key); the fold state is the
+    * per-key day count — the documented collect-then-fold tier,
+    * bounded (years → low thousands), NEVER per-tick.
+    *
+    * Output: key, day, px, z, cusum_pos, cusum_neg, alarm.
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, slack: Double = 0.5,
+      threshold: Double = 4.0): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val daily = dailyMean(df, keyCol, tsCol, valCol)
+    val stats = daily.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("px").cast(DecimalType(18, 6))).cast("double").as("__sm"),
+      sum(round(col("px") * col("px"), 12).cast(DecimalType(30, 12)))
+        .cast("double").as("__sq"))
+    val mean = round(col("__sm") / col("__n"), 6)
+    val variance = (col("__sq") - col("__sm") * col("__sm") / col("__n")) /
+      (col("__n") - 1)
+    val z = when(col("__n") < 2 || variance <= 0, lit(0.0))
+      .otherwise(round(
+        (col("px") - mean) / round(sqrt(variance), 6), 6))
+    val series = daily.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("day"), col("px"), z.as("__z"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col("day"), col("px"), col("__z")))).as("__s"))
+    val stepType = "struct<sp:double,sn:double>"
+    def last(acc: Column, field: String): Column =
+      when(size(acc) === 0, lit(0.0))
+        .otherwise(element_at(acc, -1).getField(field))
+    val folded = series.withColumn("__c",
+      aggregate(col("__s"),
+        expr(s"CAST(array() AS ARRAY<$stepType>)"),
+        (acc, x) => concat(acc, array(
+          struct(
+            round(greatest(lit(0.0),
+              last(acc, "sp") + x.getField("__z") - lit(slack)), 6),
+            round(greatest(lit(0.0),
+              last(acc, "sn") - x.getField("__z") - lit(slack)), 6))
+            .cast(stepType)))))
+    folded
+      .select(col(keyCol), posexplode(arrays_zip(col("__s"), col("__c"))))
+      .select(col(keyCol),
+        col("col.__s.day").as("day"),
+        col("col.__s.px").as("px"),
+        col("col.__s.__z").as("z"),
+        col("col.__c.sp").as("cusum_pos"),
+        col("col.__c.sn").as("cusum_neg"),
+        (col("col.__c.sp") > threshold || col("col.__c.sn") > threshold)
+          .as("alarm"))
+  }
 }

@@ -381,6 +381,48 @@ object TimeSeriesQueriesImpl {
        |SELECT event_type, day, px, ewma
        |FROM r ORDER BY event_type, day""".stripMargin
 
+  /** Two-sided CUSUM drift detection over the daily mean series per
+    * event_type ([[graft.extra.Indicators.cusum]], slack 0.5,
+    * threshold 4.0) — every recurrence intermediate is a 6-dp value,
+    * so the oracle's recursive CTE replays the fold exactly.
+    */
+  def cusumDaily(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Indicators.cusum(events(s, dir), "event_type", "ts",
+        "value", slack = 0.5, threshold = 4.0)
+      .orderBy("event_type", "day")
+
+  private val cusumOracle =
+    s"""WITH RECURSIVE $dailyCte,
+       |st AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(CAST(px AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+       |    CAST(sum(CAST(round(px*px, 12) AS DECIMAL(30,12)))
+       |      AS DOUBLE) AS sq
+       |  FROM d0 GROUP BY 1),
+       |d AS (SELECT d0.event_type, d0.day, d0.px,
+       |    CASE WHEN st.n < 2
+       |        OR (st.sq - st.sm*st.sm/st.n)/(st.n - 1) <= 0 THEN 0.0
+       |      ELSE round((d0.px - round(st.sm/st.n, 6))
+       |        / round(sqrt((st.sq - st.sm*st.sm/st.n)/(st.n - 1)), 6),
+       |        6) END AS z,
+       |    row_number() OVER (PARTITION BY d0.event_type
+       |      ORDER BY d0.day) AS rn
+       |  FROM d0 JOIN st USING (event_type)),
+       |r AS (
+       |  SELECT event_type, day, rn, px, z,
+       |    round(greatest(0, z - 0.5), 6) AS sp,
+       |    round(greatest(0, -z - 0.5), 6) AS sn
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.event_type, d.day, d.rn, d.px, d.z,
+       |    round(greatest(0, r.sp + d.z - 0.5), 6),
+       |    round(greatest(0, r.sn - d.z - 0.5), 6)
+       |  FROM d JOIN r ON d.event_type = r.event_type
+       |    AND d.rn = r.rn + 1)
+       |SELECT event_type, day, px, z,
+       |  sp AS cusum_pos, sn AS cusum_neg,
+       |  (sp > 4.0 OR sn > 4.0) AS alarm
+       |FROM r ORDER BY event_type, day""".stripMargin
+
   /** Interval join: purchase × click by the same user within ±6h —
     * bucketed equijoin, never a per-key cross join (see
     * [[TimeSeries.intervalJoin]]).
@@ -420,6 +462,10 @@ object TimeSeriesQueriesImpl {
     QueryDef("ewma_daily",
       "EWMA(0.3) daily series per event_type (recursive-CTE oracle)",
       ewmaDaily, Some(ewmaOracle)),
+    QueryDef("cusum_daily",
+      "two-sided CUSUM drift detector over the daily series (6-dp " +
+        "recurrence, recursive-CTE oracle)",
+      cusumDaily, Some(cusumOracle)),
     QueryDef("sessions_native",
       "native session_window sessions (gap-merge, end = last + gap)",
       sessionsNative, Some(sessionsNativeOracle)),

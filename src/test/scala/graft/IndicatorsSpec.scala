@@ -86,6 +86,34 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("ewma")).toSeq == Seq(10.0, 15.0, 22.5))
   }
 
+  test("cusum: a planted level shift raises the positive arm past the " +
+      "threshold and alarms; the flat prefix stays silent") {
+    // 12 flat days, then a +big shift held for 8 days: z is strongly
+    // positive after the shift, S+ accumulates ~(z-0.5)/day and must
+    // cross 4.0 within the shifted block; the negative arm never fires
+    val vals = Seq.fill(12)(10.0) ++ Seq.fill(8)(20.0)
+    val out = Indicators.cusum(series(vals), "sym", "ts", "value")
+      .orderBy("day").collect()
+    val alarms = out.map(r => r.getAs[Boolean]("alarm")).toSeq
+    assert(!alarms.take(12).exists(identity),
+      s"flat prefix alarmed: $alarms")
+    assert(alarms.drop(12).exists(identity),
+      s"shift never alarmed: $alarms")
+    assert(out.forall(_.getAs[Double]("cusum_neg") <= 4.0))
+    // monotone accumulation inside the shifted block until saturation
+    val spTail = out.drop(12).map(_.getAs[Double]("cusum_pos")).toSeq
+    assert(spTail == spTail.sorted, s"S+ not accumulating: $spTail")
+  }
+
+  test("cusum: constant series standardizes to z = 0 and never alarms") {
+    val out = Indicators.cusum(series(Seq.fill(10)(7.0)), "sym", "ts",
+      "value").collect()
+    assert(out.forall(r => r.getAs[Double]("z") == 0.0 &&
+      !r.getAs[Boolean]("alarm")))
+    assert(out.forall(r => r.getAs[Double]("cusum_pos") == 0.0 &&
+      r.getAs[Double]("cusum_neg") == 0.0))
+  }
+
   test("indicators are independent of input partitioning and keep " +
       "keys separate") {
     val twoKeys = series((1 to 10).map(i => i * 1.7), "a")

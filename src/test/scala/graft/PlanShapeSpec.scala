@@ -580,4 +580,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       plan.take(3000))
   }
+
+  test("dedup_substr: same keyed shapes as dup_spans — the canonical-" +
+      "occurrence agg and the cut stay free of cartesians and " +
+      "single-partition windows") {
+    val plan = executedPlan("dedup_substr")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      plan.take(3000))
+  }
 }
