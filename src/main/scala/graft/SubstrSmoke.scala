@@ -71,10 +71,37 @@ object SubstrSmoke {
     assert(found == plantedN,
       s"planted recall: $found of $plantedN docs report the 12-token span")
     assert(falseDocs == 0L, s"$falseDocs unplanted docs report spans")
+
+    // REMOVAL arm: the canonical (min doc id) planted copy keeps its
+    // 12-token run; every other planted doc loses exactly those 12
+    // tokens; nothing else is touched — exact at 400k docs in the
+    // hashed production form
+    val tRm = System.nanoTime()
+    val cleaned = Dedup.removeDupSpans(corpus(n), "doc_id", "text",
+      k = 5, hashed = true)
+    val rm = cleaned.agg(
+      sum(when(pmod(col("doc_id"), lit(5L)) === 4L &&
+        col("n_tokens_removed") === 12L, 1L).otherwise(0L)),
+      sum(when(col("n_tokens_removed") === 0L, 1L).otherwise(0L)),
+      min(when(col("n_tokens_removed") === 0L &&
+        pmod(col("doc_id"), lit(5L)) === 4L, col("doc_id")))).head()
+    val wallRm = (System.nanoTime() - tRm) / 1e9
+    val trimmed = rm.getLong(0)
+    val untouched = rm.getLong(1)
+    val canonicalId = rm.getLong(2)
+    assert(trimmed == plantedN - 1,
+      s"$trimmed of ${plantedN - 1} non-canonical planted docs trimmed")
+    assert(untouched == n - plantedN + 1,
+      s"$untouched untouched docs, expected ${n - plantedN + 1}")
+    assert(canonicalId == 4L,
+      s"canonical survivor should be doc 4, got $canonicalId")
+
     println(s"""{"metric":"substr_smoke","n_docs":$n,""" +
       s""""planted":$plantedN,"planted_found":$found,""" +
       s""""false_docs":$falseDocs,"wall_quarter_s":$wq,"wall_s":$wall,""" +
-      s""""docs_per_sec":${(n / wall).toLong}}""")
+      s""""docs_per_sec":${(n / wall).toLong},""" +
+      s""""removal_wall_s":$wallRm,"trimmed":$trimmed,""" +
+      s""""canonical_doc":$canonicalId}""")
     spark.stop()
   }
 }
