@@ -173,6 +173,76 @@ object Stateful {
       }
   }
 
+  final case class CusumState(n: Long, mean: Double, m2: Double,
+      sp: Double, sn: Double)
+  final case class CusumAlarm(symbol: String, event_time_ms: Long,
+      price: Double, z: Double, cusum_pos: Double, cusum_neg: Double,
+      n_seen: Long)
+
+  /** STREAMING CUSUM — the low-latency twin of
+    * [[graft.extra.Indicators.cusum]] (Page's two-sided drift
+    * detector) as per-key operator state: Welford moments learn the
+    * reference level online (the [[anomaliesPerSymbol]] machinery),
+    * each post-warmup observation standardizes against the CURRENT
+    * estimate and advances S⁺/S⁻, and a threshold cross emits one
+    * alarm row carrying the crossing values.
+    *
+    * Documented deviations vs the batch twin (inherent to unbounded
+    * streams, same contract family as [[cepPerKey]]'s):
+    *   - the batch form standardizes against the FULL series moments;
+    *     here moments are the running estimate after a `minObs`
+    *     warmup (a detector cannot see the future);
+    *   - after signaling, BOTH arms reset to 0 (standard online CUSUM
+    *     practice) so a sustained shift re-alarms at drift cadence
+    *     instead of every observation — the batch form, which reports
+    *     the whole trajectory, never resets;
+    *   - in-batch event-time order, arrival order across batches.
+    *
+    * State per key is five numbers — O(1) forever. Alarms are the
+    * drift complement to [[anomaliesPerSymbol]]'s point outliers: a
+    * slow 1σ drift never trips a 4σ point fence but accumulates in
+    * S⁺ at ~(1−slack)σ per observation.
+    */
+  def cusumPerSymbol(ticks: Dataset[Tick], slack: Double = 0.5,
+      threshold: Double = 4.0, minObs: Long = 30L): Dataset[CusumAlarm] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (symbol: String, rows: Iterator[Tick],
+            state: GroupState[CusumState]) =>
+          val sorted = rows.toSeq.sortBy(t => (t.event_time_ms, t.price))
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0.0, 0.0, 0.0, 0.0))
+          val out = Seq.newBuilder[CusumAlarm]
+          sorted.foreach { t =>
+            if (st.n >= minObs) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0) {
+                val z = (t.price - st.mean) / sd
+                var sp = math.max(0.0, st.sp + z - slack)
+                var sn = math.max(0.0, st.sn - z - slack)
+                if (sp > threshold || sn > threshold) {
+                  out += CusumAlarm(symbol, t.event_time_ms, t.price,
+                    z, sp, sn, st.n)
+                  sp = 0.0
+                  sn = 0.0
+                }
+                st = st.copy(sp = sp, sn = sn)
+              }
+            }
+            val n1 = st.n + 1
+            val d = t.price - st.mean
+            val mean1 = st.mean + d / n1
+            st = st.copy(n = n1, mean = mean1,
+              m2 = st.m2 + d * (t.price - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** alpha-weighted EMA; ticks inside a batch are applied in event-time
     * order so results don't depend on arrival order within the batch.
     */

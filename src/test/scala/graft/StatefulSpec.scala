@@ -135,6 +135,70 @@ class StatefulSpec extends SparkSpec {
     assert(fired.length < 24)
   }
 
+  test("streaming CUSUM: a sustained small drift the point fence " +
+      "never sees accumulates to an alarm; stationary data is silent") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Stateful.cusumPerSymbol(in.toDS(), slack = 0.5,
+      threshold = 4.0, minObs = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // warmup: alternating ±1 around 100 → sd ≈ 1, mean ≈ 100
+    in.addData((1 to 10).map(i =>
+      Tick("D", 100.0 + (if (i % 2 == 0) 1.0 else -1.0), i * 1000L)): _*)
+    q.processAllAvailable()
+    // stationary continuation: S arms stay under water (|z| ≈ 1 vs
+    // slack 0.5 alternates signs, never accumulates to 4)
+    in.addData((11 to 20).map(i =>
+      Tick("D", 100.0 + (if (i % 2 == 0) 1.0 else -1.0), i * 1000L)): _*)
+    q.processAllAvailable()
+    assert(spark.table("cusum_out").count() == 0)
+    // sustained +2 drift: z ≈ +2 each tick → S+ grows ~1.5/tick and
+    // must cross 4.0 within a few ticks — a 4σ point fence never fires
+    in.addData((21 to 30).map(i => Tick("D", 102.0, i * 1000L)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val alarms = spark.table("cusum_out")
+      .orderBy("event_time_ms").collect()
+    assert(alarms.nonEmpty, "drift never alarmed")
+    val first = alarms.head
+    assert(first.getAs[Double]("cusum_pos") > 4.0)
+    assert(first.getAs[Long]("event_time_ms") >= 21000L)
+    assert(first.getAs[Double]("z") < 4.0,
+      "drift ticks must be sub-point-fence z scores")
+    // post-alarm reset: the NEXT alarm (if any) is at least a few
+    // ticks later, not every subsequent observation
+    if (alarms.length > 1)
+      assert(alarms(1).getAs[Long]("event_time_ms") >=
+        first.getAs[Long]("event_time_ms") + 2000L)
+  }
+
+  test("streaming CUSUM state carries across batches: the drift can " +
+      "start in one batch and alarm in a later one") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Stateful.cusumPerSymbol(in.toDS(), slack = 0.5,
+      threshold = 4.0, minObs = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_xbatch")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    in.addData((1 to 10).map(i =>
+      Tick("E", 100.0 + (if (i % 2 == 0) 1.0 else -1.0), i * 1000L)): _*)
+    q.processAllAvailable()
+    // two drift ticks: not enough to alarm yet (S+ ≈ 3)
+    in.addData(Tick("E", 102.0, 11000L), Tick("E", 102.0, 12000L))
+    q.processAllAvailable()
+    assert(spark.table("cusum_xbatch").count() == 0)
+    // next batch continues the accumulation and crosses
+    in.addData(Tick("E", 102.0, 13000L), Tick("E", 102.0, 14000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("cusum_xbatch").count() >= 1)
+  }
+
   test("silence alerts: a quiet symbol fires once when the watermark " +
       "passes its deadline; live symbols stay silent; state is removed") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
