@@ -308,6 +308,56 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exactSubstrSpans: seeded randomized differential vs a " +
+      "plain-Scala brute reference over collision-heavy corpora") {
+    val rnd = new scala.util.Random(1313)
+    val vocab = Vector("a", "b", "c", "d") // tiny → dense collisions
+    for (round <- 0 until 3) {
+      val corpus = (0L until 40L).map { id =>
+        val n = 6 + rnd.nextInt(18)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 5
+      // brute reference: global k-gram counts, per-doc flagged starts,
+      // sequential span merge
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val counts = new scala.collection.mutable.HashMap[String, Int]()
+      toks.values.foreach { ts =>
+        (0 to ts.length - k).foreach { i =>
+          val g = ts.slice(i, i + k).mkString(" ")
+          counts(g) = counts.getOrElse(g, 0) + 1
+        }
+      }
+      val expect = corpus.map { case (id, _) =>
+        val ts = toks(id)
+        val flagged = (0 to ts.length - k).filter { i =>
+          counts(ts.slice(i, i + k).mkString(" ")) >= 2 }
+        var spans = List.empty[(Int, Int)] // (firstStart, lastStart)
+        flagged.foreach { p =>
+          spans match {
+            case (s0, sLast) :: rest if p - sLast <= k =>
+              spans = (s0, p) :: rest
+            case _ => spans = (p, p) :: spans
+          }
+        }
+        val lens = spans.map { case (s0, sLast) => sLast - s0 + k }
+        (id, spans.size.toLong, lens.sum.toLong,
+          (0L :: lens.map(_.toLong)).max)
+      }.sortBy(_._1)
+      val got = Dedup.exactSubstrSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", k = k,
+          hashed = round % 2 == 1) // alternate production/string keys
+        .orderBy("doc_id")
+        .select("doc_id", "n_spans", "dup_tokens", "max_span")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq
+      assert(got == expect, s"round $round diverged")
+    }
+  }
+
   test("dedup operators leave nothing in the session cache manager") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
