@@ -617,6 +617,105 @@ object Dedup {
       .select(col("id"), col("cluster_id"))
   }
 
+  /** The REMOVAL half of ExactSubstr dedup (Lee et al. 2022): cut
+    * duplicated spans' NON-CANONICAL occurrences out of the text,
+    * where the canonical occurrence of a k-gram is its minimal
+    * (doc id, position) across the corpus. Span anchoring and merging
+    * are [[exactSubstrSpans]]'s (gap ≤ k start merge); removal is a
+    * per-row array rebuild (indexed `filter` over the token array
+    * against the doc's merged span list — spans per doc are bounded
+    * by doc length, so the rebuilt row never leaves its partition).
+    *
+    * Survivor guarantee: token positions covered by a CANONICAL
+    * occurrence of any duplicated gram are EXCLUDED from the cut, even
+    * when a neighbouring non-canonical gram merged them into a cut
+    * span. Without that carve-out, a non-canonical flagged start
+    * within k tokens of a canonical occurrence in the same doc would
+    * drag canonical tokens into the span and destroy every copy of
+    * that content (ADVICE r13); with it, at least one copy of each
+    * duplicated run always survives. The flip side of a one-pass,
+    * k-gram-resolution cut is mild UNDER-deletion at such overlaps —
+    * up to k−1 non-canonical tokens adjacent to a protected canonical
+    * range can survive; a second pass tightens them (the operator
+    * converges, it never oscillates).
+    *
+    * `minSpanTokens` is the production knob from Lee et al. (they cut
+    * only runs of ≥ ~50 tokens): merged spans shorter than it are left
+    * in place — short common phrases ("as shown in figure") are
+    * legitimate language, not crawl duplication. The default 0 cuts
+    * every span (≥ k tokens by construction).
+    *
+    * Output, one row per input document: `text` (cleaned,
+    * single-space re-joined — the tokenizer's canonical form),
+    * `n_spans_removed` (spans surviving the minSpanTokens filter),
+    * `n_tokens_removed`.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, hashed: Boolean = false,
+      minSpanTokens: Int = 0): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = Text.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val joined = (2 to k).foldLeft(col("__toks"))((cur, j) =>
+      zip_with(cur, slice(col("__toks"), lit(j), size(col("__toks"))),
+        (p, c) => concat(p, lit(" "), c)))
+    val grams = base
+      .select(col(idCol), posexplode(joined).as(Seq("pos", "__sh")))
+      .filter(col("__sh").isNotNull)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (if (hashed) xxhash64(col("__sh")) else col("__sh")).as("__g"))
+    // canonical occurrence per duplicated gram = min (doc, pos);
+    // min(struct) orders lexicographically — one keyed agg, no window
+    val canon = grams.groupBy("__g")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p")))
+        .as("__c"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("__g", "__c")
+    val flagged = grams.join(canon, "__g")
+      .filter(!(col(idCol) === col("__c.d") && col("pos") === col("__c.p")))
+      .select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val spans = flagged
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("__span", sum("__brk").over(byDoc
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("pos").as("s"), (max("pos") + k - 1).as("e"))
+      .filter(col("e") - col("s") + 1 >= minSpanTokens.toLong)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
+    // the protected ranges: canonical occurrences of duplicated grams
+    // in THIS doc — each covers [p, p+k-1]; positions per doc are
+    // bounded by doc length, so the collected array stays row-local
+    val protect = canon
+      .select(col("__c.d").as(idCol), col("__c.p").as("pos"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__cpos"))
+    base.join(spans, Seq(idCol), "left")
+      .join(protect, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__spans"),
+        coalesce(col("__cpos"),
+          array().cast("array<bigint>")).as("__cpos"))
+      .select(col(idCol),
+        filter(col("__toks"), (_, i) =>
+          !exists(col("__spans"),
+            sp => i.cast("long") >= sp("s") && i.cast("long") <= sp("e")) ||
+          exists(col("__cpos"),
+            p => i.cast("long") >= p && i.cast("long") <= p + (k - 1)))
+          .as("__kept"),
+        size(col("__toks")).cast("long").as("__nt"),
+        size(col("__spans")).cast("long").as("n_spans_removed"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text"),
+        col("n_spans_removed"),
+        (col("__nt") - size(col("__kept")).cast("long"))
+          .as("n_tokens_removed"))
+  }
+
   /** Exact duplicated-SUBSTRING spans per document — the span-level
     * form of Lee et al. 2022's ExactSubstr dedup (arXiv:2107.06499),
     * k-gram-anchored instead of suffix-array'd: a token span is
@@ -648,73 +747,6 @@ object Dedup {
     * `max_span` (longest span, tokens), `dup_span_frac` =
     * dup_tokens / n_tokens (0.0 for span-free or empty docs).
     */
-  /** The REMOVAL half of ExactSubstr dedup (Lee et al. 2022): cut
-    * every duplicated span's NON-CANONICAL occurrences out of the
-    * text, where the canonical occurrence of a k-gram is its minimal
-    * (doc id, position) across the corpus — so exactly one copy of
-    * each duplicated run survives, deterministically, and the
-    * canonical document is left intact. Span anchoring and merging
-    * are [[exactSubstrSpans]]'s (gap ≤ k start merge); removal is a
-    * per-row array rebuild (indexed `filter` over the token array
-    * against the doc's merged span list — spans per doc are bounded
-    * by doc length, so the rebuilt row never leaves its partition).
-    *
-    * Output, one row per input document: `text` (cleaned,
-    * single-space re-joined — the tokenizer's canonical form),
-    * `n_spans_removed`, `n_tokens_removed`.
-    */
-  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, hashed: Boolean = false): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val toks = Text.tokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("__toks"))
-    val joined = (2 to k).foldLeft(col("__toks"))((cur, j) =>
-      zip_with(cur, slice(col("__toks"), lit(j), size(col("__toks"))),
-        (p, c) => concat(p, lit(" "), c)))
-    val grams = base
-      .select(col(idCol), posexplode(joined).as(Seq("pos", "__sh")))
-      .filter(col("__sh").isNotNull)
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        (if (hashed) xxhash64(col("__sh")) else col("__sh")).as("__g"))
-    // canonical occurrence per duplicated gram = min (doc, pos);
-    // min(struct) orders lexicographically — one keyed agg, no window
-    val canon = grams.groupBy("__g")
-      .agg(min(struct(col(idCol).as("d"), col("pos").as("p")))
-        .as("__c"), count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("__g", "__c")
-    val flagged = grams.join(canon, "__g")
-      .filter(!(col(idCol) === col("__c.d") && col("pos") === col("__c.p")))
-      .select(col(idCol), col("pos"))
-    val byDoc = Window.partitionBy(idCol).orderBy("pos")
-    val spans = flagged
-      .withColumn("__brk",
-        when(col("pos") - lag("pos", 1).over(byDoc) <= k, 0L)
-          .otherwise(1L))
-      .withColumn("__span", sum("__brk").over(byDoc
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("__span"))
-      .agg(min("pos").as("s"), (max("pos") + k - 1).as("e"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
-        .as("__spans"))
-    base.join(spans, Seq(idCol), "left")
-      .select(col(idCol), col("__toks"),
-        coalesce(col("__spans"),
-          array().cast("array<struct<s:bigint,e:bigint>>")).as("__spans"))
-      .select(col(idCol),
-        filter(col("__toks"), (_, i) =>
-          !exists(col("__spans"),
-            sp => i.cast("long") >= sp("s") && i.cast("long") <= sp("e")))
-          .as("__kept"),
-        size(col("__toks")).cast("long").as("__nt"),
-        size(col("__spans")).cast("long").as("n_spans_removed"))
-      .select(col(idCol),
-        array_join(col("__kept"), " ").as("text"),
-        col("n_spans_removed"),
-        (col("__nt") - size(col("__kept")).cast("long"))
-          .as("n_tokens_removed"))
-  }
-
   def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, hashed: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

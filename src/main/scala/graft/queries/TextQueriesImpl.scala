@@ -740,16 +740,22 @@ object TextQueriesImpl {
   // ---- dedup_substr ------------------------------------------------
 
   /** The removal half of ExactSubstr dedup
-    * ([[graft.extra.Dedup.removeDupSpans]]): every duplicated span's
+    * ([[graft.extra.Dedup.removeDupSpans]]): duplicated spans'
     * non-canonical occurrences cut from the text (canonical = minimal
-    * (doc_id, pos) across the corpus — exactly one copy survives),
-    * rebuilt per row. The oracle replays canonical selection as a
-    * per-gram (doc_id, pos) rank and the cut as an indexed
-    * list_filter against the merged span list.
+    * (doc_id, pos) across the corpus), rebuilt per row, with the two
+    * production guards: `minSpanTokens = 10` leaves short common
+    * phrases in place (the Lee-et-al long-run discipline scaled to
+    * this corpus' ~54-token docs — 23 of 36 non-canonical spans at
+    * sf0.01 are ≥ 10 tokens and get cut, 13 short ones survive), and
+    * canonical-occurrence positions are EXCLUDED from the cut so at
+    * least one copy of every duplicated run always survives. The
+    * oracle replays canonical selection as a per-gram (doc_id, pos)
+    * rank, the span-length filter as a HAVING on the merged span, and
+    * the protected cut as an indexed list_filter against both lists.
     */
   def dedupSubstr(s: SparkSession, dir: String): DataFrame =
     graft.extra.Dedup.removeDupSpans(docs(s, dir), "doc_id", "text",
-        k = 5)
+        k = 5, minSpanTokens = 10)
       .orderBy("doc_id")
 
   private val dedupSubstrOracle =
@@ -766,6 +772,9 @@ object TextQueriesImpl {
        |    count(*) OVER (PARTITION BY sh) AS n
        |  FROM s),
        |f AS (SELECT doc_id, pos FROM o WHERE n >= 2 AND rn > 1),
+       |c AS (SELECT doc_id, pos FROM o WHERE n >= 2 AND rn = 1),
+       |ca AS (SELECT doc_id, list(pos ORDER BY pos) AS cpos
+       |  FROM c GROUP BY 1),
        |b AS (SELECT doc_id, pos,
        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
        |      ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
@@ -773,7 +782,8 @@ object TextQueriesImpl {
        |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
        |    ORDER BY pos) AS span FROM b),
        |sl AS (SELECT doc_id, span, min(pos) AS st, max(pos) + 4 AS en
-       |  FROM sp GROUP BY 1, 2),
+       |  FROM sp GROUP BY 1, 2
+       |  HAVING max(pos) + 4 - min(pos) + 1 >= 10),
        |sa AS (SELECT doc_id,
        |    list(struct_pack(st := st, en := en) ORDER BY st) AS spans,
        |    count(*) AS nsp
@@ -782,10 +792,13 @@ object TextQueriesImpl {
        |    CASE WHEN sa.doc_id IS NULL THEN t.toks
        |      ELSE list_filter(t.toks, (x, i) ->
        |        len(list_filter(sa.spans,
-       |          q -> i >= q.st AND i <= q.en)) = 0)
+       |          q -> i >= q.st AND i <= q.en)) = 0
+       |        OR len(list_filter(coalesce(ca.cpos, []),
+       |          p -> i >= p AND i <= p + 4)) > 0)
        |    END AS kept,
        |    coalesce(sa.nsp, 0) AS nsp
-       |  FROM t LEFT JOIN sa USING (doc_id))
+       |  FROM t LEFT JOIN sa USING (doc_id)
+       |  LEFT JOIN ca USING (doc_id))
        |SELECT doc_id,
        |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join
        |  -- of an empty array is '' — canonicalize the fully-removed
@@ -1163,8 +1176,8 @@ object TextQueriesImpl {
         "ExactSubstr at 5-gram resolution: anchor + span merge)",
       dupSpans, Some(dupSpansOracle)),
     QueryDef("dedup_substr",
-      "ExactSubstr removal: non-canonical duplicated spans cut from " +
-        "the text, one copy survives (min (doc,pos) canonical)",
+      "ExactSubstr removal: non-canonical duplicated spans >= 10 " +
+        "tokens cut, canonical (min (doc,pos)) positions protected",
       dedupSubstr, Some(dedupSubstrOracle)),
     QueryDef("tfidf_top_terms",
       "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",

@@ -279,6 +279,61 @@ class DedupSpec extends SparkSpec {
       (4L, "k l m n o p g1 g2 g3 g4 g5 g6", 1L, 6L)))
   }
 
+  test("removeDupSpans: minSpanTokens — a short common phrase " +
+      "survives, a long planted run is cut") {
+    val docs = Seq(
+      (10L, "u1 P1 P2 P3 P4 P5 u2 L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 " +
+        "L11 L12 u3"),
+      (11L, "P1 P2 P3 P4 P5 w1 w2 L1 L2 L3 L4 L5 L6 L7 L8 L9 L10 " +
+        "L11 L12 w3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 5,
+        minSpanTokens = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_spans_removed", "n_tokens_removed")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .toSeq
+    // doc 10 holds every canonical; doc 11's 5-token phrase P1..P5 is
+    // below the threshold and stays, its 12-token run L1..L12 is cut
+    assert(out == Seq(
+      (10L, "u1 p1 p2 p3 p4 p5 u2 l1 l2 l3 l4 l5 l6 l7 l8 l9 l10 " +
+        "l11 l12 u3", 0L, 0L),
+      (11L, "p1 p2 p3 p4 p5 w1 w2 w3", 1L, 12L)))
+  }
+
+  test("removeDupSpans: canonical positions are protected — a merged " +
+      "span overlapping a canonical occurrence cannot destroy every " +
+      "copy of that content (ADVICE r13)") {
+    // doc 1's gram at 5 ("u v w x y") is non-canonical (doc 0 holds
+    // it), and its cut span [5,9] overlaps the CANONICAL occurrence of
+    // "x y Z1 Z2 Z3" at 8 (doc 2 repeats it). An unprotected cut
+    // would remove tokens 8-9 here AND doc 2's whole copy — all
+    // copies of "x y Z1 Z2 Z3" gone.
+    val docs = Seq(
+      (0L, "u v w x y d0a d0b"),
+      (1L, "a b c d e u v w x y Z1 Z2 Z3 f g"),
+      (2L, "m1 m2 x y Z1 Z2 Z3 m3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    // doc 1 keeps [8,12] (protected canonical range; the adjacent
+    // non-canonical x y surviving is the documented k-gram-resolution
+    // under-deletion), doc 2 loses its non-canonical copy
+    assert(out == Seq(
+      (0L, "u v w x y d0a d0b"),
+      (1L, "a b c d e x y z1 z2 z3 f g"),
+      (2L, "m1 m2 m3")))
+    // the shared content survives somewhere in the corpus
+    val texts = out.map(_._2)
+    assert(texts.exists(_.contains("x y z1 z2 z3")))
+  }
+
   test("removeDupSpans: idempotent — cleaning the cleaned corpus " +
       "changes nothing") {
     val docs = Seq(
