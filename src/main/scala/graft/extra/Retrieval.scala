@@ -214,11 +214,17 @@ object Retrieval {
     val dec = DecimalType(20, 9)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col(scoreCol).desc, col(idCol))
+    // malformed inputs must not skew the metrics (ADVICE r13: a
+    // duplicate ranked row or judgment would fan the left join out and
+    // inflate hits/n_ret): collapse the run to one row per (query,
+    // doc) keeping the best score, and the qrels to distinct pairs
     val ranked = run
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col(scoreCol)).as(scoreCol))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-    val rel = qrels.select(col(queryIdCol), col(idCol),
-      lit(1L).as("__rel"))
+    val rel = qrels.select(col(queryIdCol), col(idCol)).distinct()
+      .select(col(queryIdCol), col(idCol), lit(1L).as("__rel"))
     val j = ranked.join(rel, Seq(queryIdCol, idCol), "left")
       .select(col(queryIdCol), col("__rk"),
         coalesce(col("__rel"), lit(0L)).as("__rel"))
@@ -230,7 +236,7 @@ object Retrieval {
       min(when(col("__rel") === 1L, col("__rk"))).as("__frr"),
       sum(when(col("__rel") === 1L, dcgTerm)
         .otherwise(lit(0).cast(dec))).as("__dcg"))
-    val nrel = qrels.groupBy(queryIdCol)
+    val nrel = rel.groupBy(queryIdCol)
       .agg(count(lit(1)).as("n_rel"))
     // ideal DCG: the first min(n_rel, k) ranks all relevant — same
     // 9-dp DECIMAL terms so dcg == idcg exactly for a perfect run
@@ -261,6 +267,119 @@ object Retrieval {
           .otherwise(round(col("__dcg").cast("double") /
             col("__idcg").cast("double"), 6))
           .as("ndcg"))
+      .orderBy(queryIdCol)
+  }
+
+  /** GRADED-relevance eval (the TREC graded-qrels convention) — the
+    * judgment frame carries a `gainCol` (integer gain ≥ 0; 0 =
+    * judged-not-relevant), and the harness adds the two metrics binary
+    * judgments can't express:
+    *
+    *   - `ndcg_graded`: DCG term = (2^gain − 1) / log2(rank + 1) (the
+    *     Burges/TREC exponential gain form); IDCG ranks the query's
+    *     judged gains descending (ties by doc id) and takes the top
+    *     min(judged, k). Perfect-ordering runs score exactly 1.0 —
+    *     same 9-dp-rounded DECIMAL(20,9) term discipline as the
+    *     binary [[evalMetrics]], so engines can't diverge on log2
+    *     ulps.
+    *   - `avg_precision` (per-query AP; MAP = its mean over queries):
+    *     AP = Σ_{rel ranks i ≤ k} P(i) / n_rel with P(i) = cumulative
+    *     hits at i / i, each term rounded 9 dp and summed in DECIMAL
+    *     (binary relevance gain > 0, denominator the FULL judged
+    *     relevant count — the TREC convention where ranks beyond the
+    *     cut contribute 0).
+    *
+    * precision/recall@k, MRR and the hit counts are the binary
+    * metrics over gain > 0, identical to [[evalMetrics]]'s. Inputs
+    * are deduplicated the same way (run → max score per (query, doc),
+    * qrels → max gain per (query, doc)); queries with no positive
+    * judgment score 0.0 everywhere.
+    *
+    * Scale shape unchanged: O(Q·k + |qrels|), corpus-independent;
+    * the cumulative-hits window is per-query over ≤ k rows.
+    *
+    * Output per query: `n_rel`, `n_ret`, `hits`, `precision_at_k`,
+    * `recall_at_k`, `mrr`, `avg_precision`, `ndcg_graded`, ordered by
+    * query id.
+    */
+  def evalMetricsGraded(run: DataFrame, queryIdCol: String,
+      idCol: String, scoreCol: String, qrels: DataFrame,
+      gainCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = DecimalType(20, 9)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = run
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col(scoreCol)).as(scoreCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val rel = qrels
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(max(col(gainCol)).cast("long").as("__gain"))
+    val j = ranked.join(rel, Seq(queryIdCol, idCol), "left")
+      .select(col(queryIdCol), col("__rk"),
+        coalesce(col("__gain"), lit(0L)).as("__gain"))
+      .withColumn("__rel",
+        when(col("__gain") > 0L, lit(1L)).otherwise(lit(0L)))
+    // cumulative hits through rank i — per-query, ≤ k rows, so the
+    // running-sum window never sees more than k rows per partition
+    val wc = Window.partitionBy(col(queryIdCol)).orderBy(col("__rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = j.withColumn("__cum", sum("__rel").over(wc))
+    val dcgTerm = round(
+      (pow(lit(2.0), col("__gain").cast("double")) - lit(1.0)) /
+        log2(col("__rk") + lit(1)), 9).cast(dec)
+    val apTerm = round(
+      col("__cum").cast("double") / col("__rk").cast("double"), 9)
+      .cast(dec)
+    val zero = lit(0).cast(dec)
+    val perQ = withCum.groupBy(queryIdCol).agg(
+      count(lit(1)).as("n_ret"),
+      sum("__rel").as("hits"),
+      min(when(col("__rel") === 1L, col("__rk"))).as("__frr"),
+      sum(when(col("__rel") === 1L, dcgTerm).otherwise(zero))
+        .as("__dcg"),
+      sum(when(col("__rel") === 1L, apTerm).otherwise(zero))
+        .as("__apsum"))
+    val pos = rel.filter(col("__gain") > 0L)
+    val nrel = pos.groupBy(queryIdCol)
+      .agg(count(lit(1)).as("n_rel"))
+    // ideal DCG: the query's judged gains in descending order (ties
+    // by doc id — the library tie discipline), top min(judged, k)
+    val wi = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__gain").desc, col(idCol))
+    val idcg = pos
+      .withColumn("__i", row_number().over(wi))
+      .filter(col("__i") <= k)
+      .select(col(queryIdCol),
+        round((pow(lit(2.0), col("__gain").cast("double")) - lit(1.0)) /
+          log2(col("__i") + lit(1)), 9).cast(dec).as("__t"))
+      .groupBy(queryIdCol).agg(sum("__t").as("__idcg"))
+    perQ
+      .join(nrel, Seq(queryIdCol), "left")
+      .join(idcg, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_ret"), col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(
+            col("hits").cast("double") / col("n_rel").cast("double"), 6))
+          .as("recall_at_k"),
+        when(col("__frr").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__frr").cast("double"), 6))
+          .as("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("__apsum").cast("double") /
+            col("n_rel").cast("double"), 6))
+          .as("avg_precision"),
+        when(col("__idcg").isNull ||
+            col("__idcg") === lit(0).cast(dec), lit(0.0))
+          .otherwise(round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6))
+          .as("ndcg_graded"))
       .orderBy(queryIdCol)
   }
 }

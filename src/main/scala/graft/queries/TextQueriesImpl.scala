@@ -1003,6 +1003,90 @@ object TextQueriesImpl {
        |LEFT JOIN ideal USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  // ---- retrieval_metrics_graded -------------------------------------
+
+  /** GRADED-relevance eval over the same bm25_multi run at k=10
+    * ([[graft.extra.Retrieval.evalMetricsGraded]]): qrels gain = the
+    * number of DISTINCT query terms the doc contains (1..|terms| —
+    * a corpus-derived graded judgment set, deterministic and
+    * oracle-reproducible; the binary `retrieval_metrics` qrels are
+    * exactly the gain = |terms| top tier). Adds graded nDCG
+    * ((2^gain − 1)/log2(rank+1), 9-dp DECIMAL terms) and per-query
+    * average precision (MAP's per-query component) to the binary
+    * metrics.
+    */
+  def retrievalMetricsGraded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val queries = Seq(
+      ("q1", "spark shuffle join"),
+      ("q2", "window sort"),
+      ("q3", "hash table")).toDF("query_id", "query_text")
+    val run = graft.extra.Retrieval.bm25SearchAll(d, "doc_id", "text",
+      queries, "query_id", "query_text", topK = 10)
+    val qterms = queries.select(col("query_id"),
+      explode(Text.tokens(col("query_text"))).as("term")).distinct()
+    val docTerms = d.select(col("doc_id"),
+      explode(array_distinct(Text.tokens(col("text")))).as("term"))
+    val qrels = qterms.join(docTerms, "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("gain"))
+    graft.extra.Retrieval.evalMetricsGraded(run, "query_id", "doc_id",
+      "score", qrels, "gain", k = 10)
+  }
+
+  private val retrievalMetricsGradedOracle =
+    s"""$bm25MultiCte,
+       |dterm AS (SELECT DISTINCT doc_id, term FROM tf),
+       |grel AS (SELECT qt.query_id, dterm.doc_id,
+       |    CAST(count(*) AS BIGINT) AS gain
+       |  FROM qt JOIN dterm USING (term) GROUP BY 1, 2),
+       |j AS (SELECT r.query_id, r.rk, coalesce(g.gain, 0) AS gain,
+       |    CASE WHEN coalesce(g.gain, 0) > 0 THEN 1 ELSE 0 END AS rel
+       |  FROM r LEFT JOIN grel g
+       |    ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+       |  WHERE r.rk <= 10),
+       |cj AS (SELECT *, sum(rel) OVER (PARTITION BY query_id
+       |    ORDER BY rk) AS cum FROM j),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM grel WHERE gain > 0 GROUP BY 1),
+       |m AS (SELECT query_id,
+       |    CAST(count(*) AS BIGINT) AS n_ret,
+       |    CAST(sum(rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN rel = 1 THEN rk END) AS frr,
+       |    sum(CASE WHEN rel = 1
+       |      THEN CAST(round((power(2, gain) - 1) / log2(rk + 1), 9)
+       |        AS DECIMAL(20,9))
+       |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg,
+       |    sum(CASE WHEN rel = 1
+       |      THEN CAST(round(CAST(cum AS DOUBLE) / rk, 9)
+       |        AS DECIMAL(20,9))
+       |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS apsum
+       |  FROM cj GROUP BY 1),
+       |gr AS (SELECT query_id, gain, row_number() OVER (PARTITION BY
+       |    query_id ORDER BY gain DESC, doc_id) AS i
+       |  FROM grel WHERE gain > 0),
+       |ideal AS (SELECT query_id,
+       |    sum(CAST(round((power(2, gain) - 1) / log2(i + 1), 9)
+       |      AS DECIMAL(20,9))) AS idcg
+       |  FROM gr WHERE i <= 10 GROUP BY 1)
+       |SELECT m.query_id,
+       |  coalesce(nrel.n_rel, 0) AS n_rel, m.n_ret, m.hits,
+       |  round(CAST(m.hits AS DOUBLE) / 10.0, 6) AS precision_at_k,
+       |  CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(m.hits AS DOUBLE) / nrel.n_rel, 6)
+       |  END AS recall_at_k,
+       |  CASE WHEN m.frr IS NULL THEN 0.0
+       |    ELSE round(1.0 / m.frr, 6) END AS mrr,
+       |  CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN 0.0
+       |    ELSE round(CAST(m.apsum AS DOUBLE) / nrel.n_rel, 6)
+       |  END AS avg_precision,
+       |  CASE WHEN ideal.idcg IS NULL OR ideal.idcg = 0 THEN 0.0
+       |    ELSE round(CAST(m.dcg AS DOUBLE) / CAST(ideal.idcg AS DOUBLE),
+       |      6) END AS ndcg_graded
+       |FROM m LEFT JOIN nrel USING (query_id)
+       |LEFT JOIN ideal USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   // ---- hybrid_topk --------------------------------------------------
 
   /** Hybrid retrieval: reciprocal-rank fusion of the sparse arm (BM25
@@ -1159,6 +1243,10 @@ object TextQueriesImpl {
       "retrieval eval harness: precision/recall@10, MRR, nDCG per " +
         "query (9-dp DECIMAL DCG terms) vs corpus-derived qrels",
       retrievalMetrics, Some(retrievalMetricsOracle)),
+    QueryDef("retrieval_metrics_graded",
+      "graded-relevance eval: exponential-gain nDCG + per-query " +
+        "average precision vs term-count graded qrels",
+      retrievalMetricsGraded, Some(retrievalMetricsGradedOracle)),
     QueryDef("bm25_search",
       "BM25 top-20 lexical retrieval (exact counts, decimal score sums)",
       bm25Search, Some(bm25Oracle)),

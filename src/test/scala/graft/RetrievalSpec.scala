@@ -132,6 +132,72 @@ class RetrievalSpec extends SparkSpec {
       ("qC", 0L, 2L, 0L, 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("evalMetrics: duplicate qrels judgments and duplicate run rows " +
+      "do not inflate hits/n_ret (ADVICE r13 dedup guard)") {
+    val run = Seq(
+      ("q", 1L, 5.0), ("q", 1L, 4.0), // duplicate ranked doc
+      ("q", 2L, 3.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(("q", 1L), ("q", 1L), ("q", 9L)) // duplicate judgment
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalMetrics(run, "query_id", "doc_id", "score",
+      qrels, k = 4).collect().head
+    // n_rel = 2 distinct judged (1, 9); n_ret = 2 distinct ranked;
+    // hits = 1 — without the dedup, the fan-out would report 2+ hits
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((2L, 2L, 1L)))
+    assert(out.getDouble(5) == 0.5) // recall = 1/2
+  }
+
+  test("evalMetricsGraded: hand-computed graded fixture — exponential-" +
+      "gain nDCG, per-query average precision, zero-relevance floor") {
+    // qA ranks 1..4 = docs 10(gain 1), 11(gain 3), 12(-), 13(-);
+    // judged but unretrieved: doc 99 (gain 2).
+    //   dcg  = r9(1/log2 2) + r9(7/log2 3)          = 5.416508275
+    //   idcg = r9(7/log2 2) + r9(3/log2 3) + r9(1/log2 4)
+    //        = 9.392789261 → ndcg_graded = 0.576667
+    //   AP   = (r9(1/1) + r9(2/2)) / 3 = 0.666667
+    // qB: one retrieved doc, gain 2 → everything 1.0 (dcg == idcg).
+    // qC: no positive judgment → metrics 0.0, never NULL.
+    val run = Seq(
+      ("qA", 10L, 4.0), ("qA", 11L, 3.0), ("qA", 12L, 2.0),
+      ("qA", 13L, 1.0),
+      ("qB", 20L, 9.0),
+      ("qC", 30L, 5.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(
+      ("qA", 10L, 1), ("qA", 11L, 3), ("qA", 99L, 2),
+      ("qB", 20L, 2),
+      ("qC", 30L, 0)) // judged not-relevant: gain 0 is not a hit
+      .toDF("query_id", "doc_id", "gain")
+    val out = Retrieval.evalMetricsGraded(run, "query_id", "doc_id",
+        "score", qrels, "gain", k = 4)
+      .collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2),
+        r0.getLong(3), r0.getDouble(4), r0.getDouble(5),
+        r0.getDouble(6), r0.getDouble(7), r0.getDouble(8)))
+      .toSeq
+    assert(out == Seq(
+      ("qA", 3L, 4L, 2L, 0.5, 0.666667, 1.0, 0.666667, 0.576667),
+      ("qB", 1L, 1L, 1L, 0.25, 1.0, 1.0, 1.0, 1.0),
+      ("qC", 0L, 1L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("evalMetricsGraded: a perfectly gain-ordered run scores " +
+      "ndcg_graded exactly 1.0; duplicate graded judgments keep max " +
+      "gain") {
+    val run = Seq(("q", 1L, 9.0), ("q", 2L, 8.0), ("q", 3L, 7.0))
+      .toDF("query_id", "doc_id", "score")
+    val qrels = Seq(("q", 1L, 3), ("q", 1L, 1), // dup judgment: max = 3
+      ("q", 2L, 2), ("q", 3L, 1))
+      .toDF("query_id", "doc_id", "gain")
+    val out = Retrieval.evalMetricsGraded(run, "query_id", "doc_id",
+      "score", qrels, "gain", k = 3).collect().head
+    assert(out.getLong(1) == 3L)          // n_rel: dedup kept 3 docs
+    assert(out.getDouble(8) == 1.0)       // ndcg_graded
+    assert(out.getDouble(7) == 1.0)       // avg_precision
+  }
+
   test("evalMetrics ranks by (score desc, id asc): a score tie cannot " +
       "reorder metrics between engines") {
     val run = Seq(("q", 2L, 1.0), ("q", 1L, 1.0), ("q", 3L, 1.0))
