@@ -155,6 +155,12 @@ object Bench {
     // transient machine contention hits one pass of many queries instead
     // of every sample of one query, which the median then rejects.
     val times = collection.mutable.Map.empty[String, List[Double]]
+    // parallel to `times`, in lockstep: the 1-min loadavg at each
+    // rep's START (r13 verdict #7: the driver run saturated the retry
+    // cap with 30s+ outlier reps and only a committed quiet twin told
+    // the story — with the load stamped NEXT TO each sample, a
+    // contested rep is machine-visible in the artifact itself)
+    val repLoads = collection.mutable.Map.empty[String, List[Double]]
     val failures = collection.mutable.Map.empty[String, String]
     val passLoads = collection.mutable.ArrayBuffer.empty[Double]
     val gatedSecs = collection.mutable.ArrayBuffer.empty[Double]
@@ -166,11 +172,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_GATE_SECS", "60").toLong * 1000L)
     def runOnce(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Unit = {
+      val l = load1()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = dt :: times.getOrElse(name, Nil)
+        repLoads(name) = l :: repLoads.getOrElse(name, Nil)
       } catch { case e: Throwable =>
         failures(name) = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("")
@@ -208,11 +216,15 @@ object Bench {
       wide.foreach { name =>
         gate(maxLoad, budget): Unit
         val prior = times(name)
+        val l = load1()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
           val dt = (System.nanoTime() - t0) / 1e9
-          if (dt < prior.min) times(name) = dt :: prior
+          if (dt < prior.min) {
+            times(name) = dt :: prior
+            repLoads(name) = l :: repLoads.getOrElse(name, Nil)
+          }
         } catch { case _: Throwable => () } // retry-only noise, drop
       }
       wide.size
@@ -364,6 +376,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    // chronological [timeSec, load1] pairs per query — file-only (the
+    // stdout lines stay inside the driver's tail budget)
+    val repSamples = SparkEntry.queries.keys.map { name =>
+      val ts = times.getOrElse(name, Nil).reverse
+      val ls = repLoads.getOrElse(name, Nil).reverse
+      s"${jstr(name)}:" + ts.zip(ls)
+        .map { case (t, l) => s"[${rnd(t)},${rnd(l, 2)}]" }
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val streamJson = streaming.map(s => s""","streaming":${s.json}""").getOrElse("")
     val curJson = streamingCuration
       .map(s => s""","streaming_curation":${s.json}""").getOrElse("")
@@ -407,7 +428,8 @@ object Bench {
         s""""retried":$retried,"sf":${jstr(sfDir)},"n":$iters,""" +
         s""""n_queries":${medians.size},"n_ok":${ok.size},""" +
         s""""n_failures":${failures.size},"queries":$qs,""" +
-        s""""spreads":$spreads,"failures":$fs$streamJson$curJson""" +
+        s""""spreads":$spreads,"rep_samples":$repSamples,""" +
+        s""""failures":$fs$streamJson$curJson""" +
         s"""$curNdJson$annJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -31,8 +31,11 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   * content and publishes with namenode-arbitrated rename (atomic,
   * fails on an existing destination — the canonical HDFS commit, and
   * content-atomic where direct create-then-write would let readers
-  * see a growing file). Other schemes keep `fs.create(dst, false)`,
-  * atomic where the store arbitrates creates server-side.
+  * see a growing file). Known conditional-PUT object stores (s3a,
+  * gs, …) keep `fs.create(dst, false)` — their rename is copy+delete
+  * emulation while the create is server-arbitrated. Every OTHER
+  * scheme stages and publishes via rename-if-absent, so no reader
+  * anywhere can observe a torn committed file.
   *
   * Throws Hadoop's [[FileAlreadyExistsException]] on a lost race —
   * callers map it to their protocol-level
@@ -52,10 +55,11 @@ private[graft] object AtomicFiles {
       // half-written committed file, which direct create-then-write
       // would expose (the stream is visible from creation)
       case "hdfs" => createExclusiveViaRename(fs, dst, bytes)
-      case _ =>
-        // generic fallback: exclusive create. Atomic where the store
-        // arbitrates creates server-side; object stores with
-        // conditional PUT surface the conflict on close
+      case s if ObjectStoreSchemes.contains(s) =>
+        // conditional-PUT object stores: rename is a non-atomic
+        // copy+delete emulation (and slow), while the exclusive
+        // create maps to a server-arbitrated conditional PUT that
+        // surfaces the conflict on close — the right primitive here
         val out =
           try fs.create(dst, false)
           catch {
@@ -70,7 +74,64 @@ private[graft] object AtomicFiles {
           }
         try out.write(bytes)
         finally out.close()
+      case _ =>
+        // any other scheme: stage the full content, publish with
+        // rename-if-absent (ADVICE r13: the old direct create-then-
+        // write let readers observe a partially written "committed"
+        // file). Content atomicity holds on every store whose rename
+        // moves the staged object wholesale; the no-replace CAS is as
+        // strong as the store's rename arbitration — a true CAS on
+        // namenode-arbitrated filesystems, a narrow check-then-act
+        // window on stores that don't arbitrate (still strictly
+        // better than the torn-readable direct create it replaces)
+        createExclusiveViaRenameNone(fs, dst, bytes)
     }
+  }
+
+  /** Stores whose rename is copy+delete emulation but whose exclusive
+    * create is a server-side conditional PUT (or close-time conflict).
+    */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "obs", "swift")
+
+  /** Stage + rename-if-absent for schemes without a known stronger
+    * primitive (the three-arg `rename(…, Rename.NONE)` is protected
+    * in [[FileSystem]], so its refuse-existing-destination contract
+    * is replayed here: exists pre-check, rename, lost-race mapping).
+    * The staged write is the load-bearing half — no reader can ever
+    * open a half-written committed file, on any store. The no-replace
+    * CAS is as strong as the store's rename arbitration: true CAS
+    * where rename refuses/fails on an existing destination, a narrow
+    * pre-checked window on stores whose rename silently replaces
+    * (each rename is still whole-file, so even the losing writer
+    * leaves a complete, well-formed committed file, never a torn
+    * one).
+    */
+  private def createExclusiveViaRenameNone(fs: FileSystem, dst: Path,
+      bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dst.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}")
+    var published = false
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(bytes)
+      finally out.close()
+      if (fs.exists(dst))
+        throw new FileAlreadyExistsException(dst.toString)
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch {
+          case _: FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.PathExistsException => false
+        }
+      if (!renamed) {
+        if (fs.exists(dst))
+          throw new FileAlreadyExistsException(dst.toString)
+        throw new java.io.IOException(
+          s"rename $tmp -> $dst failed without an existing destination")
+      }
+      published = true
+    } finally if (!published) fs.delete(tmp, false): Unit
   }
 
   private def createExclusiveViaRename(fs: FileSystem, dst: Path,

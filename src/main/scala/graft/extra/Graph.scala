@@ -294,6 +294,18 @@ object Graph {
     def sized(df: DataFrame, key: String): DataFrame =
       loopParts.map(n => df.repartition(n, col(key))).getOrElse(df)
 
+    // ADVICE r13: on the small-graph path the per-round nbr join's
+    // LABELS side still shuffled at full session parallelism because
+    // sym kept its big-path partition count, forcing EnsureRequirements
+    // to widen the join. Re-partition the edge frame ONCE to the loop
+    // size (materialized — a stable hash(src, loopParts) layout every
+    // round reuses) and size the labels side to match below: each
+    // round's join then runs as loopParts tasks with no session-wide
+    // exchange anywhere in the loop.
+    val symL = loopParts
+      .map(n => Dedup.materialize(sym.repartition(n, col("src"))))
+      .getOrElse(sym)
+
     // ROUND 1 seeded straight from the edge frame: with identity
     // initial labels, a neighbor's label IS its id, so min(own,
     // neighbors) needs no label frame and no join — one aggregation
@@ -303,8 +315,8 @@ object Graph {
     // identical in form to the loop's.
     val obs1 = new org.apache.spark.sql.Observation()
     var labels = sized(
-        sym.select(col("dst").as("id"), col("src").as("lab"))
-          .unionAll(sym.select(col("src").as("id"), col("src").as("lab"))),
+        symL.select(col("dst").as("id"), col("src").as("lab"))
+          .unionAll(symL.select(col("src").as("id"), col("src").as("lab"))),
         "id")
       .groupBy("id").agg(min("lab").as("lab"))
       .observe(obs1, sum(when(col("lab") =!= col("id"), 1L)
@@ -328,7 +340,8 @@ object Graph {
 
     var i = 1
     while (!converged && i < maxIters) {
-      val nbr = sym.join(labels.withColumnRenamed("id", "src"), "src")
+      val nbr = symL.join(
+          sized(labels.withColumnRenamed("id", "src"), "src"), "src")
         .select(col("dst").as("id"), col("lab"))
       // carry the previous label through the aggregation: min(lab) is
       // the update, and the changed-count observed metric answers the

@@ -73,4 +73,40 @@ class AtomicFilesSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(
       Paths.get(s"$dir/v1")), "UTF-8") == "first")
   }
+
+  test("generic-scheme fallback stages then renames (ADVICE r13): a " +
+      "commit publishes full content, a second commit loses, and no " +
+      "staging debris survives") {
+    // a RawLocal-backed FS under an unknown scheme exercises the
+    // generic (non-file, non-hdfs, non-object-store) dispatch arm
+    val conf = new Configuration()
+    conf.set("fs.mockfs.impl", classOf[MockSchemeFs].getName)
+    val mfs = FileSystem.get(java.net.URI.create("mockfs:///"), conf)
+    val dir = Files.createTempDirectory("atomic-generic")
+    val dst = new Path(s"mockfs://$dir/v1")
+    graft.extra.AtomicFiles.createExclusive(mfs, dst, "generic-first")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$dir/v1")), "UTF-8") == "generic-first")
+    intercept[FileAlreadyExistsException] {
+      graft.extra.AtomicFiles.createExclusive(mfs, dst, "generic-second")
+    }
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$dir/v1")), "UTF-8") == "generic-first")
+    val names = {
+      val it = Files.list(dir).iterator()
+      val b = new scala.collection.mutable.ArrayBuffer[String]
+      while (it.hasNext) b += it.next().getFileName.toString
+      b
+    }
+    assert(!names.exists(_.startsWith(".tmp-")),
+      s"staging debris: ${names.filter(_.startsWith(".tmp-"))}")
+  }
+}
+
+/** RawLocalFileSystem re-rooted under a synthetic scheme so specs can
+  * drive [[graft.extra.AtomicFiles]]' generic-scheme dispatch arm.
+  */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
