@@ -198,6 +198,12 @@ object Stateful {
     *     the whole trajectory, never resets;
     *   - in-batch event-time order, arrival order across batches.
     *
+    * The deviation is PINNED, not just described: StatefulSpec's
+    * differential runs both arms over the same 120-day one-obs-per-day
+    * series — on stationary data they agree on every day (both
+    * silent), and under a planted sustained shift their first alarm
+    * days sit within 3 days of each other.
+    *
     * State per key is five numbers — O(1) forever. Alarms are the
     * drift complement to [[anomaliesPerSymbol]]'s point outliers: a
     * slow 1σ drift never trips a 4σ point fence but accumulates in

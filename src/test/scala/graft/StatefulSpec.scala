@@ -199,6 +199,66 @@ class StatefulSpec extends SparkSpec {
     assert(spark.table("cusum_xbatch").count() >= 1)
   }
 
+  test("CUSUM streaming-vs-batch differential (r13 verdict #5): on a " +
+      "long stationary series both arms agree on every day; under a " +
+      "planted shift the first alarm days sit within 3 days") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // one observation per day, 120 days: the daily series the batch
+    // operator folds IS the tick series the streaming operator sees,
+    // so the only deviations left are the documented ones (online vs
+    // full-series moments; post-alarm reset)
+    def px(i: Int, shifted: Boolean): Double =
+      if (shifted && i >= 100) 102.5
+      else 100.0 + ((i * 37) % 7 - 3) * 0.5
+    def batchDays(shifted: Boolean): Seq[Int] = {
+      val df = (0 until 120).map { i =>
+        ("K", java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+            .atStartOfDay()), px(i, shifted))
+      }.toDF("symbol", "ts", "price")
+      graft.extra.Indicators.cusum(df, "symbol", "ts", "price",
+          slack = 0.5, threshold = 4.0)
+        .filter(col("alarm"))
+        .select(expr("datediff(day, DATE'2024-01-01')").cast("int"))
+        .as[Int].collect().toSeq.sorted
+    }
+    def streamDays(shifted: Boolean): Seq[Int] = {
+      implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[Tick]
+      val name = s"cusum_diff_${if (shifted) "s" else "q"}"
+      val q = Stateful.cusumPerSymbol(in.toDS(), slack = 0.5,
+        threshold = 4.0, minObs = 30L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      // three batches so the state demonstrably crosses batch bounds
+      Seq(0 until 40, 40 until 80, 80 until 120).foreach { rng =>
+        in.addData(rng.map(i =>
+          Tick("K", px(i, shifted), i * 86400000L)): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name)
+        .select((col("event_time_ms") / lit(86400000L)).cast("int"))
+        .as[Int].collect().toSeq.sorted
+    }
+    // stationary: ZERO disagreement days (the bound the scaladoc's
+    // "documented deviations" must not exceed here: both silent)
+    assert(batchDays(shifted = false).isEmpty)
+    assert(streamDays(shifted = false).isEmpty)
+    // planted +2.3σ shift at day 100: both arms alarm, first alarms
+    // within 3 days (simulated: batch day 103, streaming day 102);
+    // every pre-shift day still agrees (silent) in both arms
+    val b = batchDays(shifted = true)
+    val s = streamDays(shifted = true)
+    assert(b.nonEmpty && s.nonEmpty)
+    assert(b.head >= 100 && s.head >= 100,
+      s"pre-shift false alarm: batch=$b stream=$s")
+    assert(math.abs(b.head - s.head) <= 3,
+      s"first-alarm gap: batch=${b.head} stream=${s.head}")
+  }
+
   test("silence alerts: a quiet symbol fires once when the watermark " +
       "passes its deadline; live symbols stay silent; state is removed") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
