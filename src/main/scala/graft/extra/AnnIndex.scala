@@ -80,8 +80,7 @@ object AnnIndex {
     // only its own segment (a crashed previous layout's files become
     // invisible orphans for compact to sweep)
     IndexManifests.commit(spark, dir, v, Map("codes" -> Seq(seg)))
-    IndexManifests.dropOrphanSegments(spark, dir,
-      Seq("codes", "tombstones"), Map("codes" -> Seq(seg)))
+    IndexManifests.vacuum(spark, dir, Seq("codes", "tombstones"))
   }
 
   /** The driver-held half of a persisted index — both codebooks and
@@ -326,11 +325,23 @@ object AnnIndex {
     * within a list is id-sorted either way and scoring is per-row).
     * Codebooks and meta are untouched (the quantizer is frozen;
     * maintenance never retrains). Idempotent: a second run rewrites
-    * the already-compact layout to itself. Maintenance owns
-    * exclusivity during the swap, the same contract as
-    * [[Bm25Index.compact]].
+    * the already-compact layout to itself.
+    *
+    * READER ISOLATION (r13 verdict #4): `retainVersions` is the
+    * physical retention window — segments referenced by the newest
+    * `retainVersions` committed manifests survive the post-commit
+    * sweep. The default 1 keeps the immediate-drop discipline
+    * (maintenance owns exclusivity against readers of older
+    * versions, the [[Bm25Index.compact]] contract);
+    * `retainVersions >= 2` lets a reader that resolved the manifest
+    * BEFORE the compaction finish its scan against the old segments —
+    * the snapshot-layer vacuum contract carried over (AnnIndexSpec
+    * pins a pinned reader serving the pre-compact version
+    * mid-compact). Reclaim the window later with
+    * [[IndexManifests.vacuum]].
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String,
+      retainVersions: Int = 1): Unit = {
     val (v0, entries) = entriesOf(spark, dir)
     val tomb = readTombstones(spark, dir, entries)
     val live0 = readCodes(spark, dir, entries)
@@ -340,14 +351,42 @@ object AnnIndex {
       .sortWithinPartitions(col("list_id"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/$seg")
-    // the commit is the swap: one fresh segment, no tombstones; the
-    // superseded segments (and any crashed writer's orphans) are then
-    // dropped physically — maintenance owns exclusivity against
-    // readers of older versions during the drop
+    // the commit is the swap: one fresh segment, no tombstones;
+    // superseded segments outside the retention window (and any
+    // crashed writer's orphans) are then dropped physically
     val fresh = Map("codes" -> Seq(seg))
     IndexManifests.commit(spark, dir, v0 + 1, fresh)
-    IndexManifests.dropOrphanSegments(spark, dir,
-      Seq("codes", "tombstones"), fresh)
+    IndexManifests.vacuum(spark, dir, Seq("codes", "tombstones"),
+      keepVersions = retainVersions)
+  }
+
+  /** Index ROLLBACK after a bad ingest or takedown —
+    * [[IndexManifests.restore]] applied to the ANN layer: re-commits
+    * `toVersion`'s segment set as a new head (append-only — later
+    * versions still resolve via [[readIvfPqAt]]; manifest-only cost).
+    * A [[delete]] rolls back to searchable (the tombstone segment
+    * drops out of the restored entry set), an [[appendIvfPq]] rolls
+    * back to pre-batch content. Requires the target version's
+    * segments to still exist physically (compaction with the default
+    * immediate-drop retention destroys them — run maintenance with
+    * `retainVersions >= 2` where rollback matters).
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
+    IndexManifests.restore(spark, dir, toVersion)
+
+  /** Read the index AT a specific committed version — the pinned-
+    * reader form of [[readIvfPq]] (codebooks/meta are immutable, so
+    * only the segment set is versioned).
+    */
+  def readIvfPqAt(spark: SparkSession, dir: String,
+      version: Long): Similarity.IvfPqIndex = {
+    val cb = readCodebooks(spark, dir)
+    val entries = IndexManifests.at(spark, dir, version)
+    val coded0 = readCodes(spark, dir, entries)
+    val coded = readTombstones(spark, dir, entries)
+      .fold(coded0)(t => coded0.join(t, Seq("id"), "left_anti"))
+    Similarity.IvfPqIndex(cb.coarse, cb.pq, cb.m, cb.sub, coded,
+      cb.residual)
   }
 
   /** Build-and-persist in one call; returns the read-back index. */

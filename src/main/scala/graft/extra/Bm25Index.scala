@@ -292,11 +292,15 @@ object Bm25Index {
     * are bit-identical (spec-pinned); run it on the cadence appends
     * accumulate. The new manifest commits BEFORE the superseded
     * segments are physically dropped, so the swap itself is atomic;
-    * the maintenance job owns exclusivity against concurrent readers
-    * of OLDER versions during the drop, the same contract as any
-    * compaction.
+    * with the default `retainVersions = 1` the maintenance job owns
+    * exclusivity against concurrent readers of OLDER versions during
+    * the drop, while `retainVersions >= 2` leaves those readers a
+    * physical retention window (reclaim later with
+    * [[IndexManifests.vacuum]] — the [[AnnIndex.compact]] contract,
+    * shared through the manifest layer).
     */
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
+      retainVersions: Int = 1): Unit = {
     import spark.implicits._
     val (v0, entries) = requireLatest(spark, dir)
     val v = v0 + 1
@@ -339,7 +343,11 @@ object Bm25Index {
     val fresh = Seq("tf", "dl", "df", "meta").map(f => f -> Seq(s"$f/$seg"))
       .toMap
     commit(spark, dir, v, fresh)
-    dropOrphanSegments(spark, dir, fresh)
+    // retention window for readers pinned to recent versions — the
+    // [[AnnIndex.compact]] contract shared through the manifest layer;
+    // the default 1 keeps the immediate drop
+    IndexManifests.vacuum(spark, dir, Frames,
+      keepVersions = retainVersions)
   }
 
   /** Multi-query search over a persisted index: identical semantics and

@@ -30,6 +30,27 @@ private[graft] object IndexManifests {
       name.stripPrefix("v").stripSuffix(".txt").toLongOption
     else None
 
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, md) = fsOf(spark, manifestDir(dir))
+    if (!fs.exists(md)) return Nil
+    fs.listStatus(md).toSeq
+      .flatMap(s => versionOf(s.getPath.getName)).sorted
+  }
+
+  private def readManifest(fs: FileSystem, md: Path, v: Long)
+      : Map[String, Seq[String]] = {
+    val in = fs.open(new Path(md, f"v$v%09d.txt"))
+    val txt = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    txt.linesIterator.filter(_.nonEmpty).toSeq
+      .map { l => val Array(f, seg) = l.split("\t", 2); (f, seg) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
   /** Latest committed (version, frame → live segment relpaths). */
   def latest(spark: SparkSession, dir: String)
       : Option[(Long, Map[String, Seq[String]])] = {
@@ -37,18 +58,74 @@ private[graft] object IndexManifests {
     if (!fs.exists(md)) return None
     val vs = fs.listStatus(md).toSeq
       .flatMap(s => versionOf(s.getPath.getName))
-    vs.maxOption.map { v =>
-      val in = fs.open(new Path(md, f"v$v%09d.txt"))
-      val txt = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-        bos.toString("UTF-8")
-      } finally in.close()
-      val entries = txt.linesIterator.filter(_.nonEmpty).toSeq
-        .map { l => val Array(f, seg) = l.split("\t", 2); (f, seg) }
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      (v, entries)
-    }
+    vs.maxOption.map(v => (v, readManifest(fs, md, v)))
+  }
+
+  /** The entries of a SPECIFIC committed version — index time travel
+    * (manifests are kept until [[vacuum]]'s retention reclaims their
+    * segments, so any still-vacuum-safe version is readable).
+    */
+  def at(spark: SparkSession, dir: String, version: Long)
+      : Map[String, Seq[String]] = {
+    val (fs, md) = fsOf(spark, manifestDir(dir))
+    val p = new Path(md, f"v$version%09d.txt")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"no committed index manifest v$version at $dir " +
+          s"(have: ${versions(spark, dir).mkString(",")})")
+    readManifest(fs, md, version)
+  }
+
+  /** Index ROLLBACK, the [[Snapshots.restore]] discipline applied to
+    * the index layer: re-commit `toVersion`'s entries as a NEW head —
+    * append-only (versions after `toVersion` still resolve), CAS-
+    * arbitrated like every commit, manifest-only cost (segments are
+    * shared by reference; no data IO). Guards that every referenced
+    * segment still exists physically — a version whose segments a
+    * [[vacuum]] already reclaimed cannot be restored. Returns the new
+    * head version.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val entries = at(spark, dir, toVersion)
+    val (fs, _) = fsOf(spark, dir)
+    val missing = entries
+      .filter { case (f, _) => !f.startsWith("_") }
+      .flatMap { case (_, segs) => segs }
+      .filter(seg => !fs.exists(new Path(s"$dir/$seg")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $dir to v$toVersion: segment(s) " +
+          s"${missing.mkString(", ")} were vacuumed")
+    val head = latest(spark, dir).map(_._1).getOrElse(0L)
+    val v = head + 1
+    commit(spark, dir, v, entries)
+    v
+  }
+
+  /** Physically reclaim segments referenced by NONE of the newest
+    * `keepVersions` committed manifests. `keepVersions = 1` is the
+    * immediate-drop discipline (only the head's segments survive);
+    * larger values give readers pinned to recent versions a retention
+    * window to finish against — the snapshot-layer vacuum contract
+    * carried over to indexes. Versions older than the window stay
+    * listable/restorable only while their segments happen to be shared
+    * with a retained version ([[restore]] guards that).
+    */
+  def vacuum(spark: SparkSession, dir: String, frames: Seq[String],
+      keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1,
+      s"keepVersions must be >= 1, got $keepVersions")
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return
+    val (fs, md) = fsOf(spark, manifestDir(dir))
+    val live = vs.takeRight(keepVersions)
+      .map(v => readManifest(fs, md, v))
+      .foldLeft(Map.empty[String, Seq[String]]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          k -> (acc.getOrElse(k, Nil) ++ m.getOrElse(k, Nil)).distinct
+        }.toMap
+      }
+    dropOrphanSegments(spark, dir, frames, live)
   }
 
   def requireLatest(spark: SparkSession, dir: String, what: String)

@@ -144,6 +144,59 @@ class AnnIndexSpec extends SparkSpec {
     assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == disk)
   }
 
+  test("reader pinned mid-compact serves the old index version when " +
+      "compaction retains it; vacuum reclaims the window later " +
+      "(r13 verdict #4)") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)                   // v1
+    AnnIndex.appendIvfPq(spark, dir,
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding")    // v2
+    val pinned = AnnIndex.readIvfPq(spark, dir) // resolves v2
+    val before = searchRows(pinned)
+    assert(before.nonEmpty)
+    AnnIndex.compact(spark, dir, retainVersions = 2)              // v3
+    // the reader that resolved its manifest BEFORE the compaction
+    // still executes against the retained pre-compact segments
+    assert(searchRows(pinned) == before)
+    // the post-compact head agrees (bit-identical compact contract),
+    // and the pre-compact version stays explicitly readable
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == before)
+    assert(searchRows(AnnIndex.readIvfPqAt(spark, dir, 2L)) == before)
+    // vacuum to the head reclaims the window: the head still serves,
+    // the vacuumed version can no longer be restored
+    graft.extra.IndexManifests.vacuum(spark, dir,
+      Seq("codes", "tombstones"))
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == before)
+    intercept[IllegalStateException] {
+      AnnIndex.restore(spark, dir, 2L)
+    }
+  }
+
+  test("delete -> restore round-trips: the rollback head serves the " +
+      "pre-delete results, the deleted state still time-travels, and " +
+      "rollback-of-rollback re-applies the delete (r13 verdict #4)") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(emb, "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)                   // v1
+    val orig = searchRows(AnnIndex.readIvfPq(spark, dir))
+    val victims = orig.map(_._3).distinct.take(2)
+    AnnIndex.delete(spark, dir, victims.toDF("vec_id"), "vec_id") // v2
+    val deleted = searchRows(AnnIndex.readIvfPq(spark, dir))
+    assert(!deleted.map(_._3).toSet.exists(victims.contains))
+    val v = AnnIndex.restore(spark, dir, 1L)                      // v3
+    assert(v == 3L)
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == orig)
+    // append-only rollback: the deleted-state version still resolves
+    assert(searchRows(AnnIndex.readIvfPqAt(spark, dir, 2L)) == deleted)
+    // rollback of the rollback re-applies the delete
+    AnnIndex.restore(spark, dir, 2L)                              // v4
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == deleted)
+  }
+
   private def codeFileCount(dir: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
