@@ -214,11 +214,18 @@ object AnnIndex {
     * the same codebooks — AnnIndexSpec pins that equivalence
     * bit-for-bit. Caller owns id-uniqueness across batches (same
     * contract as every keyed table here).
+    *
+    * `txn = Some((streamId, batchId))` makes the append EXACTLY-ONCE
+    * under micro-batch replay: the manifest's applied-batch ledger
+    * ([[IndexManifests.txnApplied]]) is checked before any write and
+    * advanced atomically with the commit — a replayed batchId is a
+    * no-op (StreamingAnnSpec pins bit-identity).
     */
   def appendIvfPq(spark: SparkSession, dir: String,
       emb: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, codebooks: Option[FrozenCodebooks] = None,
-      singleFileBatch: Boolean = false): Unit = {
+      singleFileBatch: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit = {
     // codebooks are FROZEN, so a steady ingest reads them once and
     // passes them in; the per-call read is only the convenience path
     val cb = codebooks.getOrElse(readCodebooks(spark, dir))
@@ -259,11 +266,21 @@ object AnnIndex {
     // orphan segment compact sweeps, never a torn read). writerEntries
     // migrates a legacy flat layout first — see its scaladoc.
     val (v0, entries) = writerEntries(spark, dir)
+    // EXACTLY-ONCE for streaming ingest (r13 verdict #2): with a txn
+    // token, a crash-replayed micro-batch finds its batchId already in
+    // the manifest's applied-batch ledger and no-ops BEFORE writing
+    // anything — the ledger commits atomically with the segment it
+    // covers, so the index is bit-identical under replay.
+    if (txn.exists { case (sid, b) =>
+        IndexManifests.txnApplied(entries, sid, b) }) return
     val seg = f"codes/seg-${v0 + 1}%09d"
     arranged.write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/$seg")
+    val withSeg =
+      entries + ("codes" -> (entries.getOrElse("codes", Nil) :+ seg))
     IndexManifests.commit(spark, dir, v0 + 1,
-      entries + ("codes" -> (entries.getOrElse("codes", Nil) :+ seg)))
+      txn.fold(withSeg) { case (sid, b) =>
+        IndexManifests.withTxn(withSeg, sid, b) })
   }
 
   private def readTombstones(spark: SparkSession, dir: String,
@@ -354,7 +371,12 @@ object AnnIndex {
     // the commit is the swap: one fresh segment, no tombstones;
     // superseded segments outside the retention window (and any
     // crashed writer's orphans) are then dropped physically
-    val fresh = Map("codes" -> Seq(seg))
+    // the applied-batch ledger survives maintenance: dropping it here
+    // would let a crash-replayed micro-batch right after a compact
+    // re-apply its rows
+    val fresh = Map("codes" -> Seq(seg)) ++
+      entries.get(IndexManifests.TxnFrame)
+        .map(IndexManifests.TxnFrame -> _).toMap
     IndexManifests.commit(spark, dir, v0 + 1, fresh)
     IndexManifests.vacuum(spark, dir, Seq("codes", "tombstones"),
       keepVersions = retainVersions)

@@ -115,12 +115,19 @@ object Bm25Index {
     * drops the superseded ones; `SaveMode.Append` is [[append]].
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      numFiles: Int = 8, mode: SaveMode = SaveMode.Overwrite): Unit = {
+      numFiles: Int = 8, mode: SaveMode = SaveMode.Overwrite,
+      txn: Option[(String, Long)] = None): Unit = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"build supports Overwrite|Append, got $mode")
     val spark = docs.sparkSession
     import spark.implicits._
     val prev = latest(spark, dir)
+    // EXACTLY-ONCE for streaming ingest (r13 verdict #2): a replayed
+    // micro-batch whose batchId is already in the manifest's applied-
+    // batch ledger no-ops before any tokenization or write — see
+    // [[IndexManifests.txnApplied]]
+    if (txn.exists { case (sid, b) => IndexManifests.txnApplied(
+        prev.map(_._2).getOrElse(Map.empty), sid, b) }) return
     // Append EXTENDS the committed index: on a dir that HOLDS SEGMENT
     // DATA but no manifest (a pre-manifest legacy layout), prev=None
     // would yield base=empty and commit a manifest naming ONLY the new
@@ -171,9 +178,14 @@ object Bm25Index {
     val entries = Seq("tf", "dl", "df", "meta").map { f =>
       f -> (base.getOrElse(f, Nil) :+ s"$f/$seg")
     }.toMap ++
-      // tombstones carry across appends; an overwrite starts clean
-      base.get("tombstones").map("tombstones" -> _).toMap
-    commit(spark, dir, v, entries)
+      // tombstones + the txn ledger carry across appends; an
+      // overwrite starts clean
+      base.get("tombstones").map("tombstones" -> _).toMap ++
+      base.get(IndexManifests.TxnFrame)
+        .map(IndexManifests.TxnFrame -> _).toMap
+    commit(spark, dir, v,
+      txn.fold(entries) { case (sid, b) =>
+        IndexManifests.withTxn(entries, sid, b) })
     if (mode == SaveMode.Overwrite && prev.nonEmpty)
       dropOrphanSegments(spark, dir, entries)
   }
@@ -190,8 +202,9 @@ object Bm25Index {
     * bit-identical to one build over the union.
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, numFiles: Int = 8): Unit =
-    build(docs, idCol, textCol, dir, numFiles, SaveMode.Append)
+      dir: String, numFiles: Int = 8,
+      txn: Option[(String, Long)] = None): Unit =
+    build(docs, idCol, textCol, dir, numFiles, SaveMode.Append, txn)
 
   private def readTombstones(spark: SparkSession, dir: String,
       entries: Map[String, Seq[String]]): Option[DataFrame] =
@@ -340,8 +353,12 @@ object Bm25Index {
     Seq((mN, mS)).toDF("n_docs", "sum_dl")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/meta/$seg")
+    // the applied-batch ledger survives maintenance (see
+    // [[AnnIndex.compact]]'s matching carry-forward)
     val fresh = Seq("tf", "dl", "df", "meta").map(f => f -> Seq(s"$f/$seg"))
-      .toMap
+      .toMap ++
+      entries.get(IndexManifests.TxnFrame)
+        .map(IndexManifests.TxnFrame -> _).toMap
     commit(spark, dir, v, fresh)
     // retention window for readers pinned to recent versions — the
     // [[AnnIndex.compact]] contract shared through the manifest layer;

@@ -165,6 +165,44 @@ private[graft] object IndexManifests {
     }
   }
 
+  /** APPLIED-BATCH LEDGER riding the manifest itself — the exactly-
+    * once mechanism for streaming index ingest (r13 verdict #2, the
+    * [[graft.streaming.ViewStream]] ledger discipline re-expressed at
+    * the index layer): a `_txn` pseudo-frame holds one
+    * `streamId:batchId` token per ingesting stream, committed in the
+    * SAME atomic manifest write as the segments it covers. A crash-
+    * replayed micro-batch finds its (or a later) batchId already
+    * recorded and no-ops, so the index never holds duplicate segment
+    * rows. `_txn` never touches disk as a frame dir — [[vacuum]] /
+    * [[dropOrphanSegments]] iterate physical frames only.
+    */
+  val TxnFrame = "_txn"
+
+  /** True when `streamId` has already committed `batchId` (or any
+    * later batch — the monotone-replay guard: Spark re-runs only
+    * not-yet-committed batches, always in order).
+    */
+  def txnApplied(entries: Map[String, Seq[String]], streamId: String,
+      batchId: Long): Boolean =
+    entries.getOrElse(TxnFrame, Nil).exists { t =>
+      val i = t.lastIndexOf(':')
+      i > 0 && t.substring(0, i) == streamId &&
+        t.substring(i + 1).toLongOption.exists(_ >= batchId)
+    }
+
+  /** Entries with this stream's ledger token replaced by `batchId`
+    * (one token per stream — the ledger is O(#streams), not
+    * O(#batches)).
+    */
+  def withTxn(entries: Map[String, Seq[String]], streamId: String,
+      batchId: Long): Map[String, Seq[String]] = {
+    val kept = entries.getOrElse(TxnFrame, Nil).filter { t =>
+      val i = t.lastIndexOf(':')
+      !(i > 0 && t.substring(0, i) == streamId)
+    }
+    entries + (TxnFrame -> (kept :+ s"$streamId:$batchId"))
+  }
+
   /** Delete every on-disk child of the given frame dirs not named by
     * `live` (post-commit physical cleanup — overwrite builds and
     * compaction). A frame dir left with no children is removed too.

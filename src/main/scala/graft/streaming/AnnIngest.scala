@@ -24,11 +24,17 @@ import graft.extra.AnnIndex
   * build over the union (AnnIndexSpec pins this), N streamed
   * micro-batches produce an index BIT-IDENTICAL to one batch append of
   * the same rows — StreamingAnnSpec pins the streamed form of that
-  * equivalence. Exactly-once caveat: parquet appends inside foreachBatch
-  * are at-least-once on batch REPLAY after a crash; a production
-  * deployment keys on doc id and compacts replayed duplicates with the
-  * same last-wins finalizer the flagship sink uses (ST6), or writes
-  * through a transactional table format.
+  * equivalence.
+  *
+  * EXACTLY-ONCE (r13 verdict #2): each micro-batch append carries a
+  * `(streamId, batchId)` txn token into the index's manifest commit —
+  * the applied-batch ledger ([[graft.extra.IndexManifests.txnApplied]],
+  * the [[ViewStream]] ledger discipline at the index layer). Crash
+  * replay of a micro-batch finds its batchId already committed and
+  * no-ops, so the index holds no duplicate segment rows and needs no
+  * compaction-side dedup. The streamId derives from the checkpoint
+  * location (stable across restarts of the same stream; distinct
+  * streams ingesting one index keep independent ledger entries).
   */
 object AnnIngest {
 
@@ -87,13 +93,14 @@ object AnnIngest {
     // the cached codebooks and single-file batches the per-batch cost
     // is the encode projection + one file-per-touched-list append.
     val codebooks = AnnIndex.readCodebooks(curated.sparkSession, indexDir)
+    val streamId = streamIdOf("ann", checkpointDir)
     curated
       .select(col(idCol), embedStub(col(textCol), dim).as("embedding"))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         // hash-on-list_id write (NOT singleFileBatch): AQE coalesces
         // the exchange to few tasks on a small batch while a backlog
         // batch keeps parallel writers — the single-task funnel was
@@ -101,10 +108,21 @@ object AnnIngest {
         // the file count is one per touched list either way
         if (sinkGate())
           AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
-            "embedding", codebooks = Some(codebooks))
+            "embedding", codebooks = Some(codebooks),
+            txn = Some((streamId, batchId)))
       }
       .start()
   }
+
+  /** Stable ledger identity for a stream: the checkpoint location IS
+    * the stream's identity across restarts (same checkpoint → same
+    * offsets → same batchIds), so its hash keys the applied-batch
+    * ledger. String.hashCode is specified arithmetic — identical
+    * across JVMs.
+    */
+  private[graft] def streamIdOf(kind: String,
+      checkpointDir: String): String =
+    f"$kind-${checkpointDir.hashCode}%08x"
 
   /** Streaming SPARSE ingest — the BM25 half of the same story: each
     * curated micro-batch appends into a persisted
@@ -114,23 +132,26 @@ object AnnIngest {
     * ANN path there is no frozen model — df/meta partials simply
     * accumulate and searches aggregate them, so the index needs no
     * initial build (the first micro-batch creates it). Same
-    * at-least-once caveat as [[start]] on crash replay; empty batches
+    * exactly-once ledger as [[start]] on crash replay; empty batches
     * append nothing.
     */
   def startBm25(curated: DataFrame, indexDir: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
-      sinkGate: () => Boolean = () => true): StreamingQuery =
+      sinkGate: () => Boolean = () => true): StreamingQuery = {
+    val streamId = streamIdOf("bm25", checkpointDir)
     curated
       .select(col(idCol), col(textCol))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         if (sinkGate() && !df.isEmpty)
-          graft.extra.Bm25Index.append(df, idCol, textCol, indexDir)
+          graft.extra.Bm25Index.append(df, idCol, textCol, indexDir,
+            txn = Some((streamId, batchId)))
       }
       .start()
+  }
 }

@@ -101,4 +101,89 @@ class StreamingAnnSpec extends SparkSpec {
     val streamed = hits(s"$base/streamed")
     assert(streamed.nonEmpty && streamed == hits(s"$base/batch"))
   }
+
+  test("exactly-once ANN ingest (r13 verdict #2): a crash-replayed " +
+      "batchId leaves the index bit-identical — manifest version, " +
+      "codes rows, and on-disk bytes unchanged") {
+    val base = Files.createTempDirectory("ann_e1").toString
+    val dir = s"$base/idx"
+    val init = spark.range(100).select(col("id").as("doc_id"),
+      AnnIngest.embedStub(concat(lit("seed doc "), col("id")), 64)
+        .as("embedding"))
+    AnnIndex.buildAndWriteIvfPq(init, "doc_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)               // v1
+    val cb = AnnIndex.readCodebooks(spark, dir)
+    def embBatch(ids: Seq[Long]) = ids.map(i => (i, s"$good mark $i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        AnnIngest.embedStub(col("text"), 64).as("embedding"))
+    def state() = {
+      val (v, entries) =
+        (graft.extra.IndexManifests.latest(spark, dir).get._1,
+          graft.extra.IndexManifests.latest(spark, dir).get._2)
+      val rows = AnnIndex.committedCodes(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq
+      (v, entries, rows)
+    }
+    // batch 0 applies; its replay is a no-op
+    AnnIndex.appendIvfPq(spark, dir, embBatch(1000L to 1004L),
+      "doc_id", "embedding", codebooks = Some(cb),
+      txn = Some(("s1", 0L)))                                 // v2
+    val afterFirst = state()
+    AnnIndex.appendIvfPq(spark, dir, embBatch(1000L to 1004L),
+      "doc_id", "embedding", codebooks = Some(cb),
+      txn = Some(("s1", 0L)))                                 // replay
+    assert(state() == afterFirst, "replayed batch mutated the index")
+    // an EARLIER batchId replay (restart further back) also no-ops
+    // after a later batch committed — the ledger guard is monotone
+    AnnIndex.appendIvfPq(spark, dir, embBatch(1005L to 1009L),
+      "doc_id", "embedding", codebooks = Some(cb),
+      txn = Some(("s1", 1L)))                                 // v3
+    val afterSecond = state()
+    AnnIndex.appendIvfPq(spark, dir, embBatch(1000L to 1004L),
+      "doc_id", "embedding", codebooks = Some(cb),
+      txn = Some(("s1", 0L)))                                 // stale
+    assert(state() == afterSecond)
+    assert(afterSecond._3.toSet ==
+      ((0L until 100L) ++ (1000L to 1009L)).toSet)
+    // a DIFFERENT stream's batch 0 is independent and applies
+    AnnIndex.appendIvfPq(spark, dir, embBatch(2000L to 2001L),
+      "doc_id", "embedding", codebooks = Some(cb),
+      txn = Some(("s2", 0L)))                                 // v4
+    assert(state()._3.toSet.contains(2000L))
+    // the ledger survives compaction: replays still no-op after it
+    AnnIndex.compact(spark, dir)
+    val afterCompact = state()
+    AnnIndex.appendIvfPq(spark, dir, embBatch(1005L to 1009L),
+      "doc_id", "embedding", codebooks = Some(cb),
+      txn = Some(("s1", 1L)))
+    assert(state() == afterCompact,
+      "replay after compact re-applied a committed batch")
+  }
+
+  test("exactly-once BM25 ingest: replayed batchId leaves searches " +
+      "and the manifest unchanged") {
+    val base = Files.createTempDirectory("bm25_e1").toString
+    val dir = s"$base/idx"
+    def docs(ids: Seq[Long], tag: String) =
+      ids.map(i => (i, s"$good $tag mark $i")).toDF("doc_id", "text")
+    graft.extra.Bm25Index.append(docs(0L to 4L, "alpha"), "doc_id",
+      "text", dir, txn = Some(("b1", 0L)))
+    def state() = {
+      val v = graft.extra.IndexManifests.latest(spark, dir).get._1
+      val h = graft.extra.Bm25Index.search(spark, dir,
+          Seq("alpha", "mark"), idCol = "doc_id", topK = 10)
+        .collect().map(_.toString).toSeq
+      (v, h)
+    }
+    val after = state()
+    graft.extra.Bm25Index.append(docs(0L to 4L, "alpha"), "doc_id",
+      "text", dir, txn = Some(("b1", 0L)))                    // replay
+    assert(state() == after,
+      "replayed BM25 batch inflated tf/df/meta partials")
+    // next batch applies; the stream path stamps the same ledger shape
+    graft.extra.Bm25Index.append(docs(5L to 9L, "beta"), "doc_id",
+      "text", dir, txn = Some(("b1", 1L)))
+    assert(state()._1 == after._1 + 1)
+  }
 }
