@@ -654,16 +654,8 @@ object Dedup {
       k: Int = 5, hashed: Boolean = false,
       minSpanTokens: Int = 0): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val toks = Text.tokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("__toks"))
-    val joined = (2 to k).foldLeft(col("__toks"))((cur, j) =>
-      zip_with(cur, slice(col("__toks"), lit(j), size(col("__toks"))),
-        (p, c) => concat(p, lit(" "), c)))
-    val grams = base
-      .select(col(idCol), posexplode(joined).as(Seq("pos", "__sh")))
-      .filter(col("__sh").isNotNull)
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        (if (hashed) xxhash64(col("__sh")) else col("__sh")).as("__g"))
+    val base = df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val grams = positionedGrams(df, idCol, textCol, k, hashed)
     // canonical occurrence per duplicated gram = min (doc, pos);
     // min(struct) orders lexicographically — one keyed agg, no window
     val canon = grams.groupBy("__g")
@@ -673,6 +665,43 @@ object Dedup {
     val flagged = grams.join(canon, "__g")
       .filter(!(col(idCol) === col("__c.d") && col("pos") === col("__c.p")))
       .select(col(idCol), col("pos"))
+    val protectPos = canon
+      .select(col("__c.d").as(idCol), col("__c.p").as("pos"))
+    cutFlaggedSpans(base, flagged, protectPos, idCol, k, minSpanTokens)
+  }
+
+  /** Positioned k-grams of each document: (idCol, `pos` — 0-based
+    * token start as long, `__g` — the gram key, xxhash64'd when
+    * `hashed`). The zip_with chain evaluates its collection args once
+    * per row (the lambda-CSE trap note on [[Text.shinglesFromTokens]]);
+    * the k−1 null tail slots drop after the posexplode. Shared by
+    * [[exactSubstrSpans]], [[removeDupSpans]], and [[SubstrIndex]].
+    */
+  private[extra] def positionedGrams(df: DataFrame, idCol: String,
+      textCol: String, k: Int, hashed: Boolean): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = Text.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val joined = (2 to k).foldLeft(col("__toks"))((cur, j) =>
+      zip_with(cur, slice(col("__toks"), lit(j), size(col("__toks"))),
+        (p, c) => concat(p, lit(" "), c)))
+    base.select(col(idCol), posexplode(joined).as(Seq("pos", "__sh")))
+      .filter(col("__sh").isNotNull)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        (if (hashed) xxhash64(col("__sh")) else col("__sh")).as("__g"))
+  }
+
+  /** The span-merge + cut stage shared by [[removeDupSpans]] and
+    * [[SubstrIndex.dedupBatch]]: merge `flagged` (idCol, pos) starts
+    * into maximal spans per doc (gap ≤ k), drop spans shorter than
+    * `minSpanTokens`, cut covered tokens EXCEPT positions inside a
+    * `protectPos` (idCol, pos) canonical range [p, p+k−1], rebuild the
+    * text. `base` carries (idCol, `__toks`). Per-doc window only —
+    * bounded by doc length, never global.
+    */
+  private[extra] def cutFlaggedSpans(base: DataFrame, flagged: DataFrame,
+      protectPos: DataFrame, idCol: String, k: Int,
+      minSpanTokens: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val spans = flagged
       .withColumn("__brk",
@@ -689,8 +718,7 @@ object Dedup {
     // the protected ranges: canonical occurrences of duplicated grams
     // in THIS doc — each covers [p, p+k-1]; positions per doc are
     // bounded by doc length, so the collected array stays row-local
-    val protect = canon
-      .select(col("__c.d").as(idCol), col("__c.p").as("pos"))
+    val protect = protectPos
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("pos"))).as("__cpos"))
     base.join(spans, Seq(idCol), "left")
@@ -751,18 +779,9 @@ object Dedup {
       k: Int = 5, hashed: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val toks = Text.tokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("__toks"),
+    val base = df.select(col(idCol),
       size(toks).cast("long").as("__n_toks"))
-    // joined[i] = k-gram starting at 0-based token i; the k-1 tail
-    // slots are null (zip_with pads) and drop after the posexplode
-    val joined = (2 to k).foldLeft(col("__toks"))((cur, j) =>
-      zip_with(cur, slice(col("__toks"), lit(j), size(col("__toks"))),
-        (p, c) => concat(p, lit(" "), c)))
-    val grams = base
-      .select(col(idCol), posexplode(joined).as(Seq("pos", "__sh")))
-      .filter(col("__sh").isNotNull)
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        (if (hashed) xxhash64(col("__sh")) else col("__sh")).as("__g"))
+    val grams = positionedGrams(df, idCol, textCol, k, hashed)
     val dup = grams.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("__g")
     val flagged = grams.join(dup, Seq("__g")).select(col(idCol), col("pos"))

@@ -72,6 +72,7 @@ object IndexedCorpus {
     val bm25 = 3 // subsumes the segmented-layout "v2" prefix bump
     val ann = 2
     val pqcb = 2
+    val substr = 1
   }
 
   /** Generic content-keyed build-if-absent artifact dir: `build`
@@ -112,6 +113,20 @@ object IndexedCorpus {
     val fp = fingerprint(docs, col(idCol), col(textCol))
     cachedDir("graft_qbm25", Ver.bm25, fp)(d =>
       graft.extra.Bm25Index.build(docs, idCol, textCol, d.toString))
+  }
+
+  /** Duplicated-gram posting index dir for this corpus frame (build
+    * if absent) — the incremental-ExactSubstr serving artifact
+    * ([[graft.extra.SubstrIndex]]); string gram keys so the DuckDB
+    * oracle can replay the grouping (hashed=true is the spec-pinned
+    * production form).
+    */
+  def substrDir(corpus: DataFrame, idCol: String,
+      textCol: String): String = {
+    val fp = fingerprint(corpus, col(idCol), col(textCol))
+    cachedDir("graft_qsubstr", Ver.substr, fp)(d =>
+      graft.extra.SubstrIndex.build(corpus, idCol, textCol,
+        d.toString, k = 5))
   }
 
   /** IVF-PQ index dir for this embeddings frame (build if absent;

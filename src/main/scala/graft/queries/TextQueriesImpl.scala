@@ -758,7 +758,15 @@ object TextQueriesImpl {
         k = 5, minSpanTokens = 10)
       .orderBy("doc_id")
 
-  private val dedupSubstrOracle =
+  /** Shared CTE chain for the ExactSubstr removal oracles: flags,
+    * canonical positions, span merge (>= 10-token filter), protected
+    * indexed cut — ending in `fin` (doc_id, toks, kept, nsp) over the
+    * WHOLE documents table. `dedup_substr` selects every row;
+    * `dedup_substr_incremental` restricts to the batch half (its flags
+    * are identical by the posting-summary equivalence SubstrIndexSpec
+    * pins).
+    */
+  private val dedupSubstrCte =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |g AS (SELECT doc_id, toks,
        |    unnest(range(1, len(toks) - 3)) AS pos
@@ -798,7 +806,10 @@ object TextQueriesImpl {
        |    END AS kept,
        |    coalesce(sa.nsp, 0) AS nsp
        |  FROM t LEFT JOIN sa USING (doc_id)
-       |  LEFT JOIN ca USING (doc_id))
+       |  LEFT JOIN ca USING (doc_id))""".stripMargin
+
+  private val dedupSubstrOracle =
+    s"""$dedupSubstrCte
        |SELECT doc_id,
        |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join
        |  -- of an empty array is '' — canonicalize the fully-removed
@@ -806,6 +817,39 @@ object TextQueriesImpl {
        |  CAST(nsp AS BIGINT) AS n_spans_removed,
        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
        |FROM fin
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- dedup_substr_incremental ------------------------------------
+
+  /** The INCREMENTAL arm ([[graft.extra.SubstrIndex.dedupBatch]]):
+    * the lower-id half of the corpus is the standing indexed corpus
+    * (build-if-absent, content-keyed — [[IndexedCorpus.substrDir]]),
+    * the upper half is the incoming crawl batch, span-deduped against
+    * corpus + batch-mates via posting lookups without rescanning
+    * corpus text. The oracle replays the batch-side anchoring as the
+    * GLOBAL cut restricted to batch rows — exactly the equivalence
+    * the operator guarantees (flags depend only on per-gram total
+    * count and global canonical minimum, which the postings carry).
+    */
+  def dedupSubstrIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val corpus = d.filter(col("doc_id") < cut)
+    val batch = d.filter(col("doc_id") >= cut)
+    val idx = IndexedCorpus.substrDir(corpus, "doc_id", "text")
+    graft.extra.SubstrIndex.dedupBatch(s, idx, batch, "doc_id", "text",
+        minSpanTokens = 10)
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstrIncrementalOracle =
+    s"""$dedupSubstrCte
+       |SELECT doc_id,
+       |  coalesce(array_to_string(kept, ' '), '') AS text,
+       |  CAST(nsp AS BIGINT) AS n_spans_removed,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+       |FROM fin
+       |WHERE doc_id >= (SELECT max(doc_id) // 2 FROM documents)
        |ORDER BY doc_id""".stripMargin
 
   // ---- bm25_search --------------------------------------------------
@@ -1267,6 +1311,10 @@ object TextQueriesImpl {
       "ExactSubstr removal: non-canonical duplicated spans >= 10 " +
         "tokens cut, canonical (min (doc,pos)) positions protected",
       dedupSubstr, Some(dedupSubstrOracle)),
+    QueryDef("dedup_substr_incremental",
+      "incremental ExactSubstr: batch span-deduped against the " +
+        "persisted gram-posting index (no corpus text rescan)",
+      dedupSubstrIncremental, Some(dedupSubstrIncrementalOracle)),
     QueryDef("tfidf_top_terms",
       "per-doc top-3 tf-idf terms: two keyed aggs, one term equijoin",
       tfidfTopTerms, Some(tfidfTopTermsOracle)),

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.extra.{Dedup, SubstrIndex}
+
+/** Incremental ExactSubstr dedup: a batch deduped against the persisted
+  * gram-posting index must equal the GLOBAL removeDupSpans over
+  * corpus ∪ batch restricted to the batch's rows — the equivalence the
+  * whole design rests on — plus the LSM lifecycle (append/compact) and
+  * the hashed-key production form.
+  */
+class SubstrIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_substridx_")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def rows(df: DataFrame) = df
+    .select("doc_id", "text", "n_spans_removed", "n_tokens_removed")
+    .orderBy("doc_id").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    .toSeq
+
+  // corpus: docs 0-2 hold a shared run (canonical in 0) and a corpus-
+  // only phrase; batch: 100 repeats the corpus run (corpus-dup), 101 &
+  // 102 share a fresh run (batch-mate dup, canonical at 101), 103 is
+  // clean
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "a b the quick brown fox jumps over the lazy dog c"),
+    (2L, "corpus only words nothing shared with anything else here"))
+    .toDF("doc_id", "text")
+  private val batch = Seq(
+    (100L, "x1 the quick brown fox jumps over the lazy dog x2"),
+    (101L, "m1 m2 fresh shared run alpha beta gamma delta m3"),
+    (102L, "n1 fresh shared run alpha beta gamma delta n2 n3"),
+    (103L, "totally clean batch document with unique vocabulary only"))
+    .toDF("doc_id", "text")
+
+  private def globalRef(minSpan: Int = 0): Seq[(Long, String, Long, Long)] =
+    rows(Dedup.removeDupSpans(corpus.unionByName(batch), "doc_id",
+        "text", k = 5, minSpanTokens = minSpan)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L))
+
+  test("dedupBatch == global removeDupSpans restricted to the batch: " +
+      "corpus-dup span cut, batch-mate dup keeps the lower-id copy, " +
+      "clean doc untouched") {
+    val dir = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    val inc = rows(SubstrIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text"))
+    assert(inc == globalRef())
+    val byId = inc.map(t => t._1 -> t).toMap
+    assert(byId(100L)._4 > 0L, "corpus-dup span not cut")
+    assert(byId(101L)._4 == 0L, "canonical batch-mate was cut")
+    assert(byId(102L)._4 > 0L, "batch-mate dup not cut")
+    assert(byId(103L) == ((103L,
+      "totally clean batch document with unique vocabulary only",
+      0L, 0L)))
+  }
+
+  test("minSpanTokens flows through: the threshold that spares a span " +
+      "in the global operator spares it incrementally too") {
+    val dir = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    val inc = rows(SubstrIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text", minSpanTokens = 9))
+    assert(inc == globalRef(minSpan = 9))
+  }
+
+  test("LSM lifecycle: append registers an earlier batch's content so " +
+      "a later batch dedups against it; compact preserves results and " +
+      "folds segments; replayed append (txn) is a no-op") {
+    val dir = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    // ingest batch 1: dedup, then append the CLEANED output
+    val cleaned1 = SubstrIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text")
+    SubstrIndex.append(cleaned1, "doc_id", "text", dir,
+      txn = Some(("s", 0L)))
+    val vAfter = graft.extra.IndexManifests.latest(spark, dir).get._1
+    // crash replay of the same batchId: bit-identical index
+    SubstrIndex.append(cleaned1, "doc_id", "text", dir,
+      txn = Some(("s", 0L)))
+    assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == vAfter)
+    // batch 2 repeats content that SURVIVED batch 1's dedup (101's
+    // run survived as canonical-in-batch) → must now be cut as a
+    // corpus dup; content CUT from batch 1 (102's copy) is NOT in the
+    // index twice, so no phantom anchors
+    val batch2 = Seq(
+      (200L, "z1 fresh shared run alpha beta gamma delta z2"),
+      (201L, "another clean follow up document with new words entirely"))
+      .toDF("doc_id", "text")
+    val inc2 = rows(SubstrIndex.dedupBatch(spark, dir, batch2,
+      "doc_id", "text"))
+    // reference: global dedup over corpus ∪ cleaned batch1 ∪ batch2
+    val standing = corpus
+      .unionByName(cleaned1.select("doc_id", "text"))
+    val ref = rows(Dedup.removeDupSpans(standing.unionByName(batch2),
+        "doc_id", "text", k = 5)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 200L))
+    assert(inc2 == ref)
+    assert(inc2.find(_._1 == 200L).get._4 > 0L)
+    // compact folds partials; dedup results identical after
+    SubstrIndex.compact(spark, dir)
+    assert(rows(SubstrIndex.dedupBatch(spark, dir, batch2,
+      "doc_id", "text")) == inc2)
+  }
+
+  test("hashed (production) posting keys give the same dedup as " +
+      "string keys") {
+    val dirS = tmpDir()
+    val dirH = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dirS, k = 5,
+      hashed = false)
+    SubstrIndex.build(corpus, "doc_id", "text", dirH, k = 5,
+      hashed = true)
+    assert(rows(SubstrIndex.dedupBatch(spark, dirS, batch,
+        "doc_id", "text")) ==
+      rows(SubstrIndex.dedupBatch(spark, dirH, batch, "doc_id", "text")))
+  }
+}
