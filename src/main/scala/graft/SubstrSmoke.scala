@@ -96,12 +96,66 @@ object SubstrSmoke {
     assert(canonicalId == 4L,
       s"canonical survivor should be doc 4, got $canonicalId")
 
+    // INCREMENTAL arm (r14): the posting index over the standing
+    // corpus builds ONCE; a crawl batch (n/4 docs) then span-dedups
+    // against corpus + batch-mates through posting lookups — no
+    // corpus text rescan. Batch composition: every 10th doc repeats
+    // the corpus boilerplate (corpus-dup → cut), docs ≡1 (mod 10)
+    // share a batch-only 12-token run (batch-mate dup → all but the
+    // minimal id cut), the rest are clean. Expectations exact.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("substr_idx_").toString
+    val tIdx = System.nanoTime()
+    graft.extra.SubstrIndex.build(corpus(n), "doc_id", "text", idxDir,
+      k = 5, hashed = true)
+    val wallIdx = (System.nanoTime() - tIdx) / 1e9
+    val m = n / 4
+    val batchDf = {
+      val kind = pmod(col("id"), lit(10L))
+      val tok = (i: org.apache.spark.sql.Column) =>
+        when(kind === 0L && i >= 20 && i <= 31,
+          concat(lit("b"), (i - 20).cast("string")))
+          .when(kind === 1L && i >= 5 && i <= 16,
+            concat(lit("c"), (i - 5).cast("string")))
+          .otherwise(concat(lit("u"), pmod(
+            xxhash64(col("id") * 59L + i), lit(1L << 40)).cast("string")))
+      spark.range(n, n + m).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0L), lit(49L)), tok)).as("text"))
+    }
+    val tInc = System.nanoTime()
+    val inc = graft.extra.SubstrIndex
+      .dedupBatch(spark, idxDir, batchDf, "doc_id", "text")
+      .agg(
+        sum(when(pmod(col("doc_id"), lit(10L)) === 0L &&
+          col("n_tokens_removed") === 12L, 1L).otherwise(0L)),
+        sum(when(pmod(col("doc_id"), lit(10L)) === 1L &&
+          col("n_tokens_removed") === 12L, 1L).otherwise(0L)),
+        sum(when(col("n_tokens_removed") === 0L, 1L).otherwise(0L)),
+        min(when(pmod(col("doc_id"), lit(10L)) === 1L &&
+          col("n_tokens_removed") === 0L, col("doc_id")))).head()
+    val wallInc = (System.nanoTime() - tInc) / 1e9
+    val (corpusCut, mateCut, cleanKept, mateCanon) =
+      (inc.getLong(0), inc.getLong(1), inc.getLong(2), inc.getLong(3))
+    assert(corpusCut == m / 10,
+      s"$corpusCut of ${m / 10} corpus-dup batch docs cut")
+    assert(mateCut == m / 10 - 1,
+      s"$mateCut of ${m / 10 - 1} non-canonical batch-mate docs cut")
+    assert(cleanKept == m - corpusCut - mateCut,
+      s"$cleanKept untouched, expected ${m - corpusCut - mateCut}")
+    assert(mateCanon == n + 1,
+      s"batch-mate canonical should be ${n + 1}, got $mateCanon")
+
     println(s"""{"metric":"substr_smoke","n_docs":$n,""" +
       s""""planted":$plantedN,"planted_found":$found,""" +
       s""""false_docs":$falseDocs,"wall_quarter_s":$wq,"wall_s":$wall,""" +
       s""""docs_per_sec":${(n / wall).toLong},""" +
       s""""removal_wall_s":$wallRm,"trimmed":$trimmed,""" +
-      s""""canonical_doc":$canonicalId}""")
+      s""""canonical_doc":$canonicalId,""" +
+      s""""index_build_s":$wallIdx,"batch_docs":$m,""" +
+      s""""incremental_wall_s":$wallInc,""" +
+      s""""incremental_docs_per_sec":${(m / wallInc).toLong},""" +
+      s""""corpus_dup_cut":$corpusCut,"mate_dup_cut":$mateCut}""")
     spark.stop()
   }
 }

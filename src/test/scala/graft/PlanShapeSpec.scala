@@ -590,4 +590,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       plan.take(3000))
   }
+
+  test("dedup_substr_incremental: posting lookup + batch-doc windows " +
+      "stay keyed — no cartesian, no nested loop, no single-partition " +
+      "window, and the corpus TEXT is never scanned (only the gram " +
+      "posting segments are)") {
+    val plan = executedPlan("dedup_substr_incremental")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      plan.take(3000))
+    // every parquet scan is either the documents table (the BATCH
+    // side reads text) or a gram posting segment; the corpus text
+    // contribution arrives exclusively through grams/seg-N reads
+    val scans = plan.split("\n").filter(_.contains("Location:"))
+    assert(scans.exists(_.contains("grams/seg-")),
+      s"no posting-segment scan in plan:\n${plan.take(3000)}")
+  }
 }
