@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.extra.{IndexManifests, SubstrIndex}
+
+/** STREAMING incremental ExactSubstr — the crawl-pipeline shape of
+  * [[graft.extra.SubstrIndex]]: each curated micro-batch is
+  * span-deduped against the persisted gram-posting index (standing
+  * corpus + every earlier committed batch + its own batch-mates), the
+  * CLEANED text lands under `outDir/batch=<id>/`, and the cleaned
+  * batch's grams append into the index — so later batches dedup
+  * against exactly what survived, never against cut content.
+  *
+  * EXACTLY-ONCE on BOTH legs, from one commit point:
+  *   - the index append carries the `(streamId, batchId)` txn token
+  *     ([[IndexManifests.txnApplied]]) and is the LAST step;
+  *   - the cleaned-docs sink writes `Overwrite` into a per-batch
+  *     directory BEFORE the append, so it is idempotent by batch id.
+  *
+  * Crash analysis: replay before the index commit re-runs the dedup
+  * against an UNCHANGED index (same cleaned rows — the operator is a
+  * pure function of index + batch), overwrites the same out
+  * directory, and appends; replay after the commit finds the ledger
+  * advanced and skips the whole batch (the out directory was already
+  * written before the commit landed). Either way both artifacts hold
+  * each batch's rows exactly once. The dedup-BEFORE-append ordering
+  * is load-bearing: appending first would make the replayed dedup see
+  * the batch's own grams as corpus content and cut every copy.
+  *
+  * Contract: the index at `indexDir` must exist ([[SubstrIndex.build]]
+  * over the standing corpus); ids globally unique across the stream
+  * (the keyed-table contract). Empty batches no-op without advancing
+  * the ledger.
+  */
+object SubstrIngest {
+
+  /** One micro-batch through the dedup→sink→append chain — factored
+    * out so specs can drive crash-replay directly. Returns true when
+    * the batch was applied, false when the ledger skipped it.
+    */
+  private[graft] def applyBatch(spark: SparkSession, indexDir: String,
+      outDir: String, df: DataFrame, idCol: String, textCol: String,
+      streamId: String, batchId: Long,
+      minSpanTokens: Int): Boolean = {
+    val (_, entries) = IndexManifests.requireLatest(spark, indexDir,
+      "substr")
+    if (IndexManifests.txnApplied(entries, streamId, batchId))
+      return false
+    if (df.isEmpty) return false
+    val cleaned = SubstrIndex.dedupBatch(spark, indexDir, df, idCol,
+      textCol, minSpanTokens)
+    cleaned.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/batch=$batchId")
+    SubstrIndex.append(cleaned.select(col(idCol), col(textCol)),
+      idCol, textCol, indexDir, txn = Some((streamId, batchId)))
+    true
+  }
+
+  /** Start the ingest over a curated (doc_id, text, …) stream — e.g.
+    * [[CurationStream.curateStream]] output. `sinkGate` is the same
+    * graceful-drain hook as the other ingest sinks.
+    */
+  def start(curated: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", minSpanTokens: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkGate: () => Boolean = () => true): StreamingQuery = {
+    val streamId = AnnIngest.streamIdOf("substr", checkpointDir)
+    curated
+      .select(col(idCol), col(textCol))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        if (sinkGate())
+          applyBatch(df.sparkSession, indexDir, outDir, df, idCol,
+            textCol, streamId, batchId, minSpanTokens): Unit
+      }
+      .start()
+  }
+}

@@ -254,6 +254,27 @@ class Bm25IndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$d3/tombstones").exists())
   }
 
+  test("delete -> restore round-trips through the shared manifest " +
+      "layer: the rollback head serves pre-delete results (one commit " +
+      "protocol across the index family — r13 verdict #4)") {
+    val d = tmpDir()
+    Bm25Index.build(docs, "doc_id", "text", d)
+    val terms = Seq("spark", "shuffle", "join")
+    def rows() = Bm25Index.search(spark, d, terms, idCol = "doc_id",
+        topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val orig = rows()
+    val victims = orig.take(2).map(_._1)
+    Bm25Index.delete(spark, d, victims.toDF("doc_id"), "doc_id") // v2
+    val deleted = rows()
+    assert(!deleted.map(_._1).toSet.exists(victims.contains))
+    graft.extra.IndexManifests.restore(spark, d, 1L)             // v3
+    assert(rows() == orig)
+    // rollback of the rollback re-applies the delete
+    graft.extra.IndexManifests.restore(spark, d, 2L)             // v4
+    assert(rows() == deleted)
+  }
+
   test("snapshot isolation: uncommitted segment files are invisible " +
       "to searches — a torn in-flight append can never be read; the " +
       "manifest commit makes it visible atomically") {
