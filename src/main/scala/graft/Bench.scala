@@ -351,6 +351,18 @@ object Bench {
     // the per-batch encode+append projections, whose regressions the
     // block exists to catch; its JSON rides the DETAIL line + file
     // only, keeping the summary line inside its 1 KB tail budget.
+    // Streaming incremental-ExactSubstr ingest (r14): DETAIL line +
+    // file only, like the ann block. Offered rate near measured
+    // single-node capacity (the curation-neardup discipline) so the
+    // block reads sustained throughput, comparable round-over-round.
+    val streamingSubstr =
+      if (benchStream)
+        try Some(StreamBench.measureSubstrIngest(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_SUBSTR_TPS", "15000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_SUBSTR_SECS", "30").toInt))
+        catch { case _: Throwable => None }
+      else None
+
     val streamingAnn =
       if (benchStream)
         // offered rate deliberately ABOVE the arm's measured ~39k/s
@@ -392,6 +404,8 @@ object Bench {
       .map(s => s""","streaming_curation_neardup":${s.json}""").getOrElse("")
     val annJson = streamingAnn
       .map(s => s""","streaming_ann_ingest":${s.json}""").getOrElse("")
+    val substrJson = streamingSubstr
+      .map(s => s""","streaming_substr_ingest":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
     // displaced the metric line). The driver keeps only a ~2 KB stdout
     // TAIL (r6-r8 artifacts each cut at ~2,000 bytes), so the final line
@@ -403,7 +417,7 @@ object Bench {
     val loadsJson = passLoads.map(l => rnd(l, 2)).mkString("[", ",", "]")
     val gatedJson = gatedSecs.map(g => rnd(g, 1)).mkString("[", ",", "]")
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
-      s""""failures":$fs$curNdJson$annJson}""")
+      s""""failures":$fs$curNdJson$annJson$substrJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""min_total":${rnd(minTotal)},"loadavg1":$loadsJson,""" +
       s""""gated_sec":$gatedJson,"retried":$retried,""" +
@@ -430,7 +444,7 @@ object Bench {
         s""""n_failures":${failures.size},"queries":$qs,""" +
         s""""spreads":$spreads,"rep_samples":$repSamples,""" +
         s""""failures":$fs$streamJson$curJson""" +
-        s"""$curNdJson$annJson}""" + "\n")
+        s"""$curNdJson$annJson$substrJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

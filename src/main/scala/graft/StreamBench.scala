@@ -271,9 +271,42 @@ object StreamBench {
     runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
+  /** Streaming incremental-ExactSubstr ingest
+    * ([[graft.streaming.SubstrIngest]]): each micro-batch span-dedups
+    * against the persisted gram-posting index (seeded with a 20k-doc
+    * corpus), writes the cleaned batch, and appends its grams — the
+    * heaviest per-row streaming chain here (tokenize + posting
+    * semi-join + window merge + two writes per batch). The planted 5%
+    * exact dups in the synthetic feed give every batch real spans to
+    * cut. Offered rate should sit near measured capacity (the
+    * curation-neardup lesson: unbounded ProcessingTime(0) batches
+    * snowball when offered >> capacity).
+    */
+  def measureSubstrIngest(spark: SparkSession, tps: Int,
+      secs: Int): StreamStats = {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("sbench_substr_idx").toString
+    val outDir = Files.createTempDirectory("sbench_substr_out").toString
+    val seed = spark.range(20000).select(
+      (col("id") + 1000000000L).as("doc_id"),
+      graft.gen.SyntheticDocs.textFor(col("id") + 1000000000L).as("text"))
+    graft.extra.SubstrIndex.build(seed, "doc_id", "text", dir,
+      k = 5, hashed = true)
+    val docs = graft.gen.SyntheticDocs.rateDocs(spark, tps)
+    val monitor = new Monitor().attach(spark)
+    val ckpt = Files.createTempDirectory("sbench_substr_ckpt").toString
+    val writing = new AtomicBoolean(true)
+    val q = graft.streaming.SubstrIngest.start(
+      docs, dir, outDir, ckpt,
+      trigger = Trigger.ProcessingTime(0),
+      sinkGate = () => writing.get())
+    runMeasured(spark, monitor, q, writing, tps, secs)
+  }
+
   /** Usage: runMain graft.StreamBench [mode] [tps] [secs] — mode is
-    * `flagship` (default), `curation`, or `ann`; a bare numeric first
-    * arg keeps the historical `[tps] [secs]` flagship form.
+    * `flagship` (default), `curation`, `ann`, or `substr`; a bare
+    * numeric first arg keeps the historical `[tps] [secs]` flagship
+    * form.
     */
   def main(args: Array[String]): Unit = {
     val (mode, rest) = args.headOption match {
@@ -296,6 +329,7 @@ object StreamBench {
       case "curation-neardup" =>
         measureCuration(spark, tps, secs, nearDup = true)
       case "ann" => measureAnnIngest(spark, tps, secs)
+      case "substr" => measureSubstrIngest(spark, tps, secs)
       case _ => measure(spark, tps, secs)
     }
     // Metric line printed LAST, after spark.stop(): nothing Spark logs

@@ -49,14 +49,29 @@ object SubstrIngest {
       "substr")
     if (IndexManifests.txnApplied(entries, streamId, batchId))
       return false
-    if (df.isEmpty) return false
-    val cleaned = SubstrIndex.dedupBatch(spark, indexDir, df, idCol,
-      textCol, minSpanTokens)
-    cleaned.write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/batch=$batchId")
-    SubstrIndex.append(cleaned.select(col(idCol), col(textCol)),
-      idCol, textCol, indexDir, txn = Some((streamId, batchId)))
-    true
+    // the batch frame feeds the dedup chain's ~5 DAG branches
+    // (grams ×2, batch-id set, token base, emptiness probe) — an
+    // UNPERSISTED foreachBatch frame re-reads the SOURCE per branch
+    // (measured: the engine charged ~10× the offered rows per batch,
+    // and on a real transport each re-read is a re-fetch), so pin it
+    // for the batch's lifetime
+    val batch = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (batch.isEmpty) return false
+      SubstrIndex.dedupBatch(spark, indexDir, batch, idCol, textCol,
+          minSpanTokens)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/batch=$batchId")
+      // the index append re-reads the JUST-WRITTEN cleaned parquet —
+      // the dedup chain's materialized form — instead of recomputing
+      // the whole chain a second time for the gram partials
+      SubstrIndex.append(
+        spark.read.parquet(s"$outDir/batch=$batchId")
+          .select(col(idCol), col(textCol)),
+        idCol, textCol, indexDir, txn = Some((streamId, batchId)))
+      true
+    } finally batch.unpersist(blocking = false): Unit
   }
 
   /** Start the ingest over a curated (doc_id, text, …) stream — e.g.
