@@ -111,6 +111,29 @@ class SubstrIndexSpec extends SparkSpec {
       "doc_id", "text")) == inc2)
   }
 
+  test("restore rolls back a bad batch append through the shared " +
+      "manifest layer: dedup verdicts return to the pre-append state") {
+    val dir = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)      // v1
+    val before = rows(SubstrIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text"))
+    // a "bad" append: raw batch grams land (violating the cleaned-
+    // append contract) — later probes of the same content would be
+    // flagged against it
+    SubstrIndex.append(batch, "doc_id", "text", dir)             // v2
+    val probe = Seq(
+      (500L, "q1 fresh shared run alpha beta gamma delta q2"))
+      .toDF("doc_id", "text")
+    assert(rows(SubstrIndex.dedupBatch(spark, dir, probe,
+      "doc_id", "text")).head._4 > 0L) // cut against the appended run
+    graft.extra.IndexManifests.restore(spark, dir, 1L)           // v3
+    // the rollback head behaves exactly like the pre-append index
+    assert(rows(SubstrIndex.dedupBatch(spark, dir, probe,
+      "doc_id", "text")).head._4 == 0L)
+    assert(rows(SubstrIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text")) == before)
+  }
+
   test("hashed (production) posting keys give the same dedup as " +
       "string keys") {
     val dirS = tmpDir()
