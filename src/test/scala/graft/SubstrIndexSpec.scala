@@ -134,6 +134,32 @@ class SubstrIndexSpec extends SparkSpec {
       "doc_id", "text")) == before)
   }
 
+  test("seeded randomized differential: incremental dedupBatch == " +
+      "global removeDupSpans restricted to the batch, over collision-" +
+      "heavy corpora (tiny vocab -> dense gram duplication, canonical/" +
+      "protection interplay stressed beyond the fixtures)") {
+    val rnd = new scala.util.Random(1414)
+    val vocab = Vector("a", "b", "c", "d")
+    for (round <- 0 until 3) {
+      val mk = (id: Long) => {
+        val n = 6 + rnd.nextInt(18)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val corpusR = (0L until 30L).map(mk).toDF("doc_id", "text")
+      val batchR = (100L until 115L).map(mk).toDF("doc_id", "text")
+      val minSpan = if (round == 2) 8 else 0
+      val dir = tmpDir()
+      SubstrIndex.build(corpusR, "doc_id", "text", dir, k = 5)
+      val inc = rows(SubstrIndex.dedupBatch(spark, dir, batchR,
+        "doc_id", "text", minSpanTokens = minSpan))
+      val ref = rows(Dedup.removeDupSpans(corpusR.unionByName(batchR),
+          "doc_id", "text", k = 5, minSpanTokens = minSpan)
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L))
+      assert(inc == ref, s"round $round (minSpan=$minSpan):\n" +
+        inc.zip(ref).filter(t => t._1 != t._2).take(3).mkString("\n"))
+    }
+  }
+
   test("hashed (production) posting keys give the same dedup as " +
       "string keys") {
     val dirS = tmpDir()
