@@ -50,12 +50,19 @@ object SubstrProbe {
       })
     Thread.sleep(secs * 1000L)
     q.stop()
-    val out = spark.read.option("basePath", outDir)
-      .parquet(s"$outDir/batch=*")
-    println(s"[probe] outDir total rows=${out.count()}")
-    new java.io.File(outDir).listFiles().foreach(f =>
-      println(s"[probe] ${f.getName}: " +
-        s"${spark.read.parquet(f.toString).count()} rows"))
+    val batchDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (batchDirs.isEmpty)
+      println("[probe] no batch completed inside the window")
+    else {
+      val out = spark.read.option("basePath", outDir)
+        .parquet(s"$outDir/batch=*")
+      println(s"[probe] outDir total rows=${out.count()}")
+      batchDirs.foreach(f =>
+        println(s"[probe] ${f.getName}: " +
+          s"${spark.read.parquet(f.toString).count()} rows"))
+    }
     spark.stop()
   }
 }

@@ -55,12 +55,17 @@ object SubstrIndex {
 
   private val Frames = Seq("grams")
 
+  // the canonical struct keeps the id's NATIVE type: casting (e.g. to
+  // long) would null out string ids — silently disabling every cut —
+  // and rank numeric strings differently than removeDupSpans' native
+  // min(struct) ordering. Corpus and batch id types must match (the
+  // usual keyed contract).
   private def partialOf(docs: DataFrame, idCol: String, textCol: String,
       k: Int, hashed: Boolean): DataFrame =
     Dedup.positionedGrams(docs, idCol, textCol, k, hashed)
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),
-        min(struct(col(idCol).cast("long").as("d"),
+        min(struct(col(idCol).as("d"),
           col("pos").as("p"))).as("__c"))
       .select(col("__g").as("g"), col("n"),
         col("__c.d").as("d"), col("__c.p").as("p"))
@@ -80,7 +85,21 @@ object SubstrIndex {
       dir: String, k: Int = 5, hashed: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val v = IndexManifests.latest(spark, dir).map(_._1).getOrElse(0L) + 1
+    val prev = IndexManifests.latest(spark, dir)
+    // the meta overwrite below happens OUTSIDE the manifest commit, so
+    // a geometry change over a live index would open a window (crash
+    // between the two writes, or any concurrent reader) where the new
+    // (k, hashed) pairs with the old committed segments — and a k
+    // mismatch doesn't error, it silently matches nothing. Geometry
+    // changes therefore require a fresh directory; a same-geometry
+    // rebuild keeps the meta write idempotent and the window harmless.
+    prev.foreach { _ =>
+      val (k0, h0) = meta(spark, dir)
+      require(k0 == k && h0 == hashed,
+        s"index at $dir is committed with k=$k0/hashed=$h0; " +
+          s"rebuilding with k=$k/hashed=$hashed needs a fresh dir")
+    }
+    val v = prev.map(_._1).getOrElse(0L) + 1
     val seg = f"grams/seg-$v%09d"
     partialOf(docs, idCol, textCol, k, hashed)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$seg")
@@ -173,7 +192,7 @@ object SubstrIndex {
     val grams = Dedup.positionedGrams(batch, idCol, textCol, k, hashed)
     val batchAgg = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("bn"),
-        min(struct(col(idCol).cast("long").as("d"),
+        min(struct(col(idCol).as("d"),
           col("pos").as("p"))).as("bm"))
     val matched = readPostings(spark, dir, entries)
       .join(batchAgg.select(col("__g").as("g")).distinct(), "g")
@@ -188,7 +207,7 @@ object SubstrIndex {
           .otherwise(least(col("cm"), col("bm"))).as("canon"))
       .filter(col("tot") >= 2L)
     val flagged = grams.join(per, "__g")
-      .filter(!(col(idCol).cast("long") === col("canon.d") &&
+      .filter(!(col(idCol) === col("canon.d") &&
         col("pos") === col("canon.p")))
       .select(col(idCol), col("pos"))
     // canonical occurrences inside BATCH docs (a gram absent from the

@@ -116,13 +116,18 @@ object AnnIngest {
 
   /** Stable ledger identity for a stream: the checkpoint location IS
     * the stream's identity across restarts (same checkpoint → same
-    * offsets → same batchIds), so its hash keys the applied-batch
-    * ledger. String.hashCode is specified arithmetic — identical
-    * across JVMs.
+    * offsets → same batchIds), so its digest keys the applied-batch
+    * ledger. md5 (128-bit), not String.hashCode — two streams of one
+    * kind ingesting the same index must never collide (a 32-bit
+    * collision would make txnApplied's monotone guard silently skip
+    * the other stream's batches).
     */
   private[graft] def streamIdOf(kind: String,
-      checkpointDir: String): String =
-    f"$kind-${checkpointDir.hashCode}%08x"
+      checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    s"$kind-" + d.map(b => f"$b%02x").mkString
+  }
 
   /** Streaming SPARSE ingest — the BM25 half of the same story: each
     * curated micro-batch appends into a persisted

@@ -59,8 +59,12 @@ object SubstrIngest {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (batch.isEmpty) return false
+      // dedupBatch's output text column is the operator's canonical
+      // "text"; rename it back to the caller's column so the cleaned
+      // sink mirrors the input naming and the append below resolves
       SubstrIndex.dedupBatch(spark, indexDir, batch, idCol, textCol,
           minSpanTokens)
+        .withColumnRenamed("text", textCol)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/batch=$batchId")
       // the index append re-reads the JUST-WRITTEN cleaned parquet —

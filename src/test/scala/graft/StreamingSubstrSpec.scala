@@ -90,6 +90,30 @@ class StreamingSubstrSpec extends SparkSpec {
     assert(probeRows(streamIdx) == probeRows(batchIdx))
   }
 
+  test("custom id/text column names flow through the whole chain: " +
+      "cleaned sink mirrors the input naming and the append resolves") {
+    val idx = tmp("substr_cols_idx")
+    val outDir = tmp("substr_cols_out")
+    SubstrIndex.build(corpus.toDF("docid", "body"), "docid", "body",
+      idx, k = 5)
+    assert(SubstrIngest.applyBatch(spark, idx, outDir,
+      b1.toDF("docid", "body"), "docid", "body", "s", 0L,
+      minSpanTokens = 0))
+    val out = spark.read.parquet(s"$outDir/batch=0")
+    assert(out.columns.toSeq ==
+      Seq("docid", "body", "n_spans_removed", "n_tokens_removed"))
+    assert(out.filter($"docid" === 100L)
+      .head().getAs[Long]("n_tokens_removed") > 0L)
+    // the appended grams registered: a repeat of 101's surviving run
+    // in the next batch is cut
+    assert(SubstrIngest.applyBatch(spark, idx, outDir,
+      Seq((200L, "z1 fresh shared run alpha beta gamma delta z2"))
+        .toDF("docid", "body"), "docid", "body", "s", 1L,
+      minSpanTokens = 0))
+    assert(spark.read.parquet(s"$outDir/batch=1")
+      .head().getAs[Long]("n_tokens_removed") > 0L)
+  }
+
   test("crash-replayed batchId is a no-op on both legs: index version " +
       "and cleaned parquet unchanged; the pre-commit replay window " +
       "rewrites identical rows") {

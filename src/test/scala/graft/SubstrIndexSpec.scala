@@ -134,6 +134,61 @@ class SubstrIndexSpec extends SparkSpec {
       "doc_id", "text")) == before)
   }
 
+  test("string ids (incl. numeric strings whose lexicographic order " +
+      "inverts numeric order) and custom column names: incremental ==" +
+      " global under the NATIVE id ordering") {
+    // ids "10" < "2" lexicographically: the canonical copy of the
+    // shared run must be "10"'s in BOTH arms (a long-cast would null
+    // string ids and silently cut nothing)
+    val corpusS = Seq(
+      ("2", "the quick brown fox jumps over the lazy dog tonight"),
+      ("zz", "corpus only words nothing shared with anything else here"))
+      .toDF("id", "body")
+    val batchS = Seq(
+      ("10", "x1 the quick brown fox jumps over the lazy dog x2"),
+      ("30", "m1 m2 fresh shared run alpha beta gamma delta m3"),
+      ("4",  "n1 fresh shared run alpha beta gamma delta n2 n3"))
+      .toDF("id", "body")
+    val dir = tmpDir()
+    SubstrIndex.build(corpusS, "id", "body", dir, k = 5)
+    def strRows(df: DataFrame) = df
+      .select("id", "text", "n_spans_removed", "n_tokens_removed")
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val inc = strRows(SubstrIndex.dedupBatch(spark, dir, batchS,
+      "id", "body"))
+    val ref = strRows(Dedup.removeDupSpans(
+        corpusS.unionByName(batchS), "id", "body", k = 5)
+      .filter(org.apache.spark.sql.functions.col("id").isin(
+        "10", "30", "4")))
+    assert(inc == ref)
+    val byId = inc.map(t => t._1 -> t).toMap
+    // native STRING ordering decides canonicality: "10" < "2", so the
+    // BATCH doc "10" holds the corpus run's canonical occurrence and
+    // keeps it (both arms agree; this is also why the monotone
+    // ingest-id contract matters — the untouchable corpus copy in "2"
+    // survives too). Batch-mates: "30" < "4" lexicographically, so
+    // "30" keeps the fresh run and "4" loses it.
+    assert(byId("10")._4 == 0L)
+    assert(byId("30")._4 == 0L)
+    assert(byId("4")._4 > 0L)
+  }
+
+  test("build rejects a geometry change over a committed index " +
+      "(k/hashed mismatch would pair new meta with old segments)") {
+    val dir = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    val e = intercept[IllegalArgumentException] {
+      SubstrIndex.build(corpus, "doc_id", "text", dir, k = 7)
+    }
+    assert(e.getMessage.contains("needs a fresh dir"))
+    // same-geometry rebuild stays allowed (idempotent meta overwrite)
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    assert(rows(SubstrIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text")) == globalRef())
+  }
+
   test("seeded randomized differential: incremental dedupBatch == " +
       "global removeDupSpans restricted to the batch, over collision-" +
       "heavy corpora (tiny vocab -> dense gram duplication, canonical/" +
