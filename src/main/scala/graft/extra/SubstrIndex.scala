@@ -48,8 +48,14 @@ import org.apache.spark.sql.functions._
   * CLEANED batch (the frame dedupBatch returned) — appending raw
   * batch grams would register content that was just cut, making later
   * batches treat it as present. Ids must be globally unique across
-  * corpus ∪ batches (the standard keyed-table contract; canonicality
-  * is min (doc, pos), so id ORDER only decides which copy survives).
+  * corpus ∪ batches (the standard keyed-table contract), and for full
+  * dedup they should be MONOTONE (new batches above corpus ids):
+  * canonicality is min (doc, pos) under the id's NATIVE ordering, and
+  * a batch id sorting BELOW a corpus id pulls the canonical into the
+  * batch — the batch copy is then kept while the corpus copy, which
+  * incremental mode never touches, survives too (batch-row verdicts
+  * still match the global operator exactly; spec-pinned on a
+  * lexicographic inversion fixture).
   */
 object SubstrIndex {
 
