@@ -165,6 +165,41 @@ object Text {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** SPAN-level decontamination — the REMOVAL half of
+    * [[decontaminate]] (the ExactSubstr-against-eval-suites deployment
+    * of Lee et al. 2022: cut the overlapping run, keep the rest of the
+    * document instead of dropping it whole): every corpus position
+    * whose k-gram occurs ANYWHERE in the benchmark is flagged, flagged
+    * starts merge into maximal spans (gap ≤ k — the
+    * [[Dedup.exactSubstrSpans]] machinery), spans shorter than
+    * `minSpanTokens` survive (a short common phrase is language, not
+    * leakage), and covered tokens are cut with the text rebuilt.
+    * Returns [[Dedup.removeDupSpans]]'s exact shape: (idCol, `text`,
+    * `n_spans_removed`, `n_tokens_removed`) over the full corpus.
+    *
+    * Plan shape for 100 TB: the benchmark gram set is tiny by
+    * construction and BROADCASTS into a left-semi join against the
+    * corpus' positioned grams (one explode, no corpus shuffle for the
+    * probe); span merge + cut are per-document windows bounded by doc
+    * length. No pair space anywhere.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, benchTextCol: String,
+      k: Int = 5, minSpanTokens: Int = 0): DataFrame = {
+    val grams = Dedup.positionedGrams(corpus, idCol, textCol, k,
+      hashed = false)
+    val benchSh = withShingles(benchmark, benchTextCol, k, out = "__sh")
+      .select(explode(col("__sh")).as("__g")).distinct()
+    val flagged = grams
+      .join(broadcast(benchSh), Seq("__g"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val base = corpus.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // no canonical protection here: the benchmark is the canon, and it
+    // lives in its own table — every corpus occurrence is a cut
+    Dedup.cutFlaggedSpans(base, flagged, flagged.limit(0), idCol, k,
+      minSpanTokens)
+  }
+
   /** Self-trained unigram language-model score — the KenLM-perplexity
     * stand-in for quality filtering: per document, the mean surprisal
     * (−ln p(token), nats) under the corpus's own unigram distribution.

@@ -238,6 +238,68 @@ object TextQueriesImpl {
        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- decontaminate_spans -----------------------------------------
+
+  /** SPAN-level decontamination ([[Text.decontaminateSpans]] — the
+    * removal half of [[decontaminate]]): corpus = docs outside the
+    * benchmark (`doc_id % 7 != 0` — production keeps corpus and eval
+    * suite disjoint), every benchmark-overlapping run of ≥ 8 tokens
+    * is cut from the corpus text (shorter shared phrases survive —
+    * language, not leakage). At sf0.01 this cuts 9 long planted
+    * overlaps (to 93 tokens) and leaves 3 short ones in place.
+    */
+  def decontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val benchmark = d.filter(col("doc_id") % 7 === 0).select("text")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    Text.decontaminateSpans(corpus, benchmark, "doc_id", "text",
+        "text", k = 5, minSpanTokens = 8)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSpansOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id, toks FROM t WHERE doc_id % 7 <> 0),
+       |g AS (SELECT doc_id, toks,
+       |    unnest(range(1, len(toks) - 3)) AS pos
+       |  FROM c WHERE len(toks) >= 5),
+       |s AS (SELECT doc_id, pos,
+       |    array_to_string(toks[pos:pos+4], ' ') AS sh
+       |  FROM g),
+       |bg AS (SELECT doc_id, toks,
+       |    unnest(range(1, len(toks) - 3)) AS pos
+       |  FROM t WHERE doc_id % 7 = 0 AND len(toks) >= 5),
+       |b AS (SELECT DISTINCT array_to_string(toks[pos:pos+4], ' ')
+       |    AS sh FROM bg),
+       |f AS (SELECT s.doc_id, s.pos FROM s JOIN b USING (sh)),
+       |br AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+       |  FROM f),
+       |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS span FROM br),
+       |sl AS (SELECT doc_id, span, min(pos) AS st, max(pos) + 4 AS en
+       |  FROM sp GROUP BY 1, 2
+       |  HAVING max(pos) + 4 - min(pos) + 1 >= 8),
+       |sa AS (SELECT doc_id,
+       |    list(struct_pack(st := st, en := en) ORDER BY st) AS spans,
+       |    count(*) AS nsp
+       |  FROM sl GROUP BY 1),
+       |fin AS (SELECT c.doc_id, c.toks,
+       |    CASE WHEN sa.doc_id IS NULL THEN c.toks
+       |      ELSE list_filter(c.toks, (x, i) ->
+       |        len(list_filter(sa.spans,
+       |          q -> i >= q.st AND i <= q.en)) = 0)
+       |    END AS kept,
+       |    coalesce(sa.nsp, 0) AS nsp
+       |  FROM c LEFT JOIN sa USING (doc_id))
+       |SELECT doc_id,
+       |  coalesce(array_to_string(kept, ' '), '') AS text,
+       |  CAST(nsp AS BIGINT) AS n_spans_removed,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed
+       |FROM fin
+       |ORDER BY doc_id""".stripMargin
+
   // ---- doc_repetition ----------------------------------------------
 
   /** Gopher-style repetition signals: top-bigram fraction (most frequent
@@ -1324,6 +1386,10 @@ object TextQueriesImpl {
     QueryDef("decontaminate",
       "flag docs sharing any 5-gram with the benchmark set (broadcast semi-join)",
       decontaminate, Some(decontaminateOracle)),
+    QueryDef("decontaminate_spans",
+      "span-level decontamination: benchmark-overlapping runs >= 8 " +
+        "tokens cut from the text, shorter shared phrases survive",
+      decontaminateSpans, Some(decontaminateSpansOracle)),
     QueryDef("doc_repetition",
       "Gopher-style repetition: top-bigram and duplicate-token fractions",
       docRepetition, Some(docRepetitionOracle)),

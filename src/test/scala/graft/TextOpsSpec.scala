@@ -50,6 +50,39 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(10L -> true, 11L -> false, 12L -> true))
   }
 
+  test("decontaminateSpans cuts the benchmark-overlapping run and " +
+      "keeps the rest of the doc; minSpanTokens spares short shared " +
+      "phrases; clean docs untouched") {
+    // the eval prompt embeds an 8-token run; doc 20 carries it
+    // mid-document (only the run is cut), doc 21 shares just a
+    // 5-token phrase (below the threshold — survives), doc 22 clean
+    val corpus = Seq(
+      20L -> ("intro words q1 w1 e1 r1 t1 y1 u1 i1 closing remarks " +
+        "continue here"),
+      21L -> "p1 p2 q1 w1 e1 r1 t1 tail words here now",
+      22L -> "nothing shared with the benchmark at all in this one")
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      "prompt q1 w1 e1 r1 t1 y1 u1 i1 answer",
+      "another eval question entirely").toDF("prompt")
+    val out = graft.extra.Text.decontaminateSpans(corpus, benchmark,
+        "doc_id", "text", "prompt", k = 5, minSpanTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (20L, "intro words closing remarks continue here", 1L, 8L),
+      (21L, "p1 p2 q1 w1 e1 r1 t1 tail words here now", 0L, 0L),
+      (22L, "nothing shared with the benchmark at all in this one",
+        0L, 0L)))
+    // threshold off: the short phrase is cut too
+    val all = graft.extra.Text.decontaminateSpans(corpus, benchmark,
+        "doc_id", "text", "prompt", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(all == Seq((20L, 8L), (21L, 5L), (22L, 0L)))
+  }
+
   test("unigramScore: uniform corpus distribution gives every doc " +
       "cross-entropy ln(1/p) of its tokens' shared probability") {
     // corpus tokens: a,a,b,b → p(a)=p(b)=0.5 → every token surprisal
