@@ -591,6 +591,18 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("decontaminate_spans: the benchmark gram set broadcasts into " +
+      "the corpus probe (no corpus shuffle for the semi-join), no " +
+      "cartesian, no single-partition window") {
+    val plan = executedPlan("decontaminate_spans")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      plan.take(3000))
+  }
+
   test("dedup_substr_incremental: posting lookup + batch-doc windows " +
       "stay keyed — no cartesian, no nested loop, no single-partition " +
       "window, and the corpus TEXT is never scanned (only the gram " +
