@@ -52,7 +52,12 @@ object SubstrProbe {
     q.stop()
     val batchDirs = Option(new java.io.File(outDir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        // a dir q.stop() interrupted mid-write holds only _temporary
+        // debris — unreadable, so exclude it from the accounting
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .exists(c => !c.getName.startsWith("_") &&
+            !c.getName.startsWith(".")))
     if (batchDirs.isEmpty)
       println("[probe] no batch completed inside the window")
     else {

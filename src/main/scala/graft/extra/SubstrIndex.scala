@@ -92,13 +92,12 @@ object SubstrIndex {
     val spark = docs.sparkSession
     import spark.implicits._
     val prev = IndexManifests.latest(spark, dir)
-    // the meta overwrite below happens OUTSIDE the manifest commit, so
-    // a geometry change over a live index would open a window (crash
-    // between the two writes, or any concurrent reader) where the new
-    // (k, hashed) pairs with the old committed segments — and a k
-    // mismatch doesn't error, it silently matches nothing. Geometry
-    // changes therefore require a fresh directory; a same-geometry
-    // rebuild keeps the meta write idempotent and the window harmless.
+    // the meta file lives OUTSIDE the manifest commit, so a geometry
+    // change over a live index would pair the new (k, hashed) with the
+    // old committed segments — and a k mismatch doesn't error, it
+    // silently matches nothing. Geometry changes therefore require a
+    // fresh directory; a same-geometry rebuild skips the meta write
+    // entirely (below), so no reader can ever catch it half-written.
     prev.foreach { _ =>
       val (k0, h0) = meta(spark, dir)
       require(k0 == k && h0 == hashed,
@@ -109,9 +108,21 @@ object SubstrIndex {
     val seg = f"grams/seg-$v%09d"
     partialOf(docs, idCol, textCol, k, hashed)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$seg")
-    Seq((k, hashed)).toDF("k", "hashed")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
-    IndexManifests.commit(spark, dir, v, Map("grams" -> Seq(seg)))
+    // write meta ONLY on the first build: the guard above already
+    // proved a rebuild's geometry identical, and re-Overwriting would
+    // open a delete-then-write window where a concurrent reader's
+    // meta() read finds no files (the atomic-manifest discipline
+    // protects segments, not this side file)
+    if (prev.isEmpty)
+      Seq((k, hashed)).toDF("k", "hashed")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    // the applied-batch ledger survives a same-geometry rebuild, like
+    // compact's carry-forward: dropping it would let a stream replay
+    // re-apply its last batch against the rebuilt corpus
+    val entries = Map("grams" -> Seq(seg)) ++
+      prev.flatMap(_._2.get(IndexManifests.TxnFrame))
+        .map(IndexManifests.TxnFrame -> _).toMap
+    IndexManifests.commit(spark, dir, v, entries)
     IndexManifests.vacuum(spark, dir, Frames)
   }
 

@@ -121,6 +121,12 @@ object AnnIngest {
     * kind ingesting the same index must never collide (a 32-bit
     * collision would make txnApplied's monotone guard silently skip
     * the other stream's batches).
+    *
+    * The id FORMAT is part of the index's persistent contract: a
+    * committed ledger token under one format is invisible to a
+    * replay checked under another, so changing this function requires
+    * draining every ingesting stream (AvailableNow to completion)
+    * before upgrading — the standard streaming-upgrade discipline.
     */
   private[graft] def streamIdOf(kind: String,
       checkpointDir: String): String = {

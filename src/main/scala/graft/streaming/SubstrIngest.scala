@@ -32,8 +32,10 @@ import graft.extra.{IndexManifests, SubstrIndex}
   *
   * Contract: the index at `indexDir` must exist ([[SubstrIndex.build]]
   * over the standing corpus); ids globally unique across the stream
-  * (the keyed-table contract). Empty batches no-op without advancing
-  * the ledger.
+  * AND monotone above the corpus ids (the [[SubstrIndex]] contract —
+  * a batch id sorting below a corpus id pulls canonicality into the
+  * batch and the untouchable corpus copy survives as a duplicate).
+  * Empty batches no-op without advancing the ledger.
   */
 object SubstrIngest {
 

@@ -183,10 +183,29 @@ class SubstrIndexSpec extends SparkSpec {
       SubstrIndex.build(corpus, "doc_id", "text", dir, k = 7)
     }
     assert(e.getMessage.contains("needs a fresh dir"))
-    // same-geometry rebuild stays allowed (idempotent meta overwrite)
+    // same-geometry rebuild stays allowed (meta untouched — no
+    // delete-then-write window for a concurrent reader)
     SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
     assert(rows(SubstrIndex.dedupBatch(spark, dir, batch,
       "doc_id", "text")) == globalRef())
+  }
+
+  test("a same-geometry rebuild carries the applied-batch ledger " +
+      "forward: a stream replay after the corpus refresh still no-ops") {
+    val dir = tmpDir()
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    SubstrIndex.append(batch, "doc_id", "text", dir,
+      txn = Some(("s", 3L)))
+    // corpus refresh over the streamed-into index (rebuild drops the
+    // appended segments by design — fresh manifest — but must keep
+    // the ledger, like compact does)
+    SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5)
+    val v = graft.extra.IndexManifests.latest(spark, dir).get
+    assert(v._2(graft.extra.IndexManifests.TxnFrame) == Seq("s:3"))
+    // the replayed batch is still a no-op
+    SubstrIndex.append(batch, "doc_id", "text", dir,
+      txn = Some(("s", 3L)))
+    assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == v._1)
   }
 
   test("seeded randomized differential: incremental dedupBatch == " +
