@@ -78,8 +78,15 @@ object AnnIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     // the manifest commit is the atomic point; a fresh build names
     // only its own segment (a crashed previous layout's files become
-    // invisible orphans for compact to sweep)
-    IndexManifests.commit(spark, dir, v, Map("codes" -> Seq(seg)))
+    // invisible orphans for compact to sweep). The applied-batch
+    // ledger SURVIVES the rebuild, exactly like SubstrIndex.build's
+    // and both compact paths' carry-forward: dropping it would let a
+    // crash-replayed streaming micro-batch, landing right after a
+    // corpus rebuild, find no token and re-apply its rows (ADVICE r14)
+    val entries = Map("codes" -> Seq(seg)) ++
+      prev.flatMap(_._2.get(IndexManifests.TxnFrame))
+        .map(IndexManifests.TxnFrame -> _).toMap
+    IndexManifests.commit(spark, dir, v, entries)
     IndexManifests.vacuum(spark, dir, Seq("codes", "tombstones"))
   }
 
@@ -220,12 +227,20 @@ object AnnIndex {
     * ([[IndexManifests.txnApplied]]) is checked before any write and
     * advanced atomically with the commit — a replayed batchId is a
     * no-op (StreamingAnnSpec pins bit-identity).
+    *
+    * `autoCompactSegments` (0 = off) is the ingest-side maintenance
+    * guard (r14 verdict #5): when the commit leaves more than that
+    * many live `codes/` segments, [[compact]] runs immediately after,
+    * so a long-running ingest holds its read fan-in bounded without
+    * an operator in the loop. The ledger carries through the fold —
+    * replay safety is unchanged.
     */
   def appendIvfPq(spark: SparkSession, dir: String,
       emb: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, codebooks: Option[FrozenCodebooks] = None,
       singleFileBatch: Boolean = false,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      autoCompactSegments: Int = 0): Unit = {
     // codebooks are FROZEN, so a steady ingest reads them once and
     // passes them in; the per-call read is only the convenience path
     val cb = codebooks.getOrElse(readCodebooks(spark, dir))
@@ -276,11 +291,13 @@ object AnnIndex {
     val seg = f"codes/seg-${v0 + 1}%09d"
     arranged.write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/$seg")
-    val withSeg =
-      entries + ("codes" -> (entries.getOrElse("codes", Nil) :+ seg))
+    val newSegs = entries.getOrElse("codes", Nil) :+ seg
+    val withSeg = entries + ("codes" -> newSegs)
     IndexManifests.commit(spark, dir, v0 + 1,
       txn.fold(withSeg) { case (sid, b) =>
         IndexManifests.withTxn(withSeg, sid, b) })
+    if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
+      compact(spark, dir)
   }
 
   private def readTombstones(spark: SparkSession, dir: String,

@@ -101,11 +101,17 @@ private[graft] object AtomicFiles {
     * The staged write is the load-bearing half — no reader can ever
     * open a half-written committed file, on any store. The no-replace
     * CAS is as strong as the store's rename arbitration: true CAS
-    * where rename refuses/fails on an existing destination, a narrow
-    * pre-checked window on stores whose rename silently replaces
-    * (each rename is still whole-file, so even the losing writer
-    * leaves a complete, well-formed committed file, never a torn
-    * one).
+    * where rename refuses/fails on an existing destination; on stores
+    * whose rename silently REPLACES, the exists pre-check narrows the
+    * race and the post-rename READ-BACK closes it (ADVICE r14) — the
+    * destination is re-read after publishing and a content mismatch
+    * (another writer's rename landed over ours, or ours landed over an
+    * already-committed file whose writer re-reads next) surfaces as
+    * the same loud [[FileAlreadyExistsException]] callers already map
+    * to their protocol conflict. Each rename is whole-file, so even a
+    * detected loser leaves a complete, well-formed committed file —
+    * never a torn one — and at most one racer can read back its own
+    * bytes and report success.
     */
   private def createExclusiveViaRenameNone(fs: FileSystem, dst: Path,
       bytes: Array[Byte]): Unit = {
@@ -130,8 +136,25 @@ private[graft] object AtomicFiles {
         throw new java.io.IOException(
           s"rename $tmp -> $dst failed without an existing destination")
       }
+      // read-back verification: on a silently-replacing rename the
+      // "successful" publish may have been clobbered between our
+      // rename and now (or clobbered someone — they detect it on
+      // their own read-back). Committed files are small by contract
+      // (manifest text), so this is one metadata-scale read.
+      if (!java.util.Arrays.equals(readFully(fs, dst), bytes))
+        throw new FileAlreadyExistsException(
+          s"$dst: lost commit race detected on post-rename read-back")
       published = true
     } finally if (!published) fs.delete(tmp, false): Unit
+  }
+
+  private def readFully(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toByteArray
+    } finally in.close()
   }
 
   private def createExclusiveViaRename(fs: FileSystem, dst: Path,

@@ -203,8 +203,17 @@ object Bm25Index {
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
       dir: String, numFiles: Int = 8,
-      txn: Option[(String, Long)] = None): Unit =
+      txn: Option[(String, Long)] = None,
+      autoCompactSegments: Int = 0): Unit = {
     build(docs, idCol, textCol, dir, numFiles, SaveMode.Append, txn)
+    // ingest-side maintenance guard (r14 verdict #5): fold the LSM
+    // when the append leaves too many live tf segments — the ledger
+    // carries through compact, so replay safety is unchanged
+    if (autoCompactSegments > 0 &&
+        latest(docs.sparkSession, dir)
+          .exists(_._2.getOrElse("tf", Nil).size > autoCompactSegments))
+      compact(docs.sparkSession, dir, numFiles)
+  }
 
   private def readTombstones(spark: SparkSession, dir: String,
       entries: Map[String, Seq[String]]): Option[DataFrame] =

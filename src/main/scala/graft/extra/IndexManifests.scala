@@ -38,27 +38,63 @@ private[graft] object IndexManifests {
       .flatMap(s => versionOf(s.getPath.getName)).sorted
   }
 
-  private def readManifest(fs: FileSystem, md: Path, v: Long)
-      : Map[String, Seq[String]] = {
+  /** `#range=` header lines — per-FILE key min/max recorded in the
+    * manifest at commit time (the [[Snapshots]] `#range=` / Iceberg
+    * file-stats discipline applied to index segments): readers plan
+    * file pruning from the manifest alone, zero footer opens on the
+    * serving path. Values are base64 of the key's string encoding
+    * (longs as decimal text); the owning index knows its key type and
+    * parses back ([[SubstrIndex]]'s gram postings). Absent for files
+    * written before stats existed — pruning then conservatively keeps
+    * them.
+    */
+  private val RangeHeader = "#range="
+
+  private def readManifestFull(fs: FileSystem, md: Path, v: Long)
+      : (Map[String, Seq[String]], Map[String, (String, String)]) = {
     val in = fs.open(new Path(md, f"v$v%09d.txt"))
     val txt = try {
       val bos = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
       bos.toString("UTF-8")
     } finally in.close()
-    txt.linesIterator.filter(_.nonEmpty).toSeq
+    val (hdr, body) = txt.linesIterator.filter(_.nonEmpty).toSeq
+      .partition(_.startsWith("#"))
+    val entries = body
       .map { l => val Array(f, seg) = l.split("\t", 2); (f, seg) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dec = java.util.Base64.getDecoder
+    def un(s: String) = new String(dec.decode(s), "UTF-8")
+    val ranges = hdr.filter(_.startsWith(RangeHeader)).map { l =>
+      val parts = l.stripPrefix(RangeHeader).split(",", 3)
+      require(parts.length == 3, s"malformed #range line in v$v")
+      un(parts(0)) -> (un(parts(1)), un(parts(2)))
+    }.toMap
+    (entries, ranges)
   }
+
+  private def readManifest(fs: FileSystem, md: Path, v: Long)
+      : Map[String, Seq[String]] = readManifestFull(fs, md, v)._1
 
   /** Latest committed (version, frame → live segment relpaths). */
   def latest(spark: SparkSession, dir: String)
-      : Option[(Long, Map[String, Seq[String]])] = {
+      : Option[(Long, Map[String, Seq[String]])] =
+    latestFull(spark, dir).map { case (v, e, _) => (v, e) }
+
+  /** [[latest]] plus the per-file `#range=` key stats the committing
+    * writer recorded (file relpath → (min, max), string-encoded).
+    */
+  def latestFull(spark: SparkSession, dir: String)
+      : Option[(Long, Map[String, Seq[String]],
+        Map[String, (String, String)])] = {
     val (fs, md) = fsOf(spark, manifestDir(dir))
     if (!fs.exists(md)) return None
     val vs = fs.listStatus(md).toSeq
       .flatMap(s => versionOf(s.getPath.getName))
-    vs.maxOption.map(v => (v, readManifest(fs, md, v)))
+    vs.maxOption.map { v =>
+      val (e, r) = readManifestFull(fs, md, v)
+      (v, e, r)
+    }
   }
 
   /** The entries of a SPECIFIC committed version — index time travel
@@ -66,14 +102,18 @@ private[graft] object IndexManifests {
     * segments, so any still-vacuum-safe version is readable).
     */
   def at(spark: SparkSession, dir: String, version: Long)
-      : Map[String, Seq[String]] = {
+      : Map[String, Seq[String]] = atFull(spark, dir, version)._1
+
+  /** [[at]] plus that version's recorded `#range=` file stats. */
+  def atFull(spark: SparkSession, dir: String, version: Long)
+      : (Map[String, Seq[String]], Map[String, (String, String)]) = {
     val (fs, md) = fsOf(spark, manifestDir(dir))
     val p = new Path(md, f"v$version%09d.txt")
     if (!fs.exists(p))
       throw new IllegalArgumentException(
         s"no committed index manifest v$version at $dir " +
           s"(have: ${versions(spark, dir).mkString(",")})")
-    readManifest(fs, md, version)
+    readManifestFull(fs, md, version)
   }
 
   /** Index ROLLBACK, the [[Snapshots.restore]] discipline applied to
@@ -86,7 +126,7 @@ private[graft] object IndexManifests {
     * head version.
     */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
-    val entries = at(spark, dir, toVersion)
+    val (entries, ranges) = atFull(spark, dir, toVersion)
     val (fs, _) = fsOf(spark, dir)
     val missing = entries
       .filter { case (f, _) => !f.startsWith("_") }
@@ -98,7 +138,7 @@ private[graft] object IndexManifests {
           s"${missing.mkString(", ")} were vacuumed")
     val head = latest(spark, dir).map(_._1).getOrElse(0L)
     val v = head + 1
-    commit(spark, dir, v, entries)
+    commit(spark, dir, v, entries, ranges)
     v
   }
 
@@ -144,15 +184,22 @@ private[graft] object IndexManifests {
     * goes through [[AtomicFiles.createExclusive]].
     */
   def commit(spark: SparkSession, dir: String, version: Long,
-      entries: Map[String, Seq[String]]): Unit = {
+      entries: Map[String, Seq[String]],
+      ranges: Map[String, (String, String)] = Map.empty): Unit = {
     val (fs, md) = fsOf(spark, manifestDir(dir))
     fs.mkdirs(md)
     val dst = new Path(md, f"v$version%09d.txt")
     def lostRace() = new java.util.ConcurrentModificationException(
       s"index manifest v$version already committed at $dir — " +
         "concurrent writer (single-writer contract)")
-    val bytes = entries.toSeq.sortBy(_._1)
+    val enc = java.util.Base64.getEncoder
+    def b64(s: String) = enc.encodeToString(s.getBytes("UTF-8"))
+    val hdr = ranges.toSeq.sortBy(_._1).map { case (f, (mn, mx)) =>
+      s"$RangeHeader${b64(f)},${b64(mn)},${b64(mx)}"
+    }
+    val body = entries.toSeq.sortBy(_._1)
       .flatMap { case (f, segs) => segs.map(s => s"$f\t$s") }
+    val bytes = (hdr ++ body)
       .mkString("", "\n", "\n").getBytes("UTF-8")
     // AtomicFiles supplies a TRUE put-if-absent: on the local scheme
     // Hadoop's create(dst, false) is check-then-act (two racers can
@@ -178,17 +225,41 @@ private[graft] object IndexManifests {
     */
   val TxnFrame = "_txn"
 
-  /** True when `streamId` has already committed `batchId` (or any
-    * later batch — the monotone-replay guard: Spark re-runs only
-    * not-yet-committed batches, always in order).
+  /** True when `streamId` has already committed `batchId` — i.e. the
+    * ledger token equals it (the crash-replay of the last committed
+    * batch, the only re-run Spark's contract produces: batches commit
+    * in order and only the newest uncommitted one replays).
+    *
+    * A token STRICTLY ABOVE the incoming batchId is a checkpoint
+    * RESET, not a replay (ADVICE r14): deleting and recreating the
+    * checkpoint directory at the same path keeps the streamId but
+    * restarts batchIds at 0, and silently skipping until the counter
+    * catches up would drop every new batch with no error. That is
+    * data loss, so it throws with the remediation instead.
     */
   def txnApplied(entries: Map[String, Seq[String]], streamId: String,
-      batchId: Long): Boolean =
-    entries.getOrElse(TxnFrame, Nil).exists { t =>
+      batchId: Long): Boolean = {
+    val token = entries.getOrElse(TxnFrame, Nil).flatMap { t =>
       val i = t.lastIndexOf(':')
-      i > 0 && t.substring(0, i) == streamId &&
-        t.substring(i + 1).toLongOption.exists(_ >= batchId)
+      if (i > 0 && t.substring(0, i) == streamId)
+        t.substring(i + 1).toLongOption
+      else None
+    }.maxOption
+    token match {
+      case Some(last) if last > batchId =>
+        throw new IllegalStateException(
+          s"stream $streamId offered batch $batchId but the index " +
+            s"ledger already holds batch $last — a replay can only " +
+            "re-offer the LAST committed batch, so this is a reset " +
+            "checkpoint reusing its old path (batchIds restarted " +
+            "below the ledger). Skipping would silently drop every " +
+            "batch until the counter catches up; use a fresh " +
+            "checkpoint path (new streamId) or rebuild the index " +
+            "to clear the ledger")
+      case Some(last) => last == batchId
+      case None => false
     }
+  }
 
   /** Entries with this stream's ledger token replaced by `batchId`
     * (one token per stream — the ledger is O(#streams), not

@@ -67,11 +67,22 @@ object Merge {
     */
   private[extra] def footerRanges(file: Path, cols: Seq[String],
       conf: org.apache.hadoop.conf.Configuration)
-      : Map[String, (Any, Any)] = {
+      : Map[String, (Any, Any)] =
+    footerRangesAndRows(file, cols, conf)._2
+
+  /** [[footerRanges]] plus the file's total row count from the same
+    * single footer open — lets a stats-recording writer distinguish an
+    * EMPTY file (no rows, prune always) from a populated file whose
+    * stats the writer suppressed (unknown range, prune never).
+    */
+  private[extra] def footerRangesAndRows(file: Path, cols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, (Any, Any)]) = {
     val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = rdr.getFooter.getBlocks.asScala
-      cols.flatMap(c => colRange(blocks, c).map(c -> _)).toMap
+      (blocks.map(_.getRowCount).sum,
+        cols.flatMap(c => colRange(blocks, c).map(c -> _)).toMap)
     } finally rdr.close()
   }
 

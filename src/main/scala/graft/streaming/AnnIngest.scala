@@ -80,11 +80,18 @@ object AnnIngest {
     * ([[StreamingPipeline.start]]): once it flips false, batches stop
     * appending so a bench/shutdown can stop the query without aborting
     * an in-flight parquet write.
+    *
+    * `autoCompactSegments` (default 16) is the ingest-side maintenance
+    * guard (r14 verdict #5): the stream folds its `codes/` segments
+    * whenever the count passes the threshold, holding search fan-in
+    * bounded with no operator in the loop; the txn ledger carries
+    * through the fold so replay safety is unchanged.
     */
   def start(curated: DataFrame, indexDir: String, checkpointDir: String,
       dim: Int = 64, idCol: String = "doc_id", textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
-      sinkGate: () => Boolean = () => true): StreamingQuery = {
+      sinkGate: () => Boolean = () => true,
+      autoCompactSegments: Int = 16): StreamingQuery = {
     // the codebooks are FROZEN for the index's lifetime (append
     // contract), so read them ONCE at stream start — r10 measured the
     // per-batch readIvfPq (codebook collect + a re-LISTING of the
@@ -109,7 +116,8 @@ object AnnIngest {
         if (sinkGate())
           AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
             "embedding", codebooks = Some(codebooks),
-            txn = Some((streamId, batchId)))
+            txn = Some((streamId, batchId)),
+            autoCompactSegments = autoCompactSegments)
       }
       .start()
   }
@@ -150,7 +158,8 @@ object AnnIngest {
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
-      sinkGate: () => Boolean = () => true): StreamingQuery = {
+      sinkGate: () => Boolean = () => true,
+      autoCompactSegments: Int = 16): StreamingQuery = {
     val streamId = streamIdOf("bm25", checkpointDir)
     curated
       .select(col(idCol), col(textCol))
@@ -161,7 +170,8 @@ object AnnIngest {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         if (sinkGate() && !df.isEmpty)
           graft.extra.Bm25Index.append(df, idCol, textCol, indexDir,
-            txn = Some((streamId, batchId)))
+            txn = Some((streamId, batchId)),
+            autoCompactSegments = autoCompactSegments)
       }
       .start()
   }

@@ -46,7 +46,7 @@ object SubstrIngest {
   private[graft] def applyBatch(spark: SparkSession, indexDir: String,
       outDir: String, df: DataFrame, idCol: String, textCol: String,
       streamId: String, batchId: Long,
-      minSpanTokens: Int): Boolean = {
+      minSpanTokens: Int, autoCompactSegments: Int = 0): Boolean = {
     val (_, entries) = IndexManifests.requireLatest(spark, indexDir,
       "substr")
     if (IndexManifests.txnApplied(entries, streamId, batchId))
@@ -75,7 +75,8 @@ object SubstrIngest {
       SubstrIndex.append(
         spark.read.parquet(s"$outDir/batch=$batchId")
           .select(col(idCol), col(textCol)),
-        idCol, textCol, indexDir, txn = Some((streamId, batchId)))
+        idCol, textCol, indexDir, txn = Some((streamId, batchId)),
+        autoCompactSegments = autoCompactSegments)
       true
     } finally batch.unpersist(blocking = false): Unit
   }
@@ -83,12 +84,19 @@ object SubstrIngest {
   /** Start the ingest over a curated (doc_id, text, …) stream — e.g.
     * [[CurationStream.curateStream]] output. `sinkGate` is the same
     * graceful-drain hook as the other ingest sinks.
+    * `autoCompactSegments` (default 16) is the ingest-side maintenance
+    * guard: a long-running stream folds its posting segments whenever
+    * the count passes the threshold, keeping the per-batch range-probe
+    * size and read fan-in bounded with no operator in the loop
+    * (r14 verdict #5; [[SubstrIndex.append]] carries the txn ledger
+    * through the fold, so replay safety is unchanged).
     */
   def start(curated: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, idCol: String = "doc_id",
       textCol: String = "text", minSpanTokens: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
-      sinkGate: () => Boolean = () => true): StreamingQuery = {
+      sinkGate: () => Boolean = () => true,
+      autoCompactSegments: Int = 16): StreamingQuery = {
     val streamId = AnnIngest.streamIdOf("substr", checkpointDir)
     curated
       .select(col(idCol), col(textCol))
@@ -99,7 +107,8 @@ object SubstrIngest {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         if (sinkGate())
           applyBatch(df.sparkSession, indexDir, outDir, df, idCol,
-            textCol, streamId, batchId, minSpanTokens): Unit
+            textCol, streamId, batchId, minSpanTokens,
+            autoCompactSegments): Unit
       }
       .start()
   }

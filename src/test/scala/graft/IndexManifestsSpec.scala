@@ -85,12 +85,19 @@ class IndexManifestsSpec extends SparkSpec {
   }
 
   test("txn ledger parsing: colons inside the streamId resolve (the " +
-      "LAST colon splits), the guard is monotone per stream, and " +
-      "withTxn replaces only its own stream's token") {
+      "LAST colon splits), a reset checkpoint (batchId below the " +
+      "ledger) throws instead of silently skipping, and withTxn " +
+      "replaces only its own stream's token") {
     val e0 = Map.empty[String, Seq[String]]
     val e1 = IndexManifests.withTxn(e0, "a:b:c", 5L)
-    assert(IndexManifests.txnApplied(e1, "a:b:c", 5L))
-    assert(IndexManifests.txnApplied(e1, "a:b:c", 3L)) // monotone
+    assert(IndexManifests.txnApplied(e1, "a:b:c", 5L)) // exact replay
+    // a batchId STRICTLY below the ledger can only be a checkpoint
+    // reset reusing its old path — skipping would silently drop every
+    // batch until the counter caught up (ADVICE r14): loud failure
+    val ex = intercept[IllegalStateException] {
+      IndexManifests.txnApplied(e1, "a:b:c", 3L)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
     assert(!IndexManifests.txnApplied(e1, "a:b:c", 6L))
     assert(!IndexManifests.txnApplied(e1, "a:b", 5L))  // exact stream
     val e2 = IndexManifests.withTxn(e1, "other", 1L)

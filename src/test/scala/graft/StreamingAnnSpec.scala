@@ -134,15 +134,21 @@ class StreamingAnnSpec extends SparkSpec {
       "doc_id", "embedding", codebooks = Some(cb),
       txn = Some(("s1", 0L)))                                 // replay
     assert(state() == afterFirst, "replayed batch mutated the index")
-    // an EARLIER batchId replay (restart further back) also no-ops
-    // after a later batch committed — the ledger guard is monotone
+    // a batchId BELOW the ledger cannot be a replay (Spark re-offers
+    // only the last committed batch) — it is a reset checkpoint
+    // reusing its old path, and silently skipping would drop every
+    // batch until the counter caught up (ADVICE r14): loud failure,
+    // index untouched
     AnnIndex.appendIvfPq(spark, dir, embBatch(1005L to 1009L),
       "doc_id", "embedding", codebooks = Some(cb),
       txn = Some(("s1", 1L)))                                 // v3
     val afterSecond = state()
-    AnnIndex.appendIvfPq(spark, dir, embBatch(1000L to 1004L),
-      "doc_id", "embedding", codebooks = Some(cb),
-      txn = Some(("s1", 0L)))                                 // stale
+    val reset = intercept[IllegalStateException] {
+      AnnIndex.appendIvfPq(spark, dir, embBatch(1000L to 1004L),
+        "doc_id", "embedding", codebooks = Some(cb),
+        txn = Some(("s1", 0L)))                               // reset
+    }
+    assert(reset.getMessage.contains("checkpoint"))
     assert(state() == afterSecond)
     assert(afterSecond._3.toSet ==
       ((0L until 100L) ++ (1000L to 1009L)).toSet)
