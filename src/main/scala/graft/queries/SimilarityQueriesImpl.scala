@@ -354,6 +354,130 @@ object SimilarityQueriesImpl {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- sim_topk_ivfpq_residual (residual-encoded IVF-PQ) -----------
+
+  /** RESIDUAL IVF-PQ top-5 — the production default for clustered
+    * corpora (Jégou et al. §IV.B; FAISS IndexIVFPQ encodes residuals
+    * by default): PQ codes quantize `v − coarse[list(v)]` instead of
+    * the raw vector, so ADC ranks the WITHIN-list geometry raw-vector
+    * PQ collapses (AnnSmoke measured raw-PQ overlap 0.013 on a
+    * clustered 1M corpus; the residual arm restores it — see the
+    * clustered smoke arm). Both codebooks stay the deterministic
+    * hash-order sample — coarse re-keyed to positions 0..31, the PQ
+    * codebook sampled in RESIDUAL space (samples 33..48 of the same
+    * hash order, each minus its nearest coarse centroid; the first 32
+    * are the coarse centroids themselves with zero residuals,
+    * filtered) — so the oracle rebuilds the composed index exactly.
+    */
+  def simTopKIvfPqResidual(s: SparkSession, dir: String): DataFrame =
+    Similarity.topKIvfPq(embeddings(s, dir), "vec_id", "embedding",
+      queryPred = col("id") < 10, k = 5, residual = true)
+      .orderBy("query_id", "rank")
+
+  private val simTopKIvfPqResidualOracle = {
+    // residual sub-distance in the ENGINE's association:
+    // ((v − coarse) − pq)² accumulated over the subspace, rounded 6 dp
+    // — PqEncodeResidual/driverDTable compute exactly this order
+    val resD2 = (v: String, cc: String, r: String) =>
+      s"""round(list_sum(list_transform(range(sub.s*8, sub.s*8 + 8),
+         |      i -> ((CAST($v.embedding[i+1] AS DOUBLE)
+         |             - CAST($cc.embedding[i+1] AS DOUBLE)) - $r.r[i+1])
+         |         * ((CAST($v.embedding[i+1] AS DOUBLE)
+         |             - CAST($cc.embedding[i+1] AS DOUBLE)) - $r.r[i+1]))),
+         |  6)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |c AS (SELECT embedding, nrm AS cn,
+       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |          vec_id) - 1 AS cid
+       |      FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+       |asgr AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(${dotSql("v", "c")} / (sqrt(v.nrm) * sqrt(c.cn)), 6) DESC,
+       |      c.cid) AS crk
+       |  FROM e v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS list_id FROM asgr WHERE crk = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS list_id
+       |           FROM asgr WHERE vec_id < 10 AND crk <= 3),
+       |samp AS (SELECT embedding, nrm,
+       |        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+       |          vec_id) - 1 AS sidx
+       |      FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 48),
+       |snear AS (
+       |  SELECT s.sidx, c.cid,
+       |    row_number() OVER (PARTITION BY s.sidx ORDER BY
+       |      round(${dotSql("s", "c")} / (sqrt(s.nrm) * sqrt(c.cn)), 6) DESC,
+       |      c.cid) AS crk
+       |  FROM samp s CROSS JOIN c),
+       |sres AS (
+       |  SELECT s.sidx,
+       |    list_transform(range(0, len(s.embedding)), i ->
+       |      CAST(s.embedding[i+1] AS DOUBLE)
+       |        - CAST(c.embedding[i+1] AS DOUBLE)) AS r
+       |  FROM samp s
+       |  JOIN snear n ON n.sidx = s.sidx AND n.crk = 1
+       |  JOIN c ON c.cid = n.cid),
+       |pq AS (SELECT r, sidx FROM (
+       |    SELECT r, sidx,
+       |      list_sum(list_transform(r, x -> x * x)) AS rnrm
+       |    FROM sres) WHERE rnrm > 0
+       |  ORDER BY sidx LIMIT 16),
+       |pqj AS (SELECT r, row_number() OVER (ORDER BY sidx) - 1 AS j
+       |        FROM pq),
+       |sub AS (SELECT unnest(range(0, 8)) AS s),
+       |asgd AS (
+       |  SELECT v.vec_id, sub.s AS s, pqj.j, ${resD2("v", "cc", "pqj")} AS d2
+       |  FROM e v
+       |  JOIN asg a ON a.vec_id = v.vec_id
+       |  JOIN c cc ON cc.cid = a.list_id
+       |  CROSS JOIN sub CROSS JOIN pqj),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT vec_id, s, j,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+       |    FROM asgd) WHERE rk = 1),
+       |qd AS (
+       |  SELECT p.query_id, p.list_id, sub.s AS s, pqj.j,
+       |    ${resD2("q", "cc", "pqj")} AS d2
+       |  FROM probes p
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN c cc ON cc.cid = p.list_id
+       |  CROSS JOIN sub CROSS JOIN pqj),
+       |cands AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.list_id
+       |  FROM probes p JOIN asg a
+       |    ON a.list_id = p.list_id AND a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, round(sum(q.d2), 6) AS adc_d2
+       |  FROM cands cd
+       |  JOIN codes x ON x.vec_id = cd.neighbor_id
+       |  JOIN qd q ON q.query_id = cd.query_id AND q.list_id = cd.list_id
+       |           AND q.s = x.s AND q.j = x.code
+       |  GROUP BY 1, 2),
+       |cnd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2, neighbor_id) AS crk2
+       |  FROM adc),
+       |sc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, cd.adc_d2,
+       |    round(${dotSql("ce", "qe")} / (sqrt(ce.nrm) * sqrt(qe.nrm)), 6)
+       |      AS cosine
+       |  FROM cnd cd
+       |  JOIN e ce ON ce.vec_id = cd.neighbor_id
+       |  JOIN e qe ON qe.vec_id = cd.query_id
+       |  WHERE cd.crk2 <= 15),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adc_d2, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id, cosine, adc_d2
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- sim_topk_pq_trained (Lloyd-trained codebook) ----------------
 
   /** PQ top-5 with a TRAINED codebook: per-subspace Lloyd's k-means
@@ -401,6 +525,10 @@ object SimilarityQueriesImpl {
     QueryDef("sim_topk_ivfpq",
       "IVF-PQ: 3 probed posting lists scored by PQ byte codes (ADC)",
       simTopKIvfPq, Some(simTopKIvfPqOracle)),
+    QueryDef("sim_topk_ivfpq_residual",
+      "residual-encoded IVF-PQ (codes quantize v - coarse[list]): " +
+        "the clustered-corpus production default",
+      simTopKIvfPqResidual, Some(simTopKIvfPqResidualOracle)),
     QueryDef("sim_topk_pq_trained",
       "PQ ADC top-5 with a Lloyd-trained (3-iter) codebook; rows-only",
       simTopKPqTrained, None))
