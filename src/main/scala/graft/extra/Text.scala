@@ -113,7 +113,9 @@ object Text {
 
   /** Token-count estimate: exact whitespace tokens plus a BPE-ish
     * subword estimate (ceil(len/4) pieces per word — the classic
-    * ~4-chars-per-token rule applied per word).
+    * ~4-chars-per-token rule applied per word). For EXACT subword
+    * counts under a trained merge list see [[withBpeTokens]] /
+    * [[trainBpe]].
     */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
     val t = col("__toks")
@@ -123,6 +125,143 @@ object Text {
       .withColumn("bpe_tokens",
         aggregate(t, lit(0L), (acc, x) => acc + ceil(length(x) / 4.0).cast("long")))
       .drop("__toks")
+  }
+
+  // ---- real subword BPE (r14 verdict #4) ----------------------------
+
+  /** Word-boundary marker for the doc-level BPE symbol string: its own
+    * space-delimited symbol between words, so no merge rule (whose
+    * sides are word-character strings) can ever match across a word
+    * boundary. Tokens come from [[tokens]] (split on ' '), so the
+    * marker can never appear inside one on sane corpora; it is also
+    * excluded from the final symbol count.
+    */
+  private val BpeBoundary = "¶" // ¶
+
+  /** The initial BPE symbol string of a text: every character its own
+    * space-delimited symbol, words separated by the [[BpeBoundary]]
+    * symbol, one leading/trailing space — " a b ¶ c d " for "ab cd".
+    * Pure projection (tokenize + join + one regexp pass).
+    */
+  def bpeInit(text: Column): Column =
+    concat(lit(" "),
+      regexp_replace(array_join(tokens(text), BpeBoundary), "(.)", "$1 "))
+
+  /** Apply a FIXED merge list to the symbol string: TWO plain-string
+    * `replace(" a b ", " ab ")` passes per merge rule, in rule order.
+    * Each pass is a left-to-right non-overlapping scan — the portable
+    * primitive every engine implements identically (Java
+    * `String.replace`, DuckDB `replace`) — which is what makes the
+    * operator ORACLE-EXPRESSIBLE: the oracle replays the same fixed
+    * list as nested REPLACE calls and hash-matches. The SECOND pass is
+    * load-bearing: a single scan consumes the shared delimiter space
+    * between adjacent occurrences (" a b a b " → " ab a b "), leaving
+    * every other occurrence unmerged; the re-scan folds the stragglers
+    * (" ab ab "), matching classic BPE's element-wise pass everywhere
+    * except the arrangement inside self-overlapping runs of one symbol
+    * (" a a a a a " → [aa, a, aa] here vs BPE's [aa, aa, a] — same
+    * symbol count, deterministic, and shared bit-for-bit by the
+    * trainer, this encoder, and the oracle). [[trainBpe]] applies
+    * merges with the same two-pass primitive, so trained merges and
+    * encoded corpora always agree on segmentation. Fully codegen:
+    * 2·M nested StringReplace expressions, no lambda, no UDF.
+    */
+  def bpeApply(symbols: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(symbols) { case (s, (a, b)) =>
+      val once = replace(s, lit(s" $a $b "), lit(s" $a$b "))
+      replace(once, lit(s" $a $b "), lit(s" $a$b "))
+    }
+
+  /** Exact subword token count per row under a fixed merge list:
+    * symbols remaining after all merges, word boundaries excluded.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    when(size(tokens(text)) === 0, lit(0L))
+      .otherwise(size(filter(
+        split(trim(bpeApply(bpeInit(text), merges)), " "),
+        x => x =!= BpeBoundary)).cast("long"))
+
+  /** Adds `n_tokens` (whitespace) and `n_bpe_tokens` (exact subword
+    * count under `merges`) — the real-tokenizer replacement for
+    * [[withTokenCounts]]'s ceil(len/4) estimate. Every token budget
+    * downstream ([[Packing.packGreedy]], `select_budget`, chunking)
+    * accepts this column directly.
+    */
+  def withBpeTokens(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol), merges))
+
+  /** Train a BPE merge list on a corpus — deterministic greedy
+    * pair-merging (Sennrich et al. 2016, arXiv:1508.07909) over the
+    * corpus WORD-FREQUENCY dictionary:
+    *
+    *   1. ONE distributed aggregation: word → count (the only pass
+    *      over corpus text), truncated to the `maxWords` most frequent
+    *      words (count desc, word asc — deterministic), collected.
+    *      The dict is Zipf-bounded — top-50k words cover ≈97% of
+    *      running English text — so this is the [[Similarity
+    *      .kmeansCodebook]] shape: bounded model state trains on the
+    *      driver, the corpus is never re-scanned per round. (The
+    *      alternative — one distributed pair-count job per merge
+    *      round — pays M shuffles over corpus tokens to train the
+    *      same merges the weighted dict yields; word-dict training is
+    *      how production BPE trainers work for exactly this reason.)
+    *   2. M driver rounds over the dict: count adjacent symbol pairs
+    *      weighted by word frequency, merge the most frequent pair
+    *      (count desc, then pair asc — fully deterministic), apply it
+    *      to every dict word with the SAME two-pass `replace`
+    *      primitive [[bpeApply]] uses.
+    *
+    * Returns the merges in application order. Training cost:
+    * O(maxWords · wordLen · numMerges) driver work over ≤ maxWords
+    * collected rows.
+    */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 10000): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWords > 0, s"maxWords must be > 0, got $maxWords")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict: Array[(String, Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+    // word → wrapped symbol string " c h a r s " (the bpeInit form of
+    // one word); merges apply via the same replace primitive
+    var seg: Array[(String, Long)] = dict.map { case (w, n) =>
+      (" " + w.map(c => s"$c ").mkString, n)
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      seg.foreach { case (s, n) =>
+        val syms = s.trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val (a, b) = best
+        seg = seg.map { case (s, n) =>
+          (s.replace(s" $a $b ", s" $a$b ")
+            .replace(s" $a $b ", s" $a$b "), n)
+        }
+        round += 1
+      }
+    }
+    merges.result()
   }
 
   /** Document fingerprint: min-over-shingles of md5(shingle) — a

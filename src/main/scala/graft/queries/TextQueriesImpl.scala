@@ -101,6 +101,55 @@ object TextQueriesImpl {
        |FROM t
        |ORDER BY doc_id""".stripMargin
 
+  // ---- token_counts_bpe (real subword BPE, fixed merge list) --------
+
+  /** The FIXED demo merge list — trained once by `graft.BpeSmoke` on
+    * the sf0.001 documents corpus via [[Text.trainBpe]] (32 greedy
+    * merges, count-desc/pair-asc ties). FIXED because the oracle must
+    * replay the identical list as nested REPLACEs; production retrains
+    * with [[Text.trainBpe]] and versions the list with the corpus like
+    * any quantizer (the `sim_topk_pq_trained` discipline). TextOpsSpec
+    * pins trainer↔encoder segmentation agreement.
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"))
+
+  /** Exact subword token counts under the fixed merge list — the real
+    * tokenizer the repo's token budgets estimate with ceil(len/4)
+    * ([[Text.withBpeTokens]]; fully codegen — M nested string
+    * replaces, no lambda, no UDF).
+    */
+  def tokenCountsBpe(s: SparkSession, dir: String): DataFrame =
+    Text.withBpeTokens(docs(s, dir), "text", bpeMerges)
+      .select("doc_id", "n_tokens", "n_bpe_tokens")
+      .orderBy("doc_id")
+
+  private val tokenCountsBpeOracle = {
+    // the engine's exact chain: chars spaced (word boundaries as ¶
+    // symbols), then TWO plain-string REPLACEs per merge in rule order
+    // (the straggler re-scan — Text.bpeApply scaladoc)
+    val chain = bpeMerges.foldLeft(
+      "' ' || regexp_replace(array_to_string(toks, '¶'), '(.)', '\\1 ', 'g')"
+    ) { case (s, (a, b)) =>
+      s"replace(replace($s, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+    }
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, toks, $chain AS s FROM t)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0 ELSE
+       |    CAST(len(list_filter(string_split(trim(s), ' '),
+       |      x -> x <> '¶')) AS BIGINT) END AS n_bpe_tokens
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- doc_fingerprint ---------------------------------------------
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1408,6 +1457,10 @@ object TextQueriesImpl {
     QueryDef("token_counts",
       "whitespace + BPE-ish (ceil(len/4) per word) token counting",
       tokenCounts, Some(tokenCountsOracle)),
+    QueryDef("token_counts_bpe",
+      "EXACT subword counts under a trained 32-rule BPE merge list " +
+        "(greedy pair merging, codegen replace chain)",
+      tokenCountsBpe, Some(tokenCountsBpeOracle)),
     QueryDef("doc_fingerprint",
       "min-md5-over-shingles winnowing-style content fingerprint",
       fingerprint, Some(fingerprintOracle)),

@@ -241,6 +241,67 @@ class TextOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pii") == 2L)
   }
 
+  test("trainBpe: hand-checked greedy merges — most frequent pair wins " +
+      "each round (count desc, pair asc ties), applied with the same " +
+      "single-pass replace the encoder uses") {
+    import graft.extra.Text
+    // corpus: "abab" ×3, "ab" ×2, "cd" ×1 → pair counts round 1:
+    // (a,b)=6+2=8, (b,a)=3, (c,d)=1 → merge (a,b);
+    // round 2: "abab"→" ab ab " gives (ab,ab)=3, (c,d)=1 → merge (ab,ab)
+    val docs = Seq((0L, "abab abab abab ab ab cd")).toDF("doc_id", "text")
+    val merges = Text.trainBpe(docs, "text", numMerges = 3)
+    assert(merges == Seq(("a", "b"), ("ab", "ab"), ("c", "d")))
+    // encoder agreement: the trained list segments exactly as training
+    // left the dict — abab→[abab]=1 symbol, ab→[ab]=1, cd→[cd]=1
+    val counted = Text.withBpeTokens(docs, "text", merges)
+      .select("n_tokens", "n_bpe_tokens").head()
+    assert(counted.getLong(0) == 6L && counted.getLong(1) == 6L)
+    // determinism: retraining yields the identical list
+    assert(Text.trainBpe(docs, "text", numMerges = 3) == merges)
+  }
+
+  test("bpeTokenCount: merges never cross word boundaries, untouched " +
+      "words count one symbol per char, empty text counts zero") {
+    import graft.extra.Text
+    val merges = Seq(("a", "b"))
+    val df = Seq(
+      (0L, "ab"),        // merged: 1 symbol
+      (1L, "a b"),       // two WORDS: the boundary blocks the merge -> 2
+      (2L, "xyz"),       // untouched: 3 chars = 3 symbols
+      (3L, "abab"),      // adjacent pairs: pass1 merges the first (the
+                         // shared delimiter hides the second), the
+                         // straggler re-scan folds it -> [ab, ab]
+      (4L, ""))          // empty -> 0
+      .toDF("doc_id", "text")
+    val out = Text.withBpeTokens(df, "text", merges)
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (4L, 0L)))
+  }
+
+  test("packGreedy budgets by EXACT subword counts: a BPE count column " +
+      "drives packing directly (r14 verdict #4 integration)") {
+    import graft.extra.{Packing, Text}
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    // abc=1 subword, ab=1, xy=2, q=1
+    val docs = Seq((0L, "abc abc abc"), (1L, "xy q"), (2L, "ab"))
+      .toDF("doc_id", "text")
+    val withCounts = docs.withColumn("n_bpe",
+      Text.bpeTokenCount(col("text"), merges))
+    val bpeCounts = withCounts.select("doc_id", "n_bpe").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bpeCounts == Seq((0L, 3L), (1L, 3L), (2L, 1L)))
+    val packed = Packing.packGreedy(withCounts, "doc_id",
+      col("n_bpe"), budget = 4L, shards = 1)
+    // greedy by id within the shard: doc0 (3) + doc1 (3) overflows 4,
+    // so doc1 starts seq 1; doc2 (1) fits with doc1 (3+1=4)
+    val seqs = packed.select("doc_id", "seq_id").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(seqs.map(_._1) == Seq(0L, 1L, 2L))
+    assert(seqs(0)._2 != seqs(1)._2, "doc1 must overflow into a new seq")
+    assert(seqs(1)._2 == seqs(2)._2, "doc2 fits doc1's remaining budget")
+  }
+
   test("dupNgramCoverage counts shingles shared across docs, not " +
       "within one doc, and keeps shingle-less docs") {
     val out = graft.extra.Text.dupNgramCoverage(Seq(
