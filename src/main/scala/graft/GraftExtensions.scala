@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectTableFunction(GraftExtensions.snapshotTvf)
     ext.injectTableFunction(GraftExtensions.snapshotHistoryTvf)
+    ext.injectTableFunction(GraftExtensions.asofTvf)
+    ext.injectTableFunction(GraftExtensions.bm25Tvf)
+    ext.injectTableFunction(GraftExtensions.dedupSpansTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -168,6 +171,130 @@ object GraftExtensions {
           .queryExecution.analyzed
       })
 
+  private type TvfDef = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+      .LogicalPlan)
+
+  /** Evaluate a TVF argument that must be a constant string literal. */
+  private def litString(e: Expression, fn: String, what: String): String = {
+    require(e.foldable, s"$fn $what must be a literal")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$fn $what must not be NULL")
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case o => o.toString
+    }
+  }
+
+  private def litLong(e: Expression, fn: String, what: String): Long = {
+    require(e.foldable, s"$fn $what must be a literal")
+    e.eval() match {
+      case b: java.lang.Byte => b.longValue
+      case s: java.lang.Short => s.longValue
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case o => throw new IllegalArgumentException(
+        s"$fn $what must be an integral literal, got $o")
+    }
+  }
+
+  /** `graft_asof(left, right, key, ts, carryCsv[, direction[, tol]])` —
+    * the native as-of join as a TVF over REGISTERED TABLE/VIEW NAMES
+    * (TVF arguments are literal expressions, so relations arrive by
+    * name — the standard workaround until SQL-standard table
+    * arguments):
+    *
+    *   SELECT * FROM graft_asof('trades', 'quotes', 'symbol', 'ts',
+    *                            'bid,ask', 'backward', 60)
+    *
+    * Left rows plus `asof_<carry>` columns from the nearest right row
+    * per key ([[graft.plans.AsOf.join]] — the custom
+    * [[graft.plans.AsOfJoinExec]] operator, one shuffle per side, no
+    * window-over-union materialization). Name resolution happens ONCE
+    * at analysis time, like `graft_snapshot`.
+    */
+  private[graft] val asofTvf: TvfDef =
+    (FunctionIdentifier("graft_asof"),
+      new ExpressionInfo("graft.plans.AsOf", "graft_asof",
+        "graft_asof(leftTable, rightTable, key, tsCol, carryCsv" +
+          "[, direction[, toleranceSeconds]]) - native as-of join of " +
+          "two registered tables/views; carryCsv is a comma-separated " +
+          "right-column list, direction backward|forward"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 5 && children.length <= 7,
+          "graft_asof expects (leftTable, rightTable, key, tsCol, " +
+            s"carryCsv[, direction[, toleranceSeconds]]), got " +
+            s"${children.length} arguments")
+        val fn = "graft_asof"
+        val spark = SparkSession.active
+        val left = spark.table(litString(children(0), fn, "leftTable"))
+        val right = spark.table(litString(children(1), fn, "rightTable"))
+        val key = litString(children(2), fn, "key")
+        val ts = litString(children(3), fn, "tsCol")
+        val carry = litString(children(4), fn, "carryCsv")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(carry.nonEmpty, "graft_asof carryCsv names no columns")
+        val dir = children.lift(5)
+          .map(litString(_, fn, "direction")).getOrElse("backward")
+        val tol = children.lift(6).map(litLong(_, fn, "toleranceSeconds"))
+        graft.plans.AsOf.join(left, right, key, ts, carry,
+          direction = dir, toleranceSeconds = tol)
+          .queryExecution.analyzed
+      })
+
+  /** `graft_bm25('indexDir', 'query text'[, topK])` — search a
+    * PERSISTED [[graft.extra.Bm25Index]] from SQL: top-K (id, n_hits,
+    * score) rows, term-pruned posting reads, never the corpus. The
+    * query string tokenizes with the engine's standard whitespace
+    * tokenizer.
+    */
+  private[graft] val bm25Tvf: TvfDef =
+    (FunctionIdentifier("graft_bm25"),
+      new ExpressionInfo("graft.extra.Bm25Index", "graft_bm25",
+        "graft_bm25(indexDir, queryText[, topK]) - BM25 top-K over a " +
+          "persisted index; returns (id, n_hits, score)"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 3,
+          s"graft_bm25 expects (indexDir, queryText[, topK]), got " +
+            s"${children.length} arguments")
+        val fn = "graft_bm25"
+        val dir = litString(children(0), fn, "indexDir")
+        val terms = litString(children(1), fn, "queryText")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val topK = children.lift(2).map(litLong(_, fn, "topK").toInt)
+          .getOrElse(20)
+        graft.extra.Bm25Index.search(SparkSession.active, dir, terms,
+          topK = topK).queryExecution.analyzed
+      })
+
+  /** `graft_dedup_spans('table', 'idCol', 'textCol'[, k[, minSpan]])` —
+    * ExactSubstr span dedup ([[graft.extra.Dedup.removeDupSpans]]) as
+    * a TVF over a registered table/view: per input row, the text with
+    * duplicated >= k-token runs cut (canonical survivor kept) plus
+    * `n_spans_removed` / `n_tokens_removed`.
+    */
+  private[graft] val dedupSpansTvf: TvfDef =
+    (FunctionIdentifier("graft_dedup_spans"),
+      new ExpressionInfo("graft.extra.Dedup", "graft_dedup_spans",
+        "graft_dedup_spans(table, idCol, textCol[, k[, minSpanTokens]])" +
+          " - ExactSubstr span dedup over a registered table/view"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 3 && children.length <= 5,
+          "graft_dedup_spans expects (table, idCol, textCol[, k[, " +
+            s"minSpanTokens]]), got ${children.length} arguments")
+        val fn = "graft_dedup_spans"
+        val spark = SparkSession.active
+        val docs = spark.table(litString(children(0), fn, "table"))
+        val idCol = litString(children(1), fn, "idCol")
+        val textCol = litString(children(2), fn, "textCol")
+        val k = children.lift(3).map(litLong(_, fn, "k").toInt)
+          .getOrElse(5)
+        val minSpan = children.lift(4)
+          .map(litLong(_, fn, "minSpanTokens").toInt).getOrElse(0)
+        graft.extra.Dedup.removeDupSpans(docs, idCol, textCol, k,
+          minSpanTokens = minSpan).queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
@@ -175,7 +302,8 @@ object GraftExtensions {
     if (!reg.functionExists(id))
       reg.registerFunction(id, info, builder)
     val treg = spark.sessionState.tableFunctionRegistry
-    Seq(snapshotTvf, snapshotHistoryTvf).foreach {
+    Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
+      dedupSpansTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

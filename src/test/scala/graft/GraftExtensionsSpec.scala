@@ -70,6 +70,86 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_asof TVF: the native as-of join reachable from SQL over " +
+      "registered views, backward default + forward/tolerance args") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    Seq((1L, "s", 100.0), (5L, "s", 101.0))
+      .toDF("ts", "sym", "px").createOrReplaceTempView("trades_tvf")
+    Seq((0L, "s", 99.0), (4L, "s", 99.5), (9L, "s", 98.0))
+      .toDF("ts", "sym", "bid").createOrReplaceTempView("quotes_tvf")
+    val back = spark.sql(
+      "SELECT ts, asof_bid FROM graft_asof('trades_tvf', 'quotes_tvf', " +
+        "'sym', 'ts', 'bid') ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(back == Seq((1L, 99.0), (5L, 99.5)))
+    val fwd = spark.sql(
+      "SELECT ts, asof_bid FROM graft_asof('trades_tvf', 'quotes_tvf', " +
+        "'sym', 'ts', 'bid', 'forward') ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fwd == Seq((1L, 99.5), (5L, 98.0)))
+    // tolerance nulls stale matches: backward from ts=5 reaches ts=4
+    // (gap 1 <= 2) but ts=1's nearest (ts=0) misses a 0-second bound
+    val tol = spark.sql(
+      "SELECT ts, asof_bid FROM graft_asof('trades_tvf', 'quotes_tvf', " +
+        "'sym', 'ts', 'bid', 'backward', 2) ORDER BY ts").collect()
+    assert(tol(0).isNullAt(1) == false && tol(0).getDouble(1) == 99.0)
+    assert(tol(1).getDouble(1) == 99.5)
+    // the plan actually runs the custom operator
+    val plan = spark.sql(
+      "SELECT * FROM graft_asof('trades_tvf', 'quotes_tvf', 'sym', " +
+        "'ts', 'bid')").queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native exec missing:\n$plan")
+  }
+
+  test("graft_bm25 TVF: persisted-index search from SQL, composable " +
+      "in joins") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tvfbm25").toString
+    val docs = Seq(
+      (0L, "spark shuffles data across executors"),
+      (1L, "spark spark spark tuning guide"),
+      (2L, "cooking pasta with garlic")).toDF("doc_id", "text")
+    graft.extra.Bm25Index.build(docs, "doc_id", "text", s"$dir/idx",
+      numFiles = 2)
+    val hits = spark.sql(
+      s"SELECT id, n_hits, score FROM graft_bm25('$dir/idx', 'spark', 2)")
+      .collect()
+    assert(hits.length == 2)
+    assert(hits.head.getLong(0) == 1L, "tf-heaviest doc must rank first")
+    // composes: join the hits back to a docs view for display text
+    docs.createOrReplaceTempView("docs_tvf")
+    val joined = spark.sql(
+      s"""SELECT d.text FROM graft_bm25('$dir/idx', 'pasta') h
+         |JOIN docs_tvf d ON d.doc_id = h.id""".stripMargin).collect()
+    assert(joined.map(_.getString(0)).toSeq ==
+      Seq("cooking pasta with garlic"))
+  }
+
+  test("graft_dedup_spans TVF: span dedup over a registered view, " +
+      "k and minSpanTokens arguments honored") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "x1 the quick brown fox jumps over the lazy dog x2"),
+      (2L, "completely unrelated words with nothing shared here at all"))
+      .toDF("doc_id", "text").createOrReplaceTempView("dedup_tvf")
+    val out = spark.sql(
+      "SELECT doc_id, n_tokens_removed FROM graft_dedup_spans(" +
+        "'dedup_tvf', 'doc_id', 'text', 5) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out(0) == ((0L, 0L)), "canonical copy must survive")
+    assert(out(1)._2 > 0L, "the repeated run must be cut from doc 1")
+    assert(out(2) == ((2L, 0L)))
+    // a minSpanTokens above the run length spares it
+    val spared = spark.sql(
+      "SELECT sum(n_tokens_removed) FROM graft_dedup_spans(" +
+        "'dedup_tvf', 'doc_id', 'text', 5, 50)").head().getLong(0)
+    assert(spared == 0L)
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
