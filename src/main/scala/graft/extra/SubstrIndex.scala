@@ -76,15 +76,26 @@ object SubstrIndex {
   // and rank numeric strings differently than removeDupSpans' native
   // min(struct) ordering. Corpus and batch id types must match (the
   // usual keyed contract).
-  private def partialOf(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, hashed: Boolean): DataFrame =
-    Dedup.positionedGrams(docs, idCol, textCol, k, hashed)
+  //
+  // ONE-SHUFFLE clustered partial build: range-partition the
+  // positioned grams on the key FIRST — RangePartitioning satisfies
+  // the aggregation's ClusteredDistribution (equal keys land in one
+  // partition), so the groupBy adds NO second exchange and the output
+  // stays range-partitioned for the in-partition sort + write. The
+  // aggregate-then-writeClustered shape paid two exchanges of ~the
+  // same row count (batch grams are mostly unique, so the partial agg
+  // barely shrank the second one — profiled on a 100k-doc batch,
+  // r14 verdict #3).
+  private def clusteredPartials(positioned: DataFrame, idCol: String,
+      numFiles: Int): DataFrame =
+    positioned.repartitionByRange(numFiles, col("__g"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),
         min(struct(col(idCol).as("d"),
           col("pos").as("p"))).as("__c"))
       .select(col("__g").as("g"), col("n"),
         col("__c.d").as("d"), col("__c.p").as("p"))
+      .sortWithinPartitions(col("g"))
 
   /** Gram geometry of a committed index. */
   def meta(spark: SparkSession, dir: String): (Int, Boolean) = {
@@ -102,16 +113,17 @@ object SubstrIndex {
   private val EmptyFileRange = ("1", "0")
   private val UnknownRange = ("", "")
 
-  /** Write one range-clustered posting segment and return its
-    * per-file `#range=` stats for the manifest (one footer open per
-    * written file — the [[Snapshots]] commit-time stats pass, paid at
-    * WRITE time so the per-batch serving path never opens a footer).
+  /** Write one ALREADY-CLUSTERED posting-partial frame
+    * ([[clusteredPartials]] output — disjoint sorted `g` ranges per
+    * partition) as a segment and return its per-file `#range=` stats
+    * for the manifest (one footer open per written file — the
+    * [[Snapshots]] commit-time stats pass, paid at WRITE time so the
+    * per-batch serving path never opens a footer).
     */
-  private def writeSegment(partial: DataFrame, dir: String,
-      segRel: String, numFiles: Int): Map[String, (String, String)] = {
-    val spark = partial.sparkSession
-    Layout.writeClustered(partial, s"$dir/$segRel", Seq(col("g")),
-      numFiles)
+  private def writeSegment(partials: DataFrame, dir: String,
+      segRel: String): Map[String, (String, String)] = {
+    val spark = partials.sparkSession
+    partials.write.mode(SaveMode.Overwrite).parquet(s"$dir/$segRel")
     val hconf = spark.sparkContext.hadoopConfiguration
     val (fs, p) = IndexManifests.fsOf(spark, s"$dir/$segRel")
     fs.listStatus(p).toSeq
@@ -157,8 +169,9 @@ object SubstrIndex {
     }
     val v = prev.map(_._1).getOrElse(0L) + 1
     val seg = f"grams/seg-$v%09d"
-    val ranges = writeSegment(
-      partialOf(docs, idCol, textCol, k, hashed), dir, seg, numFiles)
+    val ranges = writeSegment(clusteredPartials(
+      Dedup.positionedGrams(docs, idCol, textCol, k, hashed),
+      idCol, numFiles), dir, seg)
     // write meta ONLY on the first build: the guard above already
     // proved a rebuild's geometry identical, and re-Overwriting would
     // open a delete-then-write window where a concurrent reader's
@@ -199,13 +212,26 @@ object SubstrIndex {
       dir: String, txn: Option[(String, Long)] = None,
       numFiles: Int = 1, autoCompactSegments: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val (k, hashed) = meta(spark, dir)
+    appendPositioned(spark, dir,
+      Dedup.positionedGrams(batch, idCol, textCol, k, hashed),
+      idCol, txn, numFiles, autoCompactSegments): Unit
+  }
+
+  /** The append core over an already-positioned gram frame — shared by
+    * [[append]] and the streaming fast path [[appendCleanedBatch]].
+    * Returns false when the txn ledger skipped the batch.
+    */
+  private def appendPositioned(spark: SparkSession, dir: String,
+      positioned: DataFrame, idCol: String,
+      txn: Option[(String, Long)], numFiles: Int,
+      autoCompactSegments: Int): Boolean = {
     val (v0, entries, ranges) = requireLatestFull(spark, dir)
     if (txn.exists { case (sid, b) =>
-        IndexManifests.txnApplied(entries, sid, b) }) return
-    val (k, hashed) = meta(spark, dir)
+        IndexManifests.txnApplied(entries, sid, b) }) return false
     val seg = f"grams/seg-${v0 + 1}%09d"
     val segRanges = writeSegment(
-      partialOf(batch, idCol, textCol, k, hashed), dir, seg, numFiles)
+      clusteredPartials(positioned, idCol, numFiles), dir, seg)
     val newSegs = entries.getOrElse("grams", Nil) :+ seg
     val withSeg = entries + ("grams" -> newSegs)
     IndexManifests.commit(spark, dir, v0 + 1,
@@ -214,6 +240,40 @@ object SubstrIndex {
       ranges ++ segRanges)
     if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
       compact(spark, dir)
+    true
+  }
+
+  /** Streaming ingest fast path: append a CLEANED batch's grams
+    * REUSING the raw batch's pinned positioned grams for every doc the
+    * dedup left untouched (`n_tokens_removed = 0` — text identical, so
+    * its grams are too), re-deriving grams only for the few docs that
+    * actually lost spans. On realistic batches (a few % near-dups)
+    * this removes ~all of the append leg's second tokenize+gram
+    * projection; with [[clusteredPartials]]' one-shuffle shape the
+    * whole leg is one exchange over the batch's gram rows.
+    *
+    * `rawGrams` MUST be the positioned grams of the exact raw batch
+    * `cleaned` came from ([[dedupBatchPinned]] hands both to its
+    * consumer); `cleaned` carries the operator's `n_spans_removed` /
+    * `n_tokens_removed` columns.
+    */
+  private[graft] def appendCleanedBatch(spark: SparkSession, dir: String,
+      rawGrams: DataFrame, cleaned: DataFrame, idCol: String,
+      textCol: String, txn: Option[(String, Long)] = None,
+      numFiles: Int = 1, autoCompactSegments: Int = 0): Boolean = {
+    val (k, hashed) = meta(spark, dir)
+    val unchangedIds = cleaned
+      .filter(col("n_tokens_removed") === 0L).select(col(idCol))
+    val changed = cleaned.filter(col("n_tokens_removed") > 0L)
+      .select(col(idCol), col(textCol))
+    // batch-bounded id set: broadcast the semi-join so the (pinned)
+    // gram frame never shuffles
+    val kept = rawGrams.join(broadcast(unchangedIds), Seq(idCol),
+      "left_semi")
+    val positioned = kept.unionByName(
+      Dedup.positionedGrams(changed, idCol, textCol, k, hashed))
+    appendPositioned(spark, dir, positioned, idCol, txn, numFiles,
+      autoCompactSegments)
   }
 
   private def requireLatestFull(spark: SparkSession, dir: String)
@@ -293,13 +353,17 @@ object SubstrIndex {
     val segs = entries.getOrElse("grams", Nil)
     require(segs.nonEmpty, s"no committed gram segments at $dir")
     val seg = f"grams/seg-${v0 + 1}%09d"
+    // same one-exchange shape as clusteredPartials, over the (g,n,d,p)
+    // partial rows: range-partition first, merge inside the partitions
     val merged = spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+      .repartitionByRange(numFiles, col("g"))
       .groupBy(col("g"))
       .agg(sum(col("n")).as("n"),
         min(struct(col("d"), col("p"))).as("__c"))
       .select(col("g"), col("n"), col("__c.d").as("d"),
         col("__c.p").as("p"))
-    val ranges = writeSegment(merged, dir, seg, numFiles)
+      .sortWithinPartitions(col("g"))
+    val ranges = writeSegment(merged, dir, seg)
     val fresh = Map("grams" -> Seq(seg)) ++
       entries.get(IndexManifests.TxnFrame)
         .map(IndexManifests.TxnFrame -> _).toMap
@@ -333,14 +397,34 @@ object SubstrIndex {
     */
   def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      minSpanTokens: Int = 0): DataFrame = {
+      minSpanTokens: Int = 0): DataFrame =
+    dedupPlan(spark, dir, batch, idCol, textCol, minSpanTokens,
+      pin = identity)._1
+
+  /** The dedup chain with a caller-supplied `pin` hook applied to the
+    * two frames every downstream branch re-derives (the positioned
+    * grams and, transitively, the per-gram aggregate): `identity` for
+    * the lazy one-shot form ([[dedupBatch]]), `persist` for the
+    * streaming per-batch form where the chain's probe + 3 consumers
+    * would otherwise re-tokenize the batch three times
+    * ([[dedupBatchPinned]] — measured 3.5 s of a 100k-doc batch's
+    * 14.8 s chain).
+    */
+  private def dedupPlan(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      minSpanTokens: Int, pin: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     val (_, entries, ranges) = requireLatestFull(spark, dir)
     val (k, hashed) = meta(spark, dir)
-    val grams = Dedup.positionedGrams(batch, idCol, textCol, k, hashed)
-    val batchAgg = grams.groupBy(col("__g"))
+    val grams = pin(
+      Dedup.positionedGrams(batch, idCol, textCol, k, hashed))
+    // pinned too: the range probe's collect materializes this frame,
+    // and the verdict join (`per`) would otherwise re-run the same
+    // 4-million-row aggregation from the gram cache
+    val batchAgg = pin(grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("bn"),
         min(struct(col(idCol).as("d"),
-          col("pos").as("p"))).as("bm"))
+          col("pos").as("p"))).as("bm")))
     // batchAgg is already one row per gram key — it IS the distinct
     // key set for both the range probe and the semi-join (ADVICE r14:
     // the old extra .distinct() was a redundant exchange+aggregate on
@@ -381,7 +465,35 @@ object SubstrIndex {
       .distinct()
     val base = batch.select(col(idCol),
       Text.tokens(col(textCol)).as("__toks"))
-    Dedup.cutFlaggedSpans(base, flagged, protectPos, idCol, k,
-      minSpanTokens)
+    (Dedup.cutFlaggedSpans(base, flagged, protectPos, idCol, k,
+      minSpanTokens), grams)
+  }
+
+  /** Streaming per-batch form of [[dedupBatch]]: the positioned grams
+    * are PINNED for the chain's lifetime (the range probe plus the
+    * batch-aggregate, flag, and protect branches all re-derive them —
+    * unpinned, a 100k-doc batch re-tokenized three times), `consume`
+    * runs the caller's action against BOTH the cleaned result and the
+    * pinned gram frame (so the ingest's append leg can reuse the grams
+    * of untouched docs — [[appendCleanedBatch]]), and the cache is
+    * released before returning. Bit-identical output to [[dedupBatch]]
+    * (the spec's equivalence arms run through both forms).
+    */
+  private[graft] def dedupBatchPinned(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      minSpanTokens: Int)
+      (consume: (DataFrame, DataFrame) => Unit): Unit = {
+    var pinned: List[DataFrame] = Nil
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned ::= p
+      p
+    }
+    try {
+      val (cleaned, grams) = dedupPlan(spark, dir, batch, idCol,
+        textCol, minSpanTokens, pin)
+      consume(cleaned, grams)
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 }
