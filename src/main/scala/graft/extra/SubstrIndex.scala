@@ -24,8 +24,10 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *     [[append]] is one batch aggregation + one segment write and
   *     never rewrites the corpus postings; [[compact]] merges on the
   *     maintenance cadence. Segments are RANGE-CLUSTERED on the gram
-  *     key ([[Layout.writeClustered]] — the [[Bm25Index]] tf-frame
-  *     pattern): each file covers a disjoint sorted `g` range, and the
+  *     key (the [[Bm25Index]] tf-frame pattern, built ONE-SHUFFLE:
+  *     range-partition first, aggregate inside the partitions —
+  *     RangePartitioning satisfies the agg's required clustering):
+  *     each file covers a disjoint sorted `g` range, and the
   *     committing manifest records every file's (min, max) as
   *     `#range=` stats ([[IndexManifests.commit]]), so [[dedupBatch]]
   *     opens ONLY the files whose range can hold a batch gram — the
