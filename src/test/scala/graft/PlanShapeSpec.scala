@@ -185,6 +185,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plans.contains("WindowGroupLimit"), plans.take(2000))
   }
 
+  test("sim_topk_ivfpq_residual: same plan discipline as the raw form " +
+      "— keyed list_id equijoin, no nested loop, group-limited top-k") {
+    val plans = allExecutedPlans("sim_topk_ivfpq_residual")
+    assert(!plans.contains("CartesianProduct"), plans.take(2000))
+    assert(!plans.contains("BroadcastNestedLoopJoin"), plans.take(2000))
+    assert("BroadcastHashJoin \\[list_id".r.findFirstIn(plans).isDefined,
+      plans.linesIterator.filter(_.contains("Join")).mkString("\n").take(2000))
+    assert(plans.contains("WindowGroupLimit"), plans.take(2000))
+  }
+
+  test("token_counts_bpe: the 2M-replace encode is a pure projection " +
+      "— no join, no aggregation, the only exchange is the result sort") {
+    val plan = executedPlan("token_counts_bpe")
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    val exchanges = "Exchange \\w+partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 1, // the orderBy's range exchange only
+      s"expected at most the sort exchange, got $exchanges")
+    // the whole 2M-deep replace chain must land in ONE Project over
+    // the scan (codegen-friendliness follows: StringReplace is a
+    // codegen expression and nothing breaks the stage)
+    assert("replace\\(".r.findAllIn(plan).size >= 64, plan.take(1000))
+    assert(plan.contains("FileScan parquet"), plan.take(1000))
+  }
+
   test("pack_sequences: exactly one hash exchange, on the shard key") {
     val plan = executedPlan("pack_sequences")
     val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
