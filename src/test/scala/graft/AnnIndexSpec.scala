@@ -239,6 +239,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(searchRows(AnnIndex.readIvfPq(spark, dir)) == before)
   }
 
+  test("auto-compaction at append (r14 verdict #5): a many-batch " +
+      "ingest holds the codes segment count bounded and search equals " +
+      "the manual-compact path") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    val cb = AnnIndex.readCodebooks(spark, dir)
+    def segCount() = graft.extra.IndexManifests.latest(spark, dir)
+      .get._2.getOrElse("codes", Nil).size
+    (0 until 8).foreach { b =>
+      AnnIndex.appendIvfPq(spark, dir,
+        emb.filter(col("vec_id") >= 200 + b * 50 &&
+          col("vec_id") < 250 + b * 50),
+        "vec_id", "embedding", codebooks = Some(cb),
+        singleFileBatch = true, txn = Some(("auto", b.toLong)),
+        autoCompactSegments = 3)
+      assert(segCount() <= 4,
+        s"codes segments ${segCount()} unbounded at batch $b")
+    }
+    // equals one build+appends+manual compact over the same rows
+    val ref = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding", ref,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    AnnIndex.appendIvfPq(spark, ref,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 600),
+      "vec_id", "embedding",
+      codebooks = Some(AnnIndex.readCodebooks(spark, ref)))
+    AnnIndex.compact(spark, ref)
+    assert(searchRows(AnnIndex.readIvfPq(spark, dir)) ==
+      searchRows(AnnIndex.readIvfPq(spark, ref)))
+    // the ledger survived the folds: the last batch replays to a no-op
+    val v = graft.extra.IndexManifests.latest(spark, dir).get._1
+    AnnIndex.appendIvfPq(spark, dir,
+      emb.filter(col("vec_id") >= 550 && col("vec_id") < 600),
+      "vec_id", "embedding", codebooks = Some(cb),
+      txn = Some(("auto", 7L)), autoCompactSegments = 3)
+    assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == v)
+  }
+
   test("snapshot isolation: an uncommitted codes segment is invisible " +
       "to searches; a committed append surfaces atomically; compact " +
       "sweeps the orphan") {

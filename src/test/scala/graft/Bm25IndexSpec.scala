@@ -352,6 +352,41 @@ class Bm25IndexSpec extends SparkSpec {
     assert(new java.io.File(s"$fresh/_manifests").exists())
   }
 
+  test("auto-compaction at append (r14 verdict #5): a many-batch " +
+      "ingest holds the tf segment count bounded, searches stay " +
+      "bit-identical, and replay safety survives the folds") {
+    val d = tmpDir()
+    def segCount() = graft.extra.IndexManifests.latest(spark, d)
+      .get._2.getOrElse("tf", Nil).size
+    for (b <- 0 until 10) {
+      Bm25Index.append(
+        Seq((1000L + b, s"alpha batch$b unique u${b}x u${b}y"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", d, txn = Some(("auto", b.toLong)),
+        autoCompactSegments = 3)
+      assert(segCount() <= 4,
+        s"tf segments ${segCount()} unbounded at batch $b")
+    }
+    // the folded index equals a fresh build over the same rows
+    val all = (0 until 10).map(b =>
+      (1000L + b, s"alpha batch$b unique u${b}x u${b}y"))
+      .toDF("doc_id", "text")
+    val fresh = tmpDir()
+    Bm25Index.build(all, "doc_id", "text", fresh)
+    def hits(dd: String) = Bm25Index.search(spark, dd,
+      Seq("alpha", "batch5"), idCol = "doc_id", topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(hits(d) == hits(fresh))
+    // ledger survived the auto-compactions: the last batch replays
+    // into a no-op
+    val v = graft.extra.IndexManifests.latest(spark, d).get._1
+    Bm25Index.append(
+      Seq((1009L, "alpha batch9 unique u9x u9y")).toDF("doc_id", "text"),
+      "doc_id", "text", d, txn = Some(("auto", 9L)),
+      autoCompactSegments = 3)
+    assert(graft.extra.IndexManifests.latest(spark, d).get._1 == v)
+  }
+
   test("the manifest commit is a true CAS: a version collision throws " +
       "and never clobbers the committed manifest (RawLocalFileSystem " +
       "rename would have replaced it)") {
