@@ -81,13 +81,22 @@ object Bm25Index {
       : Option[(Long, Map[String, Seq[String]])] =
     IndexManifests.latest(spark, dir)
 
+  private def latestFull(spark: SparkSession, dir: String) =
+    IndexManifests.latestFull(spark, dir)
+
   private def requireLatest(spark: SparkSession, dir: String)
       : (Long, Map[String, Seq[String]]) =
     IndexManifests.requireLatest(spark, dir, "BM25")
 
+  private def requireLatestFull(spark: SparkSession, dir: String)
+      : (Long, Map[String, Seq[String]], Map[String, (String, String)]) =
+    latestFull(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no committed BM25 index at $dir (missing _manifests)"))
+
   private def commit(spark: SparkSession, dir: String, version: Long,
-      entries: Map[String, Seq[String]]): Unit =
-    IndexManifests.commit(spark, dir, version, entries)
+      entries: Map[String, Seq[String]],
+      ranges: Map[String, (String, String)] = Map.empty): Unit =
+    IndexManifests.commit(spark, dir, version, entries, ranges)
 
   /** Read one frame as the union of its committed segments; None when
     * the manifest lists no segment for it (e.g. no tombstones yet).
@@ -97,6 +106,61 @@ object Bm25Index {
       : Option[DataFrame] = {
     val paths = entries.getOrElse(frame, Nil).map(rel => s"$dir/$rel")
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** [[readFrame]] with MANIFEST-RANGE file pruning (the r15
+    * [[SubstrIndex]] discipline applied to the term frames): when the
+    * COMPLETE query-term list is known, a segment whose files carry
+    * `#range=` term stats contributes only the files whose recorded
+    * [min, max] can hold a query term — the rest are never listed into
+    * the scan, zero footer opens. Segments committed before range
+    * stats existed (or term lists known to be truncated) read whole,
+    * conservatively. Terms are driver-side and ≤ 10001 by the callers'
+    * guard, so the check is a sorted binary probe per file. A fully
+    * pruned frame returns a schema-preserving empty scan (one file,
+    * `lit(false)` filter).
+    */
+  private def readFramePruned(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]],
+      ranges: Map[String, (String, String)], frame: String,
+      terms: Option[Seq[String]]): Option[DataFrame] = {
+    val segs = entries.getOrElse(frame, Nil)
+    if (segs.isEmpty) return None
+    val complete = terms.filter(_.size <= 10000)
+    if (complete.isEmpty)
+      return Some(spark.read.parquet(segs.map(s => s"$dir/$s"): _*))
+    val sorted = complete.get.sorted.toIndexedSeq
+    def anyTermIn(mn: String, mx: String): Boolean = {
+      // first term >= mn, then check it is <= mx
+      var lo = 0; var hi = sorted.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.size && sorted(lo) <= mx
+    }
+    val segSet = segs.toSet
+    val liveRanged = ranges.toSeq.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      i > 0 && segSet.contains(f.substring(0, i))
+    }
+    val rangedSegs = liveRanged.map { case (f, _) =>
+      f.substring(0, f.lastIndexOf('/'))
+    }.toSet
+    val legacy = segs.filterNot(rangedSegs.contains).map(s => s"$dir/$s")
+    val kept = liveRanged.collect {
+      case (f, rng) if rng == IndexManifests.UnknownFileRange =>
+        s"$dir/$f" // stats suppressed: conservatively keep
+      case (f, (mn, mx)) if anyTermIn(mn, mx) => s"$dir/$f"
+    }
+    val paths = kept ++ legacy
+    if (paths.nonEmpty) Some(spark.read.parquet(paths: _*))
+    else {
+      // every file pruned: schema-preserving empty frame (one footer
+      // open for the schema; no data read)
+      val any = s"$dir/${segs.head}"
+      Some(spark.read.parquet(any).filter(lit(false)))
+    }
   }
 
   private def dropOrphanSegments(spark: SparkSession, dir: String,
@@ -121,7 +185,10 @@ object Bm25Index {
       s"build supports Overwrite|Append, got $mode")
     val spark = docs.sparkSession
     import spark.implicits._
-    val prev = latest(spark, dir)
+    val prevFull = latestFull(spark, dir)
+    val prev = prevFull.map { case (v, e, _) => (v, e) }
+    val prevRanges = prevFull.map(_._3)
+      .getOrElse(Map.empty[String, (String, String)])
     // EXACTLY-ONCE for streaming ingest (r13 verdict #2): a replayed
     // micro-batch whose batchId is already in the manifest's applied-
     // batch ledger no-ops before any tokenization or write — see
@@ -183,9 +250,20 @@ object Bm25Index {
       base.get("tombstones").map("tombstones" -> _).toMap ++
       base.get(IndexManifests.TxnFrame)
         .map(IndexManifests.TxnFrame -> _).toMap
+    // per-file term ranges of the new tf/df segments ride the commit
+    // (the r15 SubstrIndex discipline): searches prune file lists from
+    // the manifest alone, zero footer opens on the serving path.
+    // Appends carry the surviving files' stats forward; an overwrite
+    // starts clean with its own.
+    val segRanges =
+      IndexManifests.fileRangeStats(spark, dir, s"tf/$seg", "term") ++
+        IndexManifests.fileRangeStats(spark, dir, s"df/$seg", "term")
+    val ranges =
+      (if (mode == SaveMode.Append) prevRanges
+       else Map.empty[String, (String, String)]) ++ segRanges
     commit(spark, dir, v,
       txn.fold(entries) { case (sid, b) =>
-        IndexManifests.withTxn(entries, sid, b) })
+        IndexManifests.withTxn(entries, sid, b) }, ranges)
     if (mode == SaveMode.Overwrite && prev.nonEmpty)
       dropOrphanSegments(spark, dir, entries)
   }
@@ -252,7 +330,7 @@ object Bm25Index {
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String = "id"): Long = {
-    val (v0, entries) = requireLatest(spark, dir)
+    val (v0, entries, ranges) = requireLatestFull(spark, dir)
     val incoming = ids.select(col(idCol).as("id")).distinct()
     val newIds = readTombstones(spark, dir, entries)
       .fold(incoming)(t =>
@@ -279,7 +357,7 @@ object Bm25Index {
         .parquet(s"$dir/tombstones/$seg")
       commit(spark, dir, v, entries +
         ("tombstones" -> (entries.getOrElse("tombstones", Nil) :+
-          s"tombstones/$seg")))
+          s"tombstones/$seg")), ranges)
       nNew
     } finally newIds.unpersist(blocking = false): Unit
   }
@@ -368,7 +446,12 @@ object Bm25Index {
       .toMap ++
       entries.get(IndexManifests.TxnFrame)
         .map(IndexManifests.TxnFrame -> _).toMap
-    commit(spark, dir, v, fresh)
+    // fresh per-file term stats for the merged segments — pruning
+    // sharpens back up across the full term space with the layout
+    val freshRanges =
+      IndexManifests.fileRangeStats(spark, dir, s"tf/$seg", "term") ++
+        IndexManifests.fileRangeStats(spark, dir, s"df/$seg", "term")
+    commit(spark, dir, v, fresh, freshRanges)
     // retention window for readers pinned to recent versions — the
     // [[AnnIndex.compact]] contract shared through the manifest layer;
     // the default 1 keeps the immediate drop
@@ -408,7 +491,7 @@ object Bm25Index {
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
     // ONE manifest resolution for the whole call — the snapshot
-    val (_, entries) = requireLatest(spark, dir)
+    val (_, entries, fileRanges) = requireLatestFull(spark, dir)
     // meta rows are per-build/append partials (log-structured layout),
     // net of tombstoned docs' carried contributions
     val (nDocs, sumDl) = netMeta(spark, dir, entries)
@@ -438,7 +521,14 @@ object Bm25Index {
     // df first: |query|-bounded rows, and the stop-term cut (if any)
     // happens HERE, before the tf scan ever sees the terms. The sum
     // merges per-append partial counts (and is a no-op on one build).
-    val dfRead = inPruned(readFrame(spark, dir, entries, "df").get, termSeq)
+    // The frame reads are MANIFEST-RANGE pruned: files whose recorded
+    // term range can hold no query term never enter the scan (the
+    // `term IN` pushdown then skips row groups within the survivors) —
+    // a truncated term list (>10000) disables both, conservatively.
+    def framePruned(frame: String, ts: Seq[String]) =
+      readFramePruned(spark, dir, entries, fileRanges, frame,
+        Some(ts).filter(_.size <= 10000)).get
+    val dfRead = inPruned(framePruned("df", termSeq), termSeq)
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val dfKept =
@@ -448,7 +538,7 @@ object Bm25Index {
     val keptSeq =
       if (maxDfRatio >= 1.0) termSeq
       else dfKept.select("term").as[String].collect().toSeq
-    val tfq = inPruned(readFrame(spark, dir, entries, "tf").get, keptSeq)
+    val tfq = inPruned(framePruned("tf", keptSeq), keptSeq)
       .join(broadcast(dfKept.select("term")), "term")
     val idf = dfKept
       .withColumn("idf",
@@ -494,13 +584,17 @@ object Bm25Index {
     require(maxDfRatio > 0.0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     import spark.implicits._
-    val (_, entries) = requireLatest(spark, dir)
+    val (_, entries, fileRanges) = requireLatestFull(spark, dir)
     val terms0 = queryTerms.map(_.toLowerCase).distinct
     // meta/df partials aggregate at read (log-structured layout), net
     // of tombstoned docs' carried contributions
     val (nDocs, sumDl) = netMeta(spark, dir, entries)
     val avgdl = sumDl.toDouble / nDocs.toDouble
-    def dfSlice(ts: Seq[String]) = readFrame(spark, dir, entries, "df").get
+    // frame reads are manifest-range pruned (see searchAll)
+    def framePruned(frame: String, ts: Seq[String]) =
+      readFramePruned(spark, dir, entries, fileRanges, frame,
+        Some(ts)).get
+    def dfSlice(ts: Seq[String]) = framePruned("df", ts)
       .filter(col("term").isin(ts: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     // the term list is already driver-side: static IN predicates push
@@ -517,7 +611,7 @@ object Bm25Index {
       return readFrame(spark, dir, entries, "dl").get.filter(lit(false))
         .select(col("id").as(idCol), lit(0L).as("n_hits"),
           lit(0.0).as("score")) // id keeps the corpus key's real type
-    val tfq0 = readFrame(spark, dir, entries, "tf").get
+    val tfq0 = framePruned("tf", terms)
       .filter(col("term").isin(terms: _*))
     // tombstone anti-join — see searchAll; bounded by the term-pruned
     // candidate rows, not the corpus

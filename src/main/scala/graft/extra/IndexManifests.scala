@@ -274,6 +274,40 @@ private[graft] object IndexManifests {
     entries + (TxnFrame -> (kept :+ s"$streamId:$batchId"))
   }
 
+  /** An EMPTY data file's recorded range — min > max under both the
+    * string and decimal-long orderings, so any range probe always
+    * prunes it. [[UnknownFileRange]] marks a populated file whose
+    * stats the writer suppressed (possible for >4 KB binary values) —
+    * parsing maps it to "no stats" and pruning conservatively keeps
+    * the file. Shared by every range-stats-bearing index
+    * ([[SubstrIndex]] gram postings, [[Bm25Index]] term frames).
+    */
+  private[extra] val EmptyFileRange = ("1", "0")
+  private[extra] val UnknownFileRange = ("", "")
+
+  /** Per-file `#range=` stats of a JUST-WRITTEN segment: one footer
+    * open per file ([[Merge.footerRangesAndRows]]) — the commit-time
+    * stats pass, paid at WRITE time so serving paths plan file pruning
+    * from the manifest alone.
+    */
+  private[extra] def fileRangeStats(spark: SparkSession, dir: String,
+      segRel: String, key: String): Map[String, (String, String)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (fs, p) = fsOf(spark, s"$dir/$segRel")
+    fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val (rows, stats) =
+          Merge.footerRangesAndRows(st.getPath, Seq(key), hconf)
+        val rng = stats.get(key) match {
+          case Some((mn, mx)) => (mn.toString, mx.toString)
+          case None if rows == 0 => EmptyFileRange
+          case None => UnknownFileRange
+        }
+        s"$segRel/${st.getPath.getName}" -> rng
+      }.toMap
+  }
+
   /** Delete every on-disk child of the given frame dirs not named by
     * `live` (post-commit physical cleanup — overwrite builds and
     * compaction). A frame dir left with no children is removed too.

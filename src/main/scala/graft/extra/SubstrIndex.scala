@@ -105,41 +105,18 @@ object SubstrIndex {
     (r.getAs[Int]("k"), r.getAs[Boolean]("hashed"))
   }
 
-  /** An EMPTY posting file's recorded range — min > max under both
-    * key orderings (gram strings are never empty and hashed keys are
-    * decimal longs), so the range probe always prunes it. A populated
-    * file whose stats parquet suppressed (possible for >4 KB binary
-    * values) records [[UnknownRange]] — empty min/max, which parsing
-    * maps to "no stats" and pruning conservatively keeps.
-    */
-  private val EmptyFileRange = ("1", "0")
-  private val UnknownRange = ("", "")
-
   /** Write one ALREADY-CLUSTERED posting-partial frame
     * ([[clusteredPartials]] output — disjoint sorted `g` ranges per
     * partition) as a segment and return its per-file `#range=` stats
-    * for the manifest (one footer open per written file — the
-    * [[Snapshots]] commit-time stats pass, paid at WRITE time so the
-    * per-batch serving path never opens a footer).
+    * for the manifest ([[IndexManifests.fileRangeStats]] — one footer
+    * open per written file, the [[Snapshots]] commit-time stats pass,
+    * paid at WRITE time so the per-batch serving path never opens a
+    * footer).
     */
   private def writeSegment(partials: DataFrame, dir: String,
       segRel: String): Map[String, (String, String)] = {
-    val spark = partials.sparkSession
     partials.write.mode(SaveMode.Overwrite).parquet(s"$dir/$segRel")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val (fs, p) = IndexManifests.fsOf(spark, s"$dir/$segRel")
-    fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val (rows, stats) =
-          Merge.footerRangesAndRows(st.getPath, Seq("g"), hconf)
-        val rng = stats.get("g") match {
-          case Some((mn, mx)) => (mn.toString, mx.toString)
-          case None if rows == 0 => EmptyFileRange
-          case None => UnknownRange
-        }
-        s"$segRel/${st.getPath.getName}" -> rng
-      }.toMap
+    IndexManifests.fileRangeStats(partials.sparkSession, dir, segRel, "g")
   }
 
   /** Build the posting index over the standing corpus — one gram
@@ -315,7 +292,8 @@ object SubstrIndex {
     val ranged: Seq[(String, Option[(Any, Any)])] =
       liveRanged.map { case (f, (mn, mx)) =>
         val rng: Option[(Any, Any)] =
-          if ((mn, mx) == UnknownRange) None // stats suppressed: keep
+          if ((mn, mx) == IndexManifests.UnknownFileRange)
+            None // stats suppressed: conservatively keep
           else if (hashed) for {
             lo <- mn.toLongOption; hi <- mx.toLongOption
           } yield (java.lang.Long.valueOf(lo): Any,
