@@ -308,6 +308,47 @@ private[graft] object IndexManifests {
       }.toMap
   }
 
+  /** The files of `frame` a batch-keyed read must open: range-bearing
+    * files survive only if some batch key falls in their recorded
+    * [min, max] ([[Merge.pruneRanged]] — one broadcast range probe,
+    * collect of touched NAMES only); files of segments committed
+    * before range stats existed are conservatively kept as
+    * whole-segment paths, and [[UnknownFileRange]] entries are always
+    * kept. `parse` maps a stored bound back to the key's runtime type
+    * (None disables the bound — conservative keep). Returns (paths to
+    * open, total live file / legacy-segment count). Shared by
+    * [[SubstrIndex]] and [[MinhashIndex]].
+    */
+  private[graft] def selectRangedFiles(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]],
+      ranges: Map[String, (String, String)], frame: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      parse: String => Option[Any], batchKeys: org.apache.spark.sql
+        .DataFrame, key: String): (Seq[String], Int) = {
+    val segs = entries.getOrElse(frame, Nil)
+    require(segs.nonEmpty, s"no committed $frame segments at $dir")
+    val segSet = segs.toSet
+    val liveRanged = ranges.toSeq.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      i > 0 && segSet.contains(f.substring(0, i))
+    }
+    val rangedSegs = liveRanged.map { case (f, _) =>
+      f.substring(0, f.lastIndexOf('/'))
+    }.toSet
+    val legacySegs = segs.filterNot(rangedSegs.contains)
+    val ranged: Seq[(String, Option[(Any, Any)])] =
+      liveRanged.map { case (f, (mn, mx)) =>
+        val rng: Option[(Any, Any)] =
+          if ((mn, mx) == UnknownFileRange) None
+          else for { lo <- parse(mn); hi <- parse(mx) } yield (lo, hi)
+        (s"$dir/$f", rng)
+      }
+    val selected =
+      Merge.pruneRanged(spark, ranged, keyType, batchKeys, key)
+    (selected ++ legacySegs.map(s => s"$dir/$s"),
+      liveRanged.size + legacySegs.size)
+  }
+
   /** Delete every on-disk child of the given frame dirs not named by
     * `live` (post-commit physical cleanup — overwrite builds and
     * compaction). A frame dir left with no children is removed too.

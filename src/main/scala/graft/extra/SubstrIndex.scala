@@ -273,39 +273,15 @@ object SubstrIndex {
   private[graft] def selectPostingFiles(spark: SparkSession, dir: String,
       entries: Map[String, Seq[String]],
       ranges: Map[String, (String, String)], hashed: Boolean,
-      batchKeys: DataFrame): (Seq[String], Int) = {
-    val segs = entries.getOrElse("grams", Nil)
-    require(segs.nonEmpty, s"no committed gram segments at $dir")
-    val segSet = segs.toSet
-    // live range-bearing files: stats of vacuumed/superseded segments
-    // may linger in carried-forward range maps — plan only files whose
-    // parent segment the manifest names
-    val liveRanged = ranges.toSeq.filter { case (f, _) =>
-      val i = f.lastIndexOf('/')
-      i > 0 && segSet.contains(f.substring(0, i))
-    }
-    val rangedSegs = liveRanged.map { case (f, _) =>
-      f.substring(0, f.lastIndexOf('/'))
-    }.toSet
-    val legacySegs = segs.filterNot(rangedSegs.contains)
-    val keyType = if (hashed) LongType else StringType
-    val ranged: Seq[(String, Option[(Any, Any)])] =
-      liveRanged.map { case (f, (mn, mx)) =>
-        val rng: Option[(Any, Any)] =
-          if ((mn, mx) == IndexManifests.UnknownFileRange)
-            None // stats suppressed: conservatively keep
-          else if (hashed) for {
-            lo <- mn.toLongOption; hi <- mx.toLongOption
-          } yield (java.lang.Long.valueOf(lo): Any,
-            java.lang.Long.valueOf(hi): Any)
-          else Some((mn: Any, mx: Any))
-        (s"$dir/$f", rng)
-      }
-    val selected =
-      Merge.pruneRanged(spark, ranged, keyType, batchKeys, "g")
-    (selected ++ legacySegs.map(s => s"$dir/$s"),
-      liveRanged.size + legacySegs.size)
-  }
+      batchKeys: DataFrame): (Seq[String], Int) =
+    IndexManifests.selectRangedFiles(spark, dir, entries, ranges,
+      "grams",
+      keyType = if (hashed) LongType else StringType,
+      parse =
+        if (hashed) (s: String) => s.toLongOption
+          .map(java.lang.Long.valueOf(_): Any)
+        else (s: String) => Some(s: Any),
+      batchKeys = batchKeys, key = "g")
 
   /** Spec hook: the posting files a dedup of `batch` would open vs the
     * index's total live file count — computes the batch's gram-key

@@ -1035,6 +1035,27 @@ object DedupQueriesImpl {
        |LEFT JOIN d ON d.nid = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
 
+  // ---- neardup_index ----------------------------------------------------
+
+  /** The PERSISTED-index form of `neardup_incremental`
+    * ([[graft.extra.MinhashIndex]]): the corpus half's band postings
+    * and shingle sets are a content-keyed build-if-absent artifact —
+    * the bench's median-of-N reads the amortized serving cost (pruned
+    * posting lookup + candidate-only shingle fetch), while the first
+    * call pays the one-time build. Output is IDENTICAL to the
+    * recompute form by construction (MinhashIndexSpec pins it), so it
+    * shares the oracle.
+    */
+  def neardupIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idxDir = IndexedCorpus.minhashDir(
+      d.filter(col("doc_id") % 10 >= 2), "doc_id", "text")
+    graft.extra.MinhashIndex.dedupBatch(s, idxDir,
+        d.filter(col("doc_id") % 10 < 2), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
   // ---- interleave_domains ---------------------------------------------
 
   /** Domain-interleaved training order: per-domain deterministic rank
@@ -1184,6 +1205,10 @@ object DedupQueriesImpl {
     QueryDef("neardup_incremental",
       "batch-vs-corpus ingest dedup verdict (batch-driven candidates)",
       neardupIncremental, Some(neardupIncrementalOracle)),
+    QueryDef("neardup_index",
+      "the same verdict served from a PERSISTED MinHash band index " +
+        "(pruned posting lookup + candidate-only shingle fetch)",
+      neardupIndex, Some(neardupIncrementalOracle)),
     QueryDef("ngram_jaccard",
       "exact 3-gram Jaccard via inverted shingle index",
       ngramJaccard, Some(ngramJaccardOracle)),

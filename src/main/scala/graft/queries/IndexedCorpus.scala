@@ -73,6 +73,7 @@ object IndexedCorpus {
     val ann = 2
     val pqcb = 2
     val substr = 1
+    val minhash = 1
   }
 
   /** Generic content-keyed build-if-absent artifact dir: `build`
@@ -127,6 +128,19 @@ object IndexedCorpus {
     cachedDir("graft_qsubstr", Ver.substr, fp)(d =>
       graft.extra.SubstrIndex.build(corpus, idCol, textCol,
         d.toString, k = 5))
+  }
+
+  /** MinHash band-posting index dir for this corpus frame (build if
+    * absent) — the incremental near-dup serving artifact
+    * ([[graft.extra.MinhashIndex]]), default 16/4/3 geometry matching
+    * the registered minhash queries.
+    */
+  def minhashDir(corpus: DataFrame, idCol: String,
+      textCol: String): String = {
+    val fp = fingerprint(corpus, col(idCol), col(textCol))
+    cachedDir("graft_qminh", Ver.minhash, fp)(d =>
+      graft.extra.MinhashIndex.build(corpus, idCol, textCol,
+        d.toString))
   }
 
   /** IVF-PQ index dir for this embeddings frame (build if absent;
