@@ -261,10 +261,16 @@ object MinhashIndex {
       // union of matched corpus postings + batch rows: every bucket a
       // batch row touches carries its TRUE total width (corpus-only
       // buckets are absent — they'd only yield corpus x corpus pairs,
-      // which the global operator discards too)
+      // which the global operator discards too). PINNED: the frame
+      // feeds the bucket window plus both flag joins, and its matched
+      // leg is a parquet read + join that would otherwise re-run per
+      // consumer (the global twin reads its equivalent from one cache
+      // — unpinned, the index form measured SLOWER than recompute at
+      // 200k docs purely on re-evaluated subtrees)
       val unionBands = matched.withColumn("__new", lit(false))
         .unionByName(batchBands.select("band", "sig", "d")
           .withColumn("__new", lit(true)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val flags = unionBands.select(col("d"), col("__new"))
         .groupBy("d").agg(max("__new").as("__new"))
       val cand = Dedup.lshCandidates(
@@ -292,11 +298,32 @@ object MinhashIndex {
         }
         val (setPaths, _) = IndexManifests.selectRangedFiles(spark,
           dir, entries, ranges, "sets", idType, parseId, corpusIds, "d")
+        // candidate ids are batch-bounded, so ship them back as a
+        // STATIC `d IN (…)` predicate: against the d-clustered sets
+        // layout parquet skips whole row groups of non-candidate docs
+        // (the Bm25Index term-list discipline — a semi-join alone
+        // restricts rows but reads every shingle array first; measured
+        // at 200k corpus / 6k candidates: the fetch scanned the whole
+        // sets frame). The ≤20k guard keeps a runaway candidate set
+        // from building a million-literal filter; past it the
+        // semi-join still bounds the rows.
+        val candIdSeq = corpusIds.limit(20001).collect()
+          .map(_.get(0)).toSeq
         val corpusSets =
           if (setPaths.isEmpty) batchSets.limit(0)
+          else if (candIdSeq.isEmpty)
+            batchSets.limit(0)
+          else if (candIdSeq.size <= 20000)
+            spark.read.parquet(setPaths: _*)
+              .filter(col("d").isin(candIdSeq: _*))
           else spark.read.parquet(setPaths: _*)
             .join(corpusIds, Seq("d"), "left_semi")
+        // PINNED: both verify sides join this frame, and its corpus
+        // leg is a pruned parquet read + semi-join — candidate-bounded
+        // rows, so the cache is small by construction
         val allSets = batchSets.unionByName(corpusSets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val verified = cand
           .join(allSets.select(col("d").as("id_a"),
             col("shingles").as("sh_a")), "id_a")
@@ -317,7 +344,11 @@ object MinhashIndex {
           .select(col(idCol), col("nid").isNotNull.as("is_dup"),
             col("dup_of"))
           .transform(Dedup.materialize)
-      } finally cand.unpersist(blocking = false): Unit
+        } finally allSets.unpersist(blocking = false): Unit
+      } finally {
+        cand.unpersist(blocking = false)
+        unionBands.unpersist(blocking = false): Unit
+      }
     } finally {
       batchBands.unpersist(blocking = false)
       batchSets.unpersist(blocking = false): Unit
