@@ -210,6 +210,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("FileScan parquet"), plan.take(1000))
   }
 
+  test("neardup_index: no data-sized cartesian/nested-loop (the only " +
+      "BNLJ is the manifest file-range probe over a broadcast of " +
+      "O(files) metadata rows); the candidate-only shingle fetch " +
+      "pushes a static IN(d) to the pruned sets scan") {
+    val plans = allExecutedPlans("neardup_index")
+    assert(!plans.contains("CartesianProduct"), plans.take(2000))
+    // Merge.pruneRanged's range probe is a DELIBERATE nested loop
+    // against the broadcast per-file (min,max) frame — bounded
+    // metadata, never data; any other nested loop is a regression
+    val bnlj = plans.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("__mn#")),
+      s"data-sized nested loop:\n${bnlj.mkString("\n").take(2000)}")
+    // the verify fetch reads the persisted sets frame with the
+    // candidate-id predicate pushed into the parquet scan
+    assert("PushedFilters: \\[In\\(d".r.findFirstIn(plans).isDefined,
+      plans.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString("\n").take(2000))
+  }
+
   test("pack_sequences: exactly one hash exchange, on the shard key") {
     val plan = executedPlan("pack_sequences")
     val hashEx = "Exchange hashpartitioning\\(([^,]+)".r
