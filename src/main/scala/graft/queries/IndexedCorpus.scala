@@ -69,10 +69,10 @@ object IndexedCorpus {
     val zsnap = 2
     val cdcview = 2 // r13: DOUBLE serving-cast convention landed
     val incr = 2
-    val bm25 = 3 // subsumes the segmented-layout "v2" prefix bump
+    val bm25 = 4 // r15: per-file #range= term stats in the manifest
     val ann = 2
     val pqcb = 2
-    val substr = 1
+    val substr = 2 // r15: range-clustered segments + #range= stats
     val minhash = 1
   }
 
