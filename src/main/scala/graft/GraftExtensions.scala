@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.asofTvf)
     ext.injectTableFunction(GraftExtensions.bm25Tvf)
     ext.injectTableFunction(GraftExtensions.dedupSpansTvf)
+    ext.injectTableFunction(GraftExtensions.neardupTvf)
+    ext.injectTableFunction(GraftExtensions.substrIncTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -295,6 +297,73 @@ object GraftExtensions {
           minSpanTokens = minSpan).queryExecution.analyzed
       })
 
+  /** `graft_neardup('indexDir', 'batchTable', idCol, textCol[, thr])`
+    * — the persisted-index incremental near-dup verdict
+    * ([[graft.extra.MinhashIndex.dedupBatch]]) from SQL: one row per
+    * batch-table row with (is_dup, dup_of) against the standing
+    * corpus index ∪ batch-mates. Like `graft_asof`, the batch arrives
+    * by registered table/view name; resolution (and the operator's
+    * bounded planning probes) happens once at analysis time.
+    */
+  private[graft] val neardupTvf: TvfDef =
+    (FunctionIdentifier("graft_neardup"),
+      new ExpressionInfo("graft.extra.MinhashIndex", "graft_neardup",
+        "graft_neardup(indexDir, batchTable, idCol, textCol" +
+          "[, threshold]) - incremental near-dup verdicts against a " +
+          "persisted MinHash band index"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 4 && children.length <= 5,
+          "graft_neardup expects (indexDir, batchTable, idCol, " +
+            s"textCol[, threshold]), got ${children.length} arguments")
+        val fn = "graft_neardup"
+        val spark = SparkSession.active
+        val dir = litString(children(0), fn, "indexDir")
+        val batch = spark.table(litString(children(1), fn, "batchTable"))
+        val idCol = litString(children(2), fn, "idCol")
+        val textCol = litString(children(3), fn, "textCol")
+        val thr = children.lift(4).map { e =>
+          require(e.foldable, s"$fn threshold must be a literal")
+          e.eval() match {
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float => f.doubleValue
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case o => throw new IllegalArgumentException(
+              s"$fn threshold must be a numeric literal, got $o")
+          }
+        }.getOrElse(0.5)
+        graft.extra.MinhashIndex.dedupBatch(spark, dir, batch, idCol,
+          textCol, thr).queryExecution.analyzed
+      })
+
+  /** `graft_dedup_spans_inc('indexDir', 'batchTable', idCol, textCol
+    * [, minSpanTokens])` — incremental ExactSubstr span dedup against
+    * a persisted gram-posting index
+    * ([[graft.extra.SubstrIndex.dedupBatch]]) from SQL.
+    */
+  private[graft] val substrIncTvf: TvfDef =
+    (FunctionIdentifier("graft_dedup_spans_inc"),
+      new ExpressionInfo("graft.extra.SubstrIndex",
+        "graft_dedup_spans_inc",
+        "graft_dedup_spans_inc(indexDir, batchTable, idCol, textCol" +
+          "[, minSpanTokens]) - span dedup of a batch against a " +
+          "persisted duplicated-gram posting index"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 4 && children.length <= 5,
+          "graft_dedup_spans_inc expects (indexDir, batchTable, " +
+            s"idCol, textCol[, minSpanTokens]), got " +
+            s"${children.length} arguments")
+        val fn = "graft_dedup_spans_inc"
+        val spark = SparkSession.active
+        val dir = litString(children(0), fn, "indexDir")
+        val batch = spark.table(litString(children(1), fn, "batchTable"))
+        val idCol = litString(children(2), fn, "idCol")
+        val textCol = litString(children(3), fn, "textCol")
+        val minSpan = children.lift(4)
+          .map(litLong(_, fn, "minSpanTokens").toInt).getOrElse(0)
+        graft.extra.SubstrIndex.dedupBatch(spark, dir, batch, idCol,
+          textCol, minSpan).queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
@@ -303,7 +372,7 @@ object GraftExtensions {
       reg.registerFunction(id, info, builder)
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
-      dedupSpansTvf).foreach {
+      dedupSpansTvf, neardupTvf, substrIncTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

@@ -150,6 +150,43 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spared == 0L)
   }
 
+  test("graft_neardup and graft_dedup_spans_inc TVFs: the persisted " +
+      "incremental-dedup indexes reachable from SQL") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val base = java.nio.file.Files.createTempDirectory("tvfinc").toString
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "unrelated corpus words nothing shared with anything else"))
+      .toDF("doc_id", "text")
+    graft.extra.MinhashIndex.build(corpus, "doc_id", "text", s"$base/mh")
+    graft.extra.SubstrIndex.build(corpus, "doc_id", "text",
+      s"$base/sub", k = 5)
+    Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight folks"),
+      (101L, "totally clean new batch document with fresh words only"))
+      .toDF("doc_id", "text").createOrReplaceTempView("batch_tvf")
+    val nd = spark.sql(
+      s"""SELECT doc_id, is_dup, dup_of
+         |FROM graft_neardup('$base/mh', 'batch_tvf', 'doc_id', 'text')
+         |ORDER BY doc_id""".stripMargin).collect()
+    assert(nd(0).getBoolean(1) && nd(0).getLong(2) == 0L)
+    assert(!nd(1).getBoolean(1))
+    val sd = spark.sql(
+      s"""SELECT doc_id, n_tokens_removed
+         |FROM graft_dedup_spans_inc('$base/sub', 'batch_tvf',
+         |                           'doc_id', 'text')
+         |ORDER BY doc_id""".stripMargin).collect()
+    assert(sd(0).getLong(1) > 0L, "the repeated run must be cut")
+    assert(sd(1).getLong(1) == 0L)
+    // minSpanTokens literal flows through and spares the run
+    val spared = spark.sql(
+      s"""SELECT sum(n_tokens_removed) FROM graft_dedup_spans_inc(
+         |  '$base/sub', 'batch_tvf', 'doc_id', 'text', 50)""".stripMargin)
+      .head().getLong(0)
+    assert(spared == 0L)
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
