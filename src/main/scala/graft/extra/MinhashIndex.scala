@@ -50,7 +50,7 @@ import org.apache.spark.sql.types.LongType
   */
 object MinhashIndex {
 
-  private val Frames = Seq("bands", "sets")
+  private val Frames = Seq("bands", "sets", "tombstones")
 
   /** Geometry of a committed index. */
   def meta(spark: SparkSession, dir: String): (Int, Int, Int) = {
@@ -177,16 +177,20 @@ object MinhashIndex {
   }
 
   /** Re-cluster both frames into one segment each (rows are plain —
-    * no partial merge needed); fresh range stats, txn ledger carried,
-    * same retention contract as the other indexes.
+    * no partial merge needed), making tombstoned deletes PHYSICAL
+    * (rows dropped, the tombstone frame absent from the fresh
+    * manifest); fresh range stats, txn ledger carried, same retention
+    * contract as the other indexes.
     */
   def compact(spark: SparkSession, dir: String,
       retainVersions: Int = 1, numFiles: Int = 8): Unit = {
     val (v0, entries, _) = requireLatestFull(spark, dir)
+    val tomb = readTombstones(spark, dir, entries)
     def readAll(frame: String) = {
       val segs = entries.getOrElse(frame, Nil)
       require(segs.nonEmpty, s"no committed $frame segments at $dir")
-      spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+      val df = spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+      tomb.fold(df)(t => df.join(t.select("d"), Seq("d"), "left_anti"))
     }
     val segB = f"bands/seg-${v0 + 1}%09d"
     val segS = f"sets/seg-${v0 + 1}%09d"
@@ -199,6 +203,52 @@ object MinhashIndex {
     IndexManifests.commit(spark, dir, v0 + 1, fresh, ranges)
     IndexManifests.vacuum(spark, dir, Frames,
       keepVersions = retainVersions)
+  }
+
+  /** Delete documents from the index — LSM takedown, the
+    * [[Bm25Index.delete]]/[[AnnIndex.delete]] discipline for the
+    * near-dup arm: ids land in a `tombstones/` segment + one manifest
+    * commit (O(batch), postings/sets NOT rewritten); [[dedupBatch]]
+    * anti-joins its matched postings, so a deleted doc stops being a
+    * candidate (and hence a canonical `dup_of`) IMMEDIATELY; its
+    * bucket rows also stop counting toward the hot-bucket width, the
+    * same semantics as an index built without it. Unlike BM25 there
+    * is no derived statistic to go stale — post-delete verdicts are
+    * bit-identical to a fresh build over the survivors (spec-pinned).
+    * [[compact]] makes the purge physical. Re-adding a tombstoned id
+    * via [[append]] requires a [[compact]] first (caller contract).
+    * Returns the number of newly tombstoned ids. (Contrast
+    * [[SubstrIndex]], where delete would need to RECOMPUTE per-gram
+    * canonical minima that the summaries cannot invert — a substr
+    * takedown is a rebuild, documented there.)
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String = "d"): Long = {
+    val (v0, entries, ranges) = requireLatestFull(spark, dir)
+    val incoming = ids.select(col(idCol).as("d")).distinct()
+    val prior = entries.getOrElse("tombstones", Nil)
+      .map(s => s"$dir/$s")
+    val newIds = (if (prior.isEmpty) incoming
+      else incoming.join(spark.read.parquet(prior: _*).select("d"),
+        Seq("d"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nNew = newIds.count()
+      if (nNew == 0) return 0L
+      val seg = f"tombstones/seg-${v0 + 1}%09d"
+      newIds.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/$seg")
+      IndexManifests.commit(spark, dir, v0 + 1, entries +
+        ("tombstones" -> (entries.getOrElse("tombstones", Nil) :+ seg)),
+        ranges)
+      nNew
+    } finally newIds.unpersist(blocking = false): Unit
+  }
+
+  private def readTombstones(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]]): Option[DataFrame] = {
+    val paths = entries.getOrElse("tombstones", Nil).map(s => s"$dir/$s")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   private def parseLong(s: String): Option[Any] =
@@ -252,12 +302,19 @@ object MinhashIndex {
       val (paths, _) = IndexManifests.selectRangedFiles(spark, dir,
         entries, ranges, "bands", LongType, parseLong,
         buckets.select("k"), "k")
-      val matched =
+      val matched0 =
         if (paths.isEmpty)
           batchBands.select("band", "sig", "d").limit(0)
         else spark.read.parquet(paths: _*)
           .join(buckets.select("band", "sig"), Seq("band", "sig"))
           .select("band", "sig", "d")
+      // tombstoned docs drop out of the candidates (and the bucket
+      // widths) here — before anything downstream, so a deleted doc
+      // can never anchor a verdict; the anti-join is bounded by the
+      // MATCHED rows, never the corpus (see delete())
+      val matched = readTombstones(spark, dir, entries)
+        .fold(matched0)(t =>
+          matched0.join(t.select("d"), Seq("d"), "left_anti"))
       // union of matched corpus postings + batch rows: every bucket a
       // batch row touches carries its TRUE total width (corpus-only
       // buckets are absent — they'd only yield corpus x corpus pairs,

@@ -179,6 +179,38 @@ class MinhashIndexSpec extends SparkSpec {
     }
   }
 
+  test("LSM takedown: a deleted corpus doc stops anchoring verdicts " +
+      "immediately (== an index built without it); compact makes the " +
+      "purge physical; re-delete is a no-op") {
+    val dir = tmpDir()
+    MinhashIndex.build(corpus, "doc_id", "text", dir)
+    // doc 0 anchors batch doc 100's verdict — delete it
+    assert(MinhashIndex.delete(spark, dir,
+      Seq(0L).toDF("doc_id"), "doc_id") == 1L)
+    val afterDelete = rows(MinhashIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text"))
+    // reference: the global operator over the SURVIVING corpus
+    val survivors = corpus.filter(col("doc_id") =!= 0L)
+    assert(afterDelete == globalRef(survivors, batch))
+    assert(!afterDelete.find(_._1 == 100L).get._2,
+      "100's only anchor was deleted — must be clean now")
+    assert(afterDelete.find(_._1 == 102L).get._2,
+      "batch-mate verdicts unaffected by the takedown")
+    // idempotent retry
+    assert(MinhashIndex.delete(spark, dir,
+      Seq(0L).toDF("doc_id"), "doc_id") == 0L)
+    // compact purges physically: tombstone frame gone, verdicts same
+    MinhashIndex.compact(spark, dir)
+    val (_, entries) = graft.extra.IndexManifests.latest(spark, dir).get
+    assert(!entries.contains("tombstones"))
+    val liveIds = spark.read.parquet(
+        entries("sets").map(s => s"$dir/$s"): _*)
+      .select("d").collect().map(_.getLong(0)).toSet
+    assert(!liveIds.contains(0L))
+    assert(rows(MinhashIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "text")) == afterDelete)
+  }
+
   test("geometry change over a committed index is rejected") {
     val dir = tmpDir()
     MinhashIndex.build(corpus, "doc_id", "text", dir)
