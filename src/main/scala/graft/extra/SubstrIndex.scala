@@ -56,6 +56,17 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * bounded by doc length. Nothing in the per-batch cost is
   * proportional to corpus TEXT or to total index bytes.
   *
+  * TAKEDOWN caveat (why this index has no `delete`, unlike
+  * [[MinhashIndex]]/[[Bm25Index]]/[[AnnIndex]]): the posting
+  * summaries carry only each gram's COUNT and MINIMAL (doc, pos)
+  * occurrence — removing a doc would need the count decremented AND
+  * the canonical recomputed, and a minimum is not invertible from
+  * itself (the second-smallest occurrence was never stored). A
+  * right-to-be-forgotten purge here is therefore a REBUILD over the
+  * surviving corpus (the ledger survives it — see [[build]]); at the
+  * maintenance cadence that is one gram aggregation, the same cost
+  * compaction already pays.
+  *
   * INGEST ORDER contract: dedupBatch FIRST, then [[append]] the
   * CLEANED batch (the frame dedupBatch returned) — appending raw
   * batch grams would register content that was just cut, making later
