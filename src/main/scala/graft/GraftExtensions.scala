@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.asofTvf)
     ext.injectTableFunction(GraftExtensions.bm25Tvf)
     ext.injectTableFunction(GraftExtensions.dedupSpansTvf)
+    ext.injectTableFunction(GraftExtensions.annTvf)
     ext.injectTableFunction(GraftExtensions.neardupTvf)
     ext.injectTableFunction(GraftExtensions.substrIncTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
@@ -297,6 +298,52 @@ object GraftExtensions {
           minSpanTokens = minSpan).queryExecution.analyzed
       })
 
+  /** `graft_ann('indexDir', array(...)[, k[, nprobe]])` — query-by-
+    * vector ANN over a persisted IVF-PQ index from SQL: top-k
+    * (rank, neighbor_id, cosine, adc_d2) for the LITERAL query
+    * embedding (the serving call with a model-produced vector):
+    *
+    *   SELECT neighbor_id, cosine
+    *   FROM graft_ann('/data/ann', array(0.1d, -0.2d, ...), 5)
+    */
+  private[graft] val annTvf: TvfDef =
+    (FunctionIdentifier("graft_ann"),
+      new ExpressionInfo("graft.extra.AnnIndex", "graft_ann",
+        "graft_ann(indexDir, queryVector[, k[, nprobe]]) - top-k ANN " +
+          "over a persisted IVF-PQ index for a literal query vector"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2 && children.length <= 4,
+          "graft_ann expects (indexDir, queryVector[, k[, nprobe]]), " +
+            s"got ${children.length} arguments")
+        val fn = "graft_ann"
+        val dir = litString(children(0), fn, "indexDir")
+        val vecE = children(1)
+        require(vecE.foldable, s"$fn queryVector must be a literal array")
+        val vec = vecE.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            vecE.dataType match {
+              case org.apache.spark.sql.types.ArrayType(et, _) =>
+                a.toObjectArray(et).map {
+                  case n: Number => n.doubleValue
+                  case o => throw new IllegalArgumentException(
+                    s"$fn queryVector must be numeric, got $o")
+                }
+              case t => throw new IllegalArgumentException(
+                s"$fn queryVector must be an array literal, got $t")
+            }
+          case o => throw new IllegalArgumentException(
+            s"$fn queryVector must be an array literal, got $o")
+        }
+        val k = children.lift(2).map(litLong(_, fn, "k").toInt)
+          .getOrElse(5)
+        val nprobe = children.lift(3)
+          .map(litLong(_, fn, "nprobe").toInt).getOrElse(3)
+        graft.extra.AnnIndex.searchVectors(SparkSession.active, dir,
+            Seq((0L, vec)), k, nprobe)
+          .drop("query_id")
+          .queryExecution.analyzed
+      })
+
   /** `graft_neardup('indexDir', 'batchTable', idCol, textCol[, thr])`
     * — the persisted-index incremental near-dup verdict
     * ([[graft.extra.MinhashIndex.dedupBatch]]) from SQL: one row per
@@ -372,7 +419,7 @@ object GraftExtensions {
       reg.registerFunction(id, info, builder)
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
-      dedupSpansTvf, neardupTvf, substrIncTvf).foreach {
+      dedupSpansTvf, annTvf, neardupTvf, substrIncTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

@@ -192,6 +192,20 @@ object AnnIndex {
     * [[Similarity.searchIvfPq]] prunes per leg. The manifest is
     * resolved ONCE here — the snapshot the whole search plans against.
     */
+  /** Query-by-VECTOR top-k over a persisted index — the serving call
+    * a retrieval stack makes with a model-produced embedding
+    * ([[Similarity.searchIvfPqVectors]] against the committed
+    * layout): probes + ADC + exact re-rank, reads `nprobe` posting
+    * partitions per query and never the corpus. Returns
+    * (query_id, rank, neighbor_id, cosine, adc_d2).
+    */
+  def searchVectors(spark: SparkSession, dir: String,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      nprobe: Int = 3, candFactor: Int = 3)
+      : org.apache.spark.sql.DataFrame =
+    Similarity.searchIvfPqVectors(readIvfPq(spark, dir), queries, k,
+      nprobe, candFactor)
+
   def readIvfPq(spark: SparkSession, dir: String): Similarity.IvfPqIndex = {
     val cb = readCodebooks(spark, dir)
     val (_, entries) = entriesOf(spark, dir)

@@ -524,7 +524,37 @@ object Similarity {
     * index ships at 100 TB.
     */
   def searchIvfPq(idx: IvfPqIndex, queryPred: Column, k: Int,
+      nprobe: Int = 3, candFactor: Int = 3): DataFrame =
+    searchIvfPqCore(idx, collectQueries(idx.coded, queryPred), k,
+      nprobe, candFactor, excludeSelf = true)
+
+  /** Query-by-VECTOR search over a built index — the serving shape a
+    * retrieval stack actually calls (the query embedding comes from a
+    * model, not from the corpus): same probes/ADC/re-rank machinery as
+    * [[searchIvfPq]] with the caller-supplied (query_id, vector)
+    * pairs standing in for the collected corpus rows. No
+    * self-exclusion — external query ids live in their own space, and
+    * excluding a corpus id that happens to collide would silently
+    * drop a true neighbor. Output shape identical.
+    */
+  def searchIvfPqVectors(idx: IvfPqIndex,
+      queries: Seq[(Long, Array[Double])], k: Int,
       nprobe: Int = 3, candFactor: Int = 3): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    val dim = idx.m * idx.sub
+    queries.foreach { case (qid, v) =>
+      require(v.length == dim,
+        s"query $qid dim ${v.length} does not match index dim $dim")
+    }
+    searchIvfPqCore(idx,
+      queries.map { case (qid, v) =>
+        (qid, v, v.foldLeft(0d)((a, x) => a + x * x))
+      }.toArray, k, nprobe, candFactor, excludeSelf = false)
+  }
+
+  private def searchIvfPqCore(idx: IvfPqIndex,
+      qs: Array[(Long, Array[Double], Double)], k: Int,
+      nprobe: Int, candFactor: Int, excludeSelf: Boolean): DataFrame = {
     require(k >= 1 && candFactor >= 1 && nprobe >= 1,
       s"k=$k, candFactor=$candFactor, nprobe=$nprobe must be >= 1")
     // The search path must contain NO literal-codebook expressions:
@@ -547,7 +577,6 @@ object Similarity {
     // the 32× IO cut is the dominant term.
     val spark = idx.coded.sparkSession
     import spark.implicits._
-    val qs = collectQueries(idx.coded, queryPred)
     // coarse probes: rounded cosine desc, cid asc — identical to the
     // centStructs/oracle ranking
     val probeRows = qs.flatMap { case (qid, qv, qn) =>
@@ -596,9 +625,11 @@ object Similarity {
     // set (every shortlist row lives in a probed list by construction).
     val probedLists = probeRows.map(_._2).distinct
     val probedCoded = idx.coded.filter(col("list_id").isin(probedLists: _*))
-    val scored = probedCoded.select("id", "list_id", "codes")
+    val scored0 = probedCoded.select("id", "list_id", "codes")
       .join(broadcast(probeFrame), Seq("list_id"))
-      .filter(col("id") =!= col("query_id"))
+    val scored = (if (excludeSelf)
+        scored0.filter(col("id") =!= col("query_id"))
+      else scored0)
       .withColumn("adc_d2", pqAdc(idx.m, idx.pq.size))
       .select("query_id", "id", "adc_d2")
     val wCand = Window.partitionBy(col("query_id"))

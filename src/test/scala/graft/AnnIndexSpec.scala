@@ -26,6 +26,35 @@ class AnnIndexSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
       .toSeq
 
+  test("query-by-vector search (searchVectors): a corpus member's own " +
+      "embedding ranks itself first at cosine 1.0, and the rest of " +
+      "the list equals the member-query form modulo self-exclusion") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    val dir = tmpDir()
+    AnnIndex.buildAndWriteIvfPq(emb, "vec_id", "embedding", dir,
+      numCentroids = 8, m = 8, pqCentroids = 8)
+    val qv = emb.filter(col("vec_id") === 3).head()
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val byVec = AnnIndex.searchVectors(spark, dir, Seq((42L, qv)),
+        k = 6, nprobe = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(byVec.head._1 == 42L, "caller-supplied query id flows through")
+    assert(byVec.head._3 == 3L && byVec.head._4 == 1.0,
+      "the vector's own row must rank first at cosine 1.0")
+    // tail == the member-query top-5 (which excludes self)
+    val member = Similarity.searchIvfPq(
+        AnnIndex.readIvfPq(spark, dir), col("id") === 3, k = 5,
+        nprobe = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(byVec.tail.map(t => (t._3, t._4)).toSeq == member.toSeq)
+    // dim mismatch fails fast
+    intercept[IllegalArgumentException] {
+      AnnIndex.searchVectors(spark, dir,
+        Seq((0L, Array(1.0, 2.0))), k = 3)
+    }
+  }
+
   test("persisted search is bit-identical to in-memory search") {
     val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
     val mem = Similarity.buildIvfPq(emb, "vec_id", "embedding",

@@ -187,6 +187,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spared == 0L)
   }
 
+  test("graft_ann TVF: query-by-literal-vector over a persisted " +
+      "IVF-PQ index from SQL") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("tvfann").toString
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 200)
+    graft.extra.AnnIndex.buildAndWriteIvfPq(emb, "vec_id", "embedding",
+      dir, numCentroids = 8, m = 8, pqCentroids = 8)
+    // query with corpus vector 7's own embedding: rank 1 must be 7
+    // with cosine 1.0 (query-by-vector has no self-exclusion)
+    val v7 = emb.filter(col("vec_id") === 7).head()
+      .getSeq[Float](1).map(x => f"${x.toDouble}%.8fd").mkString(", ")
+    val hits = spark.sql(
+      s"""SELECT rank, neighbor_id, cosine
+         |FROM graft_ann('$dir', array($v7), 3)
+         |ORDER BY rank""".stripMargin).collect()
+    assert(hits.length == 3)
+    assert(hits.head.getLong(1) == 7L && hits.head.getDouble(2) == 1.0)
+    // a non-literal vector is rejected at analysis
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM range(1), " +
+        s"LATERAL graft_ann('$dir', array(CAST(id AS DOUBLE)), 3)")
+        .collect()
+    }
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
