@@ -542,14 +542,17 @@ object Similarity {
       nprobe: Int = 3, candFactor: Int = 3): DataFrame = {
     require(queries.nonEmpty, "queries must be non-empty")
     val dim = idx.m * idx.sub
-    queries.foreach { case (qid, v) =>
+    val qs = queries.map { case (qid, v) =>
       require(v.length == dim,
         s"query $qid dim ${v.length} does not match index dim $dim")
-    }
-    searchIvfPqCore(idx,
-      queries.map { case (qid, v) =>
-        (qid, v, v.foldLeft(0d)((a, x) => a + x * x))
-      }.toArray, k, nprobe, candFactor, excludeSelf = false)
+      val nrm = v.foldLeft(0d)((a, x) => a + x * x)
+      // a zero vector has no direction: every cosine is NaN and the
+      // ranking degenerates silently — fail loudly instead
+      require(nrm > 0d, s"query $qid is the zero vector")
+      (qid, v, nrm)
+    }.toArray
+    searchIvfPqCore(idx, qs, k, nprobe, candFactor,
+      excludeSelf = false)
   }
 
   private def searchIvfPqCore(idx: IvfPqIndex,
