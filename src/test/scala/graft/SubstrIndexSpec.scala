@@ -285,8 +285,10 @@ class SubstrIndexSpec extends SparkSpec {
       "working across build + appends, and a batch with NO index " +
       "overlap opens zero files") {
     val dir = tmpDir()
+    // above the small-index probe cutoff (selectRangedFiles
+    // skipProbeBelow = 8), so the range probe actually runs
     SubstrIndex.build(corpus, "doc_id", "text", dir, k = 5,
-      numFiles = 4)
+      numFiles = 12)
     val cleaned = SubstrIndex.dedupBatch(spark, dir, batch,
       "doc_id", "text")
     SubstrIndex.append(cleaned, "doc_id", "text", dir)
