@@ -113,4 +113,44 @@ object Sampling {
           col("epoch").cast("string")), 10000) < col("__frac10k"))
       .drop("__rate10k", "__frac10k")
   }
+
+  /** CLUSTER-STRATIFIED sampling over an embedding column — the
+    * diversity-balanced subset selection a pre-training mixture runs
+    * AFTER dedup (SemDeDup's cousin with the opposite goal: instead of
+    * dropping semantic duplicates, take a bounded, reproducible sample
+    * from EVERY semantic region, so a head-heavy corpus cannot crowd
+    * the tail topics out of the training cut):
+    *
+    *   1. rows are assigned to `numClusters` semantic clusters via the
+    *      deterministic sample codebook
+    *      ([[Similarity.assignClusters]] — a loop-codegen projection,
+    *      no join, no shuffle);
+    *   2. within each cluster, rows rank in content-hash order
+    *      (md5(id), id — the library's deterministic shuffle) and the
+    *      top `perCluster` survive.
+    *
+    * One exchange (the per-cluster rank window, which Spark's
+    * WindowGroupLimit bounds to `perCluster` rows per group map-side,
+    * so the shuffle carries O(clusters · perCluster), not the corpus);
+    * output reproducible on any partitioning/engine. Swap
+    * [[Similarity.kmeansCodebook]] in for trained clusters — the
+    * assignment and ranking are unchanged.
+    *
+    * Returns (idCol, cluster_id, sample_rank), one row per sampled id.
+    */
+  def clusterStratifiedSample(emb: DataFrame, idCol: String,
+      vecCol: String, numClusters: Int, perCluster: Int): DataFrame = {
+    require(numClusters >= 1, s"numClusters must be >= 1: $numClusters")
+    require(perCluster >= 1, s"perCluster must be >= 1: $perCluster")
+    val cents = Similarity.sampleCodebook(emb, idCol, vecCol, numClusters)
+    require(cents.nonEmpty, "empty embedding frame")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    Similarity.assignClusters(emb, idCol, vecCol, cents)
+      .select(col("id"), col("cluster_id"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perCluster)
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -670,6 +670,47 @@ object DedupQueriesImpl {
        |ORDER BY g.vec_id""".stripMargin
   }
 
+  // ---- cluster_sample -------------------------------------------------
+
+  /** Cluster-stratified (diversity-balanced) sampling: 32 deterministic
+    * sample-codebook clusters, top-8 per cluster in content-hash order
+    * ([[graft.extra.Sampling.clusterStratifiedSample]]) — SemDeDup's
+    * cousin with the opposite goal: every semantic region contributes a
+    * bounded, reproducible slice to the training cut. The oracle
+    * rebuilds the identical codebook + assignment (the semdedup CTEs)
+    * and replays the per-cluster hash-order rank.
+    */
+  def clusterSample(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Sampling.clusterStratifiedSample(embeddings(s, dir),
+        "vec_id", "embedding", numClusters = 32, perCluster = 8)
+      .orderBy("cluster_id", "sample_rank")
+
+  private val clusterSampleOracle = {
+    val norm =
+      """list_sum(list_transform(range(0, len(embedding)),
+        |    i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))""".stripMargin
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(range(0, len($a.embedding)),
+         |    i -> CAST($a.embedding[i+1] AS DOUBLE) * CAST($b.embedding[i+1] AS DOUBLE)))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM e
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+       |asgr AS (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(${dot("v", "c")} / (sqrt(v.nrm) * sqrt(c.cn)), 6) DESC,
+       |      c.cid) AS crk
+       |  FROM e v CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM asgr WHERE crk = 1),
+       |r AS (SELECT vec_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sample_rank
+       |  FROM asg)
+       |SELECT vec_id, cluster_id, CAST(sample_rank AS BIGINT) AS sample_rank
+       |FROM r WHERE sample_rank <= 8
+       |ORDER BY cluster_id, sample_rank""".stripMargin
+  }
+
   // ---- neardup_clusters ---------------------------------------------
 
   /** Near-dup GROUPS: connected components over the MinHash pair graph,
@@ -1209,6 +1250,10 @@ object DedupQueriesImpl {
       "the same verdict served from a PERSISTED MinHash band index " +
         "(pruned posting lookup + candidate-only shingle fetch)",
       neardupIndex, Some(neardupIncrementalOracle)),
+    QueryDef("cluster_sample",
+      "cluster-stratified diversity sampling: top-8 per semantic " +
+        "cluster in content-hash order",
+      clusterSample, Some(clusterSampleOracle)),
     QueryDef("ngram_jaccard",
       "exact 3-gram Jaccard via inverted shingle index",
       ngramJaccard, Some(ngramJaccardOracle)),

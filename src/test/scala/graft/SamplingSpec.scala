@@ -127,4 +127,39 @@ class SamplingSpec extends SparkSpec {
       assert(round.map(_._3).max - round.map(_._3).min == 2)
     }
   }
+
+  test("clusterStratifiedSample: per-cluster cap honored, every " +
+      "non-empty cluster represented, selection stable across " +
+      "partitionings, and the rank window is group-limited") {
+    val emb = graft.model.Tables.load(spark, sfDir, "embeddings")
+    def sample(parts: Int) = Sampling.clusterStratifiedSample(
+        emb.repartition(parts), "vec_id", "embedding",
+        numClusters = 16, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._3)).toSeq
+    val s1 = sample(1)
+    assert(s1 == sample(11), "selection must not depend on partitioning")
+    // cap per cluster
+    val byCluster = s1.groupBy(_._2)
+    assert(byCluster.values.forall(_.size <= 5))
+    // dense ranks 1..n per cluster
+    assert(byCluster.values.forall(g =>
+      g.map(_._3).sorted == (1L to g.size.toLong)))
+    // every non-empty cluster is represented: clusters present in the
+    // full assignment appear in the sample
+    val cents = graft.extra.Similarity.sampleCodebook(emb, "vec_id",
+      "embedding", 16)
+    val allClusters = graft.extra.Similarity.assignClusters(emb,
+        "vec_id", "embedding", cents)
+      .select("cluster_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(byCluster.keySet == allClusters,
+      "a semantic region was crowded out of the sample")
+    // scale posture: the rank <= N predicate must push into the window
+    // as a group limit (map-side bound, shuffle O(clusters x N))
+    val plan = Sampling.clusterStratifiedSample(emb, "vec_id",
+        "embedding", 16, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
 }
