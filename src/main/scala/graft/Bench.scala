@@ -357,9 +357,13 @@ object Bench {
     // block reads sustained throughput, comparable round-over-round.
     val streamingSubstr =
       if (benchStream)
+        // 45 s window (not 30): the chain's per-batch fixed cost makes
+        // steady batches ~12-16 s of ~200k docs — a 30 s window spends
+        // most of itself on the ramp toward that equilibrium and reads
+        // the ramp, not the sustained rate
         try Some(StreamBench.measureSubstrIngest(spark,
           tps = sys.env.getOrElse("SPARK_GRAFT_SUBSTR_TPS", "15000").toInt,
-          secs = sys.env.getOrElse("SPARK_GRAFT_SUBSTR_SECS", "30").toInt))
+          secs = sys.env.getOrElse("SPARK_GRAFT_SUBSTR_SECS", "45").toInt))
         catch { case _: Throwable => None }
       else None
 

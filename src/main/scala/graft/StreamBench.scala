@@ -292,13 +292,38 @@ object StreamBench {
       graft.gen.SyntheticDocs.textFor(col("id") + 1000000000L).as("text"))
     graft.extra.SubstrIndex.build(seed, "doc_id", "text", dir,
       k = 5, hashed = true)
+    // JVM warm-up OUTSIDE the measured window: one batch through the
+    // exact per-batch chain against a throwaway index, so the first
+    // MEASURED batch pays steady-state cost, not first-use JIT +
+    // codegen compilation (measured: the cold chain runs a 15k-doc
+    // batch in ~4.9 s vs 3.5 s warm — charged entirely to batch 1 of
+    // a 30 s window otherwise). A production ingest JVM is long-lived;
+    // the block's number is the steady regime's capacity.
+    locally {
+      val wDir = Files.createTempDirectory("sbench_substr_warm").toString
+      val wOut = Files.createTempDirectory("sbench_substr_wout").toString
+      graft.extra.SubstrIndex.build(
+        seed.limit(2000), "doc_id", "text", wDir, k = 5, hashed = true)
+      val wBatch = spark.range(5000).select(col("id").as("doc_id"),
+        graft.gen.SyntheticDocs.textFor(col("id")).as("text"))
+      graft.streaming.SubstrIngest.applyBatch(spark, wDir, wOut,
+        wBatch, "doc_id", "text", "warmup", 0L, 0): Unit
+    }
     val docs = graft.gen.SyntheticDocs.rateDocs(spark, tps)
     val monitor = new Monitor().attach(spark)
     val ckpt = Files.createTempDirectory("sbench_substr_ckpt").toString
     val writing = new AtomicBoolean(true)
+    // trigger matched to the chain's per-batch FIXED cost (~3-4 s of
+    // manifest/commit/write machinery regardless of batch size,
+    // marginal ~28k docs/s): an 8 s interval makes every steady batch
+    // ~120k docs, amortizing the fixed cost to ~30% instead of letting
+    // ProcessingTime(0) spend the whole window snowballing toward that
+    // same equilibrium from 1-row batches. This is the production
+    // posture for a high-fixed-cost exactly-once sink (commit points
+    // cost the same whether the batch carries 1k or 100k docs).
     val q = graft.streaming.SubstrIngest.start(
       docs, dir, outDir, ckpt,
-      trigger = Trigger.ProcessingTime(0),
+      trigger = Trigger.ProcessingTime(8000),
       sinkGate = () => writing.get())
     runMeasured(spark, monitor, q, writing, tps, secs)
   }

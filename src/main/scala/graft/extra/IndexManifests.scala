@@ -384,4 +384,35 @@ private[graft] object IndexManifests {
       }
     }
   }
+
+  /** Driver-memoized read of an index's immutable side file (the
+    * `meta` geometry parquet). Every per-micro-batch serving call
+    * (`dedupBatch`, `appendCleanedBatch`, `search`) starts by reading
+    * geometry, and an uncached read is a full Spark job — a measured
+    * ~0.15-0.2 s of EVERY ingest batch's fixed cost, for bytes that
+    * the build contract freezes for the directory's lifetime
+    * ([[graft.extra.SubstrIndex.build]]'s geometry-change reject).
+    * The memo key is the side-file directory's listing signature
+    * (name:length:mtime per child — parquet part names carry a UUID,
+    * so a delete-and-rebuild at the same path changes the signature
+    * and misses the cache): one driver FS `listStatus` per call
+    * instead of a Spark job, with no false reuse across rebuilds.
+    */
+  private val sideFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]
+
+  def cachedSideFile[A](spark: SparkSession, metaDir: String)
+      (read: => A): A = {
+    val (fs, p) = fsOf(spark, metaDir)
+    val sig = fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+    val hit = sideFileCache.get(metaDir)
+    if (hit != null && hit._1 == sig) hit._2.asInstanceOf[A]
+    else {
+      val v = read
+      sideFileCache.put(metaDir, (sig, v))
+      v
+    }
+  }
 }

@@ -52,12 +52,17 @@ object MinhashIndex {
 
   private val Frames = Seq("bands", "sets", "tombstones")
 
-  /** Geometry of a committed index. */
-  def meta(spark: SparkSession, dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[Int]("num_perms"), r.getAs[Int]("rows_per_band"),
-      r.getAs[Int]("shingle_n"))
-  }
+  /** Geometry of a committed index — driver-memoized
+    * ([[IndexManifests.cachedSideFile]]): geometry is frozen for the
+    * directory's lifetime ([[build]]'s reject), so the per-batch
+    * serving path pays one FS list, not a Spark job.
+    */
+  def meta(spark: SparkSession, dir: String): (Int, Int, Int) =
+    IndexManifests.cachedSideFile(spark, s"$dir/meta") {
+      val r = spark.read.parquet(s"$dir/meta").head()
+      (r.getAs[Int]("num_perms"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Int]("shingle_n"))
+    }
 
   private def requireLatestFull(spark: SparkSession, dir: String)
       : (Long, Map[String, Seq[String]], Map[String, (String, String)]) =
@@ -298,16 +303,32 @@ object MinhashIndex {
     val batchBands = bandsOf(batchSets, numPerms, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // pinned: the distinct feeds the range probe, the broadcast
+      // size check, and the posting join — unpinned it would re-run
+      // its exchange+aggregate per consumer
       val buckets = batchBands.select("k", "band", "sig").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (paths, _) = IndexManifests.selectRangedFiles(spark, dir,
         entries, ranges, "bands", LongType, parseLong,
         buckets.select("k"), "k")
       val matched0 =
         if (paths.isEmpty)
           batchBands.select("band", "sig", "d").limit(0)
-        else spark.read.parquet(paths: _*)
-          .join(buckets.select("band", "sig"), Seq("band", "sig"))
-          .select("band", "sig", "d")
+        else {
+          // the posting side grows with the corpus; the batch's
+          // distinct buckets stay micro-batch-bounded (docs × bands
+          // rows). When they fit a broadcast, the accumulated bands
+          // scan streams map-side instead of SHUFFLING whole — the
+          // [[SubstrIndex]] probe-side discipline. buckets reads the
+          // pinned batchBands cache, so the count is a cache scan.
+          val probeSide =
+            if (buckets.count() <= 4000000L)
+              broadcast(buckets.select("band", "sig"))
+            else buckets.select("band", "sig")
+          spark.read.parquet(paths: _*)
+            .join(probeSide, Seq("band", "sig"))
+            .select("band", "sig", "d")
+        }
       // tombstoned docs drop out of the candidates (and the bucket
       // widths) here — before anything downstream, so a deleted doc
       // can never anchor a verdict; the anti-join is bounded by the
@@ -404,7 +425,8 @@ object MinhashIndex {
         } finally allSets.unpersist(blocking = false): Unit
       } finally {
         cand.unpersist(blocking = false)
-        unionBands.unpersist(blocking = false): Unit
+        unionBands.unpersist(blocking = false)
+        buckets.unpersist(blocking = false): Unit
       }
     } finally {
       batchBands.unpersist(blocking = false)

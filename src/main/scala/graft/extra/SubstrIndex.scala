@@ -110,11 +110,16 @@ object SubstrIndex {
         col("__c.d").as("d"), col("__c.p").as("p"))
       .sortWithinPartitions(col("g"))
 
-  /** Gram geometry of a committed index. */
-  def meta(spark: SparkSession, dir: String): (Int, Boolean) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
-    (r.getAs[Int]("k"), r.getAs[Boolean]("hashed"))
-  }
+  /** Gram geometry of a committed index — driver-memoized
+    * ([[IndexManifests.cachedSideFile]]): geometry is frozen for the
+    * directory's lifetime ([[build]]'s reject), so the per-batch
+    * serving path pays one FS list, not a Spark job.
+    */
+  def meta(spark: SparkSession, dir: String): (Int, Boolean) =
+    IndexManifests.cachedSideFile(spark, s"$dir/meta") {
+      val r = spark.read.parquet(s"$dir/meta").head()
+      (r.getAs[Int]("k"), r.getAs[Boolean]("hashed"))
+    }
 
   /** Write one ALREADY-CLUSTERED posting-partial frame
     * ([[clusteredPartials]] output — disjoint sorted `g` ranges per
@@ -215,22 +220,61 @@ object SubstrIndex {
   private def appendPositioned(spark: SparkSession, dir: String,
       positioned: DataFrame, idCol: String,
       txn: Option[(String, Long)], numFiles: Int,
-      autoCompactSegments: Int): Boolean = {
+      autoCompactSegments: Int): Boolean =
+    prepareAppend(spark, dir, positioned, idCol, txn, numFiles) match {
+      case None => false
+      case Some(p) =>
+        commitAppend(spark, dir, p, txn, autoCompactSegments)
+        true
+    }
+
+  /** Segment files written and ready to commit — phase 1 of the
+    * two-phase append. The files are INVISIBLE until [[commitAppend]]
+    * lands the manifest (the snapshot-isolation contract), so the
+    * streaming ingest can run this CONCURRENTLY with its cleaned-docs
+    * sink write and still commit last: exactly-once needs only the
+    * ordering sink-complete → manifest-commit, not sink-complete →
+    * segment-files-written. A crash (or sink failure) after phase 1
+    * leaves orphan files for [[compact]]/vacuum to sweep — the same
+    * crash shape as a failure inside the old single-phase append.
+    */
+  private[graft] final case class PreparedAppend(nextVersion: Long,
+      seg: String, segRanges: Map[String, (String, String)],
+      entries: Map[String, Seq[String]],
+      ranges: Map[String, (String, String)])
+
+  private[graft] def prepareAppend(spark: SparkSession, dir: String,
+      positioned: DataFrame, idCol: String,
+      txn: Option[(String, Long)], numFiles: Int)
+      : Option[PreparedAppend] = {
     val (v0, entries, ranges) = requireLatestFull(spark, dir)
     if (txn.exists { case (sid, b) =>
-        IndexManifests.txnApplied(entries, sid, b) }) return false
+        IndexManifests.txnApplied(entries, sid, b) }) return None
     val seg = f"grams/seg-${v0 + 1}%09d"
-    val segRanges = writeSegment(
-      clusteredPartials(positioned, idCol, numFiles), dir, seg)
-    val newSegs = entries.getOrElse("grams", Nil) :+ seg
-    val withSeg = entries + ("grams" -> newSegs)
-    IndexManifests.commit(spark, dir, v0 + 1,
+    // pin the positioned frame: repartitionByRange's range sampling is
+    // a full pass BEFORE the shuffle pass, and unpinned both passes
+    // recompute the union (the broadcast semi-join over the batch's
+    // gram cache plus the cut docs' re-gram) from scratch
+    val pinned = positioned.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segRanges =
+      try writeSegment(clusteredPartials(pinned, idCol, numFiles),
+        dir, seg)
+      finally pinned.unpersist(blocking = false): Unit
+    Some(PreparedAppend(v0 + 1, seg, segRanges, entries, ranges))
+  }
+
+  private[graft] def commitAppend(spark: SparkSession, dir: String,
+      p: PreparedAppend, txn: Option[(String, Long)],
+      autoCompactSegments: Int): Unit = {
+    val newSegs = p.entries.getOrElse("grams", Nil) :+ p.seg
+    val withSeg = p.entries + ("grams" -> newSegs)
+    IndexManifests.commit(spark, dir, p.nextVersion,
       txn.fold(withSeg) { case (sid, b) =>
         IndexManifests.withTxn(withSeg, sid, b) },
-      ranges ++ segRanges)
+      p.ranges ++ p.segRanges)
     if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
       compact(spark, dir)
-    true
   }
 
   /** Streaming ingest fast path: append a CLEANED batch's grams
@@ -250,7 +294,24 @@ object SubstrIndex {
   private[graft] def appendCleanedBatch(spark: SparkSession, dir: String,
       rawGrams: DataFrame, cleaned: DataFrame, idCol: String,
       textCol: String, txn: Option[(String, Long)] = None,
-      numFiles: Int = 1, autoCompactSegments: Int = 0): Boolean = {
+      numFiles: Int = 1, autoCompactSegments: Int = 0): Boolean =
+    prepareCleanedAppend(spark, dir, rawGrams, cleaned, idCol, textCol,
+      txn, numFiles) match {
+      case None => false
+      case Some(p) =>
+        commitAppend(spark, dir, p, txn, autoCompactSegments)
+        true
+    }
+
+  /** Phase-1 form of [[appendCleanedBatch]] — writes the segment files
+    * but does NOT commit, so the streaming ingest can overlap it with
+    * its cleaned-docs sink write and land [[commitAppend]] after both
+    * ([[graft.streaming.SubstrIngest]]'s exactly-once ordering).
+    */
+  private[graft] def prepareCleanedAppend(spark: SparkSession,
+      dir: String, rawGrams: DataFrame, cleaned: DataFrame,
+      idCol: String, textCol: String, txn: Option[(String, Long)],
+      numFiles: Int): Option[PreparedAppend] = {
     val (k, hashed) = meta(spark, dir)
     val unchangedIds = cleaned
       .filter(col("n_tokens_removed") === 0L).select(col(idCol))
@@ -262,8 +323,7 @@ object SubstrIndex {
       "left_semi")
     val positioned = kept.unionByName(
       Dedup.positionedGrams(changed, idCol, textCol, k, hashed))
-    appendPositioned(spark, dir, positioned, idCol, txn, numFiles,
-      autoCompactSegments)
+    prepareAppend(spark, dir, positioned, idCol, txn, numFiles)
   }
 
   private def requireLatestFull(spark: SparkSession, dir: String)
@@ -284,7 +344,7 @@ object SubstrIndex {
   private[graft] def selectPostingFiles(spark: SparkSession, dir: String,
       entries: Map[String, Seq[String]],
       ranges: Map[String, (String, String)], hashed: Boolean,
-      batchKeys: DataFrame): (Seq[String], Int) =
+      batchKeys: DataFrame, probeCutoff: Int = 8): (Seq[String], Int) =
     IndexManifests.selectRangedFiles(spark, dir, entries, ranges,
       "grams",
       keyType = if (hashed) LongType else StringType,
@@ -292,7 +352,7 @@ object SubstrIndex {
         if (hashed) (s: String) => s.toLongOption
           .map(java.lang.Long.valueOf(_): Any)
         else (s: String) => Some(s: Any),
-      batchKeys = batchKeys, key = "g")
+      batchKeys = batchKeys, key = "g", skipProbeBelow = probeCutoff)
 
   /** Spec hook: the posting files a dedup of `batch` would open vs the
     * index's total live file count — computes the batch's gram-key
@@ -364,9 +424,9 @@ object SubstrIndex {
     */
   def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      minSpanTokens: Int = 0): DataFrame =
+      minSpanTokens: Int = 0, probeCutoff: Int = 8): DataFrame =
     dedupPlan(spark, dir, batch, idCol, textCol, minSpanTokens,
-      pin = identity)._1
+      pin = identity, probeCutoff)._1
 
   /** The dedup chain with a caller-supplied `pin` hook applied to the
     * two frames every downstream branch re-derives (the positioned
@@ -379,7 +439,8 @@ object SubstrIndex {
     */
   private def dedupPlan(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String,
-      minSpanTokens: Int, pin: DataFrame => DataFrame)
+      minSpanTokens: Int, pin: DataFrame => DataFrame,
+      probeCutoff: Int = 8, pinned: Boolean = false)
       : (DataFrame, DataFrame) = {
     val (_, entries, ranges) = requireLatestFull(spark, dir)
     val (k, hashed) = meta(spark, dir)
@@ -398,7 +459,7 @@ object SubstrIndex {
     // the per-micro-batch hot path)
     val batchKeys = batchAgg.select(col("__g").as("g"))
     val (paths, _) = selectPostingFiles(spark, dir, entries, ranges,
-      hashed, batchKeys)
+      hashed, batchKeys, probeCutoff)
     val per = if (paths.isEmpty) {
       // every posting file pruned out: no gram overlaps the index, so
       // totals and canonicals are the batch's own
@@ -406,8 +467,23 @@ object SubstrIndex {
         col("bm").as("canon"))
         .filter(col("tot") >= 2L)
     } else {
+      // the posting side GROWS with the corpus while the batch-key
+      // side stays micro-batch-sized — when the batch's distinct gram
+      // keys fit a broadcast (hashed: 8 bytes/key, so even a 100k-doc
+      // batch's ~3M keys are ~24 MB), hint it so the index scan
+      // streams map-side through a broadcast-hash join instead of
+      // SHUFFLING the whole accumulated posting frame every batch
+      // (measured in-stream: the posting shuffle was the dominant
+      // marginal cost once the ingest had appended a few batches).
+      // Only the PINNED (streaming) path counts keys — batchAgg is
+      // cached there, so the count is a cache scan; on the lazy
+      // one-shot path a count would recompute the whole gram pass.
+      val probeSide =
+        if (pinned && batchKeys.count() <= 4000000L)
+          broadcast(batchKeys)
+        else batchKeys
       val matched = spark.read.parquet(paths: _*)
-        .join(batchKeys, "g")
+        .join(probeSide, "g")
         .groupBy(col("g"))
         .agg(sum(col("n")).as("cn"),
           min(struct(col("d"), col("p"))).as("cm"))
@@ -448,7 +524,7 @@ object SubstrIndex {
     */
   private[graft] def dedupBatchPinned(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String,
-      minSpanTokens: Int)
+      minSpanTokens: Int, probeCutoff: Int = 8)
       (consume: (DataFrame, DataFrame) => Unit): Unit = {
     var pinned: List[DataFrame] = Nil
     def pin(df: DataFrame): DataFrame = {
@@ -459,7 +535,7 @@ object SubstrIndex {
     }
     try {
       val (cleaned, grams) = dedupPlan(spark, dir, batch, idCol,
-        textCol, minSpanTokens, pin)
+        textCol, minSpanTokens, pin, probeCutoff, pinned = true)
       consume(cleaned, grams)
     } finally pinned.foreach(_.unpersist(blocking = false))
   }

@@ -67,26 +67,50 @@ object SubstrIngest {
       // chain, r14 verdict #3); the cleaned result is pinned too, so
       // the sink write and the gram append share one materialization
       // instead of a write + parquet re-read round trip
+      // probeCutoff=64: the ingest's auto-compaction holds the index
+      // well under 64 live files, and a micro-batch's HASHED gram keys
+      // are uniform over Long — with K batch keys and nf files, a file
+      // survives pruning with probability 1 − e^(−K/nf) ≈ 1 for any
+      // realistic batch, so on this path the range-probe job is a pure
+      // fixed cost (~0.2 s of every batch). File pruning pays on the
+      // BATCH-QUERY path (small probes against a large standing
+      // index), which keeps the default cutoff.
       SubstrIndex.dedupBatchPinned(spark, indexDir, batch, idCol,
-          textCol, minSpanTokens) { (cleanedRaw, rawGrams) =>
+          textCol, minSpanTokens, probeCutoff = 64) { (cleanedRaw, rawGrams) =>
         // dedupBatch's output text column is the operator's canonical
         // "text"; rename it back to the caller's column so the cleaned
         // sink mirrors the input naming and the append below resolves
         val cleaned = cleanedRaw.withColumnRenamed("text", textCol)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          cleaned.write.mode(SaveMode.Overwrite)
-            .parquet(s"$outDir/batch=$batchId")
-          // append fast path: reuse the pinned raw grams for every
-          // doc the dedup left untouched (no second tokenize+gram
-          // pass over ~all of the batch), re-gram only the cut docs;
-          // numFiles = 4 parallelizes the segment's range-cluster
-          // sort instead of funneling a backlog batch through ONE
-          // task, and auto-compaction folds the extra files
-          SubstrIndex.appendCleanedBatch(spark, indexDir, rawGrams,
-            cleaned, idCol, textCol, txn = Some((streamId, batchId)),
-            numFiles = 4,
-            autoCompactSegments = autoCompactSegments): Unit
+          // materialize the cleaned cache ONCE, then run the two
+          // per-batch writes CONCURRENTLY — the sink parquet and the
+          // gram-segment files both read the cache, and exactly-once
+          // needs only the ORDERING sink-complete → manifest-commit
+          // (phase-1 segment files are invisible until the commit;
+          // see [[SubstrIndex.prepareAppend]]). Serial, the two legs
+          // were the whole back half of the batch's wall time.
+          cleaned.count(): Unit
+          val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          try {
+            val sinkF = pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = cleaned.write.mode(SaveMode.Overwrite)
+                .parquet(s"$outDir/batch=$batchId")
+            })
+            // append fast path: reuse the pinned raw grams for every
+            // doc the dedup left untouched (no second tokenize+gram
+            // pass over ~all of the batch), re-gram only the cut docs;
+            // numFiles = 4 parallelizes the segment's range-cluster
+            // sort instead of funneling a backlog batch through ONE
+            // task, and auto-compaction folds the extra files
+            val prepared = SubstrIndex.prepareCleanedAppend(spark,
+              indexDir, rawGrams, cleaned, idCol, textCol,
+              txn = Some((streamId, batchId)), numFiles = 4)
+            sinkF.get() // sink MUST be durable before the commit
+            prepared.foreach(p => SubstrIndex.commitAppend(spark,
+              indexDir, p, Some((streamId, batchId)),
+              autoCompactSegments))
+          } finally pool.shutdownNow(): Unit
         } finally cleaned.unpersist(blocking = false): Unit
       }
       true
