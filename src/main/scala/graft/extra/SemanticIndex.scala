@@ -1,0 +1,258 @@
+package graft.extra
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SEMANTIC-dedup index — the ONLINE form of [[Dedup
+  * .semDedup]] (Abbas et al. 2023, arXiv:2303.09540), completing the
+  * incremental-dedup family: [[MinhashIndex]] serves lexical near-dup
+  * verdicts, [[SubstrIndex]] serves exact-substring span verdicts, and
+  * this serves EMBEDDING-space verdicts — a new crawl batch is
+  * semantically deduped against the standing corpus (and its own
+  * batch-mates) from storage, never recomputing the corpus side.
+  *
+  * Layout under `dir` (the shared [[IndexManifests]] commit-point
+  * discipline — CAS manifest versions, snapshot isolation, txn
+  * ledger):
+  *   - `vectors/seg-N/list_id=…` — (d, v, nrm) parquet, one segment
+  *     per write, DIRECTORY-PARTITIONED by the coarse cluster id. The
+  *     partitioning is the serving path: SemDeDup's candidate
+  *     generator is the cluster equijoin, so a batch's probe reads
+  *     only its TOUCHED clusters' partitions of each live segment —
+  *     static partition pruning at file-listing time, the [[AnnIndex]]
+  *     `list_id IN` discipline. Raw float vectors ride in the files
+  *     because the verdict needs EXACT cosine (the method's rule);
+  *     contrast [[AnnIndex]], whose PQ codes are lossy by design.
+  *   - `codebooks/` — (pos, cid, v, nrm): the coarse quantizer,
+  *     FROZEN at build ([[AnnIndex]]'s contract — appends never
+  *     retrain, so assignment is reproducible forever). Driver-held
+  *     metadata, memoized per JVM ([[IndexManifests.cachedSideFile]]).
+  *   - `_manifests/vN.txt` — commit points; the applied-batch ledger
+  *     ([[IndexManifests.txnApplied]]) rides the manifest for
+  *     exactly-once streaming ingest.
+  *
+  * Verdict semantics ([[dedupBatch]]): a batch document is a duplicate
+  * iff some SAME-CLUSTER vector with a SMALLER id — indexed or
+  * batch-mate — has rounded (6 dp) cosine ≥ threshold; `dup_of` is the
+  * smallest such id. This is exactly [[Dedup.semDedup]]'s keep-min-id
+  * rule over (indexed ∪ batch) restricted to batch rows, under the
+  * index's frozen codebook (spec-pinned equivalence). Like
+  * [[MinhashIndex]], verdicts anchor to what is IN the index: the
+  * ingest appends only survivors, so a later batch's near-copy of a
+  * DROPPED duplicate is not re-anchored to it — the cleaned-corpus
+  * contract.
+  *
+  * Contracts: ids globally unique and MONOTONE above every indexed id
+  * (the family's canonicality rule); vectors non-zero and of the
+  * codebook's dimension.
+  *
+  * Scale shape: assignment is a loop-codegen projection (no join);
+  * the corpus probe is a broadcast of the micro-batch into the pruned
+  * cluster partitions (no corpus shuffle, no skew on the ≤C-key
+  * cluster join); `numClusters` bounds cluster width exactly as in
+  * the batch operator — production grows it ~√N, making the per-batch
+  * corpus read O(index / C · touched clusters).
+  */
+object SemanticIndex {
+
+  private val Frames = Seq("vectors")
+
+  /** The frozen coarse codebook, position-ordered (hash-sample order,
+    * the [[Similarity.sampleCodebook]] contract) — memoized per JVM:
+    * geometry is frozen for the directory's lifetime, so the per-batch
+    * serving path pays one FS list, not a Spark job.
+    */
+  def readCodebook(spark: SparkSession, dir: String)
+      : Seq[Similarity.Centroid] =
+    IndexManifests.cachedSideFile(spark, s"$dir/codebooks") {
+      spark.read.parquet(s"$dir/codebooks")
+        .orderBy("pos").collect().toSeq
+        .map(r => Similarity.Centroid(r.getAs[Long]("cid"),
+          r.getAs[Seq[Double]]("v").toArray, r.getAs[Double]("nrm")))
+    }
+
+  /** Build over the standing corpus: sample (or caller-trained)
+    * codebook written once, every vector assigned and written
+    * cluster-partitioned, one manifest commit. A same-dir rebuild
+    * KEEPS the frozen codebook and the txn ledger (the
+    * [[SubstrIndex.build]] discipline).
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+      numClusters: Int = 32,
+      codebook: Option[Seq[Similarity.Centroid]] = None): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val prev = IndexManifests.latest(spark, dir)
+    val cents = prev match {
+      case Some(_) => readCodebook(spark, dir)
+      case None =>
+        val cb = codebook.getOrElse(
+          Similarity.sampleCodebook(emb, idCol, vecCol, numClusters))
+        require(cb.nonEmpty, "semantic index build needs a non-empty corpus")
+        cb.zipWithIndex
+          .map { case (c, i) => (i, c.cid, c.v, c.nrm) }
+          .toDF("pos", "cid", "v", "nrm")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/codebooks")
+        cb
+    }
+    val v = prev.map(_._1).getOrElse(0L) + 1
+    val seg = f"vectors/seg-$v%09d"
+    writeSegment(assign(emb, idCol, vecCol, cents), dir, seg)
+    val entries = Map("vectors" -> Seq(seg)) ++
+      prev.flatMap(_._2.get(IndexManifests.TxnFrame))
+        .map(IndexManifests.TxnFrame -> _).toMap
+    IndexManifests.commit(spark, dir, v, entries)
+    IndexManifests.vacuum(spark, dir, Frames)
+  }
+
+  /** (list_id, d, v, nrm) under the index's frozen codebook. */
+  private def assign(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Similarity.Centroid]): DataFrame =
+    Similarity.assignClusters(emb, idCol, vecCol, cents)
+      .select(col("cluster_id").as("list_id"), col("id").as("d"),
+        col("v"), col("nrm"))
+
+  /** One shuffle (hash on list_id) so each cluster lands in one task →
+    * one file per cluster partition, sorted by id within files.
+    */
+  private def writeSegment(assigned: DataFrame, dir: String,
+      seg: String): Unit =
+    assigned
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("d"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/$seg")
+
+  /** LSM-append a batch (normally [[dedupBatch]]'s SURVIVORS — the
+    * ingest-order contract): one assignment projection, one
+    * cluster-partitioned segment, one manifest commit carrying the txn
+    * ledger. `autoCompactSegments` is the ingest-side maintenance
+    * guard (the [[SubstrIndex.append]] contract).
+    */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      dir: String, txn: Option[(String, Long)] = None,
+      autoCompactSegments: Int = 0): Boolean = {
+    val spark = batch.sparkSession
+    val (v0, entries, _) = requireLatestFull(spark, dir)
+    if (txn.exists { case (sid, b) =>
+        IndexManifests.txnApplied(entries, sid, b) }) return false
+    val cents = readCodebook(spark, dir)
+    val seg = f"vectors/seg-${v0 + 1}%09d"
+    writeSegment(assign(batch, idCol, vecCol, cents), dir, seg)
+    val newSegs = entries.getOrElse("vectors", Nil) :+ seg
+    val withSeg = entries + ("vectors" -> newSegs)
+    IndexManifests.commit(spark, dir, v0 + 1,
+      txn.fold(withSeg) { case (sid, b) =>
+        IndexManifests.withTxn(withSeg, sid, b) })
+    if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
+      compact(spark, dir)
+    true
+  }
+
+  /** Merge accumulated segments into one (rows are plain — no partial
+    * merge), ledger carried forward, orphans vacuumed.
+    */
+  def compact(spark: SparkSession, dir: String,
+      retainVersions: Int = 1): Unit = {
+    val (v0, entries, _) = requireLatestFull(spark, dir)
+    val segs = entries.getOrElse("vectors", Nil)
+    require(segs.nonEmpty, s"no committed vector segments at $dir")
+    val seg = f"vectors/seg-${v0 + 1}%09d"
+    writeSegment(
+      readVectors(spark, dir, entries), dir, seg)
+    val fresh = Map("vectors" -> Seq(seg)) ++
+      entries.get(IndexManifests.TxnFrame)
+        .map(IndexManifests.TxnFrame -> _).toMap
+    IndexManifests.commit(spark, dir, v0 + 1, fresh)
+    IndexManifests.vacuum(spark, dir, Frames,
+      keepVersions = retainVersions)
+  }
+
+  /** Union of the live segments' cluster-partitioned scans —
+    * `list_id` comes back as the partition column (int), cast to
+    * long; a `list_id IN (…)` filter on this frame partition-prunes
+    * every leg at file-listing time.
+    */
+  private def readVectors(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]]): DataFrame =
+    entries.getOrElse("vectors", Nil)
+      .map(s => spark.read.parquet(s"$dir/$s")
+        .select(col("list_id").cast("long").as("list_id"),
+          col("d"), col("v"), col("nrm")))
+      .reduce(_ unionByName _)
+
+  private def requireLatestFull(spark: SparkSession, dir: String)
+      : (Long, Map[String, Seq[String]], Map[String, (String, String)]) =
+    IndexManifests.latestFull(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed semantic index at $dir (missing _manifests)"))
+
+  /** Per-NEW-document semantic verdicts against the index + batch-mates:
+    * (idCol, `cluster_id`, `is_dup`, `dup_of` — smallest matching
+    * lower id, null for keepers, `best_cos` — that match's rounded
+    * cosine, null for keepers). Rounded-then-compared cosine is the
+    * cross-engine discipline ([[Dedup.semDedup]]).
+    */
+  def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val (_, entries, _) = requireLatestFull(spark, dir)
+    val cents = readCodebook(spark, dir)
+    // pinned: the assignment feeds the touched-cluster collect, the
+    // corpus probe's broadcast, and BOTH sides of the mate join
+    val ba = Similarity.assignClusters(batch, idCol, vecCol, cents)
+      .select(col("id"), col("v"), col("nrm"),
+        col("cluster_id").as("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // static partition pruning (the [[AnnIndex]] `list_id IN`
+    // discipline): the batch touches at most C clusters — ship them
+    // as a literal IN so every live segment's scan plans down to the
+    // touched `list_id=` partitions at file-listing time; a pruned
+    // partition's files are never opened (spec-pinned physically)
+    val touched = ba.select("list_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // the corpus probe: BROADCAST the micro-batch side — the cluster
+    // join has at most C distinct keys, so a shuffled equijoin would
+    // be C-way skewed by construction; broadcasting makes it a
+    // map-side probe over the pruned cluster partitions, no corpus
+    // shuffle. (Batches too large to broadcast should be split by the
+    // caller — the micro-batch contract.)
+    val corpusHits = readVectors(spark, dir, entries)
+      .filter(col("list_id").isin(touched.map(Long.box): _*))
+      .join(broadcast(ba.select(col("id").as("__bid"),
+        col("v").as("__bv"), col("nrm").as("__bn"),
+        col("list_id"))), Seq("list_id"))
+      .filter(round(Similarity.dot(col("v"), col("__bv")) /
+        (sqrt(col("nrm")) * sqrt(col("__bn"))), 6) >= threshold)
+      .select(col("__bid").as("id"), col("d").as("cand"),
+        round(Similarity.dot(col("v"), col("__bv")) /
+          (sqrt(col("nrm")) * sqrt(col("__bn"))), 6).as("cos"))
+    // batch-mate matches: LOWER id wins, whether or not the lower mate
+    // is itself dropped — exactly semDedup's global keep-min-id rule
+    val mateHits = ba.alias("x")
+      .join(broadcast(ba.select(col("id").as("__bid"),
+          col("v").as("__bv"), col("nrm").as("__bn"),
+          col("list_id"))),
+        Seq("list_id"))
+      .filter(col("x.id") > col("__bid"))
+      .filter(round(Similarity.dot(col("x.v"), col("__bv")) /
+        (sqrt(col("x.nrm")) * sqrt(col("__bn"))), 6) >= threshold)
+      .select(col("x.id").as("id"), col("__bid").as("cand"),
+        round(Similarity.dot(col("x.v"), col("__bv")) /
+          (sqrt(col("x.nrm")) * sqrt(col("__bn"))), 6).as("cos"))
+    val best = corpusHits.unionByName(mateHits)
+      .groupBy(col("id"))
+      .agg(min(struct(col("cand"), col("cos"))).as("__m"))
+      .select(col("id"), col("__m.cand").as("dup_of"),
+        col("__m.cos").as("best_cos"))
+    ba.join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("list_id").as("cluster_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("best_cos"))
+    // the pin served the eager touched-cluster collect; the returned
+    // lazy frame recomputes the (projection-only) assignment per scan
+    // — the [[MinhashIndex.dedupBatch]] lifetime discipline
+    } finally ba.unpersist(blocking = false): Unit
+  }
+}

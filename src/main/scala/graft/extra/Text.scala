@@ -339,6 +339,61 @@ object Text {
       minSpanTokens)
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family ([[decontaminate]] flags n-gram overlap,
+    * [[decontaminateSpans]] cuts it; this catches PARAPHRASED leakage
+    * that shares no n-gram with the eval suite): a corpus document is
+    * contaminated when its embedding's max cosine against ANY
+    * benchmark embedding reaches `threshold`. Returns one row per
+    * corpus document: (idCol, `contaminated`, `max_cosine` — rounded
+    * 6 dp, the cross-engine comparison discipline).
+    *
+    * Plan shape for 100 TB: eval suites are KB–MB by construction, so
+    * the benchmark embeddings COLLECT to the driver (hard-capped at
+    * `maxBench` — past it, fail loudly rather than ship an unbounded
+    * task binary) and the corpus side is ONE loop-codegen projection
+    * ([[graft.functions.MaxCosine]] — constant-size generated code, no
+    * join, no shuffle, the [[Similarity.assignClusters]] discipline).
+    * Contrast the n-gram family's broadcast semi-join: both keep the
+    * corpus scan shuffle-free; here even the join disappears.
+    *
+    * Contract: vectors non-zero ([[Similarity.searchIvfPqVectors]]'s
+    * rule — a zero vector has no direction); zero-norm BENCHMARK rows
+    * are dropped with that reasoning (they can match nothing), an
+    * all-zero benchmark flags nothing.
+    */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, benchVecCol: String,
+      threshold: Double, maxBench: Int = 4096): DataFrame = {
+    import graft.functions.GraftFunctions.max_cosine
+    val rows = benchmark.select(col(benchVecCol).cast("array<double>"))
+      .limit(maxBench + 1).collect()
+    require(rows.length <= maxBench,
+      s"benchmark exceeds maxBench=$maxBench embeddings — semantic " +
+        "decontamination broadcasts the benchmark side by contract; " +
+        "split the suite or raise the cap deliberately")
+    val vecs = rows.iterator
+      .map(_.getSeq[Double](0).toArray)
+      .map(v => (v, v.foldLeft(0d)((a, x) => a + x * x)))
+      .filter(_._2 > 0d)
+      .toSeq
+    if (vecs.isEmpty)
+      return corpus.select(col(idCol), lit(false).as("contaminated"),
+        lit(null).cast("double").as("max_cosine"))
+    val dim = vecs.head._1.length
+    require(vecs.forall(_._1.length == dim),
+      s"benchmark embeddings must share one dimension (found " +
+        s"${vecs.map(_._1.length).distinct.sorted.mkString(",")})")
+    val flat = new Array[Double](vecs.size * dim)
+    for (j <- vecs.indices; i <- 0 until dim) flat(j * dim + i) = vecs(j)._1(i)
+    corpus
+      .withColumn("max_cosine",
+        max_cosine(col(vecCol), flat, vecs.map(_._2).toArray, dim))
+      .select(col(idCol),
+        (col("max_cosine") >= threshold).as("contaminated"),
+        col("max_cosine"))
+  }
+
   /** Self-trained unigram language-model score — the KenLM-perplexity
     * stand-in for quality filtering: per document, the mean surprisal
     * (−ln p(token), nats) under the corpus's own unigram distribution.

@@ -483,6 +483,115 @@ case class NearestCentroid(child: Expression, cents: Array[Double],
     copy(child = newChild)
 }
 
+/** Max rounded cosine of the row vector against a FIXED reference
+  * vector set, as one loop-emitting codegen expression — the
+  * [[NearestCentroid]] loop returning the best COSINE instead of the
+  * best id. The semantic-decontamination probe: the reference set is
+  * the (tiny by construction) benchmark embedding table, shipped via
+  * `addReferenceObj`, and the corpus side stays a pure projection —
+  * no join, no shuffle, constant-size generated code regardless of
+  * reference count (the unrolled `greatest` chain alternative is the
+  * janino 64 KB casualty [[NearestCentroid]] documents). Rounding to
+  * 6 dp BEFORE any comparison is the cross-engine determinism
+  * discipline every cosine in this codebase follows.
+  */
+case class MaxCosine(child: Expression, cents: Array[Double],
+    cnrms: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_cosine expects array<float|double>, got " +
+            other.catalogString)
+    }
+
+  private def numRefs: Int = cnrms.length
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val isF = elemIsFloat
+    var vn = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+      vn += xv * xv
+      i += 1
+    }
+    val sq = math.sqrt(vn)
+    var bestCos = Double.MinValue
+    var j = 0
+    while (j < numRefs) {
+      var dp = 0.0
+      var d = 0
+      while (d < n) {
+        val xv = if (isF) x.getFloat(d).toDouble else x.getDouble(d)
+        dp += xv * cents(j * dim + d)
+        d += 1
+      }
+      val cos = VectorOps.rnd6(dp / (sq * math.sqrt(cnrms(j))))
+      if (cos > bestCos) bestCos = cos
+      j += 1
+    }
+    bestCos
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val cRef = ctx.addReferenceObj("mcCents", cents, "double[]")
+      val nRef = ctx.addReferenceObj("mcNrms", cnrms, "double[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val n = ctx.freshName("n")
+      val vn = ctx.freshName("vn"); val dp = ctx.freshName("dp")
+      val cos = ctx.freshName("cos"); val sq = ctx.freshName("sq")
+      val bestCos = ctx.freshName("bestCos")
+      val getXi = if (elemIsFloat) s"(double) $x.getFloat($i)"
+        else s"$x.getDouble($i)"
+      val getXd = if (elemIsFloat) s"(double) $x.getFloat($d)"
+        else s"$x.getDouble($d)"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $vn += $getXi * $getXi;
+         |}
+         |if (!${ev.isNull}) {
+         |  double $sq = java.lang.Math.sqrt($vn);
+         |  double $bestCos = -Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $numRefs; $j++) {
+         |    double $dp = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dp += $getXd * $cRef[$j * $dim + $d];
+         |    }
+         |    double $cos = graft.functions.VectorOps.rnd6(
+         |      $dp / ($sq * java.lang.Math.sqrt($nRef[$j])));
+         |    if ($cos > $bestCos) $bestCos = $cos;
+         |  }
+         |  ${ev.value} = $bestCos;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API surface for the custom expressions. */
 object GraftFunctions {
 
@@ -526,4 +635,12 @@ object GraftFunctions {
       cnrms: Array[Double], cids: Array[Long], dim: Int): Column =
     GraftColumnBridge.column(NearestCentroid(
       GraftColumnBridge.expression(v), cents, cnrms, cids, dim))
+
+  /** Max rounded cosine against a fixed reference vector set
+    * (codegen'd constant-size loops — see [[MaxCosine]]).
+    */
+  def max_cosine(v: Column, cents: Array[Double],
+      cnrms: Array[Double], dim: Int): Column =
+    GraftColumnBridge.column(MaxCosine(
+      GraftColumnBridge.expression(v), cents, cnrms, dim))
 }

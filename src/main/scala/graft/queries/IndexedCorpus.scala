@@ -74,6 +74,7 @@ object IndexedCorpus {
     val pqcb = 2
     val substr = 2 // r15: range-clustered segments + #range= stats
     val minhash = 1
+    val semantic = 1
   }
 
   /** Generic content-keyed build-if-absent artifact dir: `build`
@@ -141,6 +142,16 @@ object IndexedCorpus {
     cachedDir("graft_qminh", Ver.minhash, fp)(d =>
       graft.extra.MinhashIndex.build(corpus, idCol, textCol,
         d.toString))
+  }
+
+  /** Semantic-dedup (IVF-flat) index dir for this embeddings frame
+    * (build if absent; deterministic sample codebook) — the online
+    * SemDeDup serving artifact ([[graft.extra.SemanticIndex]]).
+    */
+  def semanticDir(emb: DataFrame, idCol: String, vecCol: String): String = {
+    val fp = fingerprint(emb, col(idCol), to_json(col(vecCol)))
+    cachedDir("graft_qsem", Ver.semantic, fp)(d =>
+      graft.extra.SemanticIndex.build(emb, idCol, vecCol, d.toString))
   }
 
   /** IVF-PQ index dir for this embeddings frame (build if absent;

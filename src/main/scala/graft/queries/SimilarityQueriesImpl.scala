@@ -503,7 +503,110 @@ object SimilarityQueriesImpl {
       .orderBy("query_id", "rank")
   }
 
+  // ---- decontaminate_semantic --------------------------------------
+
+  /** Embedding-space decontamination ([[graft.extra.Text
+    * .decontaminateSemantic]]): the benchmark is the deterministic
+    * `vec_id % 19 = 0` slice of the embeddings table (the eval-suite
+    * stand-in — tiny by construction, collected and shipped as
+    * constant loop-codegen state), the corpus is everything else, and
+    * a corpus vector is contaminated when its max 6-dp-rounded cosine
+    * against any benchmark vector reaches 0.3 (discriminative for the
+    * synthetic embedding distribution — ~15% flag; a production
+    * deployment sets it near 1 for paraphrase leakage). The whole
+    * corpus side is ONE projection — no join, no shuffle — so the
+    * oracle replays the exact arithmetic: per-pair dot in doubles,
+    * round 6 dp, max, threshold.
+    */
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    graft.extra.Text.decontaminateSemantic(
+        e.filter(col("vec_id") % 19 =!= 0),
+        e.filter(col("vec_id") % 19 === 0),
+        "vec_id", "embedding", "embedding", threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
+  private val decontaminateSemanticOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % 19 = 0),
+       |c AS (SELECT * FROM e WHERE vec_id % 19 <> 0),
+       |m AS (
+       |  SELECT c.vec_id,
+       |    max(round(${dotSql("c", "b")} / (sqrt(c.nrm) * sqrt(b.nrm)), 6))
+       |      AS max_cosine
+       |  FROM c, b GROUP BY 1)
+       |SELECT vec_id, max_cosine >= 0.3 AS contaminated, max_cosine
+       |FROM m ORDER BY vec_id""".stripMargin
+
+  // ---- semdedup_index ----------------------------------------------
+
+  /** Incremental SemDeDup from a PERSISTED index
+    * ([[graft.extra.SemanticIndex]] — the embedding-space member of
+    * the incremental-dedup family beside `neardup_index` and
+    * `dedup_substr_incremental`): the lower-id half of the embeddings
+    * table is a content-keyed build-if-absent IVF-flat index (frozen
+    * hash-order sample codebook, vectors cluster-partitioned on
+    * storage), and the upper half arrives as the new batch — each
+    * batch vector is a duplicate iff some same-cluster vector with a
+    * SMALLER id (indexed or batch-mate) reaches rounded cosine 0.3,
+    * `dup_of` the smallest such id. Since every indexed id sorts below
+    * every batch id, that is exactly semDedup's global keep-min-id
+    * rule over ALL vectors restricted to batch rows — which is what
+    * the oracle replays (codebook sample, assignment, lower-id pair
+    * rule, min-cand verdict).
+    */
+  def semdedupIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cut = e.agg(max("vec_id")).head().getLong(0) / 2
+    val idxDir = IndexedCorpus.semanticDir(
+      e.filter(col("vec_id") <= cut), "vec_id", "embedding")
+    graft.extra.SemanticIndex.dedupBatch(s, idxDir,
+        e.filter(col("vec_id") > cut), "vec_id", "embedding",
+        threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
+  private val semdedupIndexOracle =
+    s"""WITH e AS (SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |cut AS (SELECT max(vec_id) // 2 AS c FROM e),
+       |corp AS (SELECT e.* FROM e, cut WHERE vec_id <= c),
+       |cb AS (SELECT vec_id AS cid, embedding, nrm AS cn FROM corp
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+       |asgr AS (SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      round(${dotSql("v", "c")} / (sqrt(v.nrm) * sqrt(c.cn)), 6)
+       |        DESC, c.cid) AS crk
+       |  FROM e v CROSS JOIN cb c),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM asgr WHERE crk = 1),
+       |pairs AS (
+       |  SELECT b.vec_id, o.vec_id AS cand,
+       |    round(${dotSql("b", "o")} / (sqrt(b.nrm) * sqrt(o.nrm)), 6)
+       |      AS cos
+       |  FROM e b JOIN asg ab ON ab.vec_id = b.vec_id
+       |  JOIN cut ON b.vec_id > cut.c
+       |  JOIN asg ao ON ao.cluster_id = ab.cluster_id
+       |  JOIN e o ON o.vec_id = ao.vec_id AND o.vec_id < b.vec_id),
+       |best AS (SELECT vec_id, cand, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cand) AS rk
+       |  FROM pairs WHERE cos >= 0.3)
+       |SELECT b.vec_id, ab.cluster_id,
+       |  (x.cand IS NOT NULL) AS is_dup,
+       |  x.cand AS dup_of, x.cos AS best_cos
+       |FROM e b JOIN asg ab ON ab.vec_id = b.vec_id
+       |JOIN cut ON b.vec_id > cut.c
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) x ON x.vec_id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("semdedup_index",
+      "incremental SemDeDup from the persisted IVF-flat index: " +
+        "cluster-pruned corpus probe + batch-mate min-id verdicts",
+      semdedupIndex, Some(semdedupIndexOracle)),
+    QueryDef("decontaminate_semantic",
+      "embedding-space benchmark decontamination: max rounded cosine " +
+        "vs the eval-suite slice, loop-codegen projection (no join)",
+      decontaminateSemantic, Some(decontaminateSemanticOracle)),
     QueryDef("sim_topk",
       "exact brute-force cosine top-5 for 10 query vectors",
       simTopK, Some(simTopKOracle)),
