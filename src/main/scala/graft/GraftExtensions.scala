@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.annTvf)
     ext.injectTableFunction(GraftExtensions.neardupTvf)
     ext.injectTableFunction(GraftExtensions.substrIncTvf)
+    ext.injectTableFunction(GraftExtensions.semdedupTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -411,6 +412,42 @@ object GraftExtensions {
           textCol, minSpan).queryExecution.analyzed
       })
 
+  /** `graft_semdedup('indexDir', 'batchTable', idCol, vecCol
+    * [, threshold])` — incremental SemDeDup verdicts against a
+    * persisted IVF-flat semantic index
+    * ([[graft.extra.SemanticIndex.dedupBatch]]) from SQL: one row per
+    * batch-table row with (cluster_id, is_dup, dup_of, best_cos).
+    */
+  private[graft] val semdedupTvf: TvfDef =
+    (FunctionIdentifier("graft_semdedup"),
+      new ExpressionInfo("graft.extra.SemanticIndex", "graft_semdedup",
+        "graft_semdedup(indexDir, batchTable, idCol, vecCol" +
+          "[, threshold]) - incremental semantic-dedup verdicts " +
+          "against a persisted IVF-flat embedding index"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 4 && children.length <= 5,
+          "graft_semdedup expects (indexDir, batchTable, idCol, " +
+            s"vecCol[, threshold]), got ${children.length} arguments")
+        val fn = "graft_semdedup"
+        val spark = SparkSession.active
+        val dir = litString(children(0), fn, "indexDir")
+        val batch = spark.table(litString(children(1), fn, "batchTable"))
+        val idCol = litString(children(2), fn, "idCol")
+        val vecCol = litString(children(3), fn, "vecCol")
+        val thr = children.lift(4).map { e =>
+          require(e.foldable, s"$fn threshold must be a literal")
+          e.eval() match {
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float => f.doubleValue
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case o => throw new IllegalArgumentException(
+              s"$fn threshold must be a numeric literal, got $o")
+          }
+        }.getOrElse(0.9)
+        graft.extra.SemanticIndex.dedupBatch(spark, dir, batch, idCol,
+          vecCol, thr).queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
@@ -419,7 +456,8 @@ object GraftExtensions {
       reg.registerFunction(id, info, builder)
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
-      dedupSpansTvf, annTvf, neardupTvf, substrIncTvf).foreach {
+      dedupSpansTvf, annTvf, neardupTvf, substrIncTvf,
+      semdedupTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

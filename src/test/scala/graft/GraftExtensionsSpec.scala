@@ -187,6 +187,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spared == 0L)
   }
 
+  test("graft_semdedup TVF: the persisted semantic index reachable " +
+      "from SQL, threshold literal flowing through") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("tvfsem").toString
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("doc_id", "embedding")
+    graft.extra.SemanticIndex.build(corpus, "doc_id", "embedding", dir)
+    Seq((100L, Seq(0.99f, 0.01f, 0f, 0f)), (101L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("doc_id", "embedding")
+      .createOrReplaceTempView("sem_batch_tvf")
+    val v = spark.sql(
+      s"""SELECT doc_id, is_dup, dup_of
+         |FROM graft_semdedup('$dir', 'sem_batch_tvf', 'doc_id',
+         |                    'embedding', 0.95D)
+         |ORDER BY doc_id""".stripMargin).collect()
+    assert(v(0).getBoolean(1) && v(0).getLong(2) == 0L)
+    assert(!v(1).getBoolean(1))
+    // a stricter threshold spares the near-copy
+    val strict = spark.sql(
+      s"""SELECT count(*) FILTER (WHERE is_dup)
+         |FROM graft_semdedup('$dir', 'sem_batch_tvf', 'doc_id',
+         |                    'embedding', 0.9999999D)""".stripMargin)
+      .head().getLong(0)
+    assert(strict == 0L)
+  }
+
   test("graft_ann TVF: query-by-literal-vector over a persisted " +
       "IVF-PQ index from SQL") {
     import org.apache.spark.sql.functions._

@@ -664,4 +664,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(scans.exists(_.contains("grams/seg-")),
       s"no posting-segment scan in plan:\n${plan.take(3000)}")
   }
+
+  test("semdedup_index: the corpus probe BROADCASTS the micro-batch " +
+      "side (no corpus shuffle, no skewed cluster equijoin) and the " +
+      "vector segments scan with the touched-cluster partition filter") {
+    val plan = executedPlan("semdedup_index")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // both the corpus probe and the mate join carry the broadcast
+    // batch side, keyed on the cluster id
+    assert("BroadcastHashJoin \\[list_id#\\d+L?\\]".r
+        .findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("Join"))
+        .mkString("\n").take(2000))
+    // static list_id IN pruning reaches the partitioned segment scan
+    // as a PartitionFilter (file-listing-time pruning, not a row
+    // filter after the read)
+    assert("PartitionFilters: \\[[^\\]]*list_id".r
+        .findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .mkString("\n").take(2000))
+  }
+
+  test("decontaminate_semantic: the whole corpus side is ONE codegen " +
+      "projection — no join of any kind, no hash exchange (the only " +
+      "exchange is the presentation sort's range partitioning)") {
+    val plan = executedPlan("decontaminate_semantic")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(plan.contains("max_cosine") || plan.contains("MaxCosine"),
+      plan.take(3000))
+  }
 }
