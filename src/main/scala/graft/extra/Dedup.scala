@@ -670,6 +670,70 @@ object Dedup {
     cutFlaggedSpans(base, flagged, protectPos, idCol, k, minSpanTokens)
   }
 
+  /** LINE-level boilerplate dedup — the CCNet/RefinedWeb paragraph
+    * discipline, the third granularity beside document-level
+    * ([[exactByKey]]/[[nearDupMinhash]]) and span-level
+    * ([[removeDupSpans]]): a LINE (text between `sep` occurrences —
+    * paragraphs for `"\n"`) whose EXACT text occurs ≥ `minCount` times
+    * across the corpus is boilerplate (navigation bars, cookie
+    * banners, license headers) and is cut from every document, with
+    * the text rebuilt in original line order. Span-level dedup cannot
+    * express this: a 3-token cookie banner never reaches the k-gram
+    * anchor length, while a unique 200-token article paragraph must
+    * never be cut no matter how many grams it shares with near-misses
+    * — the LINE boundary is the unit of meaning here.
+    *
+    * `keepCanonical = true` switches to the dedup (not boilerplate)
+    * posture: the minimal (doc, line_no) occurrence survives, every
+    * other copy is cut — the [[removeDupSpans]] canonical rule at line
+    * granularity. The default `false` is the boilerplate posture: at
+    * `minCount` corpus-wide copies the line is noise, not content, and
+    * ALL copies go.
+    *
+    * Output, one row per input document: `text` (rebuilt, `sep`
+    * re-joined), `n_lines_removed`, `n_tokens_removed`.
+    *
+    * Plan shape for 100 TB: one posexplode (narrow), ONE keyed count
+    * on the line key — `hashed = true` swaps the shuffled key from
+    * the line STRING to xxhash64(line), the [[positionedGrams]]
+    * production form (collisions only over-cut at ~n²/2⁶⁵ odds) —
+    * then a keyed join of the lines against the FILTERED boilerplate
+    * set (small by construction; AQE broadcasts it) and one groupBy
+    * on the doc id to rebuild. Per-doc state is bounded by doc
+    * length; nothing is corpus-proportional on a single node.
+    */
+  def removeDupLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minCount: Long = 2,
+      keepCanonical: Boolean = false, hashed: Boolean = false)
+      : DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), quoted)).as(Seq("__ln", "__line")))
+      .withColumn("__k",
+        if (hashed) xxhash64(col("__line")) else col("__line"))
+    val boiler = lines.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).as("d"), col("__ln").as("p"))).as("__c"))
+      .filter(col("__n") >= minCount)
+      .select(col("__k"), col("__c"))
+    val marked = lines.join(boiler, Seq("__k"), "left")
+      .withColumn("__cut",
+        col("__c").isNotNull && (lit(!keepCanonical) ||
+          !(col(idCol) === col("__c.d") && col("__ln") === col("__c.p"))))
+    marked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__cut"),
+            struct(col("__ln"), col("__line"))))),
+          s => s("__line")), sep).as("text"),
+        sum(when(col("__cut"), 1L).otherwise(0L)).as("n_lines_removed"),
+        sum(when(col("__cut"), size(Text.tokens(col("__line"))))
+          .otherwise(0)).cast("long").as("n_tokens_removed"))
+      .select(col(idCol), col("text"), col("n_lines_removed"),
+        col("n_tokens_removed"))
+  }
+
   /** Positioned k-grams of each document: (idCol, `pos` — 0-based
     * token start as long, `__g` — the gram key, xxhash64'd when
     * `hashed`). The zip_with chain evaluates its collection args once

@@ -1076,6 +1076,53 @@ object DedupQueriesImpl {
        |LEFT JOIN d ON d.nid = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
 
+  // ---- dedup_lines ------------------------------------------------------
+
+  /** LINE-level boilerplate dedup ([[graft.extra.Dedup
+    * .removeDupLines]] — the CCNet/RefinedWeb paragraph discipline,
+    * the granularity between whole-document and k-gram-span dedup):
+    * the documents' texts are first shaped into 12-token "paragraphs"
+    * joined by newlines (the corpus has no native line structure — the
+    * derivation is deterministic and replayed by the oracle), then
+    * every line occurring ≥ 2 times corpus-wide is cut from ALL its
+    * documents (the boilerplate posture; navigation bars and cookie
+    * banners are noise, not content) and each text is rebuilt in
+    * original line order with removal counts.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = split(col("text"), " ")
+    val paras = d.select(col("doc_id"),
+      array_join(transform(
+        sequence(lit(0),
+          ceil(size(t) / lit(12.0)).cast("int") - 1),
+        i => array_join(slice(t, i * 12 + 1, lit(12)), " ")), "\n")
+        .as("text"))
+    graft.extra.Dedup.removeDupLines(paras, "doc_id", "text",
+        sep = "\n", minCount = 2)
+      .orderBy("doc_id")
+  }
+
+  private val dedupLinesOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, i AS line_no,
+      |    array_to_string(t[(i*12+1):((i+1)*12)], ' ') AS line
+      |  FROM toks, range(0, 64) r(i) WHERE i*12 < len(t)),
+      |boiler AS (SELECT line FROM lines GROUP BY 1 HAVING count(*) >= 2),
+      |m AS (SELECT l.doc_id, l.line_no, l.line,
+      |    (b.line IS NOT NULL) AS cut
+      |  FROM lines l LEFT JOIN boiler b ON l.line = b.line)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN NOT cut THEN line END, chr(10)
+      |    ORDER BY line_no), '') AS text,
+      |  CAST(count(*) FILTER (cut) AS BIGINT) AS n_lines_removed,
+      |  CAST(coalesce(sum(len(string_split(line, ' ')))
+      |    FILTER (cut), 0) AS BIGINT) AS n_tokens_removed
+      |FROM m GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- neardup_index ----------------------------------------------------
 
   /** The PERSISTED-index form of `neardup_incremental`
@@ -1250,6 +1297,10 @@ object DedupQueriesImpl {
       "the same verdict served from a PERSISTED MinHash band index " +
         "(pruned posting lookup + candidate-only shingle fetch)",
       neardupIndex, Some(neardupIncrementalOracle)),
+    QueryDef("dedup_lines",
+      "CCNet-style line/paragraph boilerplate dedup: corpus-repeated " +
+        "lines cut from every doc, text rebuilt in order",
+      dedupLines, Some(dedupLinesOracle)),
     QueryDef("cluster_sample",
       "cluster-stratified diversity sampling: top-8 per semantic " +
         "cluster in content-hash order",

@@ -422,4 +422,67 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "persisted frames leaked past the operator call")
   }
+
+  // ---- removeDupLines (CCNet paragraph/line boilerplate dedup) ------
+
+  private val lineDocs = Seq(
+    (1L, "cookie banner\nunique article one\nfooter nav"),
+    (2L, "cookie banner\nunique article two\nfooter nav"),
+    (3L, "unique article three\ncookie banner"),
+    (4L, "entirely unique document"))
+    .toDF("doc_id", "text")
+
+  private def lineRows(df: org.apache.spark.sql.DataFrame) = df
+    .orderBy("doc_id").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    .toSeq
+
+  test("removeDupLines: boilerplate posture cuts EVERY copy of a " +
+      "corpus-repeated line, rebuilds in original order, counts " +
+      "lines and tokens") {
+    val got = lineRows(Dedup.removeDupLines(lineDocs, "doc_id", "text"))
+    assert(got == Seq(
+      (1L, "unique article one", 2L, 4L),
+      (2L, "unique article two", 2L, 4L),
+      (3L, "unique article three", 1L, 2L),
+      (4L, "entirely unique document", 0L, 0L)))
+  }
+
+  test("removeDupLines: keepCanonical keeps the minimal (doc, line) " +
+      "occurrence of each repeated line and cuts the rest") {
+    val got = lineRows(Dedup.removeDupLines(lineDocs, "doc_id", "text",
+      keepCanonical = true))
+    // canonical "cookie banner" is (1,0); canonical "footer nav" (1,2)
+    assert(got(0) == ((1L, "cookie banner\nunique article one\nfooter nav",
+      0L, 0L)))
+    assert(got(1) == ((2L, "unique article two", 2L, 4L)))
+    assert(got(2) == ((3L, "unique article three", 1L, 2L)))
+  }
+
+  test("removeDupLines: hashed keys produce identical output to " +
+      "string keys; an all-boilerplate doc rebuilds to empty text") {
+    val all = lineDocs.unionByName(
+      Seq((5L, "cookie banner\nfooter nav")).toDF("doc_id", "text"))
+    val s = lineRows(Dedup.removeDupLines(all, "doc_id", "text"))
+    val h = lineRows(Dedup.removeDupLines(all, "doc_id", "text",
+      hashed = true))
+    assert(s == h)
+    assert(s.last == ((5L, "", 2L, 4L)))
+  }
+
+  test("removeDupLines: regex-special separators are treated " +
+      "literally and minCount raises the boilerplate bar") {
+    val d = Seq((1L, "a b|x y|a b"), (2L, "a b|q r"))
+      .toDF("doc_id", "text")
+    // '|' would split per-character if passed through as a regex;
+    // "a b" occurs 3 times corpus-wide (twice within doc 1 — WITHIN-doc
+    // repetition counts toward the bar, the CCNet rule)
+    val got = lineRows(Dedup.removeDupLines(d, "doc_id", "text",
+      sep = "|", minCount = 3))
+    assert(got == Seq((1L, "x y", 2L, 4L), (2L, "q r", 1L, 2L)))
+    val strict = lineRows(Dedup.removeDupLines(d, "doc_id", "text",
+      sep = "|", minCount = 4))
+    assert(strict == Seq((1L, "a b|x y|a b", 0L, 0L),
+      (2L, "a b|q r", 0L, 0L)))
+  }
 }
