@@ -105,24 +105,32 @@ object AnnIndex {
     * micro-batch (r10: that per-batch overhead held streaming ingest
     * to half its target).
     */
-  def readCodebooks(spark: SparkSession, dir: String): FrozenCodebooks = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
-    // indexes written before residual encoding existed have no flag —
-    // they are raw-vector indexes by construction
-    val residual = meta.schema.fieldNames.contains("residual") &&
-      meta.getAs[Boolean]("residual")
-    val cbRows = spark.read.parquet(s"$dir/codebooks")
-      .select("kind", "pos", "cid", "v", "nrm").collect()
-      .map { r =>
-        (r.getString(0), r.getInt(1), Similarity.Centroid(r.getLong(2),
-          r.getSeq[Double](3).toArray, r.getDouble(4)))
-      }
-    def kind(k: String) =
-      cbRows.collect { case (`k`, pos, c) => (pos, c) }
-        .sortBy(_._1).map(_._2).toSeq
-    FrozenCodebooks(kind("coarse"), kind("pq"), m, sub, residual)
-  }
+  def readCodebooks(spark: SparkSession, dir: String): FrozenCodebooks =
+    // driver-memoized ([[IndexManifests.cachedSideFile]]): both side
+    // files are rewritten ONLY by a full [[writeIvfPq]] rebuild (the
+    // frozen-codebook contract — appends and compacts never retrain),
+    // and a rebuild Overwrites `meta/` too, so its listing signature
+    // is a sound key for the pair. Un-memoized, EVERY search/ingest
+    // call paid two Spark jobs re-collecting bytes that cannot have
+    // changed.
+    IndexManifests.cachedSideFile(spark, s"$dir/meta") {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+      // indexes written before residual encoding existed have no flag —
+      // they are raw-vector indexes by construction
+      val residual = meta.schema.fieldNames.contains("residual") &&
+        meta.getAs[Boolean]("residual")
+      val cbRows = spark.read.parquet(s"$dir/codebooks")
+        .select("kind", "pos", "cid", "v", "nrm").collect()
+        .map { r =>
+          (r.getString(0), r.getInt(1), Similarity.Centroid(r.getLong(2),
+            r.getSeq[Double](3).toArray, r.getDouble(4)))
+        }
+      def kind(k: String) =
+        cbRows.collect { case (`k`, pos, c) => (pos, c) }
+          .sortBy(_._1).map(_._2).toSeq
+      FrozenCodebooks(kind("coarse"), kind("pq"), m, sub, residual)
+    }
 
   /** Committed (version, entries) — or the LEGACY adoption for a
     * pre-manifest index: its flat `codes/` (and `tombstones/`) root

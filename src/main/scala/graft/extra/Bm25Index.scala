@@ -367,17 +367,24 @@ object Bm25Index {
     * for the scoring scalars.
     */
   private def netMeta(spark: SparkSession, dir: String,
-      entries: Map[String, Seq[String]]): (Long, Long) = {
-    val m = readFrame(spark, dir, entries, "meta").get
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
-        coalesce(sum("sum_dl"), lit(0L)).as("s")).head()
-    val (tn, ts) = readTombstones(spark, dir, entries).map { t =>
-      val r = t.agg(coalesce(sum("n"), lit(0L)).as("n"),
-        coalesce(sum("s"), lit(0L)).as("s")).head()
-      (r.getLong(0), r.getLong(1))
-    }.getOrElse((0L, 0L))
-    (m.getLong(0) - tn, m.getLong(1) - ts)
-  }
+      entries: Map[String, Seq[String]]): (Long, Long) =
+    // memoized per committed snapshot ([[IndexManifests
+    // .cachedByEntries]] — the meta/tombstones segment LISTS are the
+    // key, so any append/compact/delete misses): un-memoized, every
+    // search call paid a Spark job re-summing partials that cannot
+    // have changed under an unchanged manifest
+    IndexManifests.cachedByEntries(dir, Seq("meta", "tombstones"),
+        entries) {
+      val m = readFrame(spark, dir, entries, "meta").get
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),
+          coalesce(sum("sum_dl"), lit(0L)).as("s")).head()
+      val (tn, ts) = readTombstones(spark, dir, entries).map { t =>
+        val r = t.agg(coalesce(sum("n"), lit(0L)).as("n"),
+          coalesce(sum("s"), lit(0L)).as("s")).head()
+        (r.getLong(0), r.getLong(1))
+      }.getOrElse((0L, 0L))
+      (m.getLong(0) - tn, m.getLong(1) - ts)
+    }
 
   /** Periodic maintenance for an appended index (the LSM compaction
     * half of the append story, same precedent as

@@ -415,4 +415,33 @@ private[graft] object IndexManifests {
       v
     }
   }
+
+  /** Driver memo for a bounded scalar derived from MANIFEST-NAMED
+    * segments: the key is the caller's (dir + the relevant entries
+    * lists), which names the exact committed files the value was
+    * computed from — a later commit changes the lists and misses the
+    * cache, so there is no staleness window. For per-call aggregate
+    * reads over small frames (BM25's corpus-stats partials) the memo
+    * turns a Spark job per search call into a map hit on every call
+    * against an unchanged snapshot. Values must be SMALL (scalars /
+    * tuples); the whole map is dropped past a size bound rather than
+    * LRU-tracked — versions advance monotonically, so stale keys are
+    * garbage, not working set.
+    */
+  private val keyedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Any]
+
+  def cachedByEntries[A](dir: String, frames: Seq[String],
+      entries: Map[String, Seq[String]])(read: => A): A = {
+    val key = dir + "#" + frames.map(f =>
+      f + ":" + entries.getOrElse(f, Nil).mkString(",")).mkString("|")
+    val hit = keyedCache.get(key)
+    if (hit != null) hit.asInstanceOf[A]
+    else {
+      val v = read
+      if (keyedCache.size > 4096) keyedCache.clear()
+      keyedCache.put(key, v)
+      v
+    }
+  }
 }
