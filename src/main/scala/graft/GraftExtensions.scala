@@ -202,6 +202,21 @@ object GraftExtensions {
     }
   }
 
+  private def litDouble(e: Expression, fn: String, what: String): Double = {
+    require(e.foldable, s"$fn $what must be a literal")
+    e.eval() match {
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float => f.doubleValue
+      case b: java.lang.Byte => b.doubleValue
+      case s: java.lang.Short => s.doubleValue
+      case i: java.lang.Integer => i.doubleValue
+      case l: java.lang.Long => l.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case o => throw new IllegalArgumentException(
+        s"$fn $what must be a numeric literal, got $o")
+    }
+  }
+
   /** `graft_asof(left, right, key, ts, carryCsv[, direction[, tol]])` —
     * the native as-of join as a TVF over REGISTERED TABLE/VIEW NAMES
     * (TVF arguments are literal expressions, so relations arrive by
@@ -369,16 +384,8 @@ object GraftExtensions {
         val batch = spark.table(litString(children(1), fn, "batchTable"))
         val idCol = litString(children(2), fn, "idCol")
         val textCol = litString(children(3), fn, "textCol")
-        val thr = children.lift(4).map { e =>
-          require(e.foldable, s"$fn threshold must be a literal")
-          e.eval() match {
-            case d: java.lang.Double => d.doubleValue
-            case f: java.lang.Float => f.doubleValue
-            case d: org.apache.spark.sql.types.Decimal => d.toDouble
-            case o => throw new IllegalArgumentException(
-              s"$fn threshold must be a numeric literal, got $o")
-          }
-        }.getOrElse(0.5)
+        val thr = children.lift(4)
+          .map(litDouble(_, fn, "threshold")).getOrElse(0.5)
         graft.extra.MinhashIndex.dedupBatch(spark, dir, batch, idCol,
           textCol, thr).queryExecution.analyzed
       })
@@ -434,16 +441,8 @@ object GraftExtensions {
         val batch = spark.table(litString(children(1), fn, "batchTable"))
         val idCol = litString(children(2), fn, "idCol")
         val vecCol = litString(children(3), fn, "vecCol")
-        val thr = children.lift(4).map { e =>
-          require(e.foldable, s"$fn threshold must be a literal")
-          e.eval() match {
-            case d: java.lang.Double => d.doubleValue
-            case f: java.lang.Float => f.doubleValue
-            case d: org.apache.spark.sql.types.Decimal => d.toDouble
-            case o => throw new IllegalArgumentException(
-              s"$fn threshold must be a numeric literal, got $o")
-          }
-        }.getOrElse(0.9)
+        val thr = children.lift(4)
+          .map(litDouble(_, fn, "threshold")).getOrElse(0.9)
         graft.extra.SemanticIndex.dedupBatch(spark, dir, batch, idCol,
           vecCol, thr).queryExecution.analyzed
       })

@@ -708,8 +708,12 @@ object Dedup {
       : DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val quoted = java.util.regex.Pattern.quote(sep)
+    // NULL text reads as empty text: split(null) is null and a plain
+    // posexplode would emit zero rows, silently DROPPING the document
+    // from the one-row-per-input output contract
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), quoted)).as(Seq("__ln", "__line")))
+        posexplode(split(coalesce(col(textCol), lit("")), quoted))
+          .as(Seq("__ln", "__line")))
       .withColumn("__k",
         if (hashed) xxhash64(col("__line")) else col("__line"))
     val boiler = lines.groupBy(col("__k"))

@@ -302,12 +302,15 @@ object MinhashIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchBands = bandsOf(batchSets, numPerms, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned: the distinct feeds the range probe, the broadcast size
+    // check, and the posting join — unpinned it would re-run its
+    // exchange+aggregate per consumer. Declared BEFORE the try whose
+    // finally owns its unpersist, so a failure anywhere in the chain
+    // (the range probe and count are real Spark jobs) cannot leak the
+    // cache entry past the call.
+    val buckets = batchBands.select("k", "band", "sig").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // pinned: the distinct feeds the range probe, the broadcast
-      // size check, and the posting join — unpinned it would re-run
-      // its exchange+aggregate per consumer
-      val buckets = batchBands.select("k", "band", "sig").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (paths, _) = IndexManifests.selectRangedFiles(spark, dir,
         entries, ranges, "bands", LongType, parseLong,
         buckets.select("k"), "k")
@@ -425,10 +428,10 @@ object MinhashIndex {
         } finally allSets.unpersist(blocking = false): Unit
       } finally {
         cand.unpersist(blocking = false)
-        unionBands.unpersist(blocking = false)
-        buckets.unpersist(blocking = false): Unit
+        unionBands.unpersist(blocking = false): Unit
       }
     } finally {
+      buckets.unpersist(blocking = false)
       batchBands.unpersist(blocking = false)
       batchSets.unpersist(blocking = false): Unit
     }

@@ -83,6 +83,10 @@ object SemanticIndex {
     val spark = emb.sparkSession
     import spark.implicits._
     val prev = IndexManifests.latest(spark, dir)
+    // an empty corpus would commit a file-less partitioned segment
+    // (the append-guard poison below) even with a caller-supplied
+    // codebook — reject up front
+    require(!emb.isEmpty, "semantic index build needs a non-empty corpus")
     val cents = prev match {
       case Some(_) => readCodebook(spark, dir)
       case None =>
@@ -137,6 +141,13 @@ object SemanticIndex {
     val (v0, entries, _) = requireLatestFull(spark, dir)
     if (txn.exists { case (sid, b) =>
         IndexManifests.txnApplied(entries, sid, b) }) return false
+    // an EMPTY batch must no-op (without advancing the ledger — a
+    // replay re-lands here and no-ops again): a partitionBy write of
+    // an empty frame produces a file-less directory whose committed
+    // segment poisons every later read with UNABLE_TO_INFER_SCHEMA —
+    // the [[AnnIndex.appendIvfPq]] guard, verified on Spark 4.1.2.
+    // Realistic trigger: an all-duplicates micro-batch's survivors.
+    if (batch.isEmpty) return false
     val cents = readCodebook(spark, dir)
     val seg = f"vectors/seg-${v0 + 1}%09d"
     writeSegment(assign(batch, idCol, vecCol, cents), dir, seg)

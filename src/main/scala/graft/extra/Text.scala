@@ -358,9 +358,13 @@ object Text {
     * corpus scan shuffle-free; here even the join disappears.
     *
     * Contract: vectors non-zero ([[Similarity.searchIvfPqVectors]]'s
-    * rule — a zero vector has no direction); zero-norm BENCHMARK rows
-    * are dropped with that reasoning (they can match nothing), an
-    * all-zero benchmark flags nothing.
+    * rule — a zero vector has no direction); zero-norm and NULL
+    * BENCHMARK rows are dropped with that reasoning (they can match
+    * nothing), an all-zero benchmark flags nothing. A CORPUS vector
+    * whose dimension differs from the benchmark's is a different
+    * model's output — its `max_cosine` (and so `contaminated`) comes
+    * back NULL rather than a truncated-arithmetic wrong verdict
+    * ([[graft.functions.MaxCosine]]'s dim-mismatch rule).
     */
   def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, benchVecCol: String,
@@ -373,6 +377,10 @@ object Text {
         "decontamination broadcasts the benchmark side by contract; " +
         "split the suite or raise the cap deliberately")
     val vecs = rows.iterator
+      // NULL benchmark embeddings match nothing — dropped with the
+      // same reasoning as the zero-norm filter below (a bare NPE from
+      // getSeq would point at nothing)
+      .filter(!_.isNullAt(0))
       .map(_.getSeq[Double](0).toArray)
       .map(v => (v, v.foldLeft(0d)((a, x) => a + x * x)))
       .filter(_._2 > 0d)

@@ -523,7 +523,13 @@ case class MaxCosine(child: Expression, cents: Array[Double],
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), dim)
+    // a row vector of the wrong dimension is a DIFFERENT EMBEDDING
+    // MODEL's output, not a shorter opinion — truncated arithmetic
+    // would return a plausible-looking, meaningless cosine and a
+    // silent wrong verdict. NULL marks it un-scorable (the [[PqEncode]]
+    // dim-mismatch discipline).
+    if (x.numElements() != dim) return null
+    val n = dim
     val isF = elemIsFloat
     var vn = 0.0
     var i = 0
@@ -565,9 +571,12 @@ case class MaxCosine(child: Expression, cents: Array[Double],
       val getXd = if (elemIsFloat) s"(double) $x.getFloat($d)"
         else s"$x.getDouble($d)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |// wrong-dimension vector = different model's output: NULL,
+         |// never truncated arithmetic (see nullSafeEval)
+         |if ($x.numElements() != $dim) { ${ev.isNull} = true; }
+         |int $n = $dim;
          |double $vn = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $vn += $getXi * $getXi;
          |}

@@ -470,6 +470,15 @@ class DedupSpec extends SparkSpec {
     assert(s.last == ((5L, "", 2L, 4L)))
   }
 
+  test("removeDupLines: a NULL-text document passes through as empty " +
+      "text instead of silently vanishing from the output") {
+    val d = Seq((1L, Some("a b\nc d")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = lineRows(Dedup.removeDupLines(d, "doc_id", "text"))
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(1) == ((2L, "", 0L, 0L)))
+  }
+
   test("removeDupLines: regex-special separators are treated " +
       "literally and minCount raises the boilerplate bar") {
     val d = Seq((1L, "a b|x y|a b"), (2L, "a b|q r"))

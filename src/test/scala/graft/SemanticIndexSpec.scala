@@ -144,6 +144,28 @@ class SemanticIndexSpec extends SparkSpec {
     assert(entries("vectors").size == 1)
   }
 
+  test("an all-duplicates batch appends NOTHING (no file-less poison " +
+      "segment, no version bump) and the NEXT batch still serves") {
+    val dir = tmp("graft_semidx_empty_")
+    SemanticIndex.build(corpus, "doc_id", "embedding", dir)
+    val v0 = graft.extra.IndexManifests.latest(spark, dir).get._1
+    // every batch doc near-copies corpus 0 → zero survivors
+    val allDup = Seq((100L, Seq(0.99f, 0.01f, 0f, 0f)))
+      .toDF("doc_id", "embedding")
+    val keep = allDup.join(
+      SemanticIndex.dedupBatch(spark, dir, allDup, "doc_id",
+        "embedding", threshold = 0.95)
+        .filter(!col("is_dup")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(!SemanticIndex.append(keep, "doc_id", "embedding", dir,
+      txn = Some(("sE", 0L))))
+    assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == v0)
+    val next = verdicts(SemanticIndex.dedupBatch(spark, dir,
+      Seq((200L, Seq(0f, 0.98f, 0.02f, 0f))).toDF("doc_id", "embedding"),
+      "doc_id", "embedding", threshold = 0.95))
+    assert(next == Seq((200L, true, 1L)))
+  }
+
   test("rebuild keeps the frozen codebook (appends and rebuilds never " +
       "retrain)") {
     val dir = tmp("graft_semidx_frozen_")
@@ -220,6 +242,22 @@ class SemanticIndexSpec extends SparkSpec {
       Text.decontaminateSemantic(corpusE, mixed,
         "doc_id", "embedding", "vec", threshold = 0.5)
     }
+    // a NULL benchmark embedding is dropped (matches nothing), not NPE
+    val withNull = Seq((900L, Some(Seq(0.98f, 0.02f, 0f, 0f))),
+      (901L, Option.empty[Seq[Float]])).toDF("bid", "vec")
+    val gn = Text.decontaminateSemantic(corpusE, withNull,
+        "doc_id", "embedding", "vec", threshold = 0.9)
+      .orderBy("doc_id").collect()
+    assert(gn(0).getBoolean(1) && !gn(1).getBoolean(1))
+    // a WRONG-DIMENSION corpus vector is a different model's output:
+    // max_cosine (and contaminated) come back NULL, never a
+    // truncated-arithmetic verdict
+    val mixedCorpus = corpusE.unionByName(
+      Seq((9L, Seq(1f, 0f))).toDF("doc_id", "embedding"))
+    val md = Text.decontaminateSemantic(mixedCorpus, bench,
+        "doc_id", "embedding", "vec", threshold = 0.9)
+      .filter(col("doc_id") === 9L).head()
+    assert(md.isNullAt(1) && md.isNullAt(2))
   }
 
   test("decontaminateSemantic: interpreted eval matches codegen " +
