@@ -88,26 +88,44 @@ object Graph {
     require(n > 0, "pagerank: edges must be non-empty (no nodes found)")
     val base = (Scale * (100 - dampingPct) / 100) / n
 
+    // The rank frame is EXACTLY n rows — a driver-known scalar. Below
+    // the broadcast bound the whole loop chains LAZILY with the rank
+    // side broadcast-HINTED into both per-iteration joins: one Spark
+    // job for all `iters` rounds, no per-round checkpoint writes and
+    // no per-round driver barriers (measured at sf0.1, 1.18M edges /
+    // 21k nodes, local[32]: 5.0 s materialized-AQE loop → the chained
+    // broadcast form below; the old alternative — chaining WITHOUT
+    // the hint — lost AQE's stats and fell back to sort-merge over
+    // the edge list, 9.4 s, which is why the loop used to
+    // materialize). Past the bound (ranks too big to broadcast — the
+    // 100× cluster graph) the loop falls back to the materialized
+    // form: each round an eager localCheckpoint hands AQE exact row
+    // counts, keeps lineage depth constant, and lets it pick keyed
+    // joins that scale.
+    // iters also gates the chained form: each round deepens ONE lazy
+    // plan, and Catalyst's optimizer time grows superlinearly with
+    // depth — past a few dozen rounds the materialized loop's
+    // constant-depth plans win regardless of broadcast fit
+    val broadcastRanks = n <= 5000000L && iters <= 32
     var ranks = nodes.withColumn("r", lit(Scale / n))
     for (i <- 1 to iters) {
+      val rankSide = {
+        val r = ranks.withColumnRenamed("id", "src")
+        if (broadcastRanks) broadcast(r) else r
+      }
       val contribs = adj
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(rankSide, "src")
         .select(col("dsts"), expr("r div deg").as("c"))
         .select(explode(col("dsts")).as("id"), col("c"))
+      val agg = contribs.groupBy("id").agg(sum(col("c")).as("m"))
       ranks = nodes
-        .join(contribs.groupBy("id").agg(sum(col("c")).as("m")),
+        .join(if (broadcastRanks) broadcast(agg) else agg,
           Seq("id"), "left")
         .select(col("id"),
           (lit(base) +
             expr(s"($dampingPct * coalesce(m, 0L)) div 100")).as("r"))
-      // MEASURED trade-off (sf0.1, 1.18M edges, local[32]): per-
-      // iteration materialization costs an eager job each round but
-      // hands AQE exact stats (21k rows) so the rank join converts to
-      // broadcast — 5.8s total. Chaining 5 iterations per job looked
-      // cheaper on paper but loses the stats: the rank joins fall back
-      // to sort-merge over the full edge list — 9.4s. Materialize wins;
-      // it is also what bounds lineage depth for large `iters`.
-      ranks = ranks.transform(Dedup.materialize)
+      if (!broadcastRanks)
+        ranks = ranks.transform(Dedup.materialize)
     }
     ranks.select(col("id"), col("r").as("rank_e12"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
