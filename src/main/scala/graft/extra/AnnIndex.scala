@@ -250,19 +250,22 @@ object AnnIndex {
     * advanced atomically with the commit — a replayed batchId is a
     * no-op (StreamingAnnSpec pins bit-identity).
     *
-    * `autoCompactSegments` (0 = off) is the ingest-side maintenance
-    * guard (r14 verdict #5): when the commit leaves more than that
-    * many live `codes/` segments, [[compact]] runs immediately after,
-    * so a long-running ingest holds its read fan-in bounded without
-    * an operator in the loop. The ledger carries through the fold —
-    * replay safety is unchanged.
+    * `autoCompactFanout` (0 = off) is the ingest-side maintenance
+    * guard (r14 verdict #5, re-policied per r15 verdict #1): when a
+    * size tier of `codes/` segments reaches that many members, a
+    * SIZE-TIERED minor merge ([[compactTier]]) folds ONLY that tier —
+    * per-trigger work bounded by the tier, never the index, so a
+    * long-running ingest holds its read fan-in O(fanout · log N)
+    * without an operator in the loop and without the old
+    * threshold→full-merge policy's O(index) micro-batch stall. The
+    * ledger carries through the fold — replay safety is unchanged.
     */
   def appendIvfPq(spark: SparkSession, dir: String,
       emb: org.apache.spark.sql.DataFrame, idCol: String,
       vecCol: String, codebooks: Option[FrozenCodebooks] = None,
       singleFileBatch: Boolean = false,
       txn: Option[(String, Long)] = None,
-      autoCompactSegments: Int = 0): Unit = {
+      autoCompactFanout: Int = 0): Unit = {
     // codebooks are FROZEN, so a steady ingest reads them once and
     // passes them in; the per-call read is only the convenience path
     val cb = codebooks.getOrElse(readCodebooks(spark, dir))
@@ -318,8 +321,51 @@ object AnnIndex {
     IndexManifests.commit(spark, dir, v0 + 1,
       txn.fold(withSeg) { case (sid, b) =>
         IndexManifests.withTxn(withSeg, sid, b) })
-    if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
-      compact(spark, dir)
+    if (autoCompactFanout > 0)
+      compactTier(spark, dir, autoCompactFanout): Unit
+  }
+
+  /** SIZE-TIERED minor compaction (r15 verdict #1 — the auto policy
+    * behind `autoCompactFanout`, the [[SubstrIndex.compactTier]]
+    * discipline on the dense layout): merge ONLY the first full size
+    * tier of `codes/` segments ([[IndexManifests.pickTier]]) into one
+    * tier-up `list_id`-partitioned segment — per-trigger work bounded
+    * by the tier's bytes, never the index, live segment count
+    * O(fanout · log N). Tombstones are NOT applied here (the read
+    * path's anti-join stays; only the major [[compact]] makes deletes
+    * physical) and codebooks/meta are untouched, so searches are
+    * bit-identical before and after — the merged rows land id-sorted
+    * within each list partition exactly as the inputs were. The txn
+    * ledger and tombstone frame carry through; a now-full higher tier
+    * waits for the next append's trigger. Returns true when a tier
+    * merged.
+    */
+  def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
+      retainVersions: Int = 1): Boolean = {
+    // manifest-committed layouts only: a legacy flat layout must go
+    // through [[compact]]'s migration first (writerEntries' contract —
+    // a nested tier-up segment inside the live flat dir would corrupt
+    // partition discovery), and the auto path only ever runs after an
+    // append, which guarantees the manifest exists
+    val (v0, entries) = IndexManifests.latest(spark, dir)
+      .getOrElse(return false)
+    val segs = entries.getOrElse("codes", Nil)
+    val sizes = IndexManifests.segmentBytes(spark, dir, segs)
+    val picked = IndexManifests.pickTier(sizes, fanout)
+    if (picked.isEmpty) return false
+    val pickedSet = picked.toSet
+    val seg = f"codes/seg-${v0 + 1}%09d"
+    picked.map(rel => spark.read.parquet(s"$dir/$rel"))
+      .reduce(_.unionByName(_))
+      .repartition(col("list_id"))
+      .sortWithinPartitions(col("list_id"), col("id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(s"$dir/$seg")
+    IndexManifests.commit(spark, dir, v0 + 1,
+      entries + ("codes" -> (segs.filterNot(pickedSet) :+ seg)))
+    IndexManifests.vacuum(spark, dir, Seq("codes", "tombstones"),
+      keepVersions = retainVersions)
+    true
   }
 
   private def readTombstones(spark: SparkSession, dir: String,

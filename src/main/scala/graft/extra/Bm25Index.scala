@@ -282,15 +282,91 @@ object Bm25Index {
   def append(docs: DataFrame, idCol: String, textCol: String,
       dir: String, numFiles: Int = 8,
       txn: Option[(String, Long)] = None,
-      autoCompactSegments: Int = 0): Unit = {
+      autoCompactFanout: Int = 0): Unit = {
     build(docs, idCol, textCol, dir, numFiles, SaveMode.Append, txn)
-    // ingest-side maintenance guard (r14 verdict #5): fold the LSM
-    // when the append leaves too many live tf segments — the ledger
-    // carries through compact, so replay safety is unchanged
-    if (autoCompactSegments > 0 &&
-        latest(docs.sparkSession, dir)
-          .exists(_._2.getOrElse("tf", Nil).size > autoCompactSegments))
-      compact(docs.sparkSession, dir, numFiles)
+    // ingest-side maintenance guard (r14 verdict #5, re-policied per
+    // r15 verdict #1): SIZE-TIERED minor merge when a tf size tier
+    // fills — work bounded by the tier, never the index; the ledger
+    // carries through, so replay safety is unchanged
+    if (autoCompactFanout > 0)
+      compactTier(docs.sparkSession, dir, autoCompactFanout): Unit
+  }
+
+  /** SIZE-TIERED minor compaction (r15 verdict #1 — the
+    * [[SubstrIndex.compactTier]] policy on the four-frame BM25
+    * layout): pick the first full size tier of TF segments
+    * ([[IndexManifests.pickTier]]) and structurally merge them —
+    * together with the SAME-VERSION dl/df/meta segments (every
+    * build/append commits the four under one seg-N) — into one
+    * tier-up segment per frame: tf/dl rows re-clustered plain, df
+    * partials summed WITHIN the tier (still partial vs the unpicked
+    * segments — readers sum across segments either way), meta
+    * partials summed likewise. Tombstones are NOT applied (their
+    * df/meta corrections stay deferred to the major [[compact]],
+    * which owns the id-keyed correction pass), so searches are
+    * bit-identical before and after. Per-trigger work is bounded by
+    * the tier's bytes, never the index; ledger and tombstones carry.
+    * Returns true when a tier merged.
+    */
+  def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
+      retainVersions: Int = 1): Boolean = {
+    import spark.implicits._
+    val (v0, entries, ranges) = requireLatestFull(spark, dir)
+    val tfSegs = entries.getOrElse("tf", Nil)
+    val sizes = IndexManifests.segmentBytes(spark, dir, tfSegs)
+    val pickedTf = IndexManifests.pickTier(sizes, fanout)
+    if (pickedTf.isEmpty) return false
+    // tf/seg-N → the same version's dl/df/meta segments
+    val versionsPicked = pickedTf.map(_.stripPrefix("tf/"))
+    def pickedOf(frame: String): Seq[String] = {
+      val live = entries.getOrElse(frame, Nil).toSet
+      versionsPicked.map(v => s"$frame/$v").filter(live.contains)
+    }
+    val pickedAll =
+      (pickedTf ++ Seq("dl", "df", "meta").flatMap(pickedOf)).toSet
+    val bytes = sizes.collect { case (s, b) if pickedAll(s) => b }.sum
+    val nf = IndexManifests.tierFileCount(bytes)
+    val v = v0 + 1
+    val seg = f"seg-$v%09d"
+    def readPicked(frame: String): Option[DataFrame] = {
+      val p = pickedOf(frame)
+      if (p.isEmpty) None
+      else Some(spark.read.parquet(p.map(s => s"$dir/$s"): _*))
+    }
+    Layout.writeClustered(
+      spark.read.parquet(pickedTf.map(s => s"$dir/$s"): _*),
+      s"$dir/tf/$seg", Seq(col("term"), col("id")), nf)
+    readPicked("dl").foreach(_
+      .repartition(1).sortWithinPartitions(col("id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dl/$seg"))
+    readPicked("df").foreach(d => Layout.writeClustered(
+      d.groupBy(col("term")).agg(sum(col("df")).as("df")),
+      s"$dir/df/$seg", Seq(col("term")), math.max(1, nf / 4)))
+    readPicked("meta").foreach { m =>
+      val r = m.agg(coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("sum_dl"), lit(0L))).head()
+      Seq((r.getLong(0), r.getLong(1))).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/meta/$seg")
+    }
+    val fresh = entries ++ Seq("tf", "dl", "df", "meta").map { f =>
+      val merged =
+        if (f == "tf" || pickedOf(f).nonEmpty) Seq(s"$f/$seg") else Nil
+      f -> (entries.getOrElse(f, Nil).filterNot(pickedAll) ++ merged)
+    }.toMap
+    val segRanges =
+      IndexManifests.fileRangeStats(spark, dir, s"tf/$seg", "term") ++
+        (if (pickedOf("df").isEmpty) Map.empty
+         else IndexManifests.fileRangeStats(spark, dir, s"df/$seg",
+           "term"))
+    val keptRanges = ranges.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      !(i > 0 && pickedAll.contains(f.substring(0, i)))
+    }
+    commit(spark, dir, v, fresh, keptRanges ++ segRanges)
+    IndexManifests.vacuum(spark, dir, Frames,
+      keepVersions = retainVersions)
+    true
   }
 
   private def readTombstones(spark: SparkSession, dir: String,
@@ -373,7 +449,7 @@ object Bm25Index {
     // key, so any append/compact/delete misses): un-memoized, every
     // search call paid a Spark job re-summing partials that cannot
     // have changed under an unchanged manifest
-    IndexManifests.cachedByEntries(dir, Seq("meta", "tombstones"),
+    IndexManifests.cachedByEntries(spark, dir, Seq("meta", "tombstones"),
         entries) {
       val m = readFrame(spark, dir, entries, "meta").get
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n"),

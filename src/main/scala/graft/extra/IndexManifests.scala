@@ -363,6 +363,65 @@ private[graft] object IndexManifests {
       liveRanged.size + legacySegs.size)
   }
 
+  /** On-disk byte size of each manifest-named segment — one driver
+    * content-summary call per segment (recursive length; one RPC on
+    * HDFS-likes). Live segment count is O(fanout · log N) under the
+    * tiered policy, so the per-append stat pass is bounded metadata.
+    */
+  private[graft] def segmentBytes(spark: SparkSession, dir: String,
+      segs: Seq[String]): Seq[(String, Long)] = {
+    val (fs, _) = fsOf(spark, dir)
+    segs.map { s =>
+      val p = new Path(s"$dir/$s")
+      val len = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      s -> len
+    }
+  }
+
+  /** SIZE-TIERED minor-compaction planning (classic LSM — the
+    * Cassandra STCS / Lucene tiered-merge shape, r15 verdict #1): walk
+    * the segments size-ascending, bucketing greedily — a bucket
+    * extends while the next segment is within `factor`× of the
+    * bucket's SMALLEST member — and return the `fanout` smallest
+    * members of the first bucket that reaches `fanout` segments.
+    * Empty when no bucket is full.
+    *
+    * The two bounds this buys over threshold→full-merge:
+    *   - per-trigger merge INPUT is ≤ fanout · factor · (smallest
+    *     member) — the tier's size, never the index: a steady ingest's
+    *     tier-0 merge folds `fanout` micro-batch segments however big
+    *     the standing corpus is, and a tier-k merge (geometrically
+    *     rarer) folds `fanout` tier-k segments;
+    *   - stable live-segment count is O(fanout · log_factor N): every
+    *     full bucket merges away, so each tier holds < fanout
+    *     members — lifetime write amplification O(N · log N / fanout)
+    *     instead of the full-merge policy's O(N²/threshold).
+    *
+    * TieredCompactionSpec pins both over a 100-append ingest.
+    */
+  private[graft] def pickTier(sizes: Seq[(String, Long)], fanout: Int,
+      factor: Double = 4.0): Seq[String] = {
+    require(fanout >= 2, s"tier fanout must be >= 2, got $fanout")
+    val asc = sizes.sortBy { case (s, b) => (b, s) }
+    var i = 0
+    while (i < asc.length) {
+      val lo = math.max(asc(i)._2, 1L)
+      var j = i + 1
+      while (j < asc.length && asc(j)._2 <= lo * factor) j += 1
+      if (j - i >= fanout) return asc.slice(i, i + fanout).map(_._1)
+      i = j
+    }
+    Nil
+  }
+
+  /** Output file count for a tier merge, sized from its input bytes
+    * (~96 MB of parquet per file, capped) so a tier-up segment lands
+    * near the scan sweet spot instead of inheriting a fixed count.
+    */
+  private[graft] def tierFileCount(inputBytes: Long): Int =
+    math.max(1L, math.min(16L,
+      (inputBytes + (96L << 20) - 1) / (96L << 20))).toInt
+
   /** Delete every on-disk child of the given frame dirs not named by
     * `live` (post-commit physical cleanup — overwrite builds and
     * compaction). A frame dir left with no children is removed too.
@@ -418,9 +477,14 @@ private[graft] object IndexManifests {
 
   /** Driver memo for a bounded scalar derived from MANIFEST-NAMED
     * segments: the key is the caller's (dir + the relevant entries
-    * lists), which names the exact committed files the value was
-    * computed from — a later commit changes the lists and misses the
-    * cache, so there is no staleness window. For per-call aggregate
+    * lists) PLUS the head manifest file's listing signature
+    * (name:length:mtime) — the entries lists alone name the committed
+    * files a value was computed from, but segment NAMES restart at
+    * seg-000000001 after a delete-and-rebuild at the same path, so a
+    * long-lived JVM could serve the old corpus' scalars against the
+    * rebuilt index (ADVICE r15); the manifest stat (one FS listing,
+    * the [[cachedSideFile]] discipline) closes that window because a
+    * rebuild writes a fresh manifest file. For per-call aggregate
     * reads over small frames (BM25's corpus-stats partials) the memo
     * turns a Spark job per search call into a map hit on every call
     * against an unchanged snapshot. Values must be SMALL (scalars /
@@ -431,9 +495,19 @@ private[graft] object IndexManifests {
   private val keyedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Any]
 
-  def cachedByEntries[A](dir: String, frames: Seq[String],
-      entries: Map[String, Seq[String]])(read: => A): A = {
-    val key = dir + "#" + frames.map(f =>
+  def cachedByEntries[A](spark: SparkSession, dir: String,
+      frames: Seq[String], entries: Map[String, Seq[String]])
+      (read: => A): A = {
+    val (fs, md) = fsOf(spark, manifestDir(dir))
+    val headSig =
+      if (!fs.exists(md)) "none"
+      else fs.listStatus(md).toSeq
+        .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
+        .sortBy(_._1).lastOption
+        .map { case (_, s) =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}" }
+        .getOrElse("none")
+    val key = dir + "@" + headSig + "#" + frames.map(f =>
       f + ":" + entries.getOrElse(f, Nil).mkString(",")).mkString("|")
     val hit = keyedCache.get(key)
     if (hit != null) hit.asInstanceOf[A]

@@ -147,13 +147,14 @@ object MinhashIndex {
   /** LSM-append a batch (normally the docs curation KEPT — see the
     * ingest-order contract): one shingle pass, two clustered segment
     * writes, one manifest commit; `txn` is the exactly-once ledger,
-    * `autoCompactSegments` the ingest-side maintenance guard (folds
-    * when the bands segment count passes the threshold; ledger
-    * carries through).
+    * `autoCompactFanout` the ingest-side maintenance guard — a
+    * SIZE-TIERED minor merge ([[compactTier]]) when a bands size tier
+    * fills, work bounded by the tier, never the index; ledger carries
+    * through.
     */
   def append(batch: DataFrame, idCol: String, textCol: String,
       dir: String, txn: Option[(String, Long)] = None,
-      numFiles: Int = 2, autoCompactSegments: Int = 0): Unit = {
+      numFiles: Int = 2, autoCompactFanout: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (v0, entries, ranges) = requireLatestFull(spark, dir)
     if (txn.exists { case (sid, b) =>
@@ -176,9 +177,61 @@ object MinhashIndex {
         txn.fold(withSegs) { case (sid, b) =>
           IndexManifests.withTxn(withSegs, sid, b) },
         ranges ++ segRanges)
-      if (autoCompactSegments > 0 && newBands.size > autoCompactSegments)
-        compact(spark, dir)
+      if (autoCompactFanout > 0)
+        compactTier(spark, dir, autoCompactFanout): Unit
     } finally sets.unpersist(blocking = false): Unit
+  }
+
+  /** SIZE-TIERED minor compaction (r15 verdict #1 — the
+    * [[SubstrIndex.compactTier]] policy on the band-index layout):
+    * pick the first full size tier of BANDS segments
+    * ([[IndexManifests.pickTier]]) and merge them — together with the
+    * SAME-VERSION sets segments (append and build always commit the
+    * pair under one seg-N, so the frames tier in lockstep) — into one
+    * tier-up clustered segment per frame. Rows are plain (no partial
+    * merge), tombstones are NOT applied (the probe-path anti-join
+    * stays; only the major [[compact]] makes deletes physical), the
+    * ledger carries, merged-away files' `#range=` stats drop and the
+    * tier-up segments commit fresh ones. Per-trigger work is bounded
+    * by the tier's bytes, never the index. Returns true when a tier
+    * merged.
+    */
+  def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
+      retainVersions: Int = 1): Boolean = {
+    val (v0, entries, ranges) = requireLatestFull(spark, dir)
+    val bandSegs = entries.getOrElse("bands", Nil)
+    val sizes = IndexManifests.segmentBytes(spark, dir, bandSegs)
+    val pickedB = IndexManifests.pickTier(sizes, fanout)
+    if (pickedB.isEmpty) return false
+    val setSegs = entries.getOrElse("sets", Nil).toSet
+    val pickedS = pickedB.map(_.replaceFirst("^bands/", "sets/"))
+      .filter(setSegs.contains)
+    val pickedSet = (pickedB ++ pickedS).toSet
+    val bytes =
+      sizes.collect { case (s, b) if pickedSet(s) => b }.sum +
+        IndexManifests.segmentBytes(spark, dir, pickedS).map(_._2).sum
+    val nf = IndexManifests.tierFileCount(bytes)
+    val segB = f"bands/seg-${v0 + 1}%09d"
+    val segS = f"sets/seg-${v0 + 1}%09d"
+    def readSegs(segs: Seq[String]) =
+      spark.read.parquet(segs.map(s => s"$dir/$s"): _*)
+    val segRanges =
+      writeClusteredSeg(readSegs(pickedB), dir, segB, "k", nf) ++
+        (if (pickedS.isEmpty) Map.empty
+         else writeClusteredSeg(readSegs(pickedS), dir, segS, "d", nf))
+    val keptRanges = ranges.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      !(i > 0 && pickedSet.contains(f.substring(0, i)))
+    }
+    val fresh = entries +
+      ("bands" -> (bandSegs.filterNot(pickedSet) :+ segB)) +
+      ("sets" -> (entries.getOrElse("sets", Nil).filterNot(pickedSet) ++
+        (if (pickedS.isEmpty) Nil else Seq(segS))))
+    IndexManifests.commit(spark, dir, v0 + 1, fresh,
+      keptRanges ++ segRanges)
+    IndexManifests.vacuum(spark, dir, Frames,
+      keepVersions = retainVersions)
+    true
   }
 
   /** Re-cluster both frames into one segment each (rows are plain —

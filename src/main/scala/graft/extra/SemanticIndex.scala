@@ -131,12 +131,13 @@ object SemanticIndex {
   /** LSM-append a batch (normally [[dedupBatch]]'s SURVIVORS — the
     * ingest-order contract): one assignment projection, one
     * cluster-partitioned segment, one manifest commit carrying the txn
-    * ledger. `autoCompactSegments` is the ingest-side maintenance
-    * guard (the [[SubstrIndex.append]] contract).
+    * ledger. `autoCompactFanout` is the ingest-side maintenance
+    * guard — size-tiered minor merges via [[compactTier]], the
+    * [[SubstrIndex.append]] contract.
     */
   def append(batch: DataFrame, idCol: String, vecCol: String,
       dir: String, txn: Option[(String, Long)] = None,
-      autoCompactSegments: Int = 0): Boolean = {
+      autoCompactFanout: Int = 0): Boolean = {
     val spark = batch.sparkSession
     val (v0, entries, _) = requireLatestFull(spark, dir)
     if (txn.exists { case (sid, b) =>
@@ -156,8 +157,36 @@ object SemanticIndex {
     IndexManifests.commit(spark, dir, v0 + 1,
       txn.fold(withSeg) { case (sid, b) =>
         IndexManifests.withTxn(withSeg, sid, b) })
-    if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
-      compact(spark, dir)
+    if (autoCompactFanout > 0)
+      compactTier(spark, dir, autoCompactFanout): Unit
+    true
+  }
+
+  /** SIZE-TIERED minor compaction (r15 verdict #1 — the
+    * [[AnnIndex.compactTier]] policy on the cluster-partitioned
+    * vector layout): merge ONLY the first full size tier of vector
+    * segments into one tier-up `list_id`-partitioned segment — work
+    * bounded by the tier's bytes, never the index; the ledger and
+    * every other frame carry through. Returns true when a tier
+    * merged. [[compact]] stays the manual full merge.
+    */
+  def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
+      retainVersions: Int = 1): Boolean = {
+    val (v0, entries, _) = requireLatestFull(spark, dir)
+    val segs = entries.getOrElse("vectors", Nil)
+    val sizes = IndexManifests.segmentBytes(spark, dir, segs)
+    val picked = IndexManifests.pickTier(sizes, fanout)
+    if (picked.isEmpty) return false
+    val pickedSet = picked.toSet
+    val seg = f"vectors/seg-${v0 + 1}%09d"
+    writeSegment(
+      picked.map(s => spark.read.parquet(s"$dir/$s"))
+        .reduce(_ unionByName _),
+      dir, seg)
+    IndexManifests.commit(spark, dir, v0 + 1,
+      entries + ("vectors" -> (segs.filterNot(pickedSet) :+ seg)))
+    IndexManifests.vacuum(spark, dir, Frames,
+      keepVersions = retainVersions)
     true
   }
 

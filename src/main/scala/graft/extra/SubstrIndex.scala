@@ -194,23 +194,26 @@ object SubstrIndex {
     * streaming ingest. `numFiles` defaults to 1 — micro-batches are
     * small and each appended file still records its own range.
     *
-    * `autoCompactSegments` is the INGEST-SIDE maintenance guard
-    * (r14 verdict #5): when > 0 and the commit leaves more than that
-    * many live segments, [[compact]] runs immediately after — a
-    * long-running ingest then holds segment count (and with it the
-    * per-batch range-probe size and read fan-in) bounded without an
-    * operator in the loop. Replay safety is preserved: compact
-    * carries the txn ledger forward, so a crash between the append
-    * commit and the auto-compact replays into a no-op.
+    * `autoCompactFanout` is the INGEST-SIDE maintenance guard
+    * (r14 verdict #5, re-policied per r15 verdict #1): when > 0, a
+    * SIZE-TIERED minor compaction ([[compactTier]]) runs after the
+    * commit whenever a size tier holds `autoCompactFanout` segments —
+    * per-trigger merge work is bounded by the TIER (fanout
+    * micro-batch-sized segments, usually), never the whole index, and
+    * the live segment count (with it the per-batch range-probe size
+    * and read fan-in) stays O(fanout · log N) with no operator in the
+    * loop. Replay safety is preserved: the minor merge carries the txn
+    * ledger forward, so a crash between the append commit and the
+    * auto-compact replays into a no-op.
     */
   def append(batch: DataFrame, idCol: String, textCol: String,
       dir: String, txn: Option[(String, Long)] = None,
-      numFiles: Int = 1, autoCompactSegments: Int = 0): Unit = {
+      numFiles: Int = 1, autoCompactFanout: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (k, hashed) = meta(spark, dir)
     appendPositioned(spark, dir,
       Dedup.positionedGrams(batch, idCol, textCol, k, hashed),
-      idCol, txn, numFiles, autoCompactSegments): Unit
+      idCol, txn, numFiles, autoCompactFanout): Unit
   }
 
   /** The append core over an already-positioned gram frame — shared by
@@ -220,11 +223,11 @@ object SubstrIndex {
   private def appendPositioned(spark: SparkSession, dir: String,
       positioned: DataFrame, idCol: String,
       txn: Option[(String, Long)], numFiles: Int,
-      autoCompactSegments: Int): Boolean =
+      autoCompactFanout: Int): Boolean =
     prepareAppend(spark, dir, positioned, idCol, txn, numFiles) match {
       case None => false
       case Some(p) =>
-        commitAppend(spark, dir, p, txn, autoCompactSegments)
+        commitAppend(spark, dir, p, txn, autoCompactFanout)
         true
     }
 
@@ -266,15 +269,66 @@ object SubstrIndex {
 
   private[graft] def commitAppend(spark: SparkSession, dir: String,
       p: PreparedAppend, txn: Option[(String, Long)],
-      autoCompactSegments: Int): Unit = {
+      autoCompactFanout: Int): Unit = {
     val newSegs = p.entries.getOrElse("grams", Nil) :+ p.seg
     val withSeg = p.entries + ("grams" -> newSegs)
     IndexManifests.commit(spark, dir, p.nextVersion,
       txn.fold(withSeg) { case (sid, b) =>
         IndexManifests.withTxn(withSeg, sid, b) },
       p.ranges ++ p.segRanges)
-    if (autoCompactSegments > 0 && newSegs.size > autoCompactSegments)
-      compact(spark, dir)
+    if (autoCompactFanout > 0)
+      compactTier(spark, dir, autoCompactFanout): Unit
+  }
+
+  /** SIZE-TIERED minor compaction (r15 verdict #1 — the auto policy
+    * behind `autoCompactFanout`): merge ONLY the first full size tier
+    * of gram segments ([[IndexManifests.pickTier]] — `fanout` segments
+    * within 4× of each other, smallest tier first) into one tier-up
+    * range-clustered segment, leaving every other segment untouched.
+    * Per-trigger work is bounded by the tier's bytes (fanout
+    * micro-batch segments at tier 0), never the index — the classic
+    * LSM merge ladder, vs the old threshold→[[compact]] policy's
+    * O(index) inline merge every ~threshold batches (the r15
+    * `streaming_ann_ingest` stall). No tier full → no-op. A now-full
+    * HIGHER tier is deliberately left for the NEXT append's trigger —
+    * cascading inside one micro-batch would re-concentrate the
+    * latency spike the ladder exists to spread. The txn ledger and all
+    * other frames carry through; merged-away files' `#range=` stats
+    * drop and the tier-up segment commits fresh ones, so file pruning
+    * never consults a dead file. [[compact]] remains the manual FULL
+    * (major) compaction. Returns true when a tier merged.
+    */
+  def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
+      retainVersions: Int = 1): Boolean = {
+    val (v0, entries, ranges) = requireLatestFull(spark, dir)
+    val segs = entries.getOrElse("grams", Nil)
+    val sizes = IndexManifests.segmentBytes(spark, dir, segs)
+    val picked = IndexManifests.pickTier(sizes, fanout)
+    if (picked.isEmpty) return false
+    val pickedSet = picked.toSet
+    val bytes = sizes.collect { case (s, b) if pickedSet(s) => b }.sum
+    val seg = f"grams/seg-${v0 + 1}%09d"
+    // same one-exchange merge shape as [[compact]], over the picked
+    // tier's partial rows only
+    val merged = spark.read.parquet(picked.map(s => s"$dir/$s"): _*)
+      .repartitionByRange(IndexManifests.tierFileCount(bytes), col("g"))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n"),
+        min(struct(col("d"), col("p"))).as("__c"))
+      .select(col("g"), col("n"), col("__c.d").as("d"),
+        col("__c.p").as("p"))
+      .sortWithinPartitions(col("g"))
+    val segRanges = writeSegment(merged, dir, seg)
+    val keptRanges = ranges.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      !(i > 0 && pickedSet.contains(f.substring(0, i)))
+    }
+    IndexManifests.commit(spark, dir, v0 + 1,
+      entries + ("grams" -> (segs.filterNot(pickedSet) :+ seg)),
+      keptRanges ++ segRanges)
+    IndexManifests.vacuum(spark, dir, Frames,
+      keepVersions = retainVersions)
+    true
   }
 
   /** Streaming ingest fast path: append a CLEANED batch's grams
@@ -294,12 +348,12 @@ object SubstrIndex {
   private[graft] def appendCleanedBatch(spark: SparkSession, dir: String,
       rawGrams: DataFrame, cleaned: DataFrame, idCol: String,
       textCol: String, txn: Option[(String, Long)] = None,
-      numFiles: Int = 1, autoCompactSegments: Int = 0): Boolean =
+      numFiles: Int = 1, autoCompactFanout: Int = 0): Boolean =
     prepareCleanedAppend(spark, dir, rawGrams, cleaned, idCol, textCol,
       txn, numFiles) match {
       case None => false
       case Some(p) =>
-        commitAppend(spark, dir, p, txn, autoCompactSegments)
+        commitAppend(spark, dir, p, txn, autoCompactFanout)
         true
     }
 

@@ -81,17 +81,21 @@ object AnnIngest {
     * appending so a bench/shutdown can stop the query without aborting
     * an in-flight parquet write.
     *
-    * `autoCompactSegments` (default 16) is the ingest-side maintenance
-    * guard (r14 verdict #5): the stream folds its `codes/` segments
-    * whenever the count passes the threshold, holding search fan-in
-    * bounded with no operator in the loop; the txn ledger carries
-    * through the fold so replay safety is unchanged.
+    * `autoCompactFanout` (default 8) is the ingest-side maintenance
+    * guard (r14 verdict #5, r15 verdict #1): whenever a SIZE TIER of
+    * `codes/` segments reaches `fanout` members the stream folds ONLY
+    * that tier ([[graft.extra.AnnIndex.compactTier]]) — per-trigger
+    * work bounded by the tier (usually `fanout` micro-batch
+    * segments), never the index, so search fan-in stays
+    * O(fanout · log N) with no operator in the loop and no O(index)
+    * micro-batch stall; the txn ledger carries through the fold so
+    * replay safety is unchanged.
     */
   def start(curated: DataFrame, indexDir: String, checkpointDir: String,
       dim: Int = 64, idCol: String = "doc_id", textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
       sinkGate: () => Boolean = () => true,
-      autoCompactSegments: Int = 16): StreamingQuery = {
+      autoCompactFanout: Int = 8): StreamingQuery = {
     // the codebooks are FROZEN for the index's lifetime (append
     // contract), so read them ONCE at stream start — r10 measured the
     // per-batch readIvfPq (codebook collect + a re-LISTING of the
@@ -117,7 +121,7 @@ object AnnIngest {
           AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
             "embedding", codebooks = Some(codebooks),
             txn = Some((streamId, batchId)),
-            autoCompactSegments = autoCompactSegments)
+            autoCompactFanout = autoCompactFanout)
       }
       .start()
   }
@@ -159,7 +163,7 @@ object AnnIngest {
       textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
       sinkGate: () => Boolean = () => true,
-      autoCompactSegments: Int = 16): StreamingQuery = {
+      autoCompactFanout: Int = 8): StreamingQuery = {
     val streamId = streamIdOf("bm25", checkpointDir)
     curated
       .select(col(idCol), col(textCol))
@@ -171,7 +175,7 @@ object AnnIngest {
         if (sinkGate() && !df.isEmpty)
           graft.extra.Bm25Index.append(df, idCol, textCol, indexDir,
             txn = Some((streamId, batchId)),
-            autoCompactSegments = autoCompactSegments)
+            autoCompactFanout = autoCompactFanout)
       }
       .start()
   }

@@ -38,7 +38,7 @@ object MinhashIngest {
   private[graft] def applyBatch(spark: SparkSession, indexDir: String,
       outDir: String, df: DataFrame, idCol: String, textCol: String,
       streamId: String, batchId: Long, threshold: Double,
-      autoCompactSegments: Int = 0): Boolean = {
+      autoCompactFanout: Int = 0): Boolean = {
     val (_, entries) = IndexManifests.requireLatest(spark, indexDir,
       "minhash")
     if (IndexManifests.txnApplied(entries, streamId, batchId))
@@ -62,13 +62,13 @@ object MinhashIngest {
         batch.join(keptIds, Seq(idCol), "left_semi")
           .select(col(idCol), col(textCol)),
         idCol, textCol, indexDir, txn = Some((streamId, batchId)),
-        autoCompactSegments = autoCompactSegments)
+        autoCompactFanout = autoCompactFanout)
       true
     } finally batch.unpersist(blocking = false): Unit
   }
 
   /** Start the ingest over a curated (doc_id, text, …) stream.
-    * `autoCompactSegments` (default 16) is the ingest-side maintenance
+    * `autoCompactFanout` (default 8) is the ingest-side maintenance
     * guard shared with the other index streams.
     */
   def start(curated: DataFrame, indexDir: String, outDir: String,
@@ -76,7 +76,7 @@ object MinhashIngest {
       textCol: String = "text", threshold: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow(),
       sinkGate: () => Boolean = () => true,
-      autoCompactSegments: Int = 16): StreamingQuery = {
+      autoCompactFanout: Int = 8): StreamingQuery = {
     val streamId = AnnIngest.streamIdOf("minhash", checkpointDir)
     curated
       .select(col(idCol), col(textCol))
@@ -88,7 +88,7 @@ object MinhashIngest {
         if (sinkGate())
           applyBatch(df.sparkSession, indexDir, outDir, df, idCol,
             textCol, streamId, batchId, threshold,
-            autoCompactSegments): Unit
+            autoCompactFanout): Unit
       }
       .start()
   }

@@ -36,7 +36,7 @@ object SemanticIngest {
   private[graft] def applyBatch(spark: SparkSession, indexDir: String,
       outDir: String, df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, streamId: String, batchId: Long,
-      autoCompactSegments: Int = 0): Boolean = {
+      autoCompactFanout: Int = 0): Boolean = {
     val (_, entries) = IndexManifests.requireLatest(spark, indexDir,
       "semantic")
     if (IndexManifests.txnApplied(entries, streamId, batchId))
@@ -59,14 +59,14 @@ object SemanticIngest {
           Seq(idCol), "left_semi")
         SemanticIndex.append(survivors, idCol, vecCol, indexDir,
           txn = Some((streamId, batchId)),
-          autoCompactSegments = autoCompactSegments): Unit
+          autoCompactFanout = autoCompactFanout): Unit
       } finally verdicts.unpersist(blocking = false): Unit
       true
     } finally batch.unpersist(blocking = false): Unit
   }
 
   /** Start the ingest over an embedded (doc_id, embedding, …) stream.
-    * `sinkGate` is the graceful-drain hook; `autoCompactSegments`
+    * `sinkGate` is the graceful-drain hook; `autoCompactFanout`
     * (default 16) the ingest-side maintenance guard — both the
     * [[SubstrIngest]] contracts.
     */
@@ -75,7 +75,7 @@ object SemanticIngest {
       vecCol: String = "embedding", threshold: Double = 0.9,
       trigger: Trigger = Trigger.AvailableNow(),
       sinkGate: () => Boolean = () => true,
-      autoCompactSegments: Int = 16): StreamingQuery = {
+      autoCompactFanout: Int = 8): StreamingQuery = {
     val streamId = AnnIngest.streamIdOf("semantic", checkpointDir)
     embedded
       .select(col(idCol), col(vecCol))
@@ -87,7 +87,7 @@ object SemanticIngest {
         if (sinkGate())
           applyBatch(df.sparkSession, indexDir, outDir, df, idCol,
             vecCol, threshold, streamId, batchId,
-            autoCompactSegments): Unit
+            autoCompactFanout): Unit
       }
       .start()
   }

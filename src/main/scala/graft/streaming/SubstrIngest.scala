@@ -46,7 +46,7 @@ object SubstrIngest {
   private[graft] def applyBatch(spark: SparkSession, indexDir: String,
       outDir: String, df: DataFrame, idCol: String, textCol: String,
       streamId: String, batchId: Long,
-      minSpanTokens: Int, autoCompactSegments: Int = 0): Boolean = {
+      minSpanTokens: Int, autoCompactFanout: Int = 0): Boolean = {
     val (_, entries) = IndexManifests.requireLatest(spark, indexDir,
       "substr")
     if (IndexManifests.txnApplied(entries, streamId, batchId))
@@ -113,7 +113,7 @@ object SubstrIngest {
             sinkF.get() // sink MUST be durable before the commit
             prepared.foreach(p => SubstrIndex.commitAppend(spark,
               indexDir, p, Some((streamId, batchId)),
-              autoCompactSegments))
+              autoCompactFanout))
           } finally pool.shutdownNow(): Unit
         } finally cleaned.unpersist(blocking = false): Unit
       }
@@ -124,7 +124,7 @@ object SubstrIngest {
   /** Start the ingest over a curated (doc_id, text, …) stream — e.g.
     * [[CurationStream.curateStream]] output. `sinkGate` is the same
     * graceful-drain hook as the other ingest sinks.
-    * `autoCompactSegments` (default 16) is the ingest-side maintenance
+    * `autoCompactFanout` (default 8) is the ingest-side maintenance
     * guard: a long-running stream folds its posting segments whenever
     * the count passes the threshold, keeping the per-batch range-probe
     * size and read fan-in bounded with no operator in the loop
@@ -136,7 +136,7 @@ object SubstrIngest {
       textCol: String = "text", minSpanTokens: Int = 0,
       trigger: Trigger = Trigger.AvailableNow(),
       sinkGate: () => Boolean = () => true,
-      autoCompactSegments: Int = 16): StreamingQuery = {
+      autoCompactFanout: Int = 8): StreamingQuery = {
     val streamId = AnnIngest.streamIdOf("substr", checkpointDir)
     curated
       .select(col(idCol), col(textCol))
@@ -148,7 +148,7 @@ object SubstrIngest {
         if (sinkGate())
           applyBatch(df.sparkSession, indexDir, outDir, df, idCol,
             textCol, streamId, batchId, minSpanTokens,
-            autoCompactSegments): Unit
+            autoCompactFanout): Unit
       }
       .start()
   }

@@ -285,8 +285,9 @@ class AnnIndexSpec extends SparkSpec {
           col("vec_id") < 250 + b * 50),
         "vec_id", "embedding", codebooks = Some(cb),
         singleFileBatch = true, txn = Some(("auto", b.toLong)),
-        autoCompactSegments = 3)
-      assert(segCount() <= 4,
+        autoCompactFanout = 3)
+      // tiered bound: < fanout segments per size tier, ~log tiers
+      assert(segCount() <= 7,
         s"codes segments ${segCount()} unbounded at batch $b")
     }
     // equals one build+appends+manual compact over the same rows
@@ -306,7 +307,7 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.appendIvfPq(spark, dir,
       emb.filter(col("vec_id") >= 550 && col("vec_id") < 600),
       "vec_id", "embedding", codebooks = Some(cb),
-      txn = Some(("auto", 7L)), autoCompactSegments = 3)
+      txn = Some(("auto", 7L)), autoCompactFanout = 3)
     assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == v)
   }
 

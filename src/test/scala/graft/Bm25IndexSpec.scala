@@ -401,8 +401,9 @@ class Bm25IndexSpec extends SparkSpec {
         Seq((1000L + b, s"alpha batch$b unique u${b}x u${b}y"))
           .toDF("doc_id", "text"),
         "doc_id", "text", d, txn = Some(("auto", b.toLong)),
-        autoCompactSegments = 3)
-      assert(segCount() <= 4,
+        autoCompactFanout = 3)
+      // tiered bound: < fanout segments per size tier, ~log tiers
+      assert(segCount() <= 7,
         s"tf segments ${segCount()} unbounded at batch $b")
     }
     // the folded index equals a fresh build over the same rows
@@ -421,7 +422,7 @@ class Bm25IndexSpec extends SparkSpec {
     Bm25Index.append(
       Seq((1009L, "alpha batch9 unique u9x u9y")).toDF("doc_id", "text"),
       "doc_id", "text", d, txn = Some(("auto", 9L)),
-      autoCompactSegments = 3)
+      autoCompactFanout = 3)
     assert(graft.extra.IndexManifests.latest(spark, d).get._1 == v)
   }
 

@@ -145,15 +145,16 @@ class MinhashIndexSpec extends SparkSpec {
         s"batch $b body with words w${b}a w${b}b w${b}c w${b}d"))
         .toDF("doc_id", "text")
       MinhashIndex.append(df, "doc_id", "text", dir,
-        txn = Some(("auto", b.toLong)), autoCompactSegments = 3)
-      assert(segCount() <= 4, s"unbounded at batch $b: ${segCount()}")
+        txn = Some(("auto", b.toLong)), autoCompactFanout = 3)
+      // tiered bound: < fanout segments per size tier, ~log tiers
+      assert(segCount() <= 7, s"unbounded at batch $b: ${segCount()}")
     }
     val v = graft.extra.IndexManifests.latest(spark, dir).get._1
     MinhashIndex.append(
       Seq((1009L, "batch 9 body with words w9a w9b w9c w9d"))
         .toDF("doc_id", "text"),
       "doc_id", "text", dir, txn = Some(("auto", 9L)),
-      autoCompactSegments = 3)
+      autoCompactFanout = 3)
     assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == v)
   }
 

@@ -126,10 +126,11 @@ class StreamingSemanticSpec extends SparkSpec {
         (1000L + b * 10 + i, Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)))
       assert(SemanticIngest.applyBatch(spark, idx, out,
         rows.toDF("doc_id", "embedding"), "doc_id", "embedding",
-        0.99, "sAC", b.toLong, autoCompactSegments = 3))
+        0.99, "sAC", b.toLong, autoCompactFanout = 3))
     }
     val (_, entries) = graft.extra.IndexManifests.latest(spark, idx).get
-    assert(entries("vectors").size <= 4)
+    // tiered bound: < fanout segments per size tier, ~log tiers
+    assert(entries("vectors").size <= 7)
     // replay of the last batch after the folds: still a no-op
     assert(!SemanticIngest.applyBatch(spark, idx, out,
       Seq((9999L, Seq(1f, 1f, 1f, 1f))).toDF("doc_id", "embedding"),

@@ -327,18 +327,19 @@ class SubstrIndexSpec extends SparkSpec {
         s"batch $b unique words u${b}a u${b}b u${b}c u${b}d u${b}e"))
         .toDF("doc_id", "text")
       SubstrIndex.append(df, "doc_id", "text", dir,
-        txn = Some(("auto", b.toLong)), autoCompactSegments = 3)
-      assert(segCount() <= 4, // threshold 3 + the one just appended,
-        s"segment count ${segCount()} unbounded at batch $b") // pre-fold
+        txn = Some(("auto", b.toLong)), autoCompactFanout = 3)
+      // tiered bound: < fanout segments per size tier, ~log tiers
+      assert(segCount() <= 7,
+        s"segment count ${segCount()} unbounded at batch $b")
     }
-    assert(segCount() <= 4)
+    assert(segCount() <= 7)
     // the ledger survived every auto-compaction: the last batch
     // replays into a no-op
     val v = graft.extra.IndexManifests.latest(spark, dir).get._1
     SubstrIndex.append(Seq((1009L, "batch 9 unique words u9a u9b " +
         "u9c u9d u9e")).toDF("doc_id", "text"),
       "doc_id", "text", dir, txn = Some(("auto", 9L)),
-      autoCompactSegments = 3)
+      autoCompactFanout = 3)
     assert(graft.extra.IndexManifests.latest(spark, dir).get._1 == v)
     // and the folded index still answers exactly: a probe repeating
     // batch-5 content is cut
