@@ -260,6 +260,25 @@ object StreamBench {
         .as("embedding"))
     graft.extra.AnnIndex.buildAndWriteIvfPq(seed, "doc_id", "embedding",
       dir, numCentroids = 32)
+    // JVM warm-up OUTSIDE the measured window (the measureSubstrIngest
+    // discipline): one append through the exact per-batch chain against
+    // a throwaway index, so the first MEASURED batch pays steady-state
+    // cost, not first-use janino/JIT compilation of the embed + encode
+    // projections (measured cold: 7-11 s for batch 1 of a 30 s window,
+    // which then snowballs every later batch under ProcessingTime(0)).
+    // A production ingest JVM is long-lived; the block's number is the
+    // steady regime's capacity.
+    locally {
+      val wDir = Files.createTempDirectory("sbench_ann_warm").toString
+      graft.extra.AnnIndex.buildAndWriteIvfPq(
+        seed.limit(2000), "doc_id", "embedding", wDir, numCentroids = 32)
+      val wBatch = spark.range(20000).select(col("id").as("doc_id"),
+        graft.streaming.AnnIngest.embedStub(
+          graft.gen.SyntheticDocs.textFor(col("id")), 64).as("embedding"))
+      graft.extra.AnnIndex.appendIvfPq(spark, wDir, wBatch, "doc_id",
+        "embedding",
+        codebooks = Some(graft.extra.AnnIndex.readCodebooks(spark, wDir)))
+    }
     val docs = graft.gen.SyntheticDocs.rateDocs(spark, tps)
     val monitor = new Monitor().attach(spark)
     val ckpt = Files.createTempDirectory("sbench_ann_ckpt").toString

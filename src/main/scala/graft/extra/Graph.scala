@@ -56,8 +56,44 @@ object Graph {
     * double rank_e12/1e12 — rank_e12 < 2⁵³ so the cast is lossless),
     * one row per node.
     */
+  /** Estimated live bytes of ONE broadcast (id, rank) relation:
+    * ~16 B of unsafe-row payload per node plus the broadcast
+    * hash-relation's key/pointer overhead — 64 B/row is the
+    * conservative planning figure (Spark's own
+    * `autoBroadcastJoinThreshold` sizing errs the same direction).
+    */
+  private val RankBroadcastRowBytes = 64L
+
+  /** Whether [[pagerank]]'s CHAINED-broadcast loop fits memory
+    * (ADVICE r15): the chained form executes all `iters` rounds as
+    * ONE lazy job, and every round hints TWO broadcast relations (the
+    * rank frame and the per-round aggregate) — all of them live
+    * SIMULTANEOUSLY on the driver and on every executor until the job
+    * finishes, so the gate must bound TOTAL live broadcast bytes
+    * (2 · iters · n · rowBytes) against the actual heap, not node
+    * count alone. Budget: 1/8 of the JVM max heap — leaves the other
+    * 7/8 to execution/shuffle and is well under
+    * `spark.memory.fraction`'s storage share on any sane config. The
+    * old fixed `n ≤ 5M` bound admitted ~20 GB of live broadcasts at
+    * 32 iters — a realistic OOM on a default 1-4 GB driver.
+    * GraphSpec pins the boundary arithmetic; past the bound the loop
+    * falls back to the materialized-AQE form, which never
+    * force-broadcasts.
+    */
+  private[graft] def chainedBroadcastFits(n: Long, iters: Int,
+      heapBytes: Long = Runtime.getRuntime.maxMemory): Boolean =
+    iters <= 32 &&
+      2L * iters * n * RankBroadcastRowBytes <= heapBytes / 8
+
+  /** `chainedHeapBytes` overrides the heap figure the chained-
+    * broadcast gate sizes against (defaults to this JVM's max heap —
+    * pass the EXECUTOR heap when driver and executors are sized
+    * differently, or 0 to force the materialized-AQE loop).
+    */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10, dampingPct: Int = 85): DataFrame = {
+      iters: Int = 10, dampingPct: Int = 85,
+      chainedHeapBytes: Long = Runtime.getRuntime.maxMemory)
+      : DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
@@ -106,7 +142,7 @@ object Graph {
     // plan, and Catalyst's optimizer time grows superlinearly with
     // depth — past a few dozen rounds the materialized loop's
     // constant-depth plans win regardless of broadcast fit
-    val broadcastRanks = n <= 5000000L && iters <= 32
+    val broadcastRanks = chainedBroadcastFits(n, iters, chainedHeapBytes)
     var ranks = nodes.withColumn("r", lit(Scale / n))
     for (i <- 1 to iters) {
       val rankSide = {

@@ -414,6 +414,29 @@ private[graft] object IndexManifests {
     Nil
   }
 
+  /** Max rows of a probe frame that fit a `budgetBytes` broadcast,
+    * sized from its SCHEMA (ADVICE r15: a fixed 4M-ROW cutoff let
+    * wide (band, sig) STRING rows build a near-GB broadcast relation
+    * — the byte budget, not the row count, is what the driver and
+    * executors actually hold). Variable-width columns (string/binary)
+    * are planned at a conservative 64 B payload each, fixed-width at
+    * their catalog defaultSize; the sum is doubled for unsafe-row +
+    * hash-relation overhead. At the 64 MB default an 8-byte hashed
+    * key probes up to ~4M rows (the old cutoff, which was sized for
+    * exactly that case) while a banded-signature probe caps ~20×
+    * lower — same memory, either way.
+    */
+  private[graft] def broadcastRowCap(
+      schema: org.apache.spark.sql.types.StructType,
+      budgetBytes: Long = 64L << 20): Long = {
+    val rowBytes = schema.fields.map(_.dataType match {
+      case org.apache.spark.sql.types.StringType |
+          org.apache.spark.sql.types.BinaryType => 64
+      case dt => dt.defaultSize
+    }).sum.max(8) * 2L
+    budgetBytes / rowBytes
+  }
+
   /** Output file count for a tier merge, sized from its input bytes
     * (~96 MB of parquet per file, capped) so a tier-up segment lands
     * near the scan sweet spot instead of inheriting a fixed count.

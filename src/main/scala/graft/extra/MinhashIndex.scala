@@ -377,10 +377,15 @@ object MinhashIndex {
           // scan streams map-side instead of SHUFFLING whole — the
           // [[SubstrIndex]] probe-side discipline. buckets reads the
           // pinned batchBands cache, so the count is a cache scan.
+          // The cutoff is SIZE-aware (ADVICE r15): (band, sig) rows
+          // carry a banded-signature STRING, so a row-count cutoff
+          // sized for 8-byte keys admitted near-GB broadcasts.
+          val bSel = buckets.select("band", "sig")
           val probeSide =
-            if (buckets.count() <= 4000000L)
-              broadcast(buckets.select("band", "sig"))
-            else buckets.select("band", "sig")
+            if (buckets.count() <=
+                IndexManifests.broadcastRowCap(bSel.schema))
+              broadcast(bSel)
+            else bSel
           spark.read.parquet(paths: _*)
             .join(probeSide, Seq("band", "sig"))
             .select("band", "sig", "d")

@@ -49,13 +49,17 @@ import org.apache.spark.sql.functions._
   * Scale shape: assignment is a loop-codegen projection (no join);
   * the corpus probe is a broadcast of the micro-batch into the pruned
   * cluster partitions (no corpus shuffle, no skew on the ≤C-key
-  * cluster join); `numClusters` bounds cluster width exactly as in
+  * cluster join), AUTO-SPLIT into budget-bounded chunks when the
+  * batch outgrows a safe broadcast (r15 verdict #4 — no caller-side
+  * contract); `numClusters` bounds cluster width exactly as in
   * the batch operator — production grows it ~√N, making the per-batch
-  * corpus read O(index / C · touched clusters).
+  * corpus read O(index / C · touched clusters). Takedown is LSM-style
+  * ([[delete]]/[[compact]] — raw vectors make post-delete verdicts
+  * exactly recomputable, unlike [[SubstrIndex]]'s min-summaries).
   */
 object SemanticIndex {
 
-  private val Frames = Seq("vectors")
+  private val Frames = Seq("vectors", "tombstones")
 
   /** The frozen coarse codebook, position-ordered (hash-sample order,
     * the [[Similarity.sampleCodebook]] contract) — memoized per JVM:
@@ -191,7 +195,9 @@ object SemanticIndex {
   }
 
   /** Merge accumulated segments into one (rows are plain — no partial
-    * merge), ledger carried forward, orphans vacuumed.
+    * merge), tombstoned deletes made PHYSICAL (rows dropped, the
+    * tombstone frame absent from the fresh manifest), ledger carried
+    * forward, orphans vacuumed.
     */
   def compact(spark: SparkSession, dir: String,
       retainVersions: Int = 1): Unit = {
@@ -199,14 +205,56 @@ object SemanticIndex {
     val segs = entries.getOrElse("vectors", Nil)
     require(segs.nonEmpty, s"no committed vector segments at $dir")
     val seg = f"vectors/seg-${v0 + 1}%09d"
+    val live = readVectors(spark, dir, entries)
     writeSegment(
-      readVectors(spark, dir, entries), dir, seg)
+      readTombstones(spark, dir, entries)
+        .fold(live)(t => live.join(t.select("d"), Seq("d"), "left_anti")),
+      dir, seg)
     val fresh = Map("vectors" -> Seq(seg)) ++
       entries.get(IndexManifests.TxnFrame)
         .map(IndexManifests.TxnFrame -> _).toMap
     IndexManifests.commit(spark, dir, v0 + 1, fresh)
     IndexManifests.vacuum(spark, dir, Frames,
       keepVersions = retainVersions)
+  }
+
+  /** Delete documents from the index — LSM takedown, the
+    * [[MinhashIndex.delete]] discipline for the embedding arm
+    * (r15 verdict #4 — unlike [[SubstrIndex]]'s non-invertible
+    * min-summaries, raw vectors make the post-delete verdict exactly
+    * recomputable): ids land in a `tombstones/` segment + one
+    * manifest commit (O(batch) — the cluster-partitioned vectors are
+    * NOT rewritten); [[dedupBatch]] anti-joins the corpus probe, so a
+    * deleted doc stops anchoring verdicts IMMEDIATELY — bit-identical
+    * to an index built without it (spec-pinned). [[compact]] makes
+    * the purge physical. Re-adding a tombstoned id via [[append]]
+    * requires a [[compact]] first (caller contract). Returns the
+    * number of newly tombstoned ids.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String = "d"): Long = {
+    val (v0, entries, _) = requireLatestFull(spark, dir)
+    val incoming = ids.select(col(idCol).as("d")).distinct()
+    val newIds = readTombstones(spark, dir, entries)
+      .fold(incoming)(t =>
+        incoming.join(t.select("d"), Seq("d"), "left_anti"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nNew = newIds.count()
+      if (nNew == 0) return 0L
+      val seg = f"tombstones/seg-${v0 + 1}%09d"
+      newIds.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/$seg")
+      IndexManifests.commit(spark, dir, v0 + 1, entries +
+        ("tombstones" -> (entries.getOrElse("tombstones", Nil) :+ seg)))
+      nNew
+    } finally newIds.unpersist(blocking = false): Unit
+  }
+
+  private def readTombstones(spark: SparkSession, dir: String,
+      entries: Map[String, Seq[String]]): Option[DataFrame] = {
+    val paths = entries.getOrElse("tombstones", Nil).map(s => s"$dir/$s")
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   /** Union of the live segments' cluster-partitioned scans —
@@ -235,53 +283,88 @@ object SemanticIndex {
     * cross-engine discipline ([[Dedup.semDedup]]).
     */
   def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double,
+      broadcastBudgetBytes: Long = 64L << 20): DataFrame = {
     val (_, entries, _) = requireLatestFull(spark, dir)
     val cents = readCodebook(spark, dir)
-    // pinned: the assignment feeds the touched-cluster collect, the
-    // corpus probe's broadcast, and BOTH sides of the mate join
+    // pinned: the assignment feeds the per-chunk touched-cluster
+    // collects, the corpus probes' broadcasts, and BOTH sides of the
+    // mate joins
     val ba = Similarity.assignClusters(batch, idCol, vecCol, cents)
       .select(col("id"), col("v"), col("nrm"),
         col("cluster_id").as("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // static partition pruning (the [[AnnIndex]] `list_id IN`
-    // discipline): the batch touches at most C clusters — ship them
-    // as a literal IN so every live segment's scan plans down to the
-    // touched `list_id=` partitions at file-listing time; a pruned
-    // partition's files are never opened (spec-pinned physically)
-    val touched = ba.select("list_id").distinct()
-      .collect().map(_.getLong(0)).sorted
-    // the corpus probe: BROADCAST the micro-batch side — the cluster
-    // join has at most C distinct keys, so a shuffled equijoin would
-    // be C-way skewed by construction; broadcasting makes it a
-    // map-side probe over the pruned cluster partitions, no corpus
-    // shuffle. (Batches too large to broadcast should be split by the
-    // caller — the micro-batch contract.)
-    val corpusHits = readVectors(spark, dir, entries)
-      .filter(col("list_id").isin(touched.map(Long.box): _*))
-      .join(broadcast(ba.select(col("id").as("__bid"),
-        col("v").as("__bv"), col("nrm").as("__bn"),
-        col("list_id"))), Seq("list_id"))
-      .filter(round(Similarity.dot(col("v"), col("__bv")) /
-        (sqrt(col("nrm")) * sqrt(col("__bn"))), 6) >= threshold)
-      .select(col("__bid").as("id"), col("d").as("cand"),
-        round(Similarity.dot(col("v"), col("__bv")) /
-          (sqrt(col("nrm")) * sqrt(col("__bn"))), 6).as("cos"))
-    // batch-mate matches: LOWER id wins, whether or not the lower mate
-    // is itself dropped — exactly semDedup's global keep-min-id rule
-    val mateHits = ba.alias("x")
-      .join(broadcast(ba.select(col("id").as("__bid"),
-          col("v").as("__bv"), col("nrm").as("__bn"),
-          col("list_id"))),
-        Seq("list_id"))
-      .filter(col("x.id") > col("__bid"))
-      .filter(round(Similarity.dot(col("x.v"), col("__bv")) /
-        (sqrt(col("x.nrm")) * sqrt(col("__bn"))), 6) >= threshold)
-      .select(col("x.id").as("id"), col("__bid").as("cand"),
-        round(Similarity.dot(col("x.v"), col("__bv")) /
-          (sqrt(col("x.nrm")) * sqrt(col("__bn"))), 6).as("cos"))
-    val best = corpusHits.unionByName(mateHits)
+    // AUTO-SPLIT against the broadcast budget (r15 verdict #4 — the
+    // old doc-contract "split large batches yourself" was the one
+    // index-family probe that could OOM the driver on a fat batch):
+    // the probe row is (id, v[dim], nrm, list_id) ≈ dim·8 + 48 bytes,
+    // doubled for hash-relation overhead; a batch whose total exceeds
+    // the budget is hash-split on id into the fewest chunks that each
+    // fit, and every chunk runs the same broadcast probe — corpus
+    // partitions are pruned PER CHUNK, batch-mate pairs are covered
+    // because each chunk's broadcast joins the FULL pinned batch side.
+    // The count is a pinned-cache scan.
+    val batchRows = ba.count()
+    val dim = cents.headOption.map(_.v.length).getOrElse(0)
+    val rowBytes = (dim * 8L + 48L) * 2L
+    val numChunks = math.max(1L,
+      (batchRows * rowBytes + broadcastBudgetBytes - 1) /
+        broadcastBudgetBytes).toInt
+    // tombstoned docs drop out of the corpus probe (delete()): a
+    // deleted doc can never anchor a verdict — bit-identical to an
+    // index built without it
+    val tomb = readTombstones(spark, dir, entries)
+    val hits = (0 until numChunks).flatMap { c =>
+      val probe =
+        if (numChunks == 1) ba
+        else ba.filter(
+          pmod(xxhash64(col("id")), lit(numChunks)) === lit(c.toLong))
+      // static partition pruning (the [[AnnIndex]] `list_id IN`
+      // discipline): the chunk touches at most C clusters — ship them
+      // as a literal IN so every live segment's scan plans down to the
+      // touched `list_id=` partitions at file-listing time; a pruned
+      // partition's files are never opened (spec-pinned physically)
+      val touched = probe.select("list_id").distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.isEmpty) None
+      else {
+        val probeSel = broadcast(probe.select(col("id").as("__bid"),
+          col("v").as("__bv"), col("nrm").as("__bn"), col("list_id")))
+        // the corpus probe: BROADCAST the micro-batch side — the
+        // cluster join has at most C distinct keys, so a shuffled
+        // equijoin would be C-way skewed by construction;
+        // broadcasting makes it a map-side probe over the pruned
+        // cluster partitions, no corpus shuffle.
+        val corpus0 = readVectors(spark, dir, entries)
+          .filter(col("list_id").isin(touched.map(Long.box): _*))
+        val corpusHits = tomb.fold(corpus0)(t =>
+            corpus0.join(t.select("d"), Seq("d"), "left_anti"))
+          .join(probeSel, Seq("list_id"))
+          .filter(round(Similarity.dot(col("v"), col("__bv")) /
+            (sqrt(col("nrm")) * sqrt(col("__bn"))), 6) >= threshold)
+          .select(col("__bid").as("id"), col("d").as("cand"),
+            round(Similarity.dot(col("v"), col("__bv")) /
+              (sqrt(col("nrm")) * sqrt(col("__bn"))), 6).as("cos"))
+        // batch-mate matches: LOWER id wins, whether or not the lower
+        // mate is itself dropped — exactly semDedup's global
+        // keep-min-id rule
+        val mateHits = ba.alias("x")
+          .join(probeSel, Seq("list_id"))
+          .filter(col("x.id") > col("__bid"))
+          .filter(round(Similarity.dot(col("x.v"), col("__bv")) /
+            (sqrt(col("x.nrm")) * sqrt(col("__bn"))), 6) >= threshold)
+          .select(col("x.id").as("id"), col("__bid").as("cand"),
+            round(Similarity.dot(col("x.v"), col("__bv")) /
+              (sqrt(col("x.nrm")) * sqrt(col("__bn"))), 6).as("cos"))
+        Some(corpusHits.unionByName(mateHits))
+      }
+    }
+    val best = hits.reduceOption(_ unionByName _)
+      // an empty batch produces no chunks — an empty hit frame keeps
+      // the left join below a well-typed no-op
+      .getOrElse(ba.select(col("id"), col("id").as("cand"),
+        lit(0d).as("cos")).limit(0))
       .groupBy(col("id"))
       .agg(min(struct(col("cand"), col("cos"))).as("__m"))
       .select(col("id"), col("__m.cand").as("dup_of"),
@@ -290,7 +373,7 @@ object SemanticIndex {
       .select(col("id").as(idCol), col("list_id").as("cluster_id"),
         col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("best_cos"))
-    // the pin served the eager touched-cluster collect; the returned
+    // the pin served the eager touched-cluster collects; the returned
     // lazy frame recomputes the (projection-only) assignment per scan
     // — the [[MinhashIndex.dedupBatch]] lifetime discipline
     } finally ba.unpersist(blocking = false): Unit

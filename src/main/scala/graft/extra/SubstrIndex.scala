@@ -514,7 +514,7 @@ object SubstrIndex {
     val batchKeys = batchAgg.select(col("__g").as("g"))
     val (paths, _) = selectPostingFiles(spark, dir, entries, ranges,
       hashed, batchKeys, probeCutoff)
-    val per = if (paths.isEmpty) {
+    val per0 = if (paths.isEmpty) {
       // every posting file pruned out: no gram overlaps the index, so
       // totals and canonicals are the batch's own
       batchAgg.select(col("__g"), col("bn").as("tot"),
@@ -532,8 +532,12 @@ object SubstrIndex {
       // Only the PINNED (streaming) path counts keys — batchAgg is
       // cached there, so the count is a cache scan; on the lazy
       // one-shot path a count would recompute the whole gram pass.
+      // The cutoff is SIZE-aware (ADVICE r15): an unhashed index's
+      // gram keys are STRINGS, so the 8-byte-sized row cutoff would
+      // admit a far-over-budget broadcast there.
       val probeSide =
-        if (pinned && batchKeys.count() <= 4000000L)
+        if (pinned && batchKeys.count() <=
+            IndexManifests.broadcastRowCap(batchKeys.schema))
           broadcast(batchKeys)
         else batchKeys
       val matched = spark.read.parquet(paths: _*)
@@ -549,6 +553,20 @@ object SubstrIndex {
             .otherwise(least(col("cm"), col("bm"))).as("canon"))
         .filter(col("tot") >= 2L)
     }
+    // `per` feeds TWO branches (the flag join and the protect join) —
+    // unpinned, the streaming path re-ran the pruned posting read +
+    // aggregation per consumer (profiled: one full extra posting pass
+    // per micro-batch). Pinned, its count is a cache scan, which also
+    // lets the flag join BROADCAST it when small (the usual case —
+    // per holds only grams with total ≥ 2, ~the planted-dup fraction
+    // of the batch): the 30×-larger positioned-gram frame then
+    // streams map-side instead of shuffling whole.
+    val per1 = pin(per0)
+    val per =
+      if (pinned && per1.count() <=
+          IndexManifests.broadcastRowCap(per1.schema))
+        broadcast(per1)
+      else per1
     val flagged = grams.join(per, "__g")
       .filter(!(col(idCol) === col("canon.d") &&
         col("pos") === col("canon.p")))

@@ -381,7 +381,20 @@ object Text {
       // same reasoning as the zero-norm filter below (a bare NPE from
       // getSeq would point at nothing)
       .filter(!_.isNullAt(0))
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[java.lang.Double](0))
+      // a NULL ELEMENT inside a benchmark vector is rejected loudly
+      // (ADVICE r15): the corpus side maps element-nulls to a NULL
+      // verdict ([[graft.functions.MaxCosine]]), but a benchmark
+      // vector is a REFERENCE — silently dropping or zeroing a
+      // component would quietly weaken every verdict, and the
+      // previous toArray unboxing NPE'd with no pointer at the cause
+      .map { s =>
+        require(s.forall(_ != null),
+          "benchmark embedding contains a null element — fix or drop " +
+            "the row (corpus-side nulls yield a NULL verdict; a " +
+            "reference vector must be fully defined)")
+        s.map(_.doubleValue).toArray
+      }
       .map(v => (v, v.foldLeft(0d)((a, x) => a + x * x)))
       .filter(_._2 > 0d)
       .toSeq

@@ -48,6 +48,35 @@ class GraphSpec extends SparkSpec {
     assert(once == again)
   }
 
+  test("chained-broadcast gate is memory-derived (ADVICE r15): total " +
+      "live broadcast bytes (2 * iters * n * 64B) against 1/8 heap, " +
+      "boundary exact; the old fixed 5M-node bound is rejected on a " +
+      "default-size driver") {
+    val heap4g = 4L << 30
+    // budget = heap/8 = 512 MB; live = 2*iters*n*64
+    // boundary at n*iters = 512MB/128 = 4,194,304
+    assert(Graph.chainedBroadcastFits(4194304L / 10, 10, heap4g))
+    assert(!Graph.chainedBroadcastFits(4194304L / 10 + 1, 10, heap4g))
+    // the r15-ADVICE scenario: 5M nodes at 32 iters = ~20 GB of live
+    // broadcasts — admitted by the old bound, rejected now on 4 GB
+    assert(!Graph.chainedBroadcastFits(5000000L, 32, heap4g))
+    // a cluster-size driver admits it again
+    assert(Graph.chainedBroadcastFits(5000000L, 10, 64L << 30))
+    // the plan-depth gate is independent of memory
+    assert(!Graph.chainedBroadcastFits(10L, 33, 64L << 30))
+    // both loop forms are bit-identical at EQUAL iters (integer
+    // fixed-point): chainedHeapBytes = 0 forces the materialized-AQE
+    // fallback on the same graph
+    val edges = (1 to 30).flatMap(i =>
+      Seq((s"n$i", s"n${i % 5}"), (s"n${i % 5}", s"n$i")))
+      .toDF("src", "dst")
+    def ranks(heap: Long) =
+      Graph.pagerank(edges, "src", "dst", iters = 8,
+          chainedHeapBytes = heap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks(Runtime.getRuntime.maxMemory) == ranks(0L))
+  }
+
   test("empty edge frame fails fast with a clear message, not a " +
       "divide-by-zero") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")

@@ -205,6 +205,59 @@ class SemanticIndexSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("over-budget batch auto-splits into chunked broadcast probes " +
+      "(r15 verdict #4) with verdicts bit-identical to the one-chunk " +
+      "path — batch-mate pairs covered across chunk boundaries") {
+    val dir = tmp("sem_chunk_idx")
+    SemanticIndex.build(corpus, "doc_id", "embedding", dir,
+      numClusters = 8)
+    val one = verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95))
+    // a ~1-byte budget forces one chunk per row (4 rows → 4 chunks);
+    // 101/102 are batch-mates that hash into different chunks, so
+    // this exercises the cross-chunk mate coverage
+    val chunked = verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95, broadcastBudgetBytes = 1L))
+    assert(chunked == one)
+    assert(chunked.exists { case (id, dup, of) =>
+      id == 102L && dup && of == 101L })
+  }
+
+  test("LSM takedown (r15 verdict #4): delete tombstones a corpus " +
+      "doc — verdicts immediately equal an index built without it — " +
+      "and compact makes the purge physical") {
+    val dir = tmp("sem_del_idx")
+    SemanticIndex.build(corpus, "doc_id", "embedding", dir,
+      numClusters = 8)
+    // doc 100 near-copies corpus 0; deleting corpus 0 must stop it
+    // anchoring — under the SAME frozen codebook (survivor-built twin
+    // indexes train different codebooks, so compare against the same
+    // dir pre/post delete instead)
+    val before = verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95))
+    assert(before.exists { case (id, dup, of) =>
+      id == 100L && dup && of == 0L })
+    assert(SemanticIndex.delete(spark, dir,
+      Seq(Tuple1(0L)).toDF("d")) == 1L)
+    val after = verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95))
+    assert(after.exists { case (id, dup, _) => id == 100L && !dup },
+      s"deleted doc 0 still anchors: $after")
+    // everything else unchanged
+    assert(after.filter(_._1 != 100L) == before.filter(_._1 != 100L))
+    // idempotent re-delete
+    assert(SemanticIndex.delete(spark, dir,
+      Seq(Tuple1(0L)).toDF("d")) == 0L)
+    // compact: purge physical (row gone from the vector scan), the
+    // tombstone frame dropped, verdicts unchanged
+    SemanticIndex.compact(spark, dir)
+    val (_, entries) =
+      graft.extra.IndexManifests.latest(spark, dir).get
+    assert(!entries.contains("tombstones"))
+    assert(verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95)) == after)
+  }
+
   // ---- decontaminateSemantic (shares the vector machinery) ---------
 
   test("decontaminateSemantic: paraphrase-leak flagged at its cosine, " +
@@ -249,6 +302,16 @@ class SemanticIndexSpec extends SparkSpec {
         "doc_id", "embedding", "vec", threshold = 0.9)
       .orderBy("doc_id").collect()
     assert(gn(0).getBoolean(1) && !gn(1).getBoolean(1))
+    // a NULL ELEMENT inside a benchmark vector rejects loudly
+    // (ADVICE r15) — a reference vector must be fully defined; the
+    // old path NPE'd in toArray with no pointer at the cause
+    val withNullElem = Seq((900L, Seq[java.lang.Float](0.98f, null,
+      0f, 0f))).toDF("bid", "vec")
+    val nee = intercept[IllegalArgumentException] {
+      Text.decontaminateSemantic(corpusE, withNullElem,
+        "doc_id", "embedding", "vec", threshold = 0.9)
+    }
+    assert(nee.getMessage.contains("null element"))
     // a WRONG-DIMENSION corpus vector is a different model's output:
     // max_cosine (and contaminated) come back NULL, never a
     // truncated-arithmetic verdict
