@@ -192,6 +192,164 @@ object Text {
     df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol), merges))
 
+  /** Expression-form viability ceiling: 2·M nested `StringReplace`s
+    * stay comfortably inside janino/codegen limits to a few hundred
+    * merges; a production 30-50k-merge vocabulary does not survive the
+    * expression tree (r15 verdict #2). [[withBpeTokensAuto]] switches
+    * to the typed tier above this.
+    */
+  val BpeExprMaxMerges: Int = 256
+
+  /** One left-to-right NON-OVERLAPPING merge pass over a word's symbol
+    * array — the exact array form of one `replace(" a b ", " ab ")`
+    * string pass ([[bpeApply]]): a match consumes BOTH surrounding
+    * delimiters, so the element right after a merged pair can never
+    * START a match in the same pass (" a b a b " → " ab a b ", the
+    * straggler the second pass folds).
+    */
+  private def bpeMergePass(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    val n = syms.length
+    var changed = false
+    while (i < n) {
+      if (i + 1 < n && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b)
+        if (i + 2 < n) out += syms(i + 2)
+        i += 3
+        changed = true
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    if (changed) out.result() else syms
+  }
+
+  /** Encode ONE word under the merge list — BIT-IDENTICAL segmentation
+    * to [[bpeApply]] restricted to that word (the [[BpeBoundary]]
+    * symbol blocks every cross-word match, so the doc-level expression
+    * form IS per-word application; BpeSpec pins the equivalence on a
+    * randomized differential). Sequence-order semantics, replicated
+    * exactly: rules apply in RANK order, each applied rule runs TWO
+    * non-overlapping passes, and a rule once passed is never revisited
+    * — so the next rule to apply is the minimum-rank pair PRESENT with
+    * rank above the last applied (scanning the ≤L−1 adjacent pairs per
+    * step, O(L²) worst for an L-char word — trivial at word length).
+    * Unlike the expression form, cost is independent of the merge-list
+    * SIZE for non-matching rules: only pairs present in the word are
+    * ever looked up, which is what makes a 50k-merge vocabulary
+    * tractable.
+    */
+  private[graft] def bpeEncodeWord(word: String,
+      rules: Array[(String, String)],
+      rank: scala.collection.Map[(String, String), Int])
+      : Array[String] = {
+    var syms: Array[String] = word.toCharArray.map(_.toString)
+    var last = -1
+    var continue = true
+    while (continue && syms.length > 1) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r > last && r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val (a, b) = rules(best)
+        syms = bpeMergePass(bpeMergePass(syms, a, b), a, b)
+        last = best
+      }
+    }
+    syms
+  }
+
+  /** TYPED-TIER exact BPE token counts for PRODUCTION-SIZE merge
+    * lists (r15 verdict #2) — (idCol, n_bpe_tokens), bit-identical to
+    * [[bpeTokenCount]] under the same merges (spec-pinned; the
+    * contract inherited from [[bpeInit]]: the [[BpeBoundary]]
+    * character does not occur inside words). The documented
+    * `mapPartitions` tier ([[Packing]]/[[Multimodal]]'s pattern —
+    * per-row imperative logic the expression language can't express
+    * at this scale): the merge ranks ship ONCE per executor as a
+    * broadcast (a 50k-merge list is a few MB — the expression form
+    * would inline it into a janino-fatal plan), and each partition
+    * memoizes symbol counts PER DISTINCT WORD, so a Zipf-shaped
+    * corpus pays the merge loop only on its vocabulary, not its
+    * running tokens. Null text → null count (the expression form's
+    * behavior). `idCol` must be long-castable (the [[Packing]]
+    * contract).
+    */
+  def bpeTokenCountsTyped(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rules = merges.toArray
+    val bc = spark.sparkContext.broadcast(rules)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t"))
+      .as[(Long, Option[String])]
+      .mapPartitions { it =>
+        val rs = bc.value
+        val rank = new scala.collection.mutable.HashMap[(String, String), Int]
+        var i = 0
+        while (i < rs.length) {
+          // FIRST occurrence wins, as in rank maps everywhere — a
+          // duplicated rule's later copy can never apply in sequence
+          // order anyway (its pair was merged away or passed)
+          if (!rank.contains(rs(i))) rank.update(rs(i), i)
+          i += 1
+        }
+        // per-distinct-word memo, size-capped so an adversarial
+        // all-unique-words partition cannot hold the whole partition's
+        // text in memory (Zipf corpora hit the cap ~never)
+        val memo = new scala.collection.mutable.HashMap[String, Long]
+        it.map { case (id, t) =>
+          val n: Option[Long] = t.map { text =>
+            var total = 0L
+            // EXACTLY [[tokens]]: lowercase, split on single spaces,
+            // drop empties (tabs/newlines stay inside tokens there
+            // too — matching the expression form is the contract)
+            text.toLowerCase.split(" ", -1).foreach { w =>
+              if (w.nonEmpty) {
+                val cnt = memo.getOrElse(w, -1L)
+                if (cnt >= 0L) total += cnt
+                else {
+                  val c = bpeEncodeWord(w, rs, rank)
+                    .count(_ != BpeBoundary).toLong
+                  if (memo.size < 262144) memo.update(w, c)
+                  total += c
+                }
+              }
+            }
+            total
+          }
+          (id, n)
+        }
+      }
+      .toDF(idCol, "n_bpe_tokens")
+  }
+
+  /** [[withBpeTokens]] with the tier SELECTED by merge-list size
+    * (r15 verdict #2): at or below [[BpeExprMaxMerges]] the
+    * oracle-replayable expression form; above it the broadcast +
+    * `mapPartitions` typed tier (joined back on `idCol` — one keyed
+    * join against a count frame, no text shuffle).
+    */
+  def withBpeTokensAuto(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size <= BpeExprMaxMerges) withBpeTokens(df, textCol, merges)
+    else
+      df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+        .join(bpeTokenCountsTyped(df, idCol, textCol, merges)
+          .withColumnRenamed(idCol, "__bpe_id"),
+          col(idCol).cast("long") === col("__bpe_id"), "left")
+        .drop("__bpe_id")
+
   /** Train a BPE merge list on a corpus — deterministic greedy
     * pair-merging (Sennrich et al. 2016, arXiv:1508.07909) over the
     * corpus WORD-FREQUENCY dictionary:

@@ -279,6 +279,51 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (4L, 0L)))
   }
 
+  test("typed-tier BPE (r15 verdict #2): bpeTokenCountsTyped is " +
+      "bit-identical to the expression form on a seeded randomized " +
+      "differential — adjacent repeats, stragglers, multi-char " +
+      "merges, case folding, empties, null text") {
+    import graft.extra.Text
+    val rnd = new scala.util.Random(1616)
+    val alpha = "abcd"
+    def word() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val docs = ((0 until 120).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(12)).map(_ => word())
+        .mkString(" "))
+    } ++ Seq(
+      (200L, "aaaaa ababab ABAB"), // self-overlap runs + case fold
+      (201L, ""),                  // empty
+      (202L, "   "),               // separators only
+      (203L, null.asInstanceOf[String]))) // null text
+      .toDF("doc_id", "text")
+    // a trained list over the same distribution: multi-char merges,
+    // chained rules, rules that never apply
+    val merges = Text.trainBpe(docs, "text", numMerges = 40) ++
+      Seq(("zz", "qq")) // never matches
+    val expr = docs.withColumn("n",
+        Text.bpeTokenCount(col("text"), merges))
+      .select("doc_id", "n").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    val typed = Text.bpeTokenCountsTyped(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(typed == expr)
+    // null text → null count in both forms
+    assert(typed.find(_._1 == 203L).get._2 == -1L)
+    // the auto selector: above the expression ceiling it joins the
+    // typed counts back under the same column names
+    val auto = Text.withBpeTokensAuto(docs, "doc_id", "text",
+        merges ++ (0 until Text.BpeExprMaxMerges)
+          .map(i => (s"__x$i", s"__y$i")))
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(auto == expr)
+  }
+
   test("packGreedy budgets by EXACT subword counts: a BPE count column " +
       "drives packing directly (r14 verdict #4 integration)") {
     import graft.extra.{Packing, Text}
