@@ -387,37 +387,85 @@ object Text {
       .orderBy(col("n").desc, col("w"))
       .limit(maxWords)
       .as[(String, Long)].collect()
-    // word → wrapped symbol string " c h a r s " (the bpeInit form of
-    // one word); merges apply via the same replace primitive
-    var seg: Array[(String, Long)] = dict.map { case (w, n) =>
-      (" " + w.map(c => s"$c ").mkString, n)
+    // INCREMENTAL trainer over the collected dict (r16 — the naive
+    // full-recount loop paid O(dict · wordLen) PER ROUND, 211 s for a
+    // 5k-merge train; this is the standard production shape): exact
+    // pair counts and a (count desc, pair asc)-ordered queue are
+    // maintained by DELTA — each round touches only the words whose
+    // segmentation contains the merged pair, decrementing their old
+    // adjacent-pair counts and incrementing the new. The pick each
+    // round is IDENTICAL to the recount form's
+    // `minBy (-count, a, b)` (counts are exact by construction), so
+    // the trained list is bit-identical — TextOpsSpec's hand-checked
+    // and determinism arms pin it. Merges apply with the same
+    // two-pass primitive [[bpeApply]]/[[bpeEncodeWord]] use.
+    val seg: Array[Array[String]] =
+      dict.map { case (w, _) => w.toCharArray.map(_.toString) }
+    val freq: Array[Long] = dict.map(_._2)
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val byPair = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator
+        .map(i => (syms(i), syms(i + 1)))
+    seg.indices.foreach { w =>
+      pairsOf(seg(w)).foreach { p =>
+        counts.update(p, counts.getOrElse(p, 0L) + freq(w))
+        byPair.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty) += w
+      }
+    }
+    // (count, a, b) under (-count, a, b): head is the round's pick;
+    // entries are removed+reinserted on every count change, so the
+    // set never holds a stale count
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)](
+        e => (-e._1, e._2, e._3))(
+        Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String))
+    val queue =
+      scala.collection.mutable.TreeSet.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), n) => queue += ((n, a, b)) }
+    def adjust(p: (String, String), delta: Long, w: Int): Unit = {
+      val c0 = counts.getOrElse(p, 0L)
+      val c1 = c0 + delta
+      if (c0 > 0L) queue -= ((c0, p._1, p._2))
+      if (c1 > 0L) {
+        counts.update(p, c1)
+        queue += ((c1, p._1, p._2))
+      } else {
+        counts.remove(p)
+        byPair.remove(p)
+      }
+      if (delta > 0L && c1 > 0L)
+        byPair.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty) += w
     }
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
-    var done = false
-    while (round < numMerges && !done) {
-      val counts = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      seg.foreach { case (s, n) =>
-        val syms = s.trim.split(" ")
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + n)
-          i += 1
+    while (round < numMerges && queue.nonEmpty) {
+      val (_, a, b) = queue.head
+      merges += ((a, b))
+      val touched = byPair.get((a, b))
+        .map(_.toArray).getOrElse(Array.empty)
+      touched.foreach { w =>
+        val before = seg(w)
+        val after = bpeMergePass(bpeMergePass(before, a, b), a, b)
+        if (!(after eq before)) {
+          // exact per-word delta: multiplicity-weighted old pairs out,
+          // new pairs in (byPair keeps stale word entries for pairs
+          // the word no longer holds — harmless: the round's touch
+          // re-derives from seg(w), and counts stay exact)
+          pairsOf(before).foreach(p => adjust(p, -freq(w), w))
+          seg(w) = after
+          pairsOf(after).foreach(p => adjust(p, freq(w), w))
         }
       }
-      if (counts.isEmpty) done = true
-      else {
-        val best = counts.minBy { case ((a, b), n) => (-n, a, b) }._1
-        merges += best
-        val (a, b) = best
-        seg = seg.map { case (s, n) =>
-          (s.replace(s" $a $b ", s" $a$b ")
-            .replace(s" $a $b ", s" $a$b "), n)
-        }
-        round += 1
-      }
+      // the merged pair may survive self-overlapping runs with a
+      // REDUCED exact count (both forms share the two-pass semantics);
+      // if it is gone, its queue entry went with the last decrement
+      round += 1
     }
     merges.result()
   }
