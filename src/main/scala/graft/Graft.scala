@@ -145,6 +145,62 @@ object Graft {
       threshold: Double, numClusters: Int = 32): DataFrame =
     extra.Dedup.semDedup(emb, idCol, vecCol, threshold, numClusters)
 
+  // ---- persisted incremental-dedup indexes ---------------------------
+  // (the amortized forms: the corpus side is served from storage; each
+  // index also has a streaming leg under graft.streaming.*Ingest)
+
+  /** Build / batch-verdict / append / takedown on the persisted MinHash
+    * band index ([[extra.MinhashIndex]]) — lexical near-dup served from
+    * storage; verdicts ≡ [[nearDupIncremental]](indexed docs, batch).
+    */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+    extra.MinhashIndex.build(docs, idCol, textCol, dir)
+
+  def minhashIndexDedupBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    extra.MinhashIndex.dedupBatch(spark, dir, batch, idCol, textCol,
+      threshold)
+
+  def deleteFromMinhashIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String = "d"): Long =
+    extra.MinhashIndex.delete(spark, dir, ids, idCol)
+
+  /** Build / batch-verdict / takedown on the persisted semantic-dedup
+    * index ([[extra.SemanticIndex]]) — embedding-space near-dup served
+    * from storage under a frozen coarse codebook; over-budget batches
+    * auto-split their broadcast probe (r16).
+    */
+  def buildSemanticIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, numClusters: Int = 32): Unit =
+    extra.SemanticIndex.build(emb, idCol, vecCol, dir, numClusters)
+
+  def semanticIndexDedupBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    extra.SemanticIndex.dedupBatch(spark, dir, batch, idCol, vecCol,
+      threshold)
+
+  def deleteFromSemanticIndex(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String = "d"): Long =
+    extra.SemanticIndex.delete(spark, dir, ids, idCol)
+
+  /** Build / batch-span-dedup on the persisted duplicated-gram posting
+    * index ([[extra.SubstrIndex]]) — incremental ExactSubstr; output ≡
+    * global span dedup restricted to the batch (takedown here is a
+    * rebuild — the min-summaries are not invertible, see its scaladoc).
+    */
+  def buildSubstrIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 5, hashed: Boolean = true): Unit =
+    extra.SubstrIndex.build(docs, idCol, textCol, dir, k, hashed)
+
+  def substrIndexDedupBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      minSpanTokens: Int = 0): DataFrame =
+    extra.SubstrIndex.dedupBatch(spark, dir, batch, idCol, textCol,
+      minSpanTokens)
+
   // ---- similarity search --------------------------------------------
 
   def similarTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -495,6 +551,17 @@ object Graft {
 
   def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
     extra.Text.withTokenCounts(docs, textCol)
+
+  /** EXACT subword token counts under a trained BPE merge list, tier
+    * selected by vocabulary size ([[extra.Text.withBpeTokensAuto]]):
+    * the oracle-replayable expression form up to
+    * [[extra.Text.BpeExprMaxMerges]] merges, the broadcast +
+    * mapPartitions typed tier above it (bit-identical, spec-pinned).
+    * Train the list with [[extra.Text.trainBpe]].
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    extra.Text.withBpeTokensAuto(docs, idCol, textCol, merges)
 
   def fingerprint(docs: DataFrame, textCol: String): DataFrame =
     extra.Text.withFingerprint(docs, textCol)

@@ -228,9 +228,14 @@ object Bm25Index {
     try {
       Layout.writeClustered(tf, s"$dir/tf/$seg",
         Seq(col("term"), col("id")), numFiles)
-      tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-        .repartition(1).sortWithinPartitions(col("id"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/dl/$seg")
+      // dl is id-CLUSTERED over numFiles/4 files, not a single-task
+      // funnel: a build/compact dl frame is CORPUS-wide (one row per
+      // doc), and repartition(1) pushed 100 TB's worth of doc
+      // lengths through one writer (r16; readers join dl keyed on
+      // the scored rows, so the file count is invisible to them)
+      Layout.writeClustered(
+        tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+        s"$dir/dl/$seg", Seq(col("id")), math.max(1, numFiles / 4))
       Layout.writeClustered(
         tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
         s"$dir/df/$seg", Seq(col("term")), math.max(1, numFiles / 4))
@@ -336,9 +341,8 @@ object Bm25Index {
     Layout.writeClustered(
       spark.read.parquet(pickedTf.map(s => s"$dir/$s"): _*),
       s"$dir/tf/$seg", Seq(col("term"), col("id")), nf)
-    readPicked("dl").foreach(_
-      .repartition(1).sortWithinPartitions(col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dl/$seg"))
+    readPicked("dl").foreach(d => Layout.writeClustered(d,
+      s"$dir/dl/$seg", Seq(col("id")), math.max(1, nf / 4)))
     readPicked("df").foreach(d => Layout.writeClustered(
       d.groupBy(col("term")).agg(sum(col("df")).as("df")),
       s"$dir/df/$seg", Seq(col("term")), math.max(1, nf / 4)))
@@ -502,8 +506,10 @@ object Bm25Index {
     val dl0 = readFrame(spark, dir, entries, "dl").get
     val dlKept =
       tomb.fold(dl0)(t => dl0.join(t.select("id"), Seq("id"), "left_anti"))
-    dlKept.repartition(1).sortWithinPartitions(col("id"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/dl/$seg")
+    // id-clustered multi-file, as in build — the corpus-wide dl
+    // frame never funnels through one task
+    Layout.writeClustered(dlKept, s"$dir/dl/$seg", Seq(col("id")),
+      math.max(1, numFiles / 4))
     val dfSummed = readFrame(spark, dir, entries, "df").get
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val dfFinal = dfCorr match {

@@ -317,4 +317,65 @@ class GraftFacadeSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(hh.toSeq == Seq(("hot", 250L)))
   }
+
+  test("facade: persisted-dedup-index + vocabulary-BPE surface (r16)") {
+    def tmp(p: String) = {
+      val d = java.nio.file.Files.createTempDirectory(p)
+      d.toFile.deleteOnExit(); d.toString
+    }
+    val corpus = Seq((0L, "shared run alpha beta gamma delta epsilon"),
+      (1L, "unrelated corpus words entirely distinct here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "shared run alpha beta gamma delta epsilon"),
+      (101L, "fresh novel batch document nothing indexed"))
+      .toDF("doc_id", "text")
+    // MinHash band index round trip + takedown
+    val mdir = tmp("fmh")
+    Graft.buildMinhashIndex(corpus, "doc_id", "text", mdir)
+    val mv = Graft.minhashIndexDedupBatch(spark, mdir, batch,
+      "doc_id", "text")
+      .filter(col("is_dup")).select("doc_id", "dup_of").collect()
+    assert(mv.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((100L, 0L)))
+    assert(Graft.deleteFromMinhashIndex(spark, mdir,
+      Seq(Tuple1(0L)).toDF("d")) == 1L)
+    assert(Graft.minhashIndexDedupBatch(spark, mdir, batch,
+      "doc_id", "text").filter(col("is_dup")).count() == 0L)
+    // semantic index round trip + takedown
+    val sdir = tmp("fsem")
+    val emb = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("doc_id", "embedding")
+    Graft.buildSemanticIndex(emb, "doc_id", "embedding", sdir,
+      numClusters = 4)
+    val sb = Seq((100L, Seq(0.99f, 0.01f, 0f, 0f)))
+      .toDF("doc_id", "embedding")
+    assert(Graft.semanticIndexDedupBatch(spark, sdir, sb,
+      "doc_id", "embedding", 0.95).filter(col("is_dup")).count() == 1L)
+    assert(Graft.deleteFromSemanticIndex(spark, sdir,
+      Seq(Tuple1(0L)).toDF("d")) == 1L)
+    assert(Graft.semanticIndexDedupBatch(spark, sdir, sb,
+      "doc_id", "embedding", 0.95).filter(col("is_dup")).count() == 0L)
+    // substr index span dedup
+    val xdir = tmp("fsub")
+    Graft.buildSubstrIndex(corpus, "doc_id", "text", xdir)
+    val xv = Graft.substrIndexDedupBatch(spark, xdir, batch,
+      "doc_id", "text").select("doc_id", "n_tokens_removed")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(xv.head._1 == 100L && xv.head._2 > 0L)
+    assert(xv(1) == ((101L, 0L)))
+    // BPE auto tier: expression (small list) and typed (padded past
+    // the ceiling) agree
+    val merges = graft.extra.Text.trainBpe(corpus, "text", 8)
+    val small = Graft.bpeTokenCounts(corpus, "doc_id", "text", merges)
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
+      .map(_.getLong(1)).toSeq
+    val padded = merges ++ (0 until graft.extra.Text.BpeExprMaxMerges)
+      .map(i => (s"__p$i", s"__q$i"))
+    val big = Graft.bpeTokenCounts(corpus, "doc_id", "text", padded)
+      .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
+      .map(_.getLong(1)).toSeq
+    assert(small == big && small.forall(_ > 0L))
+  }
 }
