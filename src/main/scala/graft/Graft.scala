@@ -559,9 +559,9 @@ object Graft {
     * mapPartitions typed tier above it (bit-identical, spec-pinned).
     * Train the list with [[extra.Text.trainBpe]].
     */
-  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+  def bpeTokenCounts(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
-    extra.Text.withBpeTokensAuto(docs, idCol, textCol, merges)
+    extra.Text.withBpeTokensAuto(docs, textCol, merges)
 
   def fingerprint(docs: DataFrame, textCol: String): DataFrame =
     extra.Text.withFingerprint(docs, textCol)

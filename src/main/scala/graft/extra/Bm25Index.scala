@@ -327,9 +327,13 @@ object Bm25Index {
       val live = entries.getOrElse(frame, Nil).toSet
       versionsPicked.map(v => s"$frame/$v").filter(live.contains)
     }
-    val pickedAll =
-      (pickedTf ++ Seq("dl", "df", "meta").flatMap(pickedOf)).toSet
-    val bytes = sizes.collect { case (s, b) if pickedAll(s) => b }.sum
+    val companions = Seq("dl", "df", "meta").flatMap(pickedOf)
+    val pickedAll = (pickedTf ++ companions).toSet
+    // size the tier-up file count from EVERYTHING this merge rewrites
+    // — tf plus the same-version dl/df/meta companions (sizes covers
+    // tf only; the companions need their own stat pass)
+    val bytes = sizes.collect { case (s, b) if pickedAll(s) => b }.sum +
+      IndexManifests.segmentBytes(spark, dir, companions).map(_._2).sum
     val nf = IndexManifests.tierFileCount(bytes)
     val v = v0 + 1
     val seg = f"seg-$v%09d"
@@ -363,10 +367,7 @@ object Bm25Index {
         (if (pickedOf("df").isEmpty) Map.empty
          else IndexManifests.fileRangeStats(spark, dir, s"df/$seg",
            "term"))
-    val keptRanges = ranges.filter { case (f, _) =>
-      val i = f.lastIndexOf('/')
-      !(i > 0 && pickedAll.contains(f.substring(0, i)))
-    }
+    val keptRanges = IndexManifests.dropRangesUnder(ranges, pickedAll)
     commit(spark, dir, v, fresh, keptRanges ++ segRanges)
     IndexManifests.vacuum(spark, dir, Frames,
       keepVersions = retainVersions)

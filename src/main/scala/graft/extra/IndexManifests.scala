@@ -437,6 +437,19 @@ private[graft] object IndexManifests {
     budgetBytes / rowBytes
   }
 
+  /** Range stats surviving a tier merge: drop every `#range=` file
+    * entry living under a merged-away segment (the tier-up segment
+    * commits fresh stats) — shared by every compactTier so the
+    * dropping rule can't silently diverge across the indexes.
+    */
+  private[graft] def dropRangesUnder(
+      ranges: Map[String, (String, String)],
+      merged: Set[String]): Map[String, (String, String)] =
+    ranges.filter { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      !(i > 0 && merged.contains(f.substring(0, i)))
+    }
+
   /** Output file count for a tier merge, sized from its input bytes
     * (~96 MB of parquet per file, capped) so a tier-up segment lands
     * near the scan sweet spot instead of inheriting a fixed count.

@@ -219,10 +219,7 @@ object MinhashIndex {
       writeClusteredSeg(readSegs(pickedB), dir, segB, "k", nf) ++
         (if (pickedS.isEmpty) Map.empty
          else writeClusteredSeg(readSegs(pickedS), dir, segS, "d", nf))
-    val keptRanges = ranges.filter { case (f, _) =>
-      val i = f.lastIndexOf('/')
-      !(i > 0 && pickedSet.contains(f.substring(0, i)))
-    }
+    val keptRanges = IndexManifests.dropRangesUnder(ranges, pickedSet)
     val fresh = entries +
       ("bands" -> (bandSegs.filterNot(pickedSet) :+ segB)) +
       ("sets" -> (entries.getOrElse("sets", Nil).filterNot(pickedSet) ++

@@ -204,15 +204,26 @@ object SemanticIndex {
     val (v0, entries, _) = requireLatestFull(spark, dir)
     val segs = entries.getOrElse("vectors", Nil)
     require(segs.nonEmpty, s"no committed vector segments at $dir")
-    val seg = f"vectors/seg-${v0 + 1}%09d"
-    val live = readVectors(spark, dir, entries)
-    writeSegment(
-      readTombstones(spark, dir, entries)
-        .fold(live)(t => live.join(t.select("d"), Seq("d"), "left_anti")),
-      dir, seg)
-    val fresh = Map("vectors" -> Seq(seg)) ++
-      entries.get(IndexManifests.TxnFrame)
-        .map(IndexManifests.TxnFrame -> _).toMap
+    val live = readVectors(spark, dir, entries).get
+    val survivors = readTombstones(spark, dir, entries)
+      .fold(live)(t => live.join(t.select("d"), Seq("d"), "left_anti"))
+    // a FULL takedown leaves no survivors, and a partitionBy write of
+    // an empty frame is a file-less directory that would poison every
+    // later read with UNABLE_TO_INFER_SCHEMA (the append() guard's
+    // failure, reached through compact) — commit a manifest with NO
+    // vectors frame instead; dedupBatch/append handle the empty index
+    // (everything is a keeper / the next append re-seeds segments)
+    val fresh: Map[String, Seq[String]] =
+      if (survivors.isEmpty)
+        entries.get(IndexManifests.TxnFrame)
+          .map(IndexManifests.TxnFrame -> _).toMap
+      else {
+        val seg = f"vectors/seg-${v0 + 1}%09d"
+        writeSegment(survivors, dir, seg)
+        Map("vectors" -> Seq(seg)) ++
+          entries.get(IndexManifests.TxnFrame)
+            .map(IndexManifests.TxnFrame -> _).toMap
+      }
     IndexManifests.commit(spark, dir, v0 + 1, fresh)
     IndexManifests.vacuum(spark, dir, Frames,
       keepVersions = retainVersions)
@@ -263,12 +274,12 @@ object SemanticIndex {
     * every leg at file-listing time.
     */
   private def readVectors(spark: SparkSession, dir: String,
-      entries: Map[String, Seq[String]]): DataFrame =
+      entries: Map[String, Seq[String]]): Option[DataFrame] =
     entries.getOrElse("vectors", Nil)
       .map(s => spark.read.parquet(s"$dir/$s")
         .select(col("list_id").cast("long").as("list_id"),
           col("d"), col("v"), col("nrm")))
-      .reduce(_ unionByName _)
+      .reduceOption(_ unionByName _)
 
   private def requireLatestFull(spark: SparkSession, dir: String)
       : (Long, Map[String, Seq[String]], Map[String, (String, String)]) =
@@ -336,8 +347,13 @@ object SemanticIndex {
         // equijoin would be C-way skewed by construction;
         // broadcasting makes it a map-side probe over the pruned
         // cluster partitions, no corpus shuffle.
+        // an index fully taken down (compact after delete-all commits
+        // no vectors frame) contributes no corpus hits — batch-mate
+        // verdicts still apply
         val corpus0 = readVectors(spark, dir, entries)
-          .filter(col("list_id").isin(touched.map(Long.box): _*))
+          .map(_.filter(col("list_id").isin(touched.map(Long.box): _*)))
+          .getOrElse(ba.select(col("list_id"), col("id").as("d"),
+            col("v"), col("nrm")).limit(0))
         val corpusHits = tomb.fold(corpus0)(t =>
             corpus0.join(t.select("d"), Seq("d"), "left_anti"))
           .join(probeSel, Seq("list_id"))

@@ -319,10 +319,7 @@ object SubstrIndex {
         col("__c.p").as("p"))
       .sortWithinPartitions(col("g"))
     val segRanges = writeSegment(merged, dir, seg)
-    val keptRanges = ranges.filter { case (f, _) =>
-      val i = f.lastIndexOf('/')
-      !(i > 0 && pickedSet.contains(f.substring(0, i)))
-    }
+    val keptRanges = IndexManifests.dropRangesUnder(ranges, pickedSet)
     IndexManifests.commit(spark, dir, v0 + 1,
       entries + ("grams" -> (segs.filterNot(pickedSet) :+ seg)),
       keptRanges ++ segRanges)

@@ -267,88 +267,105 @@ object Text {
     syms
   }
 
-  /** TYPED-TIER exact BPE token counts for PRODUCTION-SIZE merge
-    * lists (r15 verdict #2) — (idCol, n_bpe_tokens), bit-identical to
-    * [[bpeTokenCount]] under the same merges (spec-pinned; the
-    * contract inherited from [[bpeInit]]: the [[BpeBoundary]]
-    * character does not occur inside words). The documented
-    * `mapPartitions` tier ([[Packing]]/[[Multimodal]]'s pattern —
-    * per-row imperative logic the expression language can't express
-    * at this scale): the merge ranks ship ONCE per executor as a
-    * broadcast (a 50k-merge list is a few MB — the expression form
-    * would inline it into a janino-fatal plan), and each partition
-    * memoizes symbol counts PER DISTINCT WORD, so a Zipf-shaped
-    * corpus pays the merge loop only on its vocabulary, not its
-    * running tokens. Null text → null count (the expression form's
-    * behavior). `idCol` must be long-castable (the [[Packing]]
-    * contract).
+  /** Per-partition (n_tokens, n_bpe_tokens) counter over a broadcast
+    * rule array: the rank map is built once per partition and symbol
+    * counts are memoized PER DISTINCT WORD (size-capped so an
+    * adversarial all-unique-words partition cannot hold the whole
+    * partition's text), so a Zipf-shaped corpus pays the merge loop
+    * only on its vocabulary, not its running tokens. Tokenization is
+    * EXACTLY [[tokens]] (lowercase, split on single spaces, drop
+    * empties — tabs/newlines stay inside tokens there too; matching
+    * the expression form is the contract).
     */
-  def bpeTokenCountsTyped(docs: DataFrame, idCol: String,
-      textCol: String, merges: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val rules = merges.toArray
-    val bc = spark.sparkContext.broadcast(rules)
-    docs
-      .select(col(idCol).cast("long").as("id"),
-        col(textCol).cast("string").as("t"))
-      .as[(Long, Option[String])]
-      .mapPartitions { it =>
-        val rs = bc.value
-        val rank = new scala.collection.mutable.HashMap[(String, String), Int]
-        var i = 0
-        while (i < rs.length) {
-          // FIRST occurrence wins, as in rank maps everywhere — a
-          // duplicated rule's later copy can never apply in sequence
-          // order anyway (its pair was merged away or passed)
-          if (!rank.contains(rs(i))) rank.update(rs(i), i)
-          i += 1
-        }
-        // per-distinct-word memo, size-capped so an adversarial
-        // all-unique-words partition cannot hold the whole partition's
-        // text in memory (Zipf corpora hit the cap ~never)
-        val memo = new scala.collection.mutable.HashMap[String, Long]
-        it.map { case (id, t) =>
-          val n: Option[Long] = t.map { text =>
-            var total = 0L
-            // EXACTLY [[tokens]]: lowercase, split on single spaces,
-            // drop empties (tabs/newlines stay inside tokens there
-            // too — matching the expression form is the contract)
-            text.toLowerCase.split(" ", -1).foreach { w =>
-              if (w.nonEmpty) {
-                val cnt = memo.getOrElse(w, -1L)
-                if (cnt >= 0L) total += cnt
-                else {
-                  val c = bpeEncodeWord(w, rs, rank)
-                    .count(_ != BpeBoundary).toLong
-                  if (memo.size < 262144) memo.update(w, c)
-                  total += c
-                }
-              }
-            }
-            total
+  private def bpeTextCounter(rs: Array[(String, String)])
+      : String => (Long, Long) = {
+    val rank = new scala.collection.mutable.HashMap[(String, String), Int]
+    var i = 0
+    while (i < rs.length) {
+      // FIRST occurrence wins, as in rank maps everywhere — a
+      // duplicated rule's later copy can never apply in sequence
+      // order anyway (its pair was merged away or passed)
+      if (!rank.contains(rs(i))) rank.update(rs(i), i)
+      i += 1
+    }
+    val memo = new scala.collection.mutable.HashMap[String, Long]
+    (text: String) => {
+      var nTok = 0L
+      var nBpe = 0L
+      text.toLowerCase.split(" ", -1).foreach { w =>
+        if (w.nonEmpty) {
+          nTok += 1L
+          val cnt = memo.getOrElse(w, -1L)
+          if (cnt >= 0L) nBpe += cnt
+          else {
+            val c = bpeEncodeWord(w, rs, rank)
+              .count(_ != BpeBoundary).toLong
+            if (memo.size < 262144) memo.update(w, c)
+            nBpe += c
           }
-          (id, n)
         }
       }
-      .toDF(idCol, "n_bpe_tokens")
+      (nTok, nBpe)
+    }
   }
+
+  /** TYPED-TIER [[withBpeTokens]] for PRODUCTION-SIZE merge lists
+    * (r15 verdict #2): adds `n_tokens` + `n_bpe_tokens` to every row
+    * in ONE `mapPartitions` pass — no id contract, no join, one
+    * corpus scan (the documented [[Packing]]/[[Multimodal]] tier: the
+    * merge ranks ship once per executor as a broadcast; a 50k-merge
+    * list inlined into a plan is janino-fatal). Bit-identical counts
+    * to the expression form under the same merges (spec-pinned; the
+    * contract inherited from [[bpeInit]]: the [[BpeBoundary]]
+    * character does not occur inside words); null text → null counts,
+    * as there.
+    */
+  def withBpeTokensTyped(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val idx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema
+      .add("n_tokens", org.apache.spark.sql.types.LongType)
+      .add("n_bpe_tokens", org.apache.spark.sql.types.LongType)
+    df.mapPartitions { it =>
+      val count = bpeTextCounter(bc.value)
+      it.map { r =>
+        val appended: Seq[Any] =
+          if (r.isNullAt(idx)) Seq(null, null)
+          else {
+            val (nt, nb) = count(r.getString(idx))
+            Seq(nt, nb)
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ appended)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Keyed typed-tier counts — (idCol, n_bpe_tokens), for callers that
+    * want a count FRAME to join on their own terms rather than the
+    * row-preserving [[withBpeTokensTyped]]. `idCol` must be
+    * long-castable; join-back semantics are the caller's (duplicate
+    * ids fan out like any keyed join). Null ids/text pass through as
+    * null counts.
+    */
+  def bpeTokenCountsTyped(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame =
+    withBpeTokensTyped(
+      docs.select(col(idCol).cast("long").as(idCol),
+        col(textCol).cast("string").as(textCol)),
+      textCol, merges)
+      .select(col(idCol), col("n_bpe_tokens"))
 
   /** [[withBpeTokens]] with the tier SELECTED by merge-list size
     * (r15 verdict #2): at or below [[BpeExprMaxMerges]] the
-    * oracle-replayable expression form; above it the broadcast +
-    * `mapPartitions` typed tier (joined back on `idCol` — one keyed
-    * join against a count frame, no text shuffle).
+    * oracle-replayable expression form; above it the one-pass
+    * row-preserving typed tier ([[withBpeTokensTyped]]).
     */
-  def withBpeTokensAuto(df: DataFrame, idCol: String, textCol: String,
+  def withBpeTokensAuto(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
     if (merges.size <= BpeExprMaxMerges) withBpeTokens(df, textCol, merges)
-    else
-      df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
-        .join(bpeTokenCountsTyped(df, idCol, textCol, merges)
-          .withColumnRenamed(idCol, "__bpe_id"),
-          col(idCol).cast("long") === col("__bpe_id"), "left")
-        .drop("__bpe_id")
+    else withBpeTokensTyped(df, textCol, merges)
 
   /** Train a BPE merge list on a corpus — deterministic greedy
     * pair-merging (Sennrich et al. 2016, arXiv:1508.07909) over the

@@ -368,12 +368,12 @@ class GraftFacadeSpec extends SparkSpec {
     // BPE auto tier: expression (small list) and typed (padded past
     // the ceiling) agree
     val merges = graft.extra.Text.trainBpe(corpus, "text", 8)
-    val small = Graft.bpeTokenCounts(corpus, "doc_id", "text", merges)
+    val small = Graft.bpeTokenCounts(corpus, "text", merges)
       .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
       .map(_.getLong(1)).toSeq
     val padded = merges ++ (0 until graft.extra.Text.BpeExprMaxMerges)
       .map(i => (s"__p$i", s"__q$i"))
-    val big = Graft.bpeTokenCounts(corpus, "doc_id", "text", padded)
+    val big = Graft.bpeTokenCounts(corpus, "text", padded)
       .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
       .map(_.getLong(1)).toSeq
     assert(small == big && small.forall(_ > 0L))

@@ -258,6 +258,29 @@ class SemanticIndexSpec extends SparkSpec {
       "doc_id", "embedding", 0.95)) == after)
   }
 
+  test("compact after a FULL takedown commits an empty index instead " +
+      "of a file-less poison segment; batch-mate verdicts still work " +
+      "and a later append re-seeds (review r16)") {
+    val dir = tmp("sem_full_del")
+    SemanticIndex.build(corpus, "doc_id", "embedding", dir,
+      numClusters = 8)
+    assert(SemanticIndex.delete(spark, dir,
+      Seq(0L, 1L, 2L).toDF("d")) == 3L)
+    SemanticIndex.compact(spark, dir)
+    val (_, entries) = graft.extra.IndexManifests.latest(spark, dir).get
+    assert(!entries.contains("vectors") && !entries.contains("tombstones"))
+    // an empty index: no corpus anchors, batch-mate rule still applies
+    val v = verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95))
+    assert(v.count(_._2) == 1 &&
+      v.exists { case (id, dup, of) => id == 102L && dup && of == 101L })
+    // append re-seeds segments under the SURVIVING frozen codebook
+    assert(SemanticIndex.append(corpus, "doc_id", "embedding", dir))
+    assert(verdicts(SemanticIndex.dedupBatch(spark, dir, batch,
+      "doc_id", "embedding", 0.95)).exists {
+        case (id, dup, of) => id == 100L && dup && of == 0L })
+  }
+
   // ---- decontaminateSemantic (shares the vector machinery) ---------
 
   test("decontaminateSemantic: paraphrase-leak flagged at its cosine, " +

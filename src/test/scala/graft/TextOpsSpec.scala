@@ -313,15 +313,35 @@ class TextOpsSpec extends SparkSpec {
     assert(typed == expr)
     // null text → null count in both forms
     assert(typed.find(_._1 == 203L).get._2 == -1L)
-    // the auto selector: above the expression ceiling it joins the
-    // typed counts back under the same column names
-    val auto = Text.withBpeTokensAuto(docs, "doc_id", "text",
+    // the auto selector: above the expression ceiling it computes the
+    // typed counts in the same row (one pass, no id contract)
+    val auto = Text.withBpeTokensAuto(docs, "text",
         merges ++ (0 until Text.BpeExprMaxMerges)
           .map(i => (s"__x$i", s"__y$i")))
       .select("doc_id", "n_bpe_tokens").orderBy("doc_id").collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
     assert(auto == expr)
+    // row-preserving typed tier under DUPLICATE ids (review r16: the
+    // old keyed join-back fanned rows out): cardinality 1:1, every
+    // row carries ITS OWN text's counts, n_tokens matches tokens()
+    val dups = Seq((5L, "aa bb"), (5L, "cc"), (6L, null))
+      .toDF("doc_id", "text")
+    val tw = Text.withBpeTokensTyped(dups, "text", merges)
+      .select("doc_id", "text", "n_tokens", "n_bpe_tokens")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    assert(tw.size == 3)
+    val exprDup = dups
+      .transform(d => Text.withBpeTokens(d, "text", merges))
+      .select("doc_id", "text", "n_tokens", "n_bpe_tokens")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq.sorted
+    assert(tw == exprDup)
   }
 
   test("packGreedy budgets by EXACT subword counts: a BPE count column " +
