@@ -186,6 +186,14 @@ object Graft {
       ids: DataFrame, idCol: String = "d"): Long =
     extra.SemanticIndex.delete(spark, dir, ids, idCol)
 
+  /** Live segments + ledger tokens of ANY manifest-committed index
+    * (BM25 / ANN / MinHash / substring / semantic) as a DataFrame —
+    * the size ladder the tiered auto-compaction is tuned by
+    * ([[extra.IndexStats.stats]]; also the `graft_index_stats` TVF).
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame =
+    extra.IndexStats.stats(spark, dir)
+
   /** Build / batch-span-dedup on the persisted duplicated-gram posting
     * index ([[extra.SubstrIndex]]) — incremental ExactSubstr; output ≡
     * global span dedup restricted to the batch (takedown here is a

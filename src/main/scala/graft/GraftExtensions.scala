@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.neardupTvf)
     ext.injectTableFunction(GraftExtensions.substrIncTvf)
     ext.injectTableFunction(GraftExtensions.semdedupTvf)
+    ext.injectTableFunction(GraftExtensions.indexStatsTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -172,6 +173,29 @@ object GraftExtensions {
           case s => s.toString
         }
         graft.extra.Snapshots.history(SparkSession.active, dir)
+          .queryExecution.analyzed
+      })
+
+  /** `graft_index_stats('dir')` — operational introspection of any
+    * manifest-committed index as a TVF: one row per live segment
+    * (version, frame, segment, bytes, files) + one per ledger token
+    * ([[graft.extra.IndexStats.stats]]); zero rows for an uncommitted
+    * path. Driver FS metadata only.
+    */
+  private[graft] val indexStatsTvf: (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+      .LogicalPlan) =
+    (FunctionIdentifier("graft_index_stats"),
+      new ExpressionInfo("graft.extra.IndexStats", "graft_index_stats",
+        "graft_index_stats(dir) - live segments + ledger tokens of a " +
+          "manifest-committed index (version, frame, segment, bytes, " +
+          "files); dir must be a literal"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_index_stats expects (dir), got " +
+            s"${children.length} arguments")
+        val dir = litString(children.head, "graft_index_stats", "dir")
+        graft.extra.IndexStats.stats(SparkSession.active, dir)
           .queryExecution.analyzed
       })
 
@@ -456,7 +480,7 @@ object GraftExtensions {
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
       dedupSpansTvf, annTvf, neardupTvf, substrIncTvf,
-      semdedupTvf).foreach {
+      semdedupTvf, indexStatsTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

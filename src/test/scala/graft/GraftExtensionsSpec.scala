@@ -243,6 +243,40 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_index_stats TVF: the segment ladder + ledger of a " +
+      "manifest-committed index from SQL; zero rows for an " +
+      "uncommitted path") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ext_stats")
+      .toString
+    graft.extra.SubstrIndex.build(
+      Seq((0L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, k = 5,
+      hashed = true)
+    graft.extra.SubstrIndex.append(
+      Seq((1L, "one appended doc with fresh words w1 w2 w3"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir,
+      txn = Some(("s", 0L)))
+    val rows = spark.sql(
+      s"SELECT frame, segment, bytes, files FROM " +
+        s"graft_index_stats('$dir') ORDER BY frame, segment").collect()
+    val grams = rows.filter(_.getString(0) == "grams")
+    assert(grams.length == 2, s"expected 2 gram segments: ${rows.toSeq}")
+    assert(grams.forall(r => r.getLong(2) > 0L && r.getLong(3) > 0L))
+    val txn = rows.filter(_.getString(0) == "_txn")
+    assert(txn.map(_.getString(1)).toSeq == Seq("s:0"))
+    assert(txn.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // joins/aggregates compose like any table: total live bytes
+    assert(spark.sql(s"SELECT sum(bytes) FROM graft_index_stats('$dir')")
+      .head().getLong(0) > 0L)
+    // uncommitted path: zero rows, no throw
+    val empty = java.nio.file.Files.createTempDirectory("ext_nostats")
+      .toString
+    assert(spark.sql(s"SELECT * FROM graft_index_stats('$empty')")
+      .count() == 0L)
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
