@@ -849,6 +849,30 @@ object Graft {
       isTarget: Column): DataFrame =
     extra.Text.dsirWeights(docs, idCol, textCol, isTarget)
 
+  /** Trains a multinomial Naive Bayes classifier on `(labelCol,
+    * textCol)` — the model-based filtering stage of a curation pipeline
+    * (CCNet/GPT-3 bootstrap: seed labels from a heuristic, let the
+    * model generalize). Training is pure counting: deterministic,
+    * engine-replayable, one token-universe shuffle.
+    */
+  def trainClassifier(docs: DataFrame, labelCol: String,
+      textCol: String): extra.Classifier.NaiveBayesModel =
+    extra.Classifier.trainNaiveBayes(docs, labelCol, textCol)
+
+  /** Per-(doc, class) exact-decimal log-posteriors under a fitted
+    * [[trainClassifier]] model.
+    */
+  def classifyScores(docs: DataFrame, idCol: String, textCol: String,
+      model: extra.Classifier.NaiveBayesModel): DataFrame =
+    extra.Classifier.scoreNaiveBayes(docs, idCol, textCol, model)
+
+  /** Argmax classification (score desc, label asc tie-break) — one row
+    * per document: `idCol`, `predicted`, `score`.
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      model: extra.Classifier.NaiveBayesModel): DataFrame =
+    extra.Classifier.predictNaiveBayes(docs, idCol, textCol, model)
+
   /** Near-dup pairs over any 56-bit-or-narrower fingerprint column
     * (simhash / image dHash / audio energy hash): banded-LSH candidates
     * + exact Hamming verify.

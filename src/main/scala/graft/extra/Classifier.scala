@@ -1,0 +1,167 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based document classification — the trained-filter stage of a
+  * curation pipeline (CCNet / GPT-3 / FineWeb all gate their corpora
+  * with a lightweight classifier trained on seed labels; reference
+  * scope: the quality/lang heuristics of the text stage, upgraded from
+  * per-doc rules to a corpus-trained model).
+  *
+  * The model is MULTINOMIAL NAIVE BAYES with add-one smoothing over the
+  * whitespace token stream ([[Text.tokens]]) — chosen deliberately over
+  * gradient-trained alternatives because training is PURE COUNTING:
+  * both training and scoring are exactly replayable by the DuckDB
+  * oracle, so the whole train→score→predict chain sits behind the
+  * hash-match gate rather than a rows-only check (the same reasoning
+  * that keeps the IVF/PQ codebooks deterministic-sample by default).
+  *
+  * Determinism discipline (the [[Text.unigramScore]] precedent): every
+  * log-probability is rounded to 6 decimals per DISTINCT (label, token)
+  * and carried as DECIMAL(18,6); per-document scores are sums of
+  * decimal·count products — exact, associative, partitioning- and
+  * engine-independent. Java `Math.log` and DuckDB `ln` agree at round-6
+  * (proven by the green unigram/bigram LM rows since r9).
+  *
+  * Scale shape (100 TB corpus, bounded model):
+  *  - training = one explode + two map-side-combined count aggregations
+  *    over (label, token) — shuffles the DISTINCT token universe, not
+  *    the token stream;
+  *  - the fitted model is materialized once ([[Dedup.materialize]]) —
+  *    training never re-executes per consumer;
+  *  - scoring joins the corpus's per-doc distinct-token counts against
+  *    the model: broadcast when the model fits the size-aware cap
+  *    ([[IndexManifests.broadcastRowCap]] — a trained vocab is
+  *    model-sized by construction), keyed equijoin on `token` past it;
+  *    the corpus side streams map-side in the broadcast regime. The
+  *    classes frame (C rows) is always broadcast.
+  */
+object Classifier {
+
+  /** A fitted multinomial NB model. Both frames are MATERIALIZED.
+    *
+    * @param classStats one row per class: `label` (string), `log_prior`
+    *   = round(ln(n_docs_c / n_docs), 6), `default_lp` =
+    *   round(ln(1 / (tokens_c + |V|)), 6) — the smoothed log-prob of a
+    *   vocabulary token unseen in this class; both DECIMAL(18,6).
+    * @param tokenLp one row per OBSERVED (label, token): `lp` =
+    *   round(ln((c + 1) / (tokens_c + |V|)), 6), DECIMAL(18,6). Tokens
+    *   of the training vocabulary missing here for a class fall back to
+    *   that class's `default_lp`; tokens outside the training
+    *   vocabulary are ignored at scoring time (standard multinomial NB
+    *   over a closed vocab).
+    */
+  final case class NaiveBayesModel(classStats: DataFrame, tokenLp: DataFrame)
+
+  private val Lp = DecimalType(18, 6)
+
+  /** Fits multinomial NB on `(labelCol, textCol)`. Null labels and
+    * null/empty-token texts contribute nothing (a doc with zero tokens
+    * still counts toward its class prior — it is a training document).
+    */
+  def trainNaiveBayes(df: DataFrame, labelCol: String, textCol: String)
+      : NaiveBayesModel = {
+    val base = df
+      .where(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        Text.tokens(col(textCol)).as("toks"))
+    val x = base.select(col("label"), explode(col("toks")).as("token"))
+
+    // (label, token) occurrence counts — the only token-stream shuffle.
+    val tc = x.groupBy("label", "token").agg(count(lit(1)).as("c"))
+      .transform(Dedup.materialize)
+    // Per-class token totals and the vocabulary size ride tc (already
+    // aggregated — tiny), never the token stream again.
+    val ct = tc.groupBy("label").agg(sum("c").as("tot"))
+    val v = tc.select(countDistinct("token").as("v"))
+    val dc = base.groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val n = base.select(count(lit(1)).as("n"))
+
+    // 1×C / 1×|V| broadcasts of one-row aggregate frames (the
+    // Text.scala corpus-constant pattern).
+    val classStats = dc
+      .join(broadcast(n))
+      .join(ct, Seq("label"))
+      .join(broadcast(v))
+      .select(col("label"),
+        round(log(col("n_docs").cast("double") / col("n")), 6)
+          .cast(Lp).as("log_prior"),
+        round(log(lit(1.0) / (col("tot") + col("v"))), 6)
+          .cast(Lp).as("default_lp"))
+      .transform(Dedup.materialize)
+    val tokenLp = tc
+      .join(ct, Seq("label"))
+      .join(broadcast(v))
+      .select(col("label"), col("token"),
+        round(log((col("c").cast("double") + 1.0) / (col("tot") + col("v"))),
+          6).cast(Lp).as("lp"))
+      .transform(Dedup.materialize)
+    NaiveBayesModel(classStats, tokenLp)
+  }
+
+  /** Per-(doc, class) log-posterior scores: one row per scored document
+    * and class — `idCol`, `label`, `score` (DECIMAL, exact),
+    * `n_scored_tokens` (in-vocabulary token occurrences). Documents
+    * with zero in-vocabulary tokens score on priors alone (they keep a
+    * row per class with `n_scored_tokens = 0`); documents whose text is
+    * NULL score the same way (the tokenizer yields no tokens).
+    */
+  def scoreNaiveBayes(df: DataFrame, idCol: String, textCol: String,
+      model: NaiveBayesModel): DataFrame = {
+    val ids = df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("toks"))
+    // Aggregate to per-doc DISTINCT token counts first: the model join
+    // then touches |distinct tokens per doc| rows, not every occurrence
+    // (explode output never shuffles — the count partial-aggregates
+    // map-side on the (id, token) key).
+    val dt = ids
+      .select(col("__id"), explode(col("toks")).as("token"))
+      .groupBy("__id", "token").agg(count(lit(1)).as("cnt"))
+    // Restrict to the training vocabulary (out-of-vocab tokens carry no
+    // evidence under a closed-vocab multinomial): distinct model tokens
+    // ARE the vocab — every training token appears under its own class.
+    val vocab = model.tokenLp.select("token").distinct()
+    val fits = {
+      val rows = model.tokenLp.count()
+      rows <= IndexManifests.broadcastRowCap(model.tokenLp.schema)
+    }
+    def side(m: DataFrame): DataFrame = if (fits) broadcast(m) else m
+    val inVocab = dt.join(side(vocab), Seq("token"), "left_semi")
+    // Cross the classes in (C rows, always broadcast), then resolve
+    // each (token, class) against the observed table with the class
+    // default as the smoothed fallback.
+    val crossed = inVocab
+      .join(broadcast(model.classStats.select("label", "default_lp")))
+      .join(side(model.tokenLp), Seq("label", "token"), "left")
+      .select(col("__id"), col("label"),
+        (coalesce(col("lp"), col("default_lp")) * col("cnt")).as("w"),
+        col("cnt"))
+    val summed = crossed
+      .groupBy("__id", "label")
+      .agg(sum("w").as("evidence"), sum("cnt").as("n_scored_tokens"))
+    // Keep zero-token docs scoreable: left join from ids × classes so
+    // every (doc, class) pair exists, evidence defaulting to 0.
+    ids.select("__id").distinct()
+      .join(broadcast(model.classStats))
+      .join(summed, Seq("__id", "label"), "left")
+      .select(col("__id").as(idCol), col("label"),
+        (col("log_prior") +
+          coalesce(col("evidence"), lit(0).cast(Lp))).as("score"),
+        coalesce(col("n_scored_tokens"), lit(0L)).as("n_scored_tokens"))
+  }
+
+  /** One row per document: the argmax class under (score desc, label
+    * asc) — the tie-break is total because scores are exact decimals.
+    * Output: `idCol`, `predicted`, `score` (winning log-posterior as
+    * round-6 double).
+    */
+  def predictNaiveBayes(df: DataFrame, idCol: String, textCol: String,
+      model: NaiveBayesModel): DataFrame =
+    scoreNaiveBayes(df, idCol, textCol, model)
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("label"), struct((col("score") * -1).as("neg"),
+          col("label"))).as("predicted"),
+        round(max(col("score")).cast("double"), 6).as("score"))
+}

@@ -749,6 +749,138 @@ object TextQueriesImpl {
        |    AS fill_ratio
        |FROM c""".stripMargin
 
+  // ---- nb_lang_id / quality_classifier ------------------------------
+
+  /** Shared DuckDB replay of the multinomial-NB train→score chain
+    * ([[graft.extra.Classifier]]): seed labels from `labelExpr`
+    * (rows with NULL labels score but don't train), add-one-smoothed
+    * per-(label, token) log-probs rounded to 6 decimals as
+    * DECIMAL(18,6) (the unigram-LM determinism discipline — exact,
+    * order-independent sums), per-doc evidence over distinct-token
+    * counts restricted to the training vocabulary, priors-only rows for
+    * (doc, class) pairs with no in-vocab evidence.
+    */
+  private def nbSqlCte(labelExpr: String,
+      innerCols: String = "doc_id, text"): String =
+    s"""WITH t AS (SELECT doc_id, $labelExpr AS label, toks FROM
+       |    (SELECT $innerCols, $toksSql AS toks FROM documents)),
+       |x AS (SELECT label, unnest(toks) AS token FROM t
+       |      WHERE label IS NOT NULL),
+       |tc AS (SELECT label, token, count(*) AS c FROM x GROUP BY 1, 2),
+       |ct AS (SELECT label, sum(c) AS tot FROM tc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT token) AS v FROM x),
+       |dc AS (SELECT label, count(*) AS n_docs FROM t
+       |       WHERE label IS NOT NULL GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM t WHERE label IS NOT NULL),
+       |cs AS (SELECT dc.label,
+       |    CAST(round(ln(CAST(dc.n_docs AS DOUBLE) / nn.n), 6)
+       |      AS DECIMAL(18,6)) AS log_prior,
+       |    CAST(round(ln(1.0 / (ct.tot + v.v)), 6)
+       |      AS DECIMAL(18,6)) AS default_lp
+       |  FROM dc JOIN ct USING (label) CROSS JOIN nn CROSS JOIN v),
+       |lp AS (SELECT tc.label, tc.token,
+       |    CAST(round(ln((CAST(tc.c AS DOUBLE) + 1.0) / (ct.tot + v.v)),
+       |      6) AS DECIMAL(18,6)) AS lp
+       |  FROM tc JOIN ct USING (label) CROSS JOIN v),
+       |dt AS (SELECT doc_id, token, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+       |  GROUP BY 1, 2),
+       |iv AS (SELECT * FROM dt
+       |  WHERE token IN (SELECT DISTINCT token FROM lp)),
+       |ev AS (SELECT iv.doc_id, cs.label,
+       |    sum(coalesce(lp.lp, cs.default_lp) * iv.cnt) AS evidence,
+       |    sum(iv.cnt) AS n_scored
+       |  FROM iv CROSS JOIN cs
+       |  LEFT JOIN lp ON lp.label = cs.label AND lp.token = iv.token
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT d.doc_id, cs.label,
+       |    cs.log_prior + coalesce(ev.evidence, 0) AS score
+       |  FROM (SELECT DISTINCT doc_id FROM t) d CROSS JOIN cs
+       |  LEFT JOIN ev ON ev.doc_id = d.doc_id AND ev.label = cs.label)"""
+      .stripMargin
+
+  /** Language identification as a TRAINED classifier: multinomial NB
+    * fitted on the corpus's own `lang` labels, every doc re-scored and
+    * argmax-classified — the fastText-langid shape, upgrading the
+    * stopword-heuristic `lang_id`. Train + score + predict are all
+    * counting + exact decimal sums, so the ENTIRE chain (training
+    * included) is hash-matched against the oracle.
+    */
+  def nbLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = graft.extra.Classifier.trainNaiveBayes(d, "lang", "text")
+    graft.extra.Classifier.predictNaiveBayes(d, "doc_id", "text", model)
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "predicted", "score")
+      .orderBy("doc_id")
+  }
+
+  private val nbLangIdOracle =
+    s"""${nbSqlCte("lang", innerCols = "doc_id, text, lang")}
+       |SELECT p.doc_id, d.lang, p.label AS predicted,
+       |  round(CAST(p.score AS DOUBLE), 6) AS score
+       |FROM sc p JOIN documents d ON p.doc_id = d.doc_id
+       |QUALIFY row_number() OVER (PARTITION BY p.doc_id
+       |  ORDER BY p.score DESC, p.label) = 1
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** Classifier-based quality filtering — the CCNet/GPT-3 curation
+    * bootstrap: seed binary labels from the [[Text.withQuality]]
+    * heuristic (hi = round-6 composite score ≥ 0.45, the corpus
+    * median), train NB on the seeds, keep docs whose EXACT decimal
+    * log-odds favor `hi`. Output: per-doc seed label, round-6 class
+    * scores and log-odds, and the keep verdict (log_odds > 0 on the
+    * exact decimals — ties drop).
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val seeded = Text.withQuality(d, "text")
+      .withColumn("label",
+        when(col("quality_score") >= 0.45, "hi").otherwise("lo"))
+    val model = graft.extra.Classifier.trainNaiveBayes(seeded, "label", "text")
+    val scores = graft.extra.Classifier
+      .scoreNaiveBayes(d, "doc_id", "text", model)
+    scores.groupBy("doc_id")
+      .agg(
+        max(when(col("label") === "hi", col("score"))).as("hi_d"),
+        max(when(col("label") === "lo", col("score"))).as("lo_d"))
+      .join(seeded.select(col("doc_id"), col("label").as("seed_label")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("seed_label"),
+        round(col("hi_d").cast("double"), 6).as("score_hi"),
+        round(col("lo_d").cast("double"), 6).as("score_lo"),
+        round((col("hi_d") - col("lo_d")).cast("double"), 6).as("log_odds"),
+        (col("hi_d") - col("lo_d") > 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityLabelSql =
+    """(CASE WHEN round(CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / len(toks) * 0.5
+      |    + least(CAST(len(list_filter(toks, t -> list_contains(STOP, t)))
+      |      AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+      |    + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) >= 0.45
+      |  THEN 'hi' ELSE 'lo' END)""".stripMargin
+
+  private val qualityClassifierOracle = {
+    val stop = Text.stopwords("en").map(w => s"'$w'")
+      .mkString("[", ", ", "]")
+    s"""${nbSqlCte(qualityLabelSql.replace("STOP", stop))}
+       |SELECT p.doc_id, t.label AS seed_label,
+       |  round(CAST(max(CASE WHEN p.label = 'hi' THEN p.score END)
+       |    AS DOUBLE), 6) AS score_hi,
+       |  round(CAST(max(CASE WHEN p.label = 'lo' THEN p.score END)
+       |    AS DOUBLE), 6) AS score_lo,
+       |  round(CAST(max(CASE WHEN p.label = 'hi' THEN p.score END)
+       |    - max(CASE WHEN p.label = 'lo' THEN p.score END)
+       |    AS DOUBLE), 6) AS log_odds,
+       |  (max(CASE WHEN p.label = 'hi' THEN p.score END)
+       |    - max(CASE WHEN p.label = 'lo' THEN p.score END)) > 0 AS kept
+       |FROM sc p JOIN t ON p.doc_id = t.doc_id
+       |GROUP BY p.doc_id, t.label
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   // ---- pii_redact ---------------------------------------------------
 
   /** PII redaction over the events props payload. The synthetic props
@@ -1491,5 +1623,15 @@ object TextQueriesImpl {
       chunkDocs, Some(chunkDocsOracle)),
     QueryDef("chunk_stats",
       "one-row chunking utilization: chunks, full vs tail, fill ratio",
-      chunkStats, Some(chunkStatsOracle)))
+      chunkStats, Some(chunkStatsOracle)),
+    QueryDef("nb_lang_id",
+      "TRAINED language id: multinomial NB fitted on the corpus's own " +
+        "lang labels, argmax re-classification — training included in " +
+        "the hash gate",
+      nbLangId, Some(nbLangIdOracle)),
+    QueryDef("quality_classifier",
+      "classifier-based quality filtering (CCNet bootstrap): NB " +
+        "trained on heuristic seed labels, exact-decimal log-odds " +
+        "keep verdicts",
+      qualityClassifier, Some(qualityClassifierOracle)))
 }
