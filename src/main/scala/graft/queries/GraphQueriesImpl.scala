@@ -148,11 +148,14 @@ object GraphQueriesImpl {
     * sharing an order in the quarter): each part labeled with its
     * component's minimum part key via
     * [[graft.extra.Graph.connectedComponents]] — min-label propagation
-    * with pointer doubling; the result is the TRUE component labeling
-    * (the operator throws rather than return unconverged labels, and
-    * [[CcIters]] = 16 carries headroom over the ≤10 rounds measured at
-    * sf0.1 — post-fixpoint rounds are the identity, so oracle-side
-    * headroom costs Spark nothing). The
+    * with pointer doubling over a partition-locally CONTRACTED edge
+    * frame (r16: union-find per partition first — the loop sees star
+    * edges, ≤3 rounds measured at sf0.1 vs 9 uncontracted); the result
+    * is the TRUE component labeling (the operator throws rather than
+    * return unconverged labels, and [[CcIters]] = 16 carries headroom —
+    * post-fixpoint rounds are the identity, so oracle-side headroom
+    * costs Spark nothing, and the contraction preserves connectivity
+    * exactly so the fixpoint labels are bit-identical). The
     * oracle unrolls the identical two-step round as chained
     * materialized CTEs (the [[pagerankQ]] trick) — each round is a
     * pure integer function of the input, so both engines replay it

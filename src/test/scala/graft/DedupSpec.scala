@@ -185,9 +185,13 @@ class DedupSpec extends SparkSpec {
 
   test("dupClusters: throws rather than return partial labels when " +
       "maxIters is below what the diameter needs") {
-    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    // pointer doubling reaches distance 2^k - 1 after k rounds: 3 rounds
-    // cover 7 < 12, so a 13-node path cannot converge
+    // One edge PER PARTITION: the union-find contraction pre-pass is
+    // the identity (nothing to merge locally), so the loop faces the
+    // raw 13-node path. Pointer doubling reaches distance 2^k - 1
+    // after k rounds: 3 rounds cover 7 < 12 → cannot converge.
+    val chain = spark.sparkContext
+      .parallelize((0L until 12L).map(i => (i, i + 1)), numSlices = 12)
+      .toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
       Dedup.dupClusters(chain, maxIters = 3)
     }
@@ -195,6 +199,12 @@ class DedupSpec extends SparkSpec {
     // with enough iterations the same chain fully collapses to label 0
     val ok = Dedup.dupClusters(chain, maxIters = 15).collect()
     assert(ok.map(_.getLong(1)).forall(_ == 0L))
+    // co-located, the same chain contracts partition-locally and
+    // converges well under the old diameter bound
+    val fast = Dedup.dupClusters(
+      (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b").coalesce(1),
+      maxIters = 3).collect()
+    assert(fast.map(_.getLong(1)).forall(_ == 0L))
   }
 
   test("dupClusters: pointer doubling collapses a 400-node chain within " +

@@ -164,8 +164,13 @@ class GraphSpec extends SparkSpec {
       "O(log diameter) rounds; an unconverged cap THROWS instead of " +
       "returning k-hop labels") {
     // 0-1-2-...-40 chain: diameter 40 — plain propagation needs 40
-    // rounds, pointer doubling converges within the default 10
-    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    // rounds, pointer doubling converges within the default 10. One
+    // edge per partition keeps the contraction pre-pass the identity,
+    // so the loop faces the raw diameter regardless of the box's
+    // default parallelism.
+    val edges = spark.sparkContext
+      .parallelize((0L until 40L).map(i => (i, i + 1)), numSlices = 40)
+      .toDF("src", "dst")
     val full = Graph.connectedComponents(edges, "src", "dst")
       .collect().map(r => r.getLong(1)).distinct.toSeq
     assert(full == Seq(0L))
@@ -176,6 +181,47 @@ class GraphSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("not converged"))
+  }
+
+  test("localContract: self-loops and singletons survive, string ids " +
+      "fall back, contraction equals union-find on random graphs " +
+      "under any partitioning") {
+    // self-loop-only node 7 keeps its row; raw duplicates/reversals
+    // collapse inside the per-partition union-find
+    val loops = Seq((7L, 7L), (1L, 2L), (2L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(loops, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    // string ids: the typed union-find tier declines, the generic loop
+    // still labels correctly
+    val s = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val so = Graph.connectedComponents(s, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(so == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // randomized differential vs a driver-side union-find, across
+    // partitionings that split components over partition boundaries
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(300)(
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).sorted
+    for (parts <- Seq(1, 7, 64)) {
+      val got = Graph.connectedComponents(
+          pairs.toDF("src", "dst").repartition(parts), "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"parts=$parts")
+    }
   }
 
   test("connectedComponents is invariant to input partitioning") {
