@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.substrIncTvf)
     ext.injectTableFunction(GraftExtensions.semdedupTvf)
     ext.injectTableFunction(GraftExtensions.indexStatsTvf)
+    ext.injectTableFunction(GraftExtensions.classifyTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -471,6 +472,47 @@ object GraftExtensions {
           vecCol, thr).queryExecution.analyzed
       })
 
+  /** `graft_classify('modelDir', 'table', idCol, textCol[, 'scores'])`
+    * — classification under a PERSISTED Naive Bayes model
+    * ([[graft.extra.Classifier.save]]) from SQL: default mode is one
+    * row per document (id, predicted, score); the literal `'scores'`
+    * mode returns the per-(doc, class) exact-decimal log-posteriors.
+    * The model loads (memoized via its materialize) at analysis time;
+    * the scored table arrives by registered view name, the
+    * `graft_neardup` contract.
+    */
+  private[graft] val classifyTvf: TvfDef =
+    (FunctionIdentifier("graft_classify"),
+      new ExpressionInfo("graft.extra.Classifier", "graft_classify",
+        "graft_classify(modelDir, table, idCol, textCol[, mode]) - " +
+          "argmax classification (or mode='scores' log-posteriors) " +
+          "under a persisted NB model"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 4 && children.length <= 5,
+          "graft_classify expects (modelDir, table, idCol, textCol" +
+            s"[, mode]), got ${children.length} arguments")
+        val fn = "graft_classify"
+        val spark = SparkSession.active
+        val dir = litString(children(0), fn, "modelDir")
+        val docs = spark.table(litString(children(1), fn, "table"))
+        val idCol = litString(children(2), fn, "idCol")
+        val textCol = litString(children(3), fn, "textCol")
+        val mode = children.lift(4)
+          .map(litString(_, fn, "mode")).getOrElse("predict")
+        val model = graft.extra.Classifier.load(spark, dir)
+        val out = mode match {
+          case "predict" =>
+            graft.extra.Classifier.predictNaiveBayes(docs, idCol,
+              textCol, model)
+          case "scores" =>
+            graft.extra.Classifier.scoreNaiveBayes(docs, idCol,
+              textCol, model)
+          case other => throw new IllegalArgumentException(
+            s"$fn mode must be 'predict' or 'scores', got '$other'")
+        }
+        out.queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
@@ -480,7 +522,7 @@ object GraftExtensions {
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
       dedupSpansTvf, annTvf, neardupTvf, substrIncTvf,
-      semdedupTvf, indexStatsTvf).foreach {
+      semdedupTvf, indexStatsTvf, classifyTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

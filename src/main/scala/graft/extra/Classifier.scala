@@ -164,4 +164,156 @@ object Classifier {
         min_by(col("label"), struct((col("score") * -1).as("neg"),
           col("label"))).as("predicted"),
         round(max(col("score")).cast("double"), 6).as("score"))
+
+  // ---- projection-form scoring (streams / typed tier) ----------------
+
+  /** A fitted model as driver-side lookup tables for the projection
+    * tier: labels sorted ascending; log-probs as exact MICROS (the
+    * DECIMAL(18,6) values ×10⁶ — longs, so typed-tier sums are the
+    * decimal sums bit-for-bit). `tokenLp(token)(i)` = class i's lp,
+    * with the class default pre-filled for unseen-in-class slots.
+    */
+  final case class NbTable(labels: Array[String], priors: Array[Long],
+      defaults: Array[Long], tokenLp: java.util.HashMap[String, Array[Long]])
+
+  /** Collects a model into an [[NbTable]] — bounded driver state (C
+    * classes + the trained vocabulary, the codebook-collect pattern).
+    */
+  def toTable(model: NaiveBayesModel): NbTable = {
+    def micros(d: java.math.BigDecimal): Long =
+      d.movePointRight(6).setScale(0).longValueExact()
+    val cs = model.classStats.collect()
+      .map(r => (r.getString(0), micros(r.getDecimal(1)),
+        micros(r.getDecimal(2))))
+      .sortBy(_._1)
+    val labels = cs.map(_._1)
+    val idx = labels.zipWithIndex.toMap
+    val defaults = cs.map(_._3)
+    val lp = new java.util.HashMap[String, Array[Long]]()
+    model.tokenLp.collect().foreach { r =>
+      val arr = lp.computeIfAbsent(r.getString(1), _ => defaults.clone())
+      arr(idx(r.getString(0))) = micros(r.getDecimal(2))
+    }
+    NbTable(labels, cs.map(_._2), defaults, lp)
+  }
+
+  /** Argmax classification as a PURE PROJECTION — no explode, no
+    * aggregation, no shuffle: one mapPartitions pass with the broadcast
+    * [[NbTable]], per-row tokenize (exactly [[Text.tokens]]' semantics:
+    * split on single spaces, drop empties, lowercase) and integer
+    * micro-sums. Bit-identical to [[predictNaiveBayes]] (spec-pinned
+    * differential) — THE form for Structured Streaming, where the
+    * batch scorer's aggregations would demand stateful operators for a
+    * stateless verdict. ROW-PRESERVING (the [[Text.withBpeTokensTyped]]
+    * shape — no id contract, no join): every input column passes
+    * through, `predicted` + `score` (round-6 double) appended;
+    * null/zero-token text scores on priors, like the batch path.
+    */
+  def classifyTyped(df: DataFrame, textCol: String,
+      model: NaiveBayesModel): DataFrame = {
+    val spark = df.sparkSession
+    val table = toTable(model)
+    require(table.labels.nonEmpty, "classifyTyped needs a trained model")
+    val bc = spark.sparkContext.broadcast(table)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, DoubleType}
+    val inSchema = df.schema
+    val outSchema = inSchema.add("predicted", StringType)
+      .add("score", DoubleType)
+    val textIdx = inSchema.fieldIndex(textCol)
+    val out = df.mapPartitions { it =>
+      val t = bc.value
+      val c = t.labels.length
+      it.map { row =>
+        val sums = t.priors.clone()
+        if (!row.isNullAt(textIdx)) {
+          // EXACTLY [[Text.tokens]]: lowercase, split on single
+          // spaces, drop empties (the withBpeTokensTyped-proven parity
+          // idiom)
+          row.getString(textIdx).toLowerCase.split(" ", -1).foreach { w =>
+            if (w.nonEmpty) {
+              val arr = t.tokenLp.get(w)
+              if (arr != null) {
+                var i = 0
+                while (i < c) { sums(i) += arr(i); i += 1 }
+              }
+            }
+          }
+        }
+        var best = 0
+        var i = 1
+        // strict > keeps the FIRST (lowest) label on ties — labels are
+        // sorted ascending, matching the batch (score desc, label asc)
+        while (i < c) { if (sums(i) > sums(best)) best = i; i += 1 }
+        // micros → the exact decimal's nearest double — the same value
+        // DECIMAL(18,6).cast(double) + round(,6) produces on the batch
+        // path (valueOf(unscaled, 6) IS that decimal)
+        Row.fromSeq(row.toSeq :+ t.labels(best) :+
+          java.math.BigDecimal.valueOf(sums(best), 6).doubleValue())
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    out
+  }
+
+  // ---- model persistence (the manifest discipline) -------------------
+
+  private val Frames = Seq("class_stats", "token_lp")
+
+  /** Persists a fitted model under the shared [[IndexManifests]] layer
+    * — one atomic manifest commit per save, each save a NEW version
+    * (model-registry semantics: a refreshed model supersedes the head,
+    * prior versions stay time-travelable until [[IndexManifests
+    * .vacuum]]'s retention reclaims them — `keepVersions` below).
+    * Train once, serve everywhere: batch ([[scoreNaiveBayes]]), SQL
+    * (`graft_classify`), and streams all read the same committed
+    * frames.
+    */
+  def save(model: NaiveBayesModel, dir: String,
+      keepVersions: Int = 2): Long = {
+    val spark = model.classStats.sparkSession
+    val prev = IndexManifests.latest(spark, dir)
+    val v = prev.map(_._1).getOrElse(0L) + 1
+    val csSeg = f"class_stats/seg-$v%09d"
+    val lpSeg = f"token_lp/seg-$v%09d"
+    // classStats is C rows; token_lp is vocab-bounded — land both near
+    // the scan sweet spot instead of inheriting the training shuffle's
+    // partition count (a sorted single-file class table, a few files
+    // of (label, token)-sorted postings)
+    model.classStats.coalesce(1).sortWithinPartitions("label")
+      .write.parquet(s"$dir/$csSeg")
+    model.tokenLp
+      .repartition(IndexManifests.tierFileCount(
+        model.tokenLp.count() * 48), col("token"))
+      .sortWithinPartitions("label", "token")
+      .write.parquet(s"$dir/$lpSeg")
+    IndexManifests.commit(spark, dir, v,
+      Map("class_stats" -> Seq(csSeg), "token_lp" -> Seq(lpSeg)))
+    IndexManifests.vacuum(spark, dir, Frames, keepVersions)
+    v
+  }
+
+  /** Loads the HEAD version of a persisted model (materialized — the
+    * serving calls reuse it without re-reading).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : NaiveBayesModel =
+    loadVersion(spark, dir,
+      IndexManifests.requireLatest(spark, dir, "NB model")._1)
+
+  /** Loads a SPECIFIC committed model version (time travel across
+    * model refreshes, while retention keeps it).
+    */
+  def loadVersion(spark: org.apache.spark.sql.SparkSession, dir: String,
+      version: Long): NaiveBayesModel = {
+    val entries = IndexManifests.at(spark, dir, version)
+    def frame(name: String): DataFrame = {
+      val segs = entries.getOrElse(name, Seq.empty)
+      require(segs.nonEmpty,
+        s"persisted NB model at $dir v$version has no '$name' frame")
+      Dedup.materialize(
+        segs.map(s => spark.read.parquet(s"$dir/$s"))
+          .reduce(_ unionByName _))
+    }
+    NaiveBayesModel(frame("class_stats"), frame("token_lp"))
+  }
 }

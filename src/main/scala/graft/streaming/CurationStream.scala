@@ -67,6 +67,28 @@ object CurationStream {
       cfg: Curation.Config = Curation.Config()): DataFrame =
     gatedStream(raw, cfg).select("doc_id", "text", "event_time")
 
+  /** The gated stream CLASSIFIED under a frozen Naive Bayes model
+    * ([[graft.extra.Classifier]]) — the model-based filtering stage of
+    * the curation pipeline as a streaming leg: heuristic gates first
+    * (cheap projections), then the trained verdict via
+    * [[graft.extra.Classifier.classifyTyped]] — a pure mapPartitions
+    * projection over the broadcast model table, so the stage is
+    * STATELESS (no watermark, no stateful operator, append-mode
+    * trivially) and bit-identical to the batch scorer. `keep` filters
+    * to the named classes (None = emit all, labeled). Output:
+    * (doc_id, text, event_time, predicted, score).
+    */
+  def classifyStream(raw: DataFrame,
+      model: graft.extra.Classifier.NaiveBayesModel,
+      cfg: Curation.Config = Curation.Config(),
+      keep: Option[Set[String]] = None): DataFrame = {
+    val scored = graft.extra.Classifier.classifyTyped(
+      gatedOnly(raw, cfg), "text", model)
+      .select("doc_id", "text", "event_time", "predicted", "score")
+    keep.map(k => scored.filter(col("predicted").isin(k.toSeq: _*)))
+      .getOrElse(scored)
+  }
+
   /** Raw `value`-column stream → curated (doc_id, text, event_time)
     * stream: parsed, gated, exact-deduped within the watermark.
     */

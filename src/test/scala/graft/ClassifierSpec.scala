@@ -116,6 +116,72 @@ class ClassifierSpec extends SparkSpec {
       .where(col("doc_id") === 4L).count() == 2)
   }
 
+  test("save/load round-trips the model exactly; re-save is a new " +
+      "version and loadVersion time-travels across model refreshes") {
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    val m0 = Classifier.trainNaiveBayes(fixture, "label", "text")
+    val v1 = Classifier.save(m0, dir)
+    assert(v1 == 1L)
+    val loaded = Classifier.load(spark, dir)
+    assert(loaded.classStats.collect().toSet ==
+      m0.classStats.collect().toSet)
+    assert(loaded.tokenLp.collect().toSet == m0.tokenLp.collect().toSet)
+    val docs = Seq((10L, "x x"), (11L, "y y y")).toDF("doc_id", "text")
+    assert(Classifier.predictNaiveBayes(docs, "doc_id", "text", loaded)
+      .collect().toSet ==
+      Classifier.predictNaiveBayes(docs, "doc_id", "text", m0)
+        .collect().toSet)
+    // model refresh: retrain on different data → new head; the old
+    // version stays loadable (keepVersions default 2) and keeps its
+    // verdicts
+    val m1 = Classifier.trainNaiveBayes(
+      Seq((1L, "a", "y y"), (2L, "b", "x x x")).toDF(
+        "doc_id", "label", "text"), "label", "text")
+    val v2 = Classifier.save(m1, dir)
+    assert(v2 == 2L)
+    val head = Classifier.load(spark, dir)
+    val old = Classifier.loadVersion(spark, dir, v1)
+    val p = (m: Classifier.NaiveBayesModel) =>
+      Classifier.predictNaiveBayes(docs, "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p(head) == Map(10L -> "b", 11L -> "a")) // flipped classes
+    assert(p(old) == Map(10L -> "a", 11L -> "b"))
+    // loading a missing frame/dir fails loudly
+    val e = intercept[IllegalStateException] {
+      Classifier.load(spark,
+        java.nio.file.Files.createTempDirectory("nbnone").toString)
+    }
+    assert(e.getMessage.contains("no committed"))
+  }
+
+  test("classifyTyped: randomized differential vs the batch argmax — " +
+      "identical predicted labels and round-6 scores, passthrough " +
+      "columns preserved") {
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val mk = () => (0 until (1 + rnd.nextInt(12))).map { _ =>
+      if (rnd.nextInt(8) == 0) s"oov${rnd.nextInt(50)}" // out-of-vocab
+      else vocab(rnd.nextInt(vocab.size))
+    }.mkString(if (rnd.nextBoolean()) " " else "  ") // multi-space too
+    val train = (1L to 80L).map(i =>
+      (i, if (i % 3 == 0) "hi" else "lo", mk())).toDF(
+      "doc_id", "label", "text")
+    val m = Classifier.trainNaiveBayes(train, "label", "text")
+    val score = (100L to 160L).map(i => (i, mk(), s"src${i % 4}")) ++
+      Seq((500L, "", "srcE"), (501L, null: String, "srcN"),
+        (502L, "oov1 oov2", "srcO"))
+    val df = score.toDF("doc_id", "text", "source").repartition(7)
+    val batch = Classifier.predictNaiveBayes(df, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    val typedOut = Classifier.classifyTyped(df, "text", m)
+    assert(typedOut.columns.toSeq ==
+      Seq("doc_id", "text", "source", "predicted", "score"))
+    val typed = typedOut.collect().map(r => r.getLong(0) ->
+      (r.getString(3), r.getDouble(4))).toMap
+    assert(typed == batch)
+  }
+
   test("scores are partitioning-independent (exact decimal sums)") {
     val base = (1L to 60L).map { i =>
       val lab = if (i % 3 == 0) "hi" else "lo"

@@ -116,6 +116,53 @@ class CurationStreamSpec extends SparkSpec {
     assert(rows == Seq(5L))
   }
 
+  test("classifyStream: frozen-model verdicts on a stream are " +
+      "bit-identical to the batch scorer; keep-filter and gates " +
+      "compose; stateless (no watermark, append mode)") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stopword-rich fixtures that pass the quality/lang gates
+    val keepA = good + " across the stone bridge near the river bank"
+    val keepB = good + " and the walk continues along the river path"
+    val dropA = good + " buy cheap pills now with this exclusive offer"
+    val dropB = good + " cheap pills and a limited offer for you today"
+    val model = graft.extra.Classifier.trainNaiveBayes(
+      Seq((1L, "keep", keepA), (2L, "keep", keepB),
+        (3L, "drop", dropA), (4L, "drop", dropB))
+        .toDF("doc_id", "label", "text"),
+      "label", "text")
+    val mem = MemoryStream[String]
+    val out = Files.createTempDirectory("cur_cls_out").toString
+    val ckpt = Files.createTempDirectory("cur_cls_ckpt").toString
+    val scoreKeep = good + " the stone bridge over the river"
+    val scoreDrop = good + " cheap pills offer"
+    mem.addData(Seq(
+      payload(10, scoreKeep, 1000000L),
+      payload(11, scoreDrop, 1001000L),
+      payload(12, "too short to keep", 1002000L))) // gate, not model
+    val q = CurationStream.classifyStream(mem.toDF(), model,
+        keep = Some(Set("keep")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "predicted", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows.map(_._1) == Seq(10L))
+    assert(rows.head._2 == "keep")
+    // the streamed score equals the batch scorer's on the same text —
+    // the frozen model serves both paths identically
+    val batch = graft.extra.Classifier.predictNaiveBayes(
+      Seq((10L, scoreKeep)).toDF("doc_id", "text"), "doc_id", "text",
+      model).collect().head
+    assert(batch.getString(1) == "keep")
+    assert(rows.head._3 == batch.getDouble(2))
+  }
+
   test("streaming minhash signature projection agrees with the batch " +
       "groupBy signature on the same text") {
     import org.apache.spark.sql.functions._

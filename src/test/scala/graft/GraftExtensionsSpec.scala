@@ -277,6 +277,37 @@ class GraftExtensionsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("graft_classify TVF: persisted-model classification from SQL " +
+      "in both modes; unknown mode rejected") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ext_nb").toString
+    val train = Seq((1L, "spam", "buy cheap pills now"),
+      (2L, "spam", "cheap pills cheap deals"),
+      (3L, "ham", "meeting notes for tuesday"),
+      (4L, "ham", "notes on the quarterly review"))
+      .toDF("doc_id", "label", "text")
+    graft.extra.Classifier.save(
+      graft.extra.Classifier.trainNaiveBayes(train, "label", "text"), dir)
+    Seq((10L, "cheap pills"), (11L, "quarterly meeting notes"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_nb_docs")
+    val pred = spark.sql(
+      s"SELECT doc_id, predicted FROM graft_classify('$dir', " +
+        "'ext_nb_docs', 'doc_id', 'text') ORDER BY doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(10L -> "spam", 11L -> "ham"))
+    // scores mode: one row per (doc, class), exact decimals
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_classify('$dir', 'ext_nb_docs', " +
+        "'doc_id', 'text', 'scores')").head().getLong(0)
+    assert(n == 4L)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_classify('$dir', 'ext_nb_docs', " +
+        "'doc_id', 'text', 'bogus')").collect()
+    }
+    assert(e.getMessage.contains("mode must be"))
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
