@@ -367,6 +367,23 @@ object Bench {
         catch { case _: Throwable => None }
       else None
 
+    // Streaming classifier chain (r16): one pass, DETAIL line + file
+    // only — all-stateless projections (parse + gates + frozen-model
+    // typed verdict). Offered rate near the measured single-node
+    // equilibrium (the curation-neardup discipline: at 120k offered the
+    // unbounded ProcessingTime(0) batches snowballed to 16 s). The
+    // typed tier itself runs ~225k docs/s batch-mode (Profile
+    // `classify`): the block's number is the HARNESS equilibrium
+    // (rate-source + per-micro-batch scheduling + sink), not the
+    // model's cost.
+    val streamingClassify =
+      if (benchStream)
+        try Some(StreamBench.measureClassify(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_CLS_TPS", "45000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_CLS_SECS", "15").toInt))
+        catch { case _: Throwable => None }
+      else None
+
     val streamingAnn =
       if (benchStream)
         // offered rate deliberately ABOVE the arm's measured ~39k/s
@@ -410,6 +427,8 @@ object Bench {
       .map(s => s""","streaming_ann_ingest":${s.json}""").getOrElse("")
     val substrJson = streamingSubstr
       .map(s => s""","streaming_substr_ingest":${s.json}""").getOrElse("")
+    val clsJson = streamingClassify
+      .map(s => s""","streaming_classify":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
     // displaced the metric line). The driver keeps only a ~2 KB stdout
     // TAIL (r6-r8 artifacts each cut at ~2,000 bytes), so the final line
@@ -421,7 +440,7 @@ object Bench {
     val loadsJson = passLoads.map(l => rnd(l, 2)).mkString("[", ",", "]")
     val gatedJson = gatedSecs.map(g => rnd(g, 1)).mkString("[", ",", "]")
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
-      s""""failures":$fs$curNdJson$annJson$substrJson}""")
+      s""""failures":$fs$curNdJson$annJson$substrJson$clsJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""min_total":${rnd(minTotal)},"loadavg1":$loadsJson,""" +
       s""""gated_sec":$gatedJson,"retried":$retried,""" +
@@ -448,7 +467,7 @@ object Bench {
         s""""n_failures":${failures.size},"queries":$qs,""" +
         s""""spreads":$spreads,"rep_samples":$repSamples,""" +
         s""""failures":$fs$streamJson$curJson""" +
-        s"""$curNdJson$annJson$substrJson}""" + "\n")
+        s"""$curNdJson$annJson$substrJson$clsJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

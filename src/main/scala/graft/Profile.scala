@@ -65,6 +65,39 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "classify") {
+      // stage-by-stage cost of the streaming classifier chain, batch
+      // form: 450k synthetic wire docs through parse → gates → typed
+      // classify (the streaming block's per-batch work without the
+      // harness)
+      import org.apache.spark.sql.functions.{to_json, struct,
+        unix_millis, current_timestamp}
+      val n = 450000L
+      val wire = Dedup.materialize(spark.range(n).select(to_json(struct(
+        col("id").as("doc_id"),
+        graft.gen.SyntheticDocs.plantedText(col("id")).as("text"),
+        (col("id") * 7L + 1000000L).as("event_time_ms"))).as("value")))
+      val seed = spark.range(20000).select(
+        (col("id") + 2000000000L).as("doc_id"),
+        graft.gen.SyntheticDocs.textFor(col("id") + 2000000000L)
+          .as("text"),
+        when(col("id") % 3 === 0, "hi").otherwise("lo").as("label"))
+      val model = graft.extra.Classifier
+        .trainNaiveBayes(seed, "label", "text")
+      import graft.streaming.CurationStream
+      (1 to 3).foreach { i =>
+        time(s"#$i parse+gates")(
+          CurationStream.gatedOnly(wire).count())
+        time(s"#$i +classifyTyped")(
+          graft.extra.Classifier.classifyTyped(
+            CurationStream.gatedOnly(wire), "text", model).count())
+        time(s"#$i classifyTyped alone")(
+          graft.extra.Classifier.classifyTyped(
+            Dedup.materialize(CurationStream.gatedOnly(wire)),
+            "text", model).count())
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "cc") {
       // connected-components timing on the Q1-1995 graph
       val orders = Tables.load(spark, dir, "orders")

@@ -228,6 +228,43 @@ object StreamBench {
     runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
+  /** Throughput of the streaming CLASSIFIER chain
+    * ([[graft.streaming.CurationStream.classifyStream]]): wire parse +
+    * quality/language gates + frozen-NB-model verdict via the
+    * broadcast-table typed projection. The model trains once on a
+    * 20k-doc seed over the generator's ~50k-word vocabulary (a
+    * realistic model size for the lookup table the projection pays
+    * per token), OUTSIDE the measured window. The whole chain is
+    * stateless projections — this block is the model-based-filtering
+    * analogue of the flagship's parse+gate capacity number.
+    */
+  def measureClassify(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
+    import org.apache.spark.sql.functions._
+    val seed = spark.range(20000).select(
+      (col("id") + 2000000000L).as("doc_id"),
+      graft.gen.SyntheticDocs.textFor(col("id") + 2000000000L).as("text"),
+      when(col("id") % 3 === 0, "hi").otherwise("lo").as("label"))
+    val model = graft.extra.Classifier.trainNaiveBayes(seed, "label", "text")
+    // warm the typed tier's codegen + the broadcast outside the window
+    graft.extra.Classifier.classifyTyped(seed.limit(2000), "text", model)
+      .count()
+    val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
+    val classified = CurationStream.classifyStream(wire, model,
+      keep = Some(Set("hi")))
+    val monitor = new Monitor().attach(spark)
+    val ckpt = Files.createTempDirectory("sbench_cls_ckpt").toString
+    val writing = new AtomicBoolean(true)
+    val q = classified.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (writing.get()) df.count(): Unit
+      }
+      .start()
+    runMeasured(spark, monitor, q, writing, tps, secs)
+  }
+
   /** Throughput of the streaming ANN-INGEST ARM — embed-stub →
     * frozen-codebook encode → partitioned index append
     * ([[graft.streaming.AnnIngest]]) — under a structured synthetic

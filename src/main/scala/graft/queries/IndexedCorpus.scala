@@ -75,6 +75,7 @@ object IndexedCorpus {
     val substr = 2 // r15: range-clustered segments + #range= stats
     val minhash = 1
     val semantic = 1
+    val nb = 1
   }
 
   /** Generic content-keyed build-if-absent artifact dir: `build`
@@ -115,6 +116,21 @@ object IndexedCorpus {
     val fp = fingerprint(docs, col(idCol), col(textCol))
     cachedDir("graft_qbm25", Ver.bm25, fp)(d =>
       graft.extra.Bm25Index.build(docs, idCol, textCol, d.toString))
+  }
+
+  /** Persisted Naive Bayes model dir for this labeled corpus (train +
+    * [[graft.extra.Classifier.save]] if absent) — the trained-filter
+    * serving artifact: later calls pay only the model load + the
+    * typed-projection scan, the production train-once/serve-everywhere
+    * split.
+    */
+  def nbModelDir(docs: DataFrame, labelCol: String,
+      textCol: String): String = {
+    val fp = fingerprint(docs, col(labelCol), col(textCol))
+    cachedDir("graft_qnb", Ver.nb, fp)(d =>
+      graft.extra.Classifier.save(
+        graft.extra.Classifier.trainNaiveBayes(docs, labelCol, textCol),
+        d.toString))
   }
 
   /** Duplicated-gram posting index dir for this corpus frame (build

@@ -824,6 +824,25 @@ object TextQueriesImpl {
        |  ORDER BY p.score DESC, p.label) = 1
        |ORDER BY p.doc_id""".stripMargin
 
+  /** The PERSISTED-MODEL serving form of [[nbLangId]] (the
+    * `bm25_indexed` split applied to the classifier): train + save once
+    * per corpus content ([[IndexedCorpus.nbModelDir]]), every call
+    * loads the committed model and classifies via the typed projection
+    * tier ([[graft.extra.Classifier.classifyTyped]] — broadcast
+    * micros-table mapPartitions, no explode/aggregation). SAME oracle
+    * as `nb_lang_id`: the typed tier is bit-identical to the batch
+    * argmax by construction (micros sums ARE the decimal sums).
+    */
+  def nbLangIdIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = graft.extra.Classifier.load(s,
+      IndexedCorpus.nbModelDir(d, "lang", "text"))
+    graft.extra.Classifier
+      .classifyTyped(d.select("doc_id", "lang", "text"), "text", model)
+      .select("doc_id", "lang", "predicted", "score")
+      .orderBy("doc_id")
+  }
+
   /** Classifier-based quality filtering — the CCNet/GPT-3 curation
     * bootstrap: seed binary labels from the [[Text.withQuality]]
     * heuristic (hi = round-6 composite score ≥ 0.45, the corpus
@@ -1633,5 +1652,10 @@ object TextQueriesImpl {
       "classifier-based quality filtering (CCNet bootstrap): NB " +
         "trained on heuristic seed labels, exact-decimal log-odds " +
         "keep verdicts",
-      qualityClassifier, Some(qualityClassifierOracle)))
+      qualityClassifier, Some(qualityClassifierOracle)),
+    QueryDef("nb_lang_id_indexed",
+      "persisted-model serving: content-keyed train+save once, " +
+        "load + typed-projection classify per call — same oracle as " +
+        "nb_lang_id",
+      nbLangIdIndexed, Some(nbLangIdOracle)))
 }
