@@ -367,9 +367,25 @@ object Bench {
         catch { case _: Throwable => None }
       else None
 
+    val streamingAnn =
+      if (benchStream)
+        // offered rate deliberately ABOVE the arm's measured ~39k/s
+        // capacity (same discipline as the flagship's 100k): the
+        // reported events_per_sec then measures sustained throughput,
+        // not the generation target. 30 s window: the arm's batches
+        // run 1-2 s, so this is 15+ steady batches after start-up.
+        try Some(StreamBench.measureAnnIngest(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_ANN_TPS", "40000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_ANN_SECS", "30").toInt))
+        catch { case _: Throwable => None }
+      else None
+
     // Streaming classifier chain (r16): one pass, DETAIL line + file
     // only — all-stateless projections (parse + gates + frozen-model
-    // typed verdict). Offered rate near the measured single-node
+    // typed verdict). Runs LAST: the established blocks keep their
+    // historical positions and inherited-load conditions (inserting it
+    // mid-sequence halved the substr block's read — comparability
+    // before convenience, the r10 lesson). Offered rate near the measured single-node
     // equilibrium (the curation-neardup discipline: at 120k offered the
     // unbounded ProcessingTime(0) batches snowballed to 16 s). The
     // typed tier itself runs ~225k docs/s batch-mode (Profile
@@ -384,18 +400,6 @@ object Bench {
         catch { case _: Throwable => None }
       else None
 
-    val streamingAnn =
-      if (benchStream)
-        // offered rate deliberately ABOVE the arm's measured ~39k/s
-        // capacity (same discipline as the flagship's 100k): the
-        // reported events_per_sec then measures sustained throughput,
-        // not the generation target. 30 s window: the arm's batches
-        // run 1-2 s, so this is 15+ steady batches after start-up.
-        try Some(StreamBench.measureAnnIngest(spark,
-          tps = sys.env.getOrElse("SPARK_GRAFT_ANN_TPS", "40000").toInt,
-          secs = sys.env.getOrElse("SPARK_GRAFT_ANN_SECS", "30").toInt))
-        catch { case _: Throwable => None }
-      else None
 
     import StreamBench.rnd
     val qs = medians.map { case (k, v) => s"${jstr(k)}:${rnd(v)}" }

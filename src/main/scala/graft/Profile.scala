@@ -77,13 +77,8 @@ object Profile {
         col("id").as("doc_id"),
         graft.gen.SyntheticDocs.plantedText(col("id")).as("text"),
         (col("id") * 7L + 1000000L).as("event_time_ms"))).as("value")))
-      val seed = spark.range(20000).select(
-        (col("id") + 2000000000L).as("doc_id"),
-        graft.gen.SyntheticDocs.textFor(col("id") + 2000000000L)
-          .as("text"),
-        when(col("id") % 3 === 0, "hi").otherwise("lo").as("label"))
-      val model = graft.extra.Classifier
-        .trainNaiveBayes(seed, "label", "text")
+      val model = graft.extra.Classifier.trainNaiveBayes(
+        graft.gen.SyntheticDocs.labeledSeed(spark), "label", "text")
       import graft.streaming.CurationStream
       (1 to 3).foreach { i =>
         time(s"#$i parse+gates")(

@@ -240,10 +240,7 @@ object StreamBench {
     */
   def measureClassify(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
     import org.apache.spark.sql.functions._
-    val seed = spark.range(20000).select(
-      (col("id") + 2000000000L).as("doc_id"),
-      graft.gen.SyntheticDocs.textFor(col("id") + 2000000000L).as("text"),
-      when(col("id") % 3 === 0, "hi").otherwise("lo").as("label"))
+    val seed = graft.gen.SyntheticDocs.labeledSeed(spark)
     val model = graft.extra.Classifier.trainNaiveBayes(seed, "label", "text")
     // warm the typed tier's codegen + the broadcast outside the window
     graft.extra.Classifier.classifyTyped(seed.limit(2000), "text", model)

@@ -53,7 +53,19 @@ object Classifier {
     *   vocabulary are ignored at scoring time (standard multinomial NB
     *   over a closed vocab).
     */
-  final case class NaiveBayesModel(classStats: DataFrame, tokenLp: DataFrame)
+  final case class NaiveBayesModel(classStats: DataFrame, tokenLp: DataFrame) {
+    /** Trained vocabulary size — computed once per model instance (the
+      * frames are materialized, but a count is still a job; serving
+      * calls must not pay it per query).
+      */
+    @transient lazy val tokenRows: Long = tokenLp.count()
+
+    /** The distinct training vocabulary, materialized once per model
+      * instance — the scoring semi-join's build side.
+      */
+    @transient lazy val vocab: DataFrame =
+      Dedup.materialize(tokenLp.select("token").distinct())
+  }
 
   private val Lp = DecimalType(18, 6)
 
@@ -81,14 +93,23 @@ object Classifier {
 
     // 1×C / 1×|V| broadcasts of one-row aggregate frames (the
     // Text.scala corpus-constant pattern).
+    // LEFT join to the token totals: a class whose training docs carry
+    // zero tokens still exists (its docs count toward the priors — the
+    // documented contract); its default_lp smooths over tot = 0. The
+    // zero-vocabulary guard keeps default_lp finite when the WHOLE
+    // corpus is token-free (the value is never consulted then — there
+    // is nothing in-vocab to score — but ln(1/0) would poison the
+    // collected model).
     val classStats = dc
       .join(broadcast(n))
-      .join(ct, Seq("label"))
+      .join(ct, Seq("label"), "left")
       .join(broadcast(v))
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
       .select(col("label"),
         round(log(col("n_docs").cast("double") / col("n")), 6)
           .cast(Lp).as("log_prior"),
-        round(log(lit(1.0) / (col("tot") + col("v"))), 6)
+        when(col("tot") + col("v") === 0, lit(0.0))
+          .otherwise(round(log(lit(1.0) / (col("tot") + col("v"))), 6))
           .cast(Lp).as("default_lp"))
       .transform(Dedup.materialize)
     val tokenLp = tc
@@ -121,13 +142,10 @@ object Classifier {
     // Restrict to the training vocabulary (out-of-vocab tokens carry no
     // evidence under a closed-vocab multinomial): distinct model tokens
     // ARE the vocab — every training token appears under its own class.
-    val vocab = model.tokenLp.select("token").distinct()
-    val fits = {
-      val rows = model.tokenLp.count()
-      rows <= IndexManifests.broadcastRowCap(model.tokenLp.schema)
-    }
+    val fits = model.tokenRows <=
+      IndexManifests.broadcastRowCap(model.tokenLp.schema)
     def side(m: DataFrame): DataFrame = if (fits) broadcast(m) else m
-    val inVocab = dt.join(side(vocab), Seq("token"), "left_semi")
+    val inVocab = dt.join(side(model.vocab), Seq("token"), "left_semi")
     // Cross the classes in (C rows, always broadcast), then resolve
     // each (token, class) against the observed table with the class
     // default as the smoothed fallback.
@@ -230,7 +248,8 @@ object Classifier {
           // EXACTLY [[Text.tokens]]: lowercase, split on single
           // spaces, drop empties (the withBpeTokensTyped-proven parity
           // idiom)
-          row.getString(textIdx).toLowerCase.split(" ", -1).foreach { w =>
+          row.getString(textIdx)
+            .toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { w =>
             if (w.nonEmpty) {
               val arr = t.tokenLp.get(w)
               if (arr != null) {
@@ -279,13 +298,18 @@ object Classifier {
     // the scan sweet spot instead of inheriting the training shuffle's
     // partition count (a sorted single-file class table, a few files
     // of (label, token)-sorted postings)
+    // Overwrite (the AnnIndex/Bm25Index retry discipline): a save that
+    // crashed after writing a segment but before the manifest commit
+    // recomputes the same version — ErrorIfExists would wedge the dir.
     model.classStats.coalesce(1).sortWithinPartitions("label")
-      .write.parquet(s"$dir/$csSeg")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/$csSeg")
     model.tokenLp
-      .repartition(IndexManifests.tierFileCount(
-        model.tokenLp.count() * 48), col("token"))
+      .repartition(IndexManifests.tierFileCount(model.tokenRows * 48),
+        col("token"))
       .sortWithinPartitions("label", "token")
-      .write.parquet(s"$dir/$lpSeg")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/$lpSeg")
     IndexManifests.commit(spark, dir, v,
       Map("class_stats" -> Seq(csSeg), "token_lp" -> Seq(lpSeg)))
     IndexManifests.vacuum(spark, dir, Frames, keepVersions)
@@ -306,14 +330,23 @@ object Classifier {
   def loadVersion(spark: org.apache.spark.sql.SparkSession, dir: String,
       version: Long): NaiveBayesModel = {
     val entries = IndexManifests.at(spark, dir, version)
-    def frame(name: String): DataFrame = {
-      val segs = entries.getOrElse(name, Seq.empty)
-      require(segs.nonEmpty,
-        s"persisted NB model at $dir v$version has no '$name' frame")
-      Dedup.materialize(
-        segs.map(s => spark.read.parquet(s"$dir/$s"))
-          .reduce(_ unionByName _))
+    // Per-JVM memoization keyed on (dir, head-manifest signature,
+    // version entries) — the cachedByEntries discipline: repeated
+    // serving calls (every graft_classify analysis) reuse the
+    // materialized frames instead of re-reading + re-checkpointing the
+    // same committed version; a new save changes the head signature
+    // and naturally invalidates.
+    IndexManifests.cachedByEntries(spark, dir,
+      Frames :+ s"v$version", entries) {
+      def frame(name: String): DataFrame = {
+        val segs = entries.getOrElse(name, Seq.empty)
+        require(segs.nonEmpty,
+          s"persisted NB model at $dir v$version has no '$name' frame")
+        Dedup.materialize(
+          segs.map(s => spark.read.parquet(s"$dir/$s"))
+            .reduce(_ unionByName _))
+      }
+      NaiveBayesModel(frame("class_stats"), frame("token_lp"))
     }
-    NaiveBayesModel(frame("class_stats"), frame("token_lp"))
   }
 }

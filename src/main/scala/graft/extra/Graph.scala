@@ -369,12 +369,24 @@ object Graph {
     */
   private def localContract(e0: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.types._
-    val idType = e0.schema("src").dataType
-    val ok = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
+    // BOTH endpoint types must be integral, and the stars must come
+    // back at the WIDER of the two — the type the downstream
+    // symmetrize's union would have widened to anyway. Gating on src
+    // alone and casting back to src's type would silently WRAP a long
+    // dst id into a narrower src type (wrong components, no error);
+    // mixed integral/non-integral frames keep the uncontracted path,
+    // whose union coerces as before.
+    def rank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case _ => None
     }
-    if (!ok) return None
+    val types = Seq(e0.schema("src").dataType, e0.schema("dst").dataType)
+    val ranks = types.flatMap(rank(_))
+    if (ranks.size != 2) return None
+    val idType = types(ranks.indexOf(ranks.max))
     val spark = e0.sparkSession
     import spark.implicits._
     val stars = e0

@@ -49,6 +49,18 @@ object SyntheticDocs {
       unix_millis(col("timestamp")).as("event_time_ms"))).as("value"))
   }
 
+  /** Deterministic LABELED seed corpus for classifier benches/profiles
+    * (one definition so the profiler's numbers describe the same model
+    * the streaming_classify block measures): n docs over [[textFor]]'s
+    * ~50k-word vocabulary, ids offset clear of any rate source, binary
+    * hi/lo labels at a fixed 1:2 ratio.
+    */
+  def labeledSeed(spark: SparkSession, n: Long = 20000L): DataFrame =
+    spark.range(n).select(
+      (col("id") + 2000000000L).as("doc_id"),
+      textFor(col("id") + 2000000000L).as("text"),
+      when(col("id") % 3 === 0, "hi").otherwise("lo").as("label"))
+
   /** STRUCTURED synthetic doc stream — the same planted-dup corpus as
     * [[rateWire]] without the to_json/from_json round trip: the feed
     * for benches that measure a downstream arm's capacity (e.g. ANN

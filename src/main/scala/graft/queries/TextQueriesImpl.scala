@@ -775,9 +775,10 @@ object TextQueriesImpl {
        |cs AS (SELECT dc.label,
        |    CAST(round(ln(CAST(dc.n_docs AS DOUBLE) / nn.n), 6)
        |      AS DECIMAL(18,6)) AS log_prior,
-       |    CAST(round(ln(1.0 / (ct.tot + v.v)), 6)
+       |    CAST(CASE WHEN coalesce(ct.tot, 0) + v.v = 0 THEN 0.0
+       |      ELSE round(ln(1.0 / (coalesce(ct.tot, 0) + v.v)), 6) END
        |      AS DECIMAL(18,6)) AS default_lp
-       |  FROM dc JOIN ct USING (label) CROSS JOIN nn CROSS JOIN v),
+       |  FROM dc LEFT JOIN ct USING (label) CROSS JOIN nn CROSS JOIN v),
        |lp AS (SELECT tc.label, tc.token,
        |    CAST(round(ln((CAST(tc.c AS DOUBLE) + 1.0) / (ct.tot + v.v)),
        |      6) AS DECIMAL(18,6)) AS lp

@@ -116,6 +116,32 @@ class ClassifierSpec extends SparkSpec {
       .where(col("doc_id") === 4L).count() == 2)
   }
 
+  test("a class whose training docs carry zero tokens keeps its row " +
+      "and its prior (review fix: the ct inner join dropped it)") {
+    val m = Classifier.trainNaiveBayes(
+      Seq((1L, "empty", ""), (2L, "full", "x y"), (3L, "full", "x"))
+        .toDF("doc_id", "label", "text"), "label", "text")
+    val cs = m.classStats.collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(cs.keySet == Set("empty", "full"))
+    assert(cs("empty") == lp(1.0, 3.0)) // 1 of 3 docs — prior kept
+    assert(cs("full") == lp(2.0, 3.0))
+    // an out-of-vocab doc decides on priors: 'full' wins
+    val pred = Classifier.predictNaiveBayes(
+      Seq((9L, "zzz")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .collect().head.getString(1)
+    assert(pred == "full")
+    // degenerate: EVERY class token-free — finite model, priors-only
+    // scoring still works
+    val m0 = Classifier.trainNaiveBayes(
+      Seq((1L, "a", ""), (2L, "b", ""), (3L, "b", ""))
+        .toDF("doc_id", "label", "text"), "label", "text")
+    val p0 = Classifier.predictNaiveBayes(
+      Seq((9L, "zzz")).toDF("doc_id", "text"), "doc_id", "text", m0)
+      .collect().head.getString(1)
+    assert(p0 == "b")
+  }
+
   test("save/load round-trips the model exactly; re-save is a new " +
       "version and loadVersion time-travels across model refreshes") {
     val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString

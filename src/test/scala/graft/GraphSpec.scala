@@ -200,6 +200,16 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(so == Map("a" -> "a", "b" -> "a", "c" -> "a",
       "x" -> "x", "y" -> "x"))
+    // MIXED integral endpoint types widen to the larger (review fix:
+    // casting back to src's narrower type wrapped long ids): int srcs,
+    // long dsts beyond Int.MaxValue — labels must come back exact
+    val big = 5000000000L
+    val mixed = Seq((1, big), (1, 2L))
+      .toDF("src", "dst")
+      .selectExpr("CAST(src AS INT) AS src", "dst")
+    val mo = Graph.connectedComponents(mixed, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mo == Map(1L -> 1L, 2L -> 1L, big -> 1L))
     // randomized differential vs a driver-side union-find, across
     // partitionings that split components over partition boundaries
     val rnd = new scala.util.Random(23)
