@@ -571,6 +571,24 @@ object Graft {
       merges: Seq[(String, String)]): DataFrame =
     extra.Text.withBpeTokensAuto(docs, textCol, merges)
 
+  /** Train a BPE merge list and commit it as a NEW version of a
+    * persisted tokenizer model ([[extra.BpeModel]] — the registry
+    * semantics the classifier model uses: refreshes supersede the
+    * head, prior versions stay loadable for corpus reproducibility).
+    */
+  def trainBpeModel(docs: DataFrame, textCol: String, numMerges: Int,
+      modelDir: String, maxWords: Int = 10000): Long =
+    extra.BpeModel.train(docs, textCol, numMerges, modelDir, maxWords)
+
+  /** Loads a persisted tokenizer's merge list (head version,
+    * memoized per head signature). Time travel via
+    * [[extra.BpeModel.loadVersion]]; SQL serving via
+    * `graft_bpe_count`.
+    */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): Seq[(String, String)] =
+    extra.BpeModel.load(spark, modelDir)
+
   def fingerprint(docs: DataFrame, textCol: String): DataFrame =
     extra.Text.withFingerprint(docs, textCol)
 

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.semdedupTvf)
     ext.injectTableFunction(GraftExtensions.indexStatsTvf)
     ext.injectTableFunction(GraftExtensions.classifyTvf)
+    ext.injectTableFunction(GraftExtensions.bpeCountTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -513,6 +514,33 @@ object GraftExtensions {
         out.queryExecution.analyzed
       })
 
+  /** `graft_bpe_count('modelDir', 'table', idCol, textCol)` — exact
+    * subword token counts under a PERSISTED BPE tokenizer
+    * ([[graft.extra.BpeModel]]) from SQL: one row per input row with
+    * (id, n_tokens, n_bpe_tokens). The merge list loads memoized per
+    * head signature; the encode tier (codegen replace chain vs typed
+    * merge loop) is selected by the loaded list's size
+    * ([[graft.extra.Text.withBpeTokensAuto]]).
+    */
+  private[graft] val bpeCountTvf: TvfDef =
+    (FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo("graft.extra.BpeModel", "graft_bpe_count",
+        "graft_bpe_count(modelDir, table, idCol, textCol) - exact " +
+          "subword token counts under a persisted BPE merge list"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_bpe_count expects (modelDir, table, idCol, textCol), " +
+            s"got ${children.length} arguments")
+        val fn = "graft_bpe_count"
+        val spark = SparkSession.active
+        val dir = litString(children(0), fn, "modelDir")
+        val docs = spark.table(litString(children(1), fn, "table"))
+        val idCol = litString(children(2), fn, "idCol")
+        val textCol = litString(children(3), fn, "textCol")
+        graft.extra.BpeModel.tokenCounts(spark, dir, docs, idCol, textCol)
+          .queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
@@ -522,7 +550,7 @@ object GraftExtensions {
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
       dedupSpansTvf, annTvf, neardupTvf, substrIncTvf,
-      semdedupTvf, indexStatsTvf, classifyTvf).foreach {
+      semdedupTvf, indexStatsTvf, classifyTvf, bpeCountTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

@@ -76,6 +76,7 @@ object IndexedCorpus {
     val minhash = 1
     val semantic = 1
     val nb = 1
+    val bpe = 1
   }
 
   /** Generic content-keyed build-if-absent artifact dir: `build`
@@ -131,6 +132,24 @@ object IndexedCorpus {
       graft.extra.Classifier.save(
         graft.extra.Classifier.trainNaiveBayes(docs, labelCol, textCol),
         d.toString))
+  }
+
+  /** Persisted BPE tokenizer dir for this merge list (commit if
+    * absent) — the tokenizer-registry serving artifact
+    * ([[graft.extra.BpeModel]]). Keyed on the LIST itself, not a
+    * corpus: a tokenizer's identity IS its ordered merges (the same
+    * list must map to the same committed model no matter which corpus
+    * it is later applied to). Stable across JVMs via FNV-1a over the
+    * delimited rules.
+    */
+  def bpeDir(spark: SparkSession,
+      merges: Seq[(String, String)]): String = {
+    val joined = merges.map { case (a, b) => "" + a + "\u0001" + b }
+      .mkString("\u0002")
+    var h = 0xcbf29ce484222325L
+    joined.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    cachedDir("graft_qbpe", Ver.bpe, h)(d =>
+      graft.extra.BpeModel.save(spark, merges, d.toString))
   }
 
   /** Duplicated-gram posting index dir for this corpus frame (build

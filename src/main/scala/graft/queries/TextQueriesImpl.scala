@@ -150,6 +150,24 @@ object TextQueriesImpl {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The PERSISTED-TOKENIZER serving form of [[tokenCountsBpe]] (the
+    * `nb_lang_id_indexed` split applied to the tokenizer): the fixed
+    * merge list is committed ONCE as a versioned
+    * [[graft.extra.BpeModel]] ([[IndexedCorpus.bpeDir]] — the
+    * tokenizer-registry artifact), every call loads it (memoized per
+    * head signature, no Spark job on a warm JVM) and counts via the
+    * TYPED merge loop — so the hash gate proves the persistence round
+    * trip AND the typed tier against the SAME nested-REPLACE oracle.
+    */
+  def tokenCountsBpeIndexed(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.extra.BpeModel.load(s,
+      IndexedCorpus.bpeDir(s, bpeMerges))
+    Text.withBpeTokensTyped(
+        docs(s, dir).select("doc_id", "text"), "text", merges)
+      .select("doc_id", "n_tokens", "n_bpe_tokens")
+      .orderBy("doc_id")
+  }
+
   // ---- doc_fingerprint ---------------------------------------------
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -1613,6 +1631,11 @@ object TextQueriesImpl {
       "EXACT subword counts under a trained 32-rule BPE merge list " +
         "(greedy pair merging, codegen replace chain)",
       tokenCountsBpe, Some(tokenCountsBpeOracle)),
+    QueryDef("token_counts_bpe_indexed",
+      "persisted-tokenizer serving: the merge list committed as a " +
+        "versioned BpeModel, loaded memoized, counted via the typed " +
+        "merge loop — same nested-REPLACE oracle",
+      tokenCountsBpeIndexed, Some(tokenCountsBpeOracle)),
     QueryDef("doc_fingerprint",
       "min-md5-over-shingles winnowing-style content fingerprint",
       fingerprint, Some(fingerprintOracle)),

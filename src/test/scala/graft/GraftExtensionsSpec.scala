@@ -308,6 +308,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("mode must be"))
   }
 
+  test("graft_bpe_count TVF: persisted-tokenizer subword counts from " +
+      "SQL; argument arity enforced") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ext_bpe").toString
+    graft.extra.BpeModel.save(spark,
+      Seq(("a", "b"), ("ab", "c")), dir)
+    Seq((1L, "abc ab a"), (2L, ""))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_bpe_docs")
+    val rows = spark.sql(
+      s"SELECT * FROM graft_bpe_count('$dir', 'ext_bpe_docs', " +
+        "'doc_id', 'text') ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "abc ab a" → [abc][ab][a] = 3 subwords over 3 words
+    assert(rows.toSeq == Seq((1L, 3L, 3L), (2L, 0L, 0L)))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bpe_count('$dir', " +
+        "'ext_bpe_docs', 'doc_id')").collect()
+    }
+    assert(e.getMessage.contains("expects"))
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions
