@@ -596,6 +596,13 @@ object Graft {
   def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     extra.Text.unigramScore(docs, idCol, textCol)
 
+  /** Interpolated Kneser–Ney trigram cross-entropy per doc — the
+    * CCNet/KenLM quality-filter signal ([[extra.Text.kneserNeyScore]]).
+    */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    extra.Text.kneserNeyScore(docs, idCol, textCol, discount)
+
   /** Per-doc fraction of tokens inside the corpus top-K vocabulary. */
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame =

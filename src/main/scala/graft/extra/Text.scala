@@ -740,6 +740,112 @@ object Text {
     } finally tokArr.unpersist(blocking = false)
   }
 
+  /** Per-document INTERPOLATED KNESER–NEY trigram cross-entropy — the
+    * CCNet/KenLM quality-filter shape (Wenzek et al. 2020 filter
+    * Common Crawl on exactly this signal; Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.25): the top rung of the LM ladder above
+    * [[unigramScore]]/[[bigramScore]]. Fixed absolute discount `D`
+    * (KenLM's simplest configuration) with continuation-count lower
+    * orders:
+    *
+    *   P(w3|w1 w2) = (max(c(w1w2w3)−D, 0) + D·N1+(w1w2•)·P(w3|w2))
+    *                   / c(w1w2•)
+    *   P(w3|w2)    = (max(N1+(•w2w3)−D, 0) + D·N1+(w2•)·P(w3))
+    *                   / N1+(•w2•)
+    *   P(w3)       = N1+(•w3) / N1+(••)
+    *
+    * where N1+ are DISTINCT-context counts ("how many different
+    * contexts has this n-gram followed") — the Kneser–Ney insight that
+    * a word seen often but only ever in one context ("Francisco")
+    * should back off weakly. Self-trained like its siblings: the
+    * corpus is its own model, so every scored trigram is in-model and
+    * smoothing only redistributes mass (no OOV path needed).
+    *
+    * Scale shape: the raw text is scanned ONCE (trigram extraction is
+    * a guarded projection over the token arrays); the DISTINCT-trigram
+    * count frame is materialized once and EVERY statistic above
+    * re-aggregates it (context totals, follow counts, continuation
+    * counts, the two vocab-sized backoff frames, one scalar) — at
+    * 100 TB the model-side cost is trigram-TYPE-bounded (Heaps-law
+    * sublinear), never a second corpus pass. The probability table
+    * joins keyed on (w1,w2) / (w2,w3) (trigram/bigram-type-sized,
+    * outgrow broadcast long before the vocabulary does), while the
+    * w2/w3 backoff frames and the scalar broadcast; the final doc
+    * score is one keyed join on trigram + one agg with map-side
+    * partials.
+    *
+    * Determinism: every statistic is an exact integer; D is a dyadic
+    * literal (0.75 is exact in binary), so the probability is a fixed
+    * IEEE expression tree over exact inputs, computed once per
+    * DISTINCT trigram, rounded to 6 dp, summed as DECIMAL(18,6) —
+    * order-independent and replayable by the SQL oracle with the same
+    * parenthesization. Docs with < 3 tokens have no trigrams and drop
+    * (the [[bigramScore]] contract).
+    *
+    * Output: idCol, `n_trigrams`, `cross_entropy` (mean surprisal,
+    * nats, rounded 6 dp).
+    */
+  def kneserNeyScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val tokArr = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .persist()
+    try {
+      val tgArr = when(size(col("__toks")) >= 3,
+        transform(sequence(lit(1), size(col("__toks")) - 2),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1),
+            element_at(col("__toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val tg = tokArr.select(col(idCol), explode(tgArr).as("trigram"))
+      // THE model frame: distinct trigrams with counts and split
+      // endpoints, materialized once for its five consumers below.
+      val c3 = Dedup.materialize(
+        tg.groupBy("trigram").agg(count(lit(1)).as("c"))
+          .select(col("trigram"), col("c"),
+            split(col("trigram"), " ").getItem(0).as("w1"),
+            split(col("trigram"), " ").getItem(1).as("w2"),
+            split(col("trigram"), " ").getItem(2).as("w3")))
+      // c(w1w2•) context totals + N1+(w1w2•) follow counts (each c3
+      // row is a distinct trigram, so count(*) IS the distinct-w3
+      // count)
+      val ctx2 = c3.groupBy("w1", "w2")
+        .agg(sum("c").as("ctx"), count(lit(1)).as("nf1"))
+      // continuation bigram counts N1+(•w2w3): distinct w1 per (w2,w3)
+      val cont = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cc"))
+      // N1+(•w2•) continuation context totals + N1+(w2•) follow counts
+      val mid = cont.groupBy("w2")
+        .agg(sum("cc").as("midtot"), count(lit(1)).as("nf2"))
+      // N1+(•w3) continuation unigram counts; N1+(••) bigram types
+      val uni = cont.groupBy("w3").agg(count(lit(1)).as("pc"))
+      val tot = cont.agg(count(lit(1)).as("bt"))
+      val dD = lit(discount)
+      val pUni = col("pc").cast("double") / col("bt").cast("double")
+      val pBi = (greatest(col("cc").cast("double") - dD, lit(0.0)) +
+        dD * col("nf2").cast("double") * pUni) /
+        col("midtot").cast("double")
+      val pTri = (greatest(col("c").cast("double") - dD, lit(0.0)) +
+        dD * col("nf1").cast("double") * pBi) /
+        col("ctx").cast("double")
+      val table = c3
+        .join(ctx2, Seq("w1", "w2"))
+        .join(cont, Seq("w2", "w3"))
+        .join(broadcast(mid), Seq("w2"))
+        .join(broadcast(uni), Seq("w3"))
+        .crossJoin(broadcast(tot))
+        .select(col("trigram"),
+          round(-log(pTri), 6).cast(DecimalType(18, 6)).as("surprisal"))
+      Dedup.materialize(
+        tg.join(table, Seq("trigram"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_trigrams"),
+            round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
+              .as("cross_entropy")))
+    } finally tokArr.unpersist(blocking = false)
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * per document, the log importance ratio

@@ -691,6 +691,64 @@ object TextQueriesImpl {
        |GROUP BY bg.doc_id
        |ORDER BY bg.doc_id""".stripMargin
 
+  // ---- kn_trigram_logprob --------------------------------------------
+
+  /** Interpolated Kneser–Ney trigram cross-entropy per doc (fixed
+    * discount 0.75, continuation-count lower orders) — the CCNet/KenLM
+    * quality-filter signal. See [[graft.extra.Text.kneserNeyScore]];
+    * docs with < 3 tokens have no trigrams and drop.
+    */
+  def knTrigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Text.kneserNeyScore(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val knTrigramLogprobOracle =
+    // the SAME IEEE expression tree as the engine (parenthesization
+    // matters: (D·nf)·P, additions before the division) over the same
+    // exact integer statistics — 0.75 is dyadic, so every term up to
+    // the ln is exact or identically rounded in both engines.
+    // N1+(••) rides `uni` as a window total (Σ_w3 pc = |cont| — an
+    // exact integer either way): a separate 1-row `tot` CTE hung
+    // DuckDB both as a CROSS JOIN (join-reorder catastrophe) and as a
+    // scalar subquery (the dependent CTE chain re-inlined per row)
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |  ELSE [] END) AS trigram FROM t),
+       |c3 AS (SELECT trigram, count(*) AS c FROM tg GROUP BY 1),
+       |s3 AS (SELECT trigram, c,
+       |    split_part(trigram, ' ', 1) AS w1,
+       |    split_part(trigram, ' ', 2) AS w2,
+       |    split_part(trigram, ' ', 3) AS w3 FROM c3),
+       |ctx AS (SELECT w1, w2, sum(c) AS ctx, count(*) AS nf1
+       |  FROM s3 GROUP BY 1, 2),
+       |cont AS (SELECT w2, w3, count(*) AS cc FROM s3 GROUP BY 1, 2),
+       |mid AS (SELECT w2, sum(cc) AS midtot, count(*) AS nf2
+       |  FROM cont GROUP BY 1),
+       |uni AS (SELECT w3, count(*) AS pc,
+       |    sum(count(*)) OVER () AS bt FROM cont GROUP BY 1),
+       |tab AS (SELECT s3.trigram,
+       |    CAST(round(-ln(
+       |      (greatest(CAST(s3.c AS DOUBLE) - 0.75, 0.0) +
+       |       0.75 * CAST(ctx.nf1 AS DOUBLE) *
+       |       ((greatest(CAST(cont.cc AS DOUBLE) - 0.75, 0.0) +
+       |         0.75 * CAST(mid.nf2 AS DOUBLE) *
+       |         (CAST(uni.pc AS DOUBLE) / CAST(uni.bt AS DOUBLE))) /
+       |        CAST(mid.midtot AS DOUBLE))) /
+       |      CAST(ctx.ctx AS DOUBLE)), 6) AS DECIMAL(18,6)) AS surprisal
+       |  FROM s3
+       |  JOIN ctx ON s3.w1 = ctx.w1 AND s3.w2 = ctx.w2
+       |  JOIN cont ON s3.w2 = cont.w2 AND s3.w3 = cont.w3
+       |  JOIN mid ON s3.w2 = mid.w2
+       |  JOIN uni ON s3.w3 = uni.w3)
+       |SELECT tg.doc_id, count(*) AS n_trigrams,
+       |  round(CAST(sum(tab.surprisal) AS DOUBLE) / count(*), 6)
+       |    AS cross_entropy
+       |FROM tg JOIN tab ON tg.trigram = tab.trigram
+       |GROUP BY tg.doc_id
+       |ORDER BY tg.doc_id""".stripMargin
+
   // ---- vocab_coverage ----------------------------------------------
 
   /** Fraction of each doc's tokens inside the corpus top-16 vocabulary
@@ -1658,6 +1716,11 @@ object TextQueriesImpl {
     QueryDef("bigram_logprob",
       "self-trained bigram LM cross-entropy per doc (add-one smoothing)",
       bigramLogprob, Some(bigramLogprobOracle)),
+    QueryDef("kn_trigram_logprob",
+      "interpolated Kneser-Ney trigram cross-entropy per doc " +
+        "(fixed discount, continuation-count backoff - the " +
+        "CCNet/KenLM quality-filter signal)",
+      knTrigramLogprob, Some(knTrigramLogprobOracle)),
     QueryDef("vocab_coverage",
       "per-doc fraction of tokens inside the corpus top-16 vocabulary",
       vocabCoverageQ, Some(vocabCoverageOracle)),

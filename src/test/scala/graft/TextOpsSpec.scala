@@ -160,6 +160,53 @@ class TextOpsSpec extends SparkSpec {
       out(2).getAs[Double]("cross_entropy"))
   }
 
+  test("kneserNeyScore: hand-checked interpolated KN trigram math; " +
+      "<3-token docs drop") {
+    // corpus: doc1 "a b c", doc2 "a b c a b c", doc3 "x y" (drops)
+    // trigrams: "a b c" c=3, "b c a" c=1, "c a b" c=1
+    // ctx(a,b)=3 nf1=1; ctx(b,c)=1 nf1=1; ctx(c,a)=1 nf1=1
+    // cont counts all 1 (each (w2,w3) has one distinct w1);
+    // mid: every w2 has midtot=1, nf2=1; uni: every w3 pc=1; bt=3
+    // P_uni = 1/3 everywhere; P_bi = (1-.75 + .75*1*(1/3))/1 = 0.5
+    // P("a b c") = (3-.75 + .75*1*.5)/3 = 2.625/3 = 0.875
+    //   → surprisal 0.133531
+    // P("b c a") = P("c a b") = (1-.75 + .375)/1 = 0.625 → 0.470004
+    // doc1: ce = 0.133531
+    // doc2: (2*0.133531 + 2*0.470004)/4 = 1.20707/4 → 0.301768
+    val df = Seq(1L -> "a b c", 2L -> "a b c a b c", 3L -> "x y")
+      .toDF("doc_id", "text")
+    val out = graft.extra.Text.kneserNeyScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("n_trigrams")).toSeq == Seq(1L, 4L))
+    assert(out.map(_.getAs[Double]("cross_entropy")).toSeq ==
+      Seq(0.133531, 0.301768))
+    // the thrice-seen trigram is less surprising than the once-seen
+    assert(out(0).getAs[Double]("cross_entropy") <
+      out(1).getAs[Double]("cross_entropy"))
+    // discount bounds enforced
+    intercept[IllegalArgumentException] {
+      graft.extra.Text.kneserNeyScore(df, "doc_id", "text", discount = 1.0)
+    }
+  }
+
+  test("kneserNeyScore is invariant to input partitioning and ranks " +
+      "repetitive gibberish above fluent text") {
+    val fluent = (1L to 20L).map(i =>
+      i -> "the cat sat on the mat and the dog sat on the rug")
+    val soup = Seq(100L -> "mat the on sat rug cat dog and the on the")
+    val df = (fluent ++ soup).toDF("doc_id", "text")
+    val a = graft.extra.Text.kneserNeyScore(df, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.extra.Text.kneserNeyScore(df.repartition(13),
+      "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    val m = graft.extra.Text.kneserNeyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cross_entropy"))
+      .toMap
+    assert(m(100L) > m(1L)) // scrambled order = higher cross-entropy
+  }
+
   test("bigramScore is invariant to input partitioning") {
     val df = (1L to 40L)
       .map(i => i -> s"tok${i % 5} tok${(i + 1) % 5} tok${(i * 3) % 7}")
