@@ -603,6 +603,14 @@ object Graft {
       discount: Double = 0.75): DataFrame =
     extra.Text.kneserNeyScore(docs, idCol, textCol, discount)
 
+  /** CCNet perplexity gate: per-language KN LMs trained in one corpus
+    * pass, head/middle/tail cross-entropy quantile buckets
+    * ([[extra.Text.perplexityBuckets]]).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame =
+    extra.Text.perplexityBuckets(docs, idCol, textCol, langCol, nBuckets)
+
   /** Per-doc fraction of tokens inside the corpus top-K vocabulary. */
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame =

@@ -770,9 +770,10 @@ object Text {
     * sublinear), never a second corpus pass. The probability table
     * joins keyed on (w1,w2) / (w2,w3) (trigram/bigram-type-sized,
     * outgrow broadcast long before the vocabulary does), while the
-    * w2/w3 backoff frames and the scalar broadcast; the final doc
-    * score is one keyed join on trigram + one agg with map-side
-    * partials.
+    * w2/w3 backoff frames broadcast (the bigram-type count N1+(••)
+    * rides the w3 frame as a window total — vocab-sized input, and
+    * the exact form the SQL oracle replays); the final doc score is
+    * one keyed join on trigram + one agg with map-side partials.
     *
     * Determinism: every statistic is an exact integer; D is a dyadic
     * literal (0.75 is exact in binary), so the probability is a fixed
@@ -786,11 +787,21 @@ object Text {
     * nats, rounded 6 dp).
     */
   def kneserNeyScore(df: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75, byCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val tokArr = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // `byCol` trains one INDEPENDENT model per group (CCNet trains a
+    // per-language LM) in the SAME single corpus pass: the group key
+    // rides every aggregation and join key below, so statistics never
+    // mix across groups — grouped output ≡ running the plain form on
+    // each group alone (spec-pinned differential). Cost is unchanged:
+    // the aggregations just grow a key column.
+    val by = byCol.toSeq
+    val byC = by.map(col)
+    def keyed(ks: String*): Seq[String] = by ++ ks
+    val tokArr = df.select(
+        (col(idCol) +: byC :+ tokens(col(textCol)).as("__toks")): _*)
       .persist()
     try {
       val tgArr = when(size(col("__toks")) >= 3,
@@ -799,28 +810,41 @@ object Text {
             element_at(col("__toks"), i + 1),
             element_at(col("__toks"), i + 2))))
         .otherwise(array().cast("array<string>"))
-      val tg = tokArr.select(col(idCol), explode(tgArr).as("trigram"))
+      val tg = tokArr.select(
+        (col(idCol) +: byC :+ explode(tgArr).as("trigram")): _*)
       // THE model frame: distinct trigrams with counts and split
       // endpoints, materialized once for its five consumers below.
       val c3 = Dedup.materialize(
-        tg.groupBy("trigram").agg(count(lit(1)).as("c"))
-          .select(col("trigram"), col("c"),
+        tg.groupBy(keyed("trigram").map(col): _*)
+          .agg(count(lit(1)).as("c"))
+          .select((byC ++ Seq(col("trigram"), col("c"),
             split(col("trigram"), " ").getItem(0).as("w1"),
             split(col("trigram"), " ").getItem(1).as("w2"),
-            split(col("trigram"), " ").getItem(2).as("w3")))
+            split(col("trigram"), " ").getItem(2).as("w3"))): _*))
       // c(w1w2•) context totals + N1+(w1w2•) follow counts (each c3
       // row is a distinct trigram, so count(*) IS the distinct-w3
       // count)
-      val ctx2 = c3.groupBy("w1", "w2")
+      val ctx2 = c3.groupBy(keyed("w1", "w2").map(col): _*)
         .agg(sum("c").as("ctx"), count(lit(1)).as("nf1"))
       // continuation bigram counts N1+(•w2w3): distinct w1 per (w2,w3)
-      val cont = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cc"))
+      val cont = c3.groupBy(keyed("w2", "w3").map(col): _*)
+        .agg(count(lit(1)).as("cc"))
       // N1+(•w2•) continuation context totals + N1+(w2•) follow counts
-      val mid = cont.groupBy("w2")
+      val mid = cont.groupBy(keyed("w2").map(col): _*)
         .agg(sum("cc").as("midtot"), count(lit(1)).as("nf2"))
-      // N1+(•w3) continuation unigram counts; N1+(••) bigram types
-      val uni = cont.groupBy("w3").agg(count(lit(1)).as("pc"))
-      val tot = cont.agg(count(lit(1)).as("bt"))
+      // N1+(•w3) continuation unigram counts, with the group's bigram
+      // TYPE count N1+(••) riding as a window total (Σ pc per group =
+      // |cont| rows of the group — an exact integer; the form the
+      // DuckDB oracle replays)
+      val totW = by match {
+        case Seq(b) => org.apache.spark.sql.expressions.Window
+          .partitionBy(col(b))
+        case _ => org.apache.spark.sql.expressions.Window
+          .partitionBy()
+      }
+      val uni = cont.groupBy(keyed("w3").map(col): _*)
+        .agg(count(lit(1)).as("pc"))
+        .withColumn("bt", sum(col("pc")).over(totW))
       val dD = lit(discount)
       val pUni = col("pc").cast("double") / col("bt").cast("double")
       val pBi = (greatest(col("cc").cast("double") - dD, lit(0.0)) +
@@ -830,20 +854,51 @@ object Text {
         dD * col("nf1").cast("double") * pBi) /
         col("ctx").cast("double")
       val table = c3
-        .join(ctx2, Seq("w1", "w2"))
-        .join(cont, Seq("w2", "w3"))
-        .join(broadcast(mid), Seq("w2"))
-        .join(broadcast(uni), Seq("w3"))
-        .crossJoin(broadcast(tot))
-        .select(col("trigram"),
-          round(-log(pTri), 6).cast(DecimalType(18, 6)).as("surprisal"))
+        .join(ctx2, keyed("w1", "w2"))
+        .join(cont, keyed("w2", "w3"))
+        .join(broadcast(mid), keyed("w2"))
+        .join(broadcast(uni), keyed("w3"))
+        .select((keyed("trigram").map(col) :+
+          round(-log(pTri), 6).cast(DecimalType(18, 6)).as("surprisal")): _*)
       Dedup.materialize(
-        tg.join(table, Seq("trigram"))
-          .groupBy(col(idCol))
+        tg.join(table, keyed("trigram"))
+          .groupBy((col(idCol) +: byC): _*)
           .agg(count(lit(1)).as("n_trigrams"),
             round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
               .as("cross_entropy")))
     } finally tokArr.unpersist(blocking = false)
+  }
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): per
+    * LANGUAGE, split the corpus into `nBuckets` quantile buckets of LM
+    * cross-entropy under that language's OWN model
+    * ([[kneserNeyScore]] with `byCol` — all languages train in one
+    * corpus pass) — bucket 1 = "head" (the most-fluent slice CCNet
+    * keeps outright), the last = "tail" (dropped or down-sampled),
+    * the rest "middle". NTILE over the total order (cross_entropy
+    * asc, id asc) — ANSI tile semantics (first n mod b buckets get
+    * the extra row) shared by Spark and the oracle, so bucket
+    * boundaries are engine-exact. Docs with < 3 tokens have no
+    * trigrams and drop (the [[kneserNeyScore]] contract).
+    *
+    * Output: idCol, langCol, n_trigrams, cross_entropy, bucket (1-
+    * based), bucket_label.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3,
+      discount: Double = 0.75): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ce = kneserNeyScore(df, idCol, textCol, discount, Some(langCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("cross_entropy"), col(idCol))
+    ce.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col(langCol), col("n_trigrams"),
+        col("cross_entropy"), col("bucket"), col("bucket_label"))
   }
 
   /** DSIR-style importance weights for data selection (Xie et al. 2023,

@@ -749,6 +749,74 @@ object TextQueriesImpl {
        |GROUP BY tg.doc_id
        |ORDER BY tg.doc_id""".stripMargin
 
+  // ---- ccnet_buckets -------------------------------------------------
+
+  /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): one KN
+    * trigram LM per LANGUAGE trained in a single corpus pass
+    * ([[graft.extra.Text.kneserNeyScore]] `byCol`), then per-language
+    * head/middle/tail terciles of cross-entropy — the gate CCNet
+    * filters Common Crawl with.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame =
+    Text.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+
+  private val ccnetBucketsOracle =
+    // the per-language KN replay: every CTE of the kn_trigram_logprob
+    // oracle gains the lang key (statistics never mix across
+    // languages), then ANSI NTILE over (cross_entropy, doc_id)
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |tg AS (SELECT doc_id, lang, unnest(CASE WHEN len(toks) >= 3 THEN
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |  ELSE [] END) AS trigram FROM t),
+       |c3 AS (SELECT lang, trigram, count(*) AS c FROM tg GROUP BY 1, 2),
+       |s3 AS (SELECT lang, trigram, c,
+       |    split_part(trigram, ' ', 1) AS w1,
+       |    split_part(trigram, ' ', 2) AS w2,
+       |    split_part(trigram, ' ', 3) AS w3 FROM c3),
+       |ctx AS (SELECT lang, w1, w2, sum(c) AS ctx, count(*) AS nf1
+       |  FROM s3 GROUP BY 1, 2, 3),
+       |cont AS (SELECT lang, w2, w3, count(*) AS cc FROM s3
+       |  GROUP BY 1, 2, 3),
+       |mid AS (SELECT lang, w2, sum(cc) AS midtot, count(*) AS nf2
+       |  FROM cont GROUP BY 1, 2),
+       |uni AS (SELECT lang, w3, count(*) AS pc,
+       |    sum(count(*)) OVER (PARTITION BY lang) AS bt
+       |  FROM cont GROUP BY 1, 2),
+       |tab AS (SELECT s3.lang, s3.trigram,
+       |    CAST(round(-ln(
+       |      (greatest(CAST(s3.c AS DOUBLE) - 0.75, 0.0) +
+       |       0.75 * CAST(ctx.nf1 AS DOUBLE) *
+       |       ((greatest(CAST(cont.cc AS DOUBLE) - 0.75, 0.0) +
+       |         0.75 * CAST(mid.nf2 AS DOUBLE) *
+       |         (CAST(uni.pc AS DOUBLE) / CAST(uni.bt AS DOUBLE))) /
+       |        CAST(mid.midtot AS DOUBLE))) /
+       |      CAST(ctx.ctx AS DOUBLE)), 6) AS DECIMAL(18,6)) AS surprisal
+       |  FROM s3
+       |  JOIN ctx ON s3.lang = ctx.lang AND s3.w1 = ctx.w1
+       |    AND s3.w2 = ctx.w2
+       |  JOIN cont ON s3.lang = cont.lang AND s3.w2 = cont.w2
+       |    AND s3.w3 = cont.w3
+       |  JOIN mid ON s3.lang = mid.lang AND s3.w2 = mid.w2
+       |  JOIN uni ON s3.lang = uni.lang AND s3.w3 = uni.w3),
+       |sc AS (SELECT tg.doc_id, tg.lang, count(*) AS n_trigrams,
+       |    round(CAST(sum(tab.surprisal) AS DOUBLE) / count(*), 6)
+       |      AS cross_entropy
+       |  FROM tg JOIN tab ON tg.lang = tab.lang
+       |    AND tg.trigram = tab.trigram
+       |  GROUP BY 1, 2),
+       |b AS (SELECT doc_id, lang,
+       |    CAST(n_trigrams AS BIGINT) AS n_trigrams, cross_entropy,
+       |    CAST(ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY cross_entropy, doc_id) AS BIGINT) AS bucket
+       |  FROM sc)
+       |SELECT doc_id, lang, n_trigrams, cross_entropy, bucket,
+       |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+       |    ELSE 'middle' END AS bucket_label
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+
   // ---- vocab_coverage ----------------------------------------------
 
   /** Fraction of each doc's tokens inside the corpus top-16 vocabulary
@@ -1721,6 +1789,10 @@ object TextQueriesImpl {
         "(fixed discount, continuation-count backoff - the " +
         "CCNet/KenLM quality-filter signal)",
       knTrigramLogprob, Some(knTrigramLogprobOracle)),
+    QueryDef("ccnet_buckets",
+      "CCNet perplexity gate: per-language KN trigram LMs trained in " +
+        "one corpus pass, head/middle/tail cross-entropy terciles",
+      ccnetBuckets, Some(ccnetBucketsOracle)),
     QueryDef("vocab_coverage",
       "per-doc fraction of tokens inside the corpus top-16 vocabulary",
       vocabCoverageQ, Some(vocabCoverageOracle)),

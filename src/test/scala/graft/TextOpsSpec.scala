@@ -207,6 +207,64 @@ class TextOpsSpec extends SparkSpec {
     assert(m(100L) > m(1L)) // scrambled order = higher cross-entropy
   }
 
+  test("kneserNeyScore byCol: grouped output is BIT-identical to " +
+      "running the plain form on each group alone (per-language LMs " +
+      "in one pass; statistics never mix)") {
+    val rnd = new scala.util.Random(59)
+    val langs = Seq("en", "de", "zh")
+    // shared surface vocabulary ACROSS languages — the adversarial
+    // case: the same trigram string occurs in two languages and must
+    // hit each language's own statistics
+    val words = (0 until 12).map(i => s"w$i")
+    val df = (1L to 120L).map { i =>
+      val lang = langs(rnd.nextInt(3))
+      val n = 1 + rnd.nextInt(10)
+      (i, lang, (0 until n).map(_ => words(rnd.nextInt(12)))
+        .mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(7)
+    val grouped = graft.extra.Text
+      .kneserNeyScore(df, "doc_id", "text", byCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val perLang = langs.flatMap { l =>
+      graft.extra.Text
+        .kneserNeyScore(df.where(col("lang") === l), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), l, r.getLong(1),
+          r.getDouble(2)))
+    }.toSet
+    assert(grouped == perLang)
+  }
+
+  test("perplexityBuckets: per-language ANSI terciles with head/tail " +
+      "labels; deterministic tie order") {
+    // 7 en docs with distinct cross-entropies -> ntile(3) = 3,2,2;
+    // 2 de docs -> buckets 1 and 3 (head and tail, no middle)
+    val en = Seq(
+      1L -> "a a a a a a", 2L -> "a a a a a b", 3L -> "a a a b a b",
+      4L -> "a b b a b b", 5L -> "b b a a b a", 6L -> "a b a b a b",
+      7L -> "b a b a b a").map { case (i, t) => (i, "en", t) }
+    val de = Seq((10L, "de", "x y z x y z"), (11L, "de", "z y x z z z"))
+    val out = graft.extra.Text.perplexityBuckets(
+      (en ++ de).toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getString(5))).toMap
+    val enB = out.filter(_._1 < 10L).values.map(_._1).toSeq.sorted
+    assert(enB == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L)) // 3+2+2 ANSI split
+    assert(out.filter(_._1 >= 10L).values.map(_._1).toSeq.sorted ==
+      Seq(1L, 2L)) // ntile(3) over 2 rows -> buckets 1, 2
+    // labels: bucket 1 = head, bucket 3 = tail, else middle
+    out.values.foreach { case (b, l) =>
+      assert(l == (if (b == 1) "head" else if (b == 3) "tail"
+        else "middle"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.extra.Text.perplexityBuckets(
+        en.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
+        nBuckets = 1)
+    }
+  }
+
   test("bigramScore is invariant to input partitioning") {
     val df = (1L to 40L)
       .map(i => i -> s"tok${i % 5} tok${(i + 1) % 5} tok${(i * 3) % 7}")
