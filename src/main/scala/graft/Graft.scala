@@ -603,6 +603,14 @@ object Graft {
       discount: Double = 0.75): DataFrame =
     extra.Text.kneserNeyScore(docs, idCol, textCol, discount)
 
+  /** Fits a servable KN trigram LM ([[extra.KnLm.fit]]) — score any
+    * frame against it with full OOV backoff via [[extra.KnLm.score]];
+    * persist/refresh via [[extra.KnLm.save]]; SQL `graft_perplexity`.
+    */
+  def fitKnLm(docs: DataFrame, textCol: String,
+      byCol: Option[String] = None): extra.KnLm.Model =
+    extra.KnLm.fit(docs, textCol, byCol = byCol)
+
   /** CCNet perplexity gate: per-language KN LMs trained in one corpus
     * pass, head/middle/tail cross-entropy quantile buckets
     * ([[extra.Text.perplexityBuckets]]).

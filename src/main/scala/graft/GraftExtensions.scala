@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.indexStatsTvf)
     ext.injectTableFunction(GraftExtensions.classifyTvf)
     ext.injectTableFunction(GraftExtensions.bpeCountTvf)
+    ext.injectTableFunction(GraftExtensions.perplexityTvf)
     ext.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
@@ -541,6 +542,34 @@ object GraftExtensions {
           .queryExecution.analyzed
       })
 
+  /** `graft_perplexity('modelDir', 'table', idCol, textCol)` — KN
+    * trigram-LM cross-entropy per row of `table` under a PERSISTED
+    * model ([[graft.extra.KnLm]]) from SQL, with the full OOV backoff
+    * cascade: (id[, group], n_trigrams, cross_entropy). Rows with < 3
+    * tokens drop; a grouped model requires the group column on the
+    * table.
+    */
+  private[graft] val perplexityTvf: TvfDef =
+    (FunctionIdentifier("graft_perplexity"),
+      new ExpressionInfo("graft.extra.KnLm", "graft_perplexity",
+        "graft_perplexity(modelDir, table, idCol, textCol) - KN " +
+          "trigram-LM cross-entropy under a persisted model with " +
+          "OOV backoff"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_perplexity expects (modelDir, table, idCol, " +
+            s"textCol), got ${children.length} arguments")
+        val fn = "graft_perplexity"
+        val spark = SparkSession.active
+        val dir = litString(children(0), fn, "modelDir")
+        val docs = spark.table(litString(children(1), fn, "table"))
+        val idCol = litString(children(2), fn, "idCol")
+        val textCol = litString(children(3), fn, "textCol")
+        val model = graft.extra.KnLm.load(spark, dir)
+        graft.extra.KnLm.score(docs, idCol, textCol, model)
+          .queryExecution.analyzed
+      })
+
   /** Idempotently add the same wiring to a live session. */
   def registerAll(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
@@ -550,7 +579,8 @@ object GraftExtensions {
     val treg = spark.sessionState.tableFunctionRegistry
     Seq(snapshotTvf, snapshotHistoryTvf, asofTvf, bm25Tvf,
       dedupSpansTvf, annTvf, neardupTvf, substrIncTvf,
-      semdedupTvf, indexStatsTvf, classifyTvf, bpeCountTvf).foreach {
+      semdedupTvf, indexStatsTvf, classifyTvf, bpeCountTvf,
+      perplexityTvf).foreach {
       case (tid, tinfo, tbuilder) =>
         if (!treg.functionExists(tid))
           treg.registerFunction(tid, tinfo, tbuilder)

@@ -1,0 +1,256 @@
+package graft.extra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SERVABLE Kneser–Ney trigram LM — the KenLM artifact split that
+  * [[Text.kneserNeyScore]]'s self-scoring form deliberately fuses:
+  * `fit` trains the model ONCE (five statistic frames — the ARPA-file
+  * structure as DataFrames), `score` evaluates ANY document frame
+  * against it with the full backoff cascade, so unseen n-grams get
+  * KenLM's semantics instead of an inner-join drop:
+  *
+  *   - trigram seen:            the full interpolated formula
+  *   - trigram unseen, context
+  *     (w1,w2) seen:            (0 − D clipped) + backoff weight ×
+  *                              P(w3|w2) over the context total
+  *   - context unseen:          P(w3|w2) directly
+  *   - bigram (w2,w3) unseen,
+  *     w2 seen:                 bigram-level backoff with cc = 0
+  *   - w2 unseen:               P(w3) directly
+  *   - w3 unseen:               one pseudo-type of continuation mass,
+  *                              1 / N1+(••) (the <unk> floor — exact,
+  *                              deterministic, never −∞)
+  *
+  * Scoring a frame the model was fitted on takes the seen path for
+  * every trigram and reproduces [[Text.kneserNeyScore]] BIT-identically
+  * (the cascade's seen branches are the same IEEE expression tree —
+  * spec-pinned differential). That property is what puts the serve
+  * split behind the same DuckDB oracle as the self-scoring form.
+  *
+  * Scale shape: `fit` is [[Text.kneserNeyScore]]'s one corpus pass
+  * (every statistic re-aggregates the materialized distinct-trigram
+  * frame); `score` joins the batch's trigrams against the model —
+  * trigram/context frames KEYED (n-gram-type-sized), the per-w2/w3
+  * backoff frames and the type-count scalar broadcast. The model
+  * persists under the shared [[IndexManifests]] layer (versioned
+  * saves, time travel, memoized loads) — the third registry model
+  * family after the classifier and the BPE tokenizer; the streaming
+  * leg ([[graft.streaming.CurationStream.perplexityStream]]) scores
+  * each micro-batch with the same `score` call via foreachBatch.
+  */
+object KnLm {
+
+  /** A fitted model: the five statistic frames (+ the discount and
+    * optional group column they were fitted with).
+    *
+    *   - tri:  [by,] trigram, w1, w2, w3, c        (trigram counts)
+    *   - ctx2: [by,] w1, w2, ctx, nf1              (context totals)
+    *   - cont: [by,] w2, w3, cc                    (continuation bigrams)
+    *   - mid:  [by,] w2, midtot, nf2               (continuation totals)
+    *   - uni:  [by,] w3, pc, bt                    (continuation unigrams
+    *                                                + the group's type
+    *                                                count)
+    */
+  final case class Model(tri: DataFrame, ctx2: DataFrame, cont: DataFrame,
+      mid: DataFrame, uni: DataFrame, discount: Double,
+      by: Option[String]) {
+    /** The group's bigram-type count(s) — w3-independent, so the OOV-w3
+      * floor can reference it without a uni match; one row per group
+      * (or one row, global), always broadcastable.
+      */
+    @transient lazy val bts: DataFrame = by match {
+      case Some(b) => Dedup.materialize(
+        uni.groupBy(col(b)).agg(max("bt").as("bt")))
+      case None => Dedup.materialize(uni.agg(max("bt").as("bt")))
+    }
+  }
+
+  /** Doc trigrams with split endpoints: idCol[, by], trigram, w1-w3. */
+  private def trigrams(df: DataFrame, idCols: Seq[String],
+      textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val tgArr = when(size(col("__toks")) >= 3,
+      transform(sequence(lit(1), size(col("__toks")) - 2),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1),
+          element_at(col("__toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select((idCols.map(col) :+ toks.as("__toks")): _*)
+      .select((idCols.map(col) :+ explode(tgArr).as("trigram")): _*)
+      .select((idCols.map(col) ++ Seq(col("trigram"),
+        split(col("trigram"), " ").getItem(0).as("w1"),
+        split(col("trigram"), " ").getItem(1).as("w2"),
+        split(col("trigram"), " ").getItem(2).as("w3"))): _*)
+  }
+
+  /** Fits the five-frame model in one corpus pass (the
+    * [[Text.kneserNeyScore]] aggregation pipeline, with the frames
+    * materialized as the artifact instead of consumed inline).
+    * `byCol` fits one independent model per group (the CCNet
+    * per-language bank).
+    */
+  def fit(docs: DataFrame, textCol: String, discount: Double = 0.75,
+      byCol: Option[String] = None): Model = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val by = byCol.toSeq
+    def keyed(ks: String*): Seq[String] = by ++ ks
+    val tg = trigrams(docs, by, textCol)
+    val tri = Dedup.materialize(
+      tg.groupBy(keyed("trigram").map(col): _*)
+        .agg(count(lit(1)).as("c"),
+          min("w1").as("w1"), min("w2").as("w2"), min("w3").as("w3")))
+    val ctx2 = Dedup.materialize(
+      tri.groupBy(keyed("w1", "w2").map(col): _*)
+        .agg(sum("c").as("ctx"), count(lit(1)).as("nf1")))
+    val cont = Dedup.materialize(
+      tri.groupBy(keyed("w2", "w3").map(col): _*)
+        .agg(count(lit(1)).as("cc")))
+    val mid = Dedup.materialize(
+      cont.groupBy(keyed("w2").map(col): _*)
+        .agg(sum("cc").as("midtot"), count(lit(1)).as("nf2")))
+    val totW = byCol match {
+      case Some(b) =>
+        org.apache.spark.sql.expressions.Window.partitionBy(col(b))
+      case None => org.apache.spark.sql.expressions.Window.partitionBy()
+    }
+    val uni = Dedup.materialize(
+      cont.groupBy(keyed("w3").map(col): _*)
+        .agg(count(lit(1)).as("pc"))
+        .withColumn("bt", sum(col("pc")).over(totW)))
+    Model(tri, ctx2, cont, mid, uni, discount, byCol)
+  }
+
+  /** Scores a document frame against a fitted model: per doc,
+    * `n_trigrams` and mean surprisal `cross_entropy` (nats, 6 dp) under
+    * the full backoff cascade. Docs with < 3 tokens drop (no
+    * trigrams); for a grouped model `docs` must carry the group
+    * column, and rows of groups ABSENT from the model score entirely
+    * through the OOV floor (every statistic missing).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val by = model.by.toSeq
+    def keyed(ks: String*): Seq[String] = by ++ ks
+    val dD = lit(model.discount)
+    val tgd = trigrams(docs, idCol +: by, textCol)
+    val joined = tgd
+      .join(model.tri.select((keyed("trigram").map(col) :+
+        col("c")): _*), keyed("trigram"), "left")
+      .join(model.ctx2, keyed("w1", "w2"), "left")
+      .join(model.cont, keyed("w2", "w3"), "left")
+      .join(broadcast(model.mid), keyed("w2"), "left")
+      .join(broadcast(model.uni.select((keyed("w3").map(col) :+
+        col("pc")): _*)), keyed("w3"), "left")
+      .transform(d => model.by match {
+        case Some(b) => d.join(broadcast(model.bts), Seq(b), "left")
+        case None => d.crossJoin(broadcast(model.bts))
+      })
+    // the cascade — seen branches are EXACTLY the self-scoring
+    // expression tree (bit-parity with Text.kneserNeyScore when every
+    // trigram is in-model); bt is NULL only for a group absent from a
+    // grouped model, where the floor degrades to p = 1 (surprisal 0)
+    // rather than a null/−∞ poison
+    val btD = coalesce(col("bt").cast("double"), lit(1.0))
+    val pUni = when(col("pc").isNotNull,
+      col("pc").cast("double") / btD)
+      .otherwise(lit(1.0) / btD)
+    val pBi = when(col("midtot").isNotNull,
+      (greatest(coalesce(col("cc"), lit(0L)).cast("double") - dD,
+        lit(0.0)) +
+        dD * col("nf2").cast("double") * pUni) /
+        col("midtot").cast("double"))
+      .otherwise(pUni)
+    val pTri = when(col("ctx").isNotNull,
+      (greatest(coalesce(col("c"), lit(0L)).cast("double") - dD,
+        lit(0.0)) +
+        dD * col("nf1").cast("double") * pBi) /
+        col("ctx").cast("double"))
+      .otherwise(pBi)
+    Dedup.materialize(
+      joined
+        .select((col(idCol) +: by.map(col) :+
+          round(-log(pTri), 6).cast(DecimalType(18, 6))
+            .as("surprisal")): _*)
+        .groupBy((col(idCol) +: by.map(col)): _*)
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
+            .as("cross_entropy")))
+  }
+
+  // ---- persistence (the manifest registry discipline) ----------------
+
+  private val Frames = Seq("tri", "ctx2", "cont", "mid", "uni", "meta")
+
+  /** Persists a fitted model as a new committed version: the five
+    * statistic frames plus a one-row meta frame (discount, group
+    * column) under the shared [[IndexManifests]] layer — versioned
+    * refreshes with time travel, the [[Classifier.save]]/
+    * [[BpeModel.save]] registry semantics. The trigram frame lands
+    * sorted on its join key near the scan sweet spot; the smaller
+    * frames land as single sorted files.
+    */
+  def save(model: Model, dir: String, keepVersions: Int = 2): Long = {
+    val spark = model.tri.sparkSession
+    val v = IndexManifests.latest(spark, dir).map(_._1).getOrElse(0L) + 1
+    val by = model.by
+    def seg(f: String) = f"$f/seg-$v%09d"
+    def write(df: DataFrame, f: String, sortCols: Seq[String],
+        wide: Boolean): Unit = {
+      val out =
+        if (wide) df.repartition(IndexManifests.tierFileCount(
+            df.count() * 64), col(sortCols.last))
+        else df.coalesce(1)
+      out.sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/${seg(f)}")
+    }
+    val k = by.toSeq
+    write(model.tri, "tri", k :+ "trigram", wide = true)
+    write(model.ctx2, "ctx2", k ++ Seq("w1", "w2"), wide = true)
+    write(model.cont, "cont", k ++ Seq("w2", "w3"), wide = true)
+    write(model.mid, "mid", k :+ "w2", wide = false)
+    write(model.uni, "uni", k :+ "w3", wide = false)
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        model.discount, by.orNull)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("discount",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("by",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    write(meta, "meta", Seq("discount"), wide = false)
+    IndexManifests.commit(spark, dir, v, Frames.map(f =>
+      f -> Seq(seg(f))).toMap)
+    IndexManifests.vacuum(spark, dir, Frames, keepVersions)
+    v
+  }
+
+  /** Loads the HEAD version (memoized per head signature). */
+  def load(spark: SparkSession, dir: String): Model =
+    loadVersion(spark, dir,
+      IndexManifests.requireLatest(spark, dir, "KN LM model")._1)
+
+  /** Loads a specific committed version (time travel across model
+    * refreshes while retention keeps it).
+    */
+  def loadVersion(spark: SparkSession, dir: String, version: Long): Model = {
+    val entries = IndexManifests.at(spark, dir, version)
+    IndexManifests.cachedByEntries(spark, dir,
+      Frames :+ s"v$version", entries) {
+      def frame(name: String): DataFrame = {
+        val segs = entries.getOrElse(name, Seq.empty)
+        require(segs.nonEmpty,
+          s"persisted KN LM at $dir v$version has no '$name' frame")
+        Dedup.materialize(
+          segs.map(s => spark.read.parquet(s"$dir/$s"))
+            .reduce(_ unionByName _))
+      }
+      val meta = frame("meta").head()
+      Model(frame("tri"), frame("ctx2"), frame("cont"), frame("mid"),
+        frame("uni"), meta.getDouble(0), Option(meta.getString(1)))
+    }
+  }
+}

@@ -77,6 +77,7 @@ object IndexedCorpus {
     val semantic = 1
     val nb = 1
     val bpe = 1
+    val kn = 1
   }
 
   /** Generic content-keyed build-if-absent artifact dir: `build`
@@ -132,6 +133,18 @@ object IndexedCorpus {
       graft.extra.Classifier.save(
         graft.extra.Classifier.trainNaiveBayes(docs, labelCol, textCol),
         d.toString))
+  }
+
+  /** Persisted KN trigram-LM dir for this training corpus (fit +
+    * [[graft.extra.KnLm.save]] if absent) — the LM-registry serving
+    * artifact: later calls pay only the model load (memoized per
+    * head) + the scoring joins.
+    */
+  def knModelDir(docs: DataFrame, textCol: String): String = {
+    val fp = fingerprint(docs, col(textCol))
+    cachedDir("graft_qkn", Ver.kn, fp)(d =>
+      graft.extra.KnLm.save(
+        graft.extra.KnLm.fit(docs, textCol), d.toString))
   }
 
   /** Persisted BPE tokenizer dir for this merge list (commit if

@@ -817,6 +817,96 @@ object TextQueriesImpl {
        |FROM b
        |ORDER BY doc_id""".stripMargin
 
+  // ---- kn_perplexity_serve / kn_perplexity_indexed --------------------
+
+  /** The SERVE split of the KN LM ([[graft.extra.KnLm]]): the model
+    * fits on 90% of the corpus (doc_id % 10 != 0), the held-out 10%
+    * scores against it through the full OOV backoff cascade — held-out
+    * docs genuinely contain trigrams, contexts, and words the model
+    * never saw, so every cascade branch is live inside the hash gate.
+    */
+  def knPerplexityServe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = graft.extra.KnLm.fit(d.where(col("doc_id") % 10 =!= 0), "text")
+    graft.extra.KnLm.score(
+        d.where(col("doc_id") % 10 === 0), "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  /** [[knPerplexityServe]] through the PERSISTED registry model: the
+    * 90% split trains + saves once per corpus content
+    * ([[IndexedCorpus.knModelDir]]), every call loads the committed
+    * version (memoized) and pays only the scoring joins — SAME oracle.
+    */
+  def knPerplexityIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = graft.extra.KnLm.load(s,
+      IndexedCorpus.knModelDir(d.where(col("doc_id") % 10 =!= 0), "text"))
+    graft.extra.KnLm.score(
+        d.where(col("doc_id") % 10 === 0), "doc_id", "text", m)
+      .orderBy("doc_id")
+  }
+
+  private val knServeOracle = {
+    val unnestTg = """unnest(CASE WHEN len(toks) >= 3 THEN
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [] END)""".stripMargin
+    // P(w3|w2), written once here and spliced into both CASE branches —
+    // mirroring the Spark tree, where `pBi` appears in both when()
+    // branches of pTri
+    val pUni = """(CASE WHEN uni.pc IS NOT NULL
+      |    THEN CAST(uni.pc AS DOUBLE) / CAST(bts.bt AS DOUBLE)
+      |    ELSE 1.0 / CAST(bts.bt AS DOUBLE) END)""".stripMargin
+    val pBi = s"""(CASE WHEN mid.midtot IS NOT NULL THEN
+      |    (greatest(CAST(coalesce(cont.cc, 0) AS DOUBLE) - 0.75, 0.0) +
+      |     0.75 * CAST(mid.nf2 AS DOUBLE) * $pUni) /
+      |    CAST(mid.midtot AS DOUBLE)
+      |  ELSE $pUni END)""".stripMargin
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |tg AS MATERIALIZED (SELECT doc_id, $unnestTg AS trigram FROM t),
+       |c3 AS (SELECT trigram, count(*) AS c FROM tg GROUP BY 1),
+       |s3 AS MATERIALIZED (SELECT trigram, c,
+       |    split_part(trigram, ' ', 1) AS w1,
+       |    split_part(trigram, ' ', 2) AS w2,
+       |    split_part(trigram, ' ', 3) AS w3 FROM c3),
+       |ctx AS (SELECT w1, w2, sum(c) AS ctx, count(*) AS nf1
+       |  FROM s3 GROUP BY 1, 2),
+       |cont AS MATERIALIZED (SELECT w2, w3, count(*) AS cc FROM s3
+       |  GROUP BY 1, 2),
+       |mid AS (SELECT w2, sum(cc) AS midtot, count(*) AS nf2
+       |  FROM cont GROUP BY 1),
+       |uni AS MATERIALIZED (SELECT w3, count(*) AS pc,
+       |    sum(count(*)) OVER () AS bt FROM cont GROUP BY 1),
+       |bts AS MATERIALIZED (SELECT max(bt) AS bt FROM uni),
+       |sd AS (SELECT doc_id, $toksSql AS toks FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |stg AS MATERIALIZED (SELECT doc_id, $unnestTg AS trigram FROM sd),
+       |sps AS MATERIALIZED (SELECT doc_id, trigram,
+       |    split_part(trigram, ' ', 1) AS w1,
+       |    split_part(trigram, ' ', 2) AS w2,
+       |    split_part(trigram, ' ', 3) AS w3 FROM stg),
+       |j AS (SELECT sps.doc_id,
+       |    CAST(round(-ln(
+       |      CASE WHEN ctx.ctx IS NOT NULL THEN
+       |        (greatest(CAST(coalesce(s3.c, 0) AS DOUBLE) - 0.75, 0.0) +
+       |         0.75 * CAST(ctx.nf1 AS DOUBLE) * $pBi) /
+       |        CAST(ctx.ctx AS DOUBLE)
+       |      ELSE $pBi END), 6) AS DECIMAL(18,6)) AS surprisal
+       |  FROM sps
+       |  LEFT JOIN s3 ON sps.trigram = s3.trigram
+       |  LEFT JOIN ctx ON sps.w1 = ctx.w1 AND sps.w2 = ctx.w2
+       |  LEFT JOIN cont ON sps.w2 = cont.w2 AND sps.w3 = cont.w3
+       |  LEFT JOIN mid ON sps.w2 = mid.w2
+       |  LEFT JOIN uni ON sps.w3 = uni.w3
+       |  CROSS JOIN bts)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  round(CAST(sum(surprisal) AS DOUBLE) / count(*), 6)
+       |    AS cross_entropy
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- vocab_coverage ----------------------------------------------
 
   /** Fraction of each doc's tokens inside the corpus top-16 vocabulary
@@ -1793,6 +1883,15 @@ object TextQueriesImpl {
       "CCNet perplexity gate: per-language KN trigram LMs trained in " +
         "one corpus pass, head/middle/tail cross-entropy terciles",
       ccnetBuckets, Some(ccnetBucketsOracle)),
+    QueryDef("kn_perplexity_serve",
+      "KN LM fit on a 90% split, held-out 10% scored through the " +
+        "full OOV backoff cascade (the KenLM serving semantics)",
+      knPerplexityServe, Some(knServeOracle)),
+    QueryDef("kn_perplexity_indexed",
+      "the persisted-registry form: 90%-split model saved once " +
+        "(versioned KnLm under the manifest layer), loaded memoized, " +
+        "same scoring joins and oracle",
+      knPerplexityIndexed, Some(knServeOracle)),
     QueryDef("vocab_coverage",
       "per-doc fraction of tokens inside the corpus top-16 vocabulary",
       vocabCoverageQ, Some(vocabCoverageOracle)),

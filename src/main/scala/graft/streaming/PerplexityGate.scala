@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.extra.KnLm
+
+/** STREAMING perplexity gate — the online half of the CCNet LM filter:
+  * a FROZEN [[KnLm]] model (fitted offline on the curated corpus,
+  * usually loaded from the persisted registry) scores every micro-batch
+  * of an incoming document stream, and the per-doc verdicts (n_trigrams,
+  * cross_entropy, keep) land under `outDir/batch=<id>/`.
+  *
+  * Shape: foreachBatch over [[KnLm.score]] — the batch-driven-probe
+  * discipline of the ingest legs ([[SubstrIngest]] et al.): the model
+  * frames are STATIC DataFrames joined per batch (trigram/context
+  * frames keyed, backoff frames broadcast), so nothing model-sized is
+  * ever collected to the driver — the contract that distinguishes this
+  * from [[CurationStream.classifyStream]]'s typed broadcast-map tier
+  * (an NB model is vocab-bounded; a trigram table is not).
+  *
+  * Idempotence WITHOUT a txn ledger: unlike the index-ingest legs this
+  * gate mutates nothing — the verdict is a pure function of (frozen
+  * model, batch), and the sink `Overwrite`s the per-batch directory, so
+  * a replayed batch rewrites identical bytes. Docs with < 3 tokens
+  * have no trigrams and drop (the [[KnLm.score]] contract) — gate them
+  * upstream ([[graft.extra.Curation.Config.minTokens]]) if every row
+  * must reach the sink.
+  */
+object PerplexityGate {
+
+  private[graft] def applyBatch(spark: SparkSession, model: KnLm.Model,
+      outDir: String, df: DataFrame, idCol: String, textCol: String,
+      maxCrossEntropy: Double, batchId: Long): Unit = {
+    if (!df.isEmpty) {
+      KnLm.score(df, idCol, textCol, model)
+        .withColumn("keep", col("cross_entropy") <= maxCrossEntropy)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/batch=$batchId")
+    }
+  }
+
+  /** Start the gate over a (idCol, textCol, …) document stream.
+    * `maxCrossEntropy` is the CCNet-style keep threshold (the verdict
+    * column only — all scored rows land, the consumer filters), taken
+    * from the offline bucket boundaries ([[graft.extra.Text
+    * .perplexityBuckets]]).
+    */
+  def start(docs: DataFrame, model: KnLm.Model, outDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text",
+      maxCrossEntropy: Double = Double.MaxValue,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkGate: () => Boolean = () => true): StreamingQuery = {
+    docs
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        if (sinkGate())
+          applyBatch(df.sparkSession, model, outDir, df, idCol,
+            textCol, maxCrossEntropy, batchId)
+      }
+      .start()
+  }
+}

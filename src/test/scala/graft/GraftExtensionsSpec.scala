@@ -330,6 +330,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("expects"))
   }
 
+  test("graft_perplexity TVF: persisted-KN-LM scoring from SQL with " +
+      "OOV backoff; arity enforced") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ext_kn").toString
+    graft.extra.KnLm.save(graft.extra.KnLm.fit(
+      Seq(1L -> "a b c", 2L -> "a b c a b c").toDF("doc_id", "text"),
+      "text"), dir)
+    Seq((10L, "a b c"), (11L, "b b c"), (12L, "x"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_kn_docs")
+    val rows = spark.sql(
+      s"SELECT * FROM graft_perplexity('$dir', 'ext_kn_docs', " +
+        "'doc_id', 'text') ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // KnLmSpec's hand-computed fixture values; the 1-token doc drops
+    assert(rows.toSeq ==
+      Seq((10L, 1L, 0.133531), (11L, 1L, 0.693147)))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_perplexity('$dir', " +
+        "'ext_kn_docs', 'doc_id')").collect()
+    }
+    assert(e.getMessage.contains("expects"))
+  }
+
   test("the extensions class itself wires a SparkSessionExtensions " +
       "instance without error (spark.sql.extensions contract)") {
     val ext = new SparkSessionExtensions

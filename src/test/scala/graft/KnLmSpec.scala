@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extra.{KnLm, Text}
+
+/** The servable KN LM split: seen-path bit-parity with the self-scoring
+  * form, the hand-computed OOV backoff cascade, grouped models, and the
+  * persisted registry lifecycle.
+  */
+class KnLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the TextOpsSpec KN fixture: tri "a b c":3, "b c a":1, "c a b":1;
+  // every ctx/cont/mid/uni statistic = 1 except ctx(a,b) = 3; bt = 3;
+  // P_uni = 1/3, P_bi = 0.5 everywhere
+  private def fixture = Seq(1L -> "a b c", 2L -> "a b c a b c")
+    .toDF("doc_id", "text")
+
+  test("scoring the training corpus reproduces kneserNeyScore " +
+      "bit-identically (seen-path parity), plain and grouped") {
+    val rnd = new scala.util.Random(61)
+    val words = (0 until 10).map(i => s"w$i")
+    val df = (1L to 80L).map { i =>
+      (i, if (i % 3 == 0) "en" else "de",
+        (0 until (1 + rnd.nextInt(9)))
+          .map(_ => words(rnd.nextInt(10))).mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(5)
+    val self = Text.kneserNeyScore(df, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val served = KnLm.score(df, "doc_id", "text",
+      KnLm.fit(df, "text")).collect().map(_.toString).sorted.toSeq
+    assert(served == self)
+    val selfG = Text.kneserNeyScore(df, "doc_id", "text",
+      byCol = Some("lang")).collect().map(_.toString).sorted.toSeq
+    val servedG = KnLm.score(df, "doc_id", "text",
+      KnLm.fit(df, "text", byCol = Some("lang")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedG == selfG)
+  }
+
+  test("OOV backoff cascade, every branch hand-computed") {
+    val m = KnLm.fit(fixture, "text")
+    def ce(text: String): Double =
+      KnLm.score(Seq(9L -> text).toDF("doc_id", "text"),
+        "doc_id", "text", m)
+        .head().getAs[Double]("cross_entropy")
+    // seen trigram: P = 0.875 (the self-scoring fixture value)
+    assert(ce("a b c") == 0.133531)
+    // unseen trigram, unseen context (b,b), seen bigram (b,c):
+    // P = P(c|b) = 0.5
+    assert(ce("b b c") == 0.693147)
+    // unseen trigram, SEEN context (a,b), unseen bigram (b,b) with
+    // seen w2: P = (0 + .75*1*((0 + .75*1*(1/3))/1)) / 3 = 0.0625
+    assert(ce("a b b") == 2.772589)
+    // unseen w2 (z): bigram level collapses to P_uni(c) = 1/3, and the
+    // unseen context (z,z) passes it through
+    assert(ce("z z c") == 1.098612)
+    // unseen w3 (z): the <unk> floor P_uni = 1/bt = 1/3, then the seen
+    // (a,b) context interpolates: same 0.0625 as the a-b-b branch
+    assert(ce("a b z") == 2.772589)
+    // multi-trigram doc mixes branches: mean of
+    // (0.693147, 0.470004, 0.470004, 2.772589) = 1.101436
+    assert(ce("b b c a b b") == 1.101436)
+  }
+
+  test("grouped model: a group absent from the model scores through " +
+      "the total-OOV floor (p = 1, surprisal 0), never null/-inf") {
+    val m = KnLm.fit(
+      Seq((1L, "en", "a b c a b c")).toDF("doc_id", "lang", "text"),
+      "text", byCol = Some("lang"))
+    val out = KnLm.score(
+      Seq((2L, "xx", "a b c")).toDF("doc_id", "lang", "text"),
+      "doc_id", "text", m).head()
+    assert(out.getAs[Double]("cross_entropy") == 0.0)
+    assert(out.getAs[Long]("n_trigrams") == 1L)
+  }
+
+  test("save/load round-trips the model (scores identical); re-save " +
+      "is a new version with time travel; missing dirs fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("knlm").toString
+    val m0 = KnLm.fit(fixture, "text")
+    val v1 = KnLm.save(m0, dir)
+    assert(v1 == 1L)
+    val batch = Seq(7L -> "a b b", 8L -> "a b c").toDF("doc_id", "text")
+    val fromFit = KnLm.score(batch, "doc_id", "text", m0)
+      .collect().map(_.toString).sorted.toSeq
+    val loaded = KnLm.load(spark, dir)
+    assert(loaded.discount == 0.75 && loaded.by.isEmpty)
+    assert(KnLm.score(batch, "doc_id", "text", loaded)
+      .collect().map(_.toString).sorted.toSeq == fromFit)
+    // refresh on different data -> new head; old version stays
+    val m1 = KnLm.fit(Seq(1L -> "x y z x y z").toDF("doc_id", "text"),
+      "text")
+    val v2 = KnLm.save(m1, dir)
+    assert(v2 == 2L)
+    val head = KnLm.load(spark, dir)
+    // under the refreshed model "a b c" is fully OOV -> floor path:
+    // pUni = 1/3 through the unseen-w2 collapse -> ce = ln 3
+    assert(KnLm.score(Seq(9L -> "a b c").toDF("doc_id", "text"),
+      "doc_id", "text", head).head().getAs[Double]("cross_entropy")
+      == 1.098612)
+    assert(KnLm.score(batch, "doc_id", "text",
+      KnLm.loadVersion(spark, dir, v1))
+      .collect().map(_.toString).sorted.toSeq == fromFit)
+    intercept[IllegalStateException] {
+      KnLm.load(spark,
+        java.nio.file.Files.createTempDirectory("knnone").toString)
+    }
+  }
+}
