@@ -400,6 +400,19 @@ object Bench {
         catch { case _: Throwable => None }
       else None
 
+    // Streaming perplexity gate (r16): DETAIL line + file only, runs
+    // after classify (the two new model-gate blocks stay at the tail —
+    // established blocks keep their historical load conditions). Per
+    // batch this pays the frozen-KN scoring JOINS + a verdict parquet
+    // sink — a heavier regime than classify's broadcast-map
+    // projection, so the offered rate sits lower.
+    val streamingPerplexity =
+      if (benchStream)
+        try Some(StreamBench.measurePerplexity(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_KN_TPS", "25000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_KN_SECS", "15").toInt))
+        catch { case _: Throwable => None }
+      else None
 
     import StreamBench.rnd
     val qs = medians.map { case (k, v) => s"${jstr(k)}:${rnd(v)}" }
@@ -433,6 +446,8 @@ object Bench {
       .map(s => s""","streaming_substr_ingest":${s.json}""").getOrElse("")
     val clsJson = streamingClassify
       .map(s => s""","streaming_classify":${s.json}""").getOrElse("")
+    val knJson = streamingPerplexity
+      .map(s => s""","streaming_perplexity":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
     // displaced the metric line). The driver keeps only a ~2 KB stdout
     // TAIL (r6-r8 artifacts each cut at ~2,000 bytes), so the final line
@@ -444,7 +459,7 @@ object Bench {
     val loadsJson = passLoads.map(l => rnd(l, 2)).mkString("[", ",", "]")
     val gatedJson = gatedSecs.map(g => rnd(g, 1)).mkString("[", ",", "]")
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
-      s""""failures":$fs$curNdJson$annJson$substrJson$clsJson}""")
+      s""""failures":$fs$curNdJson$annJson$substrJson$clsJson$knJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""min_total":${rnd(minTotal)},"loadavg1":$loadsJson,""" +
       s""""gated_sec":$gatedJson,"retried":$retried,""" +
@@ -471,7 +486,7 @@ object Bench {
         s""""n_failures":${failures.size},"queries":$qs,""" +
         s""""spreads":$spreads,"rep_samples":$repSamples,""" +
         s""""failures":$fs$streamJson$curJson""" +
-        s"""$curNdJson$annJson$substrJson$clsJson}""" + "\n")
+        s"""$curNdJson$annJson$substrJson$clsJson$knJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

@@ -93,6 +93,35 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "kn") {
+      // stage-by-stage cost of the streaming perplexity gate, batch
+      // form: synthetic wire docs through parse → gates → frozen-KN
+      // scoring joins (the PerplexityGate per-batch work without the
+      // harness)
+      import org.apache.spark.sql.functions.{to_json, struct}
+      val n = 450000L
+      val wire = Dedup.materialize(spark.range(n).select(to_json(struct(
+        col("id").as("doc_id"),
+        graft.gen.SyntheticDocs.plantedText(col("id")).as("text"),
+        (col("id") * 7L + 1000000L).as("event_time_ms"))).as("value")))
+      val model = graft.extra.KnLm.fit(
+        graft.gen.SyntheticDocs.labeledSeed(spark), "text")
+      import graft.streaming.CurationStream
+      (1 to 3).foreach { i =>
+        time(s"#$i parse+gates")(
+          CurationStream.gatedOnly(wire).count())
+        time(s"#$i +knScore")(
+          graft.extra.KnLm.score(
+            CurationStream.gatedOnly(wire).select("doc_id", "text"),
+            "doc_id", "text", model).count())
+        time(s"#$i knScore alone")(
+          graft.extra.KnLm.score(
+            Dedup.materialize(CurationStream.gatedOnly(wire)
+              .select("doc_id", "text")),
+            "doc_id", "text", model).count())
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "cc") {
       // connected-components timing on the Q1-1995 graph
       val orders = Tables.load(spark, dir, "orders")

@@ -262,6 +262,36 @@ object StreamBench {
     runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
+  /** Throughput of the streaming PERPLEXITY GATE
+    * ([[graft.streaming.PerplexityGate]]): wire parse + heuristic
+    * gates, then each micro-batch scores against a FROZEN KN LM
+    * through the DISTRIBUTED backoff-cascade joins and lands its
+    * verdict parquet — the online CCNet filter. The model fits once
+    * on a 20k-doc seed (~the generator's vocabulary) OUTSIDE the
+    * window; unlike the classifier block the per-batch cost is
+    * scoring JOINS + a parquet sink, not a broadcast-map projection —
+    * this block measures that heavier, driver-safe regime.
+    */
+  def measurePerplexity(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
+    val seed = graft.gen.SyntheticDocs.labeledSeed(spark)
+    val model = graft.extra.KnLm.fit(seed, "text")
+    // warm the scoring joins + codegen outside the window
+    graft.extra.KnLm.score(seed.limit(2000), "doc_id", "text", model)
+      .count()
+    val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
+    val gated = CurationStream.gatedOnly(wire)
+      .select("doc_id", "text")
+    val monitor = new Monitor().attach(spark)
+    val out = Files.createTempDirectory("sbench_kn_out").toString
+    val ckpt = Files.createTempDirectory("sbench_kn_ckpt").toString
+    val writing = new AtomicBoolean(true)
+    val q = graft.streaming.PerplexityGate.start(gated, model, out,
+      ckpt, maxCrossEntropy = 8.0,
+      trigger = Trigger.ProcessingTime(0),
+      sinkGate = () => writing.get())
+    runMeasured(spark, monitor, q, writing, tps, secs)
+  }
+
   /** Throughput of the streaming ANN-INGEST ARM — embed-stub →
     * frozen-codebook encode → partitioned index append
     * ([[graft.streaming.AnnIngest]]) — under a structured synthetic
@@ -408,6 +438,8 @@ object StreamBench {
         measureCuration(spark, tps, secs, nearDup = true)
       case "ann" => measureAnnIngest(spark, tps, secs)
       case "substr" => measureSubstrIngest(spark, tps, secs)
+      case "classify" => measureClassify(spark, tps, secs)
+      case "perplexity" => measurePerplexity(spark, tps, secs)
       case _ => measure(spark, tps, secs)
     }
     // Metric line printed LAST, after spark.stop(): nothing Spark logs
