@@ -67,8 +67,12 @@ object KnLm {
     }
   }
 
-  /** Doc trigrams with split endpoints: idCol[, by], trigram, w1-w3. */
-  private def trigrams(df: DataFrame, idCols: Seq[String],
+  /** Doc trigrams with split endpoints: idCol[, by], trigram, w1-w3.
+    * THE shared extraction — [[Text.kneserNeyScore]] and [[fit]] must
+    * produce byte-identical trigram strings (the seen-path parity
+    * contract), so the expression lives once.
+    */
+  private[extra] def trigrams(df: DataFrame, idCols: Seq[String],
       textCol: String): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val tgArr = when(size(col("__toks")) >= 3,
@@ -85,6 +89,39 @@ object KnLm {
         split(col("trigram"), " ").getItem(2).as("w3"))): _*)
   }
 
+  /** The five KN statistic frames from a trigram frame — THE shared
+    * statistics builder ([[Text.kneserNeyScore]] consumes them lazily
+    * inside its fused self-scoring plan; [[fit]] materializes them as
+    * the artifact). `tg` may carry extra columns (doc ids); the
+    * aggregations key only on `by` + the n-gram columns, so occurrence
+    * counts are identical either way. Only `tri` (the one aggregation
+    * over the full occurrence stream) is materialized here — the four
+    * derived statistics re-aggregate its reduced output.
+    */
+  private[extra] def stats(tg: DataFrame, by: Seq[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def keyed(ks: String*): Seq[String] = by ++ ks
+    val tri = Dedup.materialize(
+      tg.groupBy(keyed("trigram").map(col): _*)
+        .agg(count(lit(1)).as("c"),
+          min("w1").as("w1"), min("w2").as("w2"), min("w3").as("w3")))
+    val ctx2 = tri.groupBy(keyed("w1", "w2").map(col): _*)
+      .agg(sum("c").as("ctx"), count(lit(1)).as("nf1"))
+    val cont = tri.groupBy(keyed("w2", "w3").map(col): _*)
+      .agg(count(lit(1)).as("cc"))
+    val mid = cont.groupBy(keyed("w2").map(col): _*)
+      .agg(sum("cc").as("midtot"), count(lit(1)).as("nf2"))
+    val totW = by match {
+      case Seq(b) =>
+        org.apache.spark.sql.expressions.Window.partitionBy(col(b))
+      case _ => org.apache.spark.sql.expressions.Window.partitionBy()
+    }
+    val uni = cont.groupBy(keyed("w3").map(col): _*)
+      .agg(count(lit(1)).as("pc"))
+      .withColumn("bt", sum(col("pc")).over(totW))
+    (tri, ctx2, cont, mid, uni)
+  }
+
   /** Fits the five-frame model in one corpus pass (the
     * [[Text.kneserNeyScore]] aggregation pipeline, with the frames
     * materialized as the artifact instead of consumed inline).
@@ -96,39 +133,19 @@ object KnLm {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
     val by = byCol.toSeq
-    def keyed(ks: String*): Seq[String] = by ++ ks
-    val tg = trigrams(docs, by, textCol)
-    val tri = Dedup.materialize(
-      tg.groupBy(keyed("trigram").map(col): _*)
-        .agg(count(lit(1)).as("c"),
-          min("w1").as("w1"), min("w2").as("w2"), min("w3").as("w3")))
-    val ctx2 = Dedup.materialize(
-      tri.groupBy(keyed("w1", "w2").map(col): _*)
-        .agg(sum("c").as("ctx"), count(lit(1)).as("nf1")))
-    val cont = Dedup.materialize(
-      tri.groupBy(keyed("w2", "w3").map(col): _*)
-        .agg(count(lit(1)).as("cc")))
-    val mid = Dedup.materialize(
-      cont.groupBy(keyed("w2").map(col): _*)
-        .agg(sum("cc").as("midtot"), count(lit(1)).as("nf2")))
-    val totW = byCol match {
-      case Some(b) =>
-        org.apache.spark.sql.expressions.Window.partitionBy(col(b))
-      case None => org.apache.spark.sql.expressions.Window.partitionBy()
-    }
-    val uni = Dedup.materialize(
-      cont.groupBy(keyed("w3").map(col): _*)
-        .agg(count(lit(1)).as("pc"))
-        .withColumn("bt", sum(col("pc")).over(totW)))
-    Model(tri, ctx2, cont, mid, uni, discount, byCol)
+    val (tri, ctx2, cont, mid, uni) = stats(trigrams(docs, by, textCol), by)
+    Model(tri, Dedup.materialize(ctx2), Dedup.materialize(cont),
+      Dedup.materialize(mid), Dedup.materialize(uni), discount, byCol)
   }
 
   /** Scores a document frame against a fitted model: per doc,
     * `n_trigrams` and mean surprisal `cross_entropy` (nats, 6 dp) under
     * the full backoff cascade. Docs with < 3 tokens drop (no
     * trigrams); for a grouped model `docs` must carry the group
-    * column, and rows of groups ABSENT from the model score entirely
-    * through the OOV floor (every statistic missing).
+    * column, and rows of groups ABSENT from the model get a NULL
+    * `cross_entropy` — the fail-safe verdict (a numeric floor would
+    * score exactly the least-modeled docs as fluent; the gate
+    * coalesces NULL to keep = false).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
@@ -151,9 +168,13 @@ object KnLm {
     // the cascade — seen branches are EXACTLY the self-scoring
     // expression tree (bit-parity with Text.kneserNeyScore when every
     // trigram is in-model); bt is NULL only for a group absent from a
-    // grouped model, where the floor degrades to p = 1 (surprisal 0)
-    // rather than a null/−∞ poison
-    val btD = coalesce(col("bt").cast("double"), lit(1.0))
+    // grouped model, and propagates: surprisal NULL → cross_entropy
+    // NULL. FAIL-SAFE direction (review fix): coalescing to a finite
+    // floor scored exactly the least-modeled docs as maximally fluent
+    // (p = 1 → ce 0 → keep), inverting the filter; a NULL verdict
+    // coalesces to keep = false at the gate and routes
+    // unknown-language text the way CCNet does — out.
+    val btD = col("bt").cast("double")
     val pUni = when(col("pc").isNotNull,
       col("pc").cast("double") / btD)
       .otherwise(lit(1.0) / btD)
@@ -169,15 +190,18 @@ object KnLm {
         dD * col("nf1").cast("double") * pBi) /
         col("ctx").cast("double"))
       .otherwise(pBi)
-    Dedup.materialize(
-      joined
-        .select((col(idCol) +: by.map(col) :+
-          round(-log(pTri), 6).cast(DecimalType(18, 6))
-            .as("surprisal")): _*)
-        .groupBy((col(idCol) +: by.map(col)): _*)
-        .agg(count(lit(1)).as("n_trigrams"),
-          round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
-            .as("cross_entropy")))
+    // lazy on purpose (review fix): the model frames are already
+    // materialized, this holds no persist to scope — an eager
+    // checkpoint here doubled every streaming micro-batch's sink work
+    // and ran the full job at graft_perplexity ANALYSIS time
+    joined
+      .select((col(idCol) +: by.map(col) :+
+        round(-log(pTri), 6).cast(DecimalType(18, 6))
+          .as("surprisal")): _*)
+      .groupBy((col(idCol) +: by.map(col)): _*)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
+          .as("cross_entropy"))
   }
 
   // ---- persistence (the manifest registry discipline) ----------------

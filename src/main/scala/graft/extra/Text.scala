@@ -800,51 +800,15 @@ object Text {
     val by = byCol.toSeq
     val byC = by.map(col)
     def keyed(ks: String*): Seq[String] = by ++ ks
-    val tokArr = df.select(
-        (col(idCol) +: byC :+ tokens(col(textCol)).as("__toks")): _*)
-      .persist()
+    // trigram extraction and the five KN statistics are THE shared
+    // builders ([[KnLm.trigrams]]/[[KnLm.stats]] — one definition for
+    // the self-scoring and the serve paths; the seen-path bit-parity
+    // contract is load-bearing, so the expressions must not fork).
+    // tgd is pinned: it feeds the statistics aggregation AND the final
+    // per-doc join — one tokenize pass over the corpus either way.
+    val tgd = KnLm.trigrams(df, idCol +: by, textCol).persist()
     try {
-      val tgArr = when(size(col("__toks")) >= 3,
-        transform(sequence(lit(1), size(col("__toks")) - 2),
-          i => concat_ws(" ", element_at(col("__toks"), i),
-            element_at(col("__toks"), i + 1),
-            element_at(col("__toks"), i + 2))))
-        .otherwise(array().cast("array<string>"))
-      val tg = tokArr.select(
-        (col(idCol) +: byC :+ explode(tgArr).as("trigram")): _*)
-      // THE model frame: distinct trigrams with counts and split
-      // endpoints, materialized once for its five consumers below.
-      val c3 = Dedup.materialize(
-        tg.groupBy(keyed("trigram").map(col): _*)
-          .agg(count(lit(1)).as("c"))
-          .select((byC ++ Seq(col("trigram"), col("c"),
-            split(col("trigram"), " ").getItem(0).as("w1"),
-            split(col("trigram"), " ").getItem(1).as("w2"),
-            split(col("trigram"), " ").getItem(2).as("w3"))): _*))
-      // c(w1w2•) context totals + N1+(w1w2•) follow counts (each c3
-      // row is a distinct trigram, so count(*) IS the distinct-w3
-      // count)
-      val ctx2 = c3.groupBy(keyed("w1", "w2").map(col): _*)
-        .agg(sum("c").as("ctx"), count(lit(1)).as("nf1"))
-      // continuation bigram counts N1+(•w2w3): distinct w1 per (w2,w3)
-      val cont = c3.groupBy(keyed("w2", "w3").map(col): _*)
-        .agg(count(lit(1)).as("cc"))
-      // N1+(•w2•) continuation context totals + N1+(w2•) follow counts
-      val mid = cont.groupBy(keyed("w2").map(col): _*)
-        .agg(sum("cc").as("midtot"), count(lit(1)).as("nf2"))
-      // N1+(•w3) continuation unigram counts, with the group's bigram
-      // TYPE count N1+(••) riding as a window total (Σ pc per group =
-      // |cont| rows of the group — an exact integer; the form the
-      // DuckDB oracle replays)
-      val totW = by match {
-        case Seq(b) => org.apache.spark.sql.expressions.Window
-          .partitionBy(col(b))
-        case _ => org.apache.spark.sql.expressions.Window
-          .partitionBy()
-      }
-      val uni = cont.groupBy(keyed("w3").map(col): _*)
-        .agg(count(lit(1)).as("pc"))
-        .withColumn("bt", sum(col("pc")).over(totW))
+      val (c3, ctx2, cont, mid, uni) = KnLm.stats(tgd, by)
       val dD = lit(discount)
       val pUni = col("pc").cast("double") / col("bt").cast("double")
       val pBi = (greatest(col("cc").cast("double") - dD, lit(0.0)) +
@@ -861,12 +825,13 @@ object Text {
         .select((keyed("trigram").map(col) :+
           round(-log(pTri), 6).cast(DecimalType(18, 6)).as("surprisal")): _*)
       Dedup.materialize(
-        tg.join(table, keyed("trigram"))
+        tgd.select((col(idCol) +: byC :+ col("trigram")): _*)
+          .join(table, keyed("trigram"))
           .groupBy((col(idCol) +: byC): _*)
           .agg(count(lit(1)).as("n_trigrams"),
             round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
               .as("cross_entropy")))
-    } finally tokArr.unpersist(blocking = false)
+    } finally tgd.unpersist(blocking = false)
   }
 
   /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): per
@@ -880,6 +845,15 @@ object Text {
     * the extra row) shared by Spark and the oracle, so bucket
     * boundaries are engine-exact. Docs with < 3 tokens have no
     * trigrams and drop (the [[kneserNeyScore]] contract).
+    *
+    * Small-language caveat (ANSI NTILE fills buckets from 1): a
+    * language with fewer docs than `nBuckets` occupies only the
+    * LEADING buckets — it never emits a "tail" label — so a consumer
+    * that drops tail keeps every doc of every tiny language. That is
+    * usually the right default (no statistics to judge them by), but
+    * a gate that must be conservative should ALSO threshold on
+    * cross_entropy or minimum per-language support, not on the label
+    * alone.
     *
     * Output: idCol, langCol, n_trigrams, cross_entropy, bucket (1-
     * based), bucket_label.

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.extra.KnLm
@@ -34,8 +34,11 @@ object PerplexityGate {
       outDir: String, df: DataFrame, idCol: String, textCol: String,
       maxCrossEntropy: Double, batchId: Long): Unit = {
     if (!df.isEmpty) {
+      // NULL cross_entropy (a group absent from a grouped model) is a
+      // fail-safe DROP, not a pass
       KnLm.score(df, idCol, textCol, model)
-        .withColumn("keep", col("cross_entropy") <= maxCrossEntropy)
+        .withColumn("keep",
+          coalesce(col("cross_entropy") <= maxCrossEntropy, lit(false)))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/batch=$batchId")
     }

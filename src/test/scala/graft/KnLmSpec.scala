@@ -64,16 +64,27 @@ class KnLmSpec extends SparkSpec {
     assert(ce("b b c a b b") == 1.101436)
   }
 
-  test("grouped model: a group absent from the model scores through " +
-      "the total-OOV floor (p = 1, surprisal 0), never null/-inf") {
+  test("grouped model: a group absent from the model gets a NULL " +
+      "cross_entropy (fail-safe — a numeric floor scored the " +
+      "least-modeled docs as fluent), and the gate drops it") {
     val m = KnLm.fit(
       Seq((1L, "en", "a b c a b c")).toDF("doc_id", "lang", "text"),
       "text", byCol = Some("lang"))
     val out = KnLm.score(
       Seq((2L, "xx", "a b c")).toDF("doc_id", "lang", "text"),
       "doc_id", "text", m).head()
-    assert(out.getAs[Double]("cross_entropy") == 0.0)
+    assert(out.isNullAt(out.fieldIndex("cross_entropy")))
     assert(out.getAs[Long]("n_trigrams") == 1L)
+    // the streaming gate coalesces the NULL verdict to keep = false
+    val outDir = java.nio.file.Files.createTempDirectory("knpg").toString
+    graft.streaming.PerplexityGate.applyBatch(spark, m, outDir,
+      Seq((2L, "xx", "a b c"), (3L, "en", "a b c"))
+        .toDF("doc_id", "lang", "text"),
+      "doc_id", "text", maxCrossEntropy = 100.0, batchId = 0L)
+    val keeps = spark.read.parquet(outDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(keeps == Map(2L -> false, 3L -> true))
   }
 
   test("save/load round-trips the model (scores identical); re-save " +

@@ -238,7 +238,9 @@ class TextOpsSpec extends SparkSpec {
   test("perplexityBuckets: per-language ANSI terciles with head/tail " +
       "labels; deterministic tie order") {
     // 7 en docs with distinct cross-entropies -> ntile(3) = 3,2,2;
-    // 2 de docs -> buckets 1 and 3 (head and tail, no middle)
+    // 2 de docs -> ANSI ntile(3) over 2 rows yields buckets 1 and 2
+    // (head and middle — a language with fewer docs than nBuckets
+    // NEVER emits 'tail'; the documented contract)
     val en = Seq(
       1L -> "a a a a a a", 2L -> "a a a a a b", 3L -> "a a a b a b",
       4L -> "a b b a b b", 5L -> "b b a a b a", 6L -> "a b a b a b",
