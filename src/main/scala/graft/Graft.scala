@@ -611,6 +611,23 @@ object Graft {
       byCol: Option[String] = None): extra.KnLm.Model =
     extra.KnLm.fit(docs, textCol, byCol = byCol)
 
+  /** Scores any document frame against a fitted/loaded KN LM with the
+    * full OOV backoff cascade.
+    */
+  def scoreKnLm(docs: DataFrame, idCol: String, textCol: String,
+      model: extra.KnLm.Model): DataFrame =
+    extra.KnLm.score(docs, idCol, textCol, model)
+
+  /** Persists a KN LM as a new registry version; load the head with
+    * [[loadKnLm]], pin one with [[extra.KnLm.loadVersion]].
+    */
+  def saveKnLm(model: extra.KnLm.Model, modelDir: String): Long =
+    extra.KnLm.save(model, modelDir)
+
+  def loadKnLm(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): extra.KnLm.Model =
+    extra.KnLm.load(spark, modelDir)
+
   /** CCNet perplexity gate: per-language KN LMs trained in one corpus
     * pass, head/middle/tail cross-entropy quantile buckets
     * ([[extra.Text.perplexityBuckets]]).
@@ -628,6 +645,13 @@ object Graft {
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int): DataFrame =
     extra.Text.chunkTokens(docs, idCol, textCol, chunkSize)
+
+  /** Fixed-size SUBWORD chunking — context windows measured in BPE
+    * tokens under a trained merge list ([[extra.Text.chunkBpeTokens]]).
+    */
+  def chunkBpeTokens(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], chunkSize: Int): DataFrame =
+    extra.Text.chunkBpeTokens(docs, idCol, textCol, merges, chunkSize)
 
   // ---- time series --------------------------------------------------
 

@@ -1047,6 +1047,38 @@ object Text {
     * is chunked where it is read). Empty-token docs emit no rows (the
     * `sequence` guard — sequence(0, -1) would count DOWN).
     */
+  /** Fixed-size SUBWORD chunking — [[chunkTokens]] measured in the
+    * tokenizer's own units: a training context window is `chunkSize`
+    * BPE tokens, not words, so the slicer must run over the subword
+    * sequence the budget counts ([[bpeTokenCount]]'s exact chain —
+    * boundary symbols dropped). Expression-form encode, so the whole
+    * operator is oracle-replayable at ≤ [[BpeExprMaxMerges]] merges;
+    * same contracts as [[chunkTokens]] (token-free docs emit no
+    * chunks, chunk ids ordered, last chunk ragged).
+    */
+  def chunkBpeTokens(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val subsRaw = filter(
+      split(trim(bpeApply(bpeInit(col(textCol)), merges)), " "),
+      x => x =!= BpeBoundary)
+    val subs = when(size(tokens(col(textCol))) === 0,
+      array().cast("array<string>")).otherwise(subsRaw)
+    val t = col("__subs")
+    df.withColumn("__subs", subs)
+      .filter(size(t) > 0)
+      .withColumn("__chunks", transform(
+        sequence(lit(0), ceil(size(t) / lit(chunkSize.toDouble)).cast("int") - 1),
+        i => array_join(slice(t, i * chunkSize + 1, lit(chunkSize)), " ")))
+      .select(col(idCol), col("__subs"),
+        posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        least(lit(chunkSize.toLong),
+          size(col("__subs")).cast("long") - col("chunk_id") * chunkSize)
+          .as("chunk_n_tokens"))
+  }
+
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")

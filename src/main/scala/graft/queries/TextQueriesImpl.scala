@@ -130,15 +130,18 @@ object TextQueriesImpl {
       .select("doc_id", "n_tokens", "n_bpe_tokens")
       .orderBy("doc_id")
 
+  /** The engine's exact encode chain in DuckDB SQL: chars spaced (word
+    * boundaries as ¶ symbols), then TWO plain-string REPLACEs per merge
+    * in rule order (the straggler re-scan — Text.bpeApply scaladoc).
+    */
+  private val bpeChainSql: String = bpeMerges.foldLeft(
+    "' ' || regexp_replace(array_to_string(toks, '¶'), '(.)', '\\1 ', 'g')"
+  ) { case (s, (a, b)) =>
+    s"replace(replace($s, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+  }
+
   private val tokenCountsBpeOracle = {
-    // the engine's exact chain: chars spaced (word boundaries as ¶
-    // symbols), then TWO plain-string REPLACEs per merge in rule order
-    // (the straggler re-scan — Text.bpeApply scaladoc)
-    val chain = bpeMerges.foldLeft(
-      "' ' || regexp_replace(array_to_string(toks, '¶'), '(.)', '\\1 ', 'g')"
-    ) { case (s, (a, b)) =>
-      s"replace(replace($s, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
-    }
+    val chain = bpeChainSql
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |m AS (SELECT doc_id, toks, $chain AS s FROM t)
        |SELECT doc_id,
@@ -690,6 +693,32 @@ object TextQueriesImpl {
        |FROM bg JOIN tab ON bg.bigram = tab.bigram
        |GROUP BY bg.doc_id
        |ORDER BY bg.doc_id""".stripMargin
+
+  // ---- chunk_docs_bpe --------------------------------------------------
+
+  /** 32-SUBWORD chunking under the fixed merge list — the training
+    * context window measured in the tokenizer's own units
+    * ([[graft.extra.Text.chunkBpeTokens]]).
+    */
+  def chunkDocsBpe(s: SparkSession, dir: String): DataFrame =
+    Text.chunkBpeTokens(docs(s, dir), "doc_id", "text", bpeMerges,
+        chunkSize = 32)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsBpeOracle =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id, CASE WHEN len(toks) = 0
+       |    THEN CAST([] AS VARCHAR[])
+       |    ELSE list_filter(string_split(trim($bpeChainSql), ' '),
+       |      x -> x <> '¶') END AS subs FROM t),
+       |i AS (SELECT doc_id, subs,
+       |    unnest(range(0, CAST(ceil(len(subs) / 32.0) AS BIGINT))) AS i
+       |  FROM m WHERE len(subs) > 0)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |  array_to_string(subs[i*32+1 : i*32+32], ' ') AS chunk_text,
+       |  CAST(least(32, len(subs) - i*32) AS BIGINT) AS chunk_n_tokens
+       |FROM i
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---- kn_trigram_logprob --------------------------------------------
 
@@ -1852,6 +1881,10 @@ object TextQueriesImpl {
         "versioned BpeModel, loaded memoized, counted via the typed " +
         "merge loop — same nested-REPLACE oracle",
       tokenCountsBpeIndexed, Some(tokenCountsBpeOracle)),
+    QueryDef("chunk_docs_bpe",
+      "32-SUBWORD chunking under the trained merge list - context " +
+        "windows measured in tokenizer tokens, not words",
+      chunkDocsBpe, Some(chunkDocsBpeOracle)),
     QueryDef("doc_fingerprint",
       "min-md5-over-shingles winnowing-style content fingerprint",
       fingerprint, Some(fingerprintOracle)),

@@ -267,6 +267,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkBpeTokens: chunks measured in SUBWORDS, ragged tail, " +
+      "token-free docs emit nothing, totals match bpeTokenCount") {
+    val merges = Seq(("a", "b"))
+    // "ab ab c" -> subwords [ab, ab, c]; chunkSize 2 -> [ab ab], [c]
+    val df = Seq(1L -> "ab ab c", 2L -> "", 3L -> "a b")
+      .toDF("doc_id", "text")
+    val out = graft.extra.Text
+      .chunkBpeTokens(df, "doc_id", "text", merges, chunkSize = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 3 "a b": separate WORDS a, b — no merge across the word
+    // boundary -> subwords [a, b] -> one chunk "a b"
+    assert(out.toSeq == Seq(
+      (1L, 0L, "ab ab", 2L), (1L, 1L, "c", 1L), (3L, 0L, "a b", 2L)))
+    // per-doc Σ chunk_n_tokens == the exact subword count
+    val sums = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val counts = df.select(col("doc_id"),
+        graft.extra.Text.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == counts.filter(_._2 > 0))
+    intercept[IllegalArgumentException] {
+      graft.extra.Text.chunkBpeTokens(df, "doc_id", "text", merges, 0)
+    }
+  }
+
   test("bigramScore is invariant to input partitioning") {
     val df = (1L to 40L)
       .map(i => i -> s"tok${i % 5} tok${(i + 1) % 5} tok${(i * 3) % 7}")
