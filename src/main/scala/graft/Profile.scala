@@ -93,6 +93,16 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.length > 2 && args(1) == "query") {
+      // generic one-query timing: Profile <sfDir> query <name> [reps]
+      val name = args(2)
+      val reps = args.lift(3).map(_.toInt).getOrElse(3)
+      val q = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        time(s"#$i $name")(q(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "kn") {
       // stage-by-stage cost of the streaming perplexity gate, batch
       // form: synthetic wire docs through parse → gates → frozen-KN

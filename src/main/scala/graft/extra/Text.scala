@@ -1065,7 +1065,20 @@ object Text {
     val subs = when(size(tokens(col(textCol))) === 0,
       array().cast("array<string>")).otherwise(subsRaw)
     val t = col("__subs")
-    df.withColumn("__subs", subs)
+    // the encode chain (2·M nested replaces) is EXPENSIVE and consumed
+    // by four expressions below — filter, the sequence bound, the
+    // per-chunk slice lambda, the ragged-tail size. CollapseProject
+    // inlines a withColumn alias into every consumer and a lambda body
+    // re-evaluates its free expressions PER ELEMENT, so without a
+    // barrier the chain runs ~(chunks+3)× per row (measured 13.4 s vs
+    // 0.16 s for the count form at sf0.1). Materializing the encoded
+    // frame runs it exactly once per row — also the 100 TB shape:
+    // encode once, slice many.
+    // filter AFTER the barrier: a predicate on the alias re-inlines
+    // the chain into the pushed filter, doubling the pre-barrier work
+    val enc = Dedup.materialize(
+      df.select(col(idCol), subs.as("__subs")))
+    enc
       .filter(size(t) > 0)
       .withColumn("__chunks", transform(
         sequence(lit(0), ceil(size(t) / lit(chunkSize.toDouble)).cast("int") - 1),
