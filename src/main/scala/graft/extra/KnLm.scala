@@ -73,16 +73,26 @@ object KnLm {
     * contract), so the expression lives once.
     */
   private[extra] def trigrams(df: DataFrame, idCols: Seq[String],
-      textCol: String): DataFrame = {
-    val toks = Text.tokens(col(textCol))
+      textCol: String): DataFrame =
+    trigramsFromToks(df.select(
+      (idCols.map(col) :+ Text.tokens(col(textCol)).as("__toks")): _*),
+      idCols)
+
+  /** The explode+split half of [[trigrams]], from a frame already
+    * carrying `__toks` token arrays — so a caller that PINS the
+    * compact per-doc arrays (one tokenize pass, two consumers) can
+    * re-derive the occurrence stream per consumer as a cheap
+    * projection instead of persisting the exploded stream itself.
+    */
+  private[extra] def trigramsFromToks(df: DataFrame,
+      idCols: Seq[String]): DataFrame = {
     val tgArr = when(size(col("__toks")) >= 3,
       transform(sequence(lit(1), size(col("__toks")) - 2),
         i => concat_ws(" ", element_at(col("__toks"), i),
           element_at(col("__toks"), i + 1),
           element_at(col("__toks"), i + 2))))
       .otherwise(array().cast("array<string>"))
-    df.select((idCols.map(col) :+ toks.as("__toks")): _*)
-      .select((idCols.map(col) :+ explode(tgArr).as("trigram")): _*)
+    df.select((idCols.map(col) :+ explode(tgArr).as("trigram")): _*)
       .select((idCols.map(col) ++ Seq(col("trigram"),
         split(col("trigram"), " ").getItem(0).as("w1"),
         split(col("trigram"), " ").getItem(1).as("w2"),

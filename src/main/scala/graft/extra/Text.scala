@@ -801,13 +801,19 @@ object Text {
     val byC = by.map(col)
     def keyed(ks: String*): Seq[String] = by ++ ks
     // trigram extraction and the five KN statistics are THE shared
-    // builders ([[KnLm.trigrams]]/[[KnLm.stats]] — one definition for
-    // the self-scoring and the serve paths; the seen-path bit-parity
-    // contract is load-bearing, so the expressions must not fork).
-    // tgd is pinned: it feeds the statistics aggregation AND the final
-    // per-doc join — one tokenize pass over the corpus either way.
-    val tgd = KnLm.trigrams(df, idCol +: by, textCol).persist()
+    // builders ([[KnLm.trigramsFromToks]]/[[KnLm.stats]] — one
+    // definition for the self-scoring and the serve paths; the
+    // seen-path bit-parity contract is load-bearing, so the
+    // expressions must not fork). The COMPACT per-doc token arrays
+    // are what pins (one tokenize pass; the exploded occurrence
+    // stream is re-derived per consumer as a cheap projection —
+    // persisting the exploded stream itself measured ~1 s slower per
+    // query at sf0.1).
+    val tokArr = df.select(
+        (col(idCol) +: byC :+ tokens(col(textCol)).as("__toks")): _*)
+      .persist()
     try {
+      val tgd = KnLm.trigramsFromToks(tokArr, idCol +: by)
       val (c3, ctx2, cont, mid, uni) = KnLm.stats(tgd, by)
       val dD = lit(discount)
       val pUni = col("pc").cast("double") / col("bt").cast("double")
@@ -831,7 +837,7 @@ object Text {
           .agg(count(lit(1)).as("n_trigrams"),
             round(sum(col("surprisal")).cast("double") / count(lit(1)), 6)
               .as("cross_entropy")))
-    } finally tgd.unpersist(blocking = false)
+    } finally tokArr.unpersist(blocking = false)
   }
 
   /** CCNet perplexity bucketing (Wenzek et al. 2020 §4.4): per
