@@ -618,6 +618,14 @@ object Graft {
       model: extra.KnLm.Model): DataFrame =
     extra.KnLm.score(docs, idCol, textCol, model)
 
+  /** [[scoreKnLm]] in the micro-batch serving shape: the model frames
+    * are semi-join-filtered to the batch's bounded key set and
+    * broadcast — no model shuffle ([[extra.KnLm.scoreProbed]]).
+    */
+  def scoreKnLmProbed(docs: DataFrame, idCol: String, textCol: String,
+      model: extra.KnLm.Model): DataFrame =
+    extra.KnLm.scoreProbed(docs, idCol, textCol, model)
+
   /** Persists a KN LM as a new registry version; load the head with
     * [[loadKnLm]], pin one with [[extra.KnLm.loadVersion]].
     */

@@ -124,11 +124,14 @@ object Profile {
           graft.extra.KnLm.score(
             CurationStream.gatedOnly(wire).select("doc_id", "text"),
             "doc_id", "text", model).count())
+        val batch = Dedup.materialize(CurationStream.gatedOnly(wire)
+          .select("doc_id", "text"))
         time(s"#$i knScore alone")(
-          graft.extra.KnLm.score(
-            Dedup.materialize(CurationStream.gatedOnly(wire)
-              .select("doc_id", "text")),
-            "doc_id", "text", model).count())
+          graft.extra.KnLm.score(batch, "doc_id", "text", model)
+            .count())
+        time(s"#$i knScoreProbed alone")(
+          graft.extra.KnLm.scoreProbed(batch, "doc_id", "text", model)
+            .count())
       }
       spark.stop(); return
     }

@@ -275,9 +275,11 @@ object StreamBench {
   def measurePerplexity(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
     val seed = graft.gen.SyntheticDocs.labeledSeed(spark)
     val model = graft.extra.KnLm.fit(seed, "text")
-    // warm the scoring joins + codegen outside the window
-    graft.extra.KnLm.score(seed.limit(2000), "doc_id", "text", model)
-      .count()
+    // warm the scoring path + codegen outside the window — scoreProbed,
+    // the exact per-batch chain the gate now runs (broadcast key-set
+    // probes over the model frames)
+    graft.extra.KnLm.scoreProbed(seed.limit(2000), "doc_id", "text",
+      model).count()
     val wire = graft.gen.SyntheticDocs.rateWire(spark, tps)
     val gated = CurationStream.gatedOnly(wire)
       .select("doc_id", "text")

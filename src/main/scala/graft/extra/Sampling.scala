@@ -144,6 +144,12 @@ object Sampling {
     require(perCluster >= 1, s"perCluster must be >= 1: $perCluster")
     val cents = Similarity.sampleCodebook(emb, idCol, vecCol, numClusters)
     require(cents.nonEmpty, "empty embedding frame")
+    // deliberately the WINDOW form, not Ranks.withGroupedRowNumber:
+    // the rank <= k filter makes Spark insert WindowGroupLimit, a
+    // map-side per-group top-k BEFORE the exchange, so the shuffle
+    // carries O(clusters · perCluster) — strictly cheaper than any
+    // full-rank pass. (The grouped two-pass rank is for UNLIMITED
+    // per-group ranks, where no group-limit can apply.)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(md5(col("id").cast("string")), col("id"))

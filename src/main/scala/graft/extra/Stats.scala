@@ -141,11 +141,17 @@ object Stats {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"probabilities must be in [0,1]: $ps")
-    val w = Window.partitionBy(keyCol).orderBy(valCol)
-    val ranked = df.select(col(keyCol), col(valCol))
-      .filter(col(valCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCol)))
+    // the per-key rank via the two-pass range shuffle, NOT
+    // `row_number() OVER (PARTITION BY key)`: a handful of keys over a
+    // big table means corpus-scale window partitions, each through ONE
+    // task. The grouped rank emits the per-key count too, so the
+    // `count() OVER (PARTITION BY key)` second window goes with it.
+    // Ties (equal values) may swap ranks across runs; the selected
+    // boundary VALUES are identical, so q is deterministic either way.
+    val ranked = graft.ops.Ranks.withGroupedRowNumber(
+      df.select(col(keyCol), col(valCol))
+        .filter(col(valCol).isNotNull),
+      Seq(keyCol), Seq(col(valCol)), "__rn", totalOut = Some("__n"))
     val psArr = array(ps.map(lit): _*)
     val targets = ranked.select(col(keyCol), col("__n")).distinct()
       .select(col(keyCol), col("__n"), explode(psArr).as("p"))

@@ -852,6 +852,15 @@ object Text {
     * boundaries are engine-exact. Docs with < 3 tokens have no
     * trigrams and drop (the [[kneserNeyScore]] contract).
     *
+    * The tile is computed by [[graft.ops.Ranks.withGroupedNtile]]'s
+    * two-pass range shuffle, NOT `ntile().over(Window.partitionBy
+    * (lang))`: a per-language window partition routes every row of a
+    * language through ONE task, and CCNet's corpus shape (~half the
+    * web is one language) makes that the single-task plan that can
+    * never survive 100 TB. Same ANSI semantics, bit-identical
+    * buckets; the sort key (cross_entropy, id) is unique per row, so
+    * the assignment is deterministic.
+    *
     * Small-language caveat (ANSI NTILE fills buckets from 1): a
     * language with fewer docs than `nBuckets` occupies only the
     * LEADING buckets — it never emits a "tail" label — so a consumer
@@ -869,10 +878,9 @@ object Text {
       discount: Double = 0.75): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val ce = kneserNeyScore(df, idCol, textCol, discount, Some(langCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol))
-      .orderBy(col("cross_entropy"), col(idCol))
-    ce.withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+    graft.ops.Ranks.withGroupedNtile(ce, Seq(langCol),
+        Seq(col("cross_entropy"), col(idCol)), nBuckets, "__tile")
+      .withColumn("bucket", col("__tile").cast("long")).drop("__tile")
       .withColumn("bucket_label",
         when(col("bucket") === 1, lit("head"))
           .when(col("bucket") === nBuckets, lit("tail"))

@@ -97,6 +97,138 @@ object Ranks {
     ranked.withColumn(out, tile.cast("int")).drop(rankCol)
   }
 
+  /** Appends `row_number() OVER (PARTITION BY groupCols ORDER BY
+    * sortCols)` as `out` (LongType, 1-based) — and the group's total
+    * row count as `totalOut` when given — WITHOUT the
+    * one-task-per-group window. `Window.partitionBy(group)` routes
+    * every row of a group through ONE task; for a grouping like
+    * language or domain over a web corpus (~half of 100 TB is one
+    * language; the largest domain is millions of pages) that is the
+    * same never-survives plan as the empty-partition window, just
+    * hidden behind a key. Here the rows range-shuffle on
+    * (groupCols ++ sortCols) — every group is a CONTIGUOUS,
+    * internally sorted run of partitions, so a partition holds at most
+    * one run per group — then:
+    *
+    *   1. pass 1 collects each partition's ordered (group, runLength)
+    *      list: O(P + G) entries to the driver (groups are
+    *      contiguous), NOT a data collect;
+    *   2. the driver scans partitions in order, accumulating each
+    *      group's start offset per partition and its global total;
+    *   3. pass 2 re-reads the SAME shuffle output (skipped stage) and
+    *      assigns rank = groupStart(pid, group) + localIndex.
+    *
+    * The group-total column makes per-group NTILE ([[withGroupedNtile]])
+    * and per-group quantile selection pure column arithmetic — no
+    * second window, no `count() OVER (PARTITION BY group)`. Same tie
+    * and lineage caveats as [[withGlobalRowNumber]] (pass a unique
+    * tie-break key in `sortCols` for reproducible output). Group
+    * columns are referenced by NAME (they key the driver maps); null
+    * group values form their own group, like SQL PARTITION BY.
+    */
+  def withGroupedRowNumber(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      out: String,
+      totalOut: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty — use " +
+      "withGlobalRowNumber for the global order")
+    val spark = df.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val keyCols = groupCols.map(col) ++ sortCols
+    val sorted = df.repartitionByRange(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd // one lineage: the range shuffle is built once
+    // pass 1: ordered (group key, run length) per partition — a sorted
+    // partition holds ONE contiguous run per group it sees
+    val runs: Array[Array[(Seq[Any], Long)]] = rdd
+      .mapPartitions({ it =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var c = 0L
+        var any = false
+        while (it.hasNext) {
+          val row = it.next()
+          val k = gIdx.map(row.get)
+          if (!any || k != cur) {
+            if (any) buf += ((cur, c))
+            cur = k; c = 1L; any = true
+          } else c += 1L
+        }
+        if (any) buf += ((cur, c))
+        Iterator.single(buf.toArray)
+      }, preservesPartitioning = true)
+      .collect()
+    // driver scan: per-(partition, group) start rank + per-group totals
+    val sofar = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val starts = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Long]
+    runs.zipWithIndex.foreach { case (rs, pid) =>
+      rs.foreach { case (k, c) =>
+        val prev = sofar.getOrElse(k, 0L)
+        starts((pid, k)) = prev + 1L
+        sofar(k) = prev + c
+      }
+    }
+    val totals = sofar.toMap
+    val startsM = starts.toMap
+    val emitTotal = totalOut.isDefined
+    val schema0 = sorted.schema.add(out, LongType, nullable = false)
+    val schema = totalOut.fold(schema0)(
+      schema0.add(_, LongType, nullable = false))
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var any = false
+      var rank = 0L
+      var n = 0L
+      it.map { row =>
+        val k = gIdx.map(row.get)
+        if (!any || k != cur) {
+          cur = k; any = true
+          rank = startsM((pid, k))
+          n = totals(k)
+        } else rank += 1L
+        if (emitTotal) Row.fromSeq(row.toSeq :+ rank :+ n)
+        else Row.fromSeq(row.toSeq :+ rank)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /** Appends `ntile(buckets) OVER (PARTITION BY groupCols ORDER BY
+    * sortCols)` as `out` (IntegerType, 1-based) without the
+    * one-task-per-group window: [[withGroupedRowNumber]] for the
+    * per-group (rank, total), then [[withNtile]]'s exact bucket
+    * arithmetic as a pure projection — bucket sizes differ by at most
+    * one per group, the first n % buckets buckets one row larger.
+    */
+  def withGroupedNtile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      buckets: Int,
+      out: String): DataFrame = {
+    require(buckets > 0, s"ntile buckets must be positive, got $buckets")
+    val rankCol = "__graft_group_rank"
+    val totCol = "__graft_group_total"
+    val ranked = withGroupedRowNumber(df, groupCols, sortCols, rankCol,
+      Some(totCol))
+    val tile = expr( // DIV: exact integer division (Column./ is fractional)
+      s"""CASE WHEN $totCol < $buckets THEN $rankCol
+         |     WHEN $rankCol <= ($totCol % $buckets)
+         |                      * ($totCol DIV $buckets + 1)
+         |     THEN ($rankCol - 1) DIV ($totCol DIV $buckets + 1) + 1
+         |     ELSE $totCol % $buckets
+         |          + ($rankCol - 1 - ($totCol % $buckets)
+         |                           * ($totCol DIV $buckets + 1))
+         |            DIV ($totCol DIV $buckets) + 1
+         |END""".stripMargin)
+    ranked.withColumn(out, tile.cast("int"))
+      .drop(rankCol, totCol)
+  }
+
   /** Appends the INCLUSIVE running sum of `valueOf` over the global
     * `sortCols` order as `out` — `SUM(v) OVER (ORDER BY …)` without the
     * single-partition window, by the same two-pass range-shuffle trick

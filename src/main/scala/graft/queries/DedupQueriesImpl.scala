@@ -1147,7 +1147,8 @@ object DedupQueriesImpl {
   // ---- interleave_domains ---------------------------------------------
 
   /** Domain-interleaved training order: per-domain deterministic rank
-    * (keyed window over md5 order — scale-safe) then a global position
+    * (grouped two-pass range-shuffle rank over md5 order — no
+    * one-task-per-domain window) then a global position
     * over (domain_rank, source) via the distributed row-number. All
     * rank-1 docs across domains come first, then rank-2, … — consecutive
     * training batches see every domain instead of long same-domain runs
@@ -1156,11 +1157,13 @@ object DedupQueriesImpl {
     */
   def interleaveDomains(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.md5
-    val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val ranked = docs(s, dir).select("doc_id", "source")
-      .withColumn("domain_rank", row_number().over(wd).cast("long"))
+    // per-domain rank via the grouped two-pass range shuffle: a window
+    // PARTITION BY source puts the whole largest domain through one
+    // task — at web scale the heaviest-tailed grouping there is
+    val ranked = graft.ops.Ranks.withGroupedRowNumber(
+      docs(s, dir).select("doc_id", "source"), Seq("source"),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+      "domain_rank")
     val (positioned, _) = graft.ops.Ranks.withGlobalRowNumber(
       ranked, Seq(col("domain_rank"), col("source")), "train_pos")
     positioned.select("doc_id", "source", "domain_rank", "train_pos")

@@ -133,12 +133,16 @@ object TextQueriesImpl {
   /** The engine's exact encode chain in DuckDB SQL: chars spaced (word
     * boundaries as ¶ symbols), then TWO plain-string REPLACEs per merge
     * in rule order (the straggler re-scan — Text.bpeApply scaladoc).
+    * Parameterized on the token-array expression so consumers that
+    * cannot stage a `toks` alias (the recursive packing CTE) inline it.
     */
-  private val bpeChainSql: String = bpeMerges.foldLeft(
-    "' ' || regexp_replace(array_to_string(toks, '¶'), '(.)', '\\1 ', 'g')"
+  private def bpeChainSqlOn(toksExpr: String): String = bpeMerges.foldLeft(
+    s"' ' || regexp_replace(array_to_string($toksExpr, '¶'), '(.)', '\\1 ', 'g')"
   ) { case (s, (a, b)) =>
     s"replace(replace($s, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
   }
+
+  private val bpeChainSql: String = bpeChainSqlOn("toks")
 
   private val tokenCountsBpeOracle = {
     val chain = bpeChainSql
@@ -444,11 +448,19 @@ object TextQueriesImpl {
       .orderBy("doc_id")
 
   private def packRecSql: String =
+    packRecSqlWith(s"CAST(len($toksSql) AS BIGINT)")
+
+  /** The greedy-fill replay parameterized on the token-count
+    * expression — word counts for `pack_sequences`, the exact BPE
+    * subword count for `pack_sequences_bpe` (same fill walk either
+    * way; the unit is the only difference).
+    */
+  private def packRecSqlWith(nTokensSql: String): String =
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id,
        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
        |      AS BIGINT) % 8 AS INTEGER) AS shard,
-       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |    $nTokensSql AS n_tokens
        |  FROM documents),
        |o AS (SELECT *, row_number()
        |        OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t),
@@ -472,6 +484,31 @@ object TextQueriesImpl {
        |SELECT doc_id, shard, seq_id, seq_pos, n_tokens
        |FROM rec
        |ORDER BY doc_id""".stripMargin
+
+  /** [[packSequences]] with the budget measured in the TOKENIZER's own
+    * units — exact BPE subword counts under the fixed merge list
+    * instead of whitespace words (the [[chunkDocsBpe]] symmetry: a
+    * training sequence budget is N subword tokens). Same one-shuffle
+    * greedy fill; the oracle replays the encode chain inside the
+    * recursive walk, so the hash gate proves count + fill end to end.
+    */
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Packing.packGreedy(docs(s, dir), "doc_id",
+        Text.bpeTokenCount(col("text"), bpeMerges),
+        budget = 512L, shards = 8)
+      .orderBy("doc_id")
+
+  private val packSequencesBpeOracle = {
+    val bpeCount =
+      s"""CASE WHEN len($toksSql) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(len(list_filter(string_split(
+         |      trim(${bpeChainSqlOn(toksSql)}), ' '),
+         |      x -> x <> '¶')) AS BIGINT) END""".stripMargin
+    s"""${packRecSqlWith(bpeCount)}
+       |SELECT doc_id, shard, seq_id, seq_pos, n_tokens
+       |FROM rec
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Packing utilization: docs and token fill per output sequence. */
   def packStatsQ(s: SparkSession, dir: String): DataFrame =
@@ -1860,6 +1897,10 @@ object TextQueriesImpl {
     QueryDef("pack_sequences",
       "greedy fixed-token-budget sequence packing per content-hash shard",
       packSequences, Some(packSequencesOracle)),
+    QueryDef("pack_sequences_bpe",
+      "sequence packing budgeted in exact BPE subword tokens - the " +
+        "training-window unit, not whitespace words",
+      packSequencesBpe, Some(packSequencesBpeOracle)),
     QueryDef("pack_stats",
       "per-sequence packing utilization (docs, tokens, fill ratio)",
       packStatsQ, Some(packStatsOracle)),

@@ -12,11 +12,14 @@ import graft.extra.KnLm
   * of an incoming document stream, and the per-doc verdicts (n_trigrams,
   * cross_entropy, keep) land under `outDir/batch=<id>/`.
   *
-  * Shape: foreachBatch over [[KnLm.score]] — the batch-driven-probe
-  * discipline of the ingest legs ([[SubstrIngest]] et al.): the model
-  * frames are STATIC DataFrames joined per batch (trigram/context
-  * frames keyed, backoff frames broadcast), so nothing model-sized is
-  * ever collected to the driver — the contract that distinguishes this
+  * Shape: foreachBatch over [[KnLm.scoreProbed]] — the
+  * batch-driven-probe discipline of the ingest legs ([[SubstrIngest]]
+  * et al.): the model frames are STATIC DataFrames; per batch the
+  * trigram/context frames are semi-join-filtered down to the batch's
+  * bounded key set and broadcast (no model shuffle inside a
+  * micro-batch; falls back to keyed joins past the broadcast budget),
+  * backoff frames broadcast outright — and nothing model-sized is
+  * ever collected to the driver, the contract that distinguishes this
   * from [[CurationStream.classifyStream]]'s typed broadcast-map tier
   * (an NB model is vocab-bounded; a trigram table is not).
   *
@@ -35,8 +38,11 @@ object PerplexityGate {
       maxCrossEntropy: Double, batchId: Long): Unit = {
     if (!df.isEmpty) {
       // NULL cross_entropy (a group absent from a grouped model) is a
-      // fail-safe DROP, not a pass
-      KnLm.score(df, idCol, textCol, model)
+      // fail-safe DROP, not a pass. scoreProbed: a micro-batch's key
+      // set is batch-bounded, so the model legs run as broadcast
+      // probes (no per-batch model shuffle); past the broadcast
+      // budget it degrades to score's keyed joins
+      KnLm.scoreProbed(df, idCol, textCol, model)
         .withColumn("keep",
           coalesce(col("cross_entropy") <= maxCrossEntropy, lit(false)))
         .write.mode(SaveMode.Overwrite)

@@ -64,6 +64,56 @@ class KnLmSpec extends SparkSpec {
     assert(ce("b b c a b b") == 1.101436)
   }
 
+  test("scoreProbed ≡ score bit-identically in all three regimes — " +
+      "small-model broadcast, big-model/bounded-batch semi-join probe, " +
+      "both-big keyed fallback — with OOV at every cascade level, " +
+      "plain and grouped") {
+    val rnd = new scala.util.Random(67)
+    val words = (0 until 8).map(i => s"w$i")
+    val train = (1L to 60L).map { i =>
+      (i, if (i % 2 == 0) "en" else "de",
+        (0 until (3 + rnd.nextInt(8)))
+          .map(_ => words(rnd.nextInt(8))).mkString(" "))
+    }.toDF("doc_id", "lang", "text").repartition(4)
+    // the batch mixes seen text with OOV at every level: unseen
+    // trigram/seen ctx, unseen ctx, unseen bigram, unseen w2, unseen w3
+    val batch = Seq(
+      (101L, "en", "w0 w1 w2 w3 w4"), (102L, "de", "w0 w0 zz w1 w2"),
+      (103L, "en", "zz zz zz"), (104L, "de", "w1 qq w2 w3"),
+      (105L, "xx", "w0 w1 w2")).toDF("doc_id", "lang", "text")
+      .repartition(3)
+    for (by <- Seq(None, Some("lang"))) {
+      val m = KnLm.fit(train, "text", byCol = by)
+      val keyed = KnLm.score(batch, "doc_id", "text", m)
+        .collect().map(_.toString).sorted.toSeq
+      // default budget → the SMALL-model regime: score's keyed shape
+      // verbatim (no per-batch broadcast rebuild), no semi-join probe
+      val small = KnLm.scoreProbed(batch, "doc_id", "text", m)
+      assert(small.collect().map(_.toString).sorted.toSeq == keyed)
+      assert(!small.queryExecution.executedPlan.toString
+        .contains("LeftSemi"))
+      // budget sized so the model frame is over-cap but the batch's
+      // key set is under it → the PROBE regime: model legs filtered
+      // by broadcast LeftSemi, then broadcast — still no SMJ
+      assert(m.triRows * 144 > 20000L,
+        "fixture must exceed the model cap for the probe arm")
+      val probed = KnLm.scoreProbed(batch, "doc_id", "text", m,
+        probeBudgetBytes = 20000L)
+      assert(probed.collect().map(_.toString).sorted.toSeq == keyed)
+      val probedPlan = probed.queryExecution.executedPlan.toString
+      assert(!probedPlan.contains("SortMergeJoin"))
+      assert(probedPlan.contains("LeftSemi"))
+      // 16-byte budget: both over-cap → the keyed shape, same values
+      val fb = KnLm.scoreProbed(batch, "doc_id", "text", m,
+        probeBudgetBytes = 16L)
+      assert(fb.collect().map(_.toString).sorted.toSeq == keyed)
+    }
+    intercept[IllegalArgumentException] {
+      KnLm.scoreProbed(batch, "doc_id", "text",
+        KnLm.fit(train, "text"), probeBudgetBytes = 0L)
+    }
+  }
+
   test("grouped model: a group absent from the model gets a NULL " +
       "cross_entropy (fail-safe — a numeric floor scored the " +
       "least-modeled docs as fluent), and the gate drops it") {

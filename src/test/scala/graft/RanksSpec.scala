@@ -62,6 +62,58 @@ class RanksSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("withGroupedNtile matches ntile over a per-group window: uneven " +
+      "group sizes, a group smaller than the bucket count, a null " +
+      "group, awkward n/k — across partitionings") {
+    // groups of very different sizes; group D has 2 rows (< k buckets);
+    // one row's group is NULL (its own partition, like SQL)
+    val df = spark.range(3000).select(col("id"),
+        when(pmod(col("id"), lit(100L)) === 0L, lit(null))
+          .otherwise(concat(lit("g"),
+            pmod(xxhash64(col("id")), lit(4L)))).as("grp"),
+        pmod(xxhash64(col("id") + 7L), lit(31L)).as("v"))
+      .union(Seq((100001L, "gD", 5L), (100002L, "gD", 3L))
+        .toDF("id", "grp", "v"))
+      .repartition(7)
+    for (k <- Seq(3, 7)) {
+      val builtin = df.withColumn("t", ntile(k).over(
+          Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+        .orderBy("id").select("id", "t").collect().toSeq
+      for (parts <- Seq(1, 5, 32)) {
+        val ours = Ranks.withGroupedNtile(df.repartition(parts),
+            Seq("grp"), Seq(col("v"), col("id")), k, "t")
+          .orderBy("id").select("id", "t").collect().toSeq
+        assert(ours == builtin, s"mismatch at k=$k parts=$parts")
+      }
+    }
+    // plan shape: no window operator anywhere
+    val tiled = Ranks.withGroupedNtile(df, Seq("grp"),
+      Seq(col("v"), col("id")), 3, "t")
+    tiled.count()
+    assert(!tiled.queryExecution.executedPlan.toString.contains("Window"))
+    intercept[IllegalArgumentException] {
+      Ranks.withGroupedNtile(df, Nil, Seq(col("v")), 3, "t")
+    }
+  }
+
+  test("withGroupedRowNumber matches row_number + count over a " +
+      "per-group window, totals included") {
+    val df = spark.range(2000).select(col("id"),
+        pmod(xxhash64(col("id")), lit(5L)).cast("string").as("grp"),
+        pmod(xxhash64(col("id") + 3L), lit(101L)).as("v"))
+      .repartition(9)
+    val ours = Ranks.withGroupedRowNumber(df, Seq("grp"),
+        Seq(col("v"), col("id")), "rk", totalOut = Some("n"))
+      .orderBy("id").collect().toSeq
+    val viaWindow = df
+      .withColumn("rk", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("grp")))
+      .orderBy("id").collect().toSeq
+    assert(ours == viaWindow)
+  }
+
   test("ranking plan has no single-partition window") {
     val (ranked, _) = Ranks.withGlobalRowNumber(
       randomDf(100), Seq(col("v"), col("id")), "rk")
