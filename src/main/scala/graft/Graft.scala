@@ -618,9 +618,13 @@ object Graft {
       model: extra.KnLm.Model): DataFrame =
     extra.KnLm.score(docs, idCol, textCol, model)
 
-  /** [[scoreKnLm]] in the micro-batch serving shape: the model frames
-    * are semi-join-filtered to the batch's bounded key set and
-    * broadcast — no model shuffle ([[extra.KnLm.scoreProbed]]).
+  /** [[scoreKnLm]] in the micro-batch serving shape
+    * ([[extra.KnLm.scoreProbed]]): a model too big to broadcast whole
+    * is semi-join-filtered to the batch's bounded key set and the
+    * survivors broadcast — no model shuffle inside the batch; a model
+    * under the broadcast budget (or an over-budget batch) keeps the
+    * keyed joins. Runs eager sizing jobs at plan-construction time —
+    * use [[scoreKnLm]] where laziness matters.
     */
   def scoreKnLmProbed(docs: DataFrame, idCol: String, textCol: String,
       model: extra.KnLm.Model): DataFrame =

@@ -181,9 +181,12 @@ object KnLm {
     * bit-identical in values (spec-pinned differential):
     *
     *   - SMALL model (trigram frame fits the broadcast budget —
-    *     memoized [[Model.triRows]], counted once per fit/load): every
-    *     model leg gets a broadcast hint; the batch streams through
-    *     one narrow stage with zero extra jobs.
+    *     memoized [[Model.triRows]], counted once per fit/load):
+    *     [[score]]'s keyed joins VERBATIM, deliberately un-hinted — a
+    *     foreachBatch gate rebuilds its plan every micro-batch, so a
+    *     broadcast hint would re-collect the model to the driver per
+    *     batch (measured 3.7× worse than letting the small model
+    *     shuffle distributed).
     *   - BIG model, bounded batch: the batch-driven-probe discipline
     *     of the index families ([[MinhashIndex]]/[[SubstrIndex]]) —
     *     pin the batch's COMPACT token arrays (never the exploded
@@ -252,10 +255,14 @@ object KnLm {
         // cheap narrow pre-check (map-side HLL, no shuffle) before
         // paying the exact distinct: a corpus-shaped `docs` must fall
         // through to the keyed joins without ever materializing a
-        // corpus-trigram-sized key frame. 20% headroom absorbs the
-        // sketch's error band.
+        // corpus-trigram-sized key frame. The sketch runs over the
+        // FULL key tuple (group column included — a grouped batch can
+        // repeat the same trigram strings under many groups, and the
+        // frame being gated is keyed rows, not trigram strings). 20%
+        // headroom absorbs the sketch's error band.
         val approx = t.agg(
-          approx_count_distinct(col("trigram")).as("n"))
+          approx_count_distinct(
+            struct(keyed("trigram").map(col): _*)).as("n"))
           .head().getLong(0)
         if (approx <= cap * 4 / 5) {
           // ONE distinct over the occurrence stream carries all three

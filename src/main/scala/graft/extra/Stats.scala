@@ -123,7 +123,8 @@ object Stats {
     * definition): for probability p over n sorted values, position
     * pos = p·(n−1) (0-based), result = v⌊pos⌋ + frac·(v⌊pos⌋₊₁ − v⌊pos⌋).
     *
-    * Distributed shape: ONE per-key sort (the rank window — at scale
+    * Distributed shape: ONE per-key sort (the grouped two-pass range
+    * shuffle — see the inline note; eager at call time — at scale
     * this is the documented exact-quantile cost; `approx_percentile`
     * is the sketch path when the sort is unaffordable), then only the
     * 2·|ps| boundary ROWS per key are touched: the target ranks

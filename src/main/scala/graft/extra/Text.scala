@@ -859,7 +859,10 @@ object Text {
     * web is one language) makes that the single-task plan that can
     * never survive 100 TB. Same ANSI semantics, bit-identical
     * buckets; the sort key (cross_entropy, id) is unique per row, so
-    * the assignment is deterministic.
+    * the assignment is deterministic. EAGER at call time (the grouped
+    * rank runs its sizing + offset jobs when called — which executes
+    * the upstream KN scoring chain): call where the frame is about to
+    * be consumed.
     *
     * Small-language caveat (ANSI NTILE fills buckets from 1): a
     * language with fewer docs than `nBuckets` occupies only the

@@ -125,21 +125,68 @@ object Ranks {
     * tie-break key in `sortCols` for reproducible output). Group
     * columns are referenced by NAME (they key the driver maps); null
     * group values form their own group, like SQL PARTITION BY.
+    *
+    * REGIME: driver state and pass-2 closures are O(G) in group
+    * cardinality, so the two-pass form is for FEW, potentially HUGE
+    * groups (languages, event types, sources) — the skew the window
+    * cannot survive. MANY small groups are the window's GOOD case
+    * (each partition is a task), so past `maxGroups` distinct groups
+    * (a cheap map-side HLL pre-check, no shuffle) this falls back to
+    * the per-group window — same values, spec-pinned. A web-domain
+    * grouping (10⁷⁺ groups, heavy-tailed) crosses regimes: the
+    * fallback keeps the driver safe, and the residual risk is the
+    * window's biggest-group task, exactly what it was before.
+    *
+    * Keys are normalized for value equality where the JVM diverges
+    * from SQL grouping: byte arrays compare element-wise, ±0.0
+    * collapse — so a BinaryType or floating group column groups like
+    * SQL PARTITION BY instead of by object identity.
+    *
+    * EAGER: runs jobs at CALL time (the HLL pre-check, pass 1, and the
+    * upstream plan they execute) — not at first action like a lazy
+    * transform. Call it where the frame is about to be consumed;
+    * composing it into a plan that is merely explained/analyzed pays
+    * the jobs anyway.
     */
   def withGroupedRowNumber(
       df: DataFrame,
       groupCols: Seq[String],
       sortCols: Seq[Column],
       out: String,
-      totalOut: Option[String] = None): DataFrame = {
+      totalOut: Option[String] = None,
+      maxGroups: Long = 100000L): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty — use " +
       "withGlobalRowNumber for the global order")
+    require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
     val spark = df.sparkSession
+    val approxGroups = df.agg(
+      approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
+      .head().getLong(0)
+    if (approxGroups > maxGroups) {
+      // many-groups regime: the per-group window parallelizes on the
+      // group key itself; O(G) driver maps would be the hazard here
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+      val ranked = df.withColumn(out, row_number().over(w).cast("long"))
+      return totalOut.fold(ranked)(t => ranked.withColumn(t,
+        count(lit(1L)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*))))
+    }
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val keyCols = groupCols.map(col) ++ sortCols
     val sorted = df.repartitionByRange(parts, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    // SQL-grouping key normalization: Array[Byte] has identity equals
+    // (every row would start a new run, then pass 2's map lookup with a
+    // fresh instance throws); boxed -0.0 != 0.0 while SQL collapses them
+    def keyOf(row: Row): Seq[Any] = gIdx.map(row.get(_) match {
+      case b: Array[Byte] =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case d: java.lang.Double if d.doubleValue() == 0.0 => 0.0d
+      case f: java.lang.Float if f.floatValue() == 0.0f => 0.0f
+      case x => x
+    })
     val rdd = sorted.rdd // one lineage: the range shuffle is built once
     // pass 1: ordered (group key, run length) per partition — a sorted
     // partition holds ONE contiguous run per group it sees
@@ -152,7 +199,7 @@ object Ranks {
         var any = false
         while (it.hasNext) {
           val row = it.next()
-          val k = gIdx.map(row.get)
+          val k = keyOf(row)
           if (!any || k != cur) {
             if (any) buf += ((cur, c))
             cur = k; c = 1L; any = true
@@ -184,7 +231,7 @@ object Ranks {
       var rank = 0L
       var n = 0L
       it.map { row =>
-        val k = gIdx.map(row.get)
+        val k = keyOf(row)
         if (!any || k != cur) {
           cur = k; any = true
           rank = startsM((pid, k))

@@ -70,4 +70,15 @@ object TickParse {
       path: String): DataFrame =
     withEventTime(
       spark.read.schema(Schemas.tickCsv).option("header", "true").csv(path))
+
+  /** ORC backfill read — the same schema-enforced normalize chain as
+    * [[readBackfillCsv]] over a columnar archive (ORC ships in Spark's
+    * core jars; a warehouse that lands history as ORC/parquet backfills
+    * through the identical path, predicate pushdown and column pruning
+    * included). Schema enforced at read, not inferred.
+    */
+  def readBackfillOrc(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    withEventTime(
+      spark.read.schema(Schemas.tickCsv).orc(path))
 }

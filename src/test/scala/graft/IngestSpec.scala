@@ -44,6 +44,34 @@ class IngestSpec extends SparkSpec {
     assert(ref == det)
   }
 
+  test("ORC backfill round-trips through the same normalize chain, " +
+      "bit-identical windows to the CSV leg, with pushdown surviving " +
+      "to the scan") {
+    val dir = Files.createTempDirectory("backfill_orc").toString
+    val ticks = TickGen.gbm(spark, 200)
+    ticks.coalesce(1).write.mode("overwrite").orc(dir)
+    val replayed = TickParse.readBackfillOrc(spark, dir)
+    assert(replayed.count() == 200)
+    val cfg = FeatureConfig("60 seconds", Some("10 seconds"))
+    val a = Features.compute(TickParse.withEventTime(ticks), cfg)
+      .orderBy("symbol", "window_start").collect().toSeq
+    val b = Features.compute(replayed, cfg)
+      .orderBy("symbol", "window_start").collect().toSeq
+    assert(a == b)
+    // columnar contract: a symbol filter reaches the ORC scan as a
+    // pushed filter, and pruning drops the unreferenced column from
+    // the read schema
+    val filtered = replayed.filter(col("symbol") === "SYM1")
+      .select("symbol", "price")
+    filtered.count()
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("EqualTo(symbol,SYM1)"), scan)
+    val read = scan.split("ReadSchema: ").lift(1).map(_.takeWhile(_ != '\n'))
+      .getOrElse(fail(s"no ReadSchema in plan: $scan"))
+    assert(read.contains("symbol") && read.contains("price") &&
+      !read.contains("event_time_ms"), read)
+  }
+
   test("malformed CSV rows become nulls under the enforced schema") {
     val dir = Files.createTempDirectory("badcsv").toString
     Files.writeString(java.nio.file.Path.of(dir, "x.csv"),

@@ -114,6 +114,53 @@ class RanksSpec extends SparkSpec {
     assert(ours == viaWindow)
   }
 
+  test("withGroupedRowNumber: the many-groups fallback (maxGroups " +
+      "exceeded) takes the window form with identical values; binary " +
+      "and ±0.0 group keys group like SQL PARTITION BY") {
+    val df = spark.range(500).select(col("id"),
+        pmod(xxhash64(col("id")), lit(50L)).cast("string").as("grp"),
+        pmod(xxhash64(col("id") + 1L), lit(13L)).as("v"))
+      .repartition(5)
+    val twoPass = Ranks.withGroupedRowNumber(df, Seq("grp"),
+        Seq(col("v"), col("id")), "rk", totalOut = Some("n"))
+      .orderBy("id").collect().toSeq
+    // 50 groups > maxGroups = 3 → the window fallback, same values
+    val viaFallback = Ranks.withGroupedRowNumber(df, Seq("grp"),
+        Seq(col("v"), col("id")), "rk", totalOut = Some("n"),
+        maxGroups = 3L)
+      .orderBy("id").collect().toSeq
+    assert(viaFallback == twoPass)
+    // BinaryType group: identity-equality Arrays would split every row
+    // into its own run (and crash pass 2's map lookup); normalized
+    // keys must reproduce the window's SQL grouping
+    val bin = spark.range(300).select(col("id"),
+        md5(pmod(col("id"), lit(4L)).cast("string")).cast("binary")
+          .as("grp"),
+        pmod(xxhash64(col("id")), lit(7L)).as("v"))
+      .repartition(4)
+    val binOurs = Ranks.withGroupedRowNumber(bin, Seq("grp"),
+        Seq(col("v"), col("id")), "rk")
+      .orderBy("id").select("id", "rk").collect().toSeq
+    val binWin = bin.withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v"), col("id")))
+        .cast("long"))
+      .orderBy("id").select("id", "rk").collect().toSeq
+    assert(binOurs == binWin)
+    // ±0.0 double group keys collapse to one group, like SQL
+    val zeros = Seq((1L, 0.0d, 5L), (2L, -0.0d, 3L), (3L, 1.5d, 4L),
+        (4L, -0.0d, 1L)).toDF("id", "grp", "v").repartition(3)
+    val zOurs = Ranks.withGroupedRowNumber(zeros, Seq("grp"),
+        Seq(col("v"), col("id")), "rk", totalOut = Some("n"))
+      .orderBy("id").select("id", "rk", "n").collect().toSeq
+    val zWin = zeros
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("v"), col("id")))
+        .cast("long"))
+      .withColumn("n", count(lit(1L)).over(Window.partitionBy("grp")))
+      .orderBy("id").select("id", "rk", "n").collect().toSeq
+    assert(zOurs == zWin)
+  }
+
   test("ranking plan has no single-partition window") {
     val (ranked, _) = Ranks.withGlobalRowNumber(
       randomDf(100), Seq(col("v"), col("id")), "rk")
