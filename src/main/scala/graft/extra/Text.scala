@@ -880,7 +880,13 @@ object Text {
       langCol: String, nBuckets: Int = 3,
       discount: Double = 0.75): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val ce = kneserNeyScore(df, idCol, textCol, discount, Some(langCol))
+    // the score frame is PINNED before the grouped ntile: the rank's
+    // three consumers of its input (the HLL regime check, pass 1, and
+    // pass 2's shuffle build) would otherwise each re-run the whole KN
+    // scoring chain; the pinned frame is doc-count-sized and compact
+    // (id, lang, two numbers)
+    val ce = Dedup.materialize(
+      kneserNeyScore(df, idCol, textCol, discount, Some(langCol)))
     graft.ops.Ranks.withGroupedNtile(ce, Seq(langCol),
         Seq(col("cross_entropy"), col(idCol)), nBuckets, "__tile")
       .withColumn("bucket", col("__tile").cast("long")).drop("__tile")

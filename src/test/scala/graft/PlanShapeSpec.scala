@@ -695,4 +695,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("max_cosine") || plan.contains("MaxCosine"),
       plan.take(3000))
   }
+
+  test("ccnet_buckets: no per-language window anywhere — the grouped " +
+      "two-pass rank owns the tile (a PARTITION BY lang window is one " +
+      "task per language, and production CCNet's largest language is " +
+      "~half the corpus)") {
+    assert(!allExecutedPlans("ccnet_buckets").contains("Window ["))
+  }
+
+  test("cluster_sample: the rank<=k filter compiles to a map-side " +
+      "WindowGroupLimit before the exchange — the reason this site " +
+      "deliberately KEEPS the window form") {
+    val plan = executedPlan("cluster_sample")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
 }
