@@ -149,6 +149,10 @@ object Stats {
     // `count() OVER (PARTITION BY key)` second window goes with it.
     // Ties (equal values) may swap ranks across runs; the selected
     // boundary VALUES are identical, so q is deterministic either way.
+    // deliberately NOT pinned: the grouped rank's regime check + pass 1
+    // re-scan the source, but a 2-column pushdown parquet scan is
+    // cheaper than a checkpoint write + reads (measured a wash at
+    // sf0.1; the pin is for EXPENSIVE upstreams — perplexityBuckets)
     val ranked = graft.ops.Ranks.withGroupedRowNumber(
       df.select(col(keyCol), col(valCol))
         .filter(col(valCol).isNotNull),

@@ -256,12 +256,13 @@ object Ranks {
       groupCols: Seq[String],
       sortCols: Seq[Column],
       buckets: Int,
-      out: String): DataFrame = {
+      out: String,
+      maxGroups: Long = 100000L): DataFrame = {
     require(buckets > 0, s"ntile buckets must be positive, got $buckets")
     val rankCol = "__graft_group_rank"
     val totCol = "__graft_group_total"
     val ranked = withGroupedRowNumber(df, groupCols, sortCols, rankCol,
-      Some(totCol))
+      Some(totCol), maxGroups)
     val tile = expr( // DIV: exact integer division (Column./ is fractional)
       s"""CASE WHEN $totCol < $buckets THEN $rankCol
          |     WHEN $rankCol <= ($totCol % $buckets)

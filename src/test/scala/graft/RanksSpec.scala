@@ -146,6 +146,16 @@ class RanksSpec extends SparkSpec {
         .cast("long"))
       .orderBy("id").select("id", "rk").collect().toSeq
     assert(binOurs == binWin)
+    // the ntile arithmetic over the fallback's (rank, total) columns
+    // must equal builtin ntile too — the fallback regime is otherwise
+    // only reachable past 100k real groups
+    val ntFallback = Ranks.withGroupedNtile(df, Seq("grp"),
+        Seq(col("v"), col("id")), 4, "t", maxGroups = 3L)
+      .orderBy("id").select("id", "t").collect().toSeq
+    val ntWin = df.withColumn("t", ntile(4).over(
+        Window.partitionBy("grp").orderBy(col("v"), col("id"))))
+      .orderBy("id").select("id", "t").collect().toSeq
+    assert(ntFallback == ntWin)
     // ±0.0 double group keys collapse to one group, like SQL
     val zeros = Seq((1L, 0.0d, 5L), (2L, -0.0d, 3L), (3L, 1.5d, 4L),
         (4L, -0.0d, 1L)).toDF("id", "grp", "v").repartition(3)
