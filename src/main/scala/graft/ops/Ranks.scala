@@ -334,6 +334,117 @@ object Ranks {
     spark.createDataFrame(summed, schema).drop(valCol)
   }
 
+  /** Appends the INCLUSIVE running sum of `valueOf` over
+    * `PARTITION BY groupCols ORDER BY sortCols` as `out` (LongType) —
+    * the per-GROUP token-budget primitive ("keep each domain's
+    * best docs until ITS budget is hit", the per-source cap a
+    * pre-training mixture applies after global selection) — without
+    * the one-task-per-group window. Same two-pass range-shuffle trick
+    * as [[withGroupedRowNumber]] (pass 1 collects per-partition
+    * (group, runSum) lists, O(P + G) to the driver; pass 2 accumulates
+    * on per-(partition, group) offsets over the SAME shuffle files),
+    * with [[withGroupedRowNumber]]'s regimes: past `maxGroups`
+    * distinct groups (map-side HLL pre-check) it falls back to the
+    * per-group window — many small groups are the window's good case.
+    * Group keys are normalized the same way (byte arrays element-wise,
+    * ±0.0 collapse). EAGER at call time, same tie/lineage caveats and
+    * the same non-null `valueOf` contract as [[withGlobalPrefixSum]]
+    * — enforced in BOTH regimes (the window fallback would otherwise
+    * silently SKIP null values where the two-pass form fails loudly).
+    */
+  def withGroupedPrefixSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sortCols: Seq[Column],
+      valueOf: Column,
+      out: String,
+      maxGroups: Long = 100000L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty — use " +
+      "withGlobalPrefixSum for the global order")
+    require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
+    val spark = df.sparkSession
+    val valCol = "__graft_prefix_val"
+    // fail-fast null contract shared by both regimes
+    val guarded = when(valueOf.isNull, raise_error(lit(
+      "withGroupedPrefixSum: valueOf evaluated to NULL — the value " +
+        "expression must be non-null integral for every row " +
+        "(filter nulls or coalesce before calling)")).cast("long"))
+      .otherwise(valueOf.cast("long"))
+    val approxGroups = df.agg(
+      approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
+      .head().getLong(0)
+    if (approxGroups > maxGroups) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      return df.withColumn(valCol, guarded)
+        .withColumn(out, sum(col(valCol)).over(w))
+        .drop(valCol)
+    }
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val keyCols = groupCols.map(col) ++ sortCols
+    val sorted = df.withColumn(valCol, guarded)
+      .repartitionByRange(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val valIdx = sorted.schema.fieldIndex(valCol)
+    def keyOf(row: Row): Seq[Any] = gIdx.map(row.get(_) match {
+      case b: Array[Byte] =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+      case d: java.lang.Double if d.doubleValue() == 0.0 => 0.0d
+      case f: java.lang.Float if f.floatValue() == 0.0f => 0.0f
+      case x => x
+    })
+    val rdd = sorted.rdd // one lineage: the range shuffle is built once
+    val runs: Array[Array[(Seq[Any], Long)]] = rdd
+      .mapPartitions({ it =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var s = 0L
+        var any = false
+        while (it.hasNext) {
+          val row = it.next()
+          val k = keyOf(row)
+          if (!any || k != cur) {
+            if (any) buf += ((cur, s))
+            cur = k; s = 0L; any = true
+          }
+          s += row.getLong(valIdx)
+        }
+        if (any) buf += ((cur, s))
+        Iterator.single(buf.toArray)
+      }, preservesPartitioning = true)
+      .collect()
+    val sofar = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val starts = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Long]
+    runs.zipWithIndex.foreach { case (rs, pid) =>
+      rs.foreach { case (k, s) =>
+        val prev = sofar.getOrElse(k, 0L)
+        starts((pid, k)) = prev
+        sofar(k) = prev + s
+      }
+    }
+    val startsM = starts.toMap
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var any = false
+      var acc = 0L
+      it.map { row =>
+        val k = keyOf(row)
+        if (!any || k != cur) {
+          cur = k; any = true
+          acc = startsM((pid, k))
+        }
+        acc += row.getLong(valIdx)
+        Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(summed, schema).drop(valCol)
+  }
+
   /** Appends the EXCLUSIVE running max of `valueOf` over the global
     * `sortCols` order as `out` — `MAX(v) OVER (ORDER BY … ROWS BETWEEN
     * UNBOUNDED PRECEDING AND 1 PRECEDING)` without the one-task window,

@@ -610,6 +610,45 @@ object TextQueriesImpl {
       .orderBy("doc_id")
   }
 
+  /** Per-DOMAIN token-budget selection — [[selectBudget]]'s cut
+    * applied independently inside every `source`: each domain keeps
+    * its own highest-quality docs until ITS running token total
+    * crosses the per-domain budget (the FineWeb-style per-source cap
+    * a mixture applies so no domain exceeds a token share, at token —
+    * not document — granularity). The running sum is
+    * [[graft.ops.Ranks.withGroupedPrefixSum]]'s grouped two-pass
+    * range shuffle: a `SUM() OVER (PARTITION BY source)` window puts
+    * the whole largest domain through one task.
+    */
+  def selectBudgetByDomain(s: SparkSession, dir: String): DataFrame = {
+    val q = Text.withQuality(docs(s, dir), "text")
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("n_tokens"))
+    graft.ops.Ranks.withGroupedPrefixSum(q, Seq("source"),
+        Seq(col("quality_score").desc, col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+      .filter(col("cum_tokens") <= 800L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val selectBudgetByDomainOracle =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |q AS (SELECT doc_id, source,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+       |        + least(CAST(${hitsSql("en")} AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3
+       |        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)
+       |    AS quality_score
+       |  FROM t),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, source, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= 800
+       |ORDER BY doc_id""".stripMargin
+
   private val selectBudgetOracle =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |q AS (SELECT doc_id,
@@ -1884,6 +1923,10 @@ object TextQueriesImpl {
     QueryDef("select_budget",
       "token-budget corpus cut by quality order (distributed prefix sum)",
       selectBudget, Some(selectBudgetOracle)),
+    QueryDef("select_budget_by_domain",
+      "per-domain token budgets by quality order - the FineWeb-style " +
+        "per-source cap via the grouped distributed prefix sum",
+      selectBudgetByDomain, Some(selectBudgetByDomainOracle)),
     QueryDef("decontaminate",
       "flag docs sharing any 5-gram with the benchmark set (broadcast semi-join)",
       decontaminate, Some(decontaminateOracle)),

@@ -171,6 +171,45 @@ class RanksSpec extends SparkSpec {
     assert(zOurs == zWin)
   }
 
+  test("withGroupedPrefixSum matches SUM() OVER a per-group order " +
+      "across partitionings; the maxGroups fallback agrees; a NULL " +
+      "value fails loudly in BOTH regimes") {
+    val df = spark.range(2000).select(col("id"),
+        pmod(xxhash64(col("id")), lit(6L)).cast("string").as("grp"),
+        pmod(xxhash64(col("id") + 9L), lit(97L)).as("v"))
+      .repartition(7)
+    val viaWindow = df.withColumn("cum",
+        sum(col("v") + 1L).over(Window.partitionBy("grp")
+          .orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("id").collect().toSeq
+    for (parts <- Seq(1, 4, 32)) {
+      val ours = Ranks.withGroupedPrefixSum(df.repartition(parts),
+          Seq("grp"), Seq(col("v"), col("id")), col("v") + 1L, "cum")
+        .orderBy("id").collect().toSeq
+      assert(ours == viaWindow, s"mismatch at parts=$parts")
+    }
+    val fb = Ranks.withGroupedPrefixSum(df, Seq("grp"),
+        Seq(col("v"), col("id")), col("v") + 1L, "cum", maxGroups = 2L)
+      .orderBy("id").collect().toSeq
+    assert(fb == viaWindow)
+    // NULL valueOf: loud contract error, two-pass AND window regimes
+    val withNull = df.withColumn("nv",
+      when(col("id") === 7L, lit(null)).otherwise(col("v")))
+    for (mg <- Seq(100000L, 2L)) {
+      val e = intercept[Exception] {
+        // consume `cum` explicitly: a count() prunes the guarded
+        // column away in the lazy window regime
+        Ranks.withGroupedPrefixSum(withNull, Seq("grp"),
+          Seq(col("v"), col("id")), col("nv"), "cum", maxGroups = mg)
+          .agg(sum(col("cum"))).head()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("withGroupedPrefixSum")), e)
+    }
+  }
+
   test("ranking plan has no single-partition window") {
     val (ranked, _) = Ranks.withGlobalRowNumber(
       randomDf(100), Seq(col("v"), col("id")), "rk")
