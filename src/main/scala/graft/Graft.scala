@@ -755,6 +755,21 @@ object Graft {
       valueOf: Column, out: String): DataFrame =
     ops.Ranks.withGlobalPrefixSum(df, sortCols, valueOf, out)
 
+  /** Grouped row number / running sum over `PARTITION BY groupCols`
+    * without the one-task-per-group window (two-pass range shuffle;
+    * window fallback past a group-cardinality budget). The grouped
+    * prefix sum is the per-domain token-budget primitive: order each
+    * group by quality, cut where ITS running total crosses the cap.
+    */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], out: String,
+      totalOut: Option[String] = None): DataFrame =
+    ops.Ranks.withGroupedRowNumber(df, groupCols, sortCols, out, totalOut)
+
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], valueOf: Column, out: String): DataFrame =
+    ops.Ranks.withGroupedPrefixSum(df, groupCols, sortCols, valueOf, out)
+
   /** Greedy fixed-token-budget sequence packing (content-hash shards). */
   def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
       budget: Long, shards: Int = 64): DataFrame =

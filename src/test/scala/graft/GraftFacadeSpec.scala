@@ -66,6 +66,15 @@ class GraftFacadeSpec extends SparkSpec {
       Seq(col("doc_id")), lit(1L), "cum")
     assert(summed.agg(org.apache.spark.sql.functions.max("cum"))
       .head.getLong(0) == docs.count())
+    val granked = Graft.groupedRowNumber(docs.select("doc_id", "source"),
+      Seq("source"), Seq(col("doc_id")), "rk", totalOut = Some("n"))
+    assert(granked.filter(col("rk") > col("n")).count() == 0 &&
+      granked.count() == docs.count())
+    val gsummed = Graft.groupedPrefixSum(docs.select("doc_id", "source"),
+      Seq("source"), Seq(col("doc_id")), lit(1L), "cum")
+    assert(gsummed.agg(org.apache.spark.sql.functions.max("cum"))
+      .head.getLong(0) == granked.agg(
+        org.apache.spark.sql.functions.max("n")).head.getLong(0))
     assert(Graft.similarTopKPq(embs, "vec_id", "embedding",
       col("id") < 2, 3).count() == 6)
     assert(Graft.similarTopKIvfPq(embs, "vec_id", "embedding",
