@@ -775,6 +775,15 @@ object Graft {
       budget: Long, shards: Int = 64): DataFrame =
     extra.Packing.packGreedy(df, idCol, tokenCount, budget, shards)
 
+  /** Trainer-ready packed sequences: one row per greedy-filled bin,
+    * carrying the concatenated token-ID stream (corpus-vocab ids,
+    * EOS = 0 after every doc, budget-counted). `syms` is the per-doc
+    * subword array, e.g. `extra.Text.bpeSymbols(col(textCol), merges)`.
+    */
+  def packExamples(df: DataFrame, idCol: String, syms: Column,
+      budget: Long, shards: Int = 64, vocabCap: Int = 65536): DataFrame =
+    extra.Packing.packExamples(df, idCol, syms, budget, shards, vocabCap)
+
   // ---- storage layout ------------------------------------------------
 
   /** Range-clustered parquet write: per-file disjoint key ranges →

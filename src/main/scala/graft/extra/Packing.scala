@@ -75,6 +75,109 @@ object Packing {
       .toDF(idCol, "shard", "seq_id", "seq_pos", "n_tokens")
   }
 
+  /** MATERIALIZE trainer-ready packed sequences: one row per training
+    * sequence, carrying the concatenated TOKEN-ID stream of its whole
+    * documents with an EOS id after every document — the artifact a
+    * pretraining data pipeline actually hands to the trainer, one step
+    * past [[packGreedy]]'s doc→sequence assignment.
+    *
+    * `symsCol` is each document's subword-symbol array in reading order
+    * (e.g. [[Text.bpeSymbols]] under a fixed merge list). Ids are the
+    * 1-based position of each symbol in the CORPUS-DERIVED vocabulary
+    * (distinct symbols, byte-order sorted — deterministic and
+    * replayable by any engine); EOS is id 0, so no scalar "vocab size"
+    * has to flow through the plan. A document's token cost is
+    * `len(syms) + 1` (its EOS counts against the budget), so budgets
+    * mean exactly "ids per sequence"; empty documents cost 1.
+    *
+    * Plan shape (the packGreedy discipline, one text-sized shuffle):
+    *   1. a bounded vocab job — distinct symbols, sorted, collected
+    *      under `vocabCap` with a loud failure past it (the documented
+    *      capped-metadata-collect tier: a tokenizer vocabulary is
+    *      model-sized by construction, 30-50k in production);
+    *   2. ids as a pure plan-inlined projection (`array_position`
+    *      against the literal vocab — no join; linear in vocab size
+    *      per token, fine to a few-hundred-symbol demo vocab. A
+    *      production 50k vocab swaps in a broadcast-hash-map
+    *      mapPartitions tier, the [[graft.extra.Text.bpeTokenCountsTyped]]
+    *      pattern — same output by construction);
+    *   3. ONE repartition on the content-hash shard carrying (id,
+    *      shard, n_tokens, ids) — the unavoidable movement: sequences
+    *      ARE co-located token payloads — then the same sorted
+    *      streaming fill as [[packGreedy]], emitting one row per
+    *      CLOSED sequence. No join back, no second shuffle, no
+    *      group-by: a sequence is a contiguous run of the sorted
+    *      partition, so the pass needs O(budget) state.
+    *
+    * Output: (shard, seq_id, n_docs, n_tokens, token_ids) with
+    * token_ids the comma-joined id stream — a string both engines
+    * produce byte-identically, which is what puts a trainer-facing
+    * ARTIFACT (not just its assignment) behind the DuckDB hash gate.
+    */
+  def packExamples(docs: DataFrame, idCol: String, symsCol: Column,
+      budget: Long, shards: Int, vocabCap: Int = 65536): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    require(vocabCap > 0, "vocabCap must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // null symbol arrays (null text upstream) pack as EMPTY documents
+    // (one EOS) rather than poisoning the typed pass
+    val enc = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(symsCol, array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)))
+        .as("syms"))
+    // vocab job: bounded metadata, capped loudly — NOT a data collect.
+    // Sorted by Spark's UTF8String binary order = UTF-8 byte order,
+    // the collation DuckDB's ORDER BY replays.
+    val vocab = enc.select(explode(col("syms")).as("sym")).distinct()
+      .orderBy("sym").limit(vocabCap + 1).as[String].collect()
+    if (vocab.length > vocabCap)
+      throw new IllegalArgumentException(
+        s"symbol vocabulary exceeds vocabCap=$vocabCap — a runaway " +
+          "vocab means the symbol column is not a tokenizer output " +
+          "(raise the cap only for a genuinely larger vocabulary)")
+    val vocabLit = array(vocab.map(lit(_)): _*)
+    val ids = concat(
+      transform(col("syms"), x => array_position(vocabLit, x)),
+      array(lit(0L))) // EOS = 0 after every doc, budget-counted
+    enc.select(col("id"),
+        Sampling.hashBucket(col("id"), shards).cast("int").as("shard"),
+        (size(col("syms")) + 1).cast("long").as("n_tokens"),
+        ids.as("ids"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Int, Long, Seq[Long])]
+      .mapPartitions { it =>
+        // a partition holds whole shards sorted by (shard, id); a
+        // sequence is a contiguous run, so emit rows as bins CLOSE —
+        // O(budget) state, no buffering of the partition
+        val in = it.buffered
+        new Iterator[(Int, Long, Long, Long, String)] {
+          private var shard = Int.MinValue
+          private var seqId = -1L
+          def hasNext: Boolean = in.hasNext
+          def next(): (Int, Long, Long, Long, String) = {
+            val (_, s0, t0, ids0) = in.next()
+            if (s0 != shard) { shard = s0; seqId = 0L } else seqId += 1L
+            var nDocs = 1L
+            var fill = t0
+            val sb = new java.lang.StringBuilder
+            sb.append(ids0.mkString(","))
+            while (in.hasNext && in.head._2 == s0 &&
+                fill + in.head._3 <= budget) {
+              val (_, _, t, idsN) = in.next()
+              sb.append(',').append(idsN.mkString(","))
+              nDocs += 1L
+              fill += t
+            }
+            (s0, seqId, nDocs, fill, sb.toString)
+          }
+        }
+      }
+      .toDF("shard", "seq_id", "n_docs", "n_tokens", "token_ids")
+  }
+
   /** Per-sequence packing summary: docs per sequence, token fill, and
     * fill ratio against the budget — the utilization report a packing
     * job ships with. Pure one-shuffle aggregation over [[packGreedy]]'s

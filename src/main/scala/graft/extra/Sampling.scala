@@ -22,6 +22,28 @@ object Sampling {
     conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long") %
       buckets
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** [[hashBucket]] evaluated JVM-side for typed (Dataset) paths —
+    * BIT-IDENTICAL to the column form (first 12 hex chars of
+    * md5(id.toString) = 48 bits, nonnegative, mod buckets), so typed
+    * streaming operators shard exactly like their batch column twins.
+    */
+  def hashBucketLong(id: Long, buckets: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(String.valueOf(id).getBytes
+      (java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h % buckets
+  }
+
   /** Train/val/test assignment by percentage thresholds over a 100-way
     * hash bucket: e.g. (80, 10) → train < 80 <= val < 90 <= test.
     */

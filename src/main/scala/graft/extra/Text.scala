@@ -172,14 +172,28 @@ object Text {
       replace(once, lit(s" $a $b "), lit(s" $a$b "))
     }
 
+  /** The SUBWORD SYMBOL ARRAY of a text under a fixed merge list, in
+    * reading order with word boundaries excluded — the token stream a
+    * trainer-facing materialization maps to vocabulary ids
+    * ([[Packing.packExamples]]). Empty/whitespace-only text yields an
+    * empty array (the split of "" would otherwise contribute a [""]
+    * phantom symbol); null text yields null, like every other
+    * projection here. Same fully-codegen replace chain as
+    * [[bpeTokenCount]] — this IS its array form.
+    */
+  def bpeSymbols(text: Column, merges: Seq[(String, String)]): Column =
+    when(size(tokens(text)) === 0,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)))
+      .otherwise(filter(
+        split(trim(bpeApply(bpeInit(text), merges)), " "),
+        x => x =!= BpeBoundary))
+
   /** Exact subword token count per row under a fixed merge list:
     * symbols remaining after all merges, word boundaries excluded.
     */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
-    when(size(tokens(text)) === 0, lit(0L))
-      .otherwise(size(filter(
-        split(trim(bpeApply(bpeInit(text), merges)), " "),
-        x => x =!= BpeBoundary)).cast("long"))
+    size(bpeSymbols(text, merges)).cast("long")
 
   /** Adds `n_tokens` (whitespace) and `n_bpe_tokens` (exact subword
     * count under `merges`) — the real-tokenizer replacement for

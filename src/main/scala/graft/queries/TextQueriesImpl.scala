@@ -510,6 +510,55 @@ object TextQueriesImpl {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Trainer-ready packed sequences: the [[packSequencesBpe]] greedy
+    * fill MATERIALIZED as token-id streams — one row per sequence,
+    * ids = byte-order rank in the corpus-derived symbol vocabulary,
+    * EOS id 0 after every document and counted against the budget
+    * (each doc costs its subword count + 1). The oracle replays
+    * encode → vocab → id mapping → greedy fill → ordered
+    * concatenation, so the hash gate covers the ARTIFACT a trainer
+    * consumes, not just the doc→sequence assignment.
+    */
+  def packExamplesQ(s: SparkSession, dir: String): DataFrame =
+    graft.extra.Packing.packExamples(docs(s, dir), "doc_id",
+        Text.bpeSymbols(col("text"), bpeMerges),
+        budget = 512L, shards = 8)
+      .orderBy("shard", "seq_id")
+
+  private val packExamplesOracle = {
+    // a doc's packing cost is its subword count + 1 (the EOS id)
+    val bpeCountPlus1 =
+      s"""(CASE WHEN len($toksSql) = 0 THEN CAST(0 AS BIGINT)
+         |     ELSE CAST(len(list_filter(string_split(
+         |       trim(${bpeChainSqlOn(toksSql)}), ' '),
+         |       x -> x <> '¶')) AS BIGINT) END + 1)""".stripMargin
+    // the `x <> ''` leg only fires for empty docs, where the split of
+    // the empty encode yields a [''] phantom the engine's size guard
+    // never produces
+    s"""${packRecSqlWith(bpeCountPlus1)},
+       |enc AS (SELECT doc_id, list_filter(string_split(
+       |    trim(${bpeChainSqlOn(toksSql)}), ' '),
+       |    x -> x <> '¶' AND x <> '') AS syms FROM documents),
+       |vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS vid
+       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM enc)),
+       |tok AS (SELECT doc_id, unnest(syms) AS sym,
+       |    unnest(range(1, len(syms) + 1)) AS ord FROM enc),
+       |docstr AS (SELECT t.doc_id,
+       |    string_agg(CAST(v.vid AS VARCHAR), ',' ORDER BY t.ord) AS ids
+       |  FROM tok t JOIN vocab v USING (sym) GROUP BY t.doc_id),
+       |ds AS (SELECT e.doc_id,
+       |    CASE WHEN d.ids IS NULL THEN '0'
+       |         ELSE d.ids || ',0' END AS docstr
+       |  FROM enc e LEFT JOIN docstr d USING (doc_id))
+       |SELECT r.shard, r.seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens,
+       |  string_agg(ds.docstr, ',' ORDER BY r.seq_pos) AS token_ids
+       |FROM rec r JOIN ds USING (doc_id)
+       |GROUP BY r.shard, r.seq_id
+       |ORDER BY r.shard, r.seq_id""".stripMargin
+  }
+
   /** Packing utilization: docs and token fill per output sequence. */
   def packStatsQ(s: SparkSession, dir: String): DataFrame =
     graft.extra.Packing.packStats(
@@ -1947,6 +1996,10 @@ object TextQueriesImpl {
     QueryDef("pack_stats",
       "per-sequence packing utilization (docs, tokens, fill ratio)",
       packStatsQ, Some(packStatsOracle)),
+    QueryDef("pack_examples",
+      "trainer-ready packed sequences: concatenated token-id streams " +
+        "(corpus-vocab ids, EOS=0) per greedy-filled 512-subword bin",
+      packExamplesQ, Some(packExamplesOracle)),
     QueryDef("text_quality",
       "per-doc quality metrics: TTR, stopword ratio, composite score",
       textQuality, Some(textQualityOracle)),

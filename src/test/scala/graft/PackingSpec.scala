@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.extra.Packing
@@ -56,6 +57,92 @@ class PackingSpec extends SparkSpec {
         r.getLong(4)))
       .sortBy(_._1).toSeq
     assert(a == b)
+  }
+
+  // ---- packExamples: trainer-ready token-id sequences ----------------
+
+  private def ex(docs: Seq[(Long, Seq[String])], budget: Long,
+      shards: Int, cap: Int = 65536) =
+    Packing.packExamples(docs.toDF("doc_id", "syms"), "doc_id",
+        col("syms"), budget, shards, cap)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("packExamples hand case: vocab ids by byte order, EOS=0 after " +
+      "every doc and counted, oversize doc alone, empty doc costs 1") {
+    val docs = Seq(
+      1L -> Seq("a", "b"),                       // cost 3
+      2L -> Seq("b"),                            // cost 2
+      3L -> Seq("c", "a", "b"),                  // cost 4
+      4L -> Seq.empty[String],                   // cost 1 (just EOS)
+      5L -> Seq("d", "d", "d", "d", "d", "d"))   // cost 7 — oversize
+    val out = ex(docs, budget = 6, shards = 1)
+    // vocab sorted: a=1 b=2 c=3 d=4; fills: [1,2]=5 | [3,4]=5 | [5]=7
+    assert(out == Seq(
+      (0, 0L, 2L, 5L, "1,2,0,2,0"),
+      (0, 1L, 2L, 5L, "3,1,2,0,0"),
+      (0, 2L, 1L, 7L, "4,4,4,4,4,4,0")))
+  }
+
+  test("packExamples agrees with packGreedy's assignment: per-sequence " +
+      "doc and token totals match, id-stream length is the token total") {
+    val docs = (1L to 400L).map { i =>
+      i -> (0L until (i * 13) % 17).map(j => s"s${(i * 31 + j) % 23}")
+    }
+    val df = docs.toDF("doc_id", "syms")
+    val viaGreedy = Packing.packGreedy(df, "doc_id",
+        (size(col("syms")) + 1).cast("long"), budget = 48, shards = 8)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val out = ex(docs, budget = 48, shards = 8)
+    assert(out.map(t => (t._1, t._2)).toSet == viaGreedy.keySet)
+    for ((sh, seq, nd, nt, ids) <- out) {
+      assert(viaGreedy((sh, seq)) == ((nd, nt)))
+      val parts = ids.split(",")
+      assert(parts.length.toLong == nt, s"id stream length vs n_tokens")
+      assert(parts.count(_ == "0").toLong == nd, s"one EOS per doc")
+    }
+  }
+
+  test("packExamples is independent of input partitioning") {
+    val docs = (1L to 200L).map { i =>
+      i -> (0L until (i * 7) % 11).map(j => s"t${(i + j) % 13}")
+    }
+    val a = ex(docs, budget = 32, shards = 4)
+    val b = Packing.packExamples(
+        docs.toDF("doc_id", "syms").repartition(17, col("syms")),
+        "doc_id", col("syms"), 32, 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b)
+  }
+
+  test("packExamples rejects a vocabulary past vocabCap loudly; null " +
+      "symbol arrays pack as empty docs") {
+    val big = (1L to 10L).map(i => i -> Seq(s"u$i"))
+    val e = intercept[IllegalArgumentException](ex(big, 16, 1, cap = 4))
+    assert(e.getMessage.contains("vocabCap"))
+    val withNull = Seq(Row(1L, Seq("a")), Row(2L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(withNull),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("syms",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val out = Packing.packExamples(df, "doc_id", col("syms"), 16, 1)
+      .orderBy("seq_id").collect()
+    assert(out.length == 1 &&
+      out(0).getAs[Long]("n_tokens") == 3L &&
+      out(0).getAs[String]("token_ids") == "1,0,0")
   }
 
   test("packStats reports fill against the budget") {
