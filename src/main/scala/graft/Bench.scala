@@ -414,6 +414,20 @@ object Bench {
         catch { case _: Throwable => None }
       else None
 
+    // Streaming sequence packer (r16): DETAIL line + file only, at the
+    // tail with the other new blocks (established blocks keep their
+    // historical load positions). Per batch: frozen-BPE tokenize
+    // projection + per-shard open-bin state (flatMapGroupsWithState)
+    // emitting closed training sequences — the trainer-ready tail of
+    // the curation chain.
+    val streamingPack =
+      if (benchStream)
+        try Some(StreamBench.measurePack(spark,
+          tps = sys.env.getOrElse("SPARK_GRAFT_PACK_TPS", "25000").toInt,
+          secs = sys.env.getOrElse("SPARK_GRAFT_PACK_SECS", "15").toInt))
+        catch { case _: Throwable => None }
+      else None
+
     import StreamBench.rnd
     val qs = medians.map { case (k, v) => s"${jstr(k)}:${rnd(v)}" }
       .mkString("{", ",", "}")
@@ -448,6 +462,8 @@ object Bench {
       .map(s => s""","streaming_classify":${s.json}""").getOrElse("")
     val knJson = streamingPerplexity
       .map(s => s""","streaming_perplexity":${s.json}""").getOrElse("")
+    val packJson = streamingPack
+      .map(s => s""","streaming_pack":${s.json}""").getOrElse("")
     // Two lines, both after spark.stop() (round 3: shutdown log spew
     // displaced the metric line). The driver keeps only a ~2 KB stdout
     // TAIL (r6-r8 artifacts each cut at ~2,000 bytes), so the final line
@@ -459,7 +475,7 @@ object Bench {
     val loadsJson = passLoads.map(l => rnd(l, 2)).mkString("[", ",", "]")
     val gatedJson = gatedSecs.map(g => rnd(g, 1)).mkString("[", ",", "]")
     println(s"""{"metric":"detail","queries":$qs,"spreads":$spreads,""" +
-      s""""failures":$fs$curNdJson$annJson$substrJson$clsJson$knJson}""")
+      s""""failures":$fs$curNdJson$annJson$substrJson$clsJson$knJson$packJson}""")
     val summary = s"""{"metric":"total","value":${rnd(total)},""" +
       s""""min_total":${rnd(minTotal)},"loadavg1":$loadsJson,""" +
       s""""gated_sec":$gatedJson,"retried":$retried,""" +

