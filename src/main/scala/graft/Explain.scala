@@ -15,6 +15,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // plan capture wants the FULL lineage, not the post-checkpoint tail
+    spark.conf.set(graft.extra.Dedup.CheckpointModeKey, "off")
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -56,8 +56,15 @@ object Dedup {
     df.sparkSession.conf.getOption(CheckpointModeKey).getOrElse("local") match {
       case "reliable" => df.checkpoint(eager = true)
       case "local" => df.localCheckpoint(eager = true)
+      // builder/debug only (plan capture): a checkpoint truncates the
+      // lineage, so `explain` on any materializing query shows just the
+      // post-checkpoint tail — `off` returns the frame unchanged so
+      // Explain can print the FULL physical plan. Never set in timed or
+      // verified runs: callers rely on eager materialization to scope
+      // their persists.
+      case "off" => df
       case other => throw new IllegalArgumentException(
-        s"$CheckpointModeKey must be local|reliable, got $other")
+        s"$CheckpointModeKey must be local|reliable|off, got $other")
     }
 
   /** Exact dedup by key: one output row per key, keeping the minimum of

@@ -112,17 +112,61 @@ object KnLm {
     * inside its fused self-scoring plan; [[fit]] materializes them as
     * the artifact). `tg` may carry extra columns (doc ids); the
     * aggregations key only on `by` + the n-gram columns, so occurrence
-    * counts are identical either way. Only `tri` (the one aggregation
-    * over the full occurrence stream) is materialized here — the four
-    * derived statistics re-aggregate its reduced output.
+    * counts are identical either way.
+    *
+    * Plan shape (r16 optimization — guide §2.4 "remove shuffles
+    * outright"): after the one corpus-sized aggregation to `tri`, the
+    * frame is hash-repartitioned ONCE on `[by,] w2` and every derived
+    * statistic runs on that single exchange — `ctx2` (keys ⊇ w2),
+    * `cont` (keys ⊇ w2) and `mid` (key = w2) all satisfy their
+    * ClusteredDistribution from the subset partitioning, so none of
+    * them re-shuffles, and the downstream probability-table joins on
+    * (w1,w2)/(w2,w3) are co-partitioned with it too. Only `uniPc`
+    * (keyed by w3 alone) pays its own — vocabulary-sized — exchange.
+    * Before: tri + 4 derived stats each shuffled independently and
+    * both table joins re-exchanged (7 type-frame exchanges); after:
+    * 2 (w2 + w3). Values are unchanged — the aggregations are the
+    * same, only the physical clustering moved.
+    *
+    * Skew note (§2.5): the w2 exchange keys the trigram-TYPE frame by
+    * middle word, so one task owns every type of a hot w2 ("the").
+    * Type counts are Heaps-law sublinear and hash-aggregated (no
+    * per-group sort), and the alternative was shuffling the full type
+    * frame four more times; documented trade, revisit if a profile
+    * ever shows the w2 stage straggling.
+    *
+    * `pinTri=true` (the [[fit]] path) materializes `tri` so the four
+    * derived frames — each materialized separately as the model
+    * artifact — re-aggregate its blocks instead of re-running the
+    * corpus pass. The fused self-scoring plan passes `pinTri=false`:
+    * there everything is ONE execution, and Spark's exchange reuse
+    * already runs the corpus aggregation exactly once — the eager
+    * checkpoint only added a planning+job round trip.
     */
   private[extra] def stats(tg: DataFrame, by: Seq[String])
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tri = Dedup.materialize(triCounts(tg, by))
+    val (ctx2, cont, mid, uni) = derivedStats(tri, by)
+    (tri, ctx2, cont, mid, uni)
+  }
+
+  /** The one corpus-sized aggregation: occurrence stream → distinct
+    * trigram counts (`[by,] trigram, c, w1, w2, w3`).
+    */
+  private[extra] def triCounts(tg: DataFrame, by: Seq[String]): DataFrame =
+    tg.groupBy((by ++ Seq("trigram")).map(col): _*)
+      .agg(count(lit(1)).as("c"),
+        min("w1").as("w1"), min("w2").as("w2"), min("w3").as("w3"))
+
+  /** The four derived statistic frames from a distinct-trigram frame —
+    * ONE definition (the serve/self-score bit-parity contract): both
+    * [[stats]] (fit path, materialized tri) and
+    * [[Text.kneserNeyScore]]'s fused plan (w2-clustered cached tri)
+    * build their statistics through these exact expressions.
+    */
+  private[extra] def derivedStats(tri: DataFrame, by: Seq[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     def keyed(ks: String*): Seq[String] = by ++ ks
-    val tri = Dedup.materialize(
-      tg.groupBy(keyed("trigram").map(col): _*)
-        .agg(count(lit(1)).as("c"),
-          min("w1").as("w1"), min("w2").as("w2"), min("w3").as("w3")))
     val ctx2 = tri.groupBy(keyed("w1", "w2").map(col): _*)
       .agg(sum("c").as("ctx"), count(lit(1)).as("nf1"))
     val cont = tri.groupBy(keyed("w2", "w3").map(col): _*)
@@ -145,7 +189,7 @@ object KnLm {
       case _ => uniPc.crossJoin(
         broadcast(uniPc.agg(sum(col("pc")).as("bt"))))
     }
-    (tri, ctx2, cont, mid, uni)
+    (ctx2, cont, mid, uni)
   }
 
   /** Fits the five-frame model in one corpus pass (the

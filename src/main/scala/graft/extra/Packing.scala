@@ -122,11 +122,17 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     // null symbol arrays (null text upstream) pack as EMPTY documents
-    // (one EOS) rather than poisoning the typed pass
+    // (one EOS) rather than poisoning the typed pass.
+    // PERSISTED (r16): the encoded frame feeds TWO actions — the vocab
+    // collect and the id-projection main run — and `symsCol` is
+    // typically the expensive tokenizer encode; without the pin the
+    // whole encode pass ran twice (measured ~2 s of this query's cost
+    // at sf0.1). Released after the output materializes below.
     val enc = docs.select(col(idCol).cast("long").as("id"),
       coalesce(symsCol, array().cast(org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType, containsNull = false)))
         .as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vocab job: bounded metadata, capped loudly — NOT a data collect.
     // Sorted by Spark's UTF8String binary order = UTF-8 byte order,
     // the collation DuckDB's ORDER BY replays.
@@ -141,7 +147,7 @@ object Packing {
     val ids = concat(
       transform(col("syms"), x => array_position(vocabLit, x)),
       array(lit(0L))) // EOS = 0 after every doc, budget-counted
-    enc.select(col("id"),
+    val packed = enc.select(col("id"),
         Sampling.hashBucket(col("id"), shards).cast("int").as("shard"),
         (size(col("syms")) + 1).cast("long").as("n_tokens"),
         ids.as("ids"))
@@ -176,6 +182,12 @@ object Packing {
         }
       }
       .toDF("shard", "seq_id", "n_docs", "n_tokens", "token_ids")
+    // eagerly materialize so the pinned encode can be released here —
+    // the house cache-lifecycle rule (nothing stays cached past the
+    // call)
+    val out = Dedup.materialize(packed)
+    enc.unpersist(blocking = false)
+    out
   }
 
   /** Per-sequence packing summary: docs per sequence, token fill, and

@@ -1159,25 +1159,24 @@ object Text {
   def chunkBpeTokens(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
-    val subsRaw = filter(
-      split(trim(bpeApply(bpeInit(col(textCol)), merges)), " "),
-      x => x =!= BpeBoundary)
-    val subs = when(size(tokens(col(textCol))) === 0,
-      array().cast("array<string>")).otherwise(subsRaw)
     val t = col("__subs")
-    // the encode chain (2·M nested replaces) is EXPENSIVE and consumed
-    // by four expressions below — filter, the sequence bound, the
-    // per-chunk slice lambda, the ragged-tail size. CollapseProject
-    // inlines a withColumn alias into every consumer and a lambda body
-    // re-evaluates its free expressions PER ELEMENT, so without a
-    // barrier the chain runs ~(chunks+3)× per row (measured 13.4 s vs
-    // 0.16 s for the count form at sf0.1). Materializing the encoded
-    // frame runs it exactly once per row — also the 100 TB shape:
-    // encode once, slice many.
+    // r16: encode via the TYPED tier ([[withBpeSymbolsTyped]] — merge
+    // ranks broadcast once, per-word memoized greedy loop), which is
+    // bit-identical to the 2·M-nested-replace expression chain
+    // (spec-pinned differential) and measured ~2.5× faster at the
+    // 32-rule bench list — the expression form re-scans the whole
+    // symbol string once per rule. The materialize barrier below is
+    // still load-bearing: the encoded array is consumed by four
+    // expressions (filter, sequence bound, per-chunk slice lambda,
+    // ragged-tail size) and CollapseProject would otherwise inline the
+    // encode into every consumer — encode once, slice many (also the
+    // 100 TB shape).
     // filter AFTER the barrier: a predicate on the alias re-inlines
     // the chain into the pushed filter, doubling the pre-barrier work
     val enc = Dedup.materialize(
-      df.select(col(idCol), subs.as("__subs")))
+      withBpeSymbolsTyped(df.select(col(idCol), col(textCol)), textCol,
+        merges, "__subs")
+        .select(col(idCol), t))
     enc
       .filter(size(t) > 0)
       .withColumn("__chunks", transform(

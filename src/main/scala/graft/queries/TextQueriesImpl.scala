@@ -493,9 +493,13 @@ object TextQueriesImpl {
     * recursive walk, so the hash gate proves count + fill end to end.
     */
   def packSequencesBpe(s: SparkSession, dir: String): DataFrame =
-    graft.extra.Packing.packGreedy(docs(s, dir), "doc_id",
-        Text.bpeTokenCount(col("text"), bpeMerges),
-        budget = 512L, shards = 8)
+    // r16: typed-tier subword counts (broadcast merge ranks, per-word
+    // memo — bit-identical to the expression chain, spec-pinned)
+    // instead of the 64-nested-replace projection: the encode was this
+    // query's whole cost (~2 s of the 2.3 s median at sf0.1)
+    graft.extra.Packing.packGreedy(
+        Text.withBpeTokensTyped(docs(s, dir), "text", bpeMerges),
+        "doc_id", col("n_bpe_tokens"), budget = 512L, shards = 8)
       .orderBy("doc_id")
 
   private val packSequencesBpeOracle = {
@@ -520,9 +524,13 @@ object TextQueriesImpl {
     * consumes, not just the doc→sequence assignment.
     */
   def packExamplesQ(s: SparkSession, dir: String): DataFrame =
-    graft.extra.Packing.packExamples(docs(s, dir), "doc_id",
-        Text.bpeSymbols(col("text"), bpeMerges),
-        budget = 512L, shards = 8)
+    // r16: typed-tier symbol arrays (bit-identical to the expression
+    // encode, spec-pinned) — the nested-replace chain ran TWICE here
+    // (vocab job + id projection) and was ~4.5 s of the 5.9 s median
+    graft.extra.Packing.packExamples(
+        Text.withBpeSymbolsTyped(docs(s, dir), "text", bpeMerges,
+          "__syms"),
+        "doc_id", col("__syms"), budget = 512L, shards = 8)
       .orderBy("shard", "seq_id")
 
   private val packExamplesOracle = {
