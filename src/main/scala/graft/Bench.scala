@@ -122,6 +122,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Generated-class compile cache (r16, guide §1.2 step 3 after
+      // steps 1-2): the default is 100 entries, and a 175-query bench
+      // needs several THOUSAND distinct codegen units — the cache
+      // thrashed, so every pass re-compiled (janino) and re-JITed every
+      // generated class (driver thread dumps showed C2 compiler threads
+      // permanently busy). Sized to hold the whole registry's units;
+      // scale-independent (a production driver re-runs the same plan
+      // shapes and benefits identically — cost is bounded metaspace,
+      // ~tens of KB per cached class). Env-overridable for small
+      // drivers.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "16384"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

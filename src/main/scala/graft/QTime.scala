@@ -26,9 +26,21 @@ object QTime {
       name -> SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
     }
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // builder-time extras (r16): lets A/B runs cover STATIC confs
+    // (e.g. spark.sql.codegen.cache.maxEntries) that a session conf
+    // set cannot touch. Format: "k=v;k=v".
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      // mirror Bench (r16) so before/after numbers stay comparable
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "16384"))
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v): Unit
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     qs.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
