@@ -31,26 +31,46 @@ object Retrieval {
     *
     * Output: idCol, `n_hits` (matched query terms), `score`.
     */
+  /** Corpus BM25 scalars in ONE job (r16 — was two sequential actions,
+    * a docs.count plus a sum collect): (nDocs, Σ doc lengths). The
+    * token-length sum over the docs frame equals the sum over the tf
+    * frame exactly (null/empty text contributes no tf rows and a
+    * null/0 length here; exact longs either way).
+    */
+  private[graft] def bm25Consts(docs: DataFrame,
+      textCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      sum(size(Text.tokens(col(textCol))).cast("long"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The per-(doc, term) frequency frame — BM25's inverted-index core,
+    * shared (r16) so eval callers can derive their judgment sets from
+    * the SAME tokenization instead of paying a second
+    * tokenize+explode+distinct chain over the corpus.
+    */
+  private[graft] def bm25Tf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.map(_.toLowerCase).distinct
 
-    val tf = docs.select(col(idCol),
-        explode(Text.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = bm25Tf(docs, idCol, textCol).persist()
     // house cache-lifecycle rule (SCALE.md): eagerly materialize the
     // output, then unpersist — nothing stays cached past the call
     try {
-      val nDocs = docs.count()
-      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      // constant-size driver value (one long), same tier as tfidf's
-      // nDocs count — NOT a data-proportional collect
-      val sumDl = dl.agg(sum(col("dl"))).head().getLong(0)
+      // constant-size driver values (two longs in one job) — NOT a
+      // data-proportional collect
+      val (nDocs, sumDl) = bm25Consts(docs, textCol)
       val avgdl = sumDl.toDouble / nDocs.toDouble
+      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
 
       val tfq = tf.filter(col("term").isin(terms: _*))
       val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -93,49 +113,55 @@ object Retrieval {
   def bm25SearchAll(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
-    val tf = docs.select(col(idCol),
-        explode(Text.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = bm25Tf(docs, idCol, textCol).persist()
     try {
-      val nDocs = docs.count()
-      val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-      val sumDl = dl.agg(sum(col("dl"))).head().getLong(0)
-      val avgdl = sumDl.toDouble / nDocs.toDouble
-
-      val qterms = queries.select(col(queryIdCol),
-          explode(Text.tokens(col(queryTextCol))).as("term"))
-        .distinct()
-      val terms = qterms.select("term").distinct()
-      val tfq = tf.join(broadcast(terms), "term")
-      val idf = tfq.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
-        .withColumn("idf",
-          log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-
-      val tfD = col("tf").cast("double")
-      val contrib = round(
-        col("idf") * ((tfD * lit(k1 + 1.0)) /
-          (tfD + lit(k1) * (lit(1.0 - b) +
-            lit(b) * (col("dl").cast("double") / lit(avgdl))))),
-        12).cast(DecimalType(30, 12))
-
-      val scored = tfq
-        .join(broadcast(qterms), "term")
-        .join(broadcast(idf.select("term", "idf")), "term")
-        .join(dl, idCol)
-        .groupBy(col(queryIdCol), col(idCol))
-        .agg(count(lit(1)).as("n_hits"),
-          round(sum(contrib).cast("double"), 6).as("score"))
-      val w = Window.partitionBy(queryIdCol)
-        .orderBy(col("score").desc, col(idCol))
-      Dedup.materialize(
-        scored.withColumn("__rank", row_number().over(w))
-          .filter(col("__rank") <= topK)
-          .drop("__rank"))
+      val (nDocs, sumDl) = bm25Consts(docs, textCol)
+      Dedup.materialize(bm25ScoredAll(tf, idCol, nDocs, sumDl, queries,
+        queryIdCol, queryTextCol, k1, b, topK))
     } finally tf.unpersist(blocking = false)
+  }
+
+  /** The LAZY scoring core of [[bm25SearchAll]], over a caller-owned
+    * (ideally pinned) tf frame and pre-computed corpus scalars — shared
+    * (r16) with the retrieval-eval queries so a run + its
+    * corpus-derived qrels execute as ONE plan over ONE tokenization.
+    */
+  private[graft] def bm25ScoredAll(tf: DataFrame, idCol: String,
+      nDocs: Long, sumDl: Long, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k1: Double, b: Double,
+      topK: Int): DataFrame = {
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val qterms = queries.select(col(queryIdCol),
+        explode(Text.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val terms = qterms.select("term").distinct()
+    val tfq = tf.join(broadcast(terms), "term")
+    val idf = tfq.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+
+    val tfD = col("tf").cast("double")
+    val contrib = round(
+      col("idf") * ((tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+      12).cast(DecimalType(30, 12))
+
+    val scored = tfq
+      .join(broadcast(qterms), "term")
+      .join(broadcast(idf.select("term", "idf")), "term")
+      .join(dl, idCol)
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        round(sum(contrib).cast("double"), 6).as("score"))
+    val w = Window.partitionBy(queryIdCol)
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topK)
+      .drop("__rank")
   }
 
   /** Reciprocal-rank fusion of the two retrieval arms — sparse

@@ -1645,20 +1645,30 @@ object TextQueriesImpl {
       ("q1", "spark shuffle join"),
       ("q2", "window sort"),
       ("q3", "hash table")).toDF("query_id", "query_text")
-    val run = graft.extra.Retrieval.bm25SearchAll(d, "doc_id", "text",
-      queries, "query_id", "query_text", topK = 10)
-    val qterms = queries.select(col("query_id"),
-      explode(Text.tokens(col("query_text"))).as("term")).distinct()
-    val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("__nq"))
-    val docTerms = d.select(col("doc_id"),
-      explode(array_distinct(Text.tokens(col("text")))).as("term"))
-    val qrels = qterms.join(docTerms, "term")
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("__m"))
-      .join(nq, "query_id")
-      .filter(col("__m") === col("__nq"))
-      .select("query_id", "doc_id")
-    graft.extra.Retrieval.evalMetrics(run, "query_id", "doc_id",
-      "score", qrels, k = 10)
+    // r16: ONE tokenization — the run and the corpus-derived qrels both
+    // read the pinned tf frame (the qrels' distinct (doc, term) pairs
+    // ARE tf's keys, exactly as the oracle's `dterm` CTE reads its own
+    // tf), and the run + eval execute as one final plan instead of
+    // [count, sum-collect, run checkpoint, eval] sequential actions.
+    val tf = graft.extra.Retrieval.bm25Tf(d, "doc_id", "text").persist()
+    try {
+      val (nDocs, sumDl) = graft.extra.Retrieval.bm25Consts(d, "text")
+      val run = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id", nDocs,
+        sumDl, queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
+        topK = 10)
+      val qterms = queries.select(col("query_id"),
+        explode(Text.tokens(col("query_text"))).as("term")).distinct()
+      val nq = qterms.groupBy("query_id").agg(count(lit(1)).as("__nq"))
+      val docTerms = tf.select(col("doc_id"), col("term"))
+      val qrels = qterms.join(docTerms, "term")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("__m"))
+        .join(nq, "query_id")
+        .filter(col("__m") === col("__nq"))
+        .select("query_id", "doc_id")
+      graft.extra.Dedup.materialize(
+        graft.extra.Retrieval.evalMetrics(run, "query_id", "doc_id",
+          "score", qrels, k = 10))
+    } finally tf.unpersist(blocking = false)
   }
 
   private val retrievalMetricsOracle =
@@ -1725,16 +1735,23 @@ object TextQueriesImpl {
       ("q1", "spark shuffle join"),
       ("q2", "window sort"),
       ("q3", "hash table")).toDF("query_id", "query_text")
-    val run = graft.extra.Retrieval.bm25SearchAll(d, "doc_id", "text",
-      queries, "query_id", "query_text", topK = 10)
-    val qterms = queries.select(col("query_id"),
-      explode(Text.tokens(col("query_text"))).as("term")).distinct()
-    val docTerms = d.select(col("doc_id"),
-      explode(array_distinct(Text.tokens(col("text")))).as("term"))
-    val qrels = qterms.join(docTerms, "term")
-      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("gain"))
-    graft.extra.Retrieval.evalMetricsGraded(run, "query_id", "doc_id",
-      "score", qrels, "gain", k = 10)
+    // r16: one tokenization for run + graded qrels (see
+    // retrievalMetrics above)
+    val tf = graft.extra.Retrieval.bm25Tf(d, "doc_id", "text").persist()
+    try {
+      val (nDocs, sumDl) = graft.extra.Retrieval.bm25Consts(d, "text")
+      val run = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id", nDocs,
+        sumDl, queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
+        topK = 10)
+      val qterms = queries.select(col("query_id"),
+        explode(Text.tokens(col("query_text"))).as("term")).distinct()
+      val docTerms = tf.select(col("doc_id"), col("term"))
+      val qrels = qterms.join(docTerms, "term")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("gain"))
+      graft.extra.Dedup.materialize(
+        graft.extra.Retrieval.evalMetricsGraded(run, "query_id",
+          "doc_id", "score", qrels, "gain", k = 10))
+    } finally tf.unpersist(blocking = false)
   }
 
   private val retrievalMetricsGradedOracle =
