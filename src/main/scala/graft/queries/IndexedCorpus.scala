@@ -43,13 +43,52 @@ object IndexedCorpus {
     * fingerprint. Both arms are commutative → partitioning-independent.
     */
   def fingerprint(df: DataFrame, cols: Column*): Long = {
-    val r = df.select(xxhash64(cols: _*).as("h"))
-      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
-        coalesce(sum(col("h")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
-          lit(java.math.BigDecimal.ZERO)).as("s"))
-      .head()
-    r.getLong(0) ^ r.getDecimal(1).toBigInteger.longValue()
+    def compute(): Long = {
+      val r = df.select(xxhash64(cols: _*).as("h"))
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+          coalesce(sum(col("h")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+            lit(java.math.BigDecimal.ZERO)).as("s"))
+        .head()
+      r.getLong(0) ^ r.getDecimal(1).toBigInteger.longValue()
+    }
+    // r16: memoize the scan per (canonicalized plan, source-file FS
+    // signature) — every indexed-query call previously paid a full
+    // corpus pass just to learn the fingerprint it already computed.
+    // The key is the cachedSideFile discipline (IndexManifests): the
+    // canonical ANALYZED plan pins the logical content definition
+    // (filters, column picks) and the sorted (path, length, mtime)
+    // listing pins the bytes under it — touch a file and the key
+    // misses, so the rescue path is exactly the old behavior. Frames
+    // without local file sources (in-memory test frames, non-file
+    // URIs) skip the memo and always rescan.
+    memoKeyOf(df, cols) match {
+      case Some(k) => fpMemo.computeIfAbsent(k, _ => compute())
+      case None => compute()
+    }
+  }
+
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def memoKeyOf(df: DataFrame, cols: Seq[Column]): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) return None
+    val stats = new StringBuilder
+    for (f <- files.sorted) {
+      val uri = try new java.net.URI(f) catch { case _: Exception => return None }
+      if (uri.getScheme != null && uri.getScheme != "file") return None
+      val p = new File(uri.getPath)
+      stats.append(f).append(':').append(p.length()).append(':')
+        .append(p.lastModified()).append(';'): Unit
+    }
+    val plan = try df.select(cols: _*)
+      .queryExecution.analyzed.canonicalized.toString
+    catch { case _: Exception => return None }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(plan.getBytes("UTF-8"))
+    md.update(stats.toString.getBytes("UTF-8"))
+    Some(md.digest().map(b => f"$b%02x").mkString)
   }
 
   private def complete(dir: File) = new File(dir, "meta/_SUCCESS").exists()
