@@ -514,7 +514,8 @@ object Bench {
         s""""n_failures":${failures.size},"queries":$qs,""" +
         s""""spreads":$spreads,"rep_samples":$repSamples,""" +
         s""""failures":$fs$streamJson$curJson""" +
-        s"""$curNdJson$annJson$substrJson$clsJson$knJson}""" + "\n")
+        s"""$curNdJson$annJson$substrJson$clsJson$knJson$packJson}""" +
+        "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
