@@ -267,7 +267,7 @@ object Multimodal {
   def pngRoundTrip(ids: DataFrame, idCol: String): Dataset[MediaMeta] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    spreadIds(ids, idCol).mapPartitions { it =>
       it.map { id =>
         val w = 1 + (id % 37).toInt
         val h = 1 + ((id * 7) % 29).toInt
@@ -344,10 +344,32 @@ object Multimodal {
     * which knows only the pixel formulas, never the PNG bytes —
     * independently reproduces every hash bit.
     */
+  /** The codec round-trip builders are CPU-bound per row (encode +
+    * real-codec decode), but their input is a bare id list that
+    * arrives at the scan's partitioning — one task for a single-file
+    * id table, which serialized the whole render/decode pass (r16,
+    * guide §2.5 input skew / §8 "shuffle keys, not payloads"): spread
+    * the 8-byte id rows across the session's parallelism before the
+    * typed pass. Hash-by-id: deterministic (no round-robin sort), and
+    * the output is partitioning-independent by construction.
+    * IMAGE builders only: `javax.sound.sampled`'s provider lookup is
+    * globally synchronized, so the WAV round trips measured 3.5×
+    * SLOWER under 32-way parallelism — the audio builders keep the
+    * scan's partitioning (single-thread codec, no lock convoy).
+    */
+  private def spreadIds(ids: DataFrame, idCol: String)
+      : Dataset[Long] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long"))
+      .repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .as[Long]
+  }
+
   def renderDHash(ids: DataFrame, idCol: String): Dataset[ImageHash] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    spreadIds(ids, idCol).mapPartitions { it =>
       it.map { id =>
         val pair = id / 2
         val w = 8 + (pair % 30).toInt
