@@ -133,6 +133,9 @@ object Packing {
         org.apache.spark.sql.types.StringType, containsNull = false)))
         .as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally: the vocab-cap throw below must not leak the pin
+    // past the call (the cache-hygiene contract DedupSpec asserts)
+    try {
     // vocab job: bounded metadata, capped loudly — NOT a data collect.
     // Sorted by Spark's UTF8String binary order = UTF-8 byte order,
     // the collation DuckDB's ORDER BY replays.
@@ -182,12 +185,11 @@ object Packing {
         }
       }
       .toDF("shard", "seq_id", "n_docs", "n_tokens", "token_ids")
-    // eagerly materialize so the pinned encode can be released here —
-    // the house cache-lifecycle rule (nothing stays cached past the
-    // call)
-    val out = Dedup.materialize(packed)
-    enc.unpersist(blocking = false)
-    out
+    // eagerly materialize so the pinned encode can be released in the
+    // finally — the house cache-lifecycle rule (nothing stays cached
+    // past the call, success OR failure)
+    Dedup.materialize(packed)
+    } finally enc.unpersist(blocking = false)
   }
 
   /** Per-sequence packing summary: docs per sequence, token fill, and
