@@ -16,6 +16,8 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // plan capture wants the FULL lineage, not the post-checkpoint tail
+    // (the sysprop gate keeps "off" refusable everywhere else — Dedup)
+    sys.props(graft.extra.Dedup.AllowOffProp) = "1"
     spark.conf.set(graft.extra.Dedup.CheckpointModeKey, "off")
     names.foreach { n =>
       println(s"\n======== $n ========")

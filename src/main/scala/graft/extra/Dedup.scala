@@ -45,24 +45,38 @@ object Dedup {
     *   - `reliable`: `checkpoint(eager)` to the context checkpoint dir
     *     (`SparkContext.setCheckpointDir` required) — survives executor
     *     loss; the right mode for long cluster runs.
+    *   - `off` (PLAN-CAPTURE ONLY — additionally gated on the
+    *     [[AllowOffProp]] system property, which only [[graft.Explain]]
+    *     sets): returns the frame unchanged so `explain` can print the
+    *     FULL lineage past what a checkpoint would truncate. `off`
+    *     BREAKS the eager contract below — callers' finally-unpersist
+    *     fires before the lazy result is consumed (values stay correct,
+    *     caches just stop helping) and nondeterministic plans (e.g.
+    *     range-sampled pins) are no longer frozen — which is why a bare
+    *     session conf cannot enable it in timed or verified runs.
     *
-    * Either way the call is EAGER by design: callers release their
-    * persisted inputs immediately after, and the returned frame must not
-    * reference them lazily.
+    * In `local`/`reliable` the call is EAGER by design: callers release
+    * their persisted inputs immediately after, and the returned frame
+    * must not reference them lazily.
     */
   val CheckpointModeKey = "spark.graft.checkpoint.mode"
+
+  /** JVM gate for the `off` checkpoint mode (see [[CheckpointModeKey]]):
+    * set only by the plan-capture entrypoint, so a stray session conf
+    * can never silently disable eager materialization in a timed or
+    * verified run.
+    */
+  val AllowOffProp = "graft.checkpoint.allowOff"
 
   private[graft] def materialize(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(CheckpointModeKey).getOrElse("local") match {
       case "reliable" => df.checkpoint(eager = true)
       case "local" => df.localCheckpoint(eager = true)
-      // builder/debug only (plan capture): a checkpoint truncates the
-      // lineage, so `explain` on any materializing query shows just the
-      // post-checkpoint tail — `off` returns the frame unchanged so
-      // Explain can print the FULL physical plan. Never set in timed or
-      // verified runs: callers rely on eager materialization to scope
-      // their persists.
-      case "off" => df
+      case "off" if sys.props.get(AllowOffProp).contains("1") => df
+      case "off" => throw new IllegalStateException(
+        s"$CheckpointModeKey=off is plan-capture-only (Explain); it " +
+          s"disables the eager materialization timed/verified runs rely " +
+          s"on. Set -D$AllowOffProp=1 only in a debug entrypoint.")
       case other => throw new IllegalArgumentException(
         s"$CheckpointModeKey must be local|reliable|off, got $other")
     }

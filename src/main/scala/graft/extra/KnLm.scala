@@ -114,34 +114,23 @@ object KnLm {
     * aggregations key only on `by` + the n-gram columns, so occurrence
     * counts are identical either way.
     *
-    * Plan shape (r16 optimization — guide §2.4 "remove shuffles
-    * outright"): after the one corpus-sized aggregation to `tri`, the
-    * frame is hash-repartitioned ONCE on `[by,] w2` and every derived
-    * statistic runs on that single exchange — `ctx2` (keys ⊇ w2),
-    * `cont` (keys ⊇ w2) and `mid` (key = w2) all satisfy their
-    * ClusteredDistribution from the subset partitioning, so none of
-    * them re-shuffles, and the downstream probability-table joins on
-    * (w1,w2)/(w2,w3) are co-partitioned with it too. Only `uniPc`
-    * (keyed by w3 alone) pays its own — vocabulary-sized — exchange.
-    * Before: tri + 4 derived stats each shuffled independently and
-    * both table joins re-exchanged (7 type-frame exchanges); after:
-    * 2 (w2 + w3). Values are unchanged — the aggregations are the
-    * same, only the physical clustering moved.
+    * Plan shape: ONE corpus-sized aggregation builds `tri`
+    * (materialized); the four derived statistics each re-aggregate
+    * that materialized type frame on their own keys. A `[by,] w2`
+    * single-exchange restructuring (subset-key co-partitioning so
+    * ctx2/cont/mid share one exchange) was built and measured in r16 —
+    * value-identical, fewer exchanges, but wall-flat-to-worse at the
+    * bench SF (the query is driver-action-bound); it was reverted, and
+    * the analysis lives in OPTIMIZATION_r16.md, not here.
     *
-    * Skew note (§2.5): the w2 exchange keys the trigram-TYPE frame by
-    * middle word, so one task owns every type of a hot w2 ("the").
-    * Type counts are Heaps-law sublinear and hash-aggregated (no
-    * per-group sort), and the alternative was shuffling the full type
-    * frame four more times; documented trade, revisit if a profile
-    * ever shows the w2 stage straggling.
-    *
-    * `pinTri=true` (the [[fit]] path) materializes `tri` so the four
-    * derived frames — each materialized separately as the model
-    * artifact — re-aggregate its blocks instead of re-running the
-    * corpus pass. The fused self-scoring plan passes `pinTri=false`:
-    * there everything is ONE execution, and Spark's exchange reuse
-    * already runs the corpus aggregation exactly once — the eager
-    * checkpoint only added a planning+job round trip.
+    * `tri` is ALWAYS materialized here — for the fit path the five
+    * frames are the artifact, and for the fused self-scoring plan the
+    * pin was re-measured in r17 (pinTri=false experiment): without it
+    * each derived statistic's post-shuffle aggregation becomes its own
+    * AQE stage job over the reused exchange — 23 → 33 jobs, taskSec
+    * 1.5 → 8.7, wall 1.7 → 3.0 s at sf0.1/32. The eager checkpoint's
+    * one planning round trip is cheaper than re-aggregating the
+    * corpus-sized exchange per consumer.
     */
   private[extra] def stats(tg: DataFrame, by: Seq[String])
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -160,9 +149,9 @@ object KnLm {
 
   /** The four derived statistic frames from a distinct-trigram frame —
     * ONE definition (the serve/self-score bit-parity contract): both
-    * [[stats]] (fit path, materialized tri) and
-    * [[Text.kneserNeyScore]]'s fused plan (w2-clustered cached tri)
-    * build their statistics through these exact expressions.
+    * the fit path and [[Text.kneserNeyScore]]'s self-scoring plan
+    * build their statistics through these exact expressions, over the
+    * tri frame [[stats]] materialized.
     */
   private[extra] def derivedStats(tri: DataFrame, by: Seq[String])
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {

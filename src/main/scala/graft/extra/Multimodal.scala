@@ -333,17 +333,6 @@ object Multimodal {
     hash
   }
 
-  /** Executor-side render → perturb → PNG encode → REAL decode → dHash,
-    * one partition pass per id (no driver hop, no shuffle): ids 2k and
-    * 2k+1 render the SAME seed-k image, with the odd id's pixel (0,0)
-    * overwritten white before encoding — a planted near-dup pair per k
-    * (one changed pixel moves only cell (0,0)'s average, which feeds a
-    * single adjacent-cell comparison, so the pair differs in ≤ 1 hash
-    * bit). The hash is computed from the DECODED pixels, so the
-    * pipeline exercises the real codec end to end, and the SQL oracle —
-    * which knows only the pixel formulas, never the PNG bytes —
-    * independently reproduces every hash bit.
-    */
   /** The codec round-trip builders are CPU-bound per row (encode +
     * real-codec decode), but their input is a bare id list that
     * arrives at the scan's partitioning — one task for a single-file
@@ -366,6 +355,17 @@ object Multimodal {
       .as[Long]
   }
 
+  /** Executor-side render → perturb → PNG encode → REAL decode → dHash,
+    * one partition pass per id (no driver hop, no shuffle): ids 2k and
+    * 2k+1 render the SAME seed-k image, with the odd id's pixel (0,0)
+    * overwritten white before encoding — a planted near-dup pair per k
+    * (one changed pixel moves only cell (0,0)'s average, which feeds a
+    * single adjacent-cell comparison, so the pair differs in ≤ 1 hash
+    * bit). The hash is computed from the DECODED pixels, so the
+    * pipeline exercises the real codec end to end, and the SQL oracle —
+    * which knows only the pixel formulas, never the PNG bytes —
+    * independently reproduces every hash bit.
+    */
   def renderDHash(ids: DataFrame, idCol: String): Dataset[ImageHash] = {
     val spark = ids.sparkSession
     import spark.implicits._

@@ -131,11 +131,25 @@ object Ranks {
     * groups (languages, event types, sources) — the skew the window
     * cannot survive. MANY small groups are the window's GOOD case
     * (each partition is a task), so past `maxGroups` distinct groups
-    * (a cheap map-side HLL pre-check, no shuffle) this falls back to
-    * the per-group window — same values, spec-pinned. A web-domain
-    * grouping (10⁷⁺ groups, heavy-tailed) crosses regimes: the
-    * fallback keeps the driver safe, and the residual risk is the
-    * window's biggest-group task, exactly what it was before.
+    * this falls back to the per-group window — same values,
+    * spec-pinned. The regime check rides PASS 1 ITSELF (r17 — the
+    * separate map-side HLL pre-check job cost one full input pass per
+    * call): each partition reports its run count, with the shipped
+    * run payload capped (count always exact), and the driver falls
+    * back when the total run count can only mean > maxGroups groups
+    * or any partition overflowed its payload cap. Driver memory stays
+    * linear: ≤ cap·P entries, cap ≈ 8·maxGroups/P (min 1024, never
+    * above maxGroups+1). The trade vs the old pre-check: the rare
+    * many-groups fallback now pays one wasted range shuffle (the old
+    * sketch pass was shuffle-free), while every few-groups call —
+    * the regime these operators exist for — saves a whole input
+    * pass. An overflowed partition (> cap runs) means > cap distinct
+    * groups inside one row-balanced range — necessarily SMALL groups,
+    * which is the window's good case, so a cap-induced fallback is
+    * safe as well as correct. A web-domain grouping (10⁷⁺ groups,
+    * heavy-tailed) crosses regimes: the fallback keeps the driver
+    * safe, and the residual risk is the window's biggest-group task,
+    * exactly what it was before.
     *
     * Keys are normalized for value equality where the JVM diverges
     * from SQL grouping: byte arrays compare element-wise, ±0.0
@@ -148,6 +162,61 @@ object Ranks {
     * composing it into a plan that is merely explained/analyzed pays
     * the jobs anyway.
     */
+  /** Per-partition payload cap for the fused pass-1 regime check: big
+    * enough that the few-groups regime never false-falls-back under
+    * moderate skew (min 1024; ~8× the even-spread share per
+    * partition), never above maxGroups + 1 (past that the partition
+    * alone proves the fallback), so the driver collect stays ≤ cap·P
+    * entries in every regime.
+    */
+  private def runPayloadCap(maxGroups: Long, parts: Int): Long =
+    math.min(maxGroups + 1L, math.max(1024L, 8L * (maxGroups / parts + 1L)))
+
+  /** Pass 1 with the regime check fused in: per partition, the exact
+    * run count plus the ordered (group key, run aggregate) list —
+    * payload dropped (null) past `cap` runs. `None` when the observed
+    * runs can only mean > maxGroups groups (total runs exceed
+    * maxGroups + P − 1; contiguous groups split across at most P − 1
+    * boundaries) or any partition overflowed its payload cap.
+    */
+  private def collectRuns(
+      rdd: org.apache.spark.rdd.RDD[Row],
+      keyOf: Row => Seq[Any],
+      valueOf: Row => Long,
+      maxGroups: Long,
+      parts: Int): Option[Array[Array[(Seq[Any], Long)]]] = {
+    val cap = runPayloadCap(maxGroups, parts)
+    val perPart: Array[(Long, Array[(Seq[Any], Long)])] = rdd
+      .mapPartitions({ it =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var acc = 0L
+        var nRuns = 0L
+        var any = false
+        def close(): Unit = {
+          nRuns += 1L
+          if (nRuns <= cap) buf += ((cur, acc)): Unit
+        }
+        while (it.hasNext) {
+          val row = it.next()
+          val k = keyOf(row)
+          if (!any || k != cur) {
+            if (any) close()
+            cur = k; acc = 0L; any = true
+          }
+          acc += valueOf(row)
+        }
+        if (any) close()
+        Iterator.single((nRuns, if (nRuns <= cap) buf.toArray else null))
+      }, preservesPartitioning = true)
+      .collect()
+    val totalRuns = perPart.iterator.map(_._1).sum
+    if (totalRuns > maxGroups + parts - 1L ||
+        perPart.exists(_._2 == null)) None
+    else Some(perPart.map(_._2))
+  }
+
   def withGroupedRowNumber(
       df: DataFrame,
       groupCols: Seq[String],
@@ -159,16 +228,13 @@ object Ranks {
       "withGlobalRowNumber for the global order")
     require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
     val spark = df.sparkSession
-    val approxGroups = df.agg(
-      approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
-      .head().getLong(0)
-    if (approxGroups > maxGroups) {
+    def windowFallback(): DataFrame = {
       // many-groups regime: the per-group window parallelizes on the
       // group key itself; O(G) driver maps would be the hazard here
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
       val ranked = df.withColumn(out, row_number().over(w).cast("long"))
-      return totalOut.fold(ranked)(t => ranked.withColumn(t,
+      totalOut.fold(ranked)(t => ranked.withColumn(t,
         count(lit(1L)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(groupCols.map(col): _*))))
     }
@@ -188,27 +254,13 @@ object Ranks {
       case x => x
     })
     val rdd = sorted.rdd // one lineage: the range shuffle is built once
-    // pass 1: ordered (group key, run length) per partition — a sorted
-    // partition holds ONE contiguous run per group it sees
-    val runs: Array[Array[(Seq[Any], Long)]] = rdd
-      .mapPartitions({ it =>
-        val buf = scala.collection.mutable.ArrayBuffer
-          .empty[(Seq[Any], Long)]
-        var cur: Seq[Any] = null
-        var c = 0L
-        var any = false
-        while (it.hasNext) {
-          val row = it.next()
-          val k = keyOf(row)
-          if (!any || k != cur) {
-            if (any) buf += ((cur, c))
-            cur = k; c = 1L; any = true
-          } else c += 1L
-        }
-        if (any) buf += ((cur, c))
-        Iterator.single(buf.toArray)
-      }, preservesPartitioning = true)
-      .collect()
+    // pass 1 (regime check fused in — see the class doc): ordered
+    // (group key, run length) per partition — a sorted partition holds
+    // ONE contiguous run per group it sees
+    val runs = collectRuns(rdd, keyOf, _ => 1L, maxGroups, parts) match {
+      case None => return windowFallback()
+      case Some(rs) => rs
+    }
     // driver scan: per-(partition, group) start rank + per-group totals
     val sofar = scala.collection.mutable.Map.empty[Seq[Any], Long]
     val starts = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Long]
@@ -370,15 +422,12 @@ object Ranks {
         "expression must be non-null integral for every row " +
         "(filter nulls or coalesce before calling)")).cast("long"))
       .otherwise(valueOf.cast("long"))
-    val approxGroups = df.agg(
-      approx_count_distinct(struct(groupCols.map(col): _*)).as("g"))
-      .head().getLong(0)
-    if (approxGroups > maxGroups) {
+    def windowFallback(): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
-      return df.withColumn(valCol, guarded)
+      df.withColumn(valCol, guarded)
         .withColumn(out, sum(col(valCol)).over(w))
         .drop(valCol)
     }
@@ -397,26 +446,15 @@ object Ranks {
       case x => x
     })
     val rdd = sorted.rdd // one lineage: the range shuffle is built once
-    val runs: Array[Array[(Seq[Any], Long)]] = rdd
-      .mapPartitions({ it =>
-        val buf = scala.collection.mutable.ArrayBuffer
-          .empty[(Seq[Any], Long)]
-        var cur: Seq[Any] = null
-        var s = 0L
-        var any = false
-        while (it.hasNext) {
-          val row = it.next()
-          val k = keyOf(row)
-          if (!any || k != cur) {
-            if (any) buf += ((cur, s))
-            cur = k; s = 0L; any = true
-          }
-          s += row.getLong(valIdx)
-        }
-        if (any) buf += ((cur, s))
-        Iterator.single(buf.toArray)
-      }, preservesPartitioning = true)
-      .collect()
+    // pass 1 (regime check fused in — see withGroupedRowNumber): the
+    // per-run aggregate here is the run's value SUM; the raise_error
+    // guard rides the shuffled valCol, so a NULL still fails loudly in
+    // this regime too
+    val runs = collectRuns(rdd, keyOf, _.getLong(valIdx), maxGroups,
+      parts) match {
+      case None => return windowFallback()
+      case Some(rs) => rs
+    }
     val sofar = scala.collection.mutable.Map.empty[Seq[Any], Long]
     val starts = scala.collection.mutable.Map.empty[(Int, Seq[Any]), Long]
     runs.zipWithIndex.foreach { case (rs, pid) =>

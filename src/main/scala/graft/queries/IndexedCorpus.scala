@@ -72,6 +72,20 @@ object IndexedCorpus {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def memoKeyOf(df: DataFrame, cols: Seq[Column]): Option[String] = {
+    // ADVICE r16: only memoize when EVERY leaf of the analyzed plan is
+    // a file-source relation — `inputFiles.nonEmpty` alone admits mixed
+    // plans (fileDf.join(localDf)) whose in-memory subtree the file
+    // stats below cannot see, so two such frames differing only there
+    // would share a key and serve a stale fingerprint. Anything else
+    // (LocalRelation, V2 sources, views over non-file relations) skips
+    // the memo and rescans — the always-correct path.
+    val allFileLeaves = df.queryExecution.analyzed.collectLeaves().forall {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _ => false
+    }
+    if (!allFileLeaves) return None
     val files = df.inputFiles
     if (files.isEmpty) return None
     val stats = new StringBuilder
@@ -82,8 +96,13 @@ object IndexedCorpus {
       stats.append(f).append(':').append(p.length()).append(':')
         .append(p.lastModified()).append(';'): Unit
     }
+    // ADVICE r16: key on the canonicalized plan's JSON, not toString —
+    // toString truncates field lists at spark.sql.debug.maxToStringFields
+    // and omits LocalRelation rows, so it is lossy; toJSON serializes
+    // the full tree (and the all-file-leaves gate above already
+    // excludes plans whose identity lives outside the tree).
     val plan = try df.select(cols: _*)
-      .queryExecution.analyzed.canonicalized.toString
+      .queryExecution.analyzed.canonicalized.toJSON
     catch { case _: Exception => return None }
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(plan.getBytes("UTF-8"))

@@ -496,9 +496,13 @@ object TextQueriesImpl {
     // r16: typed-tier subword counts (broadcast merge ranks, per-word
     // memo — bit-identical to the expression chain, spec-pinned)
     // instead of the 64-nested-replace projection: the encode was this
-    // query's whole cost (~2 s of the 2.3 s median at sf0.1)
+    // query's whole cost (~2 s of the 2.3 s median at sf0.1).
+    // r17 (guide §6, VERDICT r16 #2): pre-select (doc_id, text) — the
+    // Row-typed encoder is opaque to column pruning, so passing the
+    // full docs frame widened ReadSchema to all 5 columns.
     graft.extra.Packing.packGreedy(
-        Text.withBpeTokensTyped(docs(s, dir), "text", bpeMerges),
+        Text.withBpeTokensTyped(docs(s, dir).select("doc_id", "text"),
+          "text", bpeMerges),
         "doc_id", col("n_bpe_tokens"), budget = 512L, shards = 8)
       .orderBy("doc_id")
 
@@ -526,10 +530,12 @@ object TextQueriesImpl {
   def packExamplesQ(s: SparkSession, dir: String): DataFrame =
     // r16: typed-tier symbol arrays (bit-identical to the expression
     // encode, spec-pinned) — the nested-replace chain ran TWICE here
-    // (vocab job + id projection) and was ~4.5 s of the 5.9 s median
+    // (vocab job + id projection) and was ~4.5 s of the 5.9 s median.
+    // r17 (guide §6, VERDICT r16 #2): pre-select (doc_id, text) so the
+    // opaque typed encoder doesn't defeat column pruning at the scan.
     graft.extra.Packing.packExamples(
-        Text.withBpeSymbolsTyped(docs(s, dir), "text", bpeMerges,
-          "__syms"),
+        Text.withBpeSymbolsTyped(docs(s, dir).select("doc_id", "text"),
+          "text", bpeMerges, "__syms"),
         "doc_id", col("__syms"), budget = 512L, shards = 8)
       .orderBy("shard", "seq_id")
 
