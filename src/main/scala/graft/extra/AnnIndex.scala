@@ -269,16 +269,18 @@ object AnnIndex {
     // codebooks are FROZEN, so a steady ingest reads them once and
     // passes them in; the per-call read is only the convenience path
     val cb = codebooks.getOrElse(readCodebooks(spark, dir))
-    // an empty (or all-NULL-vector) batch can't be dim-probed —
-    // probeDim falls back to MaxDim, which would surface as a
-    // misleading "batch dim 4096" geometry error. Nothing to append →
-    // no-op, keeping the call idempotent for empty micro-batches
-    // (the streaming ingest path delivers those routinely).
-    if (emb.filter(col(vecCol).isNotNull).isEmpty) return
-    // fail fast on geometry drift: a batch with a different embedding
-    // dim would otherwise encode silently against the wrong subspace
-    // layout and poison the index
-    val batchDim = Similarity.probeDim(emb, vecCol)
+    // ONE guard job (r17 — was two: an isEmpty probe plus a probeDim
+    // head): the first non-null vector's size answers both questions.
+    // Empty (or all-NULL-vector) batch → nothing to append → no-op,
+    // keeping the call idempotent for empty micro-batches (the
+    // streaming ingest path delivers those routinely); a present
+    // vector of the wrong dim fails fast at the driver — a batch with
+    // a different embedding dim would otherwise encode silently
+    // against the wrong subspace layout and poison the index.
+    val firstDim = emb.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
+    if (firstDim.isEmpty) return
+    val batchDim = firstDim(0).getInt(0)
     require(batchDim == cb.m * cb.sub,
       s"appendIvfPq: batch dim $batchDim does not match index dim " +
         s"${cb.m * cb.sub} (m=${cb.m} × sub=${cb.sub})")
@@ -341,28 +343,68 @@ object AnnIndex {
     * merged.
     */
   def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
-      retainVersions: Int = 1): Boolean = {
+      retainVersions: Int = 1): Boolean =
+    prepareCompactTier(spark, dir, fanout) match {
+      case None => false
+      case Some(p) => commitPreparedTier(spark, dir, p, retainVersions)
+    }
+
+  /** Phase 1 of the two-phase [[compactTier]] (r17 — the
+    * [[SubstrIndex.prepareAppend]] split applied to compaction): pick
+    * the first full size tier and WRITE the merged tier-up segment's
+    * files without committing them — invisible until
+    * [[commitPreparedTier]] lands the manifest, so a streaming ingest
+    * can run the (heavy) merge OFF the micro-batch path, concurrent
+    * with later batches, and fold it in with one cheap manifest write
+    * on the batch thread. The merged segment lives under a `tier-`
+    * name so a concurrent append's `seg-` write can never collide. A
+    * crash (or dropped prepare) leaves orphan files for
+    * [[compact]]/vacuum to sweep — the same crash shape as a failure
+    * inside the old single-phase fold.
+    */
+  private[graft] final case class PreparedTier(picked: Seq[String],
+      seg: String)
+
+  private[graft] def prepareCompactTier(spark: SparkSession, dir: String,
+      fanout: Int = 8): Option[PreparedTier] = {
     // manifest-committed layouts only: a legacy flat layout must go
     // through [[compact]]'s migration first (writerEntries' contract —
     // a nested tier-up segment inside the live flat dir would corrupt
     // partition discovery), and the auto path only ever runs after an
     // append, which guarantees the manifest exists
     val (v0, entries) = IndexManifests.latest(spark, dir)
-      .getOrElse(return false)
+      .getOrElse(return None)
     val segs = entries.getOrElse("codes", Nil)
     val sizes = IndexManifests.segmentBytes(spark, dir, segs)
     val picked = IndexManifests.pickTier(sizes, fanout)
-    if (picked.isEmpty) return false
-    val pickedSet = picked.toSet
-    val seg = f"codes/seg-${v0 + 1}%09d"
+    if (picked.isEmpty) return None
+    val seg = f"codes/tier-$v0%09d"
     picked.map(rel => spark.read.parquet(s"$dir/$rel"))
       .reduce(_.unionByName(_))
       .repartition(col("list_id"))
       .sortWithinPartitions(col("list_id"), col("id"))
       .write.mode(SaveMode.Overwrite).partitionBy("list_id")
       .parquet(s"$dir/$seg")
-    IndexManifests.commit(spark, dir, v0 + 1,
-      entries + ("codes" -> (segs.filterNot(pickedSet) :+ seg)))
+    Some(PreparedTier(picked, seg))
+  }
+
+  /** Phase 2: swap the prepared tier into the CURRENT manifest (which
+    * may have gained append segments since phase 1 — appends only add,
+    * so the picked segments are still live; bail out without
+    * committing if any vanished, e.g. a concurrent major [[compact]]).
+    * Must run on the single writer thread (the manifest commit is
+    * put-if-absent); searches are bit-identical before and after — the
+    * merged rows land id-sorted within each list partition exactly as
+    * the inputs were, and the ledger/tombstones ride the entries map.
+    */
+  private[graft] def commitPreparedTier(spark: SparkSession, dir: String,
+      p: PreparedTier, retainVersions: Int = 1): Boolean = {
+    val (v1, entries) = IndexManifests.latest(spark, dir)
+      .getOrElse(return false)
+    val segs = entries.getOrElse("codes", Nil)
+    if (!p.picked.forall(segs.contains)) return false
+    IndexManifests.commit(spark, dir, v1 + 1,
+      entries + ("codes" -> (segs.filterNot(p.picked.toSet) :+ p.seg)))
     IndexManifests.vacuum(spark, dir, Seq("codes", "tombstones"),
       keepVersions = retainVersions)
     true

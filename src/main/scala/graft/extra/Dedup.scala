@@ -260,6 +260,42 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** [[lshCandidates]] restricted to pairs touching at least one row
+    * whose boolean `newCol` is true — the BATCH-DRIVEN candidate form
+    * (r17, guide §3 "reduce the big side before joining"): the incremental
+    * dedup paths only ever verify new-involving pairs, and the global
+    * self-join generated every corpus×corpus pair inside a matched
+    * bucket just to drop it afterwards. Here one join side is only the
+    * flagged-new rows, so per-bucket fan-out falls from width² to
+    * newWidth·width. The emitted pair set is EXACTLY the global form's
+    * filtered to new-involving pairs: each unordered new-involving
+    * co-bucket pair appears (canonicalized id_a < id_b, deduped), the
+    * hot-bucket cap still measures the FULL bucket width (the window
+    * runs before the new-side split), and the same observed drop
+    * metric is attached.
+    */
+  def lshCandidatesNewInvolving(bands: DataFrame, idCol: String,
+      newCol: String, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    ensureHotBucketLogger(bands.sparkSession)
+    val w = Window.partitionBy("band", "sig")
+    val pruned = bands
+      .withColumn("bwidth", count(lit(1)).over(w))
+      .observe(HotBucketMetric,
+        sum(when(col("bwidth") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("bwidth")).as("max_width"))
+      .filter(col("bwidth") <= maxBucket)
+    val n = pruned.filter(col(newCol))
+      .select(col(idCol).as("__id_n"), col("band"), col("sig"))
+    val all = pruned
+      .select(col(idCol).as("__id_o"), col("band"), col("sig"))
+    n.join(all, Seq("band", "sig"))
+      .filter(col("__id_n") =!= col("__id_o"))
+      .select(least(col("__id_n"), col("__id_o")).as("id_a"),
+        greatest(col("__id_n"), col("__id_o")).as("id_b"))
+      .distinct()
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     * verified with exact Jaccard over distinct shingle sets, thresholded.
     */
@@ -336,12 +372,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val flags = sets.select(col(idCol), col("__new"))
-      val cand = lshCandidates(bands, idCol, maxBucket)
+      // batch-driven candidate join (r17): flag the band rows and emit
+      // only new-involving pairs — the global self-join generated every
+      // corpus×corpus pair inside a matched bucket just to drop it at
+      // the filter below; identical pair set, per-bucket fan-out
+      // width² → newWidth·width
+      val cand = lshCandidatesNewInvolving(bands.join(flags, idCol),
+          idCol, "__new", maxBucket)
         .join(flags.select(col(idCol).as("id_a"), col("__new").as("new_a")),
           "id_a")
         .join(flags.select(col(idCol).as("id_b"), col("__new").as("new_b")),
           "id_b")
-        .filter(col("new_a") || col("new_b")) // corpus×corpus never verified
       val verified = cand
         .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")),
           "id_a")

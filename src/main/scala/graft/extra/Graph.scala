@@ -66,13 +66,14 @@ object Graph {
 
   /** Whether [[pagerank]]'s CHAINED-broadcast loop fits memory
     * (ADVICE r15): the chained form executes all `iters` rounds as
-    * ONE lazy job, and every round hints TWO broadcast relations (the
-    * rank frame and the per-round aggregate) — all of them live
-    * SIMULTANEOUSLY on the driver and on every executor until the job
-    * finishes, so the gate must bound TOTAL live broadcast bytes
-    * (2 · iters · n · rowBytes) against the actual heap, not node
-    * count alone. Budget: 1/8 of the JVM max heap — leaves the other
-    * 7/8 to execution/shuffle and is well under
+    * ONE lazy job, and every round hints ONE broadcast relation (the
+    * per-round mass aggregate — r17; the rank frame is recomputed
+    * inline from it, so it no longer broadcasts separately) — all of
+    * them live SIMULTANEOUSLY on the driver and on every executor
+    * until the job finishes, so the gate must bound TOTAL live
+    * broadcast bytes (iters · n · rowBytes) against the actual heap,
+    * not node count alone. Budget: 1/8 of the JVM max heap — leaves
+    * the other 7/8 to execution/shuffle and is well under
     * `spark.memory.fraction`'s storage share on any sane config. The
     * old fixed `n ≤ 5M` bound admitted ~20 GB of live broadcasts at
     * 32 iters — a realistic OOM on a default 1-4 GB driver.
@@ -83,7 +84,7 @@ object Graph {
   private[graft] def chainedBroadcastFits(n: Long, iters: Int,
       heapBytes: Long = Runtime.getRuntime.maxMemory): Boolean =
     iters <= 32 &&
-      2L * iters * n * RankBroadcastRowBytes <= heapBytes / 8
+      iters * n * RankBroadcastRowBytes <= heapBytes / 8
 
   /** `chainedHeapBytes` overrides the heap figure the chained-
     * broadcast gate sizes against (defaults to this JVM's max heap —
@@ -117,54 +118,80 @@ object Graph {
       .agg(collect_list(col("dst")).as("dsts"))
       .select(col("src"), col("deg"), col("dsts"))
       .transform(Dedup.materialize)
+    // node count folded into the materialization job (r17): the
+    // Observation fills while the localCheckpoint executes, so the
+    // separate count job (one planning+job round trip) disappears —
+    // the connectedLoop convergence-probe pattern.
+    val nodesObs = new org.apache.spark.sql.Observation()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .observe(nodesObs, count(lit(1L)).as("n"))
       .transform(Dedup.materialize)
-    val n = nodes.count() // constant-size driver scalar (one long)
+    val n = nodesObs.get("n").asInstanceOf[Long]
     require(n > 0, "pagerank: edges must be non-empty (no nodes found)")
     val base = (Scale * (100 - dampingPct) / 100) / n
 
     // The rank frame is EXACTLY n rows — a driver-known scalar. Below
-    // the broadcast bound the whole loop chains LAZILY with the rank
-    // side broadcast-HINTED into both per-iteration joins: one Spark
-    // job for all `iters` rounds, no per-round checkpoint writes and
-    // no per-round driver barriers (measured at sf0.1, 1.18M edges /
-    // 21k nodes, local[32]: 5.0 s materialized-AQE loop → the chained
-    // broadcast form below; the old alternative — chaining WITHOUT
-    // the hint — lost AQE's stats and fell back to sort-merge over
-    // the edge list, 9.4 s, which is why the loop used to
-    // materialize). Past the bound (ranks too big to broadcast — the
-    // 100× cluster graph) the loop falls back to the materialized
-    // form: each round an eager localCheckpoint hands AQE exact row
-    // counts, keeps lineage depth constant, and lets it pick keyed
-    // joins that scale.
+    // the broadcast bound the whole loop chains LAZILY with ONE
+    // broadcast per round: one Spark job for all `iters` rounds, no
+    // per-round checkpoint writes and no per-round driver barriers
+    // (measured at sf0.1, 1.18M edges / 21k nodes, local[32]: 5.0 s
+    // materialized-AQE loop → the chained broadcast form below; the
+    // old alternative — chaining WITHOUT the hint — lost AQE's stats
+    // and fell back to sort-merge over the edge list, 9.4 s, which is
+    // why the loop used to materialize). r17: only the per-round MASS
+    // aggregate (id, m) broadcasts; the rank value is recomputed
+    // inline from it on the adjacency side (rank(src) is a pure
+    // expression of m(src): base + (damping·m) div 100, or the uniform
+    // Scale/n literal in round 1 — the identical integer expression
+    // tree the rank frame carried, so values are bit-equal while each
+    // round builds ONE broadcast relation instead of two, halving
+    // live broadcast bytes and the per-round broadcast-build jobs.
+    // Past the bound (ranks too big to broadcast — the 100× cluster
+    // graph) the loop falls back to the materialized form: each round
+    // an eager localCheckpoint hands AQE exact row counts, keeps
+    // lineage depth constant, and lets it pick keyed joins that scale.
     // iters also gates the chained form: each round deepens ONE lazy
     // plan, and Catalyst's optimizer time grows superlinearly with
     // depth — past a few dozen rounds the materialized loop's
     // constant-depth plans win regardless of broadcast fit
     val broadcastRanks = chainedBroadcastFits(n, iters, chainedHeapBytes)
-    var ranks = nodes.withColumn("r", lit(Scale / n))
-    for (i <- 1 to iters) {
-      val rankSide = {
-        val r = ranks.withColumnRenamed("id", "src")
-        if (broadcastRanks) broadcast(r) else r
+    // rank(node) as an integer expression of the mass column `m`
+    // (NULL m = received nothing): the exact update formula
+    val rankOfM = lit(base) +
+      expr(s"($dampingPct * coalesce(m, 0L)) div 100")
+    if (broadcastRanks) {
+      var agg: DataFrame = null // round i-1's (id, m) mass frame
+      for (_ <- 1 to iters) {
+        val withR =
+          if (agg == null) adj.withColumn("r", lit(Scale / n))
+          else adj
+            .join(broadcast(agg.withColumnRenamed("id", "src")),
+              Seq("src"), "left")
+            .withColumn("r", rankOfM)
+        val contribs = withR
+          .select(col("dsts"), expr("r div deg").as("c"))
+          .select(explode(col("dsts")).as("id"), col("c"))
+        agg = contribs.groupBy("id").agg(sum(col("c")).as("m"))
       }
-      val contribs = adj
-        .join(rankSide, "src")
-        .select(col("dsts"), expr("r div deg").as("c"))
-        .select(explode(col("dsts")).as("id"), col("c"))
-      val agg = contribs.groupBy("id").agg(sum(col("c")).as("m"))
-      ranks = nodes
-        .join(if (broadcastRanks) broadcast(agg) else agg,
-          Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) +
-            expr(s"($dampingPct * coalesce(m, 0L)) div 100")).as("r"))
-      if (!broadcastRanks)
-        ranks = ranks.transform(Dedup.materialize)
+      nodes.join(broadcast(agg), Seq("id"), "left")
+        .select(col("id"), rankOfM.as("rank_e12"),
+          (rankOfM.cast("double") / lit(Scale.toDouble)).as("rank"))
+    } else {
+      var ranks = nodes.withColumn("r", lit(Scale / n))
+      for (_ <- 1 to iters) {
+        val contribs = adj
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dsts"), expr("r div deg").as("c"))
+          .select(explode(col("dsts")).as("id"), col("c"))
+        val agg = contribs.groupBy("id").agg(sum(col("c")).as("m"))
+        ranks = nodes.join(agg, Seq("id"), "left")
+          .select(col("id"), rankOfM.as("r"))
+          .transform(Dedup.materialize)
+      }
+      ranks.select(col("id"), col("r").as("rank_e12"),
+        (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
     }
-    ranks.select(col("id"), col("r").as("rank_e12"),
-      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
   /** BFS hop distances from a seed node, depth-bounded: returns one
@@ -232,13 +259,19 @@ object Graph {
     var d = 1
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
+      // the exhaustion probe rides the materialization job as an
+      // Observation metric (r17 — the connectedLoop pattern): the old
+      // isEmpty probe cost one extra job + planning round trip per
+      // level even on an already-checkpointed frame
+      val obs = new org.apache.spark.sql.Observation()
       val next = edgesAt(d)
         .join(frontier.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .select(col("id"), lit(d).cast("int").as("dist"))
+        .observe(obs, count(lit(1L)).as("n"))
         .transform(Dedup.materialize)
-      if (next.isEmpty) exhausted = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
       else {
         // lazy union of per-level CHECKPOINTED frames — every leg is
         // already materialized, so the union needs no re-checkpoint
@@ -333,12 +366,17 @@ object Graph {
     // moves per round. The same hoisted-partitioning trick pagerank
     // uses — at 1000 executors this is the difference between one |E|
     // shuffle and |rounds| of them.
+    // edge count folded into the materialization job (r17): the
+    // Observation fills while the localCheckpoint executes, replacing
+    // the separate count job — the convergence-probe pattern below
+    val symObs = new org.apache.spark.sql.Observation()
     val sym = base
       .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
+      .observe(symObs, count(lit(1L)).as("n"))
       .transform(Dedup.materialize)
-    val symCount = sym.count()
+    val symCount = symObs.get("n").asInstanceOf[Long]
     if (symCount == 0L)
       return sym.select(col("src").as("id"), col("src").as("component"))
     // SMALL-GRAPH fast path: the loop's per-round cost on a graph this

@@ -409,14 +409,18 @@ object MinhashIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val flags = unionBands.select(col("d"), col("__new"))
         .groupBy("d").agg(max("__new").as("__new"))
-      val cand = Dedup.lshCandidates(
-          unionBands.select(col("d"), col("band"), col("sig")), "d",
-          maxBucket)
+      // batch-driven candidate join (r17): only new-involving pairs are
+      // generated — the global lshCandidates built every corpus×corpus
+      // pair inside a matched bucket and then dropped it at the flags
+      // filter; identical pair set, per-bucket fan-out width² →
+      // newWidth·width (see Dedup.lshCandidatesNewInvolving)
+      val cand = Dedup.lshCandidatesNewInvolving(
+          unionBands.select(col("d"), col("band"), col("sig"),
+            col("__new")), "d", "__new", maxBucket)
         .join(flags.select(col("d").as("id_a"), col("__new").as("new_a")),
           "id_a")
         .join(flags.select(col("d").as("id_b"), col("__new").as("new_b")),
           "id_b")
-        .filter(col("new_a") || col("new_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // corpus shingle sets: only candidate ids' files are opened

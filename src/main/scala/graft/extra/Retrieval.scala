@@ -31,18 +31,26 @@ object Retrieval {
     *
     * Output: idCol, `n_hits` (matched query terms), `score`.
     */
-  /** Corpus BM25 scalars in ONE job (r16 — was two sequential actions,
-    * a docs.count plus a sum collect): (nDocs, Σ doc lengths). The
+  /** Corpus BM25 scalars as a ONE-ROW LAZY frame (r17 — r16 fused the
+    * old two sequential actions into one job; this removes the
+    * remaining driver action entirely): (`__ndocs`, `__sumdl`, and the
+    * derived `__avgdl` double). Cross-joined (broadcast) into the
+    * scoring plan, the aggregation executes INSIDE the caller's single
+    * action as a broadcast build instead of as its own collect +
+    * planning round trip. The values are the same exact longs (the
     * token-length sum over the docs frame equals the sum over the tf
-    * frame exactly (null/empty text contributes no tf rows and a
-    * null/0 length here; exact longs either way).
+    * frame exactly — null/empty text contributes no tf rows and a 0
+    * length here), and `__avgdl` is the same one IEEE division the
+    * collected-scalar form performed on the driver, so every
+    * downstream double is bit-identical.
     */
-  private[graft] def bm25Consts(docs: DataFrame,
-      textCol: String): (Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-      sum(size(Text.tokens(col(textCol))).cast("long"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-  }
+  private[graft] def bm25ConstsFrame(docs: DataFrame,
+      textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("__ndocs"),
+        coalesce(sum(size(Text.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("__sumdl"))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__ndocs").cast("double"))
 
   /** The per-(doc, term) frequency frame — BM25's inverted-index core,
     * shared (r16) so eval callers can derive their judgment sets from
@@ -66,27 +74,28 @@ object Retrieval {
     // house cache-lifecycle rule (SCALE.md): eagerly materialize the
     // output, then unpersist — nothing stays cached past the call
     try {
-      // constant-size driver values (two longs in one job) — NOT a
-      // data-proportional collect
-      val (nDocs, sumDl) = bm25Consts(docs, textCol)
-      val avgdl = sumDl.toDouble / nDocs.toDouble
+      // corpus scalars ride the plan as a broadcast one-row frame
+      // (r17): no separate driver collect — see bm25ConstsFrame
+      val consts = bm25ConstsFrame(docs, textCol)
+      val nDocsD = col("__ndocs").cast("double")
       val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
 
       val tfq = tf.filter(col("term").isin(terms: _*))
       val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val idf = df.withColumn("idf",
-        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      val idf = df.crossJoin(broadcast(consts))
+        .withColumn("idf",
+          log((nDocsD - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)))
 
       val tfD = col("tf").cast("double")
       val contrib = round(
         col("idf") * ((tfD * lit(k1 + 1.0)) /
           (tfD + lit(k1) * (lit(1.0 - b) +
-            lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+            lit(b) * (col("dl").cast("double") / col("__avgdl"))))),
         12).cast(DecimalType(30, 12))
 
       Dedup.materialize(
-        tfq.join(broadcast(idf.select("term", "idf")), "term")
+        tfq.join(broadcast(idf.select("term", "idf", "__avgdl")), "term")
           .join(dl, idCol)
           .groupBy(col(idCol))
           .agg(count(lit(1)).as("n_hits"),
@@ -115,22 +124,25 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     val tf = bm25Tf(docs, idCol, textCol).persist()
     try {
-      val (nDocs, sumDl) = bm25Consts(docs, textCol)
-      Dedup.materialize(bm25ScoredAll(tf, idCol, nDocs, sumDl, queries,
+      Dedup.materialize(bm25ScoredAll(tf, idCol,
+        bm25ConstsFrame(docs, textCol), queries,
         queryIdCol, queryTextCol, k1, b, topK))
     } finally tf.unpersist(blocking = false)
   }
 
   /** The LAZY scoring core of [[bm25SearchAll]], over a caller-owned
-    * (ideally pinned) tf frame and pre-computed corpus scalars — shared
-    * (r16) with the retrieval-eval queries so a run + its
-    * corpus-derived qrels execute as ONE plan over ONE tokenization.
+    * (ideally pinned) tf frame and the lazy one-row corpus-scalar
+    * frame ([[bm25ConstsFrame]]) — shared (r16) with the
+    * retrieval-eval queries so a run + its corpus-derived qrels
+    * execute as ONE plan over ONE tokenization; r17 folds the corpus
+    * scalars into that same plan, so the whole query is a single
+    * action.
     */
   private[graft] def bm25ScoredAll(tf: DataFrame, idCol: String,
-      nDocs: Long, sumDl: Long, queries: DataFrame, queryIdCol: String,
+      consts: DataFrame, queries: DataFrame, queryIdCol: String,
       queryTextCol: String, k1: Double, b: Double,
       topK: Int): DataFrame = {
-    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val nDocsD = col("__ndocs").cast("double")
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val qterms = queries.select(col(queryIdCol),
         explode(Text.tokens(col(queryTextCol))).as("term"))
@@ -139,20 +151,21 @@ object Retrieval {
     val tfq = tf.join(broadcast(terms), "term")
     val idf = tfq.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(consts))
       .withColumn("idf",
-        log((lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        log((nDocsD - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))
 
     val tfD = col("tf").cast("double")
     val contrib = round(
       col("idf") * ((tfD * lit(k1 + 1.0)) /
         (tfD + lit(k1) * (lit(1.0 - b) +
-          lit(b) * (col("dl").cast("double") / lit(avgdl))))),
+          lit(b) * (col("dl").cast("double") / col("__avgdl"))))),
       12).cast(DecimalType(30, 12))
 
     val scored = tfq
       .join(broadcast(qterms), "term")
-      .join(broadcast(idf.select("term", "idf")), "term")
+      .join(broadcast(idf.select("term", "idf", "__avgdl")), "term")
       .join(dl, idCol)
       .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("n_hits"),

@@ -610,7 +610,11 @@ object TextQueriesImpl {
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val nDocs = d.count()
+    // corpus size rides the plan as a broadcast one-row frame (r17):
+    // the old d.count() was a separate action + planning round trip;
+    // the cross-joined count is the same exact long, cast to double in
+    // the same expression, so tfidf doubles are bit-identical
+    val nDocs = d.agg(count(lit(1)).as("__ndocs"))
     val tf = d.select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -621,8 +625,9 @@ object TextQueriesImpl {
     try {
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(df, "term")
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("__ndocs").cast("double") / col("df")), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       graft.extra.Dedup.materialize(
@@ -1656,11 +1661,13 @@ object TextQueriesImpl {
     // ARE tf's keys, exactly as the oracle's `dterm` CTE reads its own
     // tf), and the run + eval execute as one final plan instead of
     // [count, sum-collect, run checkpoint, eval] sequential actions.
+    // r17: the corpus scalars ride that plan too (broadcast one-row
+    // frame) — the whole query is ONE action.
     val tf = graft.extra.Retrieval.bm25Tf(d, "doc_id", "text").persist()
     try {
-      val (nDocs, sumDl) = graft.extra.Retrieval.bm25Consts(d, "text")
-      val run = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id", nDocs,
-        sumDl, queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
+      val run = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id",
+        graft.extra.Retrieval.bm25ConstsFrame(d, "text"),
+        queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
         topK = 10)
       val qterms = queries.select(col("query_id"),
         explode(Text.tokens(col("query_text"))).as("term")).distinct()
@@ -1742,12 +1749,13 @@ object TextQueriesImpl {
       ("q2", "window sort"),
       ("q3", "hash table")).toDF("query_id", "query_text")
     // r16: one tokenization for run + graded qrels (see
-    // retrievalMetrics above)
+    // retrievalMetrics above); r17: corpus scalars fold into the one
+    // plan as a broadcast one-row frame — no separate consts action
     val tf = graft.extra.Retrieval.bm25Tf(d, "doc_id", "text").persist()
     try {
-      val (nDocs, sumDl) = graft.extra.Retrieval.bm25Consts(d, "text")
-      val run = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id", nDocs,
-        sumDl, queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
+      val run = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id",
+        graft.extra.Retrieval.bm25ConstsFrame(d, "text"),
+        queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
         topK = 10)
       val qterms = queries.select(col("query_id"),
         explode(Text.tokens(col("query_text"))).as("term")).distinct()

@@ -105,6 +105,20 @@ object AnnIngest {
     // is the encode projection + one file-per-touched-list append.
     val codebooks = AnnIndex.readCodebooks(curated.sparkSession, indexDir)
     val streamId = streamIdOf("ann", checkpointDir)
+    // ASYNC tier folding (r17, VERDICT r16 #6 — the max_batch spike was
+    // the batch that drew the tier merge): the heavy half of the fold
+    // (read the tier + rewrite one tier-up segment, invisible until
+    // committed) runs on a daemon thread CONCURRENTLY with later
+    // micro-batches — guide §2.6, overlap independent jobs — and the
+    // batch thread only pays the cheap manifest swap
+    // ([[AnnIndex.commitPreparedTier]]) once the merge is ready. The
+    // manifest writer stays single-threaded (the batch thread), so the
+    // put-if-absent commit never races; a pending fold dropped at
+    // stream end leaves only orphan files for compact/vacuum to sweep.
+    val foldPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      r => { val t = new Thread(r, "ann-tier-fold"); t.setDaemon(true); t })
+    val pendingFold = new java.util.concurrent.atomic.AtomicReference[
+      java.util.concurrent.Future[Option[AnnIndex.PreparedTier]]]()
     curated
       .select(col(idCol), embedStub(col(textCol), dim).as("embedding"))
       .writeStream
@@ -117,11 +131,28 @@ object AnnIngest {
         // batch keeps parallel writers — the single-task funnel was
         // measured 43µs/row at 200k-row batches vs ~26µs here, and
         // the file count is one per touched list either way
-        if (sinkGate())
-          AnnIndex.appendIvfPq(df.sparkSession, indexDir, df, idCol,
+        if (sinkGate()) {
+          val spark = df.sparkSession
+          val f = pendingFold.get()
+          if (f != null && f.isDone) {
+            pendingFold.set(null)
+            // harvest a finished background merge first: one manifest
+            // write; a failed prepare is dropped (orphan files only)
+            try f.get().foreach(p =>
+              AnnIndex.commitPreparedTier(spark, indexDir, p): Unit)
+            catch { case _: java.util.concurrent.ExecutionException => () }
+          }
+          AnnIndex.appendIvfPq(spark, indexDir, df, idCol,
             "embedding", codebooks = Some(codebooks),
-            txn = Some((streamId, batchId)),
-            autoCompactFanout = autoCompactFanout)
+            txn = Some((streamId, batchId)), autoCompactFanout = 0)
+          if (autoCompactFanout > 0 && pendingFold.get() == null)
+            pendingFold.set(foldPool.submit(
+              new java.util.concurrent.Callable[Option[AnnIndex.PreparedTier]] {
+                def call(): Option[AnnIndex.PreparedTier] =
+                  AnnIndex.prepareCompactTier(spark, indexDir,
+                    autoCompactFanout)
+              }))
+        }
       }
       .start()
   }
