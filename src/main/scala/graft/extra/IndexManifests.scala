@@ -458,6 +458,67 @@ private[graft] object IndexManifests {
     math.max(1L, math.min(16L,
       (inputBytes + (96L << 20) - 1) / (96L << 20))).toInt
 
+  /** STATIC range-cluster routing for a uniform-HASH LongType key
+    * (r17, VERDICT r16 #5 — remove repartitionByRange's sampling pass
+    * from the per-batch append legs): hashed keys are uniform over the
+    * full Long domain BY CONSTRUCTION, so the `n` range boundaries are
+    * known without looking at the data — bucket i covers the i-th
+    * 1/n-slice of the unsigned-reinterpreted key order, which is the
+    * signed order the `#range=` stats and file pruning compare in.
+    * Each bucket routes to its own shuffle partition by hash-
+    * repartitioning on a driver-chosen REPRESENTATIVE value that the
+    * engine's own HashPartitioning (pmod(murmur3(v, seed 42), n)) maps
+    * to partition i — verified at call time by evaluating that exact
+    * catalyst expression, so a hash-function change can never silently
+    * scramble the routing (the search just fails and the caller keeps
+    * the sampling path). Returns the routed frame — bucket-contiguous
+    * partitions, NOT yet sorted — or None when `n` is not a power of
+    * two in [2, 64] or the key is not LongType. Deterministic under
+    * task retry (no sampling RNG), and ONE data pass where
+    * repartitionByRange costs two (sample + shuffle).
+    */
+  private[graft] def staticHashRangeRoute(df: org.apache.spark.sql
+      .DataFrame, key: String, n: Int): Option[org.apache.spark.sql
+      .DataFrame] = {
+    import org.apache.spark.sql.functions._
+    if (n < 2 || n > 64 || (n & (n - 1)) != 0) return None
+    if (df.schema(key).dataType !=
+      org.apache.spark.sql.types.LongType) return None
+    val reps = staticHashReps(n).getOrElse(return None)
+    val b = java.lang.Integer.numberOfTrailingZeros(n)
+    val bucket = shiftrightunsigned(
+      col(key).bitwiseXOR(lit(Long.MinValue)), 64 - b)
+    Some(df
+      .withColumn("__graft_rep",
+        element_at(lit(reps), bucket.cast("int") + 1))
+      .repartition(n, col("__graft_rep"))
+      .drop("__graft_rep"))
+  }
+
+  // representative longs per partition count, memoized (coupon-
+  // collector search over the engine's own hash — a few hundred evals)
+  private val hashRepsMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[Array[Long]]]()
+
+  private def staticHashReps(n: Int): Option[Array[Long]] =
+    hashRepsMemo.computeIfAbsent(n, _ =>
+      try {
+        val reps = new Array[Long](n)
+        val found = new Array[Boolean](n)
+        var covered = 0
+        var v = 0L
+        val cap = 10000L * n
+        while (covered < n && v < cap) {
+          val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)), 42)
+            .eval(null).asInstanceOf[Int]
+          val p = ((h % n) + n) % n
+          if (!found(p)) { found(p) = true; reps(p) = v; covered += 1 }
+          v += 1
+        }
+        if (covered == n) Some(reps) else None
+      } catch { case _: Throwable => None })
+
   /** Delete every on-disk child of the given frame dirs not named by
     * `live` (post-commit physical cleanup — overwrite builds and
     * compaction). A frame dir left with no children is removed too.

@@ -89,14 +89,23 @@ object MinhashIndex {
         col("band"), col("sig"), col("d"))
 
   /** One-shuffle clustered segment write + per-file stats (the
-    * [[SubstrIndex.writeSegment]] shape on the given key).
+    * [[SubstrIndex.writeSegment]] shape on the given key). For the
+    * `k` band key — xxhash64, uniform over Long by construction — the
+    * range boundaries are STATIC
+    * ([[IndexManifests.staticHashRangeRoute]], r17), so the
+    * repartitionByRange sampling pass disappears from every build/
+    * append/probe-side segment write; the `d` sets key (arbitrary doc
+    * ids, not uniform) keeps the sampled path.
     */
   private def writeClusteredSeg(df: DataFrame, dir: String,
       segRel: String, key: String, numFiles: Int)
       : Map[String, (String, String)] = {
-    df.repartitionByRange(numFiles, col(key))
+    val clustered = (if (key == "k")
+        IndexManifests.staticHashRangeRoute(df, key, numFiles)
+      else None)
+      .getOrElse(df.repartitionByRange(numFiles, col(key)))
       .sortWithinPartitions(col(key))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$segRel")
+    clustered.write.mode(SaveMode.Overwrite).parquet(s"$dir/$segRel")
     IndexManifests.fileRangeStats(df.sparkSession, dir, segRel, key)
   }
 

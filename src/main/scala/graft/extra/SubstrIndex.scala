@@ -110,6 +110,61 @@ object SubstrIndex {
         col("__c.d").as("d"), col("__c.p").as("p"))
       .sortWithinPartitions(col("g"))
 
+  /** ONE-PASS [[clusteredPartials]] for HASHED gram keys over LONG doc
+    * ids (r17, VERDICT r16 #5): repartitionByRange's range-sampling
+    * pass re-reads the whole positioned frame before the shuffle pass
+    * — for the per-micro-batch append leg that is a full extra pass
+    * over ~6M gram rows every batch, plus the persist that existed
+    * only to keep the two passes from recomputing the union. Hashed
+    * keys are uniform over Long by construction, so the file ranges
+    * are STATIC ([[IndexManifests.staticHashRangeRoute]]); inside each
+    * routed partition one spillable sort on (g, d, pos) makes the
+    * aggregation a streaming group scan — the first row of a g-run IS
+    * min(struct(d, p)), the run length is the count — and leaves the
+    * output g-sorted for the segment write. Values are bit-identical
+    * to [[clusteredPartials]] (exact counts, the same lexicographic
+    * minimum); only the pass count (2 → 1) and the routing (static vs
+    * sampled bounds, both disjoint sorted ranges with true `#range=`
+    * stats) differ. None when the key/id are not LongType or numFiles
+    * is not a power of two in [2, 64] — callers keep the sampling
+    * path.
+    */
+  private def staticClusteredPartials(positioned: DataFrame,
+      idCol: String, numFiles: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types.LongType
+    if (positioned.schema("__g").dataType != LongType ||
+        positioned.schema(idCol).dataType != LongType) return None
+    IndexManifests.staticHashRangeRoute(positioned, "__g", numFiles)
+      .map { routed =>
+        val spark = routed.sparkSession
+        import spark.implicits._
+        routed
+          .select(col("__g"), col(idCol), col("pos"))
+          .sortWithinPartitions(col("__g"), col(idCol), col("pos"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            new Iterator[(Long, Long, Long, Long)] {
+              private var cur =
+                if (it.hasNext) it.next() else null
+              def hasNext: Boolean = cur != null
+              def next(): (Long, Long, Long, Long) = {
+                val (g, d, p) = cur
+                var n = 1L
+                var more = false
+                while (!more && it.hasNext) {
+                  val r = it.next()
+                  if (r._1 == g) n += 1
+                  else { cur = r; more = true }
+                }
+                if (!more) cur = null
+                (g, n, d, p)
+              }
+            }
+          }
+          .toDF("g", "n", "d", "p")
+      }
+  }
+
   /** Gram geometry of a committed index — driver-memoized
     * ([[IndexManifests.cachedSideFile]]): geometry is frozen for the
     * directory's lifetime ([[build]]'s reject), so the per-batch
@@ -164,9 +219,12 @@ object SubstrIndex {
     }
     val v = prev.map(_._1).getOrElse(0L) + 1
     val seg = f"grams/seg-$v%09d"
-    val ranges = writeSegment(clusteredPartials(
-      Dedup.positionedGrams(docs, idCol, textCol, k, hashed),
-      idCol, numFiles), dir, seg)
+    val positioned = Dedup.positionedGrams(docs, idCol, textCol, k,
+      hashed)
+    val ranges = writeSegment(
+      staticClusteredPartials(positioned, idCol, numFiles)
+        .getOrElse(clusteredPartials(positioned, idCol, numFiles)),
+      dir, seg)
     // write meta ONLY on the first build: the guard above already
     // proved a rebuild's geometry identical, and re-Overwriting would
     // open a delete-then-write window where a concurrent reader's
@@ -254,16 +312,24 @@ object SubstrIndex {
     if (txn.exists { case (sid, b) =>
         IndexManifests.txnApplied(entries, sid, b) }) return None
     val seg = f"grams/seg-${v0 + 1}%09d"
-    // pin the positioned frame: repartitionByRange's range sampling is
-    // a full pass BEFORE the shuffle pass, and unpinned both passes
-    // recompute the union (the broadcast semi-join over the batch's
-    // gram cache plus the cut docs' re-gram) from scratch
-    val pinned = positioned.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val segRanges =
-      try writeSegment(clusteredPartials(pinned, idCol, numFiles),
-        dir, seg)
-      finally pinned.unpersist(blocking = false): Unit
+    val segRanges = staticClusteredPartials(positioned, idCol,
+        numFiles) match {
+      // ONE-PASS static-range path (hashed long keys): no sampling
+      // pass, so no pin needed either — the positioned union is
+      // evaluated exactly once, into the segment write
+      case Some(partials) => writeSegment(partials, dir, seg)
+      case None =>
+        // pin the positioned frame: repartitionByRange's range
+        // sampling is a full pass BEFORE the shuffle pass, and
+        // unpinned both passes recompute the union (the broadcast
+        // semi-join over the batch's gram cache plus the cut docs'
+        // re-gram) from scratch
+        val pinned = positioned.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try writeSegment(clusteredPartials(pinned, idCol, numFiles),
+          dir, seg)
+        finally pinned.unpersist(blocking = false): Unit
+    }
     Some(PreparedAppend(v0 + 1, seg, segRanges, entries, ranges))
   }
 
@@ -299,15 +365,36 @@ object SubstrIndex {
     * (major) compaction. Returns true when a tier merged.
     */
   def compactTier(spark: SparkSession, dir: String, fanout: Int = 8,
-      retainVersions: Int = 1): Boolean = {
-    val (v0, entries, ranges) = requireLatestFull(spark, dir)
+      retainVersions: Int = 1): Boolean =
+    prepareCompactTier(spark, dir, fanout) match {
+      case None => false
+      case Some(p) => commitPreparedTier(spark, dir, p, retainVersions)
+    }
+
+  /** Phase 1 of the two-phase [[compactTier]] (r17 — the
+    * [[prepareAppend]] split applied to compaction, mirroring
+    * [[AnnIndex.prepareCompactTier]]): pick the first full size tier
+    * and WRITE the merged tier-up segment (plus its `#range=` stats)
+    * without committing — invisible until [[commitPreparedTier]], so
+    * a streaming ingest can run the heavy merge OFF the micro-batch
+    * path, concurrent with later batches, and fold it in with one
+    * cheap manifest write on the batch thread. `tier-` name, so a
+    * concurrent append's `seg-` write can never collide; a dropped
+    * prepare leaves orphan files for [[compact]]/vacuum to sweep.
+    */
+  private[graft] final case class PreparedTier(picked: Seq[String],
+      seg: String, segRanges: Map[String, (String, String)])
+
+  private[graft] def prepareCompactTier(spark: SparkSession, dir: String,
+      fanout: Int = 8): Option[PreparedTier] = {
+    val (v0, entries, _) = requireLatestFull(spark, dir)
     val segs = entries.getOrElse("grams", Nil)
     val sizes = IndexManifests.segmentBytes(spark, dir, segs)
     val picked = IndexManifests.pickTier(sizes, fanout)
-    if (picked.isEmpty) return false
+    if (picked.isEmpty) return None
     val pickedSet = picked.toSet
     val bytes = sizes.collect { case (s, b) if pickedSet(s) => b }.sum
-    val seg = f"grams/seg-${v0 + 1}%09d"
+    val seg = f"grams/tier-$v0%09d"
     // same one-exchange merge shape as [[compact]], over the picked
     // tier's partial rows only
     val merged = spark.read.parquet(picked.map(s => s"$dir/$s"): _*)
@@ -318,11 +405,28 @@ object SubstrIndex {
       .select(col("g"), col("n"), col("__c.d").as("d"),
         col("__c.p").as("p"))
       .sortWithinPartitions(col("g"))
-    val segRanges = writeSegment(merged, dir, seg)
+    Some(PreparedTier(picked, seg, writeSegment(merged, dir, seg)))
+  }
+
+  /** Phase 2: swap the prepared tier into the CURRENT manifest (which
+    * may have gained appended segments — and their ranges — since
+    * phase 1; appends only add, so the picked segments are still
+    * live). Bails out without committing if any picked segment
+    * vanished (a concurrent major [[compact]]). Must run on the single
+    * writer thread. Merged-away files' `#range=` stats drop and the
+    * tier-up segment commits the fresh ones, so file pruning never
+    * consults a dead file — exactly the single-phase fold's contract.
+    */
+  private[graft] def commitPreparedTier(spark: SparkSession, dir: String,
+      p: PreparedTier, retainVersions: Int = 1): Boolean = {
+    val (v1, entries, ranges) = requireLatestFull(spark, dir)
+    val segs = entries.getOrElse("grams", Nil)
+    if (!p.picked.forall(segs.contains)) return false
+    val pickedSet = p.picked.toSet
     val keptRanges = IndexManifests.dropRangesUnder(ranges, pickedSet)
-    IndexManifests.commit(spark, dir, v0 + 1,
-      entries + ("grams" -> (segs.filterNot(pickedSet) :+ seg)),
-      keptRanges ++ segRanges)
+    IndexManifests.commit(spark, dir, v1 + 1,
+      entries + ("grams" -> (segs.filterNot(pickedSet) :+ p.seg)),
+      keptRanges ++ p.segRanges)
     IndexManifests.vacuum(spark, dir, Frames,
       keepVersions = retainVersions)
     true
