@@ -16,9 +16,18 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // plan capture wants the FULL lineage, not the post-checkpoint tail
-    // (the sysprop gate keeps "off" refusable everywhere else — Dedup)
-    sys.props(graft.extra.Dedup.AllowOffProp) = "1"
-    spark.conf.set(graft.extra.Dedup.CheckpointModeKey, "off")
+    // (the sysprop gate keeps "off" refusable everywhere else — Dedup).
+    // GRAFT_EXPLAIN_LOCAL=1 keeps the default eager mode instead: the
+    // queries whose loops fuse their convergence/count probes into the
+    // materialization job as Observation metrics (pagerank, bfs,
+    // connected components) can never run under "off" — the observed
+    // plan is never executed, so Observation.get blocks forever; their
+    // dumps show the lazy loop structure over LogicalRDD leaves, which
+    // is the shape that matters there anyway.
+    if (!sys.env.get("GRAFT_EXPLAIN_LOCAL").contains("1")) {
+      sys.props(graft.extra.Dedup.AllowOffProp) = "1"
+      spark.conf.set(graft.extra.Dedup.CheckpointModeKey, "off")
+    }
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

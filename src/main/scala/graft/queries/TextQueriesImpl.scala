@@ -1837,17 +1837,27 @@ object TextQueriesImpl {
       .select(col("doc_id").as("query_id"), col("text").as("query_text"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val sparse = graft.extra.Retrieval.bm25SearchAll(d, "doc_id", "text",
-        queries, "query_id", "query_text", topK = 20)
-      .withColumn("rank", row_number().over(ws))
-    val dense = graft.extra.Similarity.topKBruteForce(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        queryPred = col("id") < 3, k = 20)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank"))
-    graft.extra.Retrieval.rrfFuse(sparse, dense, "query_id", "doc_id",
-        rrfK = 60, topK = 10)
-      .orderBy("query_id", "rank")
+    // r17: the sparse arm runs as the LAZY scoring core over a locally
+    // pinned tf frame (the retrieval_metrics discipline) instead of
+    // bm25SearchAll's materialized form — arm + fusion execute as ONE
+    // plan/action, dropping a checkpoint plus a driver round trip
+    val tf = graft.extra.Retrieval.bm25Tf(d, "doc_id", "text").persist()
+    try {
+      val sparse = graft.extra.Retrieval.bm25ScoredAll(tf, "doc_id",
+          graft.extra.Retrieval.bm25ConstsFrame(d, "text"),
+          queries, "query_id", "query_text", k1 = 1.2, b = 0.75,
+          topK = 20)
+        .withColumn("rank", row_number().over(ws))
+      val dense = graft.extra.Similarity.topKBruteForce(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryPred = col("id") < 3, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      graft.extra.Dedup.materialize(
+        graft.extra.Retrieval.rrfFuse(sparse, dense, "query_id",
+            "doc_id", rrfK = 60, topK = 10)
+          .orderBy("query_id", "rank"))
+    } finally tf.unpersist(blocking = false)
   }
 
   private val hybridTopKOracle =
