@@ -52,6 +52,18 @@ object Retrieval {
       .withColumn("__avgdl",
         col("__sumdl").cast("double") / col("__ndocs").cast("double"))
 
+  /** Attach the [[bm25ConstsFrame]] scalars to every row of `df`:
+    * `crossJoin(broadcast(…))` of the ONE-ROW aggregate — the
+    * DataFrame spelling of a scalar subquery, linear by construction.
+    * It plans as `BroadcastNestedLoopJoin BuildRight, Cross`
+    * (a literal-key equi-join was tried and FoldablePropagation folds
+    * the condition away, landing on the same operator); PlanShapeSpec
+    * distinguishes this deliberate one-row attach from accidental
+    * all-pairs joins.
+    */
+  private def withConsts(df: DataFrame, consts: DataFrame): DataFrame =
+    df.crossJoin(broadcast(consts))
+
   /** The per-(doc, term) frequency frame — BM25's inverted-index core,
     * shared (r16) so eval callers can derive their judgment sets from
     * the SAME tokenization instead of paying a second
@@ -82,7 +94,7 @@ object Retrieval {
 
       val tfq = tf.filter(col("term").isin(terms: _*))
       val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val idf = df.crossJoin(broadcast(consts))
+      val idf = withConsts(df, consts)
         .withColumn("idf",
           log((nDocsD - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5)) + lit(1.0)))
@@ -149,9 +161,8 @@ object Retrieval {
       .distinct()
     val terms = qterms.select("term").distinct()
     val tfq = tf.join(broadcast(terms), "term")
-    val idf = tfq.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(consts))
+    val idf = withConsts(
+      tfq.groupBy(col("term")).agg(count(lit(1)).as("df")), consts)
       .withColumn("idf",
         log((nDocsD - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))

@@ -49,14 +49,14 @@ class GraphSpec extends SparkSpec {
   }
 
   test("chained-broadcast gate is memory-derived (ADVICE r15): total " +
-      "live broadcast bytes (2 * iters * n * 64B) against 1/8 heap, " +
-      "boundary exact; the old fixed 5M-node bound is rejected on a " +
-      "default-size driver") {
+      "live broadcast bytes (iters * n * 64B — one broadcast per " +
+      "round since r17) against 1/8 heap, boundary exact; the old " +
+      "fixed 5M-node bound is rejected on a default-size driver") {
     val heap4g = 4L << 30
-    // budget = heap/8 = 512 MB; live = 2*iters*n*64
-    // boundary at n*iters = 512MB/128 = 4,194,304
-    assert(Graph.chainedBroadcastFits(4194304L / 10, 10, heap4g))
-    assert(!Graph.chainedBroadcastFits(4194304L / 10 + 1, 10, heap4g))
+    // budget = heap/8 = 512 MB; live = iters*n*64
+    // boundary at n*iters = 512MB/64 = 8,388,608
+    assert(Graph.chainedBroadcastFits(8388608L / 10, 10, heap4g))
+    assert(!Graph.chainedBroadcastFits(8388608L / 10 + 1, 10, heap4g))
     // the r15-ADVICE scenario: 5M nodes at 32 iters = ~20 GB of live
     // broadcasts — admitted by the old bound, rejected now on 4 GB
     assert(!Graph.chainedBroadcastFits(5000000L, 32, heap4g))
